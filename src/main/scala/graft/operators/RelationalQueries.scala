@@ -1,0 +1,560 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator suite.
+  *
+  * The reference (evidence-dev/duckdb_gsheets) implements no relational
+  * operators itself — joins/aggregations/windows/sorts/set-ops are all
+  * supplied by the host engine (DuckDB) over the scanned rows (see
+  * reference `src/gsheets_extension.cpp:55-59`: no pushdown hooks, plain
+  * table-function scan; its SQL tests, e.g. `test/sql/read_gsheet.test`,
+  * run DuckDB operators like `limit 10` over the scan). In this engine the
+  * same categories are supplied by Spark SQL. Each query here is one
+  * operator-category witness with a DuckDB-oracle SQL twin in
+  * [[RelationalQueries.oracleSql]].
+  *
+  * Conventions for oracle hash-parity:
+  *   - every computed column is aliased identically on both sides;
+  *   - every query ends in a deterministic total order (unique key last);
+  *   - floating aggregates are `round(…, 2)` on both sides (summation
+  *     order differs between engines — rounding absorbs the ULP drift);
+  *   - integer sums are cast to BIGINT in the oracle (DuckDB widens
+  *     integer SUM to HUGEINT, Spark to LongType);
+  *   - event timestamps are truncated to second granularity (the parquet
+  *     column is ns-precision; Spark reads µs, DuckDB ns).
+  *
+  * Scale notes (100 TB design point): dimension tables (region, nation,
+  * supplier, part, customer at ratio) are broadcast; fact-fact joins
+  * shuffle on their join key only after filter pushdown; every aggregate
+  * is a hash aggregate with map-side partial aggregation; top-k uses
+  * TakeOrderedAndProject (no global sort materialization).
+  */
+object RelationalQueries {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  /** Queries keyed by name; each takes (spark, sfDir). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- aggregation: hash agg, partial+final, multiple aggregates -----
+    "q01_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter($"l_shipdate" <= ts("1998-09-02 00:00:00"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_extendedprice"), 4).as("avg_price"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ----- selective filter + scalar-only aggregate (filter pushdown) -----
+    "q02_filtered_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter($"l_shipdate" >= ts("1996-01-01 00:00:00") &&
+                $"l_shipdate" <  ts("1997-01-01 00:00:00") &&
+                $"l_discount".between(0.03, 0.07) &&
+                $"l_quantity" < 24)
+        .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    },
+
+    // ----- 3-way join + agg + top-k (TakeOrderedAndProject) -----
+    "q03_top_orders" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer.filter($"c_mktsegment" === "BUILDING")
+        .join(t.orders, $"c_custkey" === $"o_custkey")
+        .filter($"o_orderdate" < ts("1998-03-15 00:00:00"))
+        .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+        .filter($"l_shipdate" > ts("1998-03-15 00:00:00"))
+        .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    },
+
+    // ----- star join through broadcast dims (region→nation→supplier) -----
+    "q04_region_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy($"r_name")
+    },
+
+    // ----- left-semi join (EXISTS) -----
+    "q05_semi_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val bigLines = t.lineitem.filter($"l_quantity" >= 49)
+      t.orders
+        .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // ----- left-anti join (NOT EXISTS) -----
+    "q06_anti_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val recent = t.orders.filter($"o_orderdate" >= ts("2001-01-01 00:00:00"))
+      t.customer
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+             round(avg($"c_acctbal"), 4).as("avg_bal"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // ----- outer join preserving unmatched rows -----
+    "q07_outer_join_agg" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey", $"c_mktsegment")
+        .agg(count($"o_orderkey").as("n_orders"),
+             round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("total_spend"))
+        .groupBy($"c_mktsegment", $"n_orders")
+        .agg(count(lit(1)).as("n_customers"),
+             round(sum($"total_spend"), 2).as("segment_spend"))
+        .orderBy($"c_mktsegment", $"n_orders")
+    },
+
+    // ----- window: rank within partition -----
+    "q08_window_rank" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal".desc, $"s_suppkey")
+      t.supplier
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+        .select($"n_name", $"rk", $"s_name", round($"s_acctbal", 2).as("acctbal"))
+        .orderBy($"n_name", $"rk")
+    },
+
+    // ----- window: running frame aggregate -----
+    "q09_window_running" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val byDay = t.orders
+        .groupBy(date_trunc("month", $"o_orderdate").as("o_month"))
+        .agg(round(sum($"o_totalprice"), 2).as("month_total"))
+      val w = Window.orderBy($"o_month").rowsBetween(Window.unboundedPreceding, 0)
+      byDay
+        .withColumn("running_total", round(sum($"month_total").over(w), 2))
+        .select($"o_month".cast("date").as("month_start"), $"month_total", $"running_total")
+        .orderBy($"month_start")
+    },
+
+    // ----- window: lag across event stream (second granularity) -----
+    "q10_event_gaps" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      t.events
+        .withColumn("sec", unix_timestamp(date_trunc("second", $"ts")))
+        .withColumn("gap_s", $"sec" - lag($"sec", 1).over(w))
+        .filter($"gap_s".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+             round(avg($"gap_s"), 2).as("avg_gap_s"),
+             max($"gap_s").as("max_gap_s"))
+        .orderBy($"event_type")
+    },
+
+    // ----- distinct aggregates -----
+    "q11_distinct_agg" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+             countDistinct($"l_suppkey").as("n_supps"),
+             countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ----- rollup (hierarchical grouping sets) -----
+    "q12_rollup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+             count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // ----- cube (full grouping-set lattice) -----
+    "q13_cube" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.orders
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+
+    // ----- set operations: UNION ALL / INTERSECT / EXCEPT -----
+    "q14_setops" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      def custsIn(y0: String, y1: String) =
+        t.orders.filter($"o_orderdate" >= ts(y0) && $"o_orderdate" < ts(y1))
+          .select($"o_custkey").distinct()
+      val c95 = custsIn("1995-01-01 00:00:00", "1996-01-01 00:00:00")
+      val c96 = custsIn("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+      val both   = c95.intersect(c96).agg(count(lit(1)).as("n")).select(lit("both_years").as("bucket"), $"n")
+      val only95 = c95.except(c96).agg(count(lit(1)).as("n")).select(lit("only_1995").as("bucket"), $"n")
+      val only96 = c96.except(c95).agg(count(lit(1)).as("n")).select(lit("only_1996").as("bucket"), $"n")
+      val all    = c95.union(c96).agg(count(lit(1)).as("n")).select(lit("union_all_rows").as("bucket"), $"n")
+      both.union(only95).union(only96).union(all).orderBy($"bucket")
+    },
+
+    // ----- scalar functions: string/math/date kitchen sink -----
+    "q15_scalar_funcs" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.part
+        .filter($"p_partkey" % 97 === 0)
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("name_upper"),
+          lower($"p_brand").as("brand_lower"),
+          length($"p_name").as("name_len"),
+          substring($"p_type", 1, 3).as("type_pfx"),
+          concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+          ($"p_size" % 7).as("size_mod"),
+          round(abs($"p_retailprice" - 1000.0), 2).as("price_dist"),
+          round(sqrt($"p_retailprice"), 4).as("price_sqrt"),
+          when($"p_size" > 25, "L").when($"p_size" > 10, "M").otherwise("S").as("size_class"),
+          replace($"p_name", lit(" "), lit("_")).as("name_snake"))
+        .orderBy($"p_partkey")
+    },
+
+    // ----- conditional aggregation (CASE WHEN pivot) + JSON extraction -----
+    "q16_conditional_agg" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy($"user_id" % 100 as "user_bucket")
+        .agg(
+          sum(when($"event_type" === "click", 1).otherwise(0)).as("n_click"),
+          sum(when($"event_type" === "purchase", 1).otherwise(0)).as("n_purchase"),
+          sum(when($"event_type" === "error", 1).otherwise(0)).as("n_error"),
+          round(sum(when($"event_type" === "purchase", $"value").otherwise(0.0)), 2).as("purchase_value"),
+          max($"k").as("max_k"))
+        .orderBy($"user_bucket")
+    },
+
+    // ----- ordered-set aggregates: exact percentiles / median -----
+    "q17_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.orders
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+          round(min($"o_totalprice"), 2).as("min_price"),
+          round(max($"o_totalprice"), 2).as("max_price"))
+        .orderBy($"o_orderstatus")
+    },
+
+    // ----- collect + sort + string-join aggregate -----
+    "q18_collect_sorted" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.nation
+        .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(array_join(array_sort(collect_list($"n_name")), ",").as("nations"),
+             count(lit(1)).as("n_nations"))
+        .orderBy($"r_name")
+    },
+
+    // ----- time bucketing (hourly tumbling windows, batch form) -----
+    "q19_time_bucket" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             round(sum($"value"), 2).as("sum_value"))
+        .filter($"n_events" >= 5)
+        .orderBy($"hour_start", $"event_type")
+    },
+
+    // ----- grouping sets (SQL surface) + grouping() marker -----
+    "q20_grouping_sets" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders.createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(1) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """)
+    }
+  )
+
+  /** DuckDB-oracle twins. Table names are bare (driver registers views
+    * over the same parquet). Column aliases and ordering match the Spark
+    * side exactly.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(1) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filtered_revenue" -> """
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             count(1) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.03 AND 0.07
+        AND l_quantity < 24""",
+
+    "q03_top_orders" -> """
+      SELECT o_orderkey, o_orderdate, o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10""",
+
+    "q04_region_revenue" -> """
+      SELECT r_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(1) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
+
+    "q05_semi_join" -> """
+      SELECT o_orderpriority,
+             count(1) AS n_orders,
+             round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q06_anti_join" -> """
+      SELECT c_mktsegment,
+             count(1) AS n_customers,
+             round(avg(c_acctbal), 4) AS avg_bal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q07_outer_join_agg" -> """
+      WITH per_cust AS (
+        SELECT c_custkey, c_mktsegment,
+               count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment)
+      SELECT c_mktsegment, n_orders,
+             count(1) AS n_customers,
+             round(sum(total_spend), 2) AS segment_spend
+      FROM per_cust
+      GROUP BY c_mktsegment, n_orders
+      ORDER BY c_mktsegment, n_orders""",
+
+    "q08_window_rank" -> """
+      WITH ranked AS (
+        SELECT s_nationkey, s_name, s_acctbal,
+               row_number() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal DESC, s_suppkey) AS rk
+        FROM supplier)
+      SELECT n_name, CAST(rk AS INT) AS rk, s_name,
+             round(s_acctbal, 2) AS acctbal
+      FROM ranked JOIN nation ON s_nationkey = n_nationkey
+      WHERE rk <= 3
+      ORDER BY n_name, rk""",
+
+    "q09_window_running" -> """
+      WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS o_month,
+               round(sum(o_totalprice), 2) AS month_total
+        FROM orders GROUP BY 1)
+      SELECT CAST(o_month AS DATE) AS month_start, month_total,
+             round(sum(month_total) OVER (ORDER BY o_month
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      FROM monthly
+      ORDER BY month_start""",
+
+    "q10_event_gaps" -> """
+      WITH w AS (
+        SELECT event_type,
+               epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS sec,
+               lag(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))) OVER
+                 (PARTITION BY user_id ORDER BY event_id) AS prev_sec
+        FROM events)
+      SELECT event_type,
+             count(1) AS n_gaps,
+             round(avg(sec - prev_sec), 2) AS avg_gap_s,
+             CAST(max(sec - prev_sec) AS BIGINT) AS max_gap_s
+      FROM w
+      WHERE prev_sec IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "q11_distinct_agg" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q12_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             count(1) AS n_rows
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q13_cube" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             count(1) AS n_orders,
+             round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q14_setops" -> """
+      WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                     AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+           c96 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                     AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+      SELECT 'both_years' AS bucket, count(1) AS n FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+      UNION ALL
+      SELECT 'only_1995' AS bucket, count(1) AS n FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+      UNION ALL
+      SELECT 'only_1996' AS bucket, count(1) AS n FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c95)
+      UNION ALL
+      SELECT 'union_all_rows' AS bucket, count(1) AS n FROM (SELECT * FROM c95 UNION ALL SELECT * FROM c96)
+      ORDER BY bucket""",
+
+    "q15_scalar_funcs" -> """
+      SELECT p_partkey,
+             upper(p_name) AS name_upper,
+             lower(p_brand) AS brand_lower,
+             CAST(length(p_name) AS INT) AS name_len,
+             substring(p_type, 1, 3) AS type_pfx,
+             concat_ws('|', p_brand, p_type) AS brand_type,
+             CAST(p_size % 7 AS INT) AS size_mod,
+             round(abs(p_retailprice - 1000.0), 2) AS price_dist,
+             round(sqrt(p_retailprice), 4) AS price_sqrt,
+             CASE WHEN p_size > 25 THEN 'L' WHEN p_size > 10 THEN 'M' ELSE 'S' END AS size_class,
+             replace(p_name, ' ', '_') AS name_snake
+      FROM part
+      WHERE p_partkey % 97 = 0
+      ORDER BY p_partkey""",
+
+    "q16_conditional_agg" -> """
+      SELECT user_id % 100 AS user_bucket,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value,
+             CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+      FROM events
+      GROUP BY user_id % 100
+      ORDER BY user_bucket""",
+
+    "q17_percentiles" -> """
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+             round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+             round(min(o_totalprice), 2) AS min_price,
+             round(max(o_totalprice), 2) AS max_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "q18_collect_sorted" -> """
+      SELECT r_name,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             count(1) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
+
+    "q19_time_bucket" -> """
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+             event_type,
+             count(1) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      HAVING count(1) >= 5
+      ORDER BY hour_start, event_type""",
+
+    "q20_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+             count(1) AS n_orders
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+  )
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish testdata
+  * (/root/repo/TESTDATA.md). One parquet file per table.
+  *
+  * Scale notes: these are plain parquet scans — Catalyst pushes filters
+  * and prunes columns into the scan (verify via `PushedFilters` /
+  * `ReadSchema` in explain). At 100 TB the same code holds: partition
+  * count follows `spark.sql.files.maxPartitionBytes`, and the small
+  * dimension tables (region/nation/supplier/part) stay broadcast-able.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects. Read it as a raw nanosecond long (legacy conf) and floor
+    * to microseconds — queries over events only ever use ≥second
+    * granularity, so the µs-vs-ns floor never shows in results.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

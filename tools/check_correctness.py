@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs each oracle SQL from oracle_sql.json in DuckDB over the testdata
+parquet, loads the Spark result parquet written by graft.Verify, and
+compares: columns sorted by name, rows sorted by all columns, exact value
+equality (NaN==NaN). Usage:
+
+    sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+    python3 tools/check_correctness.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, json, glob, os, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
+        if ecols != gcols:
+            print(f"FAIL {name}: columns differ: oracle={ecols} spark={gcols}")
+            n_fail += 1
+            continue
+        etypes = {n: str(exp.schema.field(n).type) for n in ecols}
+        gtypes = {n: str(got.schema.field(n).type) for n in gcols}
+        tdiff = {n: (etypes[n], gtypes[n]) for n in ecols if etypes[n] != gtypes[n]}
+        erows = sorted([tuple(norm(r[c]) for c in ecols) for r in exp.to_pylist()],
+                       key=lambda r: tuple(str(x) for x in r))
+        grows = sorted([tuple(norm(r[c]) for c in gcols) for r in got.to_pylist()],
+                       key=lambda r: tuple(str(x) for x in r))
+        if erows != grows:
+            print(f"FAIL {name}: {len(erows)} oracle rows vs {len(grows)} spark rows")
+            for i, (a, b) in enumerate(zip(erows, grows)):
+                if a != b:
+                    print(f"  first diff at sorted row {i}:\n    oracle: {a}\n    spark : {b}")
+                    break
+            else:
+                if len(erows) != len(grows):
+                    print(f"  row-count mismatch only")
+            n_fail += 1
+        elif tdiff:
+            print(f"WARN {name}: values match; dtypes differ: {tdiff}")
+            n_pass += 1
+        else:
+            print(f"PASS {name} ({len(erows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
