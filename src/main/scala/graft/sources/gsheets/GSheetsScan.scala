@@ -1,0 +1,142 @@
+package graft.sources.gsheets
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Read path: bind-materialized grid → `InternalRow`s, with the
+  * reference's scan-time conversion semantics
+  * (`src/gsheets_read.cpp:31-84`): per-cell cast to the inferred
+  * BOOLEAN/DOUBLE/VARCHAR, empty string → NULL, ragged (short) rows
+  * padded with NULL.
+  *
+  * Spark-first deltas from the reference's single-cursor execute:
+  *   - column pruning ([[SupportsPushDownRequiredColumns]]) narrows the
+  *     emitted rows to the projected columns — Catalyst's `ReadSchema`
+  *     then shows only what the query needs;
+  *   - optional `numPartitions` splits the grid into row blocks for
+  *     parallel downstream pipelines (a sheet caps at 10M cells, so a
+  *     single partition is the order-preserving default).
+  */
+final class GSheetsScanBuilder(bound: BoundSheet, options: GSheetsOptions)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  // Bind errors (empty range, missing sheet) surface here with the
+  // reference's message (`src/gsheets_read.cpp:190-192`).
+  bound.error.foreach(msg => throw new IllegalArgumentException(msg))
+
+  private var required: StructType = bound.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GSheetsScan(bound, required, options.numPartitions)
+}
+
+final class GSheetsScan(bound: BoundSheet, required: StructType,
+    numPartitions: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // Project to required columns here (driver-side, once) so executors
+    // only ever see the pruned cells.
+    val nameToIdx = bound.schema.fieldNames.zipWithIndex.toMap
+    val colIdx = required.fieldNames.map(nameToIdx)
+    val rows = bound.dataRows
+    val projected: Array[Array[String]] = rows.map { row =>
+      colIdx.map(i => if (i < row.size) row(i) else null)
+    }.toArray
+
+    val n = math.max(1, math.min(numPartitions, math.max(projected.length, 1)))
+    val chunk = math.max(1, (projected.length + n - 1) / n)
+    projected.grouped(chunk)
+      .map(block => GSheetsInputPartition(block, required.fields.map(_.dataType)))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GSheetsReaderFactory
+
+  override def description(): String =
+    s"gsheets ${bound.spreadsheetId} ${bound.apiRange}"
+}
+
+/** Rows are carried in the partition (driver fetched them once at bind,
+  * exactly like the reference's `ReadSheetBindData`; bounded by the
+  * Sheets 10M-cell product cap — SURVEY §7.3 scale note).
+  */
+final case class GSheetsInputPartition(
+    rows: Array[Array[String]],
+    types: Array[DataType]) extends InputPartition
+
+final class GSheetsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GSheetsInputPartition]
+    new GSheetsPartitionReader(p.rows, p.types)
+  }
+}
+
+final class GSheetsPartitionReader(rows: Array[Array[String]],
+    types: Array[DataType]) extends PartitionReader[InternalRow] {
+
+  private var i = -1
+
+  override def next(): Boolean = { i += 1; i < rows.length }
+
+  override def get(): InternalRow = {
+    val row = rows(i)
+    val out = new Array[Any](types.length)
+    var c = 0
+    while (c < types.length) {
+      val cell = if (c < row.length) row(c) else null
+      out(c) = GSheetsPartitionReader.convert(cell, types(c))
+      c += 1
+    }
+    InternalRow.fromSeq(out.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}
+
+object GSheetsPartitionReader {
+
+  /** Cell conversion parity with `src/gsheets_read.cpp:49-75`: empty or
+    * missing → NULL; else cast to the inferred type, throwing on
+    * uncastable cells (DuckDB `DefaultCastAs` semantics).
+    */
+  def convert(cell: String, tpe: DataType): Any = {
+    if (cell == null || cell.isEmpty) return null
+    tpe match {
+      case StringType => UTF8String.fromString(cell)
+      case BooleanType => cell.toLowerCase match {
+        case "true" | "t" | "1" | "yes" | "y"  => true
+        case "false" | "f" | "0" | "no" | "n" => false
+        case _ => throw new IllegalArgumentException(
+          s"Could not convert string '$cell' to BOOLEAN")
+      }
+      case DoubleType => parseDoubleCell(cell)
+      case other => throw new IllegalArgumentException(
+        s"Unexpected gsheets column type $other")
+    }
+  }
+
+  private def parseDoubleCell(cell: String): Double = {
+    val t = cell.trim
+    val unsigned = t.stripPrefix("+").stripPrefix("-")
+    val sign = if (t.startsWith("-")) -1.0 else 1.0
+    unsigned.toLowerCase match {
+      case "inf" | "infinity" => sign * Double.PositiveInfinity
+      case "nan"              => Double.NaN
+      case _ =>
+        try t.toDouble
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"Could not convert string '$cell' to DOUBLE")
+        }
+    }
+  }
+}

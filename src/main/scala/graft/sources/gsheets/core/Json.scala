@@ -1,6 +1,6 @@
 package graft.sources.gsheets.core
 
-import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
+import scala.collection.mutable.ArrayBuffer
 
 /** Minimal dependency-free JSON codec for the Google Sheets API payloads
   * (the reference vendors `third_party/json.hpp` for the same purpose;
@@ -12,8 +12,8 @@ import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
   */
 sealed trait JValue {
   def apply(key: String): JValue = this match {
-    case JObj(fields) => fields.getOrElse(key, JNull)
-    case _            => JNull
+    case o: JObj => o.get(key).getOrElse(JNull)
+    case _       => JNull
   }
   def asOpt: Option[JValue] = if (this == JNull) None else Some(this)
   def str: String = this match {
@@ -24,10 +24,18 @@ sealed trait JValue {
     case JNull        => ""
     case other        => Json.write(other)
   }
+  /** Total: non-numeric content yields 0 (the reference's nlohmann
+    * `value(key, default)` pattern — missing/garbage never throws here).
+    */
   def int: Int = this match {
-    case JNum(raw) => raw.toDouble.toInt
-    case JStr(s)   => s.toDouble.toInt
+    case JNum(raw) => raw.toDoubleOption.map(_.toInt).getOrElse(0)
+    case JStr(s)   => s.toDoubleOption.map(_.toInt).getOrElse(0)
     case _         => 0
+  }
+  def long: Long = this match {
+    case JNum(raw) => raw.toDoubleOption.map(_.toLong).getOrElse(0L)
+    case JStr(s)   => s.toDoubleOption.map(_.toLong).getOrElse(0L)
+    case _         => 0L
   }
   def arr: Vector[JValue] = this match {
     case JArr(items) => items
@@ -39,9 +47,18 @@ final case class JBool(value: Boolean) extends JValue
 final case class JNum(raw: String) extends JValue
 final case class JStr(value: String) extends JValue
 final case class JArr(items: Vector[JValue]) extends JValue
-final case class JObj(fields: Map[String, JValue]) extends JValue
+/** Insertion-ordered object so parse→write round-trips field order and
+  * request bodies serialize with a deterministic key order (the reference's
+  * nlohmann::json emits alphabetically-sorted keys; our client sorts at
+  * build time instead — see the body builders in Model).
+  */
+final case class JObj(fields: Vector[(String, JValue)]) extends JValue {
+  def get(key: String): Option[JValue] = fields.collectFirst {
+    case (k, v) if k == key => v
+  }
+}
 object JObj {
-  def of(kvs: (String, JValue)*): JObj = JObj(kvs.toMap)
+  def of(kvs: (String, JValue)*): JObj = JObj(kvs.toVector)
 }
 
 final class JsonParseException(msg: String) extends RuntimeException(msg)
@@ -90,19 +107,19 @@ object Json {
 
     private def parseObj(): JValue = {
       expect('{'); skipWs()
-      val fields = LinkedHashMap.empty[String, JValue]
-      if (!atEnd && s.charAt(pos) == '}') { pos += 1; return JObj(fields.toMap) }
+      val fields = ArrayBuffer.empty[(String, JValue)]
+      if (!atEnd && s.charAt(pos) == '}') { pos += 1; return JObj(fields.toVector) }
       var done = false
       while (!done) {
         skipWs()
         val k = parseString()
         skipWs(); expect(':')
-        fields(k) = parseValue()
+        fields += (k -> parseValue())
         skipWs()
         if (!atEnd && s.charAt(pos) == ',') pos += 1
         else { expect('}'); done = true }
       }
-      JObj(fields.toMap)
+      JObj(fields.toVector)
     }
 
     private def parseArr(): JValue = {
@@ -141,7 +158,11 @@ object Json {
               case 't'  => sb += '\t'
               case 'u'  =>
                 if (pos + 4 > s.length) fail("bad \\u escape")
-                sb += Integer.parseInt(s.substring(pos, pos + 4), 16).toChar
+                val hex = s.substring(pos, pos + 4)
+                if (!hex.forall(h => (h >= '0' && h <= '9') ||
+                    (h >= 'a' && h <= 'f') || (h >= 'A' && h <= 'F')))
+                  fail(s"bad \\u escape '\\u$hex'")
+                sb += Integer.parseInt(hex, 16).toChar
                 pos += 4
               case other => fail(s"bad escape '\\$other'")
             }
