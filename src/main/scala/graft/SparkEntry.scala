@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
   * Aggregates the per-module query inventories:
   *   - [[graft.operators.RelationalQueries]] — engine-side operator suite
   *     (the categories the reference delegates to DuckDB).
+  *   - [[graft.operators.PipelineQueries]] — LLM-data-pipeline operators
+  *     (dedup, similarity search, text analysis, multimodal plumbing).
   */
 object SparkEntry {
 
@@ -17,10 +19,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.RelationalQueries.queries
+    operators.RelationalQueries.queries ++ operators.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.RelationalQueries.oracleSql
+    operators.RelationalQueries.oracleSql ++ operators.PipelineQueries.oracleSql
 }

@@ -1,0 +1,578 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force cosine top-k and an
+  * LSH-bucketed scale path), text analysis (stats, language-ID,
+  * winnowing fingerprints). These extend the reference's surface per the
+  * north-star brief (the reference itself ships no such operators — it is
+  * a connector; SURVEY §2.2).
+  *
+  * Every query is pure relational Spark (joins/groupBy/windows over
+  * integer/token arithmetic — no UDFs, fully codegen-able) and has a
+  * DuckDB oracle twin computing the identical pipeline, so each gets a
+  * real CORRECTNESS row.
+  *
+  * Scale notes (100 TB design point):
+  *   - Dedup/similarity NEVER does an all-pairs join: candidates come
+  *     from equality joins on LSH band signatures, shared shingles, or
+  *     SimHash prefix buckets — O(n·bands) shuffle, then exact verify
+  *     only on candidates.
+  *   - The token/shingle dictionary (`row_number` over distinct tokens)
+  *     is a global sort of the *vocabulary*, not the corpus; at 100 TB
+  *     swap it for `xxhash64(shingle)` (collision-managed) to avoid the
+  *     sort entirely — kept here because the oracle needs engine-agnostic
+  *     ids.
+  *   - All aggregates are hash aggregates with map-side partials; the
+  *     only broadcast is the (tiny) query-vector set in similarity search.
+  */
+object PipelineQueries {
+
+  /** Split-on-space tokens with empties removed — identical semantics to
+    * DuckDB `list_filter(string_split(text, ' '), x -> x != '')`.
+    */
+  private val toksExpr = "filter(split(text, ' '), x -> x != '')"
+
+  /** (doc_id, pos, shingle) 3-token shingles via posexplode + `lead`
+    * windows. Deliberately NOT an array-lambda (`transform(sequence, i ->
+    * toks[i]...)`) — CollapseProject inlines the tokenizer into the
+    * lambda, re-splitting the text once per element (O(tokens²) per doc,
+    * measured 13 s for 5k docs), and the whole array stage runs inside
+    * the single scan task. The window form is linear and parallelizes
+    * right after the doc_id shuffle.
+    */
+  private def posShingles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "tk")))
+      .withColumn("t2", lead(col("tk"), 1).over(w))
+      .withColumn("t3", lead(col("tk"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("tk"), col("t2"), col("t3")).as("shingle"))
+  }
+
+  /** (doc_id, shingle) distinct pairs. */
+  private def docShingles(docs: DataFrame): DataFrame =
+    posShingles(docs).select("doc_id", "shingle").distinct()
+
+  /** Deterministic dense ids (1-based, by sort order of `keyCol`) via
+    * distributed sort + `zipWithIndex` — NOT a global `row_number`
+    * window, which would funnel the whole dictionary through one task.
+    * Ids match DuckDB's `row_number() OVER (ORDER BY key)` exactly.
+    */
+  private def denseIds(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.select(keyCol).distinct().orderBy(keyCol)
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getString(0), i + 1L)
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(keyCol, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType))))
+  }
+
+  private def shingleDict(dsh: DataFrame): DataFrame =
+    denseIds(dsh, "shingle", "sid")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----- exact dedup: normalize → group → keep min doc_id -----
+    // Scale: one shuffle on the normalized text (at 100 TB: on its hash).
+    "q21_dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.documents
+        .withColumn("norm", regexp_replace(lower(trim($"text")), "\\s+", " "))
+        .groupBy($"norm")
+        .agg(min($"doc_id").as("doc_id"),
+             min_by($"source", $"doc_id").as("source"),
+             count(lit(1)).as("n_copies"))
+        .select($"doc_id", $"source", $"n_copies")
+        .orderBy($"doc_id")
+    },
+
+    // ----- fuzzy dedup: shingle → MinHash(16) → 4-band LSH → verify -----
+    // Banded LSH join generates candidates (never all-pairs); exact
+    // shingle-Jaccard verifies only candidates. 16 integer minhashes from
+    // h_s(x) = (37s+7)·sid + 101s+3 mod P over dictionary ids.
+    "q22_minhash_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val dsh = docShingles(t.documents).cache()
+      // dict is vocabulary-bounded (distinct shingles) — broadcast it;
+      // the RDD-built frame has no stats, so the hint is explicit. At a
+      // 100 TB corpus with an unbounded vocab, drop the hint (shuffle
+      // join) or switch ids to xxhash64 (no dictionary at all).
+      val dict = broadcast(shingleDict(dsh))
+      val dt = dsh.join(dict, "shingle").select($"doc_id", $"sid")
+
+      val P = 1000000007L
+      val mh = dt
+        .select($"doc_id", $"sid", explode(expr("sequence(0, 15)")).as("s"))
+        .groupBy($"doc_id", $"s")
+        .agg(min(((lit(37) * $"s" + 7) * $"sid" + (lit(101) * $"s" + 3)) % P).as("mh"))
+      val bands = mh
+        .withColumn("band", expr("s DIV 4"))
+        .withColumn("r", $"s" % 4)
+        .groupBy($"doc_id", $"band")
+        .agg(concat_ws("-",
+          min(when($"r" === 0, $"mh")), min(when($"r" === 1, $"mh")),
+          min(when($"r" === 2, $"mh")), min(when($"r" === 3, $"mh"))).as("sig"))
+
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+          $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+
+      val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(dsh.as("x"), $"doc_a" === $"x.doc_id")
+        .join(dsh.as("y"), $"doc_b" === $"y.doc_id" && $"x.shingle" === $"y.shingle")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+        .withColumn("jaccard", $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
+        .filter($"jaccard" >= 0.6)
+        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // ----- n-gram Jaccard near-dup: exact, shared-shingle candidates -----
+    "q23_ngram_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val dsh = docShingles(t.documents).cache()
+      val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = dsh.as("a").join(dsh.as("b"),
+          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+        .withColumn("jaccard", $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
+        .filter($"jaccard" >= 0.6)
+        .select($"doc_a", $"doc_b", $"i".as("n_shared"),
+          round($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // ----- SimHash dedup: 32-bit weighted simhash, hi-16-bit buckets -----
+    // Candidate pairs share the 16-bit prefix (the LSH blocking step);
+    // verified by full Hamming distance <= 3 via bit_count(xor).
+    "q24_simhash" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cnt = t.documents
+        .select($"doc_id", explode(expr(toksExpr)).as("tk"))
+        .groupBy($"doc_id", $"tk").agg(count(lit(1)).as("w"))
+      val dict = broadcast(denseIds(cnt, "tk", "tid"))
+      val wt = cnt.join(dict, "tk").select($"doc_id", $"tid", $"w")
+
+      val bits = wt
+        .select($"doc_id", $"tid", $"w", explode(expr("sequence(0, 31)")).as("bi"))
+        .withColumn("h", ($"tid" * 2654435761L) % 4294967296L)
+        .withColumn("bit", expr("(h DIV shiftleft(CAST(1 AS BIGINT), bi)) % 2"))
+        .groupBy($"doc_id", $"bi")
+        .agg(sum(when($"bit" === 1, $"w").otherwise(-$"w")).as("sgn"))
+      val sh = bits
+        .groupBy($"doc_id")
+        .agg(sum(when($"sgn" > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), bi)")).otherwise(0L)).as("simhash"))
+
+      sh.as("a").join(sh.as("b"),
+          expr("a.simhash DIV 65536") === expr("b.simhash DIV 65536") &&
+          $"a.doc_id" < $"b.doc_id")
+        .withColumn("hd", expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)"))
+        .filter($"hd" <= 3)
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"hd")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // ----- similarity search: brute-force cosine top-k (baseline) -----
+    // Query vectors broadcast; dot products fold the embedding arrays
+    // sequentially in double (bit-identical to the oracle's list fold).
+    "q25_cosine_topk" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val normE = "aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+      val normQ = normE.replace("embedding", "qe")
+      val dotE = "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      e.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos", expr(dotE) / (sqrt(expr(normE)) * sqrt(expr(normQ))))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"rank", $"vec_id", round($"cos", 4).as("cos"))
+        .orderBy($"query_id", $"rank")
+    },
+
+    // ----- similarity scale path: random-hyperplane LSH buckets -----
+    // 12 deterministic hyperplanes → 4096 buckets; each query probes only
+    // its bucket (candidates ≈ n/4096 instead of n), then exact cosine
+    // top-5. The hyperplane "randomness" is a fixed integer mix so the
+    // oracle reproduces it.
+    "q26_ann_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val proj = e
+        .select($"vec_id", posexplode($"embedding").as(Seq("d", "ev")))
+        .withColumn("h", explode(expr("sequence(0, 11)")))
+        .withColumn("p",
+          (($"h" * 64 + $"d").cast("long") * 2654435761L % 4294967296L)
+            .cast("double") / 2147483648.0 - 1.0)
+        .groupBy($"vec_id", $"h")
+        .agg(sum($"ev".cast("double") * $"p").as("dot"))
+      val buckets = proj
+        .groupBy($"vec_id")
+        .agg(sum(when($"dot" >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), h)")).otherwise(0L)).as("bucket"))
+      val eb = e.join(buckets, "vec_id")
+      val q = eb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket".as("qbucket"))
+      val normE = "aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+      val normQ = normE.replace("embedding", "qe")
+      val dotE = "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      eb.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+        .withColumn("cos", expr(dotE) / (sqrt(expr(normE)) * sqrt(expr(normQ))))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id", round($"cos", 4).as("cos"))
+        .orderBy($"query_id", $"rank")
+    },
+
+    // ----- text analysis: token/char stats + quality score -----
+    "q27_text_stats" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val tok = t.documents.select($"doc_id", $"lang", $"n_chars",
+        explode(expr(toksExpr)).as("tk"))
+      tok.groupBy($"doc_id", $"lang", $"n_chars")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct($"tk").as("n_uniq"),
+          round(avg(length($"tk")), 4).as("avg_token_len"),
+          sum(when($"tk".isin("the", "a"), 1L).otherwise(0L)).as("n_stop"))
+        .withColumn("stop_ratio",
+          round($"n_stop".cast("double") / $"n_tokens", 4))
+        .withColumn("uniq_ratio",
+          round($"n_uniq".cast("double") / $"n_tokens", 4))
+        .select($"doc_id", $"lang", $"n_chars", $"n_tokens", $"n_uniq",
+          $"avg_token_len", $"n_stop", $"stop_ratio", $"uniq_ratio")
+        .orderBy($"doc_id")
+    },
+
+    // ----- language-ID: token-profile Naive Bayes, train/test split -----
+    // Profiles from docs with doc_id%5=0; scores = sum of log-smoothed
+    // per-lang token likelihoods; argmax with rounded-score tie-break.
+    // Output is the confusion matrix.
+    "q28_langid" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val tok = t.documents.select($"doc_id", $"lang",
+        explode(expr(toksExpr)).as("tk"))
+      val train = tok.filter($"doc_id" % 5 === 0)
+      val test = tok.filter($"doc_id" % 5 =!= 0)
+
+      val langTok = train.groupBy($"lang", $"tk").agg(count(lit(1)).as("c"))
+      val langTot = train.groupBy($"lang").agg(count(lit(1)).as("tot"))
+      val vocabN = train.select($"tk").distinct().count()
+      val profile = langTok.join(langTot, "lang")
+        .select($"lang".as("plang"), $"tk",
+          log(($"c" + 1).cast("double") / ($"tot" + vocabN)).as("logp"))
+
+      val scored = test
+        .join(profile, "tk") // unseen tokens drop (equal smoothing skip)
+        .groupBy($"doc_id", $"lang", $"plang")
+        .agg(sum($"logp").as("score"))
+      val w = Window.partitionBy($"doc_id").orderBy(round($"score", 6).desc, $"plang")
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .groupBy($"lang".as("actual"), $"plang".as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"actual", $"predicted")
+    },
+
+    // ----- winnowing document fingerprints -----
+    // Shingle-id stream per doc; sliding window of 4; min per window;
+    // distinct mins = fingerprint set (Schleimer et al. winnowing shape).
+    "q29_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val posSh = posShingles(t.documents).cache()
+      val dict = broadcast(shingleDict(posSh.select("doc_id", "shingle").distinct()))
+      val sids = posSh.join(dict, "shingle").select($"doc_id", $"pos", $"sid")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, 3)
+      val maxPos = sids.groupBy($"doc_id").agg(max($"pos").as("max_pos"))
+      sids
+        .withColumn("wmin", min($"sid").over(w))
+        .join(maxPos, "doc_id")
+        .filter($"pos" <= $"max_pos" - 3)
+        .groupBy($"doc_id")
+        .agg(countDistinct($"wmin").as("n_fp"),
+          min($"wmin").as("min_fp"), max($"wmin").as("max_fp"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- multimodal: binary asset column + partition-wise decode -----
+    // Documents re-cast as binary assets (the decode step is a STUB: a
+    // deterministic fake standing in for an image decoder, which this
+    // container lacks). The Spark plumbing is real: binary column, typed
+    // Dataset, mapPartitions batch iteration — swap `decodeStub` for a
+    // JNI/library call and nothing else changes.
+    "q30_multimodal_meta" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val assets = t.documents
+        .select($"doc_id", encode($"text", "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+      assets.mapPartitions { it =>
+        it.map { case (docId, bytes) => Multimodal.decodeStub(docId, bytes) }
+      }.toDF()
+        .select($"doc_id", $"n_bytes", $"width", $"height", $"n_frames", $"checksum")
+        .orderBy($"doc_id")
+    }
+  )
+
+  /** DuckDB twins computing the identical pipelines. Shared fragments are
+    * inlined per query (the driver runs each statement standalone).
+    */
+  def oracleSql: Map[String, String] = {
+    val toks = "list_filter(string_split(text, ' '), x -> x != '')"
+    val dsh = s"""
+      toks AS (SELECT doc_id, $toks tk FROM documents),
+      dsh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle FROM toks))"""
+    val cosFragment = """
+      e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"""
+
+    Map(
+      "q21_dedup_exact" -> """
+        SELECT min(doc_id) AS doc_id,
+               arg_min(source, doc_id) AS source,
+               count(1) AS n_copies
+        FROM documents
+        GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        ORDER BY doc_id""",
+
+      "q22_minhash_lsh" -> s"""
+        WITH $dsh,
+        dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) sid
+                 FROM (SELECT DISTINCT shingle FROM dsh)),
+        dt AS (SELECT doc_id, sid FROM dsh JOIN dict USING (shingle)),
+        mh AS (SELECT doc_id, s.s,
+                      min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
+               FROM dt CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
+               GROUP BY 1, 2),
+        bands AS (SELECT doc_id, s // 4 band,
+                         concat_ws('-', min(CASE WHEN s % 4 = 0 THEN mh END),
+                                        min(CASE WHEN s % 4 = 1 THEN mh END),
+                                        min(CASE WHEN s % 4 = 2 THEN mh END),
+                                        min(CASE WHEN s % 4 = 3 THEN mh END)) sig
+                  FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(1) n FROM dsh GROUP BY 1),
+        inter AS (SELECT doc_a, doc_b, count(1) i
+                  FROM cand JOIN dsh x ON doc_a = x.doc_id
+                            JOIN dsh y ON doc_b = y.doc_id AND x.shingle = y.shingle
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+        ORDER BY doc_a, doc_b""",
+
+      "q23_ngram_jaccard" -> s"""
+        WITH $dsh,
+        sizes AS (SELECT doc_id, count(1) n FROM dsh GROUP BY 1),
+        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(1) i
+                  FROM dsh a JOIN dsh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, i AS n_shared,
+               round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+        ORDER BY doc_a, doc_b""",
+
+      "q24_simhash" -> s"""
+        WITH tokx AS (SELECT doc_id, unnest($toks) tk FROM documents),
+        cnt AS (SELECT doc_id, tk, count(1) w FROM tokx GROUP BY 1, 2),
+        dict AS (SELECT tk, row_number() OVER (ORDER BY tk) tid
+                 FROM (SELECT DISTINCT tk FROM cnt)),
+        wt AS (SELECT doc_id, tid, w FROM cnt JOIN dict USING (tk)),
+        bits AS (SELECT doc_id, b.bi,
+                        sum(CASE WHEN (((tid*2654435761) % 4294967296)
+                                       // (1::BIGINT << b.bi)) % 2 = 1
+                                 THEN w ELSE -w END) sgn
+                 FROM wt CROSS JOIN (SELECT unnest(generate_series(0, 31)) bi) b
+                 GROUP BY 1, 2),
+        sh AS (SELECT doc_id,
+                      sum(CASE WHEN sgn > 0 THEN 1::BIGINT << bi ELSE 0 END)::BIGINT simhash
+               FROM bits GROUP BY 1)
+        SELECT a.doc_id doc_a, b.doc_id doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
+        FROM sh a JOIN sh b
+          ON a.simhash // 65536 = b.simhash // 65536 AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b""",
+
+      "q25_cosine_topk" -> s"""
+        WITH $cosFragment,
+        q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, e.vec_id,
+                          list_dot_product(e.v, q.qv) /
+                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
+                   FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        ranked AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+        FROM ranked WHERE rk <= 10
+        ORDER BY query_id, rank""",
+
+      "q26_ann_lsh" -> s"""
+        WITH $cosFragment,
+        el AS (SELECT vec_id, unnest(v) ev, generate_subscripts(v, 1) - 1 d FROM e),
+        proj AS (SELECT vec_id, h.h,
+                        sum(ev * (((h.h*64 + d) * 2654435761) % 4294967296
+                                  / 2147483648.0 - 1.0)) dot
+                 FROM el CROSS JOIN (SELECT unnest(generate_series(0, 11)) h) h
+                 GROUP BY 1, 2),
+        buckets AS (SELECT vec_id,
+                           sum(CASE WHEN dot >= 0 THEN 1::BIGINT << h ELSE 0 END)::BIGINT bucket
+                    FROM proj GROUP BY 1),
+        eb AS (SELECT e.vec_id, v, bucket FROM e JOIN buckets USING (vec_id)),
+        q AS (SELECT vec_id query_id, v qv, bucket qbucket FROM eb WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, eb.vec_id,
+                          list_dot_product(eb.v, q.qv) /
+                          (sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
+                   FROM eb JOIN q ON eb.bucket = q.qbucket AND eb.vec_id != q.query_id),
+        ranked AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank""",
+
+      "q27_text_stats" -> s"""
+        WITH tokx AS (SELECT doc_id, lang, n_chars, unnest($toks) tk FROM documents)
+        SELECT doc_id, lang, n_chars,
+               count(1) AS n_tokens,
+               count(DISTINCT tk) AS n_uniq,
+               round(avg(length(tk)), 4) AS avg_token_len,
+               CAST(sum(CASE WHEN tk IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+               round(sum(CASE WHEN tk IN ('the', 'a') THEN 1 ELSE 0 END)::DOUBLE / count(1), 4) AS stop_ratio,
+               round(count(DISTINCT tk)::DOUBLE / count(1), 4) AS uniq_ratio
+        FROM tokx
+        GROUP BY 1, 2, 3
+        ORDER BY doc_id""",
+
+      "q28_langid" -> s"""
+        WITH tokx AS (SELECT doc_id, lang, unnest($toks) tk FROM documents),
+        train AS (SELECT * FROM tokx WHERE doc_id % 5 = 0),
+        test AS (SELECT * FROM tokx WHERE doc_id % 5 != 0),
+        lang_tok AS (SELECT lang, tk, count(1) c FROM train GROUP BY 1, 2),
+        lang_tot AS (SELECT lang, count(1) tot FROM train GROUP BY 1),
+        vocab AS (SELECT count(DISTINCT tk) n FROM train),
+        profile AS (SELECT lt.lang plang, lt.tk,
+                           ln((lt.c + 1)::DOUBLE / (t.tot + v.n)) logp
+                    FROM lang_tok lt JOIN lang_tot t ON lt.lang = t.lang
+                    CROSS JOIN vocab v),
+        scored AS (SELECT doc_id, test.lang, plang, sum(logp) score
+                   FROM test JOIN profile USING (tk)
+                   GROUP BY 1, 2, 3),
+        ranked AS (SELECT doc_id, lang, plang,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY round(score, 6) DESC, plang) rk
+                   FROM scored)
+        SELECT lang AS actual, plang AS predicted, count(1) AS n_docs
+        FROM ranked WHERE rk = 1
+        GROUP BY 1, 2
+        ORDER BY actual, predicted""",
+
+      "q29_fingerprint" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        pos_sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle,
+                     generate_subscripts(range(1, len(tk) - 1), 1) - 1 pos
+                   FROM toks),
+        dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) sid
+                 FROM (SELECT DISTINCT shingle FROM pos_sh)),
+        sids AS (SELECT doc_id, pos, sid FROM pos_sh JOIN dict USING (shingle)),
+        mx AS (SELECT doc_id, max(pos) max_pos FROM sids GROUP BY 1),
+        wins AS (SELECT s.doc_id, pos,
+                        min(sid) OVER (PARTITION BY s.doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wmin,
+                        max_pos
+                 FROM sids s JOIN mx ON s.doc_id = mx.doc_id)
+        SELECT doc_id, count(DISTINCT wmin) AS n_fp,
+               min(wmin) AS min_fp, max(wmin) AS max_fp
+        FROM wins WHERE pos <= max_pos - 3
+        GROUP BY doc_id
+        ORDER BY doc_id""",
+
+      "q30_multimodal_meta" -> """
+        WITH ch AS (SELECT doc_id, length(text) n,
+                           unnest(generate_series(1, length(text))) i, text
+                    FROM documents),
+        cs AS (SELECT doc_id, min(n) n,
+                      CAST(sum(ascii(substring(text, i, 1)) * ((i - 1) % 97 + 1)) AS BIGINT) checksum
+               FROM ch GROUP BY doc_id)
+        SELECT doc_id, CAST(n AS INT) AS n_bytes,
+               CAST(n % 640 AS INT) AS width,
+               CAST((n * 7) % 480 AS INT) AS height,
+               CAST(n % 30 + 1 AS INT) AS n_frames,
+               checksum
+        FROM cs
+        ORDER BY doc_id"""
+    )
+  }
+}
+
+/** Multimodal column helpers: binary assets + typed decode metadata.
+  * The decode itself is a clearly-marked stub (no image/audio libs in
+  * this container); the schema, encoders, and partition-batch shape are
+  * the real, tested plumbing a production decoder would drop into.
+  */
+object Multimodal {
+
+  final case class DecodedMeta(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      n_frames: Int, checksum: Long)
+
+  /** STUB decode: deterministic fake metadata derived from the raw bytes
+    * — stands in for an image/audio decoder. Checksum is a positionally
+    * weighted byte sum (order-independent-exact, so the DuckDB oracle can
+    * reproduce it relationally).
+    */
+  def decodeStub(docId: Long, bytes: Array[Byte]): DecodedMeta = {
+    val n = bytes.length
+    var checksum = 0L
+    var i = 0
+    while (i < n) {
+      checksum += (bytes(i) & 0xff).toLong * (i % 97 + 1)
+      i += 1
+    }
+    DecodedMeta(docId, n, n % 640, (n * 7) % 480, n % 30 + 1, checksum)
+  }
+}

@@ -217,20 +217,36 @@ object RelationalQueries {
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     },
 
-    // ----- set operations: UNION ALL / INTERSECT / EXCEPT -----
+    // ----- set operations: INTERSECT / EXCEPT / UNION ALL semantics -----
+    // Single-pass plan: one scan of orders (both year filters pushed as
+    // one range predicate), one shuffle to per-custkey year flags, then a
+    // scalar aggregate — instead of materializing each distinct set and
+    // re-scanning the fact table per set operator (8 scans at 100 TB).
+    // Output (and CORRECTNESS hash) identical to the set-op formulation.
     "q14_setops" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      def custsIn(y0: String, y1: String) =
-        t.orders.filter($"o_orderdate" >= ts(y0) && $"o_orderdate" < ts(y1))
-          .select($"o_custkey").distinct()
-      val c95 = custsIn("1995-01-01 00:00:00", "1996-01-01 00:00:00")
-      val c96 = custsIn("1996-01-01 00:00:00", "1997-01-01 00:00:00")
-      val both   = c95.intersect(c96).agg(count(lit(1)).as("n")).select(lit("both_years").as("bucket"), $"n")
-      val only95 = c95.except(c96).agg(count(lit(1)).as("n")).select(lit("only_1995").as("bucket"), $"n")
-      val only96 = c96.except(c95).agg(count(lit(1)).as("n")).select(lit("only_1996").as("bucket"), $"n")
-      val all    = c95.union(c96).agg(count(lit(1)).as("n")).select(lit("union_all_rows").as("bucket"), $"n")
-      both.union(only95).union(only96).union(all).orderBy($"bucket")
+      val in95 = $"o_orderdate" >= ts("1995-01-01 00:00:00") &&
+                 $"o_orderdate" <  ts("1996-01-01 00:00:00")
+      val in96 = $"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+                 $"o_orderdate" <  ts("1997-01-01 00:00:00")
+      val flags = t.orders
+        .filter(in95 || in96)
+        .groupBy($"o_custkey")
+        .agg(max(when(in95, 1).otherwise(0)).as("in95"),
+             max(when(in96, 1).otherwise(0)).as("in96"))
+      val summary = flags.agg(
+        sum(when($"in95" === 1 && $"in96" === 1, 1L).otherwise(0L)).as("both"),
+        sum(when($"in95" === 1 && $"in96" === 0, 1L).otherwise(0L)).as("only95"),
+        sum(when($"in95" === 0 && $"in96" === 1, 1L).otherwise(0L)).as("only96"),
+        (sum($"in95".cast("long")) + sum($"in96".cast("long"))).as("union_all"))
+      summary.select(explode(array(
+          struct(lit("both_years").as("bucket"), $"both".as("n")),
+          struct(lit("only_1995").as("bucket"), $"only95".as("n")),
+          struct(lit("only_1996").as("bucket"), $"only96".as("n")),
+          struct(lit("union_all_rows").as("bucket"), $"union_all".as("n")))))
+        .select($"col.bucket", $"col.n")
+        .orderBy($"bucket")
     },
 
     // ----- scalar functions: string/math/date kitchen sink -----
@@ -271,6 +287,11 @@ object RelationalQueries {
     },
 
     // ----- ordered-set aggregates: exact percentiles / median -----
+    // Small-sf ORACLE WITNESS ONLY: exact `percentile` buffers every
+    // group value in one aggregation buffer — with 3 order-status groups
+    // that is 3 reducers holding the whole column at 100 TB. The scale
+    // paths are q17b (approx_percentile sketch, mergeable map-side) and
+    // q17c (two-pass discrete rank selection).
     "q17_percentiles" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -282,6 +303,47 @@ object RelationalQueries {
           round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
           round(min($"o_totalprice"), 2).as("min_price"),
           round(max($"o_totalprice"), 2).as("max_price"))
+        .orderBy($"o_orderstatus")
+    },
+
+    // ----- percentiles, scale path A: mergeable sketch -----
+    // approx_percentile's buffer is a bounded sketch merged map-side, so
+    // group skew never OOMs a reducer. Sketch algorithms differ across
+    // engines, so this query has no DuckDB oracle (driver rows-only
+    // check); q17/q17c carry the value-level CORRECTNESS.
+    "q17b_percentiles_approx" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.orders
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).as("p50"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 2).as("p90"),
+          round(expr("approx_percentile(o_totalprice, 0.99, 10000)"), 2).as("p99"))
+        .orderBy($"o_orderstatus")
+    },
+
+    // ----- percentiles, scale path B: two-pass exact (discrete) -----
+    // Pass 1: per-group counts; pass 2: rank rows and keep only the three
+    // target ranks (floor((n-1)*p), lower-rank discrete percentile). No
+    // per-group value buffering; memory is O(1) per row beyond the sort.
+    "q17c_percentiles_twopass" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val counts = t.orders.groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+      t.orders
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(counts), "o_orderstatus")
+        .withColumn("k50", floor(($"n" - 1) * 0.5) + 1)
+        .withColumn("k90", floor(($"n" - 1) * 0.9) + 1)
+        .withColumn("k99", floor(($"n" - 1) * 0.99) + 1)
+        .filter($"rn" === $"k50" || $"rn" === $"k90" || $"rn" === $"k99")
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(max(when($"rn" === $"k50", $"o_totalprice")), 2).as("p50_disc"),
+          round(max(when($"rn" === $"k90", $"o_totalprice")), 2).as("p90_disc"),
+          round(max(when($"rn" === $"k99", $"o_totalprice")), 2).as("p99_disc"))
         .orderBy($"o_orderstatus")
     },
 
@@ -529,6 +591,20 @@ object RelationalQueries {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
+
+    "q17c_percentiles_twopass" -> """
+      WITH counts AS (SELECT o_orderstatus, count(1) n FROM orders GROUP BY 1),
+           r AS (SELECT o_orderstatus, o_totalprice,
+                        row_number() OVER (PARTITION BY o_orderstatus
+                                           ORDER BY o_totalprice) rn
+                 FROM orders)
+      SELECT r.o_orderstatus,
+             round(max(CASE WHEN rn = floor((n-1)*0.5)+1 THEN o_totalprice END), 2) AS p50_disc,
+             round(max(CASE WHEN rn = floor((n-1)*0.9)+1 THEN o_totalprice END), 2) AS p90_disc,
+             round(max(CASE WHEN rn = floor((n-1)*0.99)+1 THEN o_totalprice END), 2) AS p99_disc
+      FROM r JOIN counts USING (o_orderstatus)
+      GROUP BY 1
+      ORDER BY 1""",
 
     "q18_collect_sorted" -> """
       SELECT r_name,

@@ -27,6 +27,10 @@ final case class Tables(spark: SparkSession, dir: String) {
     * rejects. Read it as a raw nanosecond long (legacy conf) and floor
     * to microseconds — queries over events only ever use ≥second
     * granularity, so the µs-vs-ns floor never shows in results.
+    *
+    * The conf is set at session build by Verify/Bench; setting it here
+    * too is a safety net for ad-hoc sessions (idempotent, but note it
+    * does leak into the shared session — ADVICE r1 #4).
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
