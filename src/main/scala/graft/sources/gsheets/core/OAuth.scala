@@ -1,0 +1,57 @@
+package graft.sources.gsheets.core
+
+/** Token-paste OAuth helper, port of the reference's
+  * `InitiateOAuthFlow` (`src/gsheets_auth.cpp:140-184`) minus the
+  * interactive stdin/browser steps, which don't exist in a cluster
+  * engine (SURVEY §7.3): we build and return the authorization URL; the
+  * caller opens it, grants access, and passes the resulting token back
+  * as the `token` option (the same "paste the token" contract the
+  * reference prints to stdout).
+  */
+object OAuth {
+
+  /** Web-app implicit-flow client the reference ships
+    * (`src/gsheets_auth.cpp:142-144`).
+    */
+  val DefaultClientId: String =
+    "793766532675-rehqgocfn88h0nl88322ht6d1i12kl4e.apps.googleusercontent.com"
+  val DefaultRedirectUri: String = "https://duckdb-gsheets.com/oauth"
+  val AuthUrl: String = "https://accounts.google.com/o/oauth2/v2/auth"
+  val Scope: String = "https://www.googleapis.com/auth/spreadsheets"
+
+  /** CSRF `state` + full authorization URL. */
+  final case class AuthRequest(url: String, state: String)
+
+  /** Builds the implicit-flow (`response_type=token`) authorization URL
+    * with a fresh 10-char CSRF state, parameter-for-parameter with
+    * `src/gsheets_auth.cpp:147-151`.
+    */
+  def authRequest(
+      clientId: String = DefaultClientId,
+      redirectUri: String = DefaultRedirectUri,
+      state: String = generateRandomString(10)): AuthRequest = {
+    val url = AuthUrl +
+      "?client_id=" + clientId +
+      "&redirect_uri=" + redirectUri +
+      "&response_type=token" +
+      "&scope=" + Scope +
+      "&state=" + state
+    AuthRequest(url, state)
+  }
+
+  /** Alphanumeric random string, port of `generate_random_string`
+    * (`src/gsheets_utils.cpp:53-68`): charset `[0-9A-Za-z]`, uniform.
+    */
+  def generateRandomString(length: Int): String = {
+    val charset =
+      "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    val rnd = new java.security.SecureRandom()
+    val sb = new StringBuilder(length)
+    var i = 0
+    while (i < length) {
+      sb.append(charset.charAt(rnd.nextInt(charset.length)))
+      i += 1
+    }
+    sb.toString
+  }
+}

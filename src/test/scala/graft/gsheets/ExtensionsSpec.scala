@@ -1,0 +1,74 @@
+package graft.gsheets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.gsheets.{GSheetsBind, GSheetsUrlResolution}
+import graft.sources.gsheets.core.{MockHttp, TransportRegistry}
+
+/** R2 coverage: SQL-text replacement scan
+  * (`src/gsheets_extension.cpp:29-46`) — a back-quoted Sheets URL in
+  * `FROM` resolves to the gsheets relation, with connector options drawn
+  * from `spark.gsheets.*` session conf.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  import Fixtures._
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("FROM `<url>` resolves through the replacement-scan rule") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson) // GetSheetById(0)
+    mock.addJson(sheet1Json())
+    TransportRegistry.register("mock-ext-1", mock)
+    GSheetsBind.clearCache()
+
+    withConf(
+      "spark.gsheets.token" -> "test-token",
+      "spark.gsheets.transport" -> "mock-ext-1",
+      "spark.gsheets.cachebust" -> "ext-1") {
+      val url = s"https://docs.google.com/spreadsheets/d/$SpreadsheetId/edit#gid=0"
+      val df = spark.sql(s"SELECT name, age FROM `$url` WHERE age > 26")
+      val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == Seq(("Alice", 30.0), ("Charlie", 45.0), ("Archie", 99.0)))
+    }
+  }
+
+  test("URL basename becomes the relation alias, like the reference") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    TransportRegistry.register("mock-ext-2", mock)
+    GSheetsBind.clearCache()
+
+    withConf(
+      "spark.gsheets.token" -> "test-token",
+      "spark.gsheets.transport" -> "mock-ext-2",
+      "spark.gsheets.cachebust" -> "ext-2") {
+      val url = s"https://docs.google.com/spreadsheets/d/$SpreadsheetId/edit"
+      // DuckDB's replacement scan aliases by basename ("edit" here);
+      // qualified column refs through that alias must resolve.
+      val df = spark.sql(s"SELECT edit.name FROM `$url` WHERE edit.age = 25")
+      assert(df.collect().map(_.getString(0)).toSeq == Seq("Bob"))
+    }
+  }
+
+  test("non-sheets relations are untouched by the rule") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM `https://example.com/not-a-sheet`").collect()
+    }
+    // Still the stock missing-table error, not a gsheets bind failure.
+    assert(err.getMessage.toLowerCase.contains("table or view"))
+  }
+
+  test("basename strips query, fragment, and extension") {
+    import GSheetsUrlResolution.basename
+    assert(basename("https://docs.google.com/spreadsheets/d/X/edit?gid=1#r") == "edit")
+    assert(basename("https://docs.google.com/spreadsheets/d/X/report.csv") == "report")
+    assert(basename("https://docs.google.com/spreadsheets/d/X/") == "X")
+  }
+}

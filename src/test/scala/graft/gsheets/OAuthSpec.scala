@@ -1,0 +1,52 @@
+package graft.gsheets
+
+import graft.sources.gsheets.core.OAuth
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A2/U7 coverage: auth-URL shape parity with the reference's
+  * `InitiateOAuthFlow` (`src/gsheets_auth.cpp:140-184`) and
+  * `generate_random_string` (`src/gsheets_utils.cpp:53-68`).
+  */
+class OAuthSpec extends AnyFunSuite {
+
+  test("auth URL carries the reference's client, redirect, scope, response_type") {
+    val req = OAuth.authRequest(state = "abcXYZ0123")
+    assert(req.url.startsWith("https://accounts.google.com/o/oauth2/v2/auth?"))
+    assert(req.url.contains("client_id=" + OAuth.DefaultClientId))
+    assert(req.url.contains("redirect_uri=https://duckdb-gsheets.com/oauth"))
+    assert(req.url.contains("response_type=token"))
+    assert(req.url.contains(
+      "scope=https://www.googleapis.com/auth/spreadsheets"))
+    assert(req.url.endsWith("&state=abcXYZ0123"))
+    assert(req.state == "abcXYZ0123")
+  }
+
+  test("custom client id and redirect override the defaults") {
+    val req = OAuth.authRequest(clientId = "my-client",
+      redirectUri = "https://example.com/cb", state = "s1")
+    assert(req.url.contains("client_id=my-client"))
+    assert(req.url.contains("redirect_uri=https://example.com/cb"))
+  }
+
+  test("generateRandomString: requested length, alphanumeric charset only") {
+    val s = OAuth.generateRandomString(10)
+    assert(s.length == 10)
+    assert(s.forall(_.isLetterOrDigit))
+    val long = OAuth.generateRandomString(500)
+    assert(long.length == 500)
+    assert(long.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')))
+  }
+
+  test("generateRandomString: fresh states differ (CSRF utility)") {
+    val a = OAuth.generateRandomString(16)
+    val b = OAuth.generateRandomString(16)
+    assert(a != b)
+  }
+
+  test("default authRequest generates a 10-char state like the reference") {
+    val req = OAuth.authRequest()
+    assert(req.state.length == 10)
+    assert(req.url.endsWith("&state=" + req.state))
+  }
+}
