@@ -19,10 +19,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.RelationalQueries.queries ++ operators.PipelineQueries.queries
+    operators.RelationalQueries.queries ++
+      operators.PipelineQueries.queries ++
+      streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.RelationalQueries.oracleSql ++ operators.PipelineQueries.oracleSql
+    operators.RelationalQueries.oracleSql ++
+      operators.PipelineQueries.oracleSql ++
+      streaming.StreamingQueries.oracleSql
 }

@@ -103,6 +103,15 @@ object GSheetsBind {
 
   def clearCache(): Unit = cache.clear()
 
+  /** Uncached re-bind for the streaming source: every poll must observe
+    * the sheet's current contents, not a ≤60 s-old snapshot.
+    */
+  def bindFresh(options: GSheetsOptions): BoundSheet = {
+    val bound = doBind(options)
+    cache.put(options.cacheKey, (System.currentTimeMillis(), bound))
+    bound
+  }
+
   def bind(options: GSheetsOptions): BoundSheet = {
     val key = options.cacheKey
     val now = System.currentTimeMillis()

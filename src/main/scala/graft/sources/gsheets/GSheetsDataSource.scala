@@ -63,6 +63,9 @@ final class GSheetsTable(schema0: StructType, options: GSheetsOptions)
     TableCapability.BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.TRUNCATE,
+    // Streaming tail-read (Spark-native extension; the reference is
+    // batch-only) — see GSheetsMicroBatchStream.
+    TableCapability.MICRO_BATCH_READ,
     // Write-side accepts any DataFrame schema: cells are untyped strings
     // on the wire and every value is serialized (`ToString`-equivalent,
     // reference `src/gsheets_copy.cpp:163-175`), so no schema matching.

@@ -1,0 +1,74 @@
+package graft.sources.gsheets
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming read of a sheet as an append-only tail
+  * (`spark.readStream.format("gsheets").load(url)`).
+  *
+  * The reference is batch-only (`src/include/gsheets_read.hpp:14`,
+  * SURVEY §2.2 "Streaming"); this is the Spark-native extension SURVEY
+  * §3.2/§4.3 sketches: each micro-batch re-polls the sheet
+  * (`values.get`, same REST call as the batch bind) and emits only the
+  * data rows past the last committed row offset. Offsets are plain row
+  * counts, so checkpoint/restart resumes where the last run stopped and
+  * a `Trigger.AvailableNow` run over an unchanged sheet emits nothing.
+  *
+  * Rows already emitted are assumed immutable (append-only sheet) — the
+  * same contract as a file tail; in-place edits of old rows are not
+  * re-emitted. A shrunken sheet yields an empty batch, never an error.
+  */
+final class GSheetsMicroBatchStream(
+    initial: BoundSheet,
+    options: GSheetsOptions,
+    required: StructType) extends MicroBatchStream {
+
+  import GSheetsMicroBatchStream.RowOffset
+
+  // Latest polled grid; planInputPartitions slices it by row offset.
+  @volatile private var latest: BoundSheet = initial
+
+  override def initialOffset(): Offset = RowOffset(0L)
+
+  override def latestOffset(): Offset = {
+    latest = GSheetsBind.bindFresh(options)
+    latest.error.foreach(msg => throw new IllegalStateException(msg))
+    RowOffset(latest.dataRows.size.toLong)
+  }
+
+  override def deserializeOffset(json: String): Offset = RowOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[RowOffset].rows.toInt
+    val until = end.asInstanceOf[RowOffset].rows.toInt
+    val rows = latest.dataRows
+    if (until <= from || from >= rows.size) return Array.empty
+    // Project to the pruned columns using the *streaming* schema (fixed
+    // at stream start); later-added columns are ignored, ragged rows pad
+    // with NULL — same conversion semantics as the batch reader.
+    val nameToIdx = latest.schema.fieldNames.zipWithIndex.toMap
+    val colIdx = required.fieldNames.map(n => nameToIdx.getOrElse(n, -1))
+    val slice = rows.slice(from, math.min(until, rows.size)).map { row =>
+      colIdx.map(i => if (i >= 0 && i < row.size) row(i) else null)
+    }.toArray
+    Array(GSheetsInputPartition(slice, required.fields.map(_.dataType)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GSheetsReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GSheetsMicroBatchStream(${initial.spreadsheetId} ${initial.apiRange})"
+}
+
+object GSheetsMicroBatchStream {
+  /** Row-count offset: `json` is the count itself. */
+  final case class RowOffset(rows: Long) extends Offset {
+    override def json(): String = rows.toString
+  }
+}

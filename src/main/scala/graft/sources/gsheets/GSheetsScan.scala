@@ -31,15 +31,19 @@ final class GSheetsScanBuilder(bound: BoundSheet, options: GSheetsOptions)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GSheetsScan(bound, required, options.numPartitions)
+  override def build(): Scan = new GSheetsScan(bound, required, options.numPartitions, options)
 }
 
 final class GSheetsScan(bound: BoundSheet, required: StructType,
-    numPartitions: Int) extends Scan with Batch {
+    numPartitions: Int, options: GSheetsOptions = null) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GSheetsMicroBatchStream(bound, options, required)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // Project to required columns here (driver-side, once) so executors

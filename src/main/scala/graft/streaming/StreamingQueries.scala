@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.operators.Tables
+
+/** Structured Streaming operator coverage (SURVEY §2.2 "Streaming" —
+  * absent from the reference, which is batch-only; supplied here by
+  * Spark's streaming engine exactly as the batch categories are supplied
+  * by Spark SQL).
+  *
+  * Both queries return a batch-comparable `DataFrame` so the driver's
+  * DuckDB oracle can grade them like any other operator:
+  *   - q31 runs a REAL `readStream` → windowed-aggregation →
+  *     `Trigger.AvailableNow` job over the events parquet and hands back
+  *     the memory-sink table; on a bounded input the final complete-mode
+  *     state equals the batch group-by, which is what the oracle checks.
+  *   - q32 exercises `session_window` (the streaming-native gap-session
+  *     operator) through the batch path — same operator semantics, plus
+  *     a watermarked streaming run covered in StreamingQueriesSpec.
+  *
+  * Scale: the streaming aggregation shuffles once on the window/group
+  * keys with partial aggregation map-side (same plan shape as batch);
+  * state store size is bounded by #(windows × event_types) — calendar
+  * time × small enum, not data volume — so a 100× input only widens the
+  * per-batch scan, never the state.
+  */
+object StreamingQueries {
+
+  private val sinkCounter = new AtomicInteger(0)
+
+  /** events.parquet schema for readStream (file sources need an explicit
+    * schema; `ts` arrives as nanosecond longs under the legacy conf —
+    * same handling as [[Tables.events]]).
+    */
+  private val eventsStreamSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----- streaming tumbling-window aggregation over the events feed -----
+    // readStream → 1h window × event_type agg → AvailableNow → memory sink.
+    "q31_stream_window" -> { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // File streaming sources take a directory; glob-filter to the
+      // events table (one file per table in the testdata layout).
+      val stream = s.readStream
+        .schema(eventsStreamSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+      val agg = stream
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             round(sum($"value"), 2).as("sum_value"))
+        .select($"window.start".as("hour_start"), $"event_type",
+                $"n_events", $"sum_value")
+
+      val sink = s"q31_sink_${sinkCounter.incrementAndGet()}"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete") // final state == batch aggregate
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy($"hour_start", $"event_type")
+    },
+
+    // ----- gap-based session windows (session_window operator) -----
+    // A session = consecutive events of one user with < 30 min between
+    // them; window end = last event + gap (Spark session_window spec).
+    "q32_session_window" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+             round(sum($"value"), 2).as("sum_value"))
+        .select($"session_window.start".as("session_start"),
+                $"session_window.end".as("session_end"),
+                $"user_id", $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    })
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q31_stream_window" -> """
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+             event_type,
+             count(1) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_start, event_type""",
+
+    // Gap-islands twin of session_window: a new session starts when the
+    // gap to the previous event is >= 30 min (Spark merges only strictly
+    // overlapping [ts, ts+gap) windows); session_end = last event + gap.
+    "q32_session_window" -> """
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP))
+                           OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+      ), sessioned AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM e
+      )
+      SELECT min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             user_id,
+             count(1) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM sessioned
+      GROUP BY user_id, sess
+      ORDER BY user_id, session_start""")
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.gsheets.Fixtures
+
+/** Streaming-engine semantics not expressible through the batch oracle:
+  * watermark-driven append-mode emission for session windows, and
+  * arbitrary stateful processing (flatMapGroupsWithState) across
+  * micro-batches.
+  */
+class StreamingQueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = Fixtures.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("watermarked session_window emits only watermark-closed sessions in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+
+    val sessions = input.toDS().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_v"))
+      .select($"session_window.start".as("start"), $"user_id", $"n", $"sum_v")
+
+    val q = sessions.writeStream
+      .format("memory").queryName("ss_sessions")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    try {
+      // Batch 1: user 1 has a burst at 10:00-10:05, then a lone event at
+      // 10:40 that advances the watermark to 10:40 and closes the burst
+      // session (end = 10:05 + 10min = 10:15 <= watermark).
+      input.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0), (1L, ts(40), 5.0))
+      q.processAllAvailable()
+      // Batch 2: nothing new for user 1 — the 10:40 session is still open
+      // (end 10:50 > watermark 10:40), so exactly one session is emitted.
+      val got = spark.table("ss_sessions").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == Seq((ts(0), 1L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps per-key running state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+
+    // Running max per key, emitted on every update — state survives
+    // between micro-batches (KeyValueGroupedDataset stateful API).
+    def updateMax(key: String, rows: Iterator[(String, Double)],
+        state: GroupState[Double]): Iterator[(String, Double)] = {
+      val prev = state.getOption.getOrElse(Double.MinValue)
+      val mx = math.max(prev, rows.map(_._2).max)
+      state.update(mx)
+      Iterator((key, mx))
+    }
+
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(updateMax)
+      .toDF("key", "running_max")
+
+    val q = out.writeStream
+      .format("memory").queryName("ss_runmax")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    try {
+      input.addData(("a", 1.0), ("a", 3.0), ("b", 7.0))
+      q.processAllAvailable()
+      input.addData(("a", 2.0), ("b", 9.0)) // a's max must NOT drop to 2
+      q.processAllAvailable()
+      val rows = spark.table("ss_runmax").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(rows.sorted == Seq(("a", 3.0), ("a", 3.0), ("b", 7.0), ("b", 9.0)))
+    } finally q.stop()
+  }
+
+  test("q31/q32 streaming queries run and match their batch twins on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val q31 = StreamingQueries.queries("q31_stream_window")(spark, dir)
+    val batchTwin = graft.operators.Tables(spark, dir).events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    assert(q31.count() == batchTwin.count())
+    assert(q31.exceptAll(batchTwin).isEmpty && batchTwin.exceptAll(q31).isEmpty)
+
+    val q32 = StreamingQueries.queries("q32_session_window")(spark, dir)
+    assert(q32.count() > 0)
+    // Sessions are disjoint per user and each holds >= 1 event.
+    val bad = q32.selectExpr("user_id", "session_start", "session_end")
+      .withColumn("prev_end",
+        lag("session_end", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("session_start")))
+      .filter(col("prev_end").isNotNull && col("session_start") < col("prev_end"))
+    assert(bad.count() == 0)
+  }
+}
