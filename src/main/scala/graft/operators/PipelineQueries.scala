@@ -37,22 +37,33 @@ object PipelineQueries {
     */
   private val toksExpr = "filter(split(text, ' '), x -> x != '')"
 
-  /** (doc_id, pos, shingle) 3-token shingles via posexplode + `lead`
-    * windows. Deliberately NOT an array-lambda (`transform(sequence, i ->
-    * toks[i]...)`) — CollapseProject inlines the tokenizer into the
-    * lambda, re-splitting the text once per element (O(tokens²) per doc,
-    * measured 13 s for 5k docs), and the whole array stage runs inside
-    * the single scan task. The window form is linear and parallelizes
-    * right after the doc_id shuffle.
+  /** (doc_id, pos, shingle) 3-token shingles, computed map-side: bind
+    * the token array in a Project BELOW the `posexplode` Generate, then
+    * build shingles with an array `transform` over it.
+    *
+    * Two traps this shape dodges (both measured):
+    *   - writing the tokenizer inline inside the lambda lets
+    *     CollapseProject merge the projections, re-splitting the text
+    *     once per element (O(tokens²) per doc, 13 s for 5k docs). The
+    *     Generate node between the two Projects is an optimizer fence —
+    *     `split` stays evaluated once per row (verify: the formatted plan
+    *     shows `split` only in the Project under Generate);
+    *   - a `lead()`-window formulation is linear but shuffles the full
+    *     token stream (~50× the document bytes) just to pair neighbors.
+    * Here the only pre-shingle shuffle is `repartition` of the raw doc
+    * rows, so tokenize+shingle parallelizes across the cluster while
+    * shuffling document-sized (not token-sized) data. At 100 TB the
+    * repartition disappears entirely — the corpus arrives as many
+    * splits, and shingling is a pure map over each.
     */
   private def posShingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs.select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "tk")))
-      .withColumn("t2", lead(col("tk"), 1).over(w))
-      .withColumn("t3", lead(col("tk"), 2).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", col("tk"), col("t2"), col("t3")).as("shingle"))
+    val shArr = """CASE WHEN size(toks) >= 3
+      THEN transform(sequence(0, size(toks)-3),
+                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      ELSE array() END"""
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), posexplode(expr(shArr)).as(Seq("pos", "shingle")))
   }
 
   /** (doc_id, shingle) distinct pairs. */
@@ -196,25 +207,84 @@ object PipelineQueries {
     },
 
     // ----- similarity search: brute-force cosine top-k (baseline) -----
-    // Query vectors broadcast; dot products fold the embedding arrays
-    // sequentially in double (bit-identical to the oracle's list fold).
+    // Query vectors broadcast; scoring is the native codegen'd
+    // CosineSim expression (one fused loop per pair — the SQL-fold
+    // formulation walks the arrays 3× and allocates a product array),
+    // accumulating in double left-to-right like the oracle's list fold.
     "q25_cosine_topk" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val e = t.embeddings.select($"vec_id", $"embedding")
       val q = e.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-      val normE = "aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
-      val normQ = normE.replace("embedding", "qe")
-      val dotE = "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
       e.crossJoin(broadcast(q))
         .filter($"vec_id" =!= $"query_id")
-        .withColumn("cos", expr(dotE) / (sqrt(expr(normE)) * sqrt(expr(normQ))))
+        .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 10)
         .select($"query_id", $"rank", $"vec_id", round($"cos", 4).as("cos"))
         .orderBy($"query_id", $"rank")
+    },
+
+    // ----- top-k via partial-aggregating UDAF (scale path for q25) -----
+    // Same result as q25's window rank, but the Aggregator keeps ≤k rows
+    // per group per map task — shuffle is O(queries × k), not the full
+    // score matrix. Same oracle as q25.
+    "q25b_topk_agg" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val topk = udaf(new graft.functions.TopKAgg(10))
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      e.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
+        .groupBy($"query_id")
+        .agg(topk($"vec_id", $"cos").as("top"))
+        .select($"query_id", posexplode($"top").as(Seq("i", "sv")))
+        .select($"query_id", ($"i" + 1).cast("int").as("rank"),
+          $"sv.vec_id".as("vec_id"), round($"sv.cos", 4).as("cos"))
+        .orderBy($"query_id", $"rank")
+    },
+
+    // ----- embedding-cosine near-dup: banded hyperplane LSH + verify -----
+    // Dedup by embedding similarity: 8 deterministic hyperplane bits in
+    // 2 bands of 4; candidate pairs agree on at least one band (never
+    // all-pairs — O(n·bands) shuffle), then the native CosineSim verifies
+    // cos >= 0.4. Banding trades precision for recall exactly like the
+    // MinHash bands in q22.
+    "q33_embed_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val proj = e
+        .select($"vec_id", posexplode($"embedding").as(Seq("d", "ev")))
+        .withColumn("h", explode(expr("sequence(0, 7)")))
+        .withColumn("p",
+          (($"h" * 64 + $"d").cast("long") * 2654435761L % 4294967296L)
+            .cast("double") / 2147483648.0 - 1.0)
+        .groupBy($"vec_id", $"h")
+        .agg(sum($"ev".cast("double") * $"p").as("dot"))
+      val sigs = proj
+        .withColumn("band", expr("h DIV 4"))
+        .groupBy($"vec_id", $"band")
+        .agg(sum(when($"dot" >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), h % 4)")).otherwise(0L)).as("sig"))
+      val cand = sigs.as("a").join(sigs.as("b"),
+          $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+          $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+        .distinct()
+      cand
+        .join(e.as("ea"), $"vec_a" === $"ea.vec_id")
+        .join(e.as("eb"), $"vec_b" === $"eb.vec_id")
+        .withColumn("cos",
+          graft.functions.GraftFunctions.cosineSim($"ea.embedding", $"eb.embedding"))
+        .filter($"cos" >= 0.4)
+        .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
+        .orderBy($"vec_a", $"vec_b")
     },
 
     // ----- similarity scale path: random-hyperplane LSH buckets -----
@@ -241,12 +311,9 @@ object PipelineQueries {
       val eb = e.join(buckets, "vec_id")
       val q = eb.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket".as("qbucket"))
-      val normE = "aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
-      val normQ = normE.replace("embedding", "qe")
-      val dotE = "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
       eb.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
-        .withColumn("cos", expr(dotE) / (sqrt(expr(normE)) * sqrt(expr(normQ))))
+        .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 5)
         .select($"query_id", $"rank", $"vec_id", round($"cos", 4).as("cos"))
@@ -448,6 +515,47 @@ object PipelineQueries {
         SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
         FROM ranked WHERE rk <= 10
         ORDER BY query_id, rank""",
+
+      // Identical result contract to q25 — the Spark side differs only in
+      // HOW the top-k is computed (partial-aggregating UDAF vs window).
+      "q25b_topk_agg" -> s"""
+        WITH $cosFragment,
+        q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, e.vec_id,
+                          list_dot_product(e.v, q.qv) /
+                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
+                   FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        ranked AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+        FROM ranked WHERE rk <= 10
+        ORDER BY query_id, rank""",
+
+      "q33_embed_neardup" -> s"""
+        WITH $cosFragment,
+        el AS (SELECT vec_id, unnest(v) ev, generate_subscripts(v, 1) - 1 d FROM e),
+        proj AS (SELECT vec_id, h.h,
+                        sum(ev * (((h.h*64 + d) * 2654435761) % 4294967296
+                                  / 2147483648.0 - 1.0)) dot
+                 FROM el CROSS JOIN (SELECT unnest(generate_series(0, 7)) h) h
+                 GROUP BY 1, 2),
+        sigs AS (SELECT vec_id, h // 4 AS band,
+                        sum(CASE WHEN dot >= 0 THEN 1::BIGINT << (h % 4) ELSE 0 END)::BIGINT sig
+                 FROM proj GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
+                 FROM sigs a JOIN sigs b
+                   ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        verified AS (SELECT vec_a, vec_b,
+                            list_dot_product(ea.v, eb.v) /
+                            (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) cos
+                     FROM cand
+                     JOIN e ea ON vec_a = ea.vec_id
+                     JOIN e eb ON vec_b = eb.vec_id)
+        SELECT vec_a, vec_b, round(cos, 4) AS cos
+        FROM verified WHERE cos >= 0.4
+        ORDER BY vec_a, vec_b""",
 
       "q26_ann_lsh" -> s"""
         WITH $cosFragment,
