@@ -68,12 +68,23 @@ object StreamingQueries {
                 $"n_events", $"sum_value")
 
       val sink = s"q31_sink_${sinkCounter.incrementAndGet()}"
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("complete") // final state == batch aggregate
-        .trigger(Trigger.AvailableNow())
-        .start()
+      // State keys = windows × event_types (calendar-bounded, ~thousands)
+      // — 32 state-store partitions just multiply checkpoint file IO for
+      // no parallelism gain. 8 is plenty here; at 100 TB the state is
+      // STILL calendar-bounded, so this knob scales with window count,
+      // not input rows. Save/restore: the conf is session-wide and the
+      // streaming plan captures it at start().
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          agg.writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("complete") // final state == batch aggregate
+            .trigger(Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.table(sink).orderBy($"hour_start", $"event_type")
     },
