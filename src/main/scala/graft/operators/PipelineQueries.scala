@@ -122,17 +122,24 @@ object PipelineQueries {
       val dt = dsh.join(dict, "shingle").select($"doc_id", $"sid")
 
       val P = 1000000007L
-      val mh = dt
-        .select($"doc_id", $"sid", explode(expr("sequence(0, 15)")).as("s"))
-        .groupBy($"doc_id", $"s")
-        .agg(min(((lit(37) * $"s" + 7) * $"sid" + (lit(101) * $"s" + 3)) % P).as("mh"))
+      // All 16 minhashes in ONE aggregation pass: 16 `min` columns over
+      // the (doc_id, sid) pairs — map-side partial mins, a single
+      // shuffle keyed by doc_id. (An explode(0..15) formulation shuffles
+      // 16× the rows and needs a second agg to band; at 100 TB that is
+      // the difference between one corpus-sized shuffle and seventeen.)
+      val mhCols = (0 until 16).map { h =>
+        min((lit(37L * h + 7L) * $"sid" + lit(101L * h + 3L)) % P).as(s"mh$h")
+      }
+      val mh = dt.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+      // Band signatures are then a pure projection; stack the 4 bands
+      // into rows for the candidate equality-join.
+      val sigCols = (0 until 4).map { b =>
+        concat_ws("-", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as(s"sig$b")
+      }
       val bands = mh
-        .withColumn("band", expr("s DIV 4"))
-        .withColumn("r", $"s" % 4)
-        .groupBy($"doc_id", $"band")
-        .agg(concat_ws("-",
-          min(when($"r" === 0, $"mh")), min(when($"r" === 1, $"mh")),
-          min(when($"r" === 2, $"mh")), min(when($"r" === 3, $"mh"))).as("sig"))
+        .select(($"doc_id" +: sigCols): _*)
+        .select($"doc_id", posexplode(
+          array((0 until 4).map(b => col(s"sig$b")): _*)).as(Seq("band", "sig")))
 
       val cand = bands.as("a").join(bands.as("b"),
           $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
