@@ -401,6 +401,65 @@ object PipelineQueries {
         .orderBy($"doc_id")
     },
 
+    // ----- skew-safe aggregation: explicit two-phase salting -----
+    // events.event_type has a handful of hot keys — the exact shape that
+    // funnels a 100 TB groupBy into a few reducers. Phase 1 fans each hot
+    // key across 32 salt buckets (partial aggregates per (key, salt));
+    // phase 2 merges the 32 partials per key. Same technique AQE's
+    // skew-join handles for joins, written out for aggregation. The
+    // oracle is the plain single-phase GROUP BY — results are identical,
+    // only the shuffle distribution differs.
+    "q34_salted_agg" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("salt", pmod(xxhash64($"event_id"), lit(32)))
+        .groupBy($"event_type", $"salt")
+        .agg(count(lit(1)).as("pn"), sum($"value").as("psum"),
+             max($"value").as("pmax"), min($"value").as("pmin"))
+        .groupBy($"event_type")
+        .agg(sum($"pn").as("n_events"),
+             round(sum($"psum"), 2).as("sum_value"),
+             round(max($"pmax"), 4).as("max_value"),
+             round(min($"pmin"), 4).as("min_value"))
+        .orderBy($"event_type")
+    },
+
+    // ----- as-of join: latest order at or before each event date -----
+    // Spark has no native ASOF JOIN (DuckDB does — the oracle uses it);
+    // the scalable composition is union-and-fill: tag both sides, sort
+    // within each key partition by (date, tag), and carry the last seen
+    // order forward with last(ignoreNulls). One shuffle on the key, an
+    // in-partition sort, no per-row range probe — rows per key bound the
+    // window state, not total volume.
+    "q35_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      // One order per (customer, date) — greatest orderkey wins — so the
+      // as-of match is deterministic on both engines.
+      val o1 = t.orders
+        .withColumn("od", to_date($"o_orderdate"))
+        .groupBy($"o_custkey", $"od")
+        .agg(max($"o_orderkey").as("o_orderkey"),
+             max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+      val oside = o1.select($"o_custkey".as("k"), $"od".as("d"),
+        lit(0).as("tag"), $"o_orderkey", $"o_totalprice",
+        lit(null).cast("long").as("event_id"))
+      val eside = t.events.select($"user_id".as("k"), to_date($"ts").as("d"),
+        lit(1).as("tag"), lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"), $"event_id")
+      val w = Window.partitionBy($"k").orderBy($"d", $"tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      oside.union(eside)
+        .withColumn("m_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
+        .withColumn("m_totalprice", last($"o_totalprice", ignoreNulls = true).over(w))
+        .filter($"tag" === 1 && $"m_orderkey".isNotNull)
+        .select($"event_id", $"k".as("user_id"), $"d".as("event_date"),
+          $"m_orderkey".as("o_orderkey"),
+          round($"m_totalprice", 2).as("o_totalprice"))
+        .orderBy($"event_id")
+    },
+
     // ----- multimodal: binary asset column + partition-wise decode -----
     // Documents re-cast as binary assets (the decode step is a STUB: a
     // deterministic fake standing in for an image decoder, which this
@@ -645,6 +704,34 @@ object PipelineQueries {
         FROM wins WHERE pos <= max_pos - 3
         GROUP BY doc_id
         ORDER BY doc_id""",
+
+      // Plain single-phase GROUP BY: the salting on the Spark side is a
+      // shuffle-distribution strategy, not a semantic change.
+      "q34_salted_agg" -> """
+        SELECT event_type,
+               count(1) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(max(value), 4) AS max_value,
+               round(min(value), 4) AS min_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""",
+
+      // DuckDB's native ASOF JOIN is the oracle for our union-and-fill
+      // composition (orders deduped to one per (customer, date) so the
+      // match is deterministic in both engines).
+      "q35_asof_join" -> """
+        WITH o1 AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) od,
+                 max(o_orderkey) AS o_orderkey,
+                 arg_max(o_totalprice, o_orderkey) AS o_totalprice
+          FROM orders GROUP BY 1, 2),
+        e AS (SELECT event_id, user_id, CAST(ts AS DATE) d FROM events)
+        SELECT e.event_id, e.user_id, e.d AS event_date,
+               o1.o_orderkey, round(o1.o_totalprice, 2) AS o_totalprice
+        FROM e ASOF JOIN o1
+          ON e.user_id = o1.o_custkey AND e.d >= o1.od
+        ORDER BY event_id""",
 
       "q30_multimodal_meta" -> """
         WITH ch AS (SELECT doc_id, length(text) n,

@@ -65,6 +65,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("table or view"))
   }
 
+  test("CREATE TABLE ... USING gsheets registers a catalog table") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    TransportRegistry.register("mock-ext-3", mock)
+    GSheetsBind.clearCache()
+
+    spark.sql(
+      s"""CREATE TABLE gsheets_people USING gsheets OPTIONS (
+         |  path 'https://docs.google.com/spreadsheets/d/$SpreadsheetId/edit#gid=0',
+         |  token 'test-token', transport 'mock-ext-3', cachebust 'ext-3')""".stripMargin)
+    try {
+      val got = spark.sql(
+        "SELECT name FROM gsheets_people WHERE age > 40 ORDER BY name")
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq("Archie", "Charlie"))
+    } finally spark.sql("DROP TABLE gsheets_people")
+  }
+
   test("basename strips query, fragment, and extension") {
     import GSheetsUrlResolution.basename
     assert(basename("https://docs.google.com/spreadsheets/d/X/edit?gid=1#r") == "edit")
