@@ -401,6 +401,38 @@ object PipelineQueries {
         .orderBy($"doc_id")
     },
 
+    // ----- similarity scale path 2: IVF (inverted-file) ANN -----
+    // Coarse quantizer: every 125th vector is a centroid (deterministic,
+    // so the oracle reproduces it — a k-means fit would converge
+    // engine-differently). Each vector joins its nearest centroid's
+    // inverted list; queries probe ONLY their own list, then exact
+    // cosine top-5. Centroids are broadcast (tiny); assignment is one
+    // map-side pass over the corpus — at 100 TB: n×C scored rows with no
+    // shuffle until the per-list grouping, C constant.
+    "q36_ann_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" % 125 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
+        .withColumn("arank", row_number().over(aw))
+        .filter($"arank" === 1)
+        .select($"vec_id", $"embedding", $"cid")
+      val q = assigned.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"cid".as("qcid"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      assigned.join(broadcast(q),
+          $"cid" === $"qcid" && $"vec_id" =!= $"query_id")
+        .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id", round($"cos", 4).as("cos"))
+        .orderBy($"query_id", $"rank")
+    },
+
     // ----- skew-safe aggregation: explicit two-phase salting -----
     // events.event_type has a handful of hot keys — the exact shape that
     // funnels a 100 TB groupBy into a few reducers. Phase 1 fans each hot
@@ -704,6 +736,32 @@ object PipelineQueries {
         FROM wins WHERE pos <= max_pos - 3
         GROUP BY doc_id
         ORDER BY doc_id""",
+
+      "q36_ann_ivf" -> s"""
+        WITH $cosFragment,
+        cents AS (SELECT vec_id cid, v ce FROM e WHERE vec_id % 125 = 0),
+        scoredc AS (SELECT e.vec_id, cents.cid,
+                           list_dot_product(e.v, cents.ce) /
+                           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.ce, cents.ce))) ccos
+                    FROM e CROSS JOIN cents),
+        assigned AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY ccos DESC, cid) ar
+                       FROM scoredc) WHERE ar = 1),
+        ea AS (SELECT e.vec_id, e.v, a.cid FROM e JOIN assigned a USING (vec_id)),
+        q AS (SELECT vec_id query_id, v qv, cid qcid FROM ea WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, ea.vec_id,
+                          list_dot_product(ea.v, q.qv) /
+                          (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
+                   FROM ea JOIN q ON ea.cid = q.qcid AND ea.vec_id != q.query_id),
+        ranked AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank""",
 
       // Plain single-phase GROUP BY: the salting on the Spark side is a
       // shuffle-distribution strategy, not a semantic change.
