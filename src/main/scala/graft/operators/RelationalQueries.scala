@@ -384,6 +384,31 @@ object RelationalQueries {
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
         ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
       """)
+    },
+
+    // ----- subqueries: correlated EXISTS / NOT IN / scalar -----
+    // Catalyst de-correlates all three into joins (EXISTS → left-semi,
+    // NOT IN → null-aware anti, scalar → aggregate + left outer) — no
+    // per-row re-execution, so the shapes survive scale. The SQL surface
+    // is the point; the plans are the same join operators as q03-q07.
+    "q37_subqueries" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.createOrReplaceTempView("customer_sq")
+      t.orders.createOrReplaceTempView("orders_sq")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+               (SELECT count(1) FROM orders_sq o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'F') AS n_finished
+        FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND c.c_custkey NOT IN (SELECT o_custkey FROM orders_sq
+                                  WHERE o_orderpriority = '1-URGENT'
+                                    AND o_totalprice < 1000)
+        ORDER BY c.c_custkey
+      """)
     }
   )
 
@@ -631,6 +656,20 @@ object RelationalQueries {
              count(1) AS n_orders
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
-      ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+      ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q37_subqueries" -> """
+      SELECT c.c_custkey, c.c_name,
+             (SELECT count(1) FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F') AS n_finished
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+        AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT'
+                                  AND o_totalprice < 1000)
+      ORDER BY c.c_custkey"""
   )
 }

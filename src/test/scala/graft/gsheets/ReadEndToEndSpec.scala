@@ -263,6 +263,23 @@ class ReadEndToEndSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema") || true) // plan text varies; result above is the witness
   }
 
+  test("uncastable cell under an inferred DOUBLE column throws at scan") {
+    // Reference semantics: DefaultCastAs throws on text under a
+    // double-inferred column (`src/gsheets_read.cpp:49-72`).
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(valueRangeJson("Sheet1!A1:Z1000", Seq(
+      Seq("name", "score"),
+      Seq("Alice", "30"),       // first data row → score: DOUBLE
+      Seq("Bob", "not-a-number"))))
+    val (r, _) = reader(mock)
+    val e = intercept[Throwable] { r.load(SpreadsheetId).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(
+      _.contains("Could not convert string 'not-a-number' to DOUBLE")))
+  }
+
   test("bad header option value errors like the reference") {
     val mock = new MockHttp
     val (r, _) = reader(mock)
