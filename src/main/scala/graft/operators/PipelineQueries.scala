@@ -348,6 +348,26 @@ object PipelineQueries {
         .orderBy($"doc_id")
     },
 
+    // ----- token counting: whitespace vs BPE-ish regex -----
+    // The brief's second tokenizer: a GPT-2-style pretokenizer regex
+    // (contractions | space-prefixed letter runs | digit runs |
+    // punctuation runs | whitespace) — no lookahead, so Spark's Java
+    // regex and the oracle's RE2 agree. Pure per-row projection: at
+    // 100 TB this is a map-only pass, no shuffle before the final sort.
+    "q38_bpe_tokens" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val bpe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+      t.documents
+        .select($"doc_id",
+          size(expr(toksExpr)).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all($"text", lit(bpe), lit(0))).cast("long")
+            .as("n_bpe_tokens"))
+        .withColumn("tokens_per_word",
+          round($"n_bpe_tokens".cast("double") / $"n_ws_tokens", 4))
+        .orderBy($"doc_id")
+    },
+
     // ----- language-ID: token-profile Naive Bayes, train/test split -----
     // Profiles from docs with doc_id%5=0; scores = sum of log-smoothed
     // per-lang token likelihoods; argmax with rounded-score tie-break.
@@ -735,6 +755,18 @@ object PipelineQueries {
                min(wmin) AS min_fp, max(wmin) AS max_fp
         FROM wins WHERE pos <= max_pos - 3
         GROUP BY doc_id
+        ORDER BY doc_id""",
+
+      "q38_bpe_tokens" -> s"""
+        SELECT doc_id,
+               len($toks) AS n_ws_tokens,
+               len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+                 AS n_bpe_tokens,
+               round(len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))::DOUBLE
+                 / len($toks), 4) AS tokens_per_word
+        FROM documents
         ORDER BY doc_id""",
 
       "q36_ann_ivf" -> s"""
