@@ -63,9 +63,11 @@ final class GSheetsTable(schema0: StructType, options: GSheetsOptions)
     TableCapability.BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.TRUNCATE,
-    // Streaming tail-read (Spark-native extension; the reference is
-    // batch-only) — see GSheetsMicroBatchStream.
+    // Streaming tail-read + sink (Spark-native extensions; the
+    // reference is batch-only) — see GSheetsMicroBatchStream and
+    // GSheetsStreamingWrite.
     TableCapability.MICRO_BATCH_READ,
+    TableCapability.STREAMING_WRITE,
     // Write-side accepts any DataFrame schema: cells are untyped strings
     // on the wire and every value is serialized (`ToString`-equivalent,
     // reference `src/gsheets_copy.cpp:163-175`), so no schema matching.

@@ -58,6 +58,9 @@ final class GSheetsWrite(schema: StructType, options: GSheetsOptions,
 
   override def toBatch: BatchWrite = new GSheetsBatchWrite(schema, options, truncateMode)
 
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GSheetsStreamingWrite(schema, options, truncateMode)
+
   override def description(): String = s"gsheets ${options.url}"
 }
 
@@ -125,6 +128,93 @@ final class GSheetsBatchWrite(schema: StructType, options: GSheetsOptions,
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   override def useCommitCoordinator(): Boolean = false
+}
+
+/** Streaming sink (Spark-native extension; the reference COPY sink is
+  * batch-only): each micro-batch epoch appends its rows. In append
+  * output mode the sheet grows monotonically — the mirror image of the
+  * tail-read source; in complete mode (`truncateMode`) each epoch clears
+  * the sheet and rewrites header + rows, so the sheet always shows the
+  * latest aggregate state. Epoch commit is best-effort like the batch
+  * path — Sheets appends are not transactional (SURVEY §7.3), so a
+  * failed epoch may leave partial rows; exactly-once would need an
+  * idempotent key column, which the reference offers no analog for.
+  */
+final class GSheetsStreamingWrite(schema: StructType, options: GSheetsOptions,
+    truncateMode: Boolean)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    if (options.createIfNotExists && options.sheet.isEmpty)
+      throw new IllegalArgumentException("Must provide sheet name")
+
+    val url = options.url
+    val spreadsheetId = Urls.extractSpreadsheetId(url)
+    val client = options.newClient()
+
+    val sheetName =
+      if (options.sheet.nonEmpty) options.sheet
+      else client.getSheetById(spreadsheetId, Urls.extractSheetId(url)).properties.title
+
+    if (options.createIfNotExists) {
+      try { client.getSheetByName(spreadsheetId, sheetName); () }
+      catch {
+        case _: SheetNotFoundException =>
+          client.createSheet(spreadsheetId, sheetName)
+      }
+    }
+
+    val encodedName = Urls.urlEncode(sheetName)
+    val sheetRange =
+      if (options.range.nonEmpty) options.range
+      else Urls.extractSheetRange(url)
+    val apiRange =
+      if (sheetRange.nonEmpty) s"$encodedName!$sheetRange" else encodedName
+    val bodyRange =
+      if (sheetRange.nonEmpty) s"$sheetName!$sheetRange" else sheetName
+
+    // Append-mode header (explicit opt-in only, like the reference's
+    // append COPY) is written once at stream start; complete-mode
+    // headers are rewritten per epoch by the writer after each clear.
+    val headerAtStart = !truncateMode && options.headerOpt.getOrElse(false)
+    if (headerAtStart) {
+      client.valuesAppend(spreadsheetId, A1Range(apiRange),
+        ValueRange(bodyRange, "ROWS", Vector(schema.fieldNames.toVector)))
+    }
+
+    new GSheetsStreamingWriterFactory(options.raw, spreadsheetId, apiRange,
+      bodyRange, schema, truncateMode)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class GSheetsStreamingWriterFactory(rawOptions: Map[String, String],
+    spreadsheetId: String, apiRange: String, bodyRange: String,
+    schema: StructType, truncateMode: Boolean)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val options = GSheetsOptions(rawOptions)
+    if (truncateMode && partitionId == 0) {
+      // Complete mode: this epoch replaces the sheet contents. Single
+      // writer partition (RequiresDistributionAndOrdering), so the
+      // clear-then-append sequence is race-free.
+      val client = options.newClient()
+      client.valuesClear(spreadsheetId,
+        A1Range(apiRange.takeWhile(_ != '!')))
+      if (options.headerOpt.getOrElse(true)) {
+        client.valuesAppend(spreadsheetId, A1Range(apiRange),
+          ValueRange(bodyRange, "ROWS", Vector(schema.fieldNames.toVector)))
+      }
+    }
+    new GSheetsDataWriter(options, spreadsheetId, apiRange, bodyRange, schema)
+  }
 }
 
 final class GSheetsWriterFactory(rawOptions: Map[String, String],
