@@ -409,6 +409,37 @@ object RelationalQueries {
                                     AND o_totalprice < 1000)
         ORDER BY c.c_custkey
       """)
+    },
+
+    // ----- JSON scalar functions over the events.props payload -----
+    // get_json_object path extraction feeding a numeric bucket aggregate
+    // — the JSON slice of §2.2's scalar-function row. Extraction is a
+    // map-side projection; one shuffle for the group-by.
+    "q39_json_extract" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .withColumn("bucket", expr("k DIV 10"))
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n"), round(avg($"k"), 4).as("avg_k"))
+        .orderBy($"event_type", $"bucket")
+    },
+
+    // ----- pivot: orderpriority columns per orderstatus row -----
+    // Fixed pivot values keep the output schema static (required for a
+    // deterministic oracle); absent combinations fill 0 like the
+    // oracle's conditional counts.
+    "q40_pivot" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t.orders
+        .groupBy($"o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+        .na.fill(0L, prios)
+        .orderBy($"o_orderstatus")
     }
   )
 
@@ -670,6 +701,26 @@ object RelationalQueries {
         AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
                                 WHERE o_orderpriority = '1-URGENT'
                                   AND o_totalprice < 1000)
-      ORDER BY c.c_custkey"""
+      ORDER BY c.c_custkey""",
+
+    "q39_json_extract" -> """
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS bucket,
+             count(1) AS n,
+             round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, bucket""",
+
+    "q40_pivot" -> """
+      SELECT o_orderstatus,
+             count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+             count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+             count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+             count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+             count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""
   )
 }
