@@ -529,6 +529,26 @@ object PipelineQueries {
       }.toDF()
         .select($"doc_id", $"n_bytes", $"width", $"height", $"n_frames", $"checksum")
         .orderBy($"doc_id")
+    },
+
+    // ----- multimodal: frame sampling (one asset → many frames) -----
+    // The flatMap shape of a video frame extractor: partition-wise
+    // iteration, every 2nd fixed-size frame kept, per-frame rolling
+    // checksum. Map-only until the final sort; frames per asset bound
+    // memory, not corpus size.
+    "q41_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val assets = t.documents
+        .select($"doc_id", encode($"text", "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+      assets.mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          Multimodal.frameSampleStub(docId, bytes, every = 2)
+        }
+      }.toDF()
+        .select($"doc_id", $"frame_idx", $"n_bytes", $"frame_checksum")
+        .orderBy($"doc_id", $"frame_idx")
     }
   )
 
@@ -823,6 +843,28 @@ object PipelineQueries {
           ON e.user_id = o1.o_custkey AND e.d >= o1.od
         ORDER BY event_id""",
 
+      // Frames = 256-char slices of the (ASCII) text; every 2nd kept;
+      // rolling checksum h = (31h + code) mod P folded left-to-right via
+      // list_reduce, mirroring the Scala stub byte-for-byte.
+      "q41_frame_sample" -> """
+        WITH f AS (
+          SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(len(text) / 256.0) AS INT))) AS fi
+          FROM documents),
+        sampled AS (
+          SELECT doc_id, fi, substr(text, fi * 256 + 1, 256) AS frame
+          FROM f WHERE fi % 2 = 0)
+        SELECT doc_id,
+               CAST(fi AS INT) AS frame_idx,
+               CAST(len(frame) AS INT) AS n_bytes,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(range(1, len(frame) + 1),
+                                  i -> ascii(frame[i]))),
+                 (h, c) -> (h * 31 + c) % 1000000007) AS frame_checksum
+        FROM sampled
+        ORDER BY doc_id, frame_idx""",
+
       "q30_multimodal_meta" -> """
         WITH ch AS (SELECT doc_id, length(text) n,
                            unnest(generate_series(1, length(text))) i, text
@@ -866,5 +908,30 @@ object Multimodal {
       i += 1
     }
     DecodedMeta(docId, n, n % 640, (n * 7) % 480, n % 30 + 1, checksum)
+  }
+
+  final case class FrameMeta(
+      doc_id: Long, frame_idx: Int, n_bytes: Int, frame_checksum: Long)
+
+  /** STUB frame-sampler: fixed 256-byte "frames", every `every`-th one
+    * kept, each with a rolling polynomial checksum — the flatMap shape
+    * (one asset → many sampled frames) a real video frame extractor
+    * would follow. Deterministic so the oracle can mirror it.
+    */
+  def frameSampleStub(docId: Long, bytes: Array[Byte],
+      every: Int): Iterator[FrameMeta] = {
+    val frameSize = 256
+    val nFrames = (bytes.length + frameSize - 1) / frameSize
+    Iterator.range(0, nFrames).filter(_ % every == 0).map { f =>
+      val start = f * frameSize
+      val end = math.min(start + frameSize, bytes.length)
+      var cs = 0L
+      var i = start
+      while (i < end) {
+        cs = (cs * 31L + (bytes(i) & 0xff)) % 1000000007L
+        i += 1
+      }
+      FrameMeta(docId, f, end - start, cs)
+    }
   }
 }
