@@ -154,6 +154,11 @@ object RelationalQueries {
     },
 
     // ----- window: running frame aggregate -----
+    // The global (partitionBy-less) window is deliberate and safe ONLY
+    // because its input is the post-aggregation monthly series — row
+    // count is bounded by calendar months, not data volume, so the
+    // single-partition window never sees more than ~100 rows at any
+    // scale. Keep the reduction-before-global-window shape.
     "q09_window_running" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)

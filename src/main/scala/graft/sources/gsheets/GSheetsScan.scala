@@ -35,7 +35,7 @@ final class GSheetsScanBuilder(bound: BoundSheet, options: GSheetsOptions)
 }
 
 final class GSheetsScan(bound: BoundSheet, required: StructType,
-    numPartitions: Int, options: GSheetsOptions = null) extends Scan with Batch {
+    numPartitions: Int, options: GSheetsOptions) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
