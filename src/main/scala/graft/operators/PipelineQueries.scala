@@ -549,6 +549,22 @@ object PipelineQueries {
       }.toDF()
         .select($"doc_id", $"frame_idx", $"n_bytes", $"frame_checksum")
         .orderBy($"doc_id", $"frame_idx")
+    },
+
+    // ----- multimodal: resize (downsample to a fixed-size thumbnail) -----
+    "q42_resize" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val assets = t.documents
+        .select($"doc_id", encode($"text", "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+      assets.mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          Multimodal.resizeStub(docId, bytes, target = 64)
+        }
+      }.toDF()
+        .select($"doc_id", $"n_bytes", $"resized_len", $"resized_checksum")
+        .orderBy($"doc_id")
     }
   )
 
@@ -865,6 +881,27 @@ object PipelineQueries {
         FROM sampled
         ORDER BY doc_id, frame_idx""",
 
+      // Sampled 1-based positions j*stride+1 (j < 64) within the text,
+      // checksum folded in sample order — mirrors resizeStub exactly.
+      "q42_resize" -> """
+        WITH a AS (SELECT doc_id, text, len(text) AS n,
+                          greatest(1, len(text) // 64) AS stride
+                   FROM documents),
+        s AS (SELECT doc_id, n, text,
+                     list_filter(list_transform(range(0, 64),
+                                                j -> j * stride + 1),
+                                 p -> p <= n) AS ps
+              FROM a)
+        SELECT doc_id,
+               CAST(n AS INT) AS n_bytes,
+               CAST(len(ps) AS INT) AS resized_len,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(ps, p -> ascii(text[p]))),
+                 (h, c) -> (h * 31 + c) % 1000000007) AS resized_checksum
+        FROM s
+        ORDER BY doc_id""",
+
       "q30_multimodal_meta" -> """
         WITH ch AS (SELECT doc_id, length(text) n,
                            unnest(generate_series(1, length(text))) i, text
@@ -912,6 +949,28 @@ object Multimodal {
 
   final case class FrameMeta(
       doc_id: Long, frame_idx: Int, n_bytes: Int, frame_checksum: Long)
+
+  final case class ResizedMeta(
+      doc_id: Long, n_bytes: Int, resized_len: Int, resized_checksum: Long)
+
+  /** STUB resize: downsample the byte stream to ≤`target` bytes with a
+    * fixed stride — the shape of an image thumbnailer (decode → scale →
+    * re-encode), with the pixel math replaced by deterministic byte
+    * sampling the oracle can mirror.
+    */
+  def resizeStub(docId: Long, bytes: Array[Byte], target: Int): ResizedMeta = {
+    val n = bytes.length
+    val stride = math.max(1, n / target)
+    var cs = 0L
+    var count = 0
+    var i = 0
+    while (i < n && count < target) {
+      cs = (cs * 31L + (bytes(i) & 0xff)) % 1000000007L
+      count += 1
+      i += stride
+    }
+    ResizedMeta(docId, n, count, cs)
+  }
 
   /** STUB frame-sampler: fixed 256-byte "frames", every `every`-th one
     * kept, each with a rolling polynomial checksum — the flatMap shape
