@@ -416,6 +416,35 @@ object RelationalQueries {
       """)
     },
 
+    // ----- theta join: pure-inequality band join -----
+    // Orders land in 10 equal-width price bands via a genuine non-equi
+    // join (p >= lo AND p < hi) against the 10-row band table. The build
+    // side is tiny and broadcast, so the BroadcastNestedLoopJoin this
+    // plans to is the CORRECT shape — per-row work is 10 comparisons.
+    // (Big×big theta joins instead get banded into equality keys first —
+    // q33/q22 are that pattern.)
+    "q43_theta_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val bounds = t.orders.agg(
+        min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx"))
+      // Band edges use the exact association of the oracle SQL
+      // (band*(mx-mn) then /10) so boundary doubles are bit-identical.
+      val bands = bounds.select(
+          explode(expr("sequence(CAST(0 AS BIGINT), 9)")).as("band"),
+          $"mn", $"mx")
+        .select($"band",
+          ($"mn" + $"band" * ($"mx" - $"mn") / 10.0).as("lo"),
+          when($"band" === 9, $"mx" + 1.0)
+            .otherwise($"mn" + ($"band" + 1) * ($"mx" - $"mn") / 10.0).as("hi"))
+      t.orders.join(broadcast(bands),
+          $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg($"o_totalprice"), 2).as("avg_price"))
+        .orderBy($"band")
+    },
+
     // ----- JSON scalar functions over the events.props payload -----
     // get_json_object path extraction feeding a numeric bucket aggregate
     // — the JSON slice of §2.2's scalar-function row. Extraction is a
@@ -707,6 +736,22 @@ object RelationalQueries {
                                 WHERE o_orderpriority = '1-URGENT'
                                   AND o_totalprice < 1000)
       ORDER BY c.c_custkey""",
+
+    "q43_theta_join" -> """
+      WITH bounds AS (
+        SELECT min(o_totalprice) mn, max(o_totalprice) mx FROM orders),
+      bands AS (
+        SELECT band, mn + band * (mx - mn) / 10.0 AS lo,
+               CASE WHEN band = 9 THEN mx + 1.0
+                    ELSE mn + (band + 1) * (mx - mn) / 10.0 END AS hi
+        FROM bounds CROSS JOIN (SELECT unnest(generate_series(0, 9)) band) b)
+      SELECT band,
+             count(1) AS n_orders,
+             round(avg(o_totalprice), 2) AS avg_price
+      FROM orders JOIN bands
+        ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band
+      ORDER BY band""",
 
     "q39_json_extract" -> """
       SELECT event_type,
