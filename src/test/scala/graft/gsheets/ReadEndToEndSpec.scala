@@ -280,6 +280,20 @@ class ReadEndToEndSpec extends AnyFunSuite {
       _.contains("Could not convert string 'not-a-number' to DOUBLE")))
   }
 
+  test("API 403 during bind surfaces as SheetsApiException with status") {
+    import graft.sources.gsheets.core.{HttpResponse, SheetsApiException}
+    val mock = new MockHttp
+    mock.addResponse(HttpResponse(403,
+      body = """{"error":{"code":403,"message":"The caller does not have permission"}}"""))
+    val (r, _) = reader(mock)
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val e = intercept[Throwable] { r.load(SpreadsheetId).collect() }
+    val api = causes(e).collectFirst { case a: SheetsApiException => a }
+    assert(api.exists(a => a.statusCode == 403 &&
+      a.getMessage.contains("does not have permission")))
+  }
+
   test("bad header option value errors like the reference") {
     val mock = new MockHttp
     val (r, _) = reader(mock)
