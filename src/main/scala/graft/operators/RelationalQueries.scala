@@ -416,6 +416,22 @@ object RelationalQueries {
       """)
     },
 
+    // ----- approximate distinct: HLL sketch vs exact witness -----
+    // approx_count_distinct is the 100 TB path for distinct counting
+    // (constant-size sketch, map-side mergeable — countDistinct's expand
+    // doubles the shuffle). HLL sketches are engine-specific, so there
+    // is no DuckDB hash oracle; the exact count rides along as the
+    // in-row witness and ApproxDistinctSpec pins the relative error.
+    "q44_approx_distinct" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
+             countDistinct($"l_orderkey").as("exact_orders"))
+        .orderBy($"l_returnflag")
+    },
+
     // ----- theta join: pure-inequality band join -----
     // Orders land in 10 equal-width price bands via a genuine non-equi
     // join (p >= lo AND p < hi) against the 10-row band table. The build
