@@ -40,12 +40,21 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     runOnce(names.head) // untimed JVM/codegen warm-up
     val results = names.map(n => n -> runOnce(n))
+    // Second timed pass: per-query whole-stage-codegen compilation (the
+    // dominant fixed cost at this scale — measured 16s cold vs 3.7s warm
+    // for q22) is already paid, so this is the steady-state number a
+    // long-lived session sees. Reported alongside, never replacing, the
+    // cold pass.
+    val warm = names.map(n => n -> runOnce(n))
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalWarm = warm.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},""" +
+        s""""queries":${fmt(results)},"value_warm":$totalWarm,""" +
+        s""""queries_warm":${fmt(warm)},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
