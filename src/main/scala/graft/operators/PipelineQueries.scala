@@ -89,6 +89,53 @@ object PipelineQueries {
   private def shingleDict(dsh: DataFrame): DataFrame =
     denseIds(dsh, "shingle", "sid")
 
+  /** Shared MinHash(16) → 4-band LSH → exact-Jaccard-verify tail used by
+    * q22 (dictionary ids) and q22b (hashed ids). `dt` = (doc_id, sid);
+    * `dsh` = (doc_id, shingle), cached by the caller (probed 3×).
+    *
+    * All 16 minhashes come from ONE aggregation pass: 16 `min` columns
+    * over the (doc_id, sid) pairs — map-side partial mins, a single
+    * shuffle keyed by doc_id. (An explode(0..15) formulation shuffles
+    * 16× the rows and needs a second agg to band; at 100 TB that is the
+    * difference between one corpus-sized shuffle and seventeen.)
+    */
+  private def minhashLshVerify(dt: DataFrame, dsh: DataFrame): DataFrame = {
+    import dt.sparkSession.implicits._
+    val P = 1000000007L
+    val mhCols = (0 until 16).map { h =>
+      min((lit(37L * h + 7L) * $"sid" + lit(101L * h + 3L)) % P).as(s"mh$h")
+    }
+    val mh = dt.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // Band signatures are a pure projection; stack the 4 bands into rows
+    // for the candidate equality-join.
+    val sigCols = (0 until 4).map { b =>
+      concat_ws("-", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as(s"sig$b")
+    }
+    val bands = mh
+      .select(($"doc_id" +: sigCols): _*)
+      .select($"doc_id", posexplode(
+        array((0 until 4).map(b => col(s"sig$b")): _*)).as(Seq("band", "sig")))
+
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+
+    val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(dsh.as("x"), $"doc_a" === $"x.doc_id")
+      .join(dsh.as("y"), $"doc_b" === $"y.doc_id" && $"x.shingle" === $"y.shingle")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .withColumn("jaccard", $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
+      .filter($"jaccard" >= 0.6)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ----- exact dedup: normalize → group → keep min doc_id -----
@@ -115,50 +162,30 @@ object PipelineQueries {
       val t = Tables(s, dir)
       val dsh = docShingles(t.documents).cache()
       // dict is vocabulary-bounded (distinct shingles) — broadcast it;
-      // the RDD-built frame has no stats, so the hint is explicit. At a
-      // 100 TB corpus with an unbounded vocab, drop the hint (shuffle
-      // join) or switch ids to xxhash64 (no dictionary at all).
+      // the RDD-built frame has no stats, so the hint is explicit. The
+      // dictionary needs a global vocabulary sort + driver collect —
+      // q22b is the dictionary-free formulation that avoids both.
       val dict = broadcast(shingleDict(dsh))
       val dt = dsh.join(dict, "shingle").select($"doc_id", $"sid")
+      minhashLshVerify(dt, dsh)
+    },
 
-      val P = 1000000007L
-      // All 16 minhashes in ONE aggregation pass: 16 `min` columns over
-      // the (doc_id, sid) pairs — map-side partial mins, a single
-      // shuffle keyed by doc_id. (An explode(0..15) formulation shuffles
-      // 16× the rows and needs a second agg to band; at 100 TB that is
-      // the difference between one corpus-sized shuffle and seventeen.)
-      val mhCols = (0 until 16).map { h =>
-        min((lit(37L * h + 7L) * $"sid" + lit(101L * h + 3L)) % P).as(s"mh$h")
-      }
-      val mh = dt.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
-      // Band signatures are then a pure projection; stack the 4 bands
-      // into rows for the candidate equality-join.
-      val sigCols = (0 until 4).map { b =>
-        concat_ws("-", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as(s"sig$b")
-      }
-      val bands = mh
-        .select(($"doc_id" +: sigCols): _*)
-        .select($"doc_id", posexplode(
-          array((0 until 4).map(b => col(s"sig$b")): _*)).as(Seq("band", "sig")))
-
-      val cand = bands.as("a").join(bands.as("b"),
-          $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
-          $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .distinct()
-
-      val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(dsh.as("x"), $"doc_a" === $"x.doc_id")
-        .join(dsh.as("y"), $"doc_b" === $"y.doc_id" && $"x.shingle" === $"y.shingle")
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
-        .withColumn("jaccard", $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
-        .filter($"jaccard" >= 0.6)
-        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-        .orderBy($"doc_a", $"doc_b")
+    // ----- fuzzy dedup, dictionary-free (the 100 TB formulation) -----
+    // Shingle ids come from a portable polynomial hash of the shingle
+    // text (h = 131h + code mod P, both engines fold identically), so
+    // there is NO vocabulary sort, no zipWithIndex job, no driver-side
+    // collect, no broadcast — the whole pipeline is shuffle-by-doc_id
+    // only. Candidate sets differ slightly from q22's (different id
+    // space → different minhashes); the verify stage is exact either
+    // way, and the oracle mirrors this id function.
+    "q22b_minhash_nodict" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val dsh = docShingles(t.documents).cache()
+      val ph = """aggregate(sequence(1, length(shingle)), CAST(0 AS BIGINT),
+        (h, i) -> (h * 131 + ascii(substring(shingle, i, 1))) % 1000000007)"""
+      val dt = dsh.withColumn("sid", expr(ph)).select($"doc_id", $"sid")
+      minhashLshVerify(dt, dsh)
     },
 
     // ----- n-gram Jaccard near-dup: exact, shared-shingle candidates -----
@@ -595,6 +622,41 @@ object PipelineQueries {
         dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) sid
                  FROM (SELECT DISTINCT shingle FROM dsh)),
         dt AS (SELECT doc_id, sid FROM dsh JOIN dict USING (shingle)),
+        mh AS (SELECT doc_id, s.s,
+                      min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
+               FROM dt CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
+               GROUP BY 1, 2),
+        bands AS (SELECT doc_id, s // 4 band,
+                         concat_ws('-', min(CASE WHEN s % 4 = 0 THEN mh END),
+                                        min(CASE WHEN s % 4 = 1 THEN mh END),
+                                        min(CASE WHEN s % 4 = 2 THEN mh END),
+                                        min(CASE WHEN s % 4 = 3 THEN mh END)) sig
+                  FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(1) n FROM dsh GROUP BY 1),
+        inter AS (SELECT doc_a, doc_b, count(1) i
+                  FROM cand JOIN dsh x ON doc_a = x.doc_id
+                            JOIN dsh y ON doc_b = y.doc_id AND x.shingle = y.shingle
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+        ORDER BY doc_a, doc_b""",
+
+      // q22 with the dictionary CTEs replaced by the portable polynomial
+      // shingle hash (h = 131h + code mod P, folded left-to-right) —
+      // identical to the Spark-side aggregate fold character-for-character.
+      "q22b_minhash_nodict" -> s"""
+        WITH $dsh,
+        dt AS (SELECT doc_id,
+                      list_reduce(list_prepend(0::BIGINT,
+                        list_transform(range(1, len(shingle) + 1),
+                                       i -> ascii(shingle[i]))),
+                        (h, c) -> (h * 131 + c) % 1000000007) sid
+               FROM dsh),
         mh AS (SELECT doc_id, s.s,
                       min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
                FROM dt CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
