@@ -89,6 +89,23 @@ object PipelineQueries {
   private def shingleDict(dsh: DataFrame): DataFrame =
     denseIds(dsh, "shingle", "sid")
 
+  /** Portable polynomial string hash, h = (131·h + code) mod 1e9+7
+    * folded left-to-right over the characters — the engine-agnostic id
+    * function both Spark and the DuckDB oracle compute identically
+    * (corpus is ASCII; see [[oraclePolyHash]] for the SQL twin). Ids
+    * from this hash need no vocabulary sort, no driver collect, and no
+    * broadcast join — the 100 TB replacement for [[denseIds]].
+    */
+  private def polyHashExpr(column: String): String =
+    s"""aggregate(sequence(1, length($column)), CAST(0 AS BIGINT),
+       (h, i) -> (h * 131 + ascii(substring($column, i, 1))) % 1000000007)"""
+
+  /** DuckDB twin of [[polyHashExpr]]. */
+  private def oraclePolyHash(column: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(range(1, len($column) + 1), i -> ascii($column[i]))),
+        (h, c) -> (h * 131 + c) % 1000000007)"""
+
   /** Shared MinHash(16) → 4-band LSH → exact-Jaccard-verify tail used by
     * q22 (dictionary ids) and q22b (hashed ids). `dt` = (doc_id, sid);
     * `dsh` = (doc_id, shingle), cached by the caller (probed 3×).
@@ -182,9 +199,8 @@ object PipelineQueries {
       import s.implicits._
       val t = Tables(s, dir)
       val dsh = docShingles(t.documents).cache()
-      val ph = """aggregate(sequence(1, length(shingle)), CAST(0 AS BIGINT),
-        (h, i) -> (h * 131 + ascii(substring(shingle, i, 1))) % 1000000007)"""
-      val dt = dsh.withColumn("sid", expr(ph)).select($"doc_id", $"sid")
+      val dt = dsh.withColumn("sid", expr(polyHashExpr("shingle")))
+        .select($"doc_id", $"sid")
       minhashLshVerify(dt, dsh)
     },
 
@@ -217,8 +233,9 @@ object PipelineQueries {
       val cnt = t.documents
         .select($"doc_id", explode(expr(toksExpr)).as("tk"))
         .groupBy($"doc_id", $"tk").agg(count(lit(1)).as("w"))
-      val dict = broadcast(denseIds(cnt, "tk", "tid"))
-      val wt = cnt.join(dict, "tk").select($"doc_id", $"tid", $"w")
+      // Hashed token ids (polyHashExpr): no vocabulary sort/broadcast.
+      val wt = cnt.withColumn("tid", expr(polyHashExpr("tk")))
+        .select($"doc_id", $"tid", $"w")
 
       val bits = wt
         .select($"doc_id", $"tid", $"w", explode(expr("sequence(0, 31)")).as("bi"))
@@ -433,9 +450,11 @@ object PipelineQueries {
     "q29_fingerprint" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val posSh = posShingles(t.documents).cache()
-      val dict = broadcast(shingleDict(posSh.select("doc_id", "shingle").distinct()))
-      val sids = posSh.join(dict, "shingle").select($"doc_id", $"pos", $"sid")
+      val posSh = posShingles(t.documents)
+      // Hashed shingle ids (polyHashExpr): no dictionary stage at all —
+      // the fingerprint stream is a pure map before the per-doc window.
+      val sids = posSh.withColumn("sid", expr(polyHashExpr("shingle")))
+        .select($"doc_id", $"pos", $"sid")
       val w = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, 3)
       val maxPos = sids.groupBy($"doc_id").agg(max($"pos").as("max_pos"))
       sids
@@ -651,12 +670,7 @@ object PipelineQueries {
       // identical to the Spark-side aggregate fold character-for-character.
       "q22b_minhash_nodict" -> s"""
         WITH $dsh,
-        dt AS (SELECT doc_id,
-                      list_reduce(list_prepend(0::BIGINT,
-                        list_transform(range(1, len(shingle) + 1),
-                                       i -> ascii(shingle[i]))),
-                        (h, c) -> (h * 131 + c) % 1000000007) sid
-               FROM dsh),
+        dt AS (SELECT doc_id, ${oraclePolyHash("shingle")} sid FROM dsh),
         mh AS (SELECT doc_id, s.s,
                       min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
                FROM dt CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
@@ -698,9 +712,7 @@ object PipelineQueries {
       "q24_simhash" -> s"""
         WITH tokx AS (SELECT doc_id, unnest($toks) tk FROM documents),
         cnt AS (SELECT doc_id, tk, count(1) w FROM tokx GROUP BY 1, 2),
-        dict AS (SELECT tk, row_number() OVER (ORDER BY tk) tid
-                 FROM (SELECT DISTINCT tk FROM cnt)),
-        wt AS (SELECT doc_id, tid, w FROM cnt JOIN dict USING (tk)),
+        wt AS (SELECT doc_id, ${oraclePolyHash("tk")} tid, w FROM cnt),
         bits AS (SELECT doc_id, b.bi,
                         sum(CASE WHEN (((tid*2654435761) % 4294967296)
                                        // (1::BIGINT << b.bi)) % 2 = 1
@@ -840,9 +852,8 @@ object PipelineQueries {
                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle,
                      generate_subscripts(range(1, len(tk) - 1), 1) - 1 pos
                    FROM toks),
-        dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) sid
-                 FROM (SELECT DISTINCT shingle FROM pos_sh)),
-        sids AS (SELECT doc_id, pos, sid FROM pos_sh JOIN dict USING (shingle)),
+        sids AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid
+                 FROM pos_sh),
         mx AS (SELECT doc_id, max(pos) max_pos FROM sids GROUP BY 1),
         wins AS (SELECT s.doc_id, pos,
                         min(sid) OVER (PARTITION BY s.doc_id ORDER BY pos
