@@ -204,13 +204,24 @@ object PipelineQueries {
       minhashLshVerify(dt, dsh)
     },
 
-    // ----- n-gram Jaccard near-dup: exact, shared-shingle candidates -----
+    // ----- n-gram Jaccard near-dup: doc-frequency-capped self-join -----
+    // The self-join runs only over shingles in ≤ 50 docs: a ubiquitous
+    // shingle (a stopword trigram in millions of docs) contributes
+    // O(df²) join rows — the quadratic blowup that kills shared-key
+    // self-joins at scale — so the cap bounds per-shingle fanout at 50².
+    // `n_shared`/Jaccard therefore count shared RARE shingles over full
+    // set sizes (a tight lower bound; a pair can only be under-scored by
+    // shingles common to >50 docs). The oracle applies the identical cap.
     "q23_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val dsh = docShingles(t.documents).cache()
+      val rare = dsh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 50)
+        .select($"shingle")
+      val rdsh = dsh.join(rare, "shingle")
       val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = dsh.as("a").join(dsh.as("b"),
+      val inter = rdsh.as("a").join(rdsh.as("b"),
           $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
         .agg(count(lit(1)).as("i"))
@@ -697,9 +708,12 @@ object PipelineQueries {
 
       "q23_ngram_jaccard" -> s"""
         WITH $dsh,
+        rare AS (SELECT shingle FROM dsh GROUP BY shingle
+                 HAVING count(1) <= 50),
+        rdsh AS (SELECT doc_id, shingle FROM dsh JOIN rare USING (shingle)),
         sizes AS (SELECT doc_id, count(1) n FROM dsh GROUP BY 1),
         inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(1) i
-                  FROM dsh a JOIN dsh b
+                  FROM rdsh a JOIN rdsh b
                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
         SELECT doc_a, doc_b, i AS n_shared,
