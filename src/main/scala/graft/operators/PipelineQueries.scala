@@ -22,11 +22,12 @@ import org.apache.spark.sql.expressions.Window
   *     from equality joins on LSH band signatures, shared shingles, or
   *     SimHash prefix buckets — O(n·bands) shuffle, then exact verify
   *     only on candidates.
-  *   - The token/shingle dictionary (`row_number` over distinct tokens)
-  *     is a global sort of the *vocabulary*, not the corpus; at 100 TB
-  *     swap it for `xxhash64(shingle)` (collision-managed) to avoid the
-  *     sort entirely — kept here because the oracle needs engine-agnostic
-  *     ids.
+  *   - Token/shingle ids come from a portable polynomial hash
+  *     ([[polyHashExpr]]) — no vocabulary sort, no driver collect, no
+  *     broadcast. q22 alone keeps the sorted-dictionary formulation as
+  *     the explicit comparison pair for q22b.
+  *   - Shared-key self-joins cap shingle doc-frequency (q23) so no hot
+  *     key contributes O(df²) join rows.
   *   - All aggregates are hash aggregates with map-side partials; the
   *     only broadcast is the (tiny) query-vector set in similarity search.
   */
