@@ -416,6 +416,28 @@ object RelationalQueries {
       """)
     },
 
+    // ----- map functions: build → lookup → size over per-user counts -----
+    // Exercises MapType end-to-end: map_from_entries over collected
+    // (type, count) structs, element_at lookups, map_keys/size. The
+    // oracle computes the same RESULT with conditional aggregation — the
+    // map is the Spark-side representation under test, not a semantic
+    // the oracle must mirror (same stance as q34's salting).
+    "q45_map_ops" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.events
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"user_id")
+        .agg(map_from_entries(
+          collect_list(struct($"event_type", $"cnt"))).as("m"))
+        .select($"user_id",
+          coalesce(element_at($"m", "click"), lit(0L)).as("n_click"),
+          coalesce(element_at($"m", "view"), lit(0L)).as("n_view"),
+          size(map_keys($"m")).cast("long").as("n_types"))
+        .orderBy($"user_id")
+    },
+
     // ----- approximate distinct: HLL sketch vs exact witness -----
     // approx_count_distinct is the 100 TB path for distinct counting
     // (constant-size sketch, map-side mergeable — countDistinct's expand
@@ -752,6 +774,15 @@ object RelationalQueries {
                                 WHERE o_orderpriority = '1-URGENT'
                                   AND o_totalprice < 1000)
       ORDER BY c.c_custkey""",
+
+    "q45_map_ops" -> """
+      SELECT user_id,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+             count(DISTINCT event_type) AS n_types
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
 
     "q43_theta_join" -> """
       WITH bounds AS (
