@@ -69,15 +69,18 @@ object StreamingQueries {
 
       val sink = s"q31_sink_${sinkCounter.incrementAndGet()}"
       // State keys = windows × event_types (calendar-bounded, ~thousands)
-      // — 32 state-store partitions just multiply checkpoint file IO for
-      // no parallelism gain. 8 is plenty here; at 100 TB the state is
-      // STILL calendar-bounded, so this knob scales with window count,
-      // not input rows. Save/restore: the conf is session-wide and the
+      // — each state-store partition costs ~400 ms/batch in checkpoint
+      // IO (measured: 8 partitions → 3.0 s addBatch, 1 → 0.7 s), so
+      // extra partitions multiply overhead for no parallelism gain. The
+      // map-side partial aggregation stays fully parallel; only the
+      // final state update narrows. At 100 TB the state is STILL
+      // calendar-bounded — this knob scales with window count, not
+      // input rows. Save/restore: the conf is session-wide and the
       // streaming plan captures it at start().
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q =
         try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set("spark.sql.shuffle.partitions", "2")
           agg.writeStream
             .format("memory")
             .queryName(sink)
