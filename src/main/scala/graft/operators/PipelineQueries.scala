@@ -248,17 +248,22 @@ object PipelineQueries {
       // Hashed token ids (polyHashExpr): no vocabulary sort/broadcast.
       val wt = cnt.withColumn("tid", expr(polyHashExpr("tk")))
         .select($"doc_id", $"tid", $"w")
-
-      val bits = wt
-        .select($"doc_id", $"tid", $"w", explode(expr("sequence(0, 31)")).as("bi"))
         .withColumn("h", ($"tid" * 2654435761L) % 4294967296L)
-        .withColumn("bit", expr("(h DIV shiftleft(CAST(1 AS BIGINT), bi)) % 2"))
-        .groupBy($"doc_id", $"bi")
-        .agg(sum(when($"bit" === 1, $"w").otherwise(-$"w")).as("sgn"))
-      val sh = bits
-        .groupBy($"doc_id")
-        .agg(sum(when($"sgn" > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), bi)")).otherwise(0L)).as("simhash"))
+
+      // All 32 signed bit-sums in ONE aggregation pass (32 sum columns,
+      // map-side partials, a single doc_id-keyed shuffle — the same
+      // collapse as q22's minhash; explode(0..31) would shuffle 32× the
+      // token rows and need a second agg). The simhash is then a pure
+      // projection over the 32 signs.
+      val sgnCols = (0 until 32).map { b =>
+        sum(when(expr(s"(h DIV ${1L << b}) % 2") === 1, $"w")
+          .otherwise(-$"w")).as(s"sgn$b")
+      }
+      val packed = (0 until 32).map { b =>
+        when(col(s"sgn$b") > 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      val sh = wt.groupBy($"doc_id").agg(sgnCols.head, sgnCols.tail: _*)
+        .select($"doc_id", packed.as("simhash"))
 
       sh.as("a").join(sh.as("b"),
           expr("a.simhash DIV 65536") === expr("b.simhash DIV 65536") &&
