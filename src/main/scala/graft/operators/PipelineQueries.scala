@@ -107,6 +107,24 @@ object PipelineQueries {
           list_transform(range(1, len($column) + 1), i -> ascii($column[i]))),
         (h, c) -> (h * 131 + c) % 1000000007)"""
 
+  /** `dots[h] = Σ_d embedding[d] · p(h,d)` for `nH` deterministic
+    * hyperplanes, computed per-row as an index-ordered array fold —
+    * map-only, zero shuffle. The explode(d)×explode(h)→groupBy
+    * formulation this replaces shuffled nH× the embedding volume just to
+    * sum terms each row already holds; at 100 TB embeddings that was the
+    * single largest avoidable shuffle family in the engine. p(h,d) is the
+    * same fixed integer mix the DuckDB oracle reproduces
+    * ((h·64+d)·2654435761 mod 2³² scaled to [-1,1)).
+    */
+  private def hyperDotsExpr(nH: Int): String =
+    s"""transform(sequence(0, ${nH - 1}), h ->
+          aggregate(
+            zip_with(embedding, sequence(0, size(embedding) - 1),
+              (ev, d) -> CAST(ev AS DOUBLE) *
+                ((CAST(h AS BIGINT) * 64 + d) * 2654435761 % 4294967296
+                 / 2147483648.0D - 1.0D)),
+            CAST(0 AS DOUBLE), (acc, x) -> acc + x))"""
+
   /** Shared MinHash(16) → 4-band LSH → exact-Jaccard-verify tail used by
     * q22 (dictionary ids) and q22b (hashed ids). `dt` = (doc_id, sid);
     * `dsh` = (doc_id, shingle), cached by the caller (probed 3×).
@@ -322,36 +340,32 @@ object PipelineQueries {
     // 2 bands of 4; candidate pairs agree on at least one band (never
     // all-pairs — O(n·bands) shuffle), then the native CosineSim verifies
     // cos >= 0.4. Banding trades precision for recall exactly like the
-    // MinHash bands in q22.
+    // MinHash bands in q22b. The signature is a per-row map-only fold
+    // ([[hyperDotsExpr]]) and the embedding rides along to the band join,
+    // so the only shuffles left are the candidate equality-join and the
+    // pair dedup — no join back to the base table.
     "q33_embed_neardup" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val e = t.embeddings.select($"vec_id", $"embedding")
-      val proj = e
-        .select($"vec_id", posexplode($"embedding").as(Seq("d", "ev")))
-        .withColumn("h", explode(expr("sequence(0, 7)")))
-        .withColumn("p",
-          (($"h" * 64 + $"d").cast("long") * 2654435761L % 4294967296L)
-            .cast("double") / 2147483648.0 - 1.0)
-        .groupBy($"vec_id", $"h")
-        .agg(sum($"ev".cast("double") * $"p").as("dot"))
-      val sigs = proj
-        .withColumn("band", expr("h DIV 4"))
-        .groupBy($"vec_id", $"band")
-        .agg(sum(when($"dot" >= 0,
-          expr("shiftleft(CAST(1 AS BIGINT), h % 4)")).otherwise(0L)).as("sig"))
-      val cand = sigs.as("a").join(sigs.as("b"),
+      val sigs = e
+        .withColumn("dots", expr(hyperDotsExpr(8)))
+        .withColumn("band_sigs", expr(
+          """transform(sequence(0, 1), b ->
+               aggregate(sequence(0, 3), CAST(0 AS BIGINT),
+                 (acc, r) -> acc + IF(dots[b*4 + r] >= 0D,
+                   shiftleft(CAST(1 AS BIGINT), r), CAST(0 AS BIGINT))))"""))
+        .select($"vec_id", $"embedding",
+          posexplode($"band_sigs").as(Seq("band", "sig")))
+      sigs.as("a").join(sigs.as("b"),
           $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
           $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+          graft.functions.GraftFunctions.cosineSim($"a.embedding", $"b.embedding")
+            .as("rawcos"))
+        .filter($"rawcos" >= 0.4)
+        .select($"vec_a", $"vec_b", round($"rawcos", 4).as("cos"))
         .distinct()
-      cand
-        .join(e.as("ea"), $"vec_a" === $"ea.vec_id")
-        .join(e.as("eb"), $"vec_b" === $"eb.vec_id")
-        .withColumn("cos",
-          graft.functions.GraftFunctions.cosineSim($"ea.embedding", $"eb.embedding"))
-        .filter($"cos" >= 0.4)
-        .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
         .orderBy($"vec_a", $"vec_b")
     },
 
@@ -364,19 +378,16 @@ object PipelineQueries {
       import s.implicits._
       val t = Tables(s, dir)
       val e = t.embeddings.select($"vec_id", $"embedding")
-      val proj = e
-        .select($"vec_id", posexplode($"embedding").as(Seq("d", "ev")))
-        .withColumn("h", explode(expr("sequence(0, 11)")))
-        .withColumn("p",
-          (($"h" * 64 + $"d").cast("long") * 2654435761L % 4294967296L)
-            .cast("double") / 2147483648.0 - 1.0)
-        .groupBy($"vec_id", $"h")
-        .agg(sum($"ev".cast("double") * $"p").as("dot"))
-      val buckets = proj
-        .groupBy($"vec_id")
-        .agg(sum(when($"dot" >= 0,
-          expr("shiftleft(CAST(1 AS BIGINT), h)")).otherwise(0L)).as("bucket"))
-      val eb = e.join(buckets, "vec_id")
+      // Bucket id is a pure per-row projection ([[hyperDotsExpr]] fold +
+      // sign-bit pack) — no explode, no groupBy, no join back to e. The
+      // remaining shuffles are the top-k window and the output sort.
+      val eb = e
+        .withColumn("dots", expr(hyperDotsExpr(12)))
+        .withColumn("bucket", expr(
+          """aggregate(sequence(0, 11), CAST(0 AS BIGINT),
+               (acc, h) -> acc + IF(dots[h] >= 0D,
+                 shiftleft(CAST(1 AS BIGINT), h), CAST(0 AS BIGINT)))"""))
+        .drop("dots")
       val q = eb.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket".as("qbucket"))
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
@@ -643,6 +654,17 @@ object PipelineQueries {
           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle FROM toks))"""
     val cosFragment = """
       e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"""
+    // DuckDB twin of [[hyperDotsExpr]]: the identical index-ordered left
+    // fold, so the per-hyperplane dot products match Spark's bit-for-bit.
+    def hyperDots(nH: Int) = s"""
+      dots AS (SELECT vec_id, v,
+                 list_transform(range(0, $nH), h ->
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                     list_transform(range(0, len(v)), d ->
+                       v[d+1] * (((h*64 + d) * 2654435761) % 4294967296
+                                 / 2147483648.0 - 1.0))),
+                     (acc, x) -> acc + x)) dot
+               FROM e)"""
 
     Map(
       "q21_dedup_exact" -> """
@@ -783,15 +805,13 @@ object PipelineQueries {
 
       "q33_embed_neardup" -> s"""
         WITH $cosFragment,
-        el AS (SELECT vec_id, unnest(v) ev, generate_subscripts(v, 1) - 1 d FROM e),
-        proj AS (SELECT vec_id, h.h,
-                        sum(ev * (((h.h*64 + d) * 2654435761) % 4294967296
-                                  / 2147483648.0 - 1.0)) dot
-                 FROM el CROSS JOIN (SELECT unnest(generate_series(0, 7)) h) h
-                 GROUP BY 1, 2),
-        sigs AS (SELECT vec_id, h // 4 AS band,
-                        sum(CASE WHEN dot >= 0 THEN 1::BIGINT << (h % 4) ELSE 0 END)::BIGINT sig
-                 FROM proj GROUP BY 1, 2),
+        ${hyperDots(8)},
+        sigs AS (SELECT vec_id, b.b AS band,
+                        ( CASE WHEN dot[b.b*4 + 1] >= 0 THEN 1 ELSE 0 END
+                        + CASE WHEN dot[b.b*4 + 2] >= 0 THEN 2 ELSE 0 END
+                        + CASE WHEN dot[b.b*4 + 3] >= 0 THEN 4 ELSE 0 END
+                        + CASE WHEN dot[b.b*4 + 4] >= 0 THEN 8 ELSE 0 END)::BIGINT sig
+                 FROM dots CROSS JOIN (SELECT unnest(generate_series(0, 1)) b) b),
         cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
                  FROM sigs a JOIN sigs b
                    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
@@ -807,16 +827,14 @@ object PipelineQueries {
 
       "q26_ann_lsh" -> s"""
         WITH $cosFragment,
-        el AS (SELECT vec_id, unnest(v) ev, generate_subscripts(v, 1) - 1 d FROM e),
-        proj AS (SELECT vec_id, h.h,
-                        sum(ev * (((h.h*64 + d) * 2654435761) % 4294967296
-                                  / 2147483648.0 - 1.0)) dot
-                 FROM el CROSS JOIN (SELECT unnest(generate_series(0, 11)) h) h
-                 GROUP BY 1, 2),
-        buckets AS (SELECT vec_id,
-                           sum(CASE WHEN dot >= 0 THEN 1::BIGINT << h ELSE 0 END)::BIGINT bucket
-                    FROM proj GROUP BY 1),
-        eb AS (SELECT e.vec_id, v, bucket FROM e JOIN buckets USING (vec_id)),
+        ${hyperDots(12)},
+        eb AS (SELECT vec_id, v,
+                      list_reduce(list_prepend(0::BIGINT,
+                        list_transform(range(0, 12), h ->
+                          CASE WHEN dot[h+1] >= 0 THEN (1::BIGINT << h)
+                               ELSE 0::BIGINT END)),
+                        (acc, x) -> acc + x) bucket
+               FROM dots),
         q AS (SELECT vec_id query_id, v qv, bucket qbucket FROM eb WHERE vec_id < 5),
         scored AS (SELECT q.query_id, eb.vec_id,
                           list_dot_product(eb.v, q.qv) /
