@@ -24,8 +24,9 @@ import org.apache.spark.sql.expressions.Window
   *     only on candidates.
   *   - Token/shingle ids come from a portable polynomial hash
   *     ([[polyHashExpr]]) — no vocabulary sort, no driver collect, no
-  *     broadcast. q22 alone keeps the sorted-dictionary formulation as
-  *     the explicit comparison pair for q22b.
+  *     broadcast. The sorted-dictionary formulation survives only as
+  *     the spec-gated [[minhashDictVariant]] witness, outside the
+  *     driver contract.
   *   - Shared-key self-joins cap shingle doc-frequency (q23) so no hot
   *     key contributes O(df²) join rows.
   *   - All aggregates are hash aggregates with map-side partials; the
@@ -172,6 +173,27 @@ object PipelineQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The sorted-dictionary MinHash formulation (dense shingle ids from a
+    * global vocabulary sort + `zipWithIndex`, broadcast back). NOT part
+    * of the driver contract: the vocabulary broadcast and global sort do
+    * not survive a 100 TB corpus (billions of distinct shingles), so the
+    * dictionary-free q22b is the shipped fuzzy-dedup operator. This
+    * variant is kept as the small-sf witness — `MinhashDictWitnessSpec`
+    * asserts both formulations agree on verified pairs — and as the
+    * explicit contrast case for why id assignment must be hash-based at
+    * scale.
+    */
+  def minhashDictVariant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val dsh = docShingles(t.documents).cache()
+    // dict is vocabulary-bounded (distinct shingles) — broadcast it; the
+    // RDD-built frame has no stats, so the hint is explicit.
+    val dict = broadcast(shingleDict(dsh))
+    val dt = dsh.join(dict, "shingle").select($"doc_id", $"sid")
+    minhashLshVerify(dt, dsh)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ----- exact dedup: normalize → group → keep min doc_id -----
@@ -190,30 +212,16 @@ object PipelineQueries {
     },
 
     // ----- fuzzy dedup: shingle → MinHash(16) → 4-band LSH → verify -----
-    // Banded LSH join generates candidates (never all-pairs); exact
-    // shingle-Jaccard verifies only candidates. 16 integer minhashes from
-    // h_s(x) = (37s+7)·sid + 101s+3 mod P over dictionary ids.
-    "q22_minhash_lsh" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val dsh = docShingles(t.documents).cache()
-      // dict is vocabulary-bounded (distinct shingles) — broadcast it;
-      // the RDD-built frame has no stats, so the hint is explicit. The
-      // dictionary needs a global vocabulary sort + driver collect —
-      // q22b is the dictionary-free formulation that avoids both.
-      val dict = broadcast(shingleDict(dsh))
-      val dt = dsh.join(dict, "shingle").select($"doc_id", $"sid")
-      minhashLshVerify(dt, dsh)
-    },
-
-    // ----- fuzzy dedup, dictionary-free (the 100 TB formulation) -----
     // Shingle ids come from a portable polynomial hash of the shingle
     // text (h = 131h + code mod P, both engines fold identically), so
     // there is NO vocabulary sort, no zipWithIndex job, no driver-side
     // collect, no broadcast — the whole pipeline is shuffle-by-doc_id
-    // only. Candidate sets differ slightly from q22's (different id
-    // space → different minhashes); the verify stage is exact either
-    // way, and the oracle mirrors this id function.
+    // only. Banded LSH join generates candidates (never all-pairs);
+    // exact shingle-Jaccard verifies only candidates. 16 integer
+    // minhashes from h_s(x) = (37s+7)·sid + 101s+3 mod P. (The
+    // sorted-dictionary id variant lives OUTSIDE the driver contract as
+    // [[minhashDictVariant]] — its vocabulary broadcast is not a 100 TB
+    // plan; `MinhashDictWitnessSpec` keeps it honest against this one.)
     "q22b_minhash_nodict" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -270,7 +278,7 @@ object PipelineQueries {
 
       // All 32 signed bit-sums in ONE aggregation pass (32 sum columns,
       // map-side partials, a single doc_id-keyed shuffle — the same
-      // collapse as q22's minhash; explode(0..31) would shuffle 32× the
+      // collapse as q22b's minhash; explode(0..31) would shuffle 32× the
       // token rows and need a second agg). The simhash is then a pure
       // projection over the 32 signs.
       val sgnCols = (0 until 32).map { b =>
@@ -675,38 +683,9 @@ object PipelineQueries {
         GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         ORDER BY doc_id""",
 
-      "q22_minhash_lsh" -> s"""
-        WITH $dsh,
-        dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) sid
-                 FROM (SELECT DISTINCT shingle FROM dsh)),
-        dt AS (SELECT doc_id, sid FROM dsh JOIN dict USING (shingle)),
-        mh AS (SELECT doc_id, s.s,
-                      min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
-               FROM dt CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
-               GROUP BY 1, 2),
-        bands AS (SELECT doc_id, s // 4 band,
-                         concat_ws('-', min(CASE WHEN s % 4 = 0 THEN mh END),
-                                        min(CASE WHEN s % 4 = 1 THEN mh END),
-                                        min(CASE WHEN s % 4 = 2 THEN mh END),
-                                        min(CASE WHEN s % 4 = 3 THEN mh END)) sig
-                  FROM mh GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        sizes AS (SELECT doc_id, count(1) n FROM dsh GROUP BY 1),
-        inter AS (SELECT doc_a, doc_b, count(1) i
-                  FROM cand JOIN dsh x ON doc_a = x.doc_id
-                            JOIN dsh y ON doc_b = y.doc_id AND x.shingle = y.shingle
-                  GROUP BY 1, 2)
-        SELECT doc_a, doc_b, round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
-        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                   JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
-        ORDER BY doc_a, doc_b""",
-
-      // q22 with the dictionary CTEs replaced by the portable polynomial
-      // shingle hash (h = 131h + code mod P, folded left-to-right) —
-      // identical to the Spark-side aggregate fold character-for-character.
+      // Shingle ids from the portable polynomial hash (h = 131h + code
+      // mod P, folded left-to-right) — identical to the Spark-side
+      // aggregate fold character-for-character.
       "q22b_minhash_nodict" -> s"""
         WITH $dsh,
         dt AS (SELECT doc_id, ${oraclePolyHash("shingle")} sid FROM dsh),

@@ -460,7 +460,7 @@ object RelationalQueries {
     // side is tiny and broadcast, so the BroadcastNestedLoopJoin this
     // plans to is the CORRECT shape — per-row work is 10 comparisons.
     // (Big×big theta joins instead get banded into equality keys first —
-    // q33/q22 are that pattern.)
+    // q33/q22b are that pattern.)
     "q43_theta_join" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
