@@ -26,15 +26,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A failed query records the sentinel -1, never its elapsed-to-crash
+    // time — a regression that breaks a query must not read as a speedup.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name
+        -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -42,22 +47,26 @@ object Bench {
     val results = names.map(n => n -> runOnce(n))
     // Second timed pass: per-query whole-stage-codegen compilation (the
     // dominant fixed cost at this scale — measured 16s cold vs 3.7s warm
-    // for q22) is already paid, so this is the steady-state number a
-    // long-lived session sees. Reported alongside, never replacing, the
-    // cold pass.
+    // for the MinHash pipeline) is already paid, so this is the
+    // steady-state number a long-lived session sees. Reported alongside,
+    // never replacing, the cold pass.
     val warm = names.map(n => n -> runOnce(n))
 
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalWarm = warm.map(_._2).sum
+    def sum(rs: Seq[(String, Double)]): Double = rs.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},""" +
-        s""""queries":${fmt(results)},"value_warm":$totalWarm,""" +
-        s""""queries_warm":${fmt(warm)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sum(results)},"unit":"sec","n_queries":${names.size},""" +
+        s""""queries":${fmt(results)},"value_warm":${sum(warm)},""" +
+        s""""queries_warm":${fmt(warm)},""" +
+        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outPath), json + "\n")
-    println(json)
     spark.stop()
+    // Printed AFTER spark.stop() so the bare JSON is the process's last
+    // stdout line (run / outputStrategy := StdoutOutput keeps sbt's
+    // logger from prefixing it with "[info] ").
+    println(json)
   }
 }
