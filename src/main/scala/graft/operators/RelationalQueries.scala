@@ -188,15 +188,20 @@ object RelationalQueries {
         .orderBy($"event_type")
     },
 
-    // ----- distinct aggregates -----
+    // ----- distinct aggregate: the exact witness of q44's HLL sketch -----
+    // Single distinct column-set, so the plan is partial-distinct on
+    // (flag, orderkey) then final count — NO Expand node. (The earlier
+    // three-countDistinct formulation compiled to an Expand that tripled
+    // the lineitem shuffle; multiple exact distincts at 100 TB is the
+    // wrong tool — q44 answers that with one mergeable HLL sketch per
+    // column, and this query is its exact n_orders witness.)
     "q11_distinct_agg" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       t.lineitem
         .groupBy($"l_returnflag")
-        .agg(countDistinct($"l_partkey").as("n_parts"),
-             countDistinct($"l_suppkey").as("n_supps"),
-             countDistinct($"l_orderkey").as("n_orders"))
+        .agg(countDistinct($"l_orderkey").as("n_orders"),
+             count(lit(1)).as("n_rows"))
         .orderBy($"l_returnflag")
     },
 
@@ -443,7 +448,9 @@ object RelationalQueries {
     // (constant-size sketch, map-side mergeable — countDistinct's expand
     // doubles the shuffle). HLL sketches are engine-specific, so there
     // is no DuckDB hash oracle; the exact count rides along as the
-    // in-row witness and ApproxDistinctSpec pins the relative error.
+    // in-row witness, ApproxDistinctSpec pins the relative error, and
+    // q11 is the oracle-checked exact twin of the same (flag, orderkey)
+    // distinct count.
     "q44_approx_distinct" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -643,9 +650,8 @@ object RelationalQueries {
 
     "q11_distinct_agg" -> """
       SELECT l_returnflag,
-             count(DISTINCT l_partkey) AS n_parts,
-             count(DISTINCT l_suppkey) AS n_supps,
-             count(DISTINCT l_orderkey) AS n_orders
+             count(DISTINCT l_orderkey) AS n_orders,
+             count(1) AS n_rows
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
