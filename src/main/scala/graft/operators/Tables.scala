@@ -28,12 +28,16 @@ final case class Tables(spark: SparkSession, dir: String) {
     * to microseconds — queries over events only ever use ≥second
     * granularity, so the µs-vs-ns floor never shows in results.
     *
-    * The conf is set at session build by Verify/Bench; setting it here
-    * too is a safety net for ad-hoc sessions (idempotent, but note it
-    * does leak into the shared session — ADVICE r1 #4).
+    * `spark.sql.legacy.parquet.nanosAsLong=true` must be set at session
+    * build (Verify/Bench/test fixtures all do); a loader must not
+    * mutate the shared session's conf as a side effect (r2 VERDICT #7),
+    * so a session missing it fails fast here instead.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(events.ts is parquet TIMESTAMP(NANOS))")
     t("events").withColumn(
       "ts",
       org.apache.spark.sql.functions.timestamp_micros(

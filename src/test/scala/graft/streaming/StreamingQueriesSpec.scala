@@ -109,4 +109,15 @@ class StreamingQueriesSpec extends AnyFunSuite {
       .filter(col("prev_end").isNotNull && col("session_start") < col("prev_end"))
     assert(bad.count() == 0)
   }
+
+  test("q31 produces identical results under the RocksDB state store") {
+    val dir = "/root/testdata/sf0.001"
+    val hdfs = StreamingQueries.queries("q31_stream_window")(spark, dir)
+    spark.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    try {
+      val rocks = StreamingQueries.queries("q31_stream_window")(spark, dir)
+      assert(rocks.count() == hdfs.count())
+      assert(rocks.exceptAll(hdfs).isEmpty && hdfs.exceptAll(rocks).isEmpty)
+    } finally spark.conf.unset("spark.graft.streaming.stateStore")
+  }
 }
