@@ -66,6 +66,13 @@ final class GSheetsWrite(schema: StructType, options: GSheetsOptions,
 
 final case class GSheetsCommitMessage(rowsWritten: Long) extends WriterCommitMessage
 
+/** Complete-mode streaming commit payload: the task's serialized rows,
+  * carried to the driver so the sheet mutation happens exactly once per
+  * epoch (see [[GSheetsStreamingWrite.commit]]).
+  */
+final case class GSheetsRowsMessage(rows: Vector[Vector[String]])
+  extends WriterCommitMessage
+
 final class GSheetsBatchWrite(schema: StructType, options: GSheetsOptions,
     truncateMode: Boolean) extends BatchWrite {
 
@@ -133,30 +140,37 @@ final class GSheetsBatchWrite(schema: StructType, options: GSheetsOptions,
 /** Streaming sink (Spark-native extension; the reference COPY sink is
   * batch-only): each micro-batch epoch appends its rows. In append
   * output mode the sheet grows monotonically — the mirror image of the
-  * tail-read source; in complete mode (`truncateMode`) each epoch clears
-  * the sheet and rewrites header + rows, so the sheet always shows the
-  * latest aggregate state. Epoch commit is best-effort like the batch
-  * path — Sheets appends are not transactional (SURVEY §7.3), so a
-  * failed epoch may leave partial rows; exactly-once would need an
-  * idempotent key column, which the reference offers no analog for.
+  * tail-read source; in complete mode (`truncateMode`) each epoch
+  * replaces the sheet with the latest aggregate state.
+  *
+  * Complete mode mutates the sheet ONLY in the driver-side
+  * [[commit]] (tasks just serialize rows into their commit message):
+  * `createWriter` runs per task ATTEMPT, so a retry or speculative
+  * attempt clearing the sheet there could interleave clear/header/data
+  * with a prior attempt's appends (ADVICE r2). Epoch commit remains
+  * best-effort like the batch path — Sheets appends are not
+  * transactional (SURVEY §7.3), so a driver crash mid-commit may leave
+  * partial rows; exactly-once would need an idempotent key column,
+  * which the reference offers no analog for.
   */
 final class GSheetsStreamingWrite(schema: StructType, options: GSheetsOptions,
     truncateMode: Boolean)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
-  override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+  private lazy val spreadsheetId = Urls.extractSpreadsheetId(options.url)
+
+  /** (apiRange, bodyRange): sheet resolution + create_if_not_exists,
+    * once per query (lazy — both the factory and per-epoch commits need
+    * it, whichever runs first).
+    */
+  private lazy val ranges: (String, String) = {
     if (options.createIfNotExists && options.sheet.isEmpty)
       throw new IllegalArgumentException("Must provide sheet name")
-
-    val url = options.url
-    val spreadsheetId = Urls.extractSpreadsheetId(url)
     val client = options.newClient()
-
     val sheetName =
       if (options.sheet.nonEmpty) options.sheet
-      else client.getSheetById(spreadsheetId, Urls.extractSheetId(url)).properties.title
-
+      else client.getSheetById(spreadsheetId,
+        Urls.extractSheetId(options.url)).properties.title
     if (options.createIfNotExists) {
       try { client.getSheetByName(spreadsheetId, sheetName); () }
       catch {
@@ -164,31 +178,54 @@ final class GSheetsStreamingWrite(schema: StructType, options: GSheetsOptions,
           client.createSheet(spreadsheetId, sheetName)
       }
     }
-
     val encodedName = Urls.urlEncode(sheetName)
     val sheetRange =
       if (options.range.nonEmpty) options.range
-      else Urls.extractSheetRange(url)
-    val apiRange =
-      if (sheetRange.nonEmpty) s"$encodedName!$sheetRange" else encodedName
-    val bodyRange =
-      if (sheetRange.nonEmpty) s"$sheetName!$sheetRange" else sheetName
+      else Urls.extractSheetRange(options.url)
+    (if (sheetRange.nonEmpty) s"$encodedName!$sheetRange" else encodedName,
+     if (sheetRange.nonEmpty) s"$sheetName!$sheetRange" else sheetName)
+  }
 
-    // Append-mode header (explicit opt-in only, like the reference's
-    // append COPY) is written once at stream start; complete-mode
-    // headers are rewritten per epoch by the writer after each clear.
-    val headerAtStart = !truncateMode && options.headerOpt.getOrElse(false)
-    if (headerAtStart) {
-      client.valuesAppend(spreadsheetId, A1Range(apiRange),
+  // Append-mode header (explicit opt-in only, like the reference's
+  // append COPY) is written once at stream start, guarded in case the
+  // engine re-creates the factory per epoch.
+  @volatile private var headerWritten = false
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val (apiRange, bodyRange) = ranges
+    if (!truncateMode && options.headerOpt.getOrElse(false) && !headerWritten) {
+      options.newClient().valuesAppend(spreadsheetId, A1Range(apiRange),
         ValueRange(bodyRange, "ROWS", Vector(schema.fieldNames.toVector)))
+      headerWritten = true
     }
-
     new GSheetsStreamingWriterFactory(options.raw, spreadsheetId, apiRange,
       bodyRange, schema, truncateMode)
   }
 
+  /** Complete mode: replace the sheet exactly once per epoch — clear,
+    * header (on by default, as in the batch overwrite path), then the
+    * epoch's rows in 2048-row batches. Runs on the driver after every
+    * task attempt has finished, so no attempt can race the clear.
+    */
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = ()
+      messages: Array[WriterCommitMessage]): Unit = if (truncateMode) {
+    val (apiRange, bodyRange) = ranges
+    val client = options.newClient()
+    client.valuesClear(spreadsheetId, A1Range(apiRange.takeWhile(_ != '!')))
+    if (options.headerOpt.getOrElse(true)) {
+      client.valuesAppend(spreadsheetId, A1Range(apiRange),
+        ValueRange(bodyRange, "ROWS", Vector(schema.fieldNames.toVector)))
+    }
+    val rows = messages.iterator.collect {
+      case GSheetsRowsMessage(r) => r
+    }.flatten.toVector
+    rows.grouped(GSheetsDataWriter.BatchRows).foreach { chunk =>
+      client.valuesAppend(spreadsheetId, A1Range(apiRange),
+        ValueRange(bodyRange, "ROWS", chunk))
+    }
+  }
+
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -199,22 +236,30 @@ final class GSheetsStreamingWriterFactory(rawOptions: Map[String, String],
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] = {
-    val options = GSheetsOptions(rawOptions)
-    if (truncateMode && partitionId == 0) {
-      // Complete mode: this epoch replaces the sheet contents. Single
-      // writer partition (RequiresDistributionAndOrdering), so the
-      // clear-then-append sequence is race-free.
-      val client = options.newClient()
-      client.valuesClear(spreadsheetId,
-        A1Range(apiRange.takeWhile(_ != '!')))
-      if (options.headerOpt.getOrElse(true)) {
-        client.valuesAppend(spreadsheetId, A1Range(apiRange),
-          ValueRange(bodyRange, "ROWS", Vector(schema.fieldNames.toVector)))
-      }
+      epochId: Long): DataWriter[InternalRow] =
+    if (truncateMode) new GSheetsBufferingWriter(schema)
+    else new GSheetsDataWriter(GSheetsOptions(rawOptions), spreadsheetId,
+      apiRange, bodyRange, schema)
+}
+
+/** Complete-mode streaming writer: serializes rows but never touches
+  * the sheet — the driver's per-epoch commit does (retry-safe).
+  */
+final class GSheetsBufferingWriter(schema: StructType)
+  extends DataWriter[InternalRow] {
+
+  private val serializers: Array[(InternalRow, Int) => String] =
+    schema.fields.map(f => GSheetsDataWriter.cellSerializer(f.dataType))
+  private val buffer = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+
+  override def write(row: InternalRow): Unit =
+    buffer += Vector.tabulate(serializers.length) { i =>
+      if (row.isNullAt(i)) "" else serializers(i)(row, i)
     }
-    new GSheetsDataWriter(options, spreadsheetId, apiRange, bodyRange, schema)
-  }
+
+  override def commit(): WriterCommitMessage = GSheetsRowsMessage(buffer.toVector)
+  override def abort(): Unit = buffer.clear()
+  override def close(): Unit = ()
 }
 
 final class GSheetsWriterFactory(rawOptions: Map[String, String],

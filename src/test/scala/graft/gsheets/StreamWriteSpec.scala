@@ -98,4 +98,32 @@ class StreamWriteSpec extends AnyFunSuite {
     assert(appends(1).body.contains("""["a","3.0"]"""))
     assert(appends(3).body.contains("""["a","7.0"]"""))
   }
+
+  test("complete mode: createWriter has no sheet side effects (retry-safe)") {
+    // A task RETRY or speculative attempt re-invokes createWriter after a
+    // prior attempt ran — if the clear lived there, one epoch could
+    // interleave clear/header/data. The sheet mutation must belong to the
+    // driver-side per-epoch commit alone.
+    import org.apache.spark.sql.types._
+    val mock = new MockHttp
+    TransportRegistry.register("mock-swrite-3", mock)
+    val schema = StructType(Seq(StructField("name", StringType)))
+    val factory = new graft.sources.gsheets.GSheetsStreamingWriterFactory(
+      Map("transport" -> "mock-swrite-3", "token" -> "test-token",
+        "path" -> SpreadsheetId),
+      SpreadsheetId, "write_fixture", "write_fixture", schema,
+      truncateMode = true)
+    // Two attempts of the same (partition, epoch) — e.g. a retry.
+    val w1 = factory.createWriter(0, taskId = 1L, epochId = 0L)
+    val w2 = factory.createWriter(0, taskId = 2L, epochId = 0L)
+    assert(mock.recordedRequests.isEmpty,
+      s"createWriter touched the sheet: ${mock.recordedRequests.map(_.url)}")
+    // The abandoned attempt's buffered rows die with its message; only
+    // what reaches commit() is applied.
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("x"))
+    w1.write(row); w2.write(row)
+    w1.abort()
+    assert(mock.recordedRequests.isEmpty)
+  }
 }
