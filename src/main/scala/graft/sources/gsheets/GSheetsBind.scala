@@ -36,6 +36,15 @@ final case class GSheetsOptions(raw: Map[String, String]) {
   def numPartitions: Int =
     get("numpartitions", "num_partitions").map(_.toInt).getOrElse(1).max(1)
 
+  /** `fetch_on_executor=true`: scan partitions carry only (id, range,
+    * auth options) and the reader fetches cell values on the executor —
+    * task binaries and driver memory no longer scale with sheet size.
+    * Default false: rows ship inside the partition, preserving the
+    * bind-time snapshot (same materialization point as the reference).
+    */
+  def fetchOnExecutor: Boolean = boolOpt("fetch_on_executor",
+    "fetch_on_executor", "fetchonexecutor").getOrElse(false)
+
   // write-side (COPY) options; None = unset (defaults depend on SaveMode)
   def overwriteSheet: Option[Boolean] =
     boolOpt("overwrite_sheet", "overwrite_sheet", "overwritesheet")

@@ -46,10 +46,24 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
     new GSheetsMicroBatchStream(bound, options, required)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // Project to required columns here (driver-side, once) so executors
-    // only ever see the pruned cells.
     val nameToIdx = bound.schema.fieldNames.zipWithIndex.toMap
     val colIdx = required.fieldNames.map(nameToIdx)
+
+    if (options.fetchOnExecutor) {
+      // The partition carries coordinates, not cells: the reader fetches
+      // on the executor, so neither the task binary nor driver memory
+      // scales with sheet size. Single partition — the row count is
+      // unknown until fetch and a sheet caps at 10M cells; order is
+      // preserved exactly as in the default path. The executor observes
+      // the sheet at TASK time, so an edit between bind and execute
+      // yields the fresher rows (documented trade vs the bind snapshot).
+      return Array(GSheetsFetchPartition(options.raw, bound.spreadsheetId,
+        bound.apiRange, bound.header, colIdx,
+        required.fields.map(_.dataType)))
+    }
+
+    // Default: project to required columns here (driver-side, once) so
+    // executors only ever see the pruned cells of the bind snapshot.
     val rows = bound.dataRows
     val projected: Array[Array[String]] = rows.map { row =>
       colIdx.map(i => if (i < row.size) row(i) else null)
@@ -77,10 +91,54 @@ final case class GSheetsInputPartition(
     rows: Array[Array[String]],
     types: Array[DataType]) extends InputPartition
 
+/** Executor-fetch partition: coordinates + pruned column indices only
+  * (`fetch_on_executor=true`); [[GSheetsReaderFactory]] performs the
+  * values GET task-side through a TTL-cached per-executor client.
+  */
+final case class GSheetsFetchPartition(
+    rawOptions: Map[String, String],
+    spreadsheetId: String,
+    apiRange: String,
+    header: Boolean,
+    colIdx: Array[Int],
+    types: Array[DataType]) extends InputPartition
+
 final class GSheetsReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GSheetsInputPartition]
-    new GSheetsPartitionReader(p.rows, p.types)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GSheetsInputPartition =>
+        new GSheetsPartitionReader(p.rows, p.types)
+      case p: GSheetsFetchPartition =>
+        val client = GSheetsExecutorClients.get(GSheetsOptions(p.rawOptions))
+        val vr = client.valuesGet(p.spreadsheetId,
+          graft.sources.gsheets.core.A1Range(p.apiRange))
+        // Same row derivation as the bind snapshot: drop the header row,
+        // project+pad to the pruned columns. A sheet emptied since bind
+        // simply yields zero rows.
+        val data = if (p.header) vr.values.drop(1) else vr.values
+        val projected = data.map { row =>
+          p.colIdx.map(i => if (i < row.size) row(i) else null)
+        }.toArray
+        new GSheetsPartitionReader(projected, p.types)
+    }
+}
+
+/** Executor-local client cache: service-account auth costs a token
+  * round-trip per client, so tasks on one executor share a client per
+  * option set (the Auth layer already refreshes tokens 60 s early —
+  * reuse is safe for long-lived entries). TTL-bounded to keep the map
+  * from growing with distinct option sets.
+  */
+object GSheetsExecutorClients {
+  private val TtlMillis = 300000L
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, graft.sources.gsheets.core.GoogleSheetsClient)]()
+
+  def get(options: GSheetsOptions): graft.sources.gsheets.core.GoogleSheetsClient = {
+    val now = System.currentTimeMillis()
+    cache.compute(options.cacheKey, (_, hit) =>
+      if (hit != null && now - hit._1 < TtlMillis) hit
+      else (now, options.newClient()))._2
   }
 }
 

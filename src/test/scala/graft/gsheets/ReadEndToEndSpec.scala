@@ -304,4 +304,33 @@ class ReadEndToEndSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("Invalid value for 'header' parameter")))
   }
+
+  test("fetch_on_executor: values fetched task-side, identical results") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson) // bind: GetSheetByIndex(0)
+    mock.addJson(sheet1Json()) // bind: values GET (schema inference)
+    mock.addJson(sheet1Json()) // task: values GET (executor-side fetch)
+    val (r, _) = reader(mock)
+    val df = r.option("fetch_on_executor", "true").load(SpreadsheetId)
+
+    // Partitions carry coordinates, not cells — the task binary no
+    // longer scales with sheet size.
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.inputPartitions.forall(
+      _.isInstanceOf[graft.sources.gsheets.GSheetsFetchPartition]))
+
+    assert(rows(df) == Seq(
+      Seq("Alice", 30.0, "Toronto"),
+      Seq("Bob", 25.0, "New York"),
+      Seq("Charlie", 45.0, "Chicago"),
+      Seq("Drake", null, null),
+      Seq(null, null, null),
+      Seq("Archie", 99.0, null)))
+
+    // Exactly one extra values GET: the task-side fetch after bind's.
+    val valueGets = mock.recordedRequests.filter(_.url.contains("/values/"))
+    assert(valueGets.size == 2)
+  }
 }
