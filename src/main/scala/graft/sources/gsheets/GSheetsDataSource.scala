@@ -74,7 +74,11 @@ final class GSheetsTable(schema0: StructType, options: GSheetsOptions)
     TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new GSheetsScanBuilder(GSheetsBind.bind(options), options)
+    // schema0 is the user-declared read schema when one was passed via
+    // .schema(...) (supportsExternalMetadata), else the inferred one —
+    // the scan must produce rows in the RELATION's schema, not the
+    // inferred sheet schema.
+    new GSheetsScanBuilder(GSheetsBind.bind(options), schema0, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GSheetsWriteBuilder(info, options)

@@ -19,14 +19,28 @@ import org.apache.spark.unsafe.types.UTF8String
   *     parallel downstream pipelines (a sheet caps at 10M cells, so a
   *     single partition is the order-preserving default).
   */
-final class GSheetsScanBuilder(bound: BoundSheet, options: GSheetsOptions)
+final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
+    options: GSheetsOptions)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   // Bind errors (empty range, missing sheet) surface here with the
   // reference's message (`src/gsheets_read.cpp:190-192`).
   bound.error.foreach(msg => throw new IllegalArgumentException(msg))
 
-  private var required: StructType = bound.schema
+  // A user-declared schema (.schema(...) on read) is validated at PLAN
+  // time: every type must be cell-castable, so a bad schema fails here
+  // with a clear message instead of deep in an executor task. Names that
+  // don't exist in the sheet are tolerated and read as all-NULL columns
+  // (same contract as the streaming tail-read path).
+  tableSchema.fields.foreach { f =>
+    if (!GSheetsPartitionReader.isSupportedReadType(f.dataType))
+      throw new IllegalArgumentException(
+        s"gsheets: unsupported read-schema type ${f.dataType.simpleString} " +
+          s"for column '${f.name}' — supported: string, boolean, " +
+          "double, float, long, int, short, byte, decimal, date, timestamp")
+  }
+
+  private var required: StructType = tableSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -46,8 +60,10 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
     new GSheetsMicroBatchStream(bound, options, required)
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // -1 = column absent from the sheet (possible only with a
+    // user-declared schema) → all-NULL, like the streaming path.
     val nameToIdx = bound.schema.fieldNames.zipWithIndex.toMap
-    val colIdx = required.fieldNames.map(nameToIdx)
+    val colIdx = required.fieldNames.map(nameToIdx.getOrElse(_, -1))
 
     if (options.fetchOnExecutor) {
       // The partition carries coordinates, not cells: the reader fetches
@@ -66,7 +82,7 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
     // executors only ever see the pruned cells of the bind snapshot.
     val rows = bound.dataRows
     val projected: Array[Array[String]] = rows.map { row =>
-      colIdx.map(i => if (i < row.size) row(i) else null)
+      colIdx.map(i => if (i >= 0 && i < row.size) row(i) else null)
     }.toArray
 
     val n = math.max(1, math.min(numPartitions, math.max(projected.length, 1)))
@@ -117,7 +133,7 @@ final class GSheetsReaderFactory extends PartitionReaderFactory {
         // simply yields zero rows.
         val data = if (p.header) vr.values.drop(1) else vr.values
         val projected = data.map { row =>
-          p.colIdx.map(i => if (i < row.size) row(i) else null)
+          p.colIdx.map(i => if (i >= 0 && i < row.size) row(i) else null)
         }.toArray
         new GSheetsPartitionReader(projected, p.types)
     }
@@ -166,24 +182,81 @@ final class GSheetsPartitionReader(rows: Array[Array[String]],
 
 object GSheetsPartitionReader {
 
+  /** Types a user-declared read schema may use. Inference only ever
+    * produces STRING/BOOLEAN/DOUBLE (the reference's three — SURVEY
+    * §3.1); the wider set exists for `.schema(...)` callers reading
+    * typed sheets (e.g. the 21-type round-trip the write path emits).
+    */
+  def isSupportedReadType(tpe: DataType): Boolean = tpe match {
+    case StringType | BooleanType | DoubleType | FloatType | LongType |
+         IntegerType | ShortType | ByteType | DateType | TimestampType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   /** Cell conversion parity with `src/gsheets_read.cpp:49-75`: empty or
-    * missing → NULL; else cast to the inferred type, throwing on
+    * missing → NULL; else cast to the target type, throwing on
     * uncastable cells (DuckDB `DefaultCastAs` semantics).
     */
   def convert(cell: String, tpe: DataType): Any = {
     if (cell == null || cell.isEmpty) return null
     tpe match {
       case StringType => UTF8String.fromString(cell)
+      // DuckDB `TryCast` string→BOOLEAN accepts exactly true/false and
+      // t/f (case-insensitive) and 1/0 — NOT yes/no/y/n, and no
+      // surrounding whitespace (verified against DuckDB 1.0; pinned by
+      // ReadEndToEndSpec).
       case BooleanType => cell.toLowerCase match {
-        case "true" | "t" | "1" | "yes" | "y"  => true
-        case "false" | "f" | "0" | "no" | "n" => false
+        case "true" | "t" | "1"  => true
+        case "false" | "f" | "0" => false
         case _ => throw new IllegalArgumentException(
           s"Could not convert string '$cell' to BOOLEAN")
       }
       case DoubleType => parseDoubleCell(cell)
+      case FloatType  => parseDoubleCell(cell).toFloat
+      case LongType    => parseIntegral(cell, Long.MinValue, Long.MaxValue, "BIGINT")
+      case IntegerType => parseIntegral(cell, Int.MinValue, Int.MaxValue, "INTEGER").toInt
+      case ShortType   => parseIntegral(cell, Short.MinValue, Short.MaxValue, "SMALLINT").toShort
+      case ByteType    => parseIntegral(cell, Byte.MinValue, Byte.MaxValue, "TINYINT").toByte
+      case dt: DecimalType =>
+        val d = try Decimal(new java.math.BigDecimal(cell.trim))
+          catch { case _: NumberFormatException => throw new IllegalArgumentException(
+            s"Could not convert string '$cell' to DECIMAL(${dt.precision},${dt.scale})") }
+        if (!d.changePrecision(dt.precision, dt.scale))
+          throw new IllegalArgumentException(
+            s"Value '$cell' does not fit DECIMAL(${dt.precision},${dt.scale})")
+        d
+      case DateType =>
+        try java.time.LocalDate.parse(cell.trim).toEpochDay.toInt
+        catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"Could not convert string '$cell' to DATE") }
+      case TimestampType =>
+        // ISO date / 'date time' / 'dateTtime', optional fraction; stored
+        // as UTC micros (sheets carry no zone — same convention the write
+        // path uses when serializing timestamps).
+        val t = cell.trim.replace(' ', 'T')
+        try {
+          val ldt =
+            if (t.contains("T")) java.time.LocalDateTime.parse(t)
+            else java.time.LocalDate.parse(t).atStartOfDay()
+          val ins = ldt.toInstant(java.time.ZoneOffset.UTC)
+          ins.getEpochSecond * 1000000L + ins.getNano / 1000L
+        } catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"Could not convert string '$cell' to TIMESTAMP") }
       case other => throw new IllegalArgumentException(
         s"Unexpected gsheets column type $other")
     }
+  }
+
+  private def parseIntegral(cell: String, lo: Long, hi: Long, label: String): Long = {
+    val v = try cell.trim.toLong
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"Could not convert string '$cell' to $label") }
+    if (v < lo || v > hi) throw new IllegalArgumentException(
+      s"Value '$cell' out of range for $label")
+    v
   }
 
   private def parseDoubleCell(cell: String): Double = {

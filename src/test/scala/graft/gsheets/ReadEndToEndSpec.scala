@@ -305,6 +305,72 @@ class ReadEndToEndSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("Invalid value for 'header' parameter")))
   }
 
+  test("boolean cell cast matches DuckDB semantics exactly") {
+    import graft.sources.gsheets.GSheetsPartitionReader.convert
+    // Accepted by DuckDB's string->BOOLEAN TryCast (verified on 1.0):
+    for (s <- Seq("true", "TRUE", "True", "t", "T", "1"))
+      assert(convert(s, BooleanType) == true, s)
+    for (s <- Seq("false", "FALSE", "False", "f", "F", "0"))
+      assert(convert(s, BooleanType) == false, s)
+    // Rejected by DuckDB (the old cast wrongly accepted yes/no/y/n):
+    for (s <- Seq("yes", "no", "y", "n", "YES", "on", "off", "2",
+        " true", "true ", "tr", "10"))
+      assertThrows[IllegalArgumentException](convert(s, BooleanType))
+    // Empty -> NULL, never a cast error.
+    assert(convert("", BooleanType) == null)
+  }
+
+  test("user-declared read schema: typed casts, missing column -> NULL") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    val (r, _) = reader(mock)
+    // age as LONG instead of the inferred DOUBLE; 'missing' is not in
+    // the sheet -> all-NULL column, matching the streaming tail-read.
+    val df = r.schema(StructType(Seq(
+      StructField("name", StringType), StructField("age", LongType),
+      StructField("missing", StringType)))).load(SpreadsheetId)
+    assert(rows(df) == Seq(
+      Seq("Alice", 30L, null),
+      Seq("Bob", 25L, null),
+      Seq("Charlie", 45L, null),
+      Seq("Drake", null, null),
+      Seq(null, null, null),
+      Seq("Archie", 99L, null)))
+  }
+
+  test("user-declared read schema: unsupported type fails at plan time") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    val (r, _) = reader(mock)
+    val df = r.schema(StructType(Seq(
+      StructField("name", ArrayType(StringType))))).load(SpreadsheetId)
+    val e = intercept[Throwable] { df.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("unsupported read-schema type")))
+  }
+
+  test("typed cell conversions: date, timestamp, decimal, integrals") {
+    import graft.sources.gsheets.GSheetsPartitionReader.convert
+    assert(convert("2024-03-15", DateType) ==
+      java.time.LocalDate.of(2024, 3, 15).toEpochDay.toInt)
+    assert(convert("2024-03-15 12:30:45", TimestampType) ==
+      java.time.LocalDateTime.of(2024, 3, 15, 12, 30, 45)
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L)
+    assert(convert("2024-03-15", TimestampType) ==
+      java.time.LocalDate.of(2024, 3, 15).atStartOfDay
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L)
+    assert(convert("12.345", DecimalType(10, 2)).toString == "12.35")
+    assert(convert("42", IntegerType) == 42)
+    assert(convert("127", ByteType) == 127.toByte)
+    assertThrows[IllegalArgumentException](convert("128", ByteType))
+    assertThrows[IllegalArgumentException](convert("not-a-date", DateType))
+    assertThrows[IllegalArgumentException](convert("1e3", LongType))
+    assert(convert("", DateType) == null)
+  }
+
   test("fetch_on_executor: values fetched task-side, identical results") {
     val mock = new MockHttp
     mock.addJson(metadataJson) // bind: GetSheetByIndex(0)
