@@ -102,15 +102,23 @@ final case class BoundSheet(
 object GSheetsBind {
 
   /** Bound sheets are cached briefly so `inferSchema` → `getTable` →
-    * scan planning within one `load()` shares a single fetch (the
-    * reference holds the same data in its bind object). TTL-bounded so a
-    * later re-read observes fresh sheet contents.
+    * scan planning within one query execution shares a single fetch (the
+    * reference holds the same data in its bind object). The cache is
+    * scoped to ONE execution: [[GSheetsScanBuilder.build]] invalidates
+    * the entry, so a separate action — even seconds later — re-binds and
+    * observes current sheet contents instead of a stale snapshot (r2
+    * ADVICE: the previous pure-TTL cache silently served ≤60 s-old data
+    * across distinct `load()` calls). The TTL remains only as a backstop
+    * for plans that are built but never executed.
     */
   private val CacheTtlMillis = 60000L
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, BoundSheet)]()
 
   def clearCache(): Unit = cache.clear()
+
+  /** Drop one entry (called at scan build — see cache scaladoc). */
+  def invalidate(key: String): Unit = cache.remove(key)
 
   /** Uncached re-bind for the streaming source: every poll must observe
     * the sheet's current contents, not a ≤60 s-old snapshot.

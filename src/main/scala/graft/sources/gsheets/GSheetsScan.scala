@@ -45,7 +45,13 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GSheetsScan(bound, required, options.numPartitions, options)
+  override def build(): Scan = {
+    // The scan owns `bound` from here on; dropping the cache entry means
+    // the NEXT action on these options re-fetches instead of reusing
+    // this snapshot (batch re-reads must see current sheet contents).
+    GSheetsBind.invalidate(options.cacheKey)
+    new GSheetsScan(bound, required, options.numPartitions, options)
+  }
 }
 
 final class GSheetsScan(bound: BoundSheet, required: StructType,

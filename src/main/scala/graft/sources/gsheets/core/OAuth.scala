@@ -12,6 +12,16 @@ object OAuth {
 
   /** Web-app implicit-flow client the reference ships
     * (`src/gsheets_auth.cpp:142-144`).
+    *
+    * ==SECURITY WARNING==
+    * These defaults point at the reference project's THIRD-PARTY
+    * endpoint: with `DefaultRedirectUri`, Google delivers the granted
+    * access token to `duckdb-gsheets.com`, an external party outside
+    * your control (the reference's documented flow, kept only for
+    * parity). For any real deployment pass your own
+    * `clientId`/`redirectUri` to [[authRequest]] — or skip the helper
+    * entirely and supply a token/key-file through the `token` /
+    * `key_file` options, which never touch a third party.
     */
   val DefaultClientId: String =
     "793766532675-rehqgocfn88h0nl88322ht6d1i12kl4e.apps.googleusercontent.com"

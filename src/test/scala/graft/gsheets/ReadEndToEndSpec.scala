@@ -245,11 +245,16 @@ class ReadEndToEndSpec extends AnyFunSuite {
     val mock = new MockHttp
     mock.addJson(metadataJson)
     mock.addJson(sheet1Json())
+    // Each action is its own execution and re-binds (the bind cache is
+    // execution-scoped) — queue a second fetch for the collect.
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
     val (r, _) = reader(mock)
     val df = r.option("numPartitions", "3").load(SpreadsheetId)
     assert(df.rdd.getNumPartitions == 3)
-    assert(rows(df).size == 6)
-    assert(rows(df).head == Seq("Alice", 30.0, "Toronto"))
+    val got = rows(df)
+    assert(got.size == 6)
+    assert(got.head == Seq("Alice", 30.0, "Toronto"))
   }
 
   test("column pruning reaches the scan (ReadSchema narrows)") {
@@ -369,6 +374,19 @@ class ReadEndToEndSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](convert("not-a-date", DateType))
     assertThrows[IllegalArgumentException](convert("1e3", LongType))
     assert(convert("", DateType) == null)
+  }
+
+  test("a second action re-binds: sheet edits between reads are observed") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson) // load 1 bind
+    mock.addJson(sheet1Json())
+    mock.addJson(metadataJson) // load 2 bind (cache invalidated at scan build)
+    mock.addJson(valueRangeJson("Sheet1!A1:Z1000", Seq(
+      Seq("name", "age", "city"), Seq("Edith", "33", "Berlin"))))
+    val (r, _) = reader(mock)
+    assert(rows(r.load(SpreadsheetId)).size == 6)
+    // Same options, immediately after: must NOT serve the 6-row snapshot.
+    assert(rows(r.load(SpreadsheetId)) == Seq(Seq("Edith", 33.0, "Berlin")))
   }
 
   test("fetch_on_executor: values fetched task-side, identical results") {
