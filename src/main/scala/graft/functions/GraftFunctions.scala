@@ -23,11 +23,25 @@ object GraftFunctions {
       require(exprs.length == 2,
         s"cosine_sim expects 2 arguments, got ${exprs.length}")
       CosineSim(exprs.head, exprs(1))
+    }),
+    ("hyperplane_dots", HyperplaneDots.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 2,
+        s"hyperplane_dots expects 2 arguments, got ${exprs.length}")
+      val n = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_dots: numPlanes must be an integer literal, got $other")
+      }
+      HyperplaneDots(exprs.head, n)
     }))
 
   /** Typed column API: `cosineSim($"embedding", $"qe")`. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Typed column API: `hyperplaneDots($"embedding", 12)`. */
+  def hyperplaneDots(a: Column, numPlanes: Int): Column =
+    Bridge.column(HyperplaneDots(Bridge.expression(a), numPlanes))
 
   /** Idempotent runtime registration into the session's function
     * registry (temp-function namespace, like `spark.udf.register`).

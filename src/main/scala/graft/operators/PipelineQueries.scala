@@ -109,22 +109,19 @@ object PipelineQueries {
         (h, c) -> (h * 131 + c) % 1000000007)"""
 
   /** `dots[h] = Σ_d embedding[d] · p(h,d)` for `nH` deterministic
-    * hyperplanes, computed per-row as an index-ordered array fold —
-    * map-only, zero shuffle. The explode(d)×explode(h)→groupBy
-    * formulation this replaces shuffled nH× the embedding volume just to
-    * sum terms each row already holds; at 100 TB embeddings that was the
-    * single largest avoidable shuffle family in the engine. p(h,d) is the
-    * same fixed integer mix the DuckDB oracle reproduces
+    * hyperplanes — the native codegen'd
+    * [[graft.functions.HyperplaneDots]] expression: map-only, zero
+    * shuffle, one fused loop per row. (History: an
+    * explode(d)×explode(h)→groupBy formulation shuffled nH× the
+    * embedding volume; its map-only SQL-fold replacement
+    * (`transform(sequence, h -> aggregate(zip_with(...)))`) had the
+    * right plan but evaluated interpreted lambdas at ~5 ms/row — the
+    * native expression keeps the plan AND the codegen hot loop.) p(h,d)
+    * is the fixed integer mix the DuckDB oracle reproduces
     * ((h·64+d)·2654435761 mod 2³² scaled to [-1,1)).
     */
-  private def hyperDotsExpr(nH: Int): String =
-    s"""transform(sequence(0, ${nH - 1}), h ->
-          aggregate(
-            zip_with(embedding, sequence(0, size(embedding) - 1),
-              (ev, d) -> CAST(ev AS DOUBLE) *
-                ((CAST(h AS BIGINT) * 64 + d) * 2654435761 % 4294967296
-                 / 2147483648.0D - 1.0D)),
-            CAST(0 AS DOUBLE), (acc, x) -> acc + x))"""
+  private def hyperDots(nH: Int): Column =
+    graft.functions.GraftFunctions.hyperplaneDots(col("embedding"), nH)
 
   /** Shared MinHash(16) → 4-band LSH → exact-Jaccard-verify tail used by
     * q22 (dictionary ids) and q22b (hashed ids). `dt` = (doc_id, sid);
@@ -349,7 +346,7 @@ object PipelineQueries {
     // all-pairs — O(n·bands) shuffle), then the native CosineSim verifies
     // cos >= 0.4. Banding trades precision for recall exactly like the
     // MinHash bands in q22b. The signature is a per-row map-only fold
-    // ([[hyperDotsExpr]]) and the embedding rides along to the band join,
+    // ([[hyperDots]], native codegen) and the embedding rides along to the band join,
     // so the only shuffles left are the candidate equality-join and the
     // pair dedup — no join back to the base table.
     "q33_embed_neardup" -> { (s, dir) =>
@@ -357,7 +354,7 @@ object PipelineQueries {
       val t = Tables(s, dir)
       val e = t.embeddings.select($"vec_id", $"embedding")
       val sigs = e
-        .withColumn("dots", expr(hyperDotsExpr(8)))
+        .withColumn("dots", hyperDots(8))
         .withColumn("band_sigs", expr(
           """transform(sequence(0, 1), b ->
                aggregate(sequence(0, 3), CAST(0 AS BIGINT),
@@ -386,11 +383,11 @@ object PipelineQueries {
       import s.implicits._
       val t = Tables(s, dir)
       val e = t.embeddings.select($"vec_id", $"embedding")
-      // Bucket id is a pure per-row projection ([[hyperDotsExpr]] fold +
+      // Bucket id is a pure per-row projection ([[hyperDots]], native codegen,
       // sign-bit pack) — no explode, no groupBy, no join back to e. The
       // remaining shuffles are the top-k window and the output sort.
       val eb = e
-        .withColumn("dots", expr(hyperDotsExpr(12)))
+        .withColumn("dots", hyperDots(12))
         .withColumn("bucket", expr(
           """aggregate(sequence(0, 11), CAST(0 AS BIGINT),
                (acc, h) -> acc + IF(dots[h] >= 0D,
@@ -647,6 +644,119 @@ object PipelineQueries {
       }.toDF()
         .select($"doc_id", $"n_bytes", $"resized_len", $"resized_checksum")
         .orderBy($"doc_id")
+    },
+
+    // ----- near-dup GROUP resolution: connected components over pairs -----
+    // The dedup "ending" the pair queries (q22b/q23/q24/q33) stop short
+    // of: verified MinHash pairs form an undirected graph; each connected
+    // component is one duplicate group; the canonical survivor is the
+    // min doc_id. Components come from iterative min-label propagation —
+    // per round one equality join (edges ⋈ labels) + one min-aggregation,
+    // converging in O(component diameter) rounds. Near-dup components are
+    // shallow (duplicates of one document cluster directly), so rounds
+    // stay in single digits at any corpus size; lineage is truncated
+    // per round (localCheckpoint) so plans don't grow with iterations.
+    // The driver-side loop reads ONE aggregate scalar per round (the
+    // change count) — never row data.
+    "q46_dedup_groups" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val dsh = docShingles(t.documents).cache()
+      val dt = dsh.withColumn("sid", expr(polyHashExpr("shingle")))
+        .select($"doc_id", $"sid")
+      val pairs = minhashLshVerify(dt, dsh).select($"doc_a", $"doc_b")
+      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .cache()
+      var labels = edges.select($"src".as("node")).distinct()
+        .withColumn("lbl", $"node").localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 15) {
+        val prop = edges.join(labels, $"src" === $"node")
+          .select($"dst".as("node"), $"lbl")
+        val next = prop.union(labels.select($"node", $"lbl"))
+          .groupBy($"node").agg(min($"lbl").as("lbl"))
+          .localCheckpoint()
+        converged = next.as("n").join(labels.as("o"), "node")
+          .filter($"n.lbl" =!= $"o.lbl").isEmpty
+        labels = next
+        rounds += 1
+      }
+      edges.unpersist()
+      dsh.unpersist()
+      labels
+        .select($"lbl".as("group_id"), $"node".as("doc_id"),
+          ($"node" === $"lbl").as("is_canonical"))
+        .orderBy($"group_id", $"doc_id")
+    },
+
+    // ----- deterministic stratified sampling (training-mixture control) -----
+    // Keep a per-language fraction of the corpus with a hash-derived
+    // uniform u ∈ [0,1) per doc — reproducible across runs/engines
+    // (unlike rand()), map-only, zero shuffle before the output sort. At
+    // 100 TB this is the shape mixture construction wants: rates come
+    // from a tiny config, the decision is pure per-row arithmetic.
+    "q47_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.documents
+        .withColumn("rate", when($"lang" === "en", 0.2).otherwise(0.5))
+        .withColumn("u",
+          (($"doc_id" * lit(2654435761L)) % lit(4294967296L)) / lit(4294967296.0))
+        .filter($"u" < $"rate")
+        .select($"doc_id", $"lang", $"source", round($"u", 6).as("u"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- sequence packing: fixed token budget, contiguous greedy -----
+    // Pack documents into training sequences of ≤512 tokens (plus at
+    // most one straddling doc): within each source, docs in doc_id order
+    // go to bin floor(tokens-before / 512) — the standard one-pass
+    // approximation of concat-and-chunk corpus packing. The running sum
+    // is a per-source window (parallel across sources; at 100 TB the
+    // partition key is the shard, same shape), everything else is one
+    // hash aggregation.
+    "q48_pack_sequences" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.documents
+        .select($"source", $"doc_id",
+          size(expr(toksExpr)).cast("long").as("n_tokens"))
+        .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
+        .withColumn("seq_id", expr("cum_before div 512"))
+        .groupBy($"source", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"n_tokens").as("sum_tokens"),
+             min($"doc_id").as("first_doc"),
+             max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"seq_id")
+    },
+
+    // ----- TF-IDF-style top terms per document -----
+    // Characteristic-term extraction with a rational score (tf / df —
+    // exact in both engines, no transcendental whose last-ulp could flip
+    // rank ties): token explode → tf hash-agg, df hash-agg → equality
+    // join on token (vocabulary-sized side is NOT broadcast — it shuffles
+    // like any fact-fact join) → per-doc top-3 window. Ties break on the
+    // token string, so ranks are total and deterministic.
+    "q49_topterms" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val docTok = t.documents
+        .select($"doc_id", explode(expr(toksExpr)).as("token"))
+      val tf = docTok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val dfreq = docTok.distinct()
+        .groupBy($"token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
+      tf.join(dfreq, "token")
+        .withColumn("score", $"tf".cast("double") / $"df")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"token", round($"score", 4).as("score"))
+        .orderBy($"doc_id", $"rank")
     }
   )
 
@@ -662,7 +772,7 @@ object PipelineQueries {
           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle FROM toks))"""
     val cosFragment = """
       e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"""
-    // DuckDB twin of [[hyperDotsExpr]]: the identical index-ordered left
+    // DuckDB twin of [[graft.functions.HyperplaneDots]]: the identical index-ordered left
     // fold, so the per-hyperplane dot products match Spark's bit-for-bit.
     def hyperDots(nH: Int) = s"""
       dots AS (SELECT vec_id, v,
@@ -674,20 +784,11 @@ object PipelineQueries {
                      (acc, x) -> acc + x)) dot
                FROM e)"""
 
-    Map(
-      "q21_dedup_exact" -> """
-        SELECT min(doc_id) AS doc_id,
-               arg_min(source, doc_id) AS source,
-               count(1) AS n_copies
-        FROM documents
-        GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-        ORDER BY doc_id""",
-
-      // Shingle ids from the portable polynomial hash (h = 131h + code
-      // mod P, folded left-to-right) — identical to the Spark-side
-      // aggregate fold character-for-character.
-      "q22b_minhash_nodict" -> s"""
-        WITH $dsh,
+    // q22b's full MinHash→LSH→verify CTE chain (shingle ids from the
+    // portable polynomial hash — h = 131h + code mod P, folded
+    // left-to-right, identical to the Spark-side aggregate fold
+    // character-for-character). Shared by q22b and q46.
+    val minhashChain = s"""$dsh,
         dt AS (SELECT doc_id, ${oraclePolyHash("shingle")} sid FROM dsh),
         mh AS (SELECT doc_id, s.s,
                       min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
@@ -706,12 +807,84 @@ object PipelineQueries {
         inter AS (SELECT doc_a, doc_b, count(1) i
                   FROM cand JOIN dsh x ON doc_a = x.doc_id
                             JOIN dsh y ON doc_b = y.doc_id AND x.shingle = y.shingle
-                  GROUP BY 1, 2)
+                  GROUP BY 1, 2)"""
+
+    Map(
+      "q21_dedup_exact" -> """
+        SELECT min(doc_id) AS doc_id,
+               arg_min(source, doc_id) AS source,
+               count(1) AS n_copies
+        FROM documents
+        GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        ORDER BY doc_id""",
+
+      "q22b_minhash_nodict" -> s"""
+        WITH $minhashChain
         SELECT doc_a, doc_b, round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
         FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                    JOIN sizes sb ON doc_b = sb.doc_id
         WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
         ORDER BY doc_a, doc_b""",
+
+      // q46: transitive closure of the q22b pairs (recursive CTE — the
+      // oracle-side analog of Spark's min-label propagation), then
+      // min-reachable-id per node = component label.
+      "q46_dedup_groups" -> s"""
+        WITH RECURSIVE $minhashChain,
+        pairs AS (SELECT doc_a, doc_b
+                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                             JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
+        edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT src AS node, src AS lbl FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM reach r
+                  JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
+                 FROM reach GROUP BY node)
+        SELECT group_id, doc_id, doc_id = group_id AS is_canonical
+        FROM comp
+        ORDER BY group_id, doc_id""",
+
+      "q47_stratified_sample" -> """
+        SELECT doc_id, lang, source,
+               round((doc_id * 2654435761) % 4294967296
+                     / 4294967296.0, 6) AS u
+        FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0
+              < CASE WHEN lang = 'en' THEN 0.2 ELSE 0.5 END
+        ORDER BY doc_id""",
+
+      "q48_pack_sequences" -> s"""
+        WITH t AS (SELECT source, doc_id,
+                          len($toks)::BIGINT AS n_tokens
+                   FROM documents),
+        c AS (SELECT source, doc_id, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS cum_before
+              FROM t)
+        SELECT source, (cum_before // 512)::BIGINT AS seq_id,
+               count(1) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2
+        ORDER BY source, seq_id""",
+
+      "q49_topterms" -> s"""
+        WITH dtok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(1) tf FROM dtok GROUP BY 1, 2),
+        dfreq AS (SELECT token, count(1) df
+                  FROM (SELECT DISTINCT doc_id, token FROM dtok) GROUP BY 1),
+        scored AS (SELECT doc_id, token, tf::DOUBLE / df AS score
+                   FROM tf JOIN dfreq USING (token)),
+        ranked AS (SELECT doc_id, token, score,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, token) AS rank
+                   FROM scored)
+        SELECT doc_id, rank, token, round(score, 4) AS score
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank""",
 
       "q23_ngram_jaccard" -> s"""
         WITH $dsh,
