@@ -664,7 +664,9 @@ object PipelineQueries {
       val dsh = docShingles(t.documents).cache()
       val dt = dsh.withColumn("sid", expr(polyHashExpr("shingle")))
         .select($"doc_id", $"sid")
-      val pairs = minhashLshVerify(dt, dsh).select($"doc_a", $"doc_b")
+      // Cache pairs BEFORE the union: edges' two branches would otherwise
+      // each recompute the whole MinHash pipeline.
+      val pairs = minhashLshVerify(dt, dsh).select($"doc_a", $"doc_b").cache()
       val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
         .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
         .cache()
@@ -684,6 +686,7 @@ object PipelineQueries {
         rounds += 1
       }
       edges.unpersist()
+      pairs.unpersist()
       dsh.unpersist()
       labels
         .select($"lbl".as("group_id"), $"node".as("doc_id"),
