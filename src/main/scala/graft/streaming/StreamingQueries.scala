@@ -104,6 +104,45 @@ object StreamingQueries {
       s2.table(sink).orderBy($"hour_start", $"event_type")
     },
 
+    // ----- streaming stateful dedup (dropDuplicates over a stream) -----
+    // Keep-first semantics over the (user_id, event_type) key stream —
+    // the streaming form of training-pipeline dedup. Only the KEYS are
+    // emitted, so the result is deterministic under parallelism (which
+    // arrival wins is not) and equals batch DISTINCT on a bounded input
+    // — what the oracle checks. State = one entry per distinct key:
+    // bounded by entity cardinality, not event volume. For unbounded key
+    // spaces use dropDuplicatesWithinWatermark (state then bounded by
+    // the watermark horizon) and the RocksDB provider toggle below —
+    // this is precisely the state class that outgrows the executor heap.
+    "q50_stream_dedup" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      val stream = s2.readStream
+        .schema(eventsStreamSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+
+      val dedup = stream
+        .select($"user_id", $"event_type")
+        .dropDuplicates("user_id", "event_type")
+
+      val sink = s"q50_sink_${sinkCounter.incrementAndGet()}"
+      val q = dedup.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s2.table(sink).orderBy($"user_id", $"event_type")
+    },
+
     // ----- gap-based session windows (session_window operator) -----
     // A session = consecutive events of one user with < 30 min between
     // them; window end = last event + gap (Spark session_window spec).
@@ -129,6 +168,11 @@ object StreamingQueries {
       FROM events
       GROUP BY 1, 2
       ORDER BY hour_start, event_type""",
+
+    "q50_stream_dedup" -> """
+      SELECT DISTINCT user_id, event_type
+      FROM events
+      ORDER BY user_id, event_type""",
 
     // Gap-islands twin of session_window: a new session starts when the
     // gap to the previous event is >= 30 min (Spark merges only strictly

@@ -120,4 +120,18 @@ class StreamingQueriesSpec extends AnyFunSuite {
       assert(rocks.exceptAll(hdfs).isEmpty && hdfs.exceptAll(rocks).isEmpty)
     } finally spark.conf.unset("spark.graft.streaming.stateStore")
   }
+
+  test("q50 streaming dedup equals batch DISTINCT, under both state stores") {
+    val dir = "/root/testdata/sf0.001"
+    val twin = graft.operators.Tables(spark, dir).events
+      .select("user_id", "event_type").distinct()
+    val hdfs = StreamingQueries.queries("q50_stream_dedup")(spark, dir)
+    assert(hdfs.count() == twin.count())
+    assert(hdfs.exceptAll(twin).isEmpty && twin.exceptAll(hdfs).isEmpty)
+    spark.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    try {
+      val rocks = StreamingQueries.queries("q50_stream_dedup")(spark, dir)
+      assert(rocks.exceptAll(twin).isEmpty && twin.exceptAll(rocks).isEmpty)
+    } finally spark.conf.unset("spark.graft.streaming.stateStore")
+  }
 }
