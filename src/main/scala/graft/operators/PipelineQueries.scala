@@ -760,6 +760,54 @@ object PipelineQueries {
         .filter($"rank" <= 3)
         .select($"doc_id", $"rank", $"token", round($"score", 4).as("score"))
         .orderBy($"doc_id", $"rank")
+    },
+
+    // ----- benchmark decontamination (n-gram overlap vs held-out set) -----
+    // The eval-leakage check every training corpus needs: count each
+    // corpus document's 3-gram shingles that also occur in a benchmark
+    // set (here: docs 0-9 stand in for the eval suite) and flag docs
+    // over an overlap-ratio threshold. The benchmark shingle set is
+    // SMALL by construction (eval suites are thousands of items, not
+    // corpora) — broadcast it, so the corpus side is a map-side
+    // semi-join + one per-doc aggregation; nothing scales with corpus
+    // size but the one doc_id shuffle.
+    "q51_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val dsh = docShingles(t.documents).cache()
+      val bench = dsh.filter($"doc_id" < 10).select($"shingle").distinct()
+      val corpus = dsh.filter($"doc_id" >= 10)
+      val sizes = corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      val overlap = corpus.join(broadcast(bench), "shingle")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      val out = sizes.join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
+        .withColumn("overlap_ratio", round($"n_overlap" / $"n_shingles", 4))
+        .withColumn("contaminated", ($"n_overlap" / $"n_shingles") >= 0.5)
+        .select($"doc_id", $"n_shingles", $"n_overlap",
+          $"overlap_ratio", $"contaminated")
+        .orderBy($"doc_id")
+      out
+    },
+
+    // ----- repetition quality filter (Gopher-style dup-fraction rule) -----
+    // Fraction of a document's 3-gram shingles that are repeats
+    // (1 − distinct/total); high values mark boilerplate/spam. One
+    // aggregation with a single distinct column — Spark plans that as a
+    // two-level hash aggregate (partial on (doc_id, shingle)), no Expand
+    // — so the corpus shuffles once, keyed by doc_id.
+    "q52_repetition" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      posShingles(t.documents)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+             countDistinct($"shingle").as("n_distinct"))
+        .withColumn("dup_ratio",
+          round(lit(1.0) - $"n_distinct" / $"n_shingles", 4))
+        .withColumn("keep", (lit(1.0) - $"n_distinct" / $"n_shingles") <= 0.2)
+        .select($"doc_id", $"n_shingles", $"n_distinct", $"dup_ratio", $"keep")
+        .orderBy($"doc_id")
     }
   )
 
@@ -873,6 +921,35 @@ object PipelineQueries {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM c GROUP BY 1, 2
         ORDER BY source, seq_id""",
+
+      "q51_decontaminate" -> s"""
+        WITH $dsh,
+        bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id < 10),
+        corpus AS (SELECT doc_id, shingle FROM dsh WHERE doc_id >= 10),
+        sizes AS (SELECT doc_id, count(1) n_shingles FROM corpus GROUP BY 1),
+        ov AS (SELECT c.doc_id, count(1) n_overlap
+               FROM corpus c JOIN bench USING (shingle) GROUP BY 1)
+        SELECT s.doc_id, s.n_shingles,
+               coalesce(ov.n_overlap, 0) AS n_overlap,
+               round(coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles, 4)
+                 AS overlap_ratio,
+               coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles >= 0.5
+                 AS contaminated
+        FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+        ORDER BY s.doc_id""",
+
+      "q52_repetition" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
+               FROM toks)
+        SELECT doc_id, count(1) AS n_shingles,
+               count(DISTINCT shingle) AS n_distinct,
+               round(1.0 - count(DISTINCT shingle)::DOUBLE / count(1), 4)
+                 AS dup_ratio,
+               1.0 - count(DISTINCT shingle)::DOUBLE / count(1) <= 0.2 AS keep
+        FROM sh GROUP BY doc_id
+        ORDER BY doc_id""",
 
       "q49_topterms" -> s"""
         WITH dtok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
