@@ -74,11 +74,30 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
     if (options.fetchOnExecutor) {
       // The partition carries coordinates, not cells: the reader fetches
       // on the executor, so neither the task binary nor driver memory
-      // scales with sheet size. Single partition — the row count is
-      // unknown until fetch and a sheet caps at 10M cells; order is
-      // preserved exactly as in the default path. The executor observes
-      // the sheet at TASK time, so an edit between bind and execute
-      // yields the fresher rows (documented trade vs the bind snapshot).
+      // scales with sheet size. The executor observes the sheet at TASK
+      // time, so an edit between bind and execute yields the fresher
+      // rows (documented trade vs the bind snapshot).
+      //
+      // With numPartitions > 1 and a bare-sheet range, the bind row
+      // count splits into row-only A1 sub-ranges ("Sheet!7:42") so the
+      // fetches themselves parallelize — each task GETs only its block.
+      // Partition order preserves sheet order exactly like the default
+      // path. Explicit user ranges keep a single partition (offsetting
+      // an arbitrary A1 rectangle is not worth the ambiguity).
+      val total = bound.dataRows.length
+      val n = math.max(1, math.min(numPartitions, math.max(total, 1)))
+      if (n > 1 && !bound.apiRange.contains("!")) {
+        val firstDataRow = if (bound.header) 2 else 1
+        val chunk = math.max(1, (total + n - 1) / n)
+        return (0 until total by chunk).map { startIdx =>
+          val endIdx = math.min(startIdx + chunk, total)
+          val sub =
+            s"${bound.apiRange}!${firstDataRow + startIdx}:${firstDataRow + endIdx - 1}"
+          // header=false: sub-ranges never include the header row.
+          GSheetsFetchPartition(options.raw, bound.spreadsheetId,
+            sub, header = false, colIdx, required.fields.map(_.dataType))
+        }.toArray[InputPartition]
+      }
       return Array(GSheetsFetchPartition(options.raw, bound.spreadsheetId,
         bound.apiRange, bound.header, colIdx,
         required.fields.map(_.dataType)))

@@ -116,20 +116,36 @@ final class JdkHttp(proxy: Option[ProxyConfig] = None) extends SheetsHttp {
   */
 final class MockHttp extends SheetsHttp {
   private val queued = scala.collection.mutable.Queue.empty[HttpResponse]
+  private val routed = scala.collection.mutable.ArrayBuffer.empty[(String, HttpResponse)]
   private val recorded = scala.collection.mutable.ArrayBuffer.empty[HttpRequest]
 
   def addResponse(response: HttpResponse): Unit =
     synchronized { queued.enqueue(response) }
   def addJson(body: String, status: Int = 200): Unit =
     addResponse(HttpResponse(status, Map("Content-Type" -> "application/json"), body))
+
+  /** URL-matched response for requests that arrive in nondeterministic
+    * order (parallel partition fetches): served — repeatably — to any
+    * request whose DECODED url contains `urlSubstring`, checked before
+    * the FIFO queue.
+    */
+  def addRoutedJson(urlSubstring: String, body: String): Unit = synchronized {
+    routed += ((urlSubstring,
+      HttpResponse(200, Map("Content-Type" -> "application/json"), body)))
+  }
   def recordedRequests: Vector[HttpRequest] = synchronized { recorded.toVector }
-  def reset(): Unit = synchronized { queued.clear(); recorded.clear() }
+  def reset(): Unit = synchronized { queued.clear(); routed.clear(); recorded.clear() }
 
   override def execute(request: HttpRequest): HttpResponse = synchronized {
     recorded += request
-    if (queued.isEmpty)
-      throw new IllegalStateException("MockHttp: No more responses queued")
-    queued.dequeue()
+    val decoded = java.net.URLDecoder.decode(request.url, "UTF-8")
+    routed.find { case (sub, _) => decoded.contains(sub) } match {
+      case Some((_, resp)) => resp
+      case None =>
+        if (queued.isEmpty)
+          throw new IllegalStateException("MockHttp: No more responses queued")
+        queued.dequeue()
+    }
   }
 }
 

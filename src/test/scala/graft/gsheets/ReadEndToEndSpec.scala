@@ -389,6 +389,45 @@ class ReadEndToEndSpec extends AnyFunSuite {
     assert(rows(r.load(SpreadsheetId)) == Seq(Seq("Edith", 33.0, "Berlin")))
   }
 
+  test("fetch_on_executor + numPartitions: parallel row-range fetches") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson) // bind: GetSheetByIndex(0)
+    mock.addJson(sheet1Json()) // bind: values GET (schema inference)
+    // Task-side GETs arrive in nondeterministic order — route by range.
+    mock.addRoutedJson("Sheet1!2:3", valueRangeJson("Sheet1!2:3", Seq(
+      Seq("Alice", "30", "Toronto"), Seq("Bob", "25", "New York"))))
+    mock.addRoutedJson("Sheet1!4:5", valueRangeJson("Sheet1!4:5", Seq(
+      Seq("Charlie", "45", "Chicago"), Seq("Drake", "", ""))))
+    mock.addRoutedJson("Sheet1!6:7", valueRangeJson("Sheet1!6:7", Seq(
+      Seq("", "", ""), Seq("Archie", "99", ""))))
+    val (r, _) = reader(mock)
+    val df = r.option("fetch_on_executor", "true")
+      .option("numPartitions", "3").load(SpreadsheetId)
+
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val parts = scan.inputPartitions.collect {
+      case p: graft.sources.gsheets.GSheetsFetchPartition => p
+    }
+    assert(parts.map(_.apiRange).toSeq ==
+      Seq("Sheet1!2:3", "Sheet1!4:5", "Sheet1!6:7"))
+    assert(parts.forall(!_.header)) // sub-ranges never include the header row
+
+    // Sheet order is preserved across the split.
+    assert(rows(df) == Seq(
+      Seq("Alice", 30.0, "Toronto"),
+      Seq("Bob", 25.0, "New York"),
+      Seq("Charlie", 45.0, "Chicago"),
+      Seq("Drake", null, null),
+      Seq(null, null, null),
+      Seq("Archie", 99.0, null)))
+
+    // Each task fetched ONLY its block: 1 bind values GET + 3 ranged GETs.
+    val valueGets = mock.recordedRequests.filter(_.url.contains("/values/"))
+    assert(valueGets.size == 4)
+  }
+
   test("fetch_on_executor: values fetched task-side, identical results") {
     val mock = new MockHttp
     mock.addJson(metadataJson) // bind: GetSheetByIndex(0)
