@@ -670,8 +670,12 @@ object PipelineQueries {
       val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
         .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
         .cache()
-      var labels = edges.select($"src".as("node")).distinct()
-        .withColumn("lbl", $"node").localCheckpoint()
+      // Round 0 fused into init: label = min(self, direct neighbors) —
+      // one aggregation instead of a full propagate+min round. A clique
+      // component (the common near-dup shape) converges here already.
+      var labels = edges.groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src".as("node"), least($"src", $"mn").as("lbl"))
+        .localCheckpoint()
       var converged = false
       var rounds = 0
       while (!converged && rounds < 15) {
