@@ -812,6 +812,37 @@ object PipelineQueries {
         .withColumn("keep", (lit(1.0) - $"n_distinct" / $"n_shingles") <= 0.2)
         .select($"doc_id", $"n_shingles", $"n_distinct", $"dup_ratio", $"keep")
         .orderBy($"doc_id")
+    },
+
+    // ----- weighted mixture interleave (training-order scheduling) -----
+    // Stride-schedule the corpus across sources by mixture weight: docs
+    // are hash-scrambled within each source (per-source window — fully
+    // parallel), each gets schedule key idx/weight, and the global
+    // training order is the ascending-key merge — a source with weight 3
+    // appears 3× as often in any prefix. Emitting the first 500
+    // positions is a TakeOrderedAndProject (top-k, no global sort); the
+    // position column is computed on that bounded prefix only. A full
+    // materialization at 100 TB would range-partition by sched_key
+    // instead of ranking globally.
+    "q53_interleave" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val wIdx = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+      val prefix = t.documents
+        .select($"doc_id", $"source")
+        .withColumn("h", ($"doc_id" * lit(2654435761L)) % lit(4294967296L))
+        .withColumn("idx", row_number().over(wIdx).cast("long"))
+        .withColumn("weight",
+          when($"source".isin("src0", "src1"), 3.0).otherwise(1.0))
+        .withColumn("sched_key", $"idx" / $"weight")
+        .orderBy($"sched_key", $"source", $"doc_id")
+        .limit(500)
+      val wPos = Window.orderBy($"sched_key", $"source", $"doc_id")
+      prefix
+        .withColumn("position", row_number().over(wPos).cast("long"))
+        .select($"position", $"doc_id", $"source",
+          round($"sched_key", 4).as("sched_key"))
+        .orderBy($"position")
     }
   )
 
@@ -925,6 +956,24 @@ object PipelineQueries {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM c GROUP BY 1, 2
         ORDER BY source, seq_id""",
+
+      "q53_interleave" -> """
+        WITH s AS (
+          SELECT doc_id, source,
+                 (doc_id * 2654435761) % 4294967296 AS h,
+                 CASE WHEN source IN ('src0', 'src1') THEN 3.0 ELSE 1.0 END
+                   AS weight
+          FROM documents),
+        i AS (SELECT doc_id, source, weight,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY h, doc_id) AS idx
+              FROM s),
+        k AS (SELECT doc_id, source, idx / weight AS sched_key FROM i
+              ORDER BY sched_key, source, doc_id LIMIT 500)
+        SELECT row_number() OVER (ORDER BY sched_key, source, doc_id)
+                 AS position,
+               doc_id, source, round(sched_key, 4) AS sched_key
+        FROM k ORDER BY position""",
 
       "q51_decontaminate" -> s"""
         WITH $dsh,
