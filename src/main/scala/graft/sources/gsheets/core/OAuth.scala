@@ -49,6 +49,41 @@ object OAuth {
     AuthRequest(url, state)
   }
 
+  /** The reference's interactive flow (`src/gsheets_auth.cpp:140-184`):
+    * print the authorization URL, then read the token the user pastes
+    * back. Parameterized over the streams instead of hard-wiring
+    * stdin/stdout — a cluster driver can pass a console, a notebook a
+    * widget callback, and tests a string pair; the console convenience
+    * overload matches the reference exactly. Returns the trimmed token
+    * (the caller passes it as the `token` option, the analog of the
+    * reference's CreateSecret step).
+    */
+  def interactiveFlow(
+      in: java.io.BufferedReader,
+      out: java.io.PrintStream,
+      clientId: String = DefaultClientId,
+      redirectUri: String = DefaultRedirectUri): String = {
+    val req = authRequest(clientId, redirectUri)
+    out.println("Visit this URL to authorize access to your Google Sheets:")
+    out.println()
+    out.println(req.url)
+    out.println()
+    out.println("After authorizing, copy the access token and paste it below.")
+    out.print("Access token: ")
+    out.flush()
+    val line = in.readLine()
+    val token = if (line == null) "" else line.trim
+    if (token.isEmpty)
+      throw new IllegalArgumentException("OAuth flow: no token was provided")
+    token
+  }
+
+  /** Console overload — the reference's exact stdin/stdout contract. */
+  def interactiveFlow(): String =
+    interactiveFlow(
+      new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+      System.out)
+
   /** Alphanumeric random string, port of `generate_random_string`
     * (`src/gsheets_utils.cpp:53-68`): charset `[0-9A-Za-z]`, uniform.
     */

@@ -49,4 +49,27 @@ class OAuthSpec extends AnyFunSuite {
     assert(req.state.length == 10)
     assert(req.url.endsWith("&state=" + req.state))
   }
+
+  test("interactive flow prints the auth URL and returns the pasted token") {
+    val in = new java.io.BufferedReader(
+      new java.io.StringReader("  ya29.pasted-token \n"))
+    val bytes = new java.io.ByteArrayOutputStream()
+    val out = new java.io.PrintStream(bytes, true, "UTF-8")
+    val token = OAuth.interactiveFlow(in, out, clientId = "cid",
+      redirectUri = "https://example.com/cb")
+    assert(token == "ya29.pasted-token")
+    val printed = bytes.toString("UTF-8")
+    assert(printed.contains("https://accounts.google.com/o/oauth2/v2/auth?"))
+    assert(printed.contains("client_id=cid"))
+    assert(printed.contains("redirect_uri=https://example.com/cb"))
+    assert(printed.contains("Access token: "))
+  }
+
+  test("interactive flow rejects an empty or missing token") {
+    def run(inputs: String) = OAuth.interactiveFlow(
+      new java.io.BufferedReader(new java.io.StringReader(inputs)),
+      new java.io.PrintStream(new java.io.ByteArrayOutputStream()))
+    assertThrows[IllegalArgumentException](run("\n"))
+    assertThrows[IllegalArgumentException](run("")) // EOF -> null line
+  }
 }
