@@ -42,13 +42,22 @@ case class HyperplaneDots(child: Expression, numPlanes: Int)
         s"hyperplane_dots expects ARRAY<FLOAT>, got $t")
     }
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // containsNull: a null EMBEDDING ELEMENT nulls every plane's dot —
+  // exactly what the SQL fold formulation does (the zip_with product is
+  // NULL, and SUM-style aggregate folds propagate it).
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
 
   override def prettyName: String = "hyperplane_dots"
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
+    var d0 = 0
+    while (d0 < n) {
+      if (a.isNullAt(d0))
+        return new GenericArrayData(Array.fill[Any](numPlanes)(null))
+      d0 += 1
+    }
     val out = new Array[Double](numPlanes)
     var h = 0
     while (h < numPlanes) {
@@ -74,21 +83,31 @@ case class HyperplaneDots(child: Expression, numPlanes: Int)
       val d = ctx.freshName("d")
       val acc = ctx.freshName("acc")
       val p = ctx.freshName("p")
+      val hasNull = ctx.freshName("hasNull")
       s"""
         |final int $n = $a.numElements();
-        |final double[] $arr = new double[$numPlanes];
-        |for (int $h = 0; $h < $numPlanes; $h++) {
-        |  double $acc = 0.0;
-        |  for (int $d = 0; $d < $n; $d++) {
-        |    final double $p =
-        |      ((double) ((($h * 64L + $d) * 2654435761L) % 4294967296L))
-        |        / 2147483648.0 - 1.0;
-        |    $acc += ((double) $a.getFloat($d)) * $p;
-        |  }
-        |  $arr[$h] = $acc;
+        |boolean $hasNull = false;
+        |for (int $d = 0; $d < $n; $d++) {
+        |  if ($a.isNullAt($d)) { $hasNull = true; break; }
         |}
-        |${ev.value} =
-        |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+        |if ($hasNull) {
+        |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |    new Object[$numPlanes]);
+        |} else {
+        |  final double[] $arr = new double[$numPlanes];
+        |  for (int $h = 0; $h < $numPlanes; $h++) {
+        |    double $acc = 0.0;
+        |    for (int $d = 0; $d < $n; $d++) {
+        |      final double $p =
+        |        ((double) ((($h * 64L + $d) * 2654435761L) % 4294967296L))
+        |          / 2147483648.0 - 1.0;
+        |      $acc += ((double) $a.getFloat($d)) * $p;
+        |    }
+        |    $arr[$h] = $acc;
+        |  }
+        |  ${ev.value} =
+        |    new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+        |}
       """.stripMargin
     })
 

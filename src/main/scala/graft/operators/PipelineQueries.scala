@@ -676,9 +676,15 @@ object PipelineQueries {
       var labels = edges.groupBy($"src").agg(min($"dst").as("mn"))
         .select($"src".as("node"), least($"src", $"mn").as("lbl"))
         .localCheckpoint()
+      // Rounds needed = component diameter; 50 covers any plausible
+      // near-dup graph (they are clique-ish, diameter single-digit). A
+      // pathological graph that still hasn't converged must FAIL, not
+      // silently emit non-minimal labels the oracle's full transitive
+      // closure would contradict.
+      val maxRounds = 50
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 15) {
+      while (!converged && rounds < maxRounds) {
         val prop = edges.join(labels, $"src" === $"node")
           .select($"dst".as("node"), $"lbl")
         val next = prop.union(labels.select($"node", $"lbl"))
@@ -689,6 +695,11 @@ object PipelineQueries {
         labels = next
         rounds += 1
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"q46: label propagation did not converge in $maxRounds rounds " +
+            "(pathological component diameter) — raise the bound or switch " +
+            "to large-star/small-star")
       edges.unpersist()
       pairs.unpersist()
       dsh.unpersist()

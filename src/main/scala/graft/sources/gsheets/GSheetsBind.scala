@@ -101,15 +101,17 @@ final case class BoundSheet(
 
 object GSheetsBind {
 
-  /** Bound sheets are cached briefly so `inferSchema` → `getTable` →
-    * scan planning within one query execution shares a single fetch (the
-    * reference holds the same data in its bind object). The cache is
-    * scoped to ONE execution: [[GSheetsScanBuilder.build]] invalidates
-    * the entry, so a separate action — even seconds later — re-binds and
-    * observes current sheet contents instead of a stale snapshot (r2
-    * ADVICE: the previous pure-TTL cache silently served ≤60 s-old data
-    * across distinct `load()` calls). The TTL remains only as a backstop
-    * for plans that are built but never executed.
+  /** Bound sheets are cached briefly ONLY to hand the `inferSchema`
+    * fetch over to `getTable` (the two calls of one `load()` are
+    * milliseconds apart; the reference holds the same data in its bind
+    * object). [[GSheetsTable]] then [[take]]s the entry — removing it —
+    * and owns the snapshot for its lifetime: every scan build of that
+    * table (self-join/union branches, repeated actions on one
+    * DataFrame) shares the snapshot, so one query never mixes two sheet
+    * states, while a separate `load()` or SQL-table resolution creates
+    * a new table and re-binds fresh instead of seeing a ≤60 s-old
+    * snapshot (r2 ADVICE). The TTL bounds entries whose table never
+    * materialized; [[sweep]] keeps the map from accumulating them.
     */
   private val CacheTtlMillis = 60000L
   private val cache =
@@ -117,8 +119,21 @@ object GSheetsBind {
 
   def clearCache(): Unit = cache.clear()
 
-  /** Drop one entry (called at scan build — see cache scaladoc). */
-  def invalidate(key: String): Unit = cache.remove(key)
+  /** Remove expired entries (called on every bind; the map only ever
+    * holds in-flight load() handoffs, so this is cheap).
+    */
+  private def sweep(now: Long): Unit =
+    cache.forEach((k, v) =>
+      if (now - v._1 >= CacheTtlMillis) cache.remove(k, v))
+
+  /** Transfer ownership of the handoff entry to the caller (removing
+    * it); binds fresh when absent or expired. See cache scaladoc.
+    */
+  def take(options: GSheetsOptions): BoundSheet = {
+    val hit = cache.remove(options.cacheKey)
+    if (hit != null && System.currentTimeMillis() - hit._1 < CacheTtlMillis) hit._2
+    else doBind(options)
+  }
 
   /** Uncached re-bind for the streaming source: every poll must observe
     * the sheet's current contents, not a ≤60 s-old snapshot.
@@ -132,6 +147,7 @@ object GSheetsBind {
   def bind(options: GSheetsOptions): BoundSheet = {
     val key = options.cacheKey
     val now = System.currentTimeMillis()
+    sweep(now)
     val hit = cache.get(key)
     if (hit != null && now - hit._1 < CacheTtlMillis) hit._2
     else {

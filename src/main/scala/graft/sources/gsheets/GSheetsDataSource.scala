@@ -73,12 +73,21 @@ final class GSheetsTable(schema0: StructType, options: GSheetsOptions)
     // reference `src/gsheets_copy.cpp:163-175`), so no schema matching.
     TableCapability.ACCEPT_ANY_SCHEMA)
 
+  // The table OWNS its bind snapshot: taken (lazily, at first scan
+  // build) from the handoff cache the inferSchema call populated, or
+  // bound fresh when the schema was user-declared. Every scan of THIS
+  // table — self-join/union branches, repeated actions on one
+  // DataFrame — shares the snapshot, so a single query never mixes two
+  // sheet states; a new load()/table resolution makes a new table and
+  // re-binds, observing current sheet contents.
+  private lazy val bound: BoundSheet = GSheetsBind.take(options)
+
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     // schema0 is the user-declared read schema when one was passed via
     // .schema(...) (supportsExternalMetadata), else the inferred one —
     // the scan must produce rows in the RELATION's schema, not the
     // inferred sheet schema.
-    new GSheetsScanBuilder(GSheetsBind.bind(options), schema0, options)
+    new GSheetsScanBuilder(bound, schema0, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GSheetsWriteBuilder(info, options)

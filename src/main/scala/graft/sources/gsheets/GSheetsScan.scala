@@ -45,13 +45,8 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    // The scan owns `bound` from here on; dropping the cache entry means
-    // the NEXT action on these options re-fetches instead of reusing
-    // this snapshot (batch re-reads must see current sheet contents).
-    GSheetsBind.invalidate(options.cacheKey)
+  override def build(): Scan =
     new GSheetsScan(bound, required, options.numPartitions, options)
-  }
 }
 
 final class GSheetsScan(bound: BoundSheet, required: StructType,
@@ -84,6 +79,15 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
       // Partition order preserves sheet order exactly like the default
       // path. Explicit user ranges keep a single partition (offsetting
       // an arbitrary A1 rectangle is not worth the ambiguity).
+      //
+      // Consistency caveats of splitting, both inherent to task-time
+      // fetch: (a) row coordinates are pinned at BIND time, so an
+      // insert/delete between two task fetches shifts rows across a
+      // partition boundary (duplicate or dropped row at the seam) —
+      // use the default bind-snapshot path when concurrent edits must
+      // read consistently; (b) rows appended after bind fall outside
+      // the pinned sub-ranges and are not read (the unsplit task-time
+      // fetch reads them; the bind-snapshot path doesn't either).
       val total = bound.dataRows.length
       val n = math.max(1, math.min(numPartitions, math.max(total, 1)))
       if (n > 1 && !bound.apiRange.contains("!")) {
@@ -177,6 +181,10 @@ object GSheetsExecutorClients {
 
   def get(options: GSheetsOptions): graft.sources.gsheets.core.GoogleSheetsClient = {
     val now = System.currentTimeMillis()
+    // Evict ALL expired entries, not just this key's: a long-lived
+    // executor reading many distinct sheets/tokens must not retain a
+    // client (auth object + transport) per option set forever.
+    cache.forEach((k, v) => if (now - v._1 >= TtlMillis) cache.remove(k, v))
     cache.compute(options.cacheKey, (_, hit) =>
       if (hit != null && now - hit._1 < TtlMillis) hit
       else (now, options.newClient()))._2

@@ -65,6 +65,18 @@ class HyperplaneDotsSpec extends AnyFunSuite {
            viaDf.toSeq.map(java.lang.Double.doubleToLongBits))
   }
 
+  test("a null array ELEMENT nulls every plane's dot, like the SQL fold") {
+    val df = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding")
+      .withColumn("native", GraftFunctions.hyperplaneDots($"embedding", 4))
+      .withColumn("fold", expr(foldExpr(4)))
+    val r = df.collect().head
+    val native = r.getSeq[Any](1)
+    val fold = r.getSeq[Any](2)
+    assert(native.length == 4 && native.forall(_ == null))
+    assert(native == fold)
+  }
+
   test("null embedding yields null; SQL registration works") {
     GraftFunctions.ensureRegistered(spark)
     val df = Seq((1L, Some(Array(1.0f))), (2L, None))

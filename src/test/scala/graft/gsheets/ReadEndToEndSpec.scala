@@ -376,6 +376,20 @@ class ReadEndToEndSpec extends AnyFunSuite {
     assert(convert("", DateType) == null)
   }
 
+  test("self-join of one DataFrame shares a single bind snapshot") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    val (r, _) = reader(mock)
+    val df = r.load(SpreadsheetId)
+    // Spark builds one scan per relation occurrence; both must reuse the
+    // table's snapshot — a re-fetch here could mix two sheet states
+    // inside ONE query (and the mock would throw: nothing else queued).
+    val joined = df.as("a").join(df.as("b"), Seq("name"))
+    assert(joined.count() == 5) // null name joins nothing
+    assert(mock.recordedRequests.count(_.url.contains("/values/")) == 1)
+  }
+
   test("a second action re-binds: sheet edits between reads are observed") {
     val mock = new MockHttp
     mock.addJson(metadataJson) // load 1 bind
