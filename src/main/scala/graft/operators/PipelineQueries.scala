@@ -102,6 +102,25 @@ object PipelineQueries {
     s"""aggregate(sequence(1, length($column)), CAST(0 AS BIGINT),
        (h, i) -> (h * 131 + ascii(substring($column, i, 1))) % 1000000007)"""
 
+  /** Knuth-style id scramble `h(id) = (id mod 2³²)·2654435761 mod 2³²`,
+    * used by the deterministic sampler (q47) and interleave (q53). The
+    * multiply is split 16/16 bits so it can NEVER overflow a signed
+    * 64-bit value — the naive `id * 2654435761` wraps negative for ids
+    * ≥ ~3.47e9 (well inside a 100 TB corpus), which would silently pass
+    * every row through `u < rate` in Spark while DuckDB errors on the
+    * same input. Identical in both engines for all non-negative ids.
+    */
+  private def scrambleExpr(column: String): String =
+    s"""((((($column % 4294967296) div 65536) * 2654435761) % 4294967296)
+        * 65536
+        + (($column % 4294967296) % 65536) * 2654435761) % 4294967296"""
+
+  /** DuckDB twin of [[scrambleExpr]] (`//` = integer div). */
+  private def oracleScramble(column: String): String =
+    s"""((((($column % 4294967296) // 65536) * 2654435761) % 4294967296)
+        * 65536
+        + (($column % 4294967296) % 65536) * 2654435761) % 4294967296"""
+
   /** DuckDB twin of [[polyHashExpr]]. */
   private def oraclePolyHash(column: String): String =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -720,8 +739,7 @@ object PipelineQueries {
       val t = Tables(s, dir)
       t.documents
         .withColumn("rate", when($"lang" === "en", 0.2).otherwise(0.5))
-        .withColumn("u",
-          (($"doc_id" * lit(2654435761L)) % lit(4294967296L)) / lit(4294967296.0))
+        .withColumn("u", expr(scrambleExpr("doc_id")) / lit(4294967296.0))
         .filter($"u" < $"rate")
         .select($"doc_id", $"lang", $"source", round($"u", 6).as("u"))
         .orderBy($"doc_id")
@@ -841,7 +859,7 @@ object PipelineQueries {
       val wIdx = Window.partitionBy($"source").orderBy($"h", $"doc_id")
       val prefix = t.documents
         .select($"doc_id", $"source")
-        .withColumn("h", ($"doc_id" * lit(2654435761L)) % lit(4294967296L))
+        .withColumn("h", expr(scrambleExpr("doc_id")))
         .withColumn("idx", row_number().over(wIdx).cast("long"))
         .withColumn("weight",
           when($"source".isin("src0", "src1"), 3.0).otherwise(1.0))
@@ -944,12 +962,12 @@ object PipelineQueries {
         FROM comp
         ORDER BY group_id, doc_id""",
 
-      "q47_stratified_sample" -> """
+      "q47_stratified_sample" -> s"""
         SELECT doc_id, lang, source,
-               round((doc_id * 2654435761) % 4294967296
+               round((${oracleScramble("doc_id")})
                      / 4294967296.0, 6) AS u
         FROM documents
-        WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0
+        WHERE (${oracleScramble("doc_id")}) / 4294967296.0
               < CASE WHEN lang = 'en' THEN 0.2 ELSE 0.5 END
         ORDER BY doc_id""",
 
@@ -968,10 +986,10 @@ object PipelineQueries {
         FROM c GROUP BY 1, 2
         ORDER BY source, seq_id""",
 
-      "q53_interleave" -> """
+      "q53_interleave" -> s"""
         WITH s AS (
           SELECT doc_id, source,
-                 (doc_id * 2654435761) % 4294967296 AS h,
+                 (${oracleScramble("doc_id")}) AS h,
                  CASE WHEN source IN ('src0', 'src1') THEN 3.0 ELSE 1.0 END
                    AS weight
           FROM documents),

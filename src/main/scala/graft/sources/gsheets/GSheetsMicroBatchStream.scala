@@ -47,8 +47,9 @@ final class GSheetsMicroBatchStream(
     // Project to the pruned columns using the *streaming* schema (fixed
     // at stream start); later-added columns are ignored, ragged rows pad
     // with NULL — same conversion semantics as the batch reader.
-    val nameToIdx = latest.schema.fieldNames.zipWithIndex.toMap
-    val colIdx = required.fieldNames.map(n => nameToIdx.getOrElse(n, -1))
+    // Case-insensitive, like the batch path (Spark's default resolution).
+    val nameToIdx = latest.schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
+    val colIdx = required.fieldNames.map(n => nameToIdx.getOrElse(n.toLowerCase, -1))
     val slice = rows.slice(from, math.min(until, rows.size)).map { row =>
       colIdx.map(i => if (i >= 0 && i < row.size) row(i) else null)
     }.toArray

@@ -63,8 +63,11 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     // -1 = column absent from the sheet (possible only with a
     // user-declared schema) → all-NULL, like the streaming path.
-    val nameToIdx = bound.schema.fieldNames.zipWithIndex.toMap
-    val colIdx = required.fieldNames.map(nameToIdx.getOrElse(_, -1))
+    // Matching is case-insensitive (Spark's default resolution — a
+    // sheet header 'Name' must satisfy .schema("name STRING")).
+    val nameToIdx =
+      bound.schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
+    val colIdx = required.fieldNames.map(n => nameToIdx.getOrElse(n.toLowerCase, -1))
 
     if (options.fetchOnExecutor) {
       // The partition carries coordinates, not cells: the reader fetches
@@ -98,13 +101,17 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
           val sub =
             s"${bound.apiRange}!${firstDataRow + startIdx}:${firstDataRow + endIdx - 1}"
           // header=false: sub-ranges never include the header row.
+          // expectRows: the API omits TRAILING empty rows per request, so
+          // a sub-range ending in all-empty rows comes back short — the
+          // reader pads to the pinned length so split/unsplit agree.
           GSheetsFetchPartition(options.raw, bound.spreadsheetId,
-            sub, header = false, colIdx, required.fields.map(_.dataType))
+            sub, header = false, colIdx, required.fields.map(_.dataType),
+            expectRows = endIdx - startIdx)
         }.toArray[InputPartition]
       }
       return Array(GSheetsFetchPartition(options.raw, bound.spreadsheetId,
         bound.apiRange, bound.header, colIdx,
-        required.fields.map(_.dataType)))
+        required.fields.map(_.dataType), expectRows = -1))
     }
 
     // Default: project to required columns here (driver-side, once) so
@@ -146,7 +153,8 @@ final case class GSheetsFetchPartition(
     apiRange: String,
     header: Boolean,
     colIdx: Array[Int],
-    types: Array[DataType]) extends InputPartition
+    types: Array[DataType],
+    expectRows: Int) extends InputPartition
 
 final class GSheetsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -164,7 +172,16 @@ final class GSheetsReaderFactory extends PartitionReaderFactory {
         val projected = data.map { row =>
           p.colIdx.map(i => if (i >= 0 && i < row.size) row(i) else null)
         }.toArray
-        new GSheetsPartitionReader(projected, p.types)
+        // Pinned sub-ranges pad short responses back to their row count:
+        // values.get omits trailing empty rows PER REQUEST, so an
+        // interior all-empty row at a sub-range's tail would otherwise
+        // vanish under splitting while the unsplit path keeps it NULL.
+        val padded =
+          if (p.expectRows >= 0 && projected.length < p.expectRows)
+            projected ++ Array.fill(p.expectRows - projected.length)(
+              Array.fill[String](p.colIdx.length)(null))
+          else projected
+        new GSheetsPartitionReader(padded, p.types)
     }
 }
 

@@ -191,11 +191,16 @@ final class GSheetsStreamingWrite(schema: StructType, options: GSheetsOptions,
   // engine re-creates the factory per epoch.
   @volatile private var headerWritten = false
 
+  // One driver-side client for the stream's lifetime: constructing per
+  // epoch would pay a service-account JWT round-trip on every commit
+  // (Auth already refreshes tokens 60 s early, so reuse is safe).
+  private lazy val driverClient = options.newClient()
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val (apiRange, bodyRange) = ranges
     if (!truncateMode && options.headerOpt.getOrElse(false) && !headerWritten) {
-      options.newClient().valuesAppend(spreadsheetId, A1Range(apiRange),
+      driverClient.valuesAppend(spreadsheetId, A1Range(apiRange),
         ValueRange(bodyRange, "ROWS", Vector(schema.fieldNames.toVector)))
       headerWritten = true
     }
@@ -211,7 +216,7 @@ final class GSheetsStreamingWrite(schema: StructType, options: GSheetsOptions,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = if (truncateMode) {
     val (apiRange, bodyRange) = ranges
-    val client = options.newClient()
+    val client = driverClient
     client.valuesClear(spreadsheetId, A1Range(apiRange.takeWhile(_ != '!')))
     if (options.headerOpt.getOrElse(true)) {
       client.valuesAppend(spreadsheetId, A1Range(apiRange),

@@ -245,12 +245,10 @@ class ReadEndToEndSpec extends AnyFunSuite {
     val mock = new MockHttp
     mock.addJson(metadataJson)
     mock.addJson(sheet1Json())
-    // Each action is its own execution and re-binds (the bind cache is
-    // execution-scoped) — queue a second fetch for the collect.
-    mock.addJson(metadataJson)
-    mock.addJson(sheet1Json())
     val (r, _) = reader(mock)
     val df = r.option("numPartitions", "3").load(SpreadsheetId)
+    // .rdd and the collect both reuse the table's one snapshot — no
+    // further fetches (the mock would throw: nothing else is queued).
     assert(df.rdd.getNumPartitions == 3)
     val got = rows(df)
     assert(got.size == 6)
@@ -390,11 +388,11 @@ class ReadEndToEndSpec extends AnyFunSuite {
     assert(mock.recordedRequests.count(_.url.contains("/values/")) == 1)
   }
 
-  test("a second action re-binds: sheet edits between reads are observed") {
+  test("a second load() re-binds: sheet edits between loads are observed") {
     val mock = new MockHttp
     mock.addJson(metadataJson) // load 1 bind
     mock.addJson(sheet1Json())
-    mock.addJson(metadataJson) // load 2 bind (cache invalidated at scan build)
+    mock.addJson(metadataJson) // load 2 bind (new table = fresh snapshot)
     mock.addJson(valueRangeJson("Sheet1!A1:Z1000", Seq(
       Seq("name", "age", "city"), Seq("Edith", "33", "Berlin"))))
     val (r, _) = reader(mock)
