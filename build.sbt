@@ -15,6 +15,11 @@ run / fork := true
 // the driver json.loads the bench line and an "[info] " prefix broke it
 // (BENCH_r01/r02 "parsed": null).
 run / outputStrategy := Some(StdoutOutput)
+// …and sbt's own trailing "[success] Total time: …" line must not land
+// AFTER the JSON (BENCH_r03 "parsed": null — the driver parses the last
+// stdout line, which was sbt's, not ours).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
