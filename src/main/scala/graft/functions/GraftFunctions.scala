@@ -33,7 +33,43 @@ object GraftFunctions {
           s"hyperplane_dots: numPlanes must be an integer literal, got $other")
       }
       HyperplaneDots(exprs.head, n)
+    }),
+    ("poly_hash", PolyHash.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 1,
+        s"poly_hash expects 1 argument, got ${exprs.length}")
+      PolyHash(exprs.head)
+    }),
+    ("poly_hash_array", PolyHashArray.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 1,
+        s"poly_hash_array expects 1 argument, got ${exprs.length}")
+      PolyHashArray(exprs.head)
+    }),
+    ("minhash_sigs", MinHashSigs.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 2,
+        s"minhash_sigs expects 2 arguments, got ${exprs.length}")
+      MinHashSigs(exprs.head, intLit("minhash_sigs", exprs(1)))
+    }),
+    ("sliding_min", SlidingMin.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 2,
+        s"sliding_min expects 2 arguments, got ${exprs.length}")
+      SlidingMin(exprs.head, intLit("sliding_min", exprs(1)))
+    }),
+    ("shingles3", Shingles3.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 1,
+        s"shingles3 expects 1 argument, got ${exprs.length}")
+      Shingles3(exprs.head)
+    }),
+    ("simhash32", SimHash32.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 1,
+        s"simhash32 expects 1 argument, got ${exprs.length}")
+      SimHash32(exprs.head)
     }))
+
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: parameter must be an integer literal, got $other")
+  }
 
   /** Typed column API: `cosineSim($"embedding", $"qe")`. */
   def cosineSim(a: Column, b: Column): Column =
@@ -42,6 +78,30 @@ object GraftFunctions {
   /** Typed column API: `hyperplaneDots($"embedding", 12)`. */
   def hyperplaneDots(a: Column, numPlanes: Int): Column =
     Bridge.column(HyperplaneDots(Bridge.expression(a), numPlanes))
+
+  /** Typed column API: `polyHash($"shingle")`. */
+  def polyHash(s: Column): Column =
+    Bridge.column(PolyHash(Bridge.expression(s)))
+
+  /** Typed column API: `polyHashArray($"shingles")`. */
+  def polyHashArray(arr: Column): Column =
+    Bridge.column(PolyHashArray(Bridge.expression(arr)))
+
+  /** Typed column API: `minhashSigs($"sids", 16)`. */
+  def minhashSigs(sids: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSigs(Bridge.expression(sids), numHashes))
+
+  /** Typed column API: `slidingMin($"sids", 4)`. */
+  def slidingMin(sids: Column, w: Int): Column =
+    Bridge.column(SlidingMin(Bridge.expression(sids), w))
+
+  /** Typed column API: `simhash32($"tids")`. */
+  def simhash32(tids: Column): Column =
+    Bridge.column(SimHash32(Bridge.expression(tids)))
+
+  /** Typed column API: `shingles3($"toks")`. */
+  def shingles3(toks: Column): Column =
+    Bridge.column(Shingles3(Bridge.expression(toks)))
 
   /** Idempotent runtime registration into the session's function
     * registry (temp-function namespace, like `spark.udf.register`).

@@ -1,0 +1,344 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd kernels for the text-sketch family (MinHash, SimHash,
+  * winnowing). Each replaces a SQL higher-order-function formulation
+  * (`aggregate(sequence(...), ...)` folds) that had the right *plan* but
+  * evaluated interpreted lambdas per row — the same lesson
+  * [[HyperplaneDots]] taught for embeddings: at 100 TB the signature step
+  * runs once per shingle/token, so it must be a compiled loop, not an
+  * interpreted fold that also allocates a `sequence` array per value.
+  *
+  * Every kernel is bit-compatible with its SQL twin (and therefore with
+  * the DuckDB oracle): identical fold order, identical 64-bit integer
+  * arithmetic, identical null semantics. Property specs
+  * (`TextSketchSpec`) pin native-vs-SQL equality on random inputs.
+  *
+  * Codegen calls the static helpers on [[TextSketch]] — one JIT-compiled
+  * call per row keeps the surrounding project inside whole-stage codegen
+  * without duplicating the loop bodies as generated Java.
+  */
+object TextSketch {
+
+  final val P: Long = 1000000007L
+
+  /** h = (131·h + codePoint) mod P, folded left-to-right — identical to
+    * `aggregate(sequence(1, length(s)), 0L, (h,i) -> (h*131 +
+    * ascii(substring(s,i,1))) % P)`: Spark's `length`/`substring`/`ascii`
+    * operate on code points, so the fold visits each code point once.
+    * ASCII fast path reads UTF-8 bytes directly (code point == byte).
+    */
+  def polyHash(s: UTF8String): Long = {
+    val nb = s.numBytes
+    var ascii = true
+    var i = 0
+    while (i < nb && ascii) {
+      if (s.getByte(i) < 0) ascii = false else i += 1
+    }
+    var h = 0L
+    if (ascii) {
+      var j = 0
+      while (j < nb) {
+        h = (h * 131 + s.getByte(j)) % P
+        j += 1
+      }
+    } else {
+      val str = s.toString
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        h = (h * 131 + cp) % P
+        j += Character.charCount(cp)
+      }
+    }
+    h
+  }
+
+  /** Element-wise [[polyHash]]; null elements stay null (the semantics of
+    * `transform(arr, x -> poly_hash(x))`).
+    */
+  def polyHashArray(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i))
+        out(i) = java.lang.Long.valueOf(polyHash(a.getUTF8String(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** mh[h] = min over the array of ((37h+7)·sid + 101h+3) mod P — the
+    * classic per-row MinHash signature. Null elements are skipped (SQL
+    * `min` semantics); an all-null/empty input yields an EMPTY array
+    * (callers filter `size(...) > 0` first, mirroring how the
+    * explode+groupBy formulation simply has no row for such a doc).
+    * No overflow: (37·63+7)·(P−1) ≈ 2.3e12 ≪ 2⁶³.
+    */
+  def minhashSigs(a: ArrayData, numHashes: Int): ArrayData = {
+    val n = a.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        any = true
+        val sid = a.getLong(i)
+        var h = 0
+        while (h < numHashes) {
+          val v = ((37L * h + 7L) * sid + 101L * h + 3L) % P
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) new GenericArrayData(Array.emptyLongArray)
+    else new GenericArrayData(mins)
+  }
+
+  /** out[i] = min(a[i..i+w-1]) for i ∈ [0, n−w] — the winnowing window.
+    * n < w ⇒ empty array (the doc has no full window; the window+filter
+    * formulation emits no rows for it). Null elements are skipped; a
+    * window of only nulls yields a null element.
+    */
+  def slidingMin(a: ArrayData, w: Int): ArrayData = {
+    val n = a.numElements()
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Any](n - w + 1)
+    var i = 0
+    while (i <= n - w) {
+      var m = Long.MaxValue
+      var any = false
+      var j = i
+      while (j < i + w) {
+        if (!a.isNullAt(j)) {
+          val v = a.getLong(j)
+          if (v < m) m = v
+          any = true
+        }
+        j += 1
+      }
+      if (any) out(i) = java.lang.Long.valueOf(m)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** out[i] = concat_ws(' ', toks[i], toks[i+1], toks[i+2]) for
+    * i ∈ [0, n−3]; n < 3 ⇒ empty array. Identical to the
+    * `transform(sequence(0, size(toks)-3), i -> concat_ws(...))`
+    * formulation — including concat_ws's skip-null semantics — but the
+    * token array is ONE child expression evaluated once per row, so
+    * there is no CollapseProject trap (the lambda form re-evaluated the
+    * tokenizer per element when the projections merged; see the
+    * posShingles history note).
+    */
+  def shingles3(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n < 3) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i <= n - 3) {
+      out(i) = UTF8String.concatWs(SPACE,
+        if (a.isNullAt(i)) null else a.getUTF8String(i),
+        if (a.isNullAt(i + 1)) null else a.getUTF8String(i + 1),
+        if (a.isNullAt(i + 2)) null else a.getUTF8String(i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 32-bit SimHash over pre-hashed token ids, one occurrence = weight 1:
+    * h(tid) = tid·2654435761 mod 2³²; bit b of the result is set iff
+    * Σ_occurrences (±1 by bit b of h) > 0. Occurrence-weighting is
+    * EXACTLY the `groupBy(doc,tk).count` → Σ ±w formulation (the sign
+    * depends only on the token, so Σ_distinct ±count ≡ Σ_occurrences ±1)
+    * — the oracle's weighted CTE matches bit-for-bit. Null elements are
+    * skipped; an empty input packs to 0 (callers filter empties, as the
+    * agg formulation has no row).
+    */
+  def simhash32(a: ArrayData): Long = {
+    val sums = new Array[Long](32)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val h = (a.getLong(i) * 2654435761L) % 4294967296L
+        var b = 0
+        while (b < 32) {
+          if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var packed = 0L
+    var b = 0
+    while (b < 32) {
+      if (sums(b) > 0) packed |= 1L << b
+      b += 1
+    }
+    packed
+  }
+}
+
+/** `poly_hash(s)` — portable polynomial string hash (see
+  * [[TextSketch.polyHash]]).
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"poly_hash expects STRING, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    TextSketch.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  val info: ExpressionInfo = new ExpressionInfo(classOf[PolyHash].getName, null, "poly_hash")
+}
+
+/** `poly_hash_array(arr)` — element-wise [[PolyHash]] in one compiled
+  * loop (vs `transform(arr, x -> ...)`, whose lambda is interpreted per
+  * element).
+  */
+case class PolyHashArray(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"poly_hash_array expects ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "poly_hash_array"
+  override protected def nullSafeEval(input: Any): Any =
+    TextSketch.polyHashArray(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.polyHashArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashArray =
+    copy(child = newChild)
+}
+
+object PolyHashArray {
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[PolyHashArray].getName, null, "poly_hash_array")
+}
+
+/** `minhash_sigs(sids, numHashes)` — per-row MinHash signature (see
+  * [[TextSketch.minhashSigs]]). Map-only: the signature that an
+  * explode+groupBy(doc).agg(16 mins) formulation needs a shuffle for.
+  */
+case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes > 0 && numHashes <= 64,
+    s"minhash_sigs: numHashes must be in [1, 64], got $numHashes")
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sigs expects ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+  override protected def nullSafeEval(input: Any): Any =
+    TextSketch.minhashSigs(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextSketch.minhashSigs($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+object MinHashSigs {
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[MinHashSigs].getName, null, "minhash_sigs")
+}
+
+/** `sliding_min(arr, w)` — windowed minima (see
+  * [[TextSketch.slidingMin]]). Turns the winnowing fingerprint step from
+  * a doc_id-partitioned window (shuffle + sort) into a per-row map.
+  */
+case class SlidingMin(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, s"sliding_min: window must be positive, got $w")
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sliding_min expects ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "sliding_min"
+  override protected def nullSafeEval(input: Any): Any =
+    TextSketch.slidingMin(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.slidingMin($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): SlidingMin =
+    copy(child = newChild)
+}
+
+object SlidingMin {
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[SlidingMin].getName, null, "sliding_min")
+}
+
+/** `shingles3(toks)` — word 3-shingles in token order (see
+  * [[TextSketch.shingles3]]).
+  */
+case class Shingles3(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingles3 expects ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+  override protected def nullSafeEval(input: Any): Any =
+    TextSketch.shingles3(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.shingles3($c)")
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
+object Shingles3 {
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[Shingles3].getName, null, "shingles3")
+}
+
+/** `simhash32(tids)` — packed 32-bit SimHash (see
+  * [[TextSketch.simhash32]]). Map-only: replaces a per-(doc, token)
+  * count agg + 32-column sign agg (two shuffles) with zero.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash32 expects ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override protected def nullSafeEval(input: Any): Any =
+    TextSketch.simhash32(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+object SimHash32 {
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[SimHash32].getName, null, "simhash32")
+}

@@ -36,41 +36,50 @@ object PipelineQueries {
 
   /** Split-on-space tokens with empties removed — identical semantics to
     * DuckDB `list_filter(string_split(text, ' '), x -> x != '')`.
+    * (`array_remove`, not a `filter` lambda: higher-order-function
+    * lambdas are interpreted per ELEMENT; `array_remove` is one native
+    * call per row. split() never yields null elements, so the two agree.)
     */
-  private val toksExpr = "filter(split(text, ' '), x -> x != '')"
+  private val toksExpr = "array_remove(split(text, ' '), '')"
 
-  /** (doc_id, pos, shingle) 3-token shingles, computed map-side: bind
-    * the token array in a Project BELOW the `posexplode` Generate, then
-    * build shingles with an array `transform` over it.
+  /** `array<string>` of word 3-shingles in token order — the native
+    * [[graft.functions.Shingles3]] kernel over the token array, one
+    * compiled loop per row.
     *
-    * Two traps this shape dodges (both measured):
-    *   - writing the tokenizer inline inside the lambda lets
-    *     CollapseProject merge the projections, re-splitting the text
-    *     once per element (O(tokens²) per doc, 13 s for 5k docs). The
-    *     Generate node between the two Projects is an optimizer fence —
-    *     `split` stays evaluated once per row (verify: the formatted plan
-    *     shows `split` only in the Project under Generate);
-    *   - a `lead()`-window formulation is linear but shuffles the full
-    *     token stream (~50× the document bytes) just to pair neighbors.
-    * Here the only pre-shingle shuffle is `repartition` of the raw doc
-    * rows, so tokenize+shingle parallelizes across the cluster while
-    * shuffling document-sized (not token-sized) data. At 100 TB the
-    * repartition disappears entirely — the corpus arrives as many
-    * splits, and shingling is a pure map over each.
+    * History (both traps measured): a `transform(sequence(0,
+    * size(toks)-3), i -> concat_ws(...))` lambda formulation evaluated
+    * interpreted per shingle, and — worse — when CollapseProject merged
+    * its Project with the tokenizer's, `split` re-evaluated once per
+    * element (O(tokens²) per doc, 13 s for 5k docs), which forced a
+    * Generate node between the projections as an optimizer fence. The
+    * native kernel takes the token array as ONE child expression, so
+    * collapsing is harmless and no fence is needed.
     */
-  private def posShingles(docs: DataFrame): DataFrame = {
-    val shArr = """CASE WHEN size(toks) >= 3
-      THEN transform(sequence(0, size(toks)-3),
-                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-      ELSE array() END"""
+  private def shinglesCol(): Column =
+    graft.functions.GraftFunctions.shingles3(expr(toksExpr))
+
+  /** (doc_id, pos, shingle) exploded 3-token shingles. The `repartition`
+    * spreads tokenize+shingle across the cluster while shuffling
+    * document-sized (not token-sized) data; at 100 TB it disappears
+    * entirely — the corpus arrives as many splits, and shingling is a
+    * pure map over each.
+    */
+  private def posShingles(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id"))
-      .select(col("doc_id"), expr(toksExpr).as("toks"))
-      .select(col("doc_id"), posexplode(expr(shArr)).as(Seq("pos", "shingle")))
-  }
+      .select(col("doc_id"), posexplode(shinglesCol()).as(Seq("pos", "shingle")))
 
   /** (doc_id, shingle) distinct pairs. */
   private def docShingles(docs: DataFrame): DataFrame =
     posShingles(docs).select("doc_id", "shingle").distinct()
+
+  /** (doc_id, shingles) with the DISTINCT shingle SET as one array —
+    * the map-only carrier for the MinHash/verify pipeline: signature,
+    * set size, and pairwise intersection all become per-row expressions
+    * over it, so nothing shingle-sized is ever exploded or shuffled.
+    */
+  private def docShingleArrays(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), array_distinct(shinglesCol()).as("shingles"))
 
   /** Deterministic dense ids (1-based, by sort order of `keyCol`) via
     * distributed sort + `zipWithIndex` — NOT a global `row_number`
@@ -98,7 +107,7 @@ object PipelineQueries {
     * from this hash need no vocabulary sort, no driver collect, and no
     * broadcast join — the 100 TB replacement for [[denseIds]].
     */
-  private def polyHashExpr(column: String): String =
+  private[graft] def polyHashExpr(column: String): String =
     s"""aggregate(sequence(1, length($column)), CAST(0 AS BIGINT),
        (h, i) -> (h * 131 + ascii(substring($column, i, 1))) % 1000000007)"""
 
@@ -189,6 +198,46 @@ object PipelineQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Map-only MinHash(16) → 4-band LSH → exact-Jaccard verify over
+    * (doc_id, shingles) ARRAYS ([[docShingleArrays]], cached by the
+    * caller — probed by the signature pass and both verify joins).
+    *
+    * Vs the exploded-pairs formulation ([[minhashLshVerify]], kept for
+    * the dictionary witness): the signature is ONE native per-row kernel
+    * chain (`poly_hash_array` → `minhash_sigs`) instead of explode +
+    * 16-min aggregation — no Generate, no shingle-count hash table, no
+    * doc_id shuffle before banding; and the verify intersection is
+    * per-candidate `array_intersect` instead of a double explode join +
+    * count aggregation. The only shingle-sized data movement left is
+    * shipping the two candidate docs' shingle arrays through the verify
+    * joins — exactly the rows the LSH bands selected. Same values
+    * bit-for-bit (the DuckDB oracle chain is unchanged).
+    */
+  private def minhashLshVerifyArr(docArrs: DataFrame): DataFrame = {
+    import docArrs.sparkSession.implicits._
+    val sigs = docArrs.filter(size($"shingles") > 0)
+      .withColumn("mh", graft.functions.GraftFunctions.minhashSigs(
+        graft.functions.GraftFunctions.polyHashArray($"shingles"), 16))
+    val bands = sigs.select($"doc_id", posexplode(array(
+      (0 until 4).map(b =>
+        concat_ws("-", (0 until 4).map(r => $"mh" (b * 4 + r)): _*)): _*
+    )).as(Seq("band", "sig")))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val sets = docArrs.select($"doc_id", $"shingles", size($"shingles").as("n"))
+    cand
+      .join(sets.as("x"), $"doc_a" === $"x.doc_id")
+      .join(sets.as("y"), $"doc_b" === $"y.doc_id")
+      .withColumn("i", size(array_intersect($"x.shingles", $"y.shingles")))
+      .withColumn("jaccard", $"i".cast("double") / ($"x.n" + $"y.n" - $"i"))
+      .filter($"jaccard" >= 0.6)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** The sorted-dictionary MinHash formulation (dense shingle ids from a
     * global vocabulary sort + `zipWithIndex`, broadcast back). NOT part
     * of the driver contract: the vocabulary broadcast and global sort do
@@ -231,20 +280,18 @@ object PipelineQueries {
     // Shingle ids come from a portable polynomial hash of the shingle
     // text (h = 131h + code mod P, both engines fold identically), so
     // there is NO vocabulary sort, no zipWithIndex job, no driver-side
-    // collect, no broadcast — the whole pipeline is shuffle-by-doc_id
-    // only. Banded LSH join generates candidates (never all-pairs);
-    // exact shingle-Jaccard verifies only candidates. 16 integer
-    // minhashes from h_s(x) = (37s+7)·sid + 101s+3 mod P. (The
-    // sorted-dictionary id variant lives OUTSIDE the driver contract as
+    // collect, no broadcast. The signature stage is MAP-ONLY (native
+    // poly_hash_array → minhash_sigs kernels per doc row — zero shuffle
+    // before the band join); banded LSH join generates candidates (never
+    // all-pairs); exact shingle-Jaccard verifies only candidates via
+    // per-pair array_intersect. 16 integer minhashes from
+    // h_s(x) = (37s+7)·sid + 101s+3 mod P. (The sorted-dictionary id
+    // variant lives OUTSIDE the driver contract as
     // [[minhashDictVariant]] — its vocabulary broadcast is not a 100 TB
     // plan; `MinhashDictWitnessSpec` keeps it honest against this one.)
     "q22b_minhash_nodict" -> { (s, dir) =>
-      import s.implicits._
       val t = Tables(s, dir)
-      val dsh = docShingles(t.documents).cache()
-      val dt = dsh.withColumn("sid", expr(polyHashExpr("shingle")))
-        .select($"doc_id", $"sid")
-      minhashLshVerify(dt, dsh)
+      minhashLshVerifyArr(docShingleArrays(t.documents).cache())
     },
 
     // ----- n-gram Jaccard near-dup: doc-frequency-capped self-join -----
@@ -281,31 +328,22 @@ object PipelineQueries {
     // ----- SimHash dedup: 32-bit weighted simhash, hi-16-bit buckets -----
     // Candidate pairs share the 16-bit prefix (the LSH blocking step);
     // verified by full Hamming distance <= 3 via bit_count(xor).
+    // The signature is MAP-ONLY: one native poly_hash_array → simhash32
+    // kernel chain per doc row (the sign of each bit depends only on the
+    // token, so summing ±1 per OCCURRENCE equals the oracle's
+    // per-distinct-token ±count — bit-identical). Zero shuffle before
+    // the prefix self-join; the earlier formulation needed a
+    // (doc, token) count agg plus a 32-column sign agg — two shuffles of
+    // token-sized data — just to reach the same 8 bytes per doc.
     "q24_simhash" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val cnt = t.documents
-        .select($"doc_id", explode(expr(toksExpr)).as("tk"))
-        .groupBy($"doc_id", $"tk").agg(count(lit(1)).as("w"))
-      // Hashed token ids (polyHashExpr): no vocabulary sort/broadcast.
-      val wt = cnt.withColumn("tid", expr(polyHashExpr("tk")))
-        .select($"doc_id", $"tid", $"w")
-        .withColumn("h", ($"tid" * 2654435761L) % 4294967296L)
-
-      // All 32 signed bit-sums in ONE aggregation pass (32 sum columns,
-      // map-side partials, a single doc_id-keyed shuffle — the same
-      // collapse as q22b's minhash; explode(0..31) would shuffle 32× the
-      // token rows and need a second agg). The simhash is then a pure
-      // projection over the 32 signs.
-      val sgnCols = (0 until 32).map { b =>
-        sum(when(expr(s"(h DIV ${1L << b}) % 2") === 1, $"w")
-          .otherwise(-$"w")).as(s"sgn$b")
-      }
-      val packed = (0 until 32).map { b =>
-        when(col(s"sgn$b") > 0, lit(1L << b)).otherwise(0L)
-      }.reduce(_ + _)
-      val sh = wt.groupBy($"doc_id").agg(sgnCols.head, sgnCols.tail: _*)
-        .select($"doc_id", packed.as("simhash"))
+      val sh = t.documents
+        .repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id", graft.functions.GraftFunctions.simhash32(
+          graft.functions.GraftFunctions.polyHashArray($"toks")).as("simhash"))
 
       sh.as("a").join(sh.as("b"),
           expr("a.simhash DIV 65536") === expr("b.simhash DIV 65536") &&
@@ -499,23 +537,26 @@ object PipelineQueries {
     // ----- winnowing document fingerprints -----
     // Shingle-id stream per doc; sliding window of 4; min per window;
     // distinct mins = fingerprint set (Schleimer et al. winnowing shape).
+    // Fully MAP-ONLY: shingles3 → poly_hash_array → sliding_min native
+    // kernels per doc row, then array_distinct/min/max — a document
+    // never leaves its partition (the earlier formulation shuffled the
+    // exploded shingle stream into a doc_id-partitioned window sort plus
+    // a distinct aggregation: two shingle-sized shuffles for a per-doc
+    // computation). Docs with < 4 shingles have no full window — the
+    // empty-wmins filter drops them, as the window+filter form did.
     "q29_fingerprint" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val posSh = posShingles(t.documents)
-      // Hashed shingle ids (polyHashExpr): no dictionary stage at all —
-      // the fingerprint stream is a pure map before the per-doc window.
-      val sids = posSh.withColumn("sid", expr(polyHashExpr("shingle")))
-        .select($"doc_id", $"pos", $"sid")
-      val w = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, 3)
-      val maxPos = sids.groupBy($"doc_id").agg(max($"pos").as("max_pos"))
-      sids
-        .withColumn("wmin", min($"sid").over(w))
-        .join(maxPos, "doc_id")
-        .filter($"pos" <= $"max_pos" - 3)
-        .groupBy($"doc_id")
-        .agg(countDistinct($"wmin").as("n_fp"),
-          min($"wmin").as("min_fp"), max($"wmin").as("max_fp"))
+      t.documents
+        .repartition($"doc_id")
+        .select($"doc_id", graft.functions.GraftFunctions.slidingMin(
+          graft.functions.GraftFunctions.polyHashArray(shinglesCol()), 4)
+          .as("wmins"))
+        .filter(size($"wmins") > 0)
+        .select($"doc_id",
+          size(array_distinct($"wmins")).cast("long").as("n_fp"),
+          array_min($"wmins").as("min_fp"),
+          array_max($"wmins").as("max_fp"))
         .orderBy($"doc_id")
     },
 
@@ -680,12 +721,10 @@ object PipelineQueries {
     "q46_dedup_groups" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val dsh = docShingles(t.documents).cache()
-      val dt = dsh.withColumn("sid", expr(polyHashExpr("shingle")))
-        .select($"doc_id", $"sid")
+      val docArrs = docShingleArrays(t.documents).cache()
       // Cache pairs BEFORE the union: edges' two branches would otherwise
       // each recompute the whole MinHash pipeline.
-      val pairs = minhashLshVerify(dt, dsh).select($"doc_a", $"doc_b").cache()
+      val pairs = minhashLshVerifyArr(docArrs).select($"doc_a", $"doc_b").cache()
       val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
         .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
         .cache()
@@ -721,7 +760,7 @@ object PipelineQueries {
             "to large-star/small-star")
       edges.unpersist()
       pairs.unpersist()
-      dsh.unpersist()
+      docArrs.unpersist()
       labels
         .select($"lbl".as("group_id"), $"node".as("doc_id"),
           ($"node" === $"lbl").as("is_canonical"))
