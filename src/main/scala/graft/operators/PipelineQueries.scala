@@ -72,14 +72,22 @@ object PipelineQueries {
   private def docShingles(docs: DataFrame): DataFrame =
     posShingles(docs).select("doc_id", "shingle").distinct()
 
-  /** (doc_id, shingles) with the DISTINCT shingle SET as one array —
-    * the map-only carrier for the MinHash/verify pipeline: signature,
-    * set size, and pairwise intersection all become per-row expressions
-    * over it, so nothing shingle-sized is ever exploded or shuffled.
+  /** (doc_id, sids) with the DISTINCT shingle-ID SET as one
+    * `array<long>` — the map-only carrier for the shingle-set family
+    * (MinHash q22b/q46, Jaccard q23, decontamination q51): hashing,
+    * dedup, signature, set size, and pairwise intersection are all
+    * per-row expressions over it, so shingle STRINGS never leave the
+    * row they were tokenized in — everything downstream shuffles 8-byte
+    * ids. Set semantics are over the 10⁹+7 hash space: a colliding
+    * shingle pair merges in BOTH engines identically (the oracle's dsid
+    * CTE is the same DISTINCT-after-hash), which is the standard
+    * dedup-pipeline tradeoff — ~n²/2P expected collisions corpus-wide,
+    * each perturbing one set size by 1.
     */
-  private def docShingleArrays(docs: DataFrame): DataFrame =
+  private def docSidArrays(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id"))
-      .select(col("doc_id"), array_distinct(shinglesCol()).as("shingles"))
+      .select(col("doc_id"), array_distinct(
+        graft.functions.GraftFunctions.polyHashArray(shinglesCol())).as("sids"))
 
   /** Deterministic dense ids (1-based, by sort order of `keyCol`) via
     * distributed sort + `zipWithIndex` — NOT a global `row_number`
@@ -198,26 +206,25 @@ object PipelineQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Map-only MinHash(16) → 4-band LSH → exact-Jaccard verify over
-    * (doc_id, shingles) ARRAYS ([[docShingleArrays]], cached by the
-    * caller — probed by the signature pass and both verify joins).
+  /** Map-only MinHash(16) → 4-band LSH → Jaccard verify over
+    * (doc_id, sids) ARRAYS ([[docSidArrays]], cached by the caller —
+    * probed by the signature pass and both verify joins).
     *
     * Vs the exploded-pairs formulation ([[minhashLshVerify]], kept for
-    * the dictionary witness): the signature is ONE native per-row kernel
-    * chain (`poly_hash_array` → `minhash_sigs`) instead of explode +
-    * 16-min aggregation — no Generate, no shingle-count hash table, no
-    * doc_id shuffle before banding; and the verify intersection is
-    * per-candidate `array_intersect` instead of a double explode join +
-    * count aggregation. The only shingle-sized data movement left is
-    * shipping the two candidate docs' shingle arrays through the verify
-    * joins — exactly the rows the LSH bands selected. Same values
-    * bit-for-bit (the DuckDB oracle chain is unchanged).
+    * the dictionary witness): the signature is ONE native per-row
+    * `minhash_sigs` kernel instead of explode + 16-min aggregation — no
+    * Generate, no doc_id shuffle before banding; and the verify
+    * intersection is per-candidate `array_intersect` on long arrays
+    * instead of a double explode join + count aggregation. The only
+    * shingle-set data movement left is shipping the two candidate docs'
+    * id arrays through the verify joins — exactly the rows the LSH
+    * bands selected. The DuckDB oracle chain computes the identical
+    * sid-set pipeline (dsid CTE), so values match bit-for-bit.
     */
   private def minhashLshVerifyArr(docArrs: DataFrame): DataFrame = {
     import docArrs.sparkSession.implicits._
-    val sigs = docArrs.filter(size($"shingles") > 0)
-      .withColumn("mh", graft.functions.GraftFunctions.minhashSigs(
-        graft.functions.GraftFunctions.polyHashArray($"shingles"), 16))
+    val sigs = docArrs.filter(size($"sids") > 0)
+      .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
     val bands = sigs.select($"doc_id", posexplode(array(
       (0 until 4).map(b =>
         concat_ws("-", (0 until 4).map(r => $"mh" (b * 4 + r)): _*)): _*
@@ -227,11 +234,11 @@ object PipelineQueries {
         $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    val sets = docArrs.select($"doc_id", $"shingles", size($"shingles").as("n"))
+    val sets = docArrs.select($"doc_id", $"sids", size($"sids").as("n"))
     cand
       .join(sets.as("x"), $"doc_a" === $"x.doc_id")
       .join(sets.as("y"), $"doc_b" === $"y.doc_id")
-      .withColumn("i", size(array_intersect($"x.shingles", $"y.shingles")))
+      .withColumn("i", size(array_intersect($"x.sids", $"y.sids")))
       .withColumn("jaccard", $"i".cast("double") / ($"x.n" + $"y.n" - $"i"))
       .filter($"jaccard" >= 0.6)
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
@@ -291,28 +298,32 @@ object PipelineQueries {
     // plan; `MinhashDictWitnessSpec` keeps it honest against this one.)
     "q22b_minhash_nodict" -> { (s, dir) =>
       val t = Tables(s, dir)
-      minhashLshVerifyArr(docShingleArrays(t.documents).cache())
+      minhashLshVerifyArr(docSidArrays(t.documents).cache())
     },
 
     // ----- n-gram Jaccard near-dup: doc-frequency-capped self-join -----
-    // The self-join runs only over shingles in ≤ 50 docs: a ubiquitous
-    // shingle (a stopword trigram in millions of docs) contributes
-    // O(df²) join rows — the quadratic blowup that kills shared-key
-    // self-joins at scale — so the cap bounds per-shingle fanout at 50².
-    // `n_shared`/Jaccard therefore count shared RARE shingles over full
-    // set sizes (a tight lower bound; a pair can only be under-scored by
-    // shingles common to >50 docs). The oracle applies the identical cap.
+    // The self-join runs only over shingle ids in ≤ 50 docs: a
+    // ubiquitous shingle (a stopword trigram in millions of docs)
+    // contributes O(df²) join rows — the quadratic blowup that kills
+    // shared-key self-joins at scale — so the cap bounds per-shingle
+    // fanout at 50². `n_shared`/Jaccard therefore count shared RARE
+    // shingles over full set sizes (a tight lower bound; a pair can
+    // only be under-scored by shingles common to >50 docs). The oracle
+    // applies the identical cap. Sets are hashed-sid sets
+    // ([[docSidArrays]]): per-doc dedup is map-only, and the exploded
+    // stream / self-join shuffles 8-byte longs, never shingle strings.
     "q23_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val dsh = docShingles(t.documents).cache()
-      val rare = dsh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val arrs = docSidArrays(t.documents).cache()
+      val dsid = arrs.select($"doc_id", explode($"sids").as("sid"))
+      val rare = dsid.groupBy($"sid").agg(count(lit(1)).as("df"))
         .filter($"df" <= 50)
-        .select($"shingle")
-      val rdsh = dsh.join(rare, "shingle")
-      val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .select($"sid")
+      val rdsh = dsid.join(rare, "sid")
+      val sizes = arrs.select($"doc_id", size($"sids").cast("long").as("n"))
       val inter = rdsh.as("a").join(rdsh.as("b"),
-          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+          $"a.sid" === $"b.sid" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
         .agg(count(lit(1)).as("i"))
       inter
@@ -721,7 +732,7 @@ object PipelineQueries {
     "q46_dedup_groups" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val docArrs = docShingleArrays(t.documents).cache()
+      val docArrs = docSidArrays(t.documents).cache()
       // Cache pairs BEFORE the union: edges' two branches would otherwise
       // each recompute the whole MinHash pipeline.
       val pairs = minhashLshVerifyArr(docArrs).select($"doc_a", $"doc_b").cache()
@@ -838,19 +849,23 @@ object PipelineQueries {
     // The eval-leakage check every training corpus needs: count each
     // corpus document's 3-gram shingles that also occur in a benchmark
     // set (here: docs 0-9 stand in for the eval suite) and flag docs
-    // over an overlap-ratio threshold. The benchmark shingle set is
+    // over an overlap-ratio threshold. The benchmark shingle-id set is
     // SMALL by construction (eval suites are thousands of items, not
-    // corpora) — broadcast it, so the corpus side is a map-side
-    // semi-join + one per-doc aggregation; nothing scales with corpus
-    // size but the one doc_id shuffle.
+    // corpora) — broadcast it as 8-byte hashed sids, so the corpus side
+    // is a map-side semi-join + one per-doc aggregation; nothing scales
+    // with corpus size but the one doc_id shuffle.
     "q51_decontaminate" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val dsh = docShingles(t.documents).cache()
-      val bench = dsh.filter($"doc_id" < 10).select($"shingle").distinct()
-      val corpus = dsh.filter($"doc_id" >= 10)
-      val sizes = corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-      val overlap = corpus.join(broadcast(bench), "shingle")
+      val arrs = docSidArrays(t.documents).cache()
+      val bench = arrs.filter($"doc_id" < 10)
+        .select(explode($"sids").as("sid")).distinct()
+      val corpus = arrs.filter($"doc_id" >= 10)
+        .select($"doc_id", explode($"sids").as("sid"))
+      // Per-doc set size is map-only (the sid array is already distinct).
+      val sizes = arrs.filter($"doc_id" >= 10)
+        .select($"doc_id", size($"sids").cast("long").as("n_shingles"))
+      val overlap = corpus.join(broadcast(bench), "sid")
         .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
       val out = sizes.join(overlap, Seq("doc_id"), "left")
         .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
@@ -864,17 +879,23 @@ object PipelineQueries {
 
     // ----- repetition quality filter (Gopher-style dup-fraction rule) -----
     // Fraction of a document's 3-gram shingles that are repeats
-    // (1 − distinct/total); high values mark boilerplate/spam. One
-    // aggregation with a single distinct column — Spark plans that as a
-    // two-level hash aggregate (partial on (doc_id, shingle)), no Expand
-    // — so the corpus shuffles once, keyed by doc_id.
+    // (1 − distinct/total); high values mark boilerplate/spam. Fully
+    // MAP-ONLY: total and distinct counts are array expressions over the
+    // per-row shingle array (exact strings — no hashing needed, the
+    // dedup never leaves the row), so a document never leaves its
+    // partition. The earlier formulation exploded the shingle stream
+    // into a doc_id-keyed distinct aggregation — a shingle-sized shuffle
+    // for a per-doc statistic.
     "q52_repetition" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      posShingles(t.documents)
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-             countDistinct($"shingle").as("n_distinct"))
+      t.documents
+        .repartition($"doc_id")
+        .select($"doc_id", shinglesCol().as("sh"))
+        .filter(size($"sh") > 0)
+        .select($"doc_id",
+          size($"sh").cast("long").as("n_shingles"),
+          size(array_distinct($"sh")).cast("long").as("n_distinct"))
         .withColumn("dup_ratio",
           round(lit(1.0) - $"n_distinct" / $"n_shingles", 4))
         .withColumn("keep", (lit(1.0) - $"n_distinct" / $"n_shingles") <= 0.2)
@@ -938,15 +959,22 @@ object PipelineQueries {
                      (acc, x) -> acc + x)) dot
                FROM e)"""
 
+    // DISTINCT (doc_id, sid) shingle-id sets — the oracle twin of
+    // [[docSidArrays]] (hash then dedup; a colliding shingle pair merges
+    // identically in both engines).
+    val dsid = s"""
+      dsid AS (SELECT DISTINCT doc_id, ${oraclePolyHash("shingle")} sid
+               FROM dsh)"""
+
     // q22b's full MinHash→LSH→verify CTE chain (shingle ids from the
     // portable polynomial hash — h = 131h + code mod P, folded
-    // left-to-right, identical to the Spark-side aggregate fold
-    // character-for-character). Shared by q22b and q46.
-    val minhashChain = s"""$dsh,
-        dt AS (SELECT doc_id, ${oraclePolyHash("shingle")} sid FROM dsh),
+    // left-to-right, identical to the Spark-side native kernel
+    // character-for-character; sets are sid sets end-to-end). Shared by
+    // q22b and q46.
+    val minhashChain = s"""$dsh, $dsid,
         mh AS (SELECT doc_id, s.s,
                       min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
-               FROM dt CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
+               FROM dsid CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
                GROUP BY 1, 2),
         bands AS (SELECT doc_id, s // 4 band,
                          concat_ws('-', min(CASE WHEN s % 4 = 0 THEN mh END),
@@ -957,10 +985,10 @@ object PipelineQueries {
         cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        sizes AS (SELECT doc_id, count(1) n FROM dsh GROUP BY 1),
+        sizes AS (SELECT doc_id, count(1) n FROM dsid GROUP BY 1),
         inter AS (SELECT doc_a, doc_b, count(1) i
-                  FROM cand JOIN dsh x ON doc_a = x.doc_id
-                            JOIN dsh y ON doc_b = y.doc_id AND x.shingle = y.shingle
+                  FROM cand JOIN dsid x ON doc_a = x.doc_id
+                            JOIN dsid y ON doc_b = y.doc_id AND x.sid = y.sid
                   GROUP BY 1, 2)"""
 
     Map(
@@ -1044,12 +1072,12 @@ object PipelineQueries {
         FROM k ORDER BY position""",
 
       "q51_decontaminate" -> s"""
-        WITH $dsh,
-        bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id < 10),
-        corpus AS (SELECT doc_id, shingle FROM dsh WHERE doc_id >= 10),
+        WITH $dsh, $dsid,
+        bench AS (SELECT DISTINCT sid FROM dsid WHERE doc_id < 10),
+        corpus AS (SELECT doc_id, sid FROM dsid WHERE doc_id >= 10),
         sizes AS (SELECT doc_id, count(1) n_shingles FROM corpus GROUP BY 1),
         ov AS (SELECT c.doc_id, count(1) n_overlap
-               FROM corpus c JOIN bench USING (shingle) GROUP BY 1)
+               FROM corpus c JOIN bench USING (sid) GROUP BY 1)
         SELECT s.doc_id, s.n_shingles,
                coalesce(ov.n_overlap, 0) AS n_overlap,
                round(coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles, 4)
@@ -1088,14 +1116,14 @@ object PipelineQueries {
         ORDER BY doc_id, rank""",
 
       "q23_ngram_jaccard" -> s"""
-        WITH $dsh,
-        rare AS (SELECT shingle FROM dsh GROUP BY shingle
+        WITH $dsh, $dsid,
+        rare AS (SELECT sid FROM dsid GROUP BY sid
                  HAVING count(1) <= 50),
-        rdsh AS (SELECT doc_id, shingle FROM dsh JOIN rare USING (shingle)),
-        sizes AS (SELECT doc_id, count(1) n FROM dsh GROUP BY 1),
+        rdsh AS (SELECT doc_id, sid FROM dsid JOIN rare USING (sid)),
+        sizes AS (SELECT doc_id, count(1) n FROM dsid GROUP BY 1),
         inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(1) i
                   FROM rdsh a JOIN rdsh b
-                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    ON a.sid = b.sid AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
         SELECT doc_a, doc_b, i AS n_shared,
                round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
