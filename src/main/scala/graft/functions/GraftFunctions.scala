@@ -54,6 +54,16 @@ object GraftFunctions {
         s"sliding_min expects 2 arguments, got ${exprs.length}")
       SlidingMin(exprs.head, intLit("sliding_min", exprs(1)))
     }),
+    ("shingles_k", ShinglesK.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 2,
+        s"shingles_k expects 2 arguments, got ${exprs.length}")
+      ShinglesK(exprs.head, intLit("shingles_k", exprs(1)))
+    }),
+    ("bloom_contains", BloomContains.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 3,
+        s"bloom_contains expects 3 arguments, got ${exprs.length}")
+      BloomContains(exprs.head, exprs(1), intLit("bloom_contains", exprs(2)))
+    }),
     ("shingles3", Shingles3.info, { exprs: Seq[Expression] =>
       require(exprs.length == 1,
         s"shingles3 expects 1 argument, got ${exprs.length}")
@@ -102,6 +112,14 @@ object GraftFunctions {
   /** Typed column API: `shingles3($"toks")`. */
   def shingles3(toks: Column): Column =
     Bridge.column(Shingles3(Bridge.expression(toks)))
+
+  /** Typed column API: `shinglesK($"toks", 2)`. */
+  def shinglesK(toks: Column, k: Int): Column =
+    Bridge.column(ShinglesK(Bridge.expression(toks), k))
+
+  /** Typed column API: `bloomContains($"bits", $"sid", 4)`. */
+  def bloomContains(bits: Column, key: Column, k: Int): Column =
+    Bridge.column(BloomContains(Bridge.expression(bits), Bridge.expression(key), k))
 
   /** Idempotent runtime registration into the session's function
     * registry (temp-function namespace, like `spark.udf.register`).

@@ -143,16 +143,24 @@ object TextSketch {
     * tokenizer per element when the projections merged; see the
     * posShingles history note).
     */
-  def shingles3(a: ArrayData): ArrayData = {
+  def shingles3(a: ArrayData): ArrayData = shinglesK(a, 3)
+
+  /** General k-gram form of [[shingles3]]: out[i] = concat_ws(' ',
+    * toks[i..i+k-1]) for i ∈ [0, n−k]; n < k ⇒ empty array.
+    */
+  def shinglesK(a: ArrayData, k: Int): ArrayData = {
     val n = a.numElements()
-    if (n < 3) return new GenericArrayData(new Array[Any](0))
-    val out = new Array[Any](n - 2)
+    if (n < k) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - k + 1)
+    val window = new Array[UTF8String](k)
     var i = 0
-    while (i <= n - 3) {
-      out(i) = UTF8String.concatWs(SPACE,
-        if (a.isNullAt(i)) null else a.getUTF8String(i),
-        if (a.isNullAt(i + 1)) null else a.getUTF8String(i + 1),
-        if (a.isNullAt(i + 2)) null else a.getUTF8String(i + 2))
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) {
+        window(j) = if (a.isNullAt(i + j)) null else a.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(SPACE, window: _*)
       i += 1
     }
     new GenericArrayData(out)
@@ -316,6 +324,31 @@ case class Shingles3(child: Expression) extends UnaryExpression {
 object Shingles3 {
   val info: ExpressionInfo =
     new ExpressionInfo(classOf[Shingles3].getName, null, "shingles3")
+}
+
+/** `shingles_k(toks, k)` — word k-shingles in token order (see
+  * [[TextSketch.shinglesK]]).
+  */
+case class ShinglesK(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"shingles_k: k must be positive, got $k")
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingles_k expects ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles_k"
+  override protected def nullSafeEval(input: Any): Any =
+    TextSketch.shinglesK(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.shinglesK($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesK =
+    copy(child = newChild)
+}
+
+object ShinglesK {
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[ShinglesK].getName, null, "shingles_k")
 }
 
 /** `simhash32(tids)` — packed 32-bit SimHash (see

@@ -932,6 +932,133 @@ object PipelineQueries {
         .select($"position", $"doc_id", $"source",
           round($"sched_key", 4).as("sched_key"))
         .orderBy($"position")
+    },
+
+    // ----- cross-corpus near-dup: corpus A vs corpus B MinHash join -----
+    // The "is my new crawl already in the training set" shape: same
+    // MinHash(16)/4-band machinery as q22b, but candidates pair one doc
+    // from EACH side (sources src0-4 = A vs the rest = B) — a banded
+    // equality join between two corpora, never within one, so |A|·|B|
+    // all-pairs never materializes. Signature stage map-only (native
+    // kernels); verify = per-candidate array_intersect, as q22b.
+    "q54_crosscorpus_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val aSrcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val arrs = t.documents.repartition($"doc_id")
+        .select($"doc_id", $"source".isin(aSrcs: _*).as("in_a"),
+          array_distinct(graft.functions.GraftFunctions.polyHashArray(
+            shinglesCol())).as("sids"))
+        .cache()
+      val sigs = arrs.filter(size($"sids") > 0)
+        .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
+      val bands = sigs.select($"doc_id", $"in_a", posexplode(array(
+        (0 until 4).map(b =>
+          concat_ws("-", (0 until 4).map(r => $"mh" (b * 4 + r)): _*)): _*
+      )).as(Seq("band", "sig")))
+      val cand = bands.filter($"in_a").as("a")
+        .join(bands.filter(!$"in_a").as("b"),
+          $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+      val sets = arrs.select($"doc_id", $"sids", size($"sids").as("n"))
+      cand
+        .join(sets.as("x"), $"doc_a" === $"x.doc_id")
+        .join(sets.as("y"), $"doc_b" === $"y.doc_id")
+        .withColumn("i", size(array_intersect($"x.sids", $"y.sids")))
+        .withColumn("jaccard", $"i".cast("double") / ($"x.n" + $"y.n" - $"i"))
+        .filter($"jaccard" >= 0.6)
+        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // ----- bloom-prefiltered decontamination (the >broadcast-limit path) -----
+    // Same contract as q51, different physical shape for the regime
+    // where the benchmark shingle set is too big to broadcast exactly:
+    // ONE aggregation OR-merges fixed-size bitset buffers into a Bloom
+    // filter (16 KB here regardless of set size), the corpus stream
+    // drops non-members map-side against that broadcast filter, and the
+    // EXACT equality join — pinned shuffle-side with a hint, because at
+    // this regime the probe set cannot broadcast — runs only on the
+    // surviving ~overlap fraction, eliminating false positives. Results
+    // are therefore exactly q51's; the driver-side `head()` fetches one
+    // 16 KB scalar (the filter), never row data.
+    "q55_bloom_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val arrs = docSidArrays(t.documents).cache()
+      val benchSids = arrs.filter($"doc_id" < 10)
+        .select(explode($"sids").as("sid")).distinct()
+      val bloomBytes = benchSids.select($"sid".as[Long])
+        .select(new graft.functions.BloomAgg(1 << 17, 4).toColumn.name("bloom"))
+        .head()
+      val corpus = arrs.filter($"doc_id" >= 10)
+        .select($"doc_id", explode($"sids").as("sid"))
+      val sizes = arrs.filter($"doc_id" >= 10)
+        .select($"doc_id", size($"sids").cast("long").as("n_shingles"))
+      val survivors = corpus.filter(graft.functions.GraftFunctions
+        .bloomContains(lit(bloomBytes), $"sid", 4))
+      val overlap = survivors.join(benchSids.hint("shuffle_hash"), "sid")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      sizes.join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
+        .withColumn("overlap_ratio", round($"n_overlap" / $"n_shingles", 4))
+        .withColumn("contaminated", ($"n_overlap" / $"n_shingles") >= 0.5)
+        .select($"doc_id", $"n_shingles", $"n_overlap",
+          $"overlap_ratio", $"contaminated")
+        .orderBy($"doc_id")
+    },
+
+    // ----- PII redaction (regex scrub + audit counts) -----
+    // The corpus is synthetic word salad with no organic PII, so each
+    // doc is AUGMENTED with deterministic doc_id-derived spans (one
+    // email, one phone) and the redaction machinery — the real operator
+    // — runs over that: match counts, redacted length, and an md5 of
+    // the redacted text pin the exact output against the oracle.
+    // Map-only at any scale; the regexes are RE2-compatible (no
+    // lookaround) so both engines match identical spans.
+    "q56_pii_redact" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val emailRe = "[a-z0-9._]+@[a-z0-9-]+\\.[a-z]+"
+      val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+      t.documents.repartition($"doc_id")
+        .withColumn("aug", concat($"text",
+          lit(" contact user"), $"doc_id",
+          lit("@example.com or call +1-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace($"aug", emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"))
+        .select($"doc_id",
+          regexp_count($"aug", lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count($"aug", lit(phoneRe)).cast("long").as("n_phones"),
+          length($"redacted").cast("long").as("redacted_len"),
+          md5($"redacted").as("redacted_md5"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- bigram LM commonness score (log-free quality signal) -----
+    // Average corpus frequency of a document's word bigrams — an n-gram
+    // LM quality proxy with NO transcendental: per-doc sums are integer
+    // (exact in both engines), divided once and rounded, so ranks can't
+    // flip on a last ulp the way ln()-perplexity can. Two token-sized
+    // shuffles (bigram-frequency agg, frequency join — both keyed on
+    // the hashed bigram; exchange reuse computes the bigram stream
+    // once), then one doc-keyed agg.
+    "q57_bigram_lm" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val bi = t.documents.repartition($"doc_id")
+        .select($"doc_id", explode(graft.functions.GraftFunctions.polyHashArray(
+          graft.functions.GraftFunctions.shinglesK(expr(toksExpr), 2))).as("sid"))
+      val bf = bi.groupBy($"sid").agg(count(lit(1)).as("bf"))
+      bi.join(bf, "sid")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"bf").as("sum_bf"))
+        .withColumn("avg_bf", round($"sum_bf".cast("double") / $"n_bigrams", 4))
+        .select($"doc_id", $"n_bigrams", $"avg_bf")
+        .orderBy($"doc_id")
     }
   )
 
@@ -990,6 +1117,22 @@ object PipelineQueries {
                   FROM cand JOIN dsid x ON doc_a = x.doc_id
                             JOIN dsid y ON doc_b = y.doc_id AND x.sid = y.sid
                   GROUP BY 1, 2)"""
+
+    val decontamSql = s"""
+        WITH $dsh, $dsid,
+        bench AS (SELECT DISTINCT sid FROM dsid WHERE doc_id < 10),
+        corpus AS (SELECT doc_id, sid FROM dsid WHERE doc_id >= 10),
+        sizes AS (SELECT doc_id, count(1) n_shingles FROM corpus GROUP BY 1),
+        ov AS (SELECT c.doc_id, count(1) n_overlap
+               FROM corpus c JOIN bench USING (sid) GROUP BY 1)
+        SELECT s.doc_id, s.n_shingles,
+               coalesce(ov.n_overlap, 0) AS n_overlap,
+               round(coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles, 4)
+                 AS overlap_ratio,
+               coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles >= 0.5
+                 AS contaminated
+        FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+        ORDER BY s.doc_id"""
 
     Map(
       "q21_dedup_exact" -> """
@@ -1071,21 +1214,12 @@ object PipelineQueries {
                doc_id, source, round(sched_key, 4) AS sched_key
         FROM k ORDER BY position""",
 
-      "q51_decontaminate" -> s"""
-        WITH $dsh, $dsid,
-        bench AS (SELECT DISTINCT sid FROM dsid WHERE doc_id < 10),
-        corpus AS (SELECT doc_id, sid FROM dsid WHERE doc_id >= 10),
-        sizes AS (SELECT doc_id, count(1) n_shingles FROM corpus GROUP BY 1),
-        ov AS (SELECT c.doc_id, count(1) n_overlap
-               FROM corpus c JOIN bench USING (sid) GROUP BY 1)
-        SELECT s.doc_id, s.n_shingles,
-               coalesce(ov.n_overlap, 0) AS n_overlap,
-               round(coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles, 4)
-                 AS overlap_ratio,
-               coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles >= 0.5
-                 AS contaminated
-        FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
-        ORDER BY s.doc_id""",
+      "q51_decontaminate" -> decontamSql,
+
+      // q55 is the bloom-prefiltered implementation of the SAME
+      // contract — false positives die in the exact verify join, so the
+      // oracle is identical (the q25/q25b precedent).
+      "q55_bloom_decontaminate" -> decontamSql,
 
       "q52_repetition" -> s"""
         WITH toks AS (SELECT doc_id, $toks tk FROM documents),
@@ -1114,6 +1248,70 @@ object PipelineQueries {
         SELECT doc_id, rank, token, round(score, 4) AS score
         FROM ranked WHERE rank <= 3
         ORDER BY doc_id, rank""",
+
+      "q54_crosscorpus_neardup" -> s"""
+        WITH $dsh, $dsid,
+        srcs AS (SELECT doc_id,
+                        source IN ('src0','src1','src2','src3','src4') in_a
+                 FROM documents),
+        mh AS (SELECT doc_id, s.s,
+                      min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
+               FROM dsid CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
+               GROUP BY 1, 2),
+        bands AS (SELECT doc_id, s // 4 band,
+                         concat_ws('-', min(CASE WHEN s % 4 = 0 THEN mh END),
+                                        min(CASE WHEN s % 4 = 1 THEN mh END),
+                                        min(CASE WHEN s % 4 = 2 THEN mh END),
+                                        min(CASE WHEN s % 4 = 3 THEN mh END)) sig
+                  FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+                 FROM bands a JOIN srcs sa ON a.doc_id = sa.doc_id AND sa.in_a
+                      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                      JOIN srcs sb ON b.doc_id = sb.doc_id AND NOT sb.in_a),
+        sizes AS (SELECT doc_id, count(1) n FROM dsid GROUP BY 1),
+        inter AS (SELECT doc_a, doc_b, count(1) i
+                  FROM cand JOIN dsid x ON doc_a = x.doc_id
+                            JOIN dsid y ON doc_b = y.doc_id AND x.sid = y.sid
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+        ORDER BY doc_a, doc_b""",
+
+      "q56_pii_redact" -> """
+        WITH a AS (SELECT doc_id,
+                          text || ' contact user' || doc_id::VARCHAR
+                               || '@example.com or call +1-555-'
+                               || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS aug
+                   FROM documents),
+        r AS (SELECT doc_id, aug,
+                     regexp_replace(
+                       regexp_replace(aug,
+                         '[a-z0-9._]+@[a-z0-9-]+\.[a-z]+', '<EMAIL>', 'g'),
+                       '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+              FROM a)
+        SELECT doc_id,
+               len(regexp_extract_all(aug,
+                 '[a-z0-9._]+@[a-z0-9-]+\.[a-z]+'))::BIGINT AS n_emails,
+               len(regexp_extract_all(aug,
+                 '\+1-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+               length(redacted)::BIGINT AS redacted_len,
+               md5(redacted) AS redacted_md5
+        FROM r
+        ORDER BY doc_id""",
+
+      "q57_bigram_lm" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) bigram FROM toks),
+        bs AS (SELECT doc_id, ${oraclePolyHash("bigram")} sid FROM bg),
+        bf AS (SELECT sid, count(1) bf FROM bs GROUP BY 1)
+        SELECT doc_id, count(1) AS n_bigrams,
+               round(sum(bf)::DOUBLE / count(1), 4) AS avg_bf
+        FROM bs JOIN bf USING (sid)
+        GROUP BY doc_id
+        ORDER BY doc_id""",
 
       "q23_ngram_jaccard" -> s"""
         WITH $dsh, $dsid,

@@ -153,6 +153,24 @@ class TextSketchSpec extends AnyFunSuite {
     assert(df.filter(not($"native" <=> $"viaLambda")).count() == 0)
   }
 
+  test("shingles_k(2) = the transform+concat_ws bigram formulation") {
+    val rnd = new scala.util.Random(29)
+    val data = Seq.fill(100)(randWords(rnd, rnd.nextInt(8)).toArray) ++
+      Seq(Array("a"), Array("a", "b"), Array.empty[String])
+    val df = data.toDF("toks")
+      .withColumn("native", GraftFunctions.shinglesK($"toks", 2))
+      .withColumn("viaLambda", expr("""CASE WHEN size(toks) >= 2
+        THEN transform(sequence(0, size(toks)-2),
+                       i -> concat_ws(' ', toks[i], toks[i+1]))
+        ELSE array() END"""))
+    assert(df.filter(not($"native" <=> $"viaLambda")).count() == 0)
+    // shingles3 is the k=3 special case
+    val both = data.toDF("toks")
+      .withColumn("s3", GraftFunctions.shingles3($"toks"))
+      .withColumn("sk", GraftFunctions.shinglesK($"toks", 3))
+    assert(both.filter(not($"s3" <=> $"sk")).count() == 0)
+  }
+
   test("kernels are reachable from SQL text") {
     GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(
