@@ -454,10 +454,19 @@ object RelationalQueries {
     "q44_approx_distinct" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      t.lineitem
-        .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
-             countDistinct($"l_orderkey").as("exact_orders"))
+      // The sketch and its exact witness run as SEPARATE aggregations
+      // joined on the (3-row) group keys: mixing a distinct agg with a
+      // non-distinct agg in one `agg()` makes the distinct rewrite
+      // evaluate the non-distinct side in the per-(group, value) first
+      // aggregate — here one 2²-rsd HLL buffer per DISTINCT ORDERKEY
+      // (measured 8.5 s vs 1.6 s for the two aggs run apart). At scale
+      // only the sketch runs at all; the witness exists to grade it.
+      val approx = t.lineitem.groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"))
+      val exact = t.lineitem.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("exact_orders"))
+      approx.join(exact, "l_returnflag")
+        .select($"l_returnflag", $"approx_orders", $"exact_orders")
         .orderBy($"l_returnflag")
     },
 
