@@ -1059,6 +1059,64 @@ object PipelineQueries {
         .withColumn("avg_bf", round($"sum_bf".cast("double") / $"n_bigrams", 4))
         .select($"doc_id", $"n_bigrams", $"avg_bf")
         .orderBy($"doc_id")
+    },
+
+    // ----- the full quality-gate funnel (per-stage attrition) -----
+    // The composite keep/drop decision a training corpus actually runs —
+    // language → length → stopword quality → repetition → benchmark
+    // decontamination — applied in order, with per-stage in/kept counts
+    // (the numbers a data-mix report shows). ONE pass: every per-doc
+    // feature is a map-only array expression over the tokenized row
+    // (native kernels), the only join is the broadcast benchmark-sid
+    // semi-join, and the funnel collapses to a single aggregation row
+    // unpivoted to 5 stage rows. Cumulative flags (p1..p5) mean a doc
+    // counts into stage i only if it survived stages < i. Thresholds
+    // assume docs have ≥ 3 tokens (the corpus floor is 10), so shingle
+    // arrays are never empty.
+    "q58_filter_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val arrs = t.documents.repartition($"doc_id")
+        .select($"doc_id", $"lang", expr(toksExpr).as("toks"))
+        .withColumn("sh", graft.functions.GraftFunctions.shingles3($"toks"))
+        .withColumn("sids", array_distinct(
+          graft.functions.GraftFunctions.polyHashArray($"sh")))
+        .cache()
+      val bench = arrs.filter($"doc_id" < 10)
+        .select(explode($"sids").as("sid")).distinct()
+      val corpus = arrs.filter($"doc_id" >= 10)
+      val ov = corpus.select($"doc_id", explode($"sids").as("sid"))
+        .join(broadcast(bench), "sid")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_ov"))
+      val flags = corpus.join(ov, Seq("doc_id"), "left")
+        .withColumn("n_ov", coalesce($"n_ov", lit(0L)))
+        .withColumn("n_tokens", size($"toks"))
+        .withColumn("n_stop", size($"toks") -
+          size(array_remove(array_remove($"toks", "the"), "a")))
+        .withColumn("p1", $"lang".isin("en", "es"))
+        .withColumn("p2", $"p1" && $"n_tokens" >= 30)
+        .withColumn("p3", $"p2" &&
+          $"n_stop".cast("double") / $"n_tokens" >= 0.02)
+        .withColumn("p4", $"p3" &&
+          lit(1.0) - size(array_distinct($"sh")).cast("double") / size($"sh") <= 0.05)
+        .withColumn("p5", $"p4" &&
+          $"n_ov".cast("double") / size($"sids") < 0.5)
+      val agg1 = flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when($"p1", 1L).otherwise(0L)).as("n1"),
+        sum(when($"p2", 1L).otherwise(0L)).as("n2"),
+        sum(when($"p3", 1L).otherwise(0L)).as("n3"),
+        sum(when($"p4", 1L).otherwise(0L)).as("n4"),
+        sum(when($"p5", 1L).otherwise(0L)).as("n5"))
+      val stageNames =
+        Seq("lang", "length", "quality", "repetition", "decontamination")
+      agg1.select(posexplode(array((0 until 5).map { i =>
+          struct(lit(stageNames(i)).as("stage"),
+            col(s"n$i").as("n_in"), col(s"n${i + 1}").as("n_kept"))
+        }: _*)).as(Seq("i", "st")))
+        .select(($"i" + 1).cast("long").as("stage_idx"),
+          $"st.stage", $"st.n_in", $"st.n_kept")
+        .orderBy($"stage_idx")
     }
   )
 
@@ -1312,6 +1370,54 @@ object PipelineQueries {
         FROM bs JOIN bf USING (sid)
         GROUP BY doc_id
         ORDER BY doc_id""",
+
+      "q58_filter_funnel" -> s"""
+        WITH $dsh, $dsid,
+        feat AS (SELECT doc_id, lang, $toks tk,
+                        list_transform(range(1, len($toks) - 1),
+                          i -> ($toks)[i] || ' ' || ($toks)[i+1]
+                               || ' ' || ($toks)[i+2]) sh
+                 FROM documents),
+        szs AS (SELECT doc_id, count(1) n_sids FROM dsid GROUP BY 1),
+        bench AS (SELECT DISTINCT sid FROM dsid WHERE doc_id < 10),
+        ov AS (SELECT d.doc_id, count(1) n_ov FROM dsid d
+               JOIN bench USING (sid) WHERE d.doc_id >= 10 GROUP BY 1),
+        flags AS (
+          SELECT f.doc_id,
+                 lang IN ('en', 'es') AS p1,
+                 lang IN ('en', 'es') AND len(tk) >= 30 AS p2,
+                 lang IN ('en', 'es') AND len(tk) >= 30
+                   AND len(list_filter(tk, x -> x IN ('the', 'a')))::DOUBLE
+                       / len(tk) >= 0.02 AS p3,
+                 lang IN ('en', 'es') AND len(tk) >= 30
+                   AND len(list_filter(tk, x -> x IN ('the', 'a')))::DOUBLE
+                       / len(tk) >= 0.02
+                   AND 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) <= 0.05
+                   AS p4,
+                 lang IN ('en', 'es') AND len(tk) >= 30
+                   AND len(list_filter(tk, x -> x IN ('the', 'a')))::DOUBLE
+                       / len(tk) >= 0.02
+                   AND 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) <= 0.05
+                   AND coalesce(n_ov, 0)::DOUBLE / n_sids < 0.5 AS p5
+          FROM feat f JOIN szs USING (doc_id) LEFT JOIN ov USING (doc_id)
+          WHERE f.doc_id >= 10),
+        a AS (SELECT count(1) n0,
+                     sum(CASE WHEN p1 THEN 1 ELSE 0 END) n1,
+                     sum(CASE WHEN p2 THEN 1 ELSE 0 END) n2,
+                     sum(CASE WHEN p3 THEN 1 ELSE 0 END) n3,
+                     sum(CASE WHEN p4 THEN 1 ELSE 0 END) n4,
+                     sum(CASE WHEN p5 THEN 1 ELSE 0 END) n5
+              FROM flags)
+        SELECT idx::BIGINT AS stage_idx, name AS stage,
+               (CASE idx WHEN 1 THEN n0 WHEN 2 THEN n1 WHEN 3 THEN n2
+                         WHEN 4 THEN n3 ELSE n4 END)::BIGINT AS n_in,
+               (CASE idx WHEN 1 THEN n1 WHEN 2 THEN n2 WHEN 3 THEN n3
+                         WHEN 4 THEN n4 ELSE n5 END)::BIGINT AS n_kept
+        FROM (VALUES (1, 'lang'), (2, 'length'), (3, 'quality'),
+                     (4, 'repetition'), (5, 'decontamination'))
+             stages(idx, name)
+        CROSS JOIN a
+        ORDER BY stage_idx""",
 
       "q23_ngram_jaccard" -> s"""
         WITH $dsh, $dsid,

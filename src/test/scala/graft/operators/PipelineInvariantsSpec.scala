@@ -90,4 +90,36 @@ class PipelineInvariantsSpec extends AnyFunSuite {
     assert(rep.filter($"n_distinct" > $"n_shingles" ||
       $"dup_ratio" < 0 || $"dup_ratio" > 1).isEmpty)
   }
+
+  test("q55 bloom path reproduces q51's exact decontamination rows") {
+    val exact = PipelineQueries.queries("q51_decontaminate")(spark, dir)
+    val bloom = PipelineQueries.queries("q55_bloom_decontaminate")(spark, dir)
+    assert(exact.except(bloom).isEmpty && bloom.except(exact).isEmpty)
+  }
+
+  test("q58: funnel is monotone and chained") {
+    val f = PipelineQueries.queries("q58_filter_funnel")(spark, dir)
+      .orderBy($"stage_idx").as[(Long, String, Long, Long)].collect()
+    assert(f.length == 5)
+    assert(f.forall { case (_, _, in, kept) => kept <= in && kept >= 0 })
+    // stage i's input is exactly stage i-1's survivors
+    assert(f.sliding(2).forall { case Array(a, b) => b._3 == a._4 })
+    // something survives end-to-end at this sf
+    assert(f.last._4 > 0)
+  }
+
+  test("q54: every cross-corpus pair crosses the source split") {
+    val srcs = Tables(spark, dir).documents
+      .select($"doc_id", $"source")
+    val aSet = Seq("src0", "src1", "src2", "src3", "src4")
+    val pairs = PipelineQueries.queries("q54_crosscorpus_neardup")(spark, dir)
+    assert(pairs.count() > 0)
+    val bad = pairs
+      .join(srcs.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), "doc_a")
+      .join(srcs.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), "doc_b")
+      .filter(!$"src_a".isin(aSet: _*) || $"src_b".isin(aSet: _*))
+    assert(bad.isEmpty)
+  }
 }
