@@ -64,6 +64,11 @@ object GraftFunctions {
         s"bloom_contains expects 3 arguments, got ${exprs.length}")
       BloomContains(exprs.head, exprs(1), intLit("bloom_contains", exprs(2)))
     }),
+    ("sorted_count_in", SortedCountIn.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 2,
+        s"sorted_count_in expects 2 arguments, got ${exprs.length}")
+      SortedCountIn(exprs.head, exprs(1))
+    }),
     ("shingles3", Shingles3.info, { exprs: Seq[Expression] =>
       require(exprs.length == 1,
         s"shingles3 expects 1 argument, got ${exprs.length}")
@@ -120,6 +125,10 @@ object GraftFunctions {
   /** Typed column API: `bloomContains($"bits", $"sid", 4)`. */
   def bloomContains(bits: Column, key: Column, k: Int): Column =
     Bridge.column(BloomContains(Bridge.expression(bits), Bridge.expression(key), k))
+
+  /** Typed column API: `sortedCountIn($"sids", lit(sortedSet))`. */
+  def sortedCountIn(arr: Column, sortedSet: Column): Column =
+    Bridge.column(SortedCountIn(Bridge.expression(arr), Bridge.expression(sortedSet)))
 
   /** Idempotent runtime registration into the session's function
     * registry (temp-function namespace, like `spark.udf.register`).

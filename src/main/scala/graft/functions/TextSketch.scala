@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -130,6 +130,34 @@ object TextSketch {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** See [[SortedCountIn]]. `sorted` MUST be ascending; null elements of
+    * `a` are skipped, nulls must not occur in `sorted`.
+    */
+  def sortedCountIn(a: ArrayData, sorted: ArrayData): Int = {
+    val n = a.numElements()
+    val m = sorted.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val k = a.getLong(i)
+        var lo = 0
+        var hi = m - 1
+        var found = false
+        while (lo <= hi && !found) {
+          val mid = (lo + hi) >>> 1
+          val v = sorted.getLong(mid)
+          if (v == k) found = true
+          else if (v < k) lo = mid + 1
+          else hi = mid - 1
+        }
+        if (found) cnt += 1
+      }
+      i += 1
+    }
+    cnt
   }
 
   private val SPACE = UTF8String.fromString(" ")
@@ -300,6 +328,42 @@ case class SlidingMin(child: Expression, w: Int) extends UnaryExpression {
 object SlidingMin {
   val info: ExpressionInfo =
     new ExpressionInfo(classOf[SlidingMin].getName, null, "sliding_min")
+}
+
+/** `sorted_count_in(arr, sortedSet)` — how many of `arr`'s non-null
+  * elements occur in the ASCENDING-sorted long array `sortedSet`
+  * (binary search per element, O(n log m), no per-row hash-set build —
+  * `array_intersect` against a large constant set rebuilds its set
+  * every evaluation). With `arr` distinct this is |arr ∩ set|: the
+  * map-only exact-overlap kernel for checking rows against a pinned
+  * reference set (e.g. streaming decontamination against an eval
+  * suite).
+  */
+case class SortedCountIn(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_count_in expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got ($l, $r)")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_count_in"
+  override protected def nullSafeEval(a: Any, set: Any): Any =
+    TextSketch.sortedCountIn(a.asInstanceOf[ArrayData], set.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, set) => s"graft.functions.TextSketch.sortedCountIn($a, $set)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedCountIn =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedCountIn {
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[SortedCountIn].getName, null, "sorted_count_in")
 }
 
 /** `shingles3(toks)` — word 3-shingles in token order (see

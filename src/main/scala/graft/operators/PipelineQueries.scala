@@ -206,6 +206,23 @@ object PipelineQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The benchmark (eval-suite) shingle-id set, SORTED ascending, as a
+    * driver-side array — the pinned reference set streaming
+    * decontamination (q59) embeds as a literal. Eval suites are small
+    * by construction (thousands of items, not corpora), so collecting
+    * the distinct sid set is a bounded scalar-sized fetch, the same
+    * class as q55's 16 KB bloom; past literal-embedding size the bloom
+    * + shuffle-verify shape (q55) takes over.
+    */
+  private[graft] def benchSortedSids(s: SparkSession, dir: String): Array[Long] = {
+    import s.implicits._
+    docSidArrays(Tables(s, dir).documents)
+      .filter($"doc_id" < 10)
+      .select(explode($"sids").as("sid")).distinct()
+      .orderBy($"sid")
+      .as[Long].collect()
+  }
+
   /** Map-only MinHash(16) → 4-band LSH → Jaccard verify over
     * (doc_id, sids) ARRAYS ([[docSidArrays]], cached by the caller —
     * probed by the signature pass and both verify joins).
@@ -1123,6 +1140,35 @@ object PipelineQueries {
   /** DuckDB twins computing the identical pipelines. Shared fragments are
     * inlined per query (the driver runs each statement standalone).
     */
+  /** DuckDB oracle for the decontamination contract, shared by q51, q55,
+    * and the streaming q59 — all three implementations (broadcast join,
+    * bloom prefilter + shuffle verify, streaming sorted-set kernel)
+    * produce these exact rows.
+    */
+  private[graft] lazy val decontamOracleSql: String = {
+    val toks = "list_filter(string_split(text, ' '), x -> x != '')"
+    s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        dsh AS (SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle FROM toks)),
+        dsid AS (SELECT DISTINCT doc_id, ${oraclePolyHash("shingle")} sid
+                 FROM dsh),
+        bench AS (SELECT DISTINCT sid FROM dsid WHERE doc_id < 10),
+        corpus AS (SELECT doc_id, sid FROM dsid WHERE doc_id >= 10),
+        sizes AS (SELECT doc_id, count(1) n_shingles FROM corpus GROUP BY 1),
+        ov AS (SELECT c.doc_id, count(1) n_overlap
+               FROM corpus c JOIN bench USING (sid) GROUP BY 1)
+        SELECT s.doc_id, s.n_shingles,
+               coalesce(ov.n_overlap, 0) AS n_overlap,
+               round(coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles, 4)
+                 AS overlap_ratio,
+               coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles >= 0.5
+                 AS contaminated
+        FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+        ORDER BY s.doc_id"""
+  }
+
   def oracleSql: Map[String, String] = {
     val toks = "list_filter(string_split(text, ' '), x -> x != '')"
     val dsh = s"""
@@ -1176,21 +1222,7 @@ object PipelineQueries {
                             JOIN dsid y ON doc_b = y.doc_id AND x.sid = y.sid
                   GROUP BY 1, 2)"""
 
-    val decontamSql = s"""
-        WITH $dsh, $dsid,
-        bench AS (SELECT DISTINCT sid FROM dsid WHERE doc_id < 10),
-        corpus AS (SELECT doc_id, sid FROM dsid WHERE doc_id >= 10),
-        sizes AS (SELECT doc_id, count(1) n_shingles FROM corpus GROUP BY 1),
-        ov AS (SELECT c.doc_id, count(1) n_overlap
-               FROM corpus c JOIN bench USING (sid) GROUP BY 1)
-        SELECT s.doc_id, s.n_shingles,
-               coalesce(ov.n_overlap, 0) AS n_overlap,
-               round(coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles, 4)
-                 AS overlap_ratio,
-               coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles >= 0.5
-                 AS contaminated
-        FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
-        ORDER BY s.doc_id"""
+    val decontamSql = decontamOracleSql
 
     Map(
       "q21_dedup_exact" -> """

@@ -171,6 +171,24 @@ class TextSketchSpec extends AnyFunSuite {
     assert(both.filter(not($"s3" <=> $"sk")).count() == 0)
   }
 
+  test("sorted_count_in = size(array_intersect) for distinct inputs") {
+    val rnd = new scala.util.Random(31)
+    val set = (0 until 2000).map(_ => rnd.nextLong(100000L)).distinct.sorted.toArray
+    val data = Seq.fill(200)(
+      (0 until rnd.nextInt(50)).map(_ => rnd.nextLong(100000L)).distinct.toArray)
+    val df = data.toDF("sids")
+      .withColumn("native",
+        GraftFunctions.sortedCountIn($"sids", lit(set)))
+      .withColumn("viaIntersect", size(array_intersect($"sids", lit(set))))
+    assert(df.filter($"native" =!= $"viaIntersect").count() == 0)
+    // empty probe array -> 0; null input -> null
+    val e = Seq((Array.empty[Long], Option(Array(1L)))).toDF("a", "b")
+      .select(GraftFunctions.sortedCountIn($"a", lit(set)).as("ea"),
+        GraftFunctions.sortedCountIn(lit(null).cast("array<long>"), lit(set)).as("nb"))
+      .collect().head
+    assert(e.getInt(0) == 0 && e.isNullAt(1))
+  }
+
   test("kernels are reachable from SQL text") {
     GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(
