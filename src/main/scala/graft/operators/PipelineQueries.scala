@@ -537,20 +537,26 @@ object PipelineQueries {
     "q28_langid" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
+      // Token ids are hashed sids (native kernel, computed map-side
+      // before any shuffle): the profile/test joins and aggregations all
+      // key on 8-byte longs, never token strings. A colliding token pair
+      // merges in BOTH engines identically (the oracle hashes the same
+      // way), the same lockstep contract as the shingle-set family.
       val tok = t.documents.select($"doc_id", $"lang",
-        explode(expr(toksExpr)).as("tk"))
+        explode(graft.functions.GraftFunctions.polyHashArray(
+          expr(toksExpr))).as("sid"))
       val train = tok.filter($"doc_id" % 5 === 0)
       val test = tok.filter($"doc_id" % 5 =!= 0)
 
-      val langTok = train.groupBy($"lang", $"tk").agg(count(lit(1)).as("c"))
+      val langTok = train.groupBy($"lang", $"sid").agg(count(lit(1)).as("c"))
       val langTot = train.groupBy($"lang").agg(count(lit(1)).as("tot"))
-      val vocabN = train.select($"tk").distinct().count()
+      val vocabN = train.select($"sid").distinct().count()
       val profile = langTok.join(langTot, "lang")
-        .select($"lang".as("plang"), $"tk",
+        .select($"lang".as("plang"), $"sid",
           log(($"c" + 1).cast("double") / ($"tot" + vocabN)).as("logp"))
 
       val scored = test
-        .join(profile, "tk") // unseen tokens drop (equal smoothing skip)
+        .join(profile, "sid") // unseen tokens drop (equal smoothing skip)
         .groupBy($"doc_id", $"lang", $"plang")
         .agg(sum($"logp").as("score"))
       val w = Window.partitionBy($"doc_id").orderBy(round($"score", 6).desc, $"plang")
@@ -1579,18 +1585,19 @@ object PipelineQueries {
         ORDER BY doc_id""",
 
       "q28_langid" -> s"""
-        WITH tokx AS (SELECT doc_id, lang, unnest($toks) tk FROM documents),
+        WITH tokw AS (SELECT doc_id, lang, unnest($toks) tk FROM documents),
+        tokx AS (SELECT doc_id, lang, ${oraclePolyHash("tk")} sid FROM tokw),
         train AS (SELECT * FROM tokx WHERE doc_id % 5 = 0),
         test AS (SELECT * FROM tokx WHERE doc_id % 5 != 0),
-        lang_tok AS (SELECT lang, tk, count(1) c FROM train GROUP BY 1, 2),
+        lang_tok AS (SELECT lang, sid, count(1) c FROM train GROUP BY 1, 2),
         lang_tot AS (SELECT lang, count(1) tot FROM train GROUP BY 1),
-        vocab AS (SELECT count(DISTINCT tk) n FROM train),
-        profile AS (SELECT lt.lang plang, lt.tk,
+        vocab AS (SELECT count(DISTINCT sid) n FROM train),
+        profile AS (SELECT lt.lang plang, lt.sid,
                            ln((lt.c + 1)::DOUBLE / (t.tot + v.n)) logp
                     FROM lang_tok lt JOIN lang_tot t ON lt.lang = t.lang
                     CROSS JOIN vocab v),
         scored AS (SELECT doc_id, test.lang, plang, sum(logp) score
-                   FROM test JOIN profile USING (tk)
+                   FROM test JOIN profile USING (sid)
                    GROUP BY 1, 2, 3),
         ranked AS (SELECT doc_id, lang, plang,
                           row_number() OVER (PARTITION BY doc_id
