@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.functions.foreach { case (name, info, builder) =>
       extensions.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    extensions.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }

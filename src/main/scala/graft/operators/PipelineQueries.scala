@@ -685,6 +685,33 @@ object PipelineQueries {
         .orderBy($"event_id")
     },
 
+    // ----- as-of join, native whole-operator form -----
+    // The same contract as q35 through the custom logical+physical
+    // operator ([[graft.plans.AsOfJoin]] → planner strategy →
+    // AsOfJoinExec): each side shuffles once on its key and sorts by
+    // (key, time) — planned by EnsureRequirements from the operator's
+    // declared requirements — then a single forward merge with one-row
+    // state per partition. Compare q35's composition (union both sides
+    // + last(ignoreNulls) window): same rows, but no union
+    // materialization and no window buffering. Shares q35's DuckDB
+    // ASOF JOIN oracle.
+    "q35b_asof_native" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val o1 = t.orders
+        .withColumn("od", to_date($"o_orderdate"))
+        .groupBy($"o_custkey", $"od")
+        .agg(max($"o_orderkey").as("o_orderkey"),
+             max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+      val e = t.events.select($"event_id", $"user_id", to_date($"ts").as("d"))
+      graft.plans.AsOf.asofJoin(e, o1, "user_id", "d", "o_custkey", "od")
+        .filter($"o_orderkey".isNotNull)
+        .select($"event_id", $"user_id", $"d".as("event_date"),
+          $"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"))
+        .orderBy($"event_id")
+        .orderBy($"event_id")
+    },
+
     // ----- multimodal: binary asset column + partition-wise decode -----
     // Documents re-cast as binary assets (the decode step is a STUB: a
     // deterministic fake standing in for an image decoder, which this
@@ -1681,6 +1708,20 @@ object PipelineQueries {
       // DuckDB's native ASOF JOIN is the oracle for our union-and-fill
       // composition (orders deduped to one per (customer, date) so the
       // match is deterministic in both engines).
+      // Native-operator twin of q35 — identical contract, same oracle.
+      "q35b_asof_native" -> """
+        WITH o1 AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) od,
+                 max(o_orderkey) AS o_orderkey,
+                 arg_max(o_totalprice, o_orderkey) AS o_totalprice
+          FROM orders GROUP BY 1, 2),
+        e AS (SELECT event_id, user_id, CAST(ts AS DATE) d FROM events)
+        SELECT e.event_id, e.user_id, e.d AS event_date,
+               o1.o_orderkey, round(o1.o_totalprice, 2) AS o_totalprice
+        FROM e ASOF JOIN o1
+          ON e.user_id = o1.o_custkey AND e.d >= o1.od
+        ORDER BY event_id""",
+
       "q35_asof_join" -> """
         WITH o1 AS (
           SELECT o_custkey, CAST(o_orderdate AS DATE) od,
