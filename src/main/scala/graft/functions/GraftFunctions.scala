@@ -64,6 +64,11 @@ object GraftFunctions {
         s"bloom_contains expects 3 arguments, got ${exprs.length}")
       BloomContains(exprs.head, exprs(1), intLit("bloom_contains", exprs(2)))
     }),
+    ("pq_subdists", PqSubDists.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 3,
+        s"pq_subdists expects 3 arguments, got ${exprs.length}")
+      PqSubDists(exprs.head, exprs(1), intLit("pq_subdists", exprs(2)))
+    }),
     ("sorted_count_in", SortedCountIn.info, { exprs: Seq[Expression] =>
       require(exprs.length == 2,
         s"sorted_count_in expects 2 arguments, got ${exprs.length}")
@@ -129,6 +134,10 @@ object GraftFunctions {
   /** Typed column API: `sortedCountIn($"sids", lit(sortedSet))`. */
   def sortedCountIn(arr: Column, sortedSet: Column): Column =
     Bridge.column(SortedCountIn(Bridge.expression(arr), Bridge.expression(sortedSet)))
+
+  /** Typed column API: `pqSubDists($"embedding", $"ce", 8)`. */
+  def pqSubDists(a: Column, b: Column, numSub: Int): Column =
+    Bridge.column(PqSubDists(Bridge.expression(a), Bridge.expression(b), numSub))
 
   /** Idempotent runtime registration into the session's function
     * registry (temp-function namespace, like `spark.udf.register`).

@@ -1167,6 +1167,44 @@ object PipelineQueries {
         .select(($"i" + 1).cast("long").as("stage_idx"),
           $"st.stage", $"st.n_in", $"st.n_kept")
         .orderBy($"stage_idx")
+    },
+
+    // ----- similarity scale path 3: product-quantization ANN -----
+    // The 4th standard ANN shape (after brute q25, LSH q26, IVF q36):
+    // vectors encode to 8 sub-space centroid codes (deterministic
+    // codebook = every 125th vector, as q36), queries score candidates
+    // by ADC — summing 8 per-subspace query↔centroid distances looked
+    // up from a broadcast table — so the full vectors are read ONCE to
+    // encode and never again at query time. Per-(vector, centroid)
+    // subspace distances come from the native pq_subdists kernel (one
+    // fused loop); encode is a single min_by aggregation (map-side
+    // partial argmins keep the shuffle at n×8 codes regardless of
+    // codebook size). At 100 TB: codes are 8 bytes/vector — the only
+    // corpus-sized state the query path touches.
+    "q60_ann_pq" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" % 125 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val pd = e.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cid", posexplode(
+          graft.functions.GraftFunctions.pqSubDists($"embedding", $"ce", 8))
+          .as(Seq("s", "d")))
+      val codes = pd.groupBy($"vec_id", $"s")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
+      val lut = pd.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"s".as("ls"), $"cid", $"d")
+      val adc = codes.join(broadcast(lut),
+          $"s" === $"ls" && $"code" === $"cid" && $"vec_id" =!= $"query_id")
+        .groupBy($"query_id", $"vec_id")
+        .agg(sum($"d").as("adc"))
+      val w = Window.partitionBy($"query_id").orderBy(round($"adc", 6), $"vec_id")
+      adc
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id", round($"adc", 4).as("adc"))
+        .orderBy($"query_id", $"rank")
     }
   )
 
@@ -1708,6 +1746,39 @@ object PipelineQueries {
       // DuckDB's native ASOF JOIN is the oracle for our union-and-fill
       // composition (orders deduped to one per (customer, date) so the
       // match is deterministic in both engines).
+      // PQ ANN: identical deterministic codebook/encode/ADC pipeline;
+      // the subspace fold is index-ascending in both engines, so the
+      // doubles match (round(.,6) rank guard mirrors q28's).
+      "q60_ann_pq" -> """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        cents AS (SELECT vec_id cid, v cv FROM e WHERE vec_id % 125 = 0),
+        pd AS (SELECT a.vec_id, c.cid, s.s,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, 9),
+                          j -> (a.v[s.s*8+j] - c.cv[s.s*8+j])
+                               * (a.v[s.s*8+j] - c.cv[s.s*8+j]))),
+                        (x, y) -> x + y) d
+               FROM e a CROSS JOIN cents c
+                    CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
+        codes AS (SELECT vec_id, s, cid AS code FROM (
+                    SELECT vec_id, s, cid,
+                           row_number() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d, cid) rn
+                    FROM pd) WHERE rn = 1),
+        lut AS (SELECT vec_id query_id, s, cid, d FROM pd WHERE vec_id < 5),
+        adc AS (SELECT l.query_id, c.vec_id, sum(l.d) adc
+                FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.code
+                WHERE c.vec_id != l.query_id
+                GROUP BY 1, 2),
+        ranked AS (SELECT query_id, vec_id, adc,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY round(adc, 6), vec_id)
+                            AS rank
+                   FROM adc)
+        SELECT query_id, rank, vec_id, round(adc, 4) AS adc
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""",
+
       // Native-operator twin of q35 — identical contract, same oracle.
       "q35b_asof_native" -> """
         WITH o1 AS (

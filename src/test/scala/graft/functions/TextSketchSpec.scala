@@ -189,6 +189,22 @@ class TextSketchSpec extends AnyFunSuite {
     assert(e.getInt(0) == 0 && e.isNullAt(1))
   }
 
+  test("pq_subdists matches the SQL slice-fold bit-for-bit") {
+    val rnd = new scala.util.Random(37)
+    val data = Seq.fill(100)((
+      Array.fill(64)(rnd.nextFloat() * 2f - 1f),
+      Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val fold = (0 until 8).map(s =>
+      s"""aggregate(sequence(${s * 8}, ${s * 8 + 7}), CAST(0 AS DOUBLE),
+          (acc, j) -> acc + (CAST(a[j] AS DOUBLE) - CAST(b[j] AS DOUBLE))
+                          * (CAST(a[j] AS DOUBLE) - CAST(b[j] AS DOUBLE)))""")
+      .mkString("array(", ",", ")")
+    val df = data.toDF("a", "b")
+      .withColumn("native", GraftFunctions.pqSubDists($"a", $"b", 8))
+      .withColumn("viaFold", expr(fold))
+    assert(df.filter(not($"native" <=> $"viaFold")).count() == 0)
+  }
+
   test("kernels are reachable from SQL text") {
     GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(
