@@ -709,7 +709,6 @@ object PipelineQueries {
         .select($"event_id", $"user_id", $"d".as("event_date"),
           $"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"))
         .orderBy($"event_id")
-        .orderBy($"event_id")
     },
 
     // ----- multimodal: binary asset column + partition-wise decode -----

@@ -514,6 +514,35 @@ object RelationalQueries {
         .orderBy($"event_type", $"bucket")
     },
 
+    // ----- range join: shipments inside each order's 31-day window -----
+    // Point-in-interval join (l_shipdate ∈ [o_orderdate, o_orderdate+30d])
+    // — the non-equi join class Spark would otherwise execute as a
+    // broadcast-nested-loop over every (order, lineitem) pair. The
+    // scale plan BINS the time axis: points pre-aggregate to per-day
+    // counts (one shuffle, output calendar-bounded — days × 1 row), and
+    // each interval explodes into its ≤31 covered days (bounded fanout =
+    // interval span / bin width), turning the range predicate into an
+    // equi-join on the day key. The day side stays broadcast-able
+    // FOREVER (calendar-bounded), so at 100 TB the plan is: map-side
+    // explode + broadcast hash join + one groupBy shuffle — no pairwise
+    // comparison anywhere. For non-aggregable payloads the same
+    // explode-on-bin feeds a shuffled equi-join on the bin key instead.
+    "q61_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val daily = t.lineitem
+        .groupBy(to_date($"l_shipdate").as("ship_day"))
+        .agg(count(lit(1)).as("n_ship"))
+      val orderDays = t.orders
+        .select($"o_orderkey", to_date($"o_orderdate").as("od"))
+        .select($"o_orderkey",
+          explode(expr("sequence(od, date_add(od, 30))")).as("ship_day"))
+      orderDays.join(broadcast(daily), "ship_day")
+        .groupBy($"o_orderkey")
+        .agg(sum($"n_ship").as("n_shipped_in_window"))
+        .orderBy($"o_orderkey")
+    },
+
     // ----- pivot: orderpriority columns per orderstatus row -----
     // Fixed pivot values keep the output schema static (required for a
     // deterministic oracle); absent combinations fill 0 like the
@@ -798,6 +827,19 @@ object RelationalQueries {
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",
+
+    // Naive range-predicate form of the binned q61 plan: identical
+    // per-order counts, the engine (DuckDB IEJoin) does the interval
+    // matching the Spark side avoids by binning.
+    "q61_range_join" -> """
+      SELECT o.o_orderkey,
+             count(1) AS n_shipped_in_window
+      FROM orders o
+      JOIN lineitem l
+        ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+       AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY
+      GROUP BY o.o_orderkey
+      ORDER BY o.o_orderkey""",
 
     "q43_theta_join" -> """
       WITH bounds AS (

@@ -4,10 +4,29 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.operators.Tables
+
+/** One event of a user's stream for the q63 custom-state profile;
+  * `ts_us` is the µs-floored epoch (events.ts arrives as ns longs).
+  */
+private[streaming] case class UserEvent(user_id: Long, ts_us: Long, value: Double)
+
+/** q63 running state, carried per user across micro-batches by the
+  * state store: event/session counts, value sum, and the observed time
+  * span. One fixed-size record per user — state scales with entity
+  * cardinality, never event volume.
+  */
+private[streaming] case class ProfileState(
+    nEvents: Long, nSessions: Long, sumValue: Double,
+    firstUs: Long, lastUs: Long)
+
+/** q63 emission row (timestamps converted from µs after the sink). */
+private[streaming] case class UserProfileRow(
+    user_id: Long, n_events: Long, n_sessions: Long, sum_value: Double,
+    first_us: Long, last_us: Long)
 
 /** Structured Streaming operator coverage (SURVEY §2.2 "Streaming" —
   * absent from the reference, which is batch-only; supplied here by
@@ -23,6 +42,10 @@ import graft.operators.Tables
   *   - q32 exercises `session_window` (the streaming-native gap-session
   *     operator) through the batch path — same operator semantics, plus
   *     a watermarked streaming run covered in StreamingQueriesSpec.
+  *   - q62 is the stream-stream join proper (both sides unbounded,
+  *     watermark-bounded join state, event-time range condition).
+  *   - q63 is arbitrary stateful processing (flatMapGroupsWithState)
+  *     with one fixed-size state record per user.
   *
   * Scale: the streaming aggregation shuffles once on the window/group
   * keys with partial aggregation map-side (same plan shape as batch);
@@ -44,6 +67,40 @@ object StreamingQueries {
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
+
+  /** 30-minute session gap in µs (the q32/q63 session rule). */
+  private val sessionGapUs = 30L * 60 * 1000000L
+
+  /** q63's state-update function: merges one micro-batch of a user's
+    * events (sorted by event time within the batch) into the running
+    * [[ProfileState]]. A new session starts when the gap from the last
+    * seen event is >= 30 min — the same rule as q32's `session_window`
+    * (which merges only strictly-overlapping [ts, ts+gap) windows).
+    * Emits the updated profile once per (user, batch).
+    *
+    * The per-group sort buffers ONE user's batch slice — bounded by the
+    * batch interval, not the corpus; a user whose in-batch events arrive
+    * unsorted across micro-batch boundaries would need a watermark-held
+    * reorder buffer, which this profile (monotone counters) doesn't.
+    */
+  private[streaming] def updateProfile(uid: Long, rows: Iterator[UserEvent],
+      state: GroupState[ProfileState]): Iterator[UserProfileRow] = {
+    val evs = rows.toArray.sortBy(_.ts_us)
+    var st = state.getOption.getOrElse(
+      ProfileState(0L, 0L, 0.0, Long.MaxValue, Long.MinValue))
+    evs.foreach { e =>
+      val newSession = st.nEvents == 0L || e.ts_us - st.lastUs >= sessionGapUs
+      st = ProfileState(
+        st.nEvents + 1L,
+        st.nSessions + (if (newSession) 1L else 0L),
+        st.sumValue + e.value,
+        math.min(st.firstUs, e.ts_us),
+        math.max(st.lastUs, e.ts_us))
+    }
+    state.update(st)
+    Iterator.single(UserProfileRow(
+      uid, st.nEvents, st.nSessions, st.sumValue, st.firstUs, st.lastUs))
+  }
 
   /** documents.parquet schema for readStream. */
   private val docsStreamSchema = StructType(Seq(
@@ -200,6 +257,105 @@ object StreamingQueries {
       s2.table(sink).orderBy($"doc_id")
     },
 
+    // ----- stream-stream join (watermarked, event-time range) -----
+    // Two live streams carved from the events feed — clicks and
+    // purchases — joined per user on "purchase within 1 hour after the
+    // click". This is the streaming join proper: BOTH sides are
+    // unbounded, each holds watermark-bounded state, and the event-time
+    // range condition lets Spark evict a row once the other side's
+    // watermark passes its join horizon. State per side = one hour of
+    // events (the range width + watermark delay), independent of stream
+    // age — the property that makes this run forever at 100 TB/day.
+    // Inner-join matches emit in the batch that completes them, so on a
+    // bounded input the final sink equals the batch join (the oracle).
+    "q62_stream_stream_join" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      def src: DataFrame = s2.readStream
+        .schema(eventsStreamSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+      val clicks = src.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = src.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user_id"),
+          $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+        .withWatermark("purchase_ts", "1 hour")
+
+      val joined = clicks.join(purchases,
+          $"user_id" === $"p_user_id" &&
+            $"purchase_ts" >= $"click_ts" &&
+            $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+        .select($"click_id", $"user_id", $"click_ts",
+          $"purchase_id", $"purchase_ts", $"purchase_value")
+
+      val sink = s"q62_sink_${sinkCounter.incrementAndGet()}"
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s2.table(sink).orderBy($"click_id", $"purchase_id")
+    },
+
+    // ----- arbitrary stateful processing (flatMapGroupsWithState) -----
+    // Per-user behavioral profile via the custom-state API: the state
+    // store carries one fixed-size ProfileState per user across
+    // micro-batches ([[updateProfile]]); sessions follow the q32 30-min
+    // gap rule but are counted by hand-rolled state, not the built-in
+    // session_window operator. Update output mode emits the refreshed
+    // profile each batch; on a bounded single-batch input that final
+    // profile equals the batch gap-islands aggregate (the oracle).
+    // State = entity cardinality (users), not event volume — the RocksDB
+    // provider toggle covers the key-space class that outgrows the heap.
+    "q63_state_profile" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      val stream = s2.readStream
+        .schema(eventsStreamSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select($"user_id", expr("ts div 1000").as("ts_us"), $"value")
+        .as[UserEvent]
+
+      val profiles = stream
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateProfile)
+
+      val sink = s"q63_sink_${sinkCounter.incrementAndGet()}"
+      val q = profiles.toDF().writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s2.table(sink)
+        .select($"user_id", $"n_events", $"n_sessions",
+          round($"sum_value", 2).as("sum_value"),
+          timestamp_micros($"first_us").as("first_ts"),
+          timestamp_micros($"last_us").as("last_ts"))
+        .orderBy($"user_id")
+    },
+
     // ----- gap-based session windows (session_window operator) -----
     // A session = consecutive events of one user with < 30 min between
     // them; window end = last event + gap (Spark session_window spec).
@@ -235,6 +391,47 @@ object StreamingQueries {
       SELECT DISTINCT user_id, event_type
       FROM events
       ORDER BY user_id, event_type""",
+
+    // Batch twin of the watermarked stream-stream join: every
+    // (click, purchase) pair of one user with the purchase inside the
+    // hour after the click.
+    "q62_stream_stream_join" -> """
+      SELECT c.event_id AS click_id,
+             c.user_id,
+             CAST(c.ts AS TIMESTAMP) AS click_ts,
+             p.event_id AS purchase_id,
+             CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+             p.value AS purchase_value
+      FROM events c
+      JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click'
+       AND p.event_type = 'purchase'
+       AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+       AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id""",
+
+    // Gap-islands twin of the custom-state profile: session breaks at
+    // >= 30 min, profile = counts + value sum + observed span per user.
+    "q63_state_profile" -> """
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP))
+                           OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+      )
+      SELECT user_id,
+             count(1) AS n_events,
+             CAST(1 + sum(brk) AS BIGINT) AS n_sessions,
+             round(sum(value), 2) AS sum_value,
+             min(ts) AS first_ts,
+             max(ts) AS last_ts
+      FROM e
+      GROUP BY user_id
+      ORDER BY user_id""",
 
     // Gap-islands twin of session_window: a new session starts when the
     // gap to the previous event is >= 30 min (Spark merges only strictly

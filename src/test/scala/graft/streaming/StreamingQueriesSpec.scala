@@ -110,6 +110,77 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("q62 stream-stream join equals the batch range join on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingQueries.queries("q62_stream_stream_join")(spark, dir)
+    val ev = graft.operators.Tables(spark, dir).events
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_uid"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val twin = c.join(p,
+      col("user_id") === col("p_uid") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "user_id", "click_ts",
+        "purchase_id", "purchase_ts", "purchase_value")
+    assert(got.count() > 0)
+    assert(got.exceptAll(twin).isEmpty && twin.exceptAll(got).isEmpty)
+  }
+
+  test("q63 profile state carries sessions across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+
+    val profiles = input.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(StreamingQueries.updateProfile)
+
+    val q = profiles.toDF().writeStream
+      .format("memory").queryName("ss_profile")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    def us(minute: Int): Long = ts(0).getTime * 1000L + minute * 60L * 1000000L
+    try {
+      // Batch 1: two events 10 min apart — one session.
+      input.addData(UserEvent(1L, us(10), 1.0), UserEvent(1L, us(0), 2.0))
+      q.processAllAvailable()
+      // Batch 2: 10:20 continues the open session (gap 10 min from the
+      // 10:10 state), 11:30 starts a second one. Both depend on state
+      // from batch 1 — a stateless re-run would count differently.
+      input.addData(UserEvent(1L, us(20), 3.0), UserEvent(1L, us(90), 4.0))
+      q.processAllAvailable()
+      val last = spark.table("ss_profile").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5)))
+        .maxBy(_._2) // update mode appends one row per batch; latest has most events
+      assert(last == ((1L, 4L, 2L, 10.0, us(0), us(90))))
+    } finally q.stop()
+  }
+
+  test("q63 state profile equals the batch gap-islands aggregate on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingQueries.queries("q63_state_profile")(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val twin = graft.operators.Tables(spark, dir).events
+      .withColumn("gap_break",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+          >= 30L * 60 * 1000000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (sum("gap_break") + 1L).as("n_sessions"),
+        round(sum("value"), 2).as("sum_value"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(twin).isEmpty && twin.exceptAll(got).isEmpty)
+  }
+
   test("q31 produces identical results under the RocksDB state store") {
     val dir = "/root/testdata/sf0.001"
     val hdfs = StreamingQueries.queries("q31_stream_window")(spark, dir)
