@@ -105,7 +105,7 @@ object Bloom {
     var i = 0
     while (i < k) {
       val pos = (h1 + i * h2) % m
-      if (((bytes((pos >> 3).toInt) >> (pos & 7)) & 1) == 0) return false
+      if (((bytes((pos >> 3).toInt) >> (pos & 7).toInt) & 1) == 0) return false
       i += 1
     }
     true

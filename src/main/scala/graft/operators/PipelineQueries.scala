@@ -97,7 +97,7 @@ object PipelineQueries {
   private def denseIds(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.select(keyCol).distinct().orderBy(keyCol)
-    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row(r.getString(0), i + 1L)
     }
     spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
@@ -983,6 +983,31 @@ object PipelineQueries {
         .orderBy($"position")
     },
 
+    // ----- document chunking: fixed-token windows with overlap -----
+    // The tokenize-for-training shape: each document splits into 32-token
+    // chunks on a 24-token stride (8-token overlap), the unit a trainer
+    // packs into sequences. Fully MAP-ONLY: chunk starts, slices, and
+    // re-joined text are per-row array expressions — a document never
+    // leaves its partition until the output sort, so 100 TB chunks
+    // exactly as fast as it scans. Chunk count per doc = ceil(tokens/24),
+    // bounded by doc length, never corpus size.
+    "q64_doc_chunks" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.documents
+        .repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(0, (size(toks)-1) div 24), i -> slice(toks, i*24 + 1, 32))"))
+          .as(Seq("chunk_idx", "chunk")))
+        .select($"doc_id",
+          $"chunk_idx".cast("long").as("chunk_idx"),
+          size($"chunk").cast("long").as("n_tokens"),
+          concat_ws(" ", $"chunk").as("chunk_text"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
     // ----- cross-corpus near-dup: corpus A vs corpus B MinHash join -----
     // The "is my new crawl already in the training set" shape: same
     // MinHash(16)/4-band machinery as q22b, but candidates pair one doc
@@ -1302,6 +1327,25 @@ object PipelineQueries {
         FROM documents
         GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         ORDER BY doc_id""",
+
+      // Chunk starts/slices mirror the Spark transform+slice exactly:
+      // DuckDB list slicing tk[a:b] is 1-based inclusive, clipped at the
+      // array end, = Spark slice(toks, a, b-a+1).
+      "q64_doc_chunks" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        c AS (SELECT doc_id,
+                     unnest(range(0, (len(tk) - 1) // 24 + 1)) AS chunk_idx,
+                     tk
+              FROM toks WHERE len(tk) > 0),
+        sliced AS (SELECT doc_id, chunk_idx,
+                          tk[chunk_idx*24 + 1 : chunk_idx*24 + 32] AS chunk
+                   FROM c)
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(chunk) AS BIGINT) AS n_tokens,
+               array_to_string(chunk, ' ') AS chunk_text
+        FROM sliced
+        ORDER BY doc_id, chunk_idx""",
 
       "q22b_minhash_nodict" -> s"""
         WITH $minhashChain

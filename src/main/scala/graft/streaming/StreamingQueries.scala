@@ -257,6 +257,47 @@ object StreamingQueries {
       s2.table(sink).orderBy($"doc_id")
     },
 
+    // ----- streaming SLIDING-window aggregation -----
+    // Overlapping 1-hour windows every 15 minutes — each event lands in
+    // 4 windows (the rate-monitoring shape tumbling q31 can't express).
+    // State = 4× the tumbling window count: still calendar-bounded
+    // (windows × event types), never data volume. Same complete-mode /
+    // AvailableNow contract as q31: on bounded input the final state
+    // equals the batch aggregate the oracle computes by exploding each
+    // event into its 4 covering window starts.
+    "q65_sliding_window" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      val stream = s2.readStream
+        .schema(eventsStreamSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+      val agg = stream
+        .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             round(sum($"value"), 2).as("sum_value"))
+        .select($"window.start".as("window_start"), $"event_type",
+                $"n_events", $"sum_value")
+
+      val sink = s"q65_sink_${sinkCounter.incrementAndGet()}"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s2.table(sink).orderBy($"window_start", $"event_type")
+    },
+
     // ----- stream-stream join (watermarked, event-time range) -----
     // Two live streams carved from the events feed — clicks and
     // purchases — joined per user on "purchase within 1 hour after the
@@ -391,6 +432,24 @@ object StreamingQueries {
       SELECT DISTINCT user_id, event_type
       FROM events
       ORDER BY user_id, event_type""",
+
+    // Sliding-window twin: every event belongs to the 4 hour-long
+    // windows starting at its 15-min floor minus 0/15/30/45 min (Spark
+    // windows align to the epoch, as does the floor arithmetic here).
+    "q65_sliding_window" -> """
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                 FROM events),
+      x AS (SELECT make_timestamp(
+                     ((CAST(floor(epoch(ts) / 900) AS BIGINT) - k.k) * 900)
+                     * 1000000) AS window_start,
+                   event_type, value
+            FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+      SELECT window_start, event_type,
+             count(1) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM x
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type""",
 
     // Batch twin of the watermarked stream-stream join: every
     // (click, purchase) pair of one user with the purchase inside the
