@@ -1,7 +1,9 @@
 package graft.sources.gsheets
 
+import java.util.OptionalLong
+
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -50,9 +52,45 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
 }
 
 final class GSheetsScan(bound: BoundSheet, required: StructType,
-    numPartitions: Int, options: GSheetsOptions) extends Scan with Batch {
+    numPartitions: Int, options: GSheetsOptions)
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Exact relation statistics from the bind snapshot. The reference
+    * registers no cardinality callback (`src/gsheets_extension.cpp:55-59`)
+    * so DuckDB costs sheet scans blind; Spark-side we KNOW the grid — the
+    * bind fetched every cell — so report exact `numRows` and the UTF-8
+    * payload of the PRUNED columns as `sizeInBytes`. A sheet caps at 10M
+    * cells, which keeps dimension sheets under the default 10 MB
+    * auto-broadcast threshold: a sheet⋈fact join now plans
+    * `BroadcastHashJoin` with no user hint (asserted by ExtensionsSpec).
+    */
+  override def estimateStatistics(): Statistics = stats
+
+  private lazy val stats: Statistics = {
+    val nameToIdx =
+      bound.schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
+    val colIdx =
+      required.fieldNames.map(n => nameToIdx.getOrElse(n.toLowerCase, -1))
+    val rows = bound.dataRows
+    // Per-cell cost: string payload + fixed slot overhead (mirrors how
+    // Spark's own estimators charge object headers); floor 1 so an empty
+    // sheet never reports size 0 (which Spark treats as "unknown-cheap").
+    var bytes = 0L
+    rows.foreach { row =>
+      colIdx.foreach { i =>
+        bytes += 8L
+        if (i >= 0 && i < row.size && row(i) != null) bytes += row(i).length
+      }
+    }
+    val rowCount = rows.length.toLong
+    val size = math.max(bytes, 1L)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(size)
+      override def numRows(): OptionalLong = OptionalLong.of(rowCount)
+    }
+  }
 
   override def toBatch: Batch = this
 

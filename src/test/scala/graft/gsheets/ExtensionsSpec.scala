@@ -84,6 +84,39 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE gsheets_people")
   }
 
+  test("exact scan statistics auto-broadcast a sheet-dimension join") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    TransportRegistry.register("mock-ext-stats", mock)
+    GSheetsBind.clearCache()
+
+    val sheet = spark.read.format("gsheets")
+      .option("token", "test-token").option("transport", "mock-ext-stats")
+      .option("cachebust", "ext-stats")
+      .load(s"https://docs.google.com/spreadsheets/d/$SpreadsheetId/edit#gid=0")
+
+    // SupportsReportStatistics: exact rowCount from the bind snapshot
+    // (sheet1 has 6 data rows) and a payload-scale sizeInBytes — not the
+    // "unknown" default that would block broadcast planning.
+    val stats = sheet.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(6)))
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 10000)
+
+    // Fact side estimates ~800 KB (range of 100k longs), over a 1 KB
+    // threshold; the sheet (~200 B) is the only broadcastable side. NO
+    // broadcast() hint anywhere — the planner must pick it from stats.
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "1024") {
+      import org.apache.spark.sql.functions.col
+      val fact = spark.range(100000)
+        .withColumn("age", (col("id") % 100).cast("double"))
+      val joined = fact.join(sheet, "age")
+      assert(joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        s"expected BroadcastHashJoin in:\n${joined.queryExecution.sparkPlan}")
+      assert(joined.count() == 4000) // ages 25/30/45/99 × 1000 each; NULL ages drop
+    }
+  }
+
   test("basename strips query, fragment, and extension") {
     import GSheetsUrlResolution.basename
     assert(basename("https://docs.google.com/spreadsheets/d/X/edit?gid=1#r") == "edit")
