@@ -36,6 +36,17 @@ final case class GSheetsOptions(raw: Map[String, String]) {
   def numPartitions: Int =
     get("numpartitions", "num_partitions").map(_.toInt).getOrElse(1).max(1)
 
+  /** Streaming admission control: cap rows emitted per micro-batch
+    * (`ReadLimit.maxRows`). Unset = drain all available each trigger.
+    */
+  def maxRowsPerTrigger: Option[Long] =
+    get("maxrowspertrigger", "max_rows_per_trigger").map { v =>
+      val n = v.toLong
+      if (n <= 0) throw new IllegalArgumentException(
+        s"gsheets: max_rows_per_trigger must be positive, got $n")
+      n
+    }
+
   /** `fetch_on_executor=true`: scan partitions carry only (id, range,
     * auth options) and the reader fetches cell values on the executor —
     * task binaries and driver memory no longer scale with sheet size.

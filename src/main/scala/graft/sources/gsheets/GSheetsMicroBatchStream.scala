@@ -1,7 +1,7 @@
 package graft.sources.gsheets
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming read of a sheet as an append-only tail
@@ -15,6 +15,17 @@ import org.apache.spark.sql.types.StructType
   * counts, so checkpoint/restart resumes where the last run stopped and
   * a `Trigger.AvailableNow` run over an unchanged sheet emits nothing.
   *
+  * Admission control ([[SupportsTriggerAvailableNow]]):
+  *   - `Trigger.AvailableNow` pins the target offset at
+  *     [[prepareForTriggerAvailableNow]] — ONE fetch bounds the whole
+  *     run (no per-batch re-poll, no mid-run sheet growth bleed-in),
+  *     and the run is genuine multi-batch rather than the
+  *     single-batch-fallback WARN path Spark uses for plain sources;
+  *   - `max_rows_per_trigger` caps each micro-batch's row count (a
+  *     [[ReadLimit.maxRows]] default limit), so a large backlog drains
+  *     in bounded, checkpointed steps in both AvailableNow and
+  *     continuous-trigger modes.
+  *
   * Rows already emitted are assumed immutable (append-only sheet) — the
   * same contract as a file tail; in-place edits of old rows are not
   * re-emitted. A shrunken sheet yields an empty batch, never an error.
@@ -22,20 +33,55 @@ import org.apache.spark.sql.types.StructType
 final class GSheetsMicroBatchStream(
     initial: BoundSheet,
     options: GSheetsOptions,
-    required: StructType) extends MicroBatchStream {
+    required: StructType) extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   import GSheetsMicroBatchStream.RowOffset
 
   // Latest polled grid; planInputPartitions slices it by row offset.
   @volatile private var latest: BoundSheet = initial
 
-  override def initialOffset(): Offset = RowOffset(0L)
+  // Row count pinned by prepareForTriggerAvailableNow; -1 = unbounded
+  // (continuous triggers re-poll on every latestOffset call).
+  @volatile private var availableNowCap: Long = -1L
 
-  override def latestOffset(): Offset = {
+  private def refresh(): Unit = {
     latest = GSheetsBind.bindFresh(options)
     latest.error.foreach(msg => throw new IllegalStateException(msg))
-    RowOffset(latest.dataRows.size.toLong)
   }
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    refresh()
+    availableNowCap = latest.dataRows.size.toLong
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    options.maxRowsPerTrigger
+      .map(n => ReadLimit.maxRows(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = RowOffset(0L)
+
+  // Admission-control sources are driven through latestOffset(start,
+  // limit); Spark never calls the no-arg form (same contract as the
+  // built-in Kafka source).
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[RowOffset].rows
+    val target =
+      if (availableNowCap >= 0L) availableNowCap // pinned; no re-poll mid-run
+      else { refresh(); latest.dataRows.size.toLong }
+    val end = limit match {
+      case r: ReadMaxRows => math.min(target, from + r.maxRows())
+      case _              => target
+    }
+    RowOffset(end)
+  }
+
+  override def reportLatestOffset(): Offset =
+    RowOffset(latest.dataRows.size.toLong)
 
   override def deserializeOffset(json: String): Offset = RowOffset(json.toLong)
 

@@ -82,6 +82,70 @@ class StreamReadSpec extends AnyFunSuite {
       ("Alice", 30.0), ("Bob", 25.0), ("Charlie", 45.0), ("Dina", 33.0)))
   }
 
+  test("AvailableNow with max_rows_per_trigger drains in multiple committed batches") {
+    val ckpt = newCheckpoint()
+    val out = Files.createTempDirectory("gsheets-stream-out").toString
+
+    // 4 data rows, 2-row batches → the AvailableNow run must commit two
+    // micro-batches (the SupportsTriggerAvailableNow path; the plain
+    // fallback would collapse to one unbounded batch).
+    val mock1 = new MockHttp
+    mock1.addJson(metadataJson)                                      // schema bind
+    mock1.addJson(valueRangeJson("Sheet1!A1:Z1000", appendedRows))
+    mock1.addJson(metadataJson)                                      // prepare pin
+    mock1.addJson(valueRangeJson("Sheet1!A1:Z1000", appendedRows))
+    TransportRegistry.register("mock-stream-3", mock1)
+
+    GSheetsBind.clearCache()
+    val stream = spark.readStream.format("gsheets")
+      .option("transport", "mock-stream-3")
+      .option("token", "test-token")
+      .option("cachebust", "mock-stream-3")
+      .option("max_rows_per_trigger", "2")
+      .load(s"https://docs.google.com/spreadsheets/d/$SpreadsheetId/edit#gid=0")
+    val q = stream.writeStream
+      .format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    assert(sinkRows(out) == Seq(
+      ("Alice", 30.0), ("Bob", 25.0), ("Charlie", 45.0), ("Dina", 33.0)))
+    // Two committed batches (0 and 1), each bounded at 2 rows — the
+    // checkpoint commit log is the witness that the run was multi-batch.
+    val commits = new java.io.File(s"$ckpt/commits")
+      .listFiles().map(_.getName).filter(_.forall(_.isDigit)).sorted.toSeq
+    assert(commits == Seq("0", "1"))
+
+    // Restart against a grown sheet: offsets resume past the 4 emitted
+    // rows; only the newly appended row arrives (again under the pinned
+    // prepare snapshot).
+    val grownRows = appendedRows :+ Seq("Edith", "52", "Oslo")
+    val mock2 = new MockHttp
+    mock2.addJson(metadataJson)
+    mock2.addJson(valueRangeJson("Sheet1!A1:Z1000", grownRows))
+    mock2.addJson(metadataJson)
+    mock2.addJson(valueRangeJson("Sheet1!A1:Z1000", grownRows))
+    TransportRegistry.register("mock-stream-3", mock2)
+    GSheetsBind.clearCache()
+    val stream2 = spark.readStream.format("gsheets")
+      .option("transport", "mock-stream-3")
+      .option("token", "test-token")
+      .option("cachebust", "mock-stream-3")
+      .option("max_rows_per_trigger", "2")
+      .load(s"https://docs.google.com/spreadsheets/d/$SpreadsheetId/edit#gid=0")
+    val q2 = stream2.writeStream
+      .format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(sinkRows(out) == Seq(
+      ("Alice", 30.0), ("Bob", 25.0), ("Charlie", 45.0),
+      ("Dina", 33.0), ("Edith", 52.0)))
+  }
+
   test("unchanged sheet on restart emits an empty batch") {
     val ckpt = newCheckpoint()
     val out = Files.createTempDirectory("gsheets-stream-out").toString
