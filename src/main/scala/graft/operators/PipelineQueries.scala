@@ -698,8 +698,16 @@ object PipelineQueries {
     "q35b_asof_native" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
+      // Pre-partition on the JOIN key alone, then aggregate: hash(k)
+      // co-locates every (k, od) group, so the groupBy runs on the
+      // existing partitioning AND its output already satisfies the
+      // as-of join's ClusteredDistribution(o_custkey) — one exchange
+      // feeds both the aggregation and the join (3 total in the plan,
+      // matching q35's composition; without this, the agg's (k, od)
+      // hash partitioning forces a 4th re-shuffle on k).
       val o1 = t.orders
         .withColumn("od", to_date($"o_orderdate"))
+        .repartition($"o_custkey")
         .groupBy($"o_custkey", $"od")
         .agg(max($"o_orderkey").as("o_orderkey"),
              max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))

@@ -67,13 +67,6 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
-  /** Ordering over evaluated atomic values (keys/times are atomic,
-    * non-null here; internal types — Long/Int/Double/UTF8String/
-    * Decimal — are all Comparable).
-    */
-  private def cmp(a: Any, b: Any): Int =
-    a.asInstanceOf[Comparable[Any]].compareTo(b)
-
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -81,8 +74,16 @@ case class AsOfJoinExec(
     val lt = BindReferences.bindReference(leftTime, lOut)
     val rk = BindReferences.bindReference(rightKey, rOut)
     val rt = BindReferences.bindReference(rightTime, rOut)
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // Comparators specialized to the key/time types ONCE per
+      // partition: the merge loop then runs monomorphic primitive
+      // compares instead of a megamorphic Comparable cast per row
+      // (keys/times are atomic and non-null inside the loop).
+      val cmpKey = AsOfJoinExec.typedComparator(keyType)
+      val cmpTime = AsOfJoinExec.typedComparator(timeType)
       // Bind against NULLABLE right attributes: unmatched left rows pair
       // with an all-null row, and a projection bound to the children's
       // original (possibly non-nullable) attrs would skip the null
@@ -125,19 +126,54 @@ case class AsOfJoinExec(
           // same key and time <= t become the candidate.
           var advancing = true
           while (advancing && rHead != null) {
-            val ck = cmp(rHeadKey, k)
+            val ck = cmpKey(rHeadKey, k)
             if (ck < 0) advanceRight()
-            else if (ck == 0 && cmp(rHeadTime, t) <= 0) {
+            else if (ck == 0 && cmpTime(rHeadTime, t) <= 0) {
               cand = rHead
               candKey = rHeadKey
               advanceRight()
             } else advancing = false
           }
-          val matched = cand != null && cmp(candKey, k) == 0
+          val matched = cand != null && cmpKey(candKey, k) == 0
           resultProj(joined(lRow, if (matched) cand else nullRight))
         }
       }
     }
+  }
+}
+
+object AsOfJoinExec {
+  import org.apache.spark.sql.types._
+
+  /** Comparator for evaluated (boxed) values of one atomic type, chosen
+    * once per partition so the merge loop's call sites stay
+    * monomorphic. Values are non-null (null keys/times are filtered
+    * before comparison).
+    */
+  def typedComparator(dt: DataType): (Any, Any) => Int = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      (a, b) => java.lang.Long.compare(
+        a.asInstanceOf[java.lang.Long], b.asInstanceOf[java.lang.Long])
+    case IntegerType | DateType =>
+      (a, b) => java.lang.Integer.compare(
+        a.asInstanceOf[java.lang.Integer], b.asInstanceOf[java.lang.Integer])
+    case ShortType =>
+      (a, b) => java.lang.Short.compare(
+        a.asInstanceOf[java.lang.Short], b.asInstanceOf[java.lang.Short])
+    case ByteType =>
+      (a, b) => java.lang.Byte.compare(
+        a.asInstanceOf[java.lang.Byte], b.asInstanceOf[java.lang.Byte])
+    case DoubleType =>
+      (a, b) => java.lang.Double.compare(
+        a.asInstanceOf[java.lang.Double], b.asInstanceOf[java.lang.Double])
+    case FloatType =>
+      (a, b) => java.lang.Float.compare(
+        a.asInstanceOf[java.lang.Float], b.asInstanceOf[java.lang.Float])
+    case StringType =>
+      (a, b) => a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    case _ =>
+      (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
 }
 
