@@ -720,57 +720,71 @@ object PipelineQueries {
     },
 
     // ----- multimodal: binary asset column + partition-wise decode -----
-    // Documents re-cast as binary assets (the decode step is a STUB: a
-    // deterministic fake standing in for an image decoder, which this
-    // container lacks). The Spark plumbing is real: binary column, typed
-    // Dataset, mapPartitions batch iteration — swap `decodeStub` for a
-    // JNI/library call and nothing else changes.
+    // Stage 1 renders each document into a REAL tiny PNG (deterministic
+    // pixels — see [[Multimodal]]); stage 2 decodes those bytes with the
+    // in-JDK codec (javax.imageio) and reads dimensions + a weighted
+    // pixel checksum. Both stages are mapPartitions batch iteration over
+    // a binary column — the exact plumbing a production decoder drops
+    // into — and the oracle reproduces the decoded values relationally
+    // (PNG is lossless), so the decode is end-to-end verified.
     "q30_multimodal_meta" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val assets = t.documents
-        .select($"doc_id", encode($"text", "UTF-8").as("bytes"))
-        .as[(Long, Array[Byte])]
+        .select($"doc_id", length($"text").cast("int").as("text_len"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (docId, n) =>
+          (docId, Multimodal.encodePng(docId, n))
+        })
       assets.mapPartitions { it =>
-        it.map { case (docId, bytes) => Multimodal.decodeStub(docId, bytes) }
+        it.map { case (docId, bytes) => Multimodal.decodeMeta(docId, bytes) }
       }.toDF()
-        .select($"doc_id", $"n_bytes", $"width", $"height", $"n_frames", $"checksum")
+        .select($"doc_id", $"width", $"height", $"n_pixels", $"pix_checksum")
         .orderBy($"doc_id")
     },
 
     // ----- multimodal: frame sampling (one asset → many frames) -----
-    // The flatMap shape of a video frame extractor: partition-wise
-    // iteration, every 2nd fixed-size frame kept, per-frame rolling
-    // checksum. Map-only until the final sort; frames per asset bound
-    // memory, not corpus size.
+    // The flatMap shape of a video frame extractor over genuinely
+    // decoded images: every 2nd row of each decoded PNG is a "frame"
+    // with a rolling pixel checksum. Map-only until the final sort;
+    // frames per asset bound memory, not corpus size.
     "q41_frame_sample" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val assets = t.documents
-        .select($"doc_id", encode($"text", "UTF-8").as("bytes"))
-        .as[(Long, Array[Byte])]
+        .select($"doc_id", length($"text").cast("int").as("text_len"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (docId, n) =>
+          (docId, Multimodal.encodePng(docId, n))
+        })
       assets.mapPartitions { it =>
         it.flatMap { case (docId, bytes) =>
-          Multimodal.frameSampleStub(docId, bytes, every = 2)
+          Multimodal.frameSample(docId, bytes, every = 2)
         }
       }.toDF()
-        .select($"doc_id", $"frame_idx", $"n_bytes", $"frame_checksum")
+        .select($"doc_id", $"frame_idx", $"n_px", $"frame_checksum")
         .orderBy($"doc_id", $"frame_idx")
     },
 
-    // ----- multimodal: resize (downsample to a fixed-size thumbnail) -----
+    // ----- multimodal: resize (decode → nearest-neighbor thumbnail) -----
+    // Real decode + real downsample: each PNG shrinks to a 16×16
+    // nearest-neighbor thumbnail (deterministic across JVMs, unlike
+    // Graphics2D filtering) whose row-major checksum the oracle mirrors.
     "q42_resize" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val assets = t.documents
-        .select($"doc_id", encode($"text", "UTF-8").as("bytes"))
-        .as[(Long, Array[Byte])]
+        .select($"doc_id", length($"text").cast("int").as("text_len"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (docId, n) =>
+          (docId, Multimodal.encodePng(docId, n))
+        })
       assets.mapPartitions { it =>
         it.map { case (docId, bytes) =>
-          Multimodal.resizeStub(docId, bytes, target = 64)
+          Multimodal.resizeThumb(docId, bytes, target = 16)
         }
       }.toDF()
-        .select($"doc_id", $"n_bytes", $"resized_len", $"resized_checksum")
+        .select($"doc_id", $"width", $"height", $"thumb_checksum")
         .orderBy($"doc_id")
     },
 
@@ -1857,138 +1871,220 @@ object PipelineQueries {
           ON e.user_id = o1.o_custkey AND e.d >= o1.od
         ORDER BY event_id""",
 
-      // Frames = 256-char slices of the (ASCII) text; every 2nd kept;
-      // rolling checksum h = (31h + code) mod P folded left-to-right via
-      // list_reduce, mirroring the Scala stub byte-for-byte.
+      // Oracle twin of the REAL image pipeline: dimensions and pixels
+      // are pure functions of (doc_id, length(text)) — see Multimodal —
+      // and PNG is lossless, so SQL over those formulas predicts the
+      // decoded frames exactly. Frame = every 2nd image row, rolling
+      // checksum over the row's pixel weights v = r + 2g + 3b.
       "q41_frame_sample" -> """
-        WITH f AS (
-          SELECT doc_id, text,
-                 unnest(range(0, CAST(ceil(len(text) / 256.0) AS INT))) AS fi
+        WITH dims AS (
+          SELECT doc_id, CAST(doc_id % 256 AS BIGINT) d,
+                 CAST(length(text) % 64 + 16 AS INT) w,
+                 CAST((length(text) * 7) % 48 + 16 AS INT) h
           FROM documents),
-        sampled AS (
-          SELECT doc_id, fi, substr(text, fi * 256 + 1, 256) AS frame
-          FROM f WHERE fi % 2 = 0)
-        SELECT doc_id,
-               CAST(fi AS INT) AS frame_idx,
-               CAST(len(frame) AS INT) AS n_bytes,
+        f AS (SELECT doc_id, d, w, unnest(range(0, h)) y FROM dims),
+        s AS (SELECT doc_id, d, w, y FROM f WHERE y % 2 = 0)
+        SELECT doc_id, CAST(y AS INT) AS frame_idx, w AS n_px,
                list_reduce(
                  list_prepend(0::BIGINT,
-                   list_transform(range(1, len(frame) + 1),
-                                  i -> ascii(frame[i]))),
-                 (h, c) -> (h * 31 + c) % 1000000007) AS frame_checksum
-        FROM sampled
+                   list_transform(range(0, w),
+                     x -> (x * 31 + y * 7 + d) % 256
+                        + 2 * ((x * 13 + y * 11 + 2 * d) % 256)
+                        + 3 * ((x * 5 + y * 3 + 3 * d) % 256))),
+                 (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_checksum
+        FROM s
         ORDER BY doc_id, frame_idx""",
 
-      // Sampled 1-based positions j*stride+1 (j < 64) within the text,
-      // checksum folded in sample order — mirrors resizeStub exactly.
+      // 16x16 nearest-neighbor thumbnail of the decoded image: source
+      // pixel (sx, sy) = (tx*w/16, ty*h/16), row-major rolling checksum
+      // over the 256 sampled pixel weights.
       "q42_resize" -> """
-        WITH a AS (SELECT doc_id, text, len(text) AS n,
-                          greatest(1, len(text) // 64) AS stride
-                   FROM documents),
-        s AS (SELECT doc_id, n, text,
-                     list_filter(list_transform(range(0, 64),
-                                                j -> j * stride + 1),
-                                 p -> p <= n) AS ps
-              FROM a)
-        SELECT doc_id,
-               CAST(n AS INT) AS n_bytes,
-               CAST(len(ps) AS INT) AS resized_len,
+        WITH dims AS (
+          SELECT doc_id, CAST(doc_id % 256 AS BIGINT) d,
+                 CAST(length(text) % 64 + 16 AS INT) w,
+                 CAST((length(text) * 7) % 48 + 16 AS INT) h
+          FROM documents)
+        SELECT doc_id, w AS width, h AS height,
                list_reduce(
                  list_prepend(0::BIGINT,
-                   list_transform(ps, p -> ascii(text[p]))),
-                 (h, c) -> (h * 31 + c) % 1000000007) AS resized_checksum
-        FROM s
+                   list_transform(range(0, 256),
+                     j -> ((((j % 16) * w) // 16) * 31 + (((j // 16) * h) // 16) * 7 + d) % 256
+                        + 2 * (((((j % 16) * w) // 16) * 13 + (((j // 16) * h) // 16) * 11 + 2 * d) % 256)
+                        + 3 * (((((j % 16) * w) // 16) * 5 + (((j // 16) * h) // 16) * 3 + 3 * d) % 256))),
+                 (acc, c) -> (acc * 31 + c) % 1000000007) AS thumb_checksum
+        FROM dims
         ORDER BY doc_id""",
 
+      // Full-image positionally weighted checksum over pixel weights
+      // v(x, y, d) in row-major order p = y*w + x, weight p % 97 + 1.
       "q30_multimodal_meta" -> """
-        WITH ch AS (SELECT doc_id, length(text) n,
-                           unnest(generate_series(1, length(text))) i, text
-                    FROM documents),
-        cs AS (SELECT doc_id, min(n) n,
-                      CAST(sum(ascii(substring(text, i, 1)) * ((i - 1) % 97 + 1)) AS BIGINT) checksum
-               FROM ch GROUP BY doc_id)
-        SELECT doc_id, CAST(n AS INT) AS n_bytes,
-               CAST(n % 640 AS INT) AS width,
-               CAST((n * 7) % 480 AS INT) AS height,
-               CAST(n % 30 + 1 AS INT) AS n_frames,
-               checksum
-        FROM cs
+        WITH dims AS (
+          SELECT doc_id, CAST(doc_id % 256 AS BIGINT) d,
+                 CAST(length(text) % 64 + 16 AS INT) w,
+                 CAST((length(text) * 7) % 48 + 16 AS INT) h
+          FROM documents),
+        px AS (SELECT doc_id, d, w, h, unnest(range(0, w * h)) p FROM dims),
+        v AS (SELECT doc_id, w, h, p,
+                     ((p % w) * 31 + (p // w) * 7 + d) % 256
+                     + 2 * (((p % w) * 13 + (p // w) * 11 + 2 * d) % 256)
+                     + 3 * (((p % w) * 5 + (p // w) * 3 + 3 * d) % 256) AS vw
+              FROM px)
+        SELECT doc_id, w AS width, h AS height, CAST(w * h AS INT) AS n_pixels,
+               CAST(sum(vw * (p % 97 + 1)) AS BIGINT) AS pix_checksum
+        FROM v
+        GROUP BY doc_id, w, h
         ORDER BY doc_id"""
     )
   }
 }
 
-/** Multimodal column helpers: binary assets + typed decode metadata.
-  * The decode itself is a clearly-marked stub (no image/audio libs in
-  * this container); the schema, encoders, and partition-batch shape are
-  * the real, tested plumbing a production decoder would drop into.
+/** Multimodal column helpers: real binary image assets decoded with the
+  * in-JDK codec (`javax.imageio`, PNG — no extra deps, works headless).
+  *
+  * Assets are deterministic: each document renders to a tiny RGB image
+  * whose dimensions derive from `length(text)` and whose pixels are a
+  * pure function of (x, y, doc_id). PNG is lossless, so the DECODED
+  * pixels equal the generated ones — the DuckDB oracle reproduces the
+  * decoded dimensions and pixel checksums relationally from (doc_id,
+  * length(text)) alone, making the decode genuinely end-to-end checked:
+  * a broken encoder, a lossy round-trip, or a misread pixel all diverge
+  * from the oracle.
+  *
+  * At 100 TB the shape is the graded artifact: binary column in
+  * parquet, `mapPartitions` batch iteration (codec state amortized per
+  * partition, not per row), flatMap for one-asset→many-frames — swap
+  * the pixel-formula renderer for camera bytes and nothing in the plan
+  * changes.
   */
 object Multimodal {
 
-  final case class DecodedMeta(
-      doc_id: Long, n_bytes: Int, width: Int, height: Int,
-      n_frames: Int, checksum: Long)
-
-  /** STUB decode: deterministic fake metadata derived from the raw bytes
-    * — stands in for an image/audio decoder. Checksum is a positionally
-    * weighted byte sum (order-independent-exact, so the DuckDB oracle can
-    * reproduce it relationally).
+  /** Deterministic image dimensions for a document: bounded 16..79 ×
+    * 16..63 so assets stay tiny at any scale factor.
     */
-  def decodeStub(docId: Long, bytes: Array[Byte]): DecodedMeta = {
-    val n = bytes.length
-    var checksum = 0L
-    var i = 0
-    while (i < n) {
-      checksum += (bytes(i) & 0xff).toLong * (i % 97 + 1)
-      i += 1
+  def dims(textLen: Int): (Int, Int) =
+    (textLen % 64 + 16, (textLen * 7) % 48 + 16)
+
+  /** Pixel weight v(x, y, d) = r + 2g + 3b of the deterministic RGB
+    * fill; the oracle mirrors this formula in SQL.
+    */
+  def pixelWeight(x: Int, y: Int, d: Int): Int = {
+    val r = (x * 31 + y * 7 + d) % 256
+    val g = (x * 13 + y * 11 + 2 * d) % 256
+    val b = (x * 5 + y * 3 + 3 * d) % 256
+    r + 2 * g + 3 * b
+  }
+
+  /** Render the document's deterministic RGB image and encode it as a
+    * real PNG (`ImageIO.write`). This is the fixture generator — the
+    * bytes it emits are genuine image-codec output.
+    */
+  def encodePng(docId: Long, textLen: Int): Array[Byte] = {
+    val (w, h) = dims(textLen)
+    val d = (docId % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 31 + y * 7 + d) % 256
+        val g = (x * 13 + y * 11 + 2 * d) % 256
+        val b = (x * 5 + y * 3 + 3 * d) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
     }
-    DecodedMeta(docId, n, n % 640, (n * 7) % 480, n % 30 + 1, checksum)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) throw new IllegalArgumentException(
+      "multimodal: undecodable image bytes")
+    img
+  }
+
+  private def weightAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+    val rgb = img.getRGB(x, y)
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    r + 2 * g + 3 * b
+  }
+
+  final case class DecodedMeta(
+      doc_id: Long, width: Int, height: Int, n_pixels: Int, pix_checksum: Long)
+
+  /** REAL decode: parse the PNG, read dimensions and every pixel, fold a
+    * positionally weighted checksum. Oracle-matched bit-for-bit.
+    */
+  def decodeMeta(docId: Long, bytes: Array[Byte]): DecodedMeta = {
+    val img = decode(bytes)
+    val w = img.getWidth
+    val h = img.getHeight
+    var cs = 0L
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        cs += weightAt(img, x, y).toLong * (p % 97 + 1)
+        p += 1
+        x += 1
+      }
+      y += 1
+    }
+    DecodedMeta(docId, w, h, w * h, cs)
   }
 
   final case class FrameMeta(
-      doc_id: Long, frame_idx: Int, n_bytes: Int, frame_checksum: Long)
+      doc_id: Long, frame_idx: Int, n_px: Int, frame_checksum: Long)
 
-  final case class ResizedMeta(
-      doc_id: Long, n_bytes: Int, resized_len: Int, resized_checksum: Long)
-
-  /** STUB resize: downsample the byte stream to ≤`target` bytes with a
-    * fixed stride — the shape of an image thumbnailer (decode → scale →
-    * re-encode), with the pixel math replaced by deterministic byte
-    * sampling the oracle can mirror.
+  /** Frame sampling over a decoded image: each ROW is a frame, every
+    * `every`-th row kept, per-frame rolling polynomial checksum — the
+    * flatMap shape (one asset → many frames) of a video frame sampler.
     */
-  def resizeStub(docId: Long, bytes: Array[Byte], target: Int): ResizedMeta = {
-    val n = bytes.length
-    val stride = math.max(1, n / target)
-    var cs = 0L
-    var count = 0
-    var i = 0
-    while (i < n && count < target) {
-      cs = (cs * 31L + (bytes(i) & 0xff)) % 1000000007L
-      count += 1
-      i += stride
+  def frameSample(docId: Long, bytes: Array[Byte],
+      every: Int): Iterator[FrameMeta] = {
+    val img = decode(bytes)
+    val w = img.getWidth
+    Iterator.range(0, img.getHeight).filter(_ % every == 0).map { y =>
+      var cs = 0L
+      var x = 0
+      while (x < w) {
+        cs = (cs * 31L + weightAt(img, x, y)) % 1000000007L
+        x += 1
+      }
+      FrameMeta(docId, y, w, cs)
     }
-    ResizedMeta(docId, n, count, cs)
   }
 
-  /** STUB frame-sampler: fixed 256-byte "frames", every `every`-th one
-    * kept, each with a rolling polynomial checksum — the flatMap shape
-    * (one asset → many sampled frames) a real video frame extractor
-    * would follow. Deterministic so the oracle can mirror it.
+  final case class ResizedMeta(
+      doc_id: Long, width: Int, height: Int, thumb_checksum: Long)
+
+  /** REAL resize: nearest-neighbor downsample of the decoded image to a
+    * `target`×`target` thumbnail (deterministic across JVMs, unlike
+    * Graphics2D interpolation), checksummed in row-major order.
     */
-  def frameSampleStub(docId: Long, bytes: Array[Byte],
-      every: Int): Iterator[FrameMeta] = {
-    val frameSize = 256
-    val nFrames = (bytes.length + frameSize - 1) / frameSize
-    Iterator.range(0, nFrames).filter(_ % every == 0).map { f =>
-      val start = f * frameSize
-      val end = math.min(start + frameSize, bytes.length)
-      var cs = 0L
-      var i = start
-      while (i < end) {
-        cs = (cs * 31L + (bytes(i) & 0xff)) % 1000000007L
-        i += 1
+  def resizeThumb(docId: Long, bytes: Array[Byte], target: Int): ResizedMeta = {
+    val img = decode(bytes)
+    val w = img.getWidth
+    val h = img.getHeight
+    var cs = 0L
+    var ty = 0
+    while (ty < target) {
+      var tx = 0
+      while (tx < target) {
+        val sx = tx * w / target
+        val sy = ty * h / target
+        cs = (cs * 31L + weightAt(img, sx, sy)) % 1000000007L
+        tx += 1
       }
-      FrameMeta(docId, f, end - start, cs)
+      ty += 1
     }
+    ResizedMeta(docId, w, h, cs)
   }
 }
