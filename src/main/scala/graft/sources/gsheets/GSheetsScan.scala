@@ -3,7 +3,7 @@ package graft.sources.gsheets
 import java.util.OptionalLong
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
     options: GSheetsOptions)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit {
 
   // Bind errors (empty range, missing sheet) surface here with the
   // reference's message (`src/gsheets_read.cpp:190-192`).
@@ -43,16 +44,27 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
   }
 
   private var required: StructType = tableSchema
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Limit pushdown (beats the reference, which always materializes the
+    * full range — `src/gsheets_read.cpp:187`): `.load(url).limit(n)`
+    * caps the rows the scan emits at the source. On the default
+    * bind-snapshot path that truncates driver-side before rows ship in
+    * task binaries; on `fetch_on_executor` it narrows the task-time
+    * values GET to the first n (+header) rows, so the API call itself
+    * shrinks.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
   override def build(): Scan =
-    new GSheetsScan(bound, required, options.numPartitions, options)
+    new GSheetsScan(bound, required, options.numPartitions, options, limit)
 }
 
 final class GSheetsScan(bound: BoundSheet, required: StructType,
-    numPartitions: Int, options: GSheetsOptions)
+    numPartitions: Int, options: GSheetsOptions, limit: Int = -1)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -73,7 +85,8 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
       bound.schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
     val colIdx =
       required.fieldNames.map(n => nameToIdx.getOrElse(n.toLowerCase, -1))
-    val rows = bound.dataRows
+    val rows =
+      if (limit >= 0) bound.dataRows.take(limit) else bound.dataRows
     // Per-cell cost: string payload + fixed slot overhead (mirrors how
     // Spark's own estimators charge object headers); floor 1 so an empty
     // sheet never reports size 0 (which Spark treats as "unknown-cheap").
@@ -108,6 +121,20 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
     val colIdx = required.fieldNames.map(n => nameToIdx.getOrElse(n.toLowerCase, -1))
 
     if (options.fetchOnExecutor) {
+      // Pushed limit: ONE partition whose values GET is narrowed to the
+      // first limit (+header) rows — the API fetch itself shrinks. Only
+      // a bare-sheet range can be row-offset safely; an explicit user
+      // A1 rectangle keeps its range and the reader truncates instead.
+      if (limit >= 0) {
+        val headerRows = if (bound.header) 1 else 0
+        val (range, hdr) =
+          if (!bound.apiRange.contains("!") && limit > 0)
+            (s"${bound.apiRange}!1:${headerRows + limit}", bound.header)
+          else (bound.apiRange, bound.header)
+        return Array(GSheetsFetchPartition(options.raw, bound.spreadsheetId,
+          range, hdr, colIdx, required.fields.map(_.dataType),
+          expectRows = -1, maxRows = limit))
+      }
       // The partition carries coordinates, not cells: the reader fetches
       // on the executor, so neither the task binary nor driver memory
       // scales with sheet size. The executor observes the sheet at TASK
@@ -153,8 +180,11 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
     }
 
     // Default: project to required columns here (driver-side, once) so
-    // executors only ever see the pruned cells of the bind snapshot.
-    val rows = bound.dataRows
+    // executors only ever see the pruned cells of the bind snapshot —
+    // truncated to the pushed limit, so task binaries don't carry rows
+    // the query can never emit.
+    val rows =
+      if (limit >= 0) bound.dataRows.take(limit) else bound.dataRows
     val projected: Array[Array[String]] = rows.map { row =>
       colIdx.map(i => if (i >= 0 && i < row.size) row(i) else null)
     }.toArray
@@ -170,7 +200,8 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
     new GSheetsReaderFactory
 
   override def description(): String =
-    s"gsheets ${bound.spreadsheetId} ${bound.apiRange}"
+    s"gsheets ${bound.spreadsheetId} ${bound.apiRange}" +
+      (if (limit >= 0) s" limit=$limit" else "")
 }
 
 /** Rows are carried in the partition (driver fetched them once at bind,
@@ -192,7 +223,8 @@ final case class GSheetsFetchPartition(
     header: Boolean,
     colIdx: Array[Int],
     types: Array[DataType],
-    expectRows: Int) extends InputPartition
+    expectRows: Int,
+    maxRows: Int = -1) extends InputPartition
 
 final class GSheetsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -219,7 +251,10 @@ final class GSheetsReaderFactory extends PartitionReaderFactory {
             projected ++ Array.fill(p.expectRows - projected.length)(
               Array.fill[String](p.colIdx.length)(null))
           else projected
-        new GSheetsPartitionReader(padded, p.types)
+        // Pushed limit: truncate post-fetch (covers explicit A1 ranges,
+        // where the GET couldn't be narrowed, and trailing growth).
+        val limited = if (p.maxRows >= 0) padded.take(p.maxRows) else padded
+        new GSheetsPartitionReader(limited, p.types)
     }
 }
 

@@ -440,6 +440,49 @@ class ReadEndToEndSpec extends AnyFunSuite {
     assert(valueGets.size == 4)
   }
 
+  test("limit pushdown narrows the executor-side values GET to n + header rows") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson) // bind: GetSheetByIndex(0)
+    mock.addJson(sheet1Json()) // bind: values GET (schema inference)
+    // Task-side GET must ask for rows 1:3 only (header + 2 data rows).
+    mock.addRoutedJson("Sheet1!1:3", valueRangeJson("Sheet1!1:3", Seq(
+      Seq("name", "age", "city"),
+      Seq("Alice", "30", "Toronto"), Seq("Bob", "25", "New York"))))
+    val (r, _) = reader(mock)
+    val df = r.option("fetch_on_executor", "true").load(SpreadsheetId).limit(2)
+
+    assert(rows(df) == Seq(
+      Seq("Alice", 30.0, "Toronto"), Seq("Bob", 25.0, "New York")))
+    // 1 bind values GET + 1 narrowed task GET — the full range was never
+    // re-fetched at scan time (beats the reference, which always
+    // materializes the whole range: src/gsheets_read.cpp:187).
+    val valueGets = mock.recordedRequests.filter(_.url.contains("/values/"))
+    assert(valueGets.size == 2)
+    assert(java.net.URLDecoder.decode(valueGets(1).url, "UTF-8")
+      .contains("Sheet1!1:3"))
+  }
+
+  test("limit pushdown truncates bind-snapshot partitions driver-side") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    val (r, _) = reader(mock)
+    val df = r.load(SpreadsheetId).limit(3)
+
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    // Only 3 rows ship in the task binary, not the sheet's 6.
+    val shipped = scan.inputPartitions.collect {
+      case p: graft.sources.gsheets.GSheetsInputPartition => p.rows.length
+    }.sum
+    assert(shipped == 3)
+    assert(rows(df) == Seq(
+      Seq("Alice", 30.0, "Toronto"),
+      Seq("Bob", 25.0, "New York"),
+      Seq("Charlie", 45.0, "Chicago")))
+  }
+
   test("fetch_on_executor: values fetched task-side, identical results") {
     val mock = new MockHttp
     mock.addJson(metadataJson) // bind: GetSheetByIndex(0)
