@@ -10,9 +10,8 @@ class ApproxDistinctSpec extends AnyFunSuite {
 
   private lazy val spark = graft.gsheets.Fixtures.spark
 
-  test("approx_count_distinct lands within 3 rsd of exact on sf0.001") {
-    val df = RelationalQueries.queries("q44_approx_distinct")(
-      spark, "/root/testdata/sf0.001")
+  private def assertWithinThreeRsd(sfDir: String): Unit = {
+    val df = RelationalQueries.queries("q44_approx_distinct")(spark, sfDir)
     val rows = df.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -22,5 +21,13 @@ class ApproxDistinctSpec extends AnyFunSuite {
       assert(math.abs(approx - exact) / exact <= 0.06,
         s"${r.getString(0)}: approx $approx vs exact $exact")
     }
+  }
+
+  test("approx_count_distinct lands within 3 rsd of exact on sf0.001") {
+    assertWithinThreeRsd("/root/testdata/sf0.001")
+  }
+
+  test("approx_count_distinct lands within 3 rsd of exact on sf0.1 (driver scale)") {
+    assertWithinThreeRsd("/root/testdata/sf0.1")
   }
 }
