@@ -369,9 +369,16 @@ object StreamingQueries {
         s2.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-      val stream = s2.readStream
+      // events*.parquet: the testdata feed is one file, but a staged
+      // multi-file feed (events_0.parquet, …) exercises genuine
+      // multi-batch runs; spark.graft.streaming.maxFilesPerTrigger
+      // bounds files admitted per micro-batch (AvailableNow honors it).
+      val reader = s2.readStream
         .schema(eventsStreamSchema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
+      s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+        .foreach(n => reader.option("maxFilesPerTrigger", n))
+      val stream = reader
         .parquet(dir)
         .select($"user_id", expr("ts div 1000").as("ts_us"), $"value")
         .as[UserEvent]
@@ -389,7 +396,15 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // Update mode appends one refreshed profile per (user, batch); if
+      // the run splits into several micro-batches (more input files, a
+      // lower maxFilesPerTrigger), earlier rows are stale. Keep only the
+      // latest per user — n_events grows monotonically, so max wins.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"n_events".desc)
       s2.table(sink)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
         .select($"user_id", $"n_events", $"n_sessions",
           round($"sum_value", 2).as("sum_value"),
           timestamp_micros($"first_us").as("first_ts"),

@@ -192,6 +192,74 @@ class StreamingQueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.streaming.stateStore")
   }
 
+  test("q62 stream-stream join is identical under the RocksDB state store") {
+    val dir = "/root/testdata/sf0.001"
+    val hdfs = StreamingQueries.queries("q62_stream_stream_join")(spark, dir)
+    spark.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    try {
+      val rocks = StreamingQueries.queries("q62_stream_stream_join")(spark, dir)
+      assert(rocks.count() == hdfs.count() && hdfs.count() > 0)
+      assert(rocks.exceptAll(hdfs).isEmpty && hdfs.exceptAll(rocks).isEmpty)
+    } finally spark.conf.unset("spark.graft.streaming.stateStore")
+  }
+
+  test("q63 state profile is identical under the RocksDB state store") {
+    val dir = "/root/testdata/sf0.001"
+    val hdfs = StreamingQueries.queries("q63_state_profile")(spark, dir)
+    spark.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    try {
+      val rocks = StreamingQueries.queries("q63_state_profile")(spark, dir)
+      assert(rocks.count() == hdfs.count() && hdfs.count() > 0)
+      assert(rocks.exceptAll(hdfs).isEmpty && hdfs.exceptAll(rocks).isEmpty)
+    } finally spark.conf.unset("spark.graft.streaming.stateStore")
+  }
+
+  test("q63 keeps only the latest profile per user when the run is multi-batch") {
+    // Force the bounded AvailableNow run to split: maxFilesPerTrigger
+    // can't split one parquet file, so stage the events feed as several
+    // files and admit one per micro-batch. Files are TIME-ordered slices
+    // (how an append-only feed actually arrives): the gap-session state
+    // assumes a user's events don't time-travel across batches, so a
+    // round-robin split would be an invalid input, not a harder test.
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("q63-multi").toString
+    val tmp = s"$staged/_tmp"
+    val ev = graft.operators.Tables(spark, dir).events
+      .select(col("event_id"), (unix_micros(col("ts")) * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .withColumn("q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    for (i <- 1 to 4) {
+      val slice = s"$tmp/$i"
+      ev.filter(col("q") === i).drop("q")
+        .coalesce(1).write.mode("overwrite").parquet(slice)
+      val part = new java.io.File(slice).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$staged/events_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1000000L * i) // feed order = time order
+    }
+    spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+    try {
+      val got = StreamingQueries.queries("q63_state_profile")(spark, staged)
+      // One row per user despite >= 2 update-mode batches…
+      assert(got.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+      // …and it is the FINAL profile: equals the batch gap-islands twin.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      val twin = graft.operators.Tables(spark, dir).events
+        .withColumn("gap_break",
+          when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+            >= 30L * 60 * 1000000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (sum("gap_break") + 1L).as("n_sessions"),
+          round(sum("value"), 2).as("sum_value"),
+          min("ts").as("first_ts"), max("ts").as("last_ts"))
+      assert(got.exceptAll(twin).isEmpty && twin.exceptAll(got).isEmpty)
+    } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+  }
+
   test("q50 streaming dedup equals batch DISTINCT, under both state stores") {
     val dir = "/root/testdata/sf0.001"
     val twin = graft.operators.Tables(spark, dir).events
