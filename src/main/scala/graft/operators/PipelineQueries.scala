@@ -1020,8 +1020,15 @@ object PipelineQueries {
         .repartition($"doc_id")
         .select($"doc_id", expr(toksExpr).as("toks"))
         .filter(size($"toks") > 0)
+        // Keep chunk i>0 only if it EXTENDS coverage: when the previous
+        // chunk's 32-token window already reaches the doc end, the tail
+        // chunk would be a fully contained duplicate (size mod 24 in
+        // 1..8). The filter drops only that redundant last start, so
+        // posexplode positions still equal the original chunk indices.
         .select($"doc_id", posexplode(expr(
-          "transform(sequence(0, (size(toks)-1) div 24), i -> slice(toks, i*24 + 1, 32))"))
+          "transform(filter(sequence(0, (size(toks)-1) div 24), " +
+            "i -> i = 0 OR (i-1)*24 + 32 < size(toks)), " +
+            "i -> slice(toks, i*24 + 1, 32))"))
           .as(Seq("chunk_idx", "chunk")))
         .select($"doc_id",
           $"chunk_idx".cast("long").as("chunk_idx"),
@@ -1361,7 +1368,9 @@ object PipelineQueries {
               FROM toks WHERE len(tk) > 0),
         sliced AS (SELECT doc_id, chunk_idx,
                           tk[chunk_idx*24 + 1 : chunk_idx*24 + 32] AS chunk
-                   FROM c)
+                   FROM c
+                   WHERE chunk_idx = 0
+                      OR (chunk_idx - 1) * 24 + 32 < len(tk))
         SELECT doc_id,
                CAST(chunk_idx AS BIGINT) AS chunk_idx,
                CAST(len(chunk) AS BIGINT) AS n_tokens,

@@ -537,9 +537,12 @@ object RelationalQueries {
         .select($"o_orderkey", to_date($"o_orderdate").as("od"))
         .select($"o_orderkey",
           explode(expr("sequence(od, date_add(od, 30))")).as("ship_day"))
-      orderDays.join(broadcast(daily), "ship_day")
+      // LEFT join + coalesce: an order with zero shipments in its
+      // window surfaces as n_shipped_in_window = 0, not a missing row
+      // (the contract a downstream aggregation would expect).
+      orderDays.join(broadcast(daily), Seq("ship_day"), "left")
         .groupBy($"o_orderkey")
-        .agg(sum($"n_ship").as("n_shipped_in_window"))
+        .agg(sum(coalesce($"n_ship", lit(0L))).as("n_shipped_in_window"))
         .orderBy($"o_orderkey")
     },
 
@@ -830,12 +833,13 @@ object RelationalQueries {
 
     // Naive range-predicate form of the binned q61 plan: identical
     // per-order counts, the engine (DuckDB IEJoin) does the interval
-    // matching the Spark side avoids by binning.
+    // matching the Spark side avoids by binning. LEFT join so zero-match
+    // orders count 0 instead of vanishing, like the Spark side.
     "q61_range_join" -> """
       SELECT o.o_orderkey,
-             count(1) AS n_shipped_in_window
+             count(l.l_orderkey) AS n_shipped_in_window
       FROM orders o
-      JOIN lineitem l
+      LEFT JOIN lineitem l
         ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
        AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY
       GROUP BY o.o_orderkey
