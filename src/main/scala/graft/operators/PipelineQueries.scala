@@ -732,6 +732,11 @@ object PipelineQueries {
       val t = Tables(s, dir)
       val assets = t.documents
         .select($"doc_id", length($"text").cast("int").as("text_len"))
+        // The codec stages are CPU-bound: spread them across every core
+        // instead of inheriting the scan's (often single-file, single
+        // partition) parallelism. The shuffled payload is 12 bytes/doc —
+        // the image bytes are born AFTER the repartition.
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, Int)]
         .mapPartitions(_.map { case (docId, n) =>
           (docId, Multimodal.encodePng(docId, n))
@@ -753,6 +758,11 @@ object PipelineQueries {
       val t = Tables(s, dir)
       val assets = t.documents
         .select($"doc_id", length($"text").cast("int").as("text_len"))
+        // The codec stages are CPU-bound: spread them across every core
+        // instead of inheriting the scan's (often single-file, single
+        // partition) parallelism. The shuffled payload is 12 bytes/doc —
+        // the image bytes are born AFTER the repartition.
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, Int)]
         .mapPartitions(_.map { case (docId, n) =>
           (docId, Multimodal.encodePng(docId, n))
@@ -775,6 +785,11 @@ object PipelineQueries {
       val t = Tables(s, dir)
       val assets = t.documents
         .select($"doc_id", length($"text").cast("int").as("text_len"))
+        // The codec stages are CPU-bound: spread them across every core
+        // instead of inheriting the scan's (often single-file, single
+        // partition) parallelism. The shuffled payload is 12 bytes/doc —
+        // the image bytes are born AFTER the repartition.
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, Int)]
         .mapPartitions(_.map { case (docId, n) =>
           (docId, Multimodal.encodePng(docId, n))
@@ -1967,6 +1982,11 @@ object PipelineQueries {
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache — a temp file per
+  // encode/decode call, which dominates codec cost at corpus scale.
+  // Assets here are a few KB; keep the streams in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic image dimensions for a document: bounded 16..79 ×
     * 16..63 so assets stay tiny at any scale factor.
     */
@@ -1992,6 +2012,11 @@ object Multimodal {
     val d = (docId % 256).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // Fill the backing int raster directly: per-pixel setRGB routes
+    // through the color model on every call.
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var i = 0
     var y = 0
     while (y < h) {
       var x = 0
@@ -1999,7 +2024,8 @@ object Multimodal {
         val r = (x * 31 + y * 7 + d) % 256
         val g = (x * 13 + y * 11 + 2 * d) % 256
         val b = (x * 5 + y * 3 + 3 * d) % 256
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        data(i) = (r << 16) | (g << 8) | b
+        i += 1
         x += 1
       }
       y += 1
@@ -2009,15 +2035,19 @@ object Multimodal {
     bos.toByteArray
   }
 
-  private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+  /** Decoded pixels as one packed-RGB row-major array (bulk getRGB —
+    * one color-model pass instead of one per pixel).
+    */
+  private def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (img == null) throw new IllegalArgumentException(
       "multimodal: undecodable image bytes")
-    img
+    val w = img.getWidth
+    val h = img.getHeight
+    (w, h, img.getRGB(0, 0, w, h, null, 0, w))
   }
 
-  private def weightAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
-    val rgb = img.getRGB(x, y)
+  private def weightOf(rgb: Int): Int = {
     val r = (rgb >> 16) & 0xff
     val g = (rgb >> 8) & 0xff
     val b = rgb & 0xff
@@ -2031,20 +2061,12 @@ object Multimodal {
     * positionally weighted checksum. Oracle-matched bit-for-bit.
     */
   def decodeMeta(docId: Long, bytes: Array[Byte]): DecodedMeta = {
-    val img = decode(bytes)
-    val w = img.getWidth
-    val h = img.getHeight
+    val (w, h, px) = decodePixels(bytes)
     var cs = 0L
     var p = 0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        cs += weightAt(img, x, y).toLong * (p % 97 + 1)
-        p += 1
-        x += 1
-      }
-      y += 1
+    while (p < px.length) {
+      cs += weightOf(px(p)).toLong * (p % 97 + 1)
+      p += 1
     }
     DecodedMeta(docId, w, h, w * h, cs)
   }
@@ -2058,13 +2080,12 @@ object Multimodal {
     */
   def frameSample(docId: Long, bytes: Array[Byte],
       every: Int): Iterator[FrameMeta] = {
-    val img = decode(bytes)
-    val w = img.getWidth
-    Iterator.range(0, img.getHeight).filter(_ % every == 0).map { y =>
+    val (w, h, px) = decodePixels(bytes)
+    Iterator.range(0, h).filter(_ % every == 0).map { y =>
       var cs = 0L
       var x = 0
       while (x < w) {
-        cs = (cs * 31L + weightAt(img, x, y)) % 1000000007L
+        cs = (cs * 31L + weightOf(px(y * w + x))) % 1000000007L
         x += 1
       }
       FrameMeta(docId, y, w, cs)
@@ -2079,9 +2100,7 @@ object Multimodal {
     * Graphics2D interpolation), checksummed in row-major order.
     */
   def resizeThumb(docId: Long, bytes: Array[Byte], target: Int): ResizedMeta = {
-    val img = decode(bytes)
-    val w = img.getWidth
-    val h = img.getHeight
+    val (w, h, px) = decodePixels(bytes)
     var cs = 0L
     var ty = 0
     while (ty < target) {
@@ -2089,7 +2108,7 @@ object Multimodal {
       while (tx < target) {
         val sx = tx * w / target
         val sy = ty * h / target
-        cs = (cs * 31L + weightAt(img, sx, sy)) % 1000000007L
+        cs = (cs * 31L + weightOf(px(sy * w + sx))) % 1000000007L
         tx += 1
       }
       ty += 1

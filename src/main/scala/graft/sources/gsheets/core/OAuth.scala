@@ -68,6 +68,13 @@ object OAuth {
     out.println()
     out.println(req.url)
     out.println()
+    // Defaults point at the reference project's endpoint — make the
+    // trust decision visible at the moment it matters, not only in docs.
+    if (redirectUri == DefaultRedirectUri)
+      out.println(
+        "WARNING: the granted token will be delivered via the third-party " +
+          s"redirect $DefaultRedirectUri; pass your own clientId/redirectUri " +
+          "(or use the token/key_file options) to avoid it.")
     out.println("After authorizing, copy the access token and paste it below.")
     out.print("Access token: ")
     out.flush()
