@@ -206,6 +206,50 @@ object PipelineQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Connected-component labels over verified near-dup pairs by
+    * iterative min-label propagation (q46's engine, shared with q67):
+    * per round one equality join + one min-aggregation, lineage
+    * truncated per round (`localCheckpoint`), the driver reading ONE
+    * change-count scalar per round. Returns (node, lbl) for every doc
+    * that appears in a pair; singleton docs are absent (callers
+    * coalesce to self). Rounds = component diameter — near-dup
+    * components are clique-ish, so single digits at any corpus size;
+    * non-convergence within 50 fails loudly rather than emitting
+    * non-minimal labels the oracle's transitive closure would refute.
+    */
+  private def dedupGroupLabels(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .cache()
+    // Round 0 fused into init: label = min(self, direct neighbors) — a
+    // clique component (the common near-dup shape) converges here.
+    var labels = edges.groupBy($"src").agg(min($"dst").as("mn"))
+      .select($"src".as("node"), least($"src", $"mn").as("lbl"))
+      .localCheckpoint()
+    val maxRounds = 50
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val prop = edges.join(labels, $"src" === $"node")
+        .select($"dst".as("node"), $"lbl")
+      val next = prop.union(labels.select($"node", $"lbl"))
+        .groupBy($"node").agg(min($"lbl").as("lbl"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "node")
+        .filter($"n.lbl" =!= $"o.lbl").isEmpty
+      labels = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedup groups: label propagation did not converge in $maxRounds " +
+          "rounds (pathological component diameter) — raise the bound or " +
+          "switch to large-star/small-star")
+    edges.unpersist()
+    labels
+  }
+
   /** The benchmark (eval-suite) shingle-id set, SORTED ascending, as a
     * driver-side array — the pinned reference set streaming
     * decontamination (q59) embeds as a literal. Eval suites are small
@@ -822,40 +866,7 @@ object PipelineQueries {
       // Cache pairs BEFORE the union: edges' two branches would otherwise
       // each recompute the whole MinHash pipeline.
       val pairs = minhashLshVerifyArr(docArrs).select($"doc_a", $"doc_b").cache()
-      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-        .cache()
-      // Round 0 fused into init: label = min(self, direct neighbors) —
-      // one aggregation instead of a full propagate+min round. A clique
-      // component (the common near-dup shape) converges here already.
-      var labels = edges.groupBy($"src").agg(min($"dst").as("mn"))
-        .select($"src".as("node"), least($"src", $"mn").as("lbl"))
-        .localCheckpoint()
-      // Rounds needed = component diameter; 50 covers any plausible
-      // near-dup graph (they are clique-ish, diameter single-digit). A
-      // pathological graph that still hasn't converged must FAIL, not
-      // silently emit non-minimal labels the oracle's full transitive
-      // closure would contradict.
-      val maxRounds = 50
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < maxRounds) {
-        val prop = edges.join(labels, $"src" === $"node")
-          .select($"dst".as("node"), $"lbl")
-        val next = prop.union(labels.select($"node", $"lbl"))
-          .groupBy($"node").agg(min($"lbl").as("lbl"))
-          .localCheckpoint()
-        converged = next.as("n").join(labels.as("o"), "node")
-          .filter($"n.lbl" =!= $"o.lbl").isEmpty
-        labels = next
-        rounds += 1
-      }
-      if (!converged)
-        throw new IllegalStateException(
-          s"q46: label propagation did not converge in $maxRounds rounds " +
-            "(pathological component diameter) — raise the bound or switch " +
-            "to large-star/small-star")
-      edges.unpersist()
+      val labels = dedupGroupLabels(pairs)
       pairs.unpersist()
       docArrs.unpersist()
       labels
@@ -1050,6 +1061,64 @@ object PipelineQueries {
           size($"chunk").cast("long").as("n_tokens"),
           concat_ws(" ", $"chunk").as("chunk_text"))
         .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    // ----- corpus-level boilerplate detection (cross-doc shingle df) -----
+    // The C4/RefinedWeb boilerplate idea at shingle granularity: a
+    // 3-token shingle appearing in >= max(2, 2% of docs) DISTINCT
+    // documents is boilerplate (headers, footers, license blurbs); each
+    // doc reports what fraction of its distinct shingles are boilerplate
+    // and a keep decision. Complements q52, which measures repetition
+    // WITHIN a doc — this measures repetition ACROSS the corpus.
+    // Scale: doc frequencies aggregate on 8-byte sids (vocabulary-
+    // bounded output, map-side partials); the corpus size joins in as a
+    // broadcast 1-row aggregate (no driver action); the coverage join is
+    // sid-keyed equality — shingle STRINGS never shuffle.
+    "q66_boilerplate" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val dsid = docSidArrays(t.documents)
+        .select($"doc_id", explode($"sids").as("sid"))
+      val nDocs = broadcast(t.documents.agg(count(lit(1)).as("n_docs")))
+      val dfreq = dsid.groupBy($"sid").agg(count(lit(1)).as("df"))
+      val boiler = dfreq.crossJoin(nDocs)
+        .filter($"df" >= greatest(lit(2L), ceil($"n_docs" * 0.02)))
+        .select($"sid", lit(1L).as("is_boiler"))
+      dsid.join(boiler, Seq("sid"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+             sum(coalesce($"is_boiler", lit(0L))).as("n_boiler"))
+        .withColumn("boiler_frac",
+          round($"n_boiler".cast("double") / $"n_shingles", 4))
+        .withColumn("keep", $"boiler_frac" <= 0.5)
+        .select($"doc_id", $"n_shingles", $"n_boiler", $"boiler_frac", $"keep")
+        .orderBy($"doc_id")
+    },
+
+    // ----- leakage-aware train/val split (group-level assignment) -----
+    // The split step after dedup that naive pipelines get wrong: hashing
+    // doc_id sends near-duplicates to BOTH sides (train/val leakage).
+    // Assign by the near-dup GROUP label instead — the q46 connected
+    // component (singletons label themselves) — so a whole duplicate
+    // cluster lands on one side by construction. The split hash is the
+    // q47 deterministic scramble over group_id, 90/10. Scale: the label
+    // propagation is q46's O(diameter)-round loop; assignment itself is
+    // one left join + map-only arithmetic.
+    "q67_leakage_split" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val docArrs = docSidArrays(t.documents).cache()
+      val pairs = minhashLshVerifyArr(docArrs).select($"doc_a", $"doc_b").cache()
+      val labels = dedupGroupLabels(pairs)
+      pairs.unpersist()
+      docArrs.unpersist()
+      t.documents.select($"doc_id", $"source")
+        .join(labels.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce($"lbl", $"doc_id"))
+        .withColumn("u", expr(scrambleExpr("group_id")) / lit(4294967296.0))
+        .withColumn("split", when($"u" < 0.9, "train").otherwise("val"))
+        .select($"doc_id", $"group_id", $"source", $"split")
+        .orderBy($"doc_id")
     },
 
     // ----- cross-corpus near-dup: corpus A vs corpus B MinHash join -----
@@ -1392,6 +1461,53 @@ object PipelineQueries {
                array_to_string(chunk, ' ') AS chunk_text
         FROM sliced
         ORDER BY doc_id, chunk_idx""",
+
+      // Boilerplate = shingles in >= max(2, 2% of docs) distinct docs;
+      // same sid-set chain as the dedup family, df over the dsid CTE.
+      "q66_boilerplate" -> s"""
+        WITH $dsh, $dsid,
+        nd AS (SELECT count(1) n_docs FROM documents),
+        dfreq AS (SELECT sid, count(1) df FROM dsid GROUP BY 1),
+        boiler AS (SELECT sid FROM dfreq, nd
+                   WHERE df >= greatest(2, ceil(n_docs * 0.02))),
+        per AS (SELECT d.doc_id,
+                       count(1) AS n_shingles,
+                       sum(CASE WHEN b.sid IS NOT NULL THEN 1 ELSE 0 END)
+                         AS n_boiler
+                FROM dsid d LEFT JOIN boiler b ON d.sid = b.sid
+                GROUP BY 1)
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_boiler AS BIGINT) AS n_boiler,
+               round(n_boiler::DOUBLE / n_shingles, 4) AS boiler_frac,
+               round(n_boiler::DOUBLE / n_shingles, 4) <= 0.5 AS keep
+        FROM per
+        ORDER BY doc_id""",
+
+      // Group labels from the same transitive closure as q46; singleton
+      // docs label themselves; split = q47's scramble over group_id.
+      "q67_leakage_split" -> s"""
+        WITH RECURSIVE $minhashChain,
+        pairs AS (SELECT doc_a, doc_b
+                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                             JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
+        edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT src AS node, src AS lbl FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM reach r
+                  JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
+                 FROM reach GROUP BY node),
+        g AS (SELECT d.doc_id, d.source,
+                     coalesce(c.group_id, d.doc_id) AS group_id
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        SELECT doc_id, group_id, source,
+               CASE WHEN (${oracleScramble("group_id")}) / 4294967296.0 < 0.9
+                    THEN 'train' ELSE 'val' END AS split
+        FROM g
+        ORDER BY doc_id""",
 
       "q22b_minhash_nodict" -> s"""
         WITH $minhashChain

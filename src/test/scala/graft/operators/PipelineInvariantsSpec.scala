@@ -17,6 +17,41 @@ class PipelineInvariantsSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("q67: near-duplicate pairs never straddle the train/val split") {
+    val split = PipelineQueries.queries("q67_leakage_split")(spark, dir).cache()
+    val pairs = PipelineQueries.queries("q22b_minhash_nodict")(spark, dir)
+      .select($"doc_a", $"doc_b")
+
+    // THE leakage invariant: both ends of every verified near-dup pair
+    // share a group and therefore a split side.
+    val straddling = pairs
+      .join(split.select($"doc_id".as("doc_a"), $"group_id".as("ga"),
+        $"split".as("sa")), "doc_a")
+      .join(split.select($"doc_id".as("doc_b"), $"group_id".as("gb"),
+        $"split".as("sb")), "doc_b")
+      .filter($"ga" =!= $"gb" || $"sa" =!= $"sb")
+    assert(straddling.isEmpty)
+
+    // Total coverage: every document is assigned exactly one side, and
+    // both sides are populated at the 90/10 scramble.
+    assert(split.count() ==
+      Tables(spark, dir).documents.count())
+    val sides = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.keySet == Set("train", "val") && sides.forall(_._2 > 0))
+    split.unpersist()
+  }
+
+  test("q66: boilerplate coverage is a sane fraction and df-consistent") {
+    val out = PipelineQueries.queries("q66_boilerplate")(spark, dir).cache()
+    // Fractions in [0,1]; n_boiler never exceeds n_shingles; keep
+    // matches the 0.5 rule.
+    assert(out.filter($"boiler_frac" < 0 || $"boiler_frac" > 1).isEmpty)
+    assert(out.filter($"n_boiler" > $"n_shingles").isEmpty)
+    assert(out.filter($"keep" =!= ($"boiler_frac" <= 0.5)).isEmpty)
+    out.unpersist()
+  }
+
   test("q46: components are consistent with the verified pair graph") {
     val groups = PipelineQueries.queries("q46_dedup_groups")(spark, dir).cache()
     val pairs = PipelineQueries.queries("q22b_minhash_nodict")(spark, dir)
