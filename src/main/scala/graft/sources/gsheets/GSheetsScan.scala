@@ -3,9 +3,16 @@ package graft.sources.gsheets
 import java.util.OptionalLong
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** One resolved top-N sort key: row index in the SHEET's column order,
+  * the read type it converts through, direction, and null placement.
+  */
+final case class GSheetsSortKey(
+    colIdx: Int, dataType: DataType, ascending: Boolean, nullsFirst: Boolean)
 
 /** Read path: bind-materialized grid → `InternalRow`s, with the
   * reference's scan-time conversion semantics
@@ -24,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
 final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
     options: GSheetsOptions)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit with SupportsPushDownTopN {
 
   // Bind errors (empty range, missing sheet) surface here with the
   // reference's message (`src/gsheets_read.cpp:190-192`).
@@ -59,15 +66,91 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
     */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
+  private var topN: Option[(Seq[GSheetsSortKey], Int)] = None
+
+  /** Top-N pushdown: `.load(url).orderBy(cols).limit(n)` sorts the bind
+    * snapshot driver-side and ships only n rows to executors. Only
+    * plain column references push (computed sort keys fall back to
+    * Spark's own sort over the full scan); the executor-fetch path
+    * declines too — the Sheets API has no server-side sort, so there is
+    * nothing to narrow. Spark keeps its Sort on top
+    * (isPartiallyPushed), so ordering semantics are double-checked; the
+    * SELECTION of the n rows is what must be exact here, and it uses
+    * the same cell conversion + type comparators as the read path.
+    */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    if (options.fetchOnExecutor) return false
+    val keys = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val name = nr.fieldNames()(0)
+          val idx = bound.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          val dt = tableSchema.fields
+            .find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+            .orElse(if (idx >= 0) Some(bound.schema.fields(idx).dataType) else None)
+          if (idx < 0 || dt.isEmpty) return false
+          GSheetsSortKey(idx, dt.get,
+            o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST)
+        case _ => return false
+      }
+    }
+    topN = Some((keys, l))
+    true
+  }
+
+  override def isPartiallyPushed: Boolean = true
+
   override def build(): Scan =
-    new GSheetsScan(bound, required, options.numPartitions, options, limit)
+    new GSheetsScan(bound, required, options.numPartitions, options, limit, topN)
 }
 
 final class GSheetsScan(bound: BoundSheet, required: StructType,
-    numPartitions: Int, options: GSheetsOptions, limit: Int = -1)
+    numPartitions: Int, options: GSheetsOptions, limit: Int = -1,
+    topN: Option[(Seq[GSheetsSortKey], Int)] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Snapshot data rows after pushed top-N / limit. Top-N is a full
+    * driver-side sort then truncate — a sheet caps at 10M cells, so a
+    * bounded heap would save nothing worth the code. Sort keys convert
+    * through the same cell conversion as the read path and compare with
+    * Spark's type semantics (binary UTF-8 strings, NaN greatest,
+    * explicit null placement), so the selected n rows are exactly the
+    * rows Spark's own Sort+Limit would keep.
+    */
+  private lazy val effectiveDataRows: Vector[Vector[String]] = topN match {
+    case Some((keys, n)) =>
+      val cmps = keys.map(k => graft.plans.AsOfJoinExec.typedComparator(k.dataType))
+      def keyed(row: Vector[String]): Array[Any] =
+        keys.map { k =>
+          val cell = if (k.colIdx < row.size) row(k.colIdx) else null
+          GSheetsPartitionReader.convert(cell, k.dataType)
+        }.toArray
+      val ord = new Ordering[(Array[Any], Vector[String])] {
+        override def compare(a: (Array[Any], Vector[String]),
+            b: (Array[Any], Vector[String])): Int = {
+          var i = 0
+          while (i < keys.length) {
+            val k = keys(i)
+            val av = a._1(i)
+            val bv = b._1(i)
+            val c =
+              if (av == null && bv == null) 0
+              else if (av == null) { if (k.nullsFirst) -1 else 1 }
+              else if (bv == null) { if (k.nullsFirst) 1 else -1 }
+              else { val v = cmps(i)(av, bv); if (k.ascending) v else -v }
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+      }
+      bound.dataRows.map(r => (keyed(r), r)).sorted(ord).take(n).map(_._2)
+    case None =>
+      if (limit >= 0) bound.dataRows.take(limit) else bound.dataRows
+  }
 
   /** Exact relation statistics from the bind snapshot. The reference
     * registers no cardinality callback (`src/gsheets_extension.cpp:55-59`)
@@ -85,8 +168,7 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
       bound.schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
     val colIdx =
       required.fieldNames.map(n => nameToIdx.getOrElse(n.toLowerCase, -1))
-    val rows =
-      if (limit >= 0) bound.dataRows.take(limit) else bound.dataRows
+    val rows = effectiveDataRows
     // Per-cell cost: string payload + fixed slot overhead (mirrors how
     // Spark's own estimators charge object headers); floor 1 so an empty
     // sheet never reports size 0 (which Spark treats as "unknown-cheap").
@@ -181,10 +263,9 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
 
     // Default: project to required columns here (driver-side, once) so
     // executors only ever see the pruned cells of the bind snapshot —
-    // truncated to the pushed limit, so task binaries don't carry rows
-    // the query can never emit.
-    val rows =
-      if (limit >= 0) bound.dataRows.take(limit) else bound.dataRows
+    // after pushed top-N / limit, so task binaries don't carry rows the
+    // query can never emit.
+    val rows = effectiveDataRows
     val projected: Array[Array[String]] = rows.map { row =>
       colIdx.map(i => if (i >= 0 && i < row.size) row(i) else null)
     }.toArray
@@ -201,7 +282,11 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
 
   override def description(): String =
     s"gsheets ${bound.spreadsheetId} ${bound.apiRange}" +
-      (if (limit >= 0) s" limit=$limit" else "")
+      (if (limit >= 0) s" limit=$limit" else "") +
+      topN.map { case (ks, n) =>
+        s" topN=$n(${ks.map(k => bound.schema.fieldNames.lift(k.colIdx)
+          .getOrElse("?") + (if (k.ascending) " ASC" else " DESC")).mkString(", ")})"
+      }.getOrElse("")
 }
 
 /** Rows are carried in the partition (driver fetched them once at bind,

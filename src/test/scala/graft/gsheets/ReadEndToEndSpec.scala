@@ -483,6 +483,47 @@ class ReadEndToEndSpec extends AnyFunSuite {
       Seq("Charlie", 45.0, "Chicago")))
   }
 
+  test("top-N pushdown ships only the n sorted rows") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    val (r, _) = reader(mock)
+    import org.apache.spark.sql.functions.desc
+    val df = r.load(SpreadsheetId).orderBy(desc("age")).limit(2)
+
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val shipped = scan.inputPartitions.collect {
+      case p: graft.sources.gsheets.GSheetsInputPartition => p.rows.length
+    }.sum
+    assert(shipped == 2) // the top-2 by age DESC, selected at the source
+    assert(rows(df) == Seq(
+      Seq("Archie", 99.0, null), Seq("Charlie", 45.0, "Chicago")))
+  }
+
+  test("top-N pushdown keeps Spark's null placement (asc = nulls first)") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    val (r, _) = reader(mock)
+    import org.apache.spark.sql.functions.col
+    val df = r.load(SpreadsheetId).orderBy(col("age")).limit(3)
+
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val shipped = scan.inputPartitions.collect {
+      case p: graft.sources.gsheets.GSheetsInputPartition => p.rows.length
+    }.sum
+    assert(shipped == 3)
+    // Ascending defaults to NULLS FIRST: the two null-age rows (Drake
+    // and the all-empty row), then Bob at 25.
+    val got = rows(df)
+    assert(got.map(_(1)) == Seq(null, null, 25.0))
+    assert(got.map(_.head).toSet == Set("Drake", null, "Bob"))
+  }
+
   test("fetch_on_executor: values fetched task-side, identical results") {
     val mock = new MockHttp
     mock.addJson(metadataJson) // bind: GetSheetByIndex(0)
