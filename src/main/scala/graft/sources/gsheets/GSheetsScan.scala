@@ -4,7 +4,8 @@ import java.util.OptionalLong
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -31,7 +32,8 @@ final case class GSheetsSortKey(
 final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
     options: GSheetsOptions)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit with SupportsPushDownTopN {
+  with SupportsPushDownLimit with SupportsPushDownTopN
+  with SupportsPushDownFilters {
 
   // Bind errors (empty range, missing sheet) surface here with the
   // reference's message (`src/gsheets_read.cpp:190-192`).
@@ -67,6 +69,25 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   private var topN: Option[(Seq[GSheetsSortKey], Int)] = None
+  private var pushedFiltersArr: Array[Filter] = Array.empty
+
+  /** Filter pushdown: simple single-column comparisons prune snapshot
+    * rows driver-side BEFORE they ship in task binaries (and before any
+    * pushed top-N selects). Pruning is conservative-exact — a row is
+    * dropped only when the predicate provably fails on its converted
+    * cell; unconvertible cells are kept so scan-time cast errors still
+    * surface — and every filter is ALSO returned as residual, so Spark
+    * re-evaluates on top (same contract as parquet's pushed filters).
+    * The executor-fetch path declines: the Sheets API cannot filter
+    * server-side, so there is nothing to narrow.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (!options.fetchOnExecutor)
+      pushedFiltersArr = filters.filter(GSheetsRowFilter.supports(_, bound, tableSchema))
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushedFiltersArr
 
   /** Top-N pushdown: `.load(url).orderBy(cols).limit(n)` sorts the bind
     * snapshot driver-side and ships only n rows to executors. Only
@@ -102,12 +123,122 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
   override def isPartiallyPushed: Boolean = true
 
   override def build(): Scan =
-    new GSheetsScan(bound, required, options.numPartitions, options, limit, topN)
+    new GSheetsScan(bound, required, options.numPartitions, options, limit,
+      topN, pushedFiltersArr.toSeq.map(f =>
+        GSheetsRowFilter.compile(f, bound, tableSchema)))
+}
+
+/** Compiles v1 [[Filter]]s into predicates over raw snapshot rows.
+  * Supported: Eq/Gt/Ge/Lt/Le/In/IsNull/IsNotNull on a plain column.
+  * Comparison happens on the CONVERTED cell (same conversion as the
+  * read path) with the same type comparators the as-of join uses; SQL
+  * null semantics (a null cell fails every comparison, matches IsNull).
+  */
+object GSheetsRowFilter {
+
+  private def resolve(attr: String, bound: BoundSheet,
+      tableSchema: StructType): Option[(Int, DataType)] = {
+    val idx = bound.schema.fieldNames.indexWhere(_.equalsIgnoreCase(attr))
+    val dt = tableSchema.fields.find(_.name.equalsIgnoreCase(attr)).map(_.dataType)
+      .orElse(if (idx >= 0) Some(bound.schema.fields(idx).dataType) else None)
+    if (idx < 0 || dt.isEmpty) None else Some((idx, dt.get))
+  }
+
+  /** Spark literal → the internal representation `convert` produces. */
+  private def lit(value: Any, dt: DataType): Option[Any] = (value, dt) match {
+    case (null, _) => None
+    case (s: String, StringType) => Some(UTF8String.fromString(s))
+    case (n: Number, DoubleType) => Some(n.doubleValue())
+    case (n: Number, FloatType) => Some(n.floatValue())
+    case (n: Number, LongType) => Some(n.longValue())
+    case (n: Number, IntegerType) => Some(n.intValue())
+    case (n: Number, ShortType) => Some(n.shortValue())
+    case (n: Number, ByteType) => Some(n.byteValue())
+    case (b: Boolean, BooleanType) => Some(b)
+    case (d: java.sql.Date, DateType) => Some(d.toLocalDate.toEpochDay.toInt)
+    case (d: java.time.LocalDate, DateType) => Some(d.toEpochDay.toInt)
+    case (t: java.sql.Timestamp, TimestampType) =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case (i: java.time.Instant, TimestampType) =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case (d: java.math.BigDecimal, _: DecimalType) => Some(Decimal(d))
+    case (d: BigDecimal, _: DecimalType) => Some(Decimal(d))
+    case _ => None
+  }
+
+  def supports(f: Filter, bound: BoundSheet, schema: StructType): Boolean = f match {
+    case EqualTo(a, v) => resolve(a, bound, schema).exists(r => lit(v, r._2).isDefined)
+    case GreaterThan(a, v) => resolve(a, bound, schema).exists(r => lit(v, r._2).isDefined)
+    case GreaterThanOrEqual(a, v) => resolve(a, bound, schema).exists(r => lit(v, r._2).isDefined)
+    case LessThan(a, v) => resolve(a, bound, schema).exists(r => lit(v, r._2).isDefined)
+    case LessThanOrEqual(a, v) => resolve(a, bound, schema).exists(r => lit(v, r._2).isDefined)
+    case In(a, vs) => resolve(a, bound, schema).exists(r => vs.forall(v => lit(v, r._2).isDefined))
+    case IsNull(a) => resolve(a, bound, schema).isDefined
+    case IsNotNull(a) => resolve(a, bound, schema).isDefined
+    case _ => false
+  }
+
+  /** Row predicate: true = keep. Unconvertible cells keep the row. */
+  def compile(f: Filter, bound: BoundSheet,
+      schema: StructType): Vector[String] => Boolean = {
+
+    def cellPred(attr: String)(p: Any => Boolean): Vector[String] => Boolean = {
+      val (idx, dt) = resolve(attr, bound, schema).get
+      row => {
+        val cell = if (idx < row.size) row(idx) else null
+        val converted =
+          try GSheetsPartitionReader.convert(cell, dt)
+          catch { case _: IllegalArgumentException => Sentinel }
+        p(converted)
+      }
+    }
+
+    def cmpPred(attr: String, value: Any)(keep: Int => Boolean): Vector[String] => Boolean = {
+      val (idx, dt) = resolve(attr, bound, schema).get
+      val l = lit(value, dt).get
+      val cmp = graft.plans.AsOfJoinExec.typedComparator(dt)
+      row => {
+        val cell = if (idx < row.size) row(idx) else null
+        val converted =
+          try GSheetsPartitionReader.convert(cell, dt)
+          catch { case _: IllegalArgumentException => Sentinel }
+        if (converted == Sentinel) true
+        else if (converted == null) false // SQL: null comparison is never true
+        else keep(cmp(converted, l))
+      }
+    }
+
+    f match {
+      case EqualTo(a, v) => cmpPred(a, v)(_ == 0)
+      case GreaterThan(a, v) => cmpPred(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmpPred(a, v)(_ >= 0)
+      case LessThan(a, v) => cmpPred(a, v)(_ < 0)
+      case LessThanOrEqual(a, v) => cmpPred(a, v)(_ <= 0)
+      case In(a, vs) =>
+        val (idx, dt) = resolve(a, bound, schema).get
+        val set = vs.flatMap(v => lit(v, dt)).toSet
+        row => {
+          val cell = if (idx < row.size) row(idx) else null
+          val converted =
+            try GSheetsPartitionReader.convert(cell, dt)
+            catch { case _: IllegalArgumentException => Sentinel }
+          if (converted == Sentinel) true
+          else if (converted == null) false
+          else set.contains(converted)
+        }
+      case IsNull(a) => cellPred(a)(v => v == Sentinel || v == null)
+      case IsNotNull(a) => cellPred(a)(v => v == Sentinel || v != null)
+      case other => throw new IllegalStateException(s"unsupported pushed filter $other")
+    }
+  }
+
+  private object Sentinel
 }
 
 final class GSheetsScan(bound: BoundSheet, required: StructType,
     numPartitions: Int, options: GSheetsOptions, limit: Int = -1,
-    topN: Option[(Seq[GSheetsSortKey], Int)] = None)
+    topN: Option[(Seq[GSheetsSortKey], Int)] = None,
+    rowFilters: Seq[Vector[String] => Boolean] = Nil)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -120,7 +251,13 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
     * explicit null placement), so the selected n rows are exactly the
     * rows Spark's own Sort+Limit would keep.
     */
-  private lazy val effectiveDataRows: Vector[Vector[String]] = topN match {
+  private lazy val effectiveDataRows: Vector[Vector[String]] = {
+    // Pushed filters prune first (the relation the pushed top-N/limit
+    // then selects over, matching Spark's pushdown order).
+    val filtered =
+      if (rowFilters.isEmpty) bound.dataRows
+      else bound.dataRows.filter(r => rowFilters.forall(p => p(r)))
+    topN match {
     case Some((keys, n)) =>
       val cmps = keys.map(k => graft.plans.AsOfJoinExec.typedComparator(k.dataType))
       def keyed(row: Vector[String]): Array[Any] =
@@ -147,9 +284,10 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
           0
         }
       }
-      bound.dataRows.map(r => (keyed(r), r)).sorted(ord).take(n).map(_._2)
+      filtered.map(r => (keyed(r), r)).sorted(ord).take(n).map(_._2)
     case None =>
-      if (limit >= 0) bound.dataRows.take(limit) else bound.dataRows
+      if (limit >= 0) filtered.take(limit) else filtered
+    }
   }
 
   /** Exact relation statistics from the bind snapshot. The reference

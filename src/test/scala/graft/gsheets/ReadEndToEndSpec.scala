@@ -524,6 +524,49 @@ class ReadEndToEndSpec extends AnyFunSuite {
     assert(got.map(_.head).toSet == Set("Drake", null, "Bob"))
   }
 
+  test("filter pushdown prunes snapshot rows driver-side") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    val (r, _) = reader(mock)
+    import org.apache.spark.sql.functions.col
+    val df = r.load(SpreadsheetId).filter(col("age") > 26)
+
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val shipped = scan.inputPartitions.collect {
+      case p: graft.sources.gsheets.GSheetsInputPartition => p.rows.length
+    }.sum
+    // age > 26 (with the implied IsNotNull) keeps Alice/Charlie/Archie;
+    // Bob and the two null-age rows never ship.
+    assert(shipped == 3)
+    assert(rows(df).map(_.head).toSet == Set("Alice", "Charlie", "Archie"))
+  }
+
+  test("filter pushdown under a sort+limit still prunes the scan") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    val (r, _) = reader(mock)
+    import org.apache.spark.sql.functions.col
+    // age > 26 leaves {30, 45, 99}; the ascending top-1 of the
+    // survivors is Alice at 30 (without the filter, the nulls or Bob at
+    // 25 would win). Filters are returned as residual — the parquet
+    // contract — so the residual Filter node blocks top-N pushdown and
+    // Spark's own Sort+Limit finishes the job over the 3 pruned rows.
+    val df = r.load(SpreadsheetId)
+      .filter(col("age") > 26).orderBy(col("age")).limit(1)
+    assert(rows(df) == Seq(Seq("Alice", 30.0, "Toronto")))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val shipped = scan.inputPartitions.collect {
+      case p: graft.sources.gsheets.GSheetsInputPartition => p.rows.length
+    }.sum
+    assert(shipped == 3)
+  }
+
   test("fetch_on_executor: values fetched task-side, identical results") {
     val mock = new MockHttp
     mock.addJson(metadataJson) // bind: GetSheetByIndex(0)
