@@ -1121,6 +1121,124 @@ object PipelineQueries {
         .orderBy($"doc_id")
     },
 
+    // ----- semantic dedup: cluster-then-prune over embeddings -----
+    // The SemDeDup shape (Abbas et al. 2023): assign every embedding to
+    // its nearest coarse centroid, then mark as duplicate any vector
+    // whose cosine to a LOWER-id vector in the SAME cluster is >= τ —
+    // pairwise comparison never crosses a cluster boundary, so the
+    // quadratic term is bounded by cluster size, and K is chosen ∝ N to
+    // keep that bound flat as the corpus grows. Assignment is a
+    // broadcast-centroid scan + ONE map-side-combining max_by aggregate
+    // (shuffle = one row per vector, not one per vector×centroid as the
+    // q36 window formulation would shuffle); the intra-cluster self-join
+    // shuffles each vector once, keyed by cluster.
+    "q68_semantic_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" % 125 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      // max_by on (ccos, -cid): highest cosine, ties to the lowest cid —
+      // identical to the oracle's row_number ORDER BY ccos DESC, cid.
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cid"))
+      val clustered = assign.join(e, "vec_id")
+      val dups = clustered.as("a").join(clustered.as("b"),
+          $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+        .filter(graft.functions.GraftFunctions
+          .cosineSim($"a.embedding", $"b.embedding") >= 0.4)
+        .select($"b.vec_id".as("vec_id")).distinct()
+      assign.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cid", coalesce(!$"dup", lit(true)).as("keep"))
+        .orderBy($"vec_id")
+    },
+
+    // ----- vocabulary build + per-doc OOV rate -----
+    // Two-pass tokenizer-prep step: pass 1 builds the top-V vocabulary
+    // (count desc, token asc — deterministic ties) as a TakeOrdered
+    // top-256 over the VOCABULARY-sized count table (no global window,
+    // no single-partition sort of corpus data); pass 2 scores every doc
+    // by the fraction of token INSTANCES outside the vocabulary. The
+    // vocab is broadcast (V is a constant); everything else is one
+    // map-side-combining aggregate keyed by doc_id.
+    "q69_vocab_oov" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val inst = t.documents.repartition($"doc_id")
+        .select($"doc_id", explode(expr(toksExpr)).as("tok"))
+      val vocab = inst.groupBy($"tok").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"tok").limit(256)
+        .select($"tok", lit(1L).as("in_vocab"))
+      inst.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round($"n_oov".cast("double") / $"n_tokens", 4))
+        .select($"doc_id", $"n_tokens", $"n_oov", $"oov_rate")
+        .orderBy($"doc_id")
+    },
+
+    // ----- deterministic global shuffle + shard assignment -----
+    // The training-order step: every doc gets a pseudorandom-but-
+    // deterministic order key (the q47 overflow-safe scramble of
+    // doc_id), a shard (ord mod 8), and its token count — a reader
+    // consumes shard s sorted by ord. Emitting the ORDER KEY instead of
+    // a dense position is the 100 TB design choice: a per-shard dense
+    // row_number would funnel corpus/8 rows through one window task,
+    // while the key itself is map-only and sorts lazily at read time.
+    "q70_shard_assign" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.documents.repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("toks"))
+        .withColumn("ord", expr(scrambleExpr("doc_id")).cast("long"))
+        .select($"doc_id", ($"ord" % 8).as("shard"), $"ord",
+          size($"toks").cast("long").as("n_tokens"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- containment dedup (asymmetric near-subset detection) -----
+    // Jaccard misses a small doc quoted inside a much larger one (the
+    // union term swamps the intersection); containment
+    // |A∩B| / min(|A|,|B|) catches exactly that. Candidates are q23's
+    // df-capped shared-sid equality join — never all-pairs, and a hot
+    // boilerplate shingle (df > 50) can't contribute O(df²) join rows —
+    // then one exact intersection count per candidate. Reported with
+    // both metrics so the asymmetric catch (high c, low jaccard) is
+    // visible; `ContainmentSpec` pins that case with an embedded-quote
+    // fixture the synthetic corpus lacks.
+    "q71_containment" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val arrs = docSidArrays(t.documents).cache()
+      val dsid = arrs.select($"doc_id", explode($"sids").as("sid"))
+      val rare = dsid.groupBy($"sid").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 50)
+        .select($"sid")
+      val rdsh = dsid.join(rare, "sid")
+      val sizes = arrs.select($"doc_id", size($"sids").cast("long").as("n"))
+      val inter = rdsh.as("a").join(rdsh.as("b"),
+          $"a.sid" === $"b.sid" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+        .withColumn("containment",
+          $"i".cast("double") / least($"sa.n", $"sb.n"))
+        .filter($"containment" >= 0.8)
+        .withColumn("jaccard",
+          $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
+        .select($"doc_a", $"doc_b", $"i".as("n_shared"),
+          round($"containment", 4).as("containment"),
+          round($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // ----- cross-corpus near-dup: corpus A vs corpus B MinHash join -----
     // The "is my new crawl already in the training set" shape: same
     // MinHash(16)/4-band machinery as q22b, but candidates pair one doc
@@ -1508,6 +1626,76 @@ object PipelineQueries {
                     THEN 'train' ELSE 'val' END AS split
         FROM g
         ORDER BY doc_id""",
+
+      // Assignment twin of q68's max_by(cid, (ccos, -cid)): row_number
+      // ORDER BY ccos DESC, cid picks the same centroid incl. ties.
+      "q68_semantic_dedup" -> s"""
+        WITH $cosFragment,
+        cents AS (SELECT vec_id cid, v ce FROM e WHERE vec_id % 125 = 0),
+        scored AS (SELECT e.vec_id, c.cid,
+                          list_dot_product(e.v, c.ce) /
+                          (sqrt(list_dot_product(e.v, e.v)) *
+                           sqrt(list_dot_product(c.ce, c.ce))) ccos
+                   FROM e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY ccos DESC, cid) rk
+                       FROM scored) WHERE rk = 1),
+        dups AS (SELECT DISTINCT b.vec_id
+                 FROM assigned a JOIN assigned b
+                      ON a.cid = b.cid AND a.vec_id < b.vec_id
+                 JOIN e x ON x.vec_id = a.vec_id
+                 JOIN e y ON y.vec_id = b.vec_id
+                 WHERE list_dot_product(x.v, y.v) /
+                       (sqrt(list_dot_product(x.v, x.v)) *
+                        sqrt(list_dot_product(y.v, y.v))) >= 0.4)
+        SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep
+        FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id""",
+
+      "q69_vocab_oov" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        inst AS (SELECT doc_id, unnest(tk) tok FROM toks),
+        vocab AS (SELECT tok FROM (
+                    SELECT tok, count(1) n FROM inst GROUP BY 1)
+                  ORDER BY n DESC, tok LIMIT 256)
+        SELECT doc_id,
+               CAST(count(1) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                     / count(1), 4) AS oov_rate
+        FROM inst i LEFT JOIN vocab v ON i.tok = v.tok
+        GROUP BY doc_id
+        ORDER BY doc_id""",
+
+      "q70_shard_assign" -> s"""
+        WITH t AS (SELECT doc_id, $toks tk FROM documents),
+        o AS (SELECT doc_id,
+                     CAST((${oracleScramble("doc_id")}) AS BIGINT) AS ord,
+                     CAST(len(tk) AS BIGINT) AS n_tokens
+              FROM t)
+        SELECT doc_id, ord % 8 AS shard, ord, n_tokens
+        FROM o
+        ORDER BY doc_id""",
+
+      "q71_containment" -> s"""
+        WITH $dsh, $dsid,
+        rare AS (SELECT sid FROM dsid GROUP BY sid HAVING count(1) <= 50),
+        rdsh AS (SELECT d.* FROM dsid d JOIN rare USING (sid)),
+        sizes AS (SELECT doc_id, count(1) n FROM dsid GROUP BY 1),
+        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(1) i
+                  FROM rdsh a JOIN rdsh b
+                       ON a.sid = b.sid AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, i AS n_shared,
+               round(i::DOUBLE / least(sa.n, sb.n), 4) AS containment,
+               round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i::DOUBLE / least(sa.n, sb.n) >= 0.8
+        ORDER BY doc_a, doc_b""",
 
       "q22b_minhash_nodict" -> s"""
         WITH $minhashChain
