@@ -4,7 +4,8 @@ import java.util.OptionalLong
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,7 +34,7 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
     options: GSheetsOptions)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit with SupportsPushDownTopN
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   // Bind errors (empty range, missing sheet) surface here with the
   // reference's message (`src/gsheets_read.cpp:190-192`).
@@ -122,11 +123,158 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
 
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan =
-    new GSheetsScan(bound, required, options.numPartitions, options, limit,
-      topN, pushedFiltersArr.toSeq.map(f =>
+  private var pushedAgg: Option[Seq[GSheetsAggSpec]] = None
+
+  /** Aggregate pushdown: an ungrouped COUNT(*)/COUNT(col)/MIN/MAX is
+    * answered entirely from the bind snapshot — ONE row ships to ONE
+    * task instead of the whole grid (a `count(*)` on a 10M-cell sheet
+    * otherwise serializes every cell into task binaries just to count
+    * them). Pushdown is COMPLETE (no partial re-agg: the snapshot is the
+    * whole relation), using the same cell conversion and type
+    * comparators as the read path, so COUNT skips exactly the cells a
+    * full scan would return as NULL and MIN/MAX order exactly as Spark's
+    * own aggregate would. Spark only offers aggregates when no residual
+    * filters remain — this source marks every filter residual — so the
+    * pushed aggregate always ranges over the full snapshot. GROUP BY,
+    * DISTINCT, and other functions decline to Spark's own aggregation;
+    * so does the executor-fetch path, where task-time freshness is the
+    * contract and the bind snapshot must not answer queries.
+    */
+  private def compileAgg(agg: Aggregation): Option[Seq[GSheetsAggSpec]] = {
+    if (options.fetchOnExecutor || agg.groupByExpressions().nonEmpty) return None
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(GSheetsAggSpec(GSheetsAggSpec.CountStar, -1, LongType))
+      case c: Count if !c.isDistinct() => c.column() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          GSheetsRowFilter.resolve(nr.fieldNames()(0), bound, tableSchema)
+            .map { case (idx, dt) => GSheetsAggSpec(GSheetsAggSpec.CountCol, idx, dt) }
+        case _ => None
+      }
+      case m: Min => m.column() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          GSheetsRowFilter.resolve(nr.fieldNames()(0), bound, tableSchema)
+            .map { case (idx, dt) => GSheetsAggSpec(GSheetsAggSpec.MinCol, idx, dt) }
+        case _ => None
+      }
+      case m: Max => m.column() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          GSheetsRowFilter.resolve(nr.fieldNames()(0), bound, tableSchema)
+            .map { case (idx, dt) => GSheetsAggSpec(GSheetsAggSpec.MaxCol, idx, dt) }
+        case _ => None
+      }
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) None else Some(specs.flatten)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    compileAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val compiled = compileAgg(agg)
+    pushedAgg = compiled
+    compiled.isDefined
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(specs) =>
+      new GSheetsAggScan(bound, specs, pushedFiltersArr.toSeq.map(f =>
         GSheetsRowFilter.compile(f, bound, tableSchema)))
+    case None =>
+      new GSheetsScan(bound, required, options.numPartitions, options, limit,
+        topN, pushedFiltersArr.toSeq.map(f =>
+          GSheetsRowFilter.compile(f, bound, tableSchema)))
+  }
 }
+
+/** One pushed aggregate: function tag, snapshot column index (-1 for
+  * COUNT(*)), and the read type it converts/compares through.
+  */
+final case class GSheetsAggSpec(fn: Int, colIdx: Int, dataType: DataType)
+
+object GSheetsAggSpec {
+  val CountStar = 0
+  val CountCol = 1
+  val MinCol = 2
+  val MaxCol = 3
+}
+
+/** Completely-pushed ungrouped aggregate over the bind snapshot: the
+  * driver folds the (filter-pruned) snapshot once and ships a single
+  * one-row partition. NULL semantics match a full scan + Spark
+  * aggregate exactly: empty/missing cells are NULL (skipped by COUNT
+  * (col)/MIN/MAX); an unconvertible cell throws the same cast error the
+  * scan itself would have thrown reading that column.
+  */
+final class GSheetsAggScan(bound: BoundSheet, specs: Seq[GSheetsAggSpec],
+    rowFilters: Seq[Vector[String] => Boolean]) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(specs.map {
+    case GSheetsAggSpec(GSheetsAggSpec.CountStar, _, _) =>
+      StructField("count_star", LongType, nullable = false)
+    case GSheetsAggSpec(GSheetsAggSpec.CountCol, i, _) =>
+      StructField(s"count_col$i", LongType, nullable = false)
+    case GSheetsAggSpec(GSheetsAggSpec.MinCol, i, dt) =>
+      StructField(s"min_col$i", dt)
+    case GSheetsAggSpec(GSheetsAggSpec.MaxCol, i, dt) =>
+      StructField(s"max_col$i", dt)
+  })
+
+  private lazy val resultValues: Array[Any] = {
+    val rows =
+      if (rowFilters.isEmpty) bound.dataRows
+      else bound.dataRows.filter(r => rowFilters.forall(p => p(r)))
+    specs.map { spec =>
+      spec.fn match {
+        case GSheetsAggSpec.CountStar => rows.length.toLong
+        case GSheetsAggSpec.CountCol =>
+          var n = 0L
+          rows.foreach { row =>
+            val cell = if (spec.colIdx < row.size) row(spec.colIdx) else null
+            if (GSheetsPartitionReader.convert(cell, spec.dataType) != null) n += 1
+          }
+          n
+        case GSheetsAggSpec.MinCol | GSheetsAggSpec.MaxCol =>
+          val cmp = graft.plans.AsOfJoinExec.typedComparator(spec.dataType)
+          val wantMin = spec.fn == GSheetsAggSpec.MinCol
+          var best: Any = null
+          rows.foreach { row =>
+            val cell = if (spec.colIdx < row.size) row(spec.colIdx) else null
+            val v = GSheetsPartitionReader.convert(cell, spec.dataType)
+            if (v != null &&
+                (best == null || (if (wantMin) cmp(v, best) < 0 else cmp(v, best) > 0)))
+              best = v
+          }
+          best
+      }
+    }.toArray
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GSheetsAggPartition(resultValues))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GSheetsReaderFactory
+
+  override def description(): String =
+    s"gsheets ${bound.spreadsheetId} ${bound.apiRange} agg=[" +
+      specs.map { s =>
+        val col = bound.schema.fieldNames.lift(s.colIdx).getOrElse("*")
+        s.fn match {
+          case GSheetsAggSpec.CountStar => "count(*)"
+          case GSheetsAggSpec.CountCol => s"count($col)"
+          case GSheetsAggSpec.MinCol => s"min($col)"
+          case GSheetsAggSpec.MaxCol => s"max($col)"
+        }
+      }.mkString(", ") + "]"
+}
+
+/** The single pre-aggregated row, in internal representation (UTF8String
+  * / Decimal / primitives — all serializable).
+  */
+final case class GSheetsAggPartition(values: Array[Any]) extends InputPartition
 
 /** Compiles v1 [[Filter]]s into predicates over raw snapshot rows.
   * Supported: Eq/Gt/Ge/Lt/Le/In/IsNull/IsNotNull on a plain column.
@@ -136,7 +284,7 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
   */
 object GSheetsRowFilter {
 
-  private def resolve(attr: String, bound: BoundSheet,
+  private[gsheets] def resolve(attr: String, bound: BoundSheet,
       tableSchema: StructType): Option[(Int, DataType)] = {
     val idx = bound.schema.fieldNames.indexWhere(_.equalsIgnoreCase(attr))
     val dt = tableSchema.fields.find(_.name.equalsIgnoreCase(attr)).map(_.dataType)
@@ -452,6 +600,14 @@ final case class GSheetsFetchPartition(
 final class GSheetsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
+      case p: GSheetsAggPartition =>
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(p.values.toIndexedSeq)
+          override def close(): Unit = ()
+        }
       case p: GSheetsInputPartition =>
         new GSheetsPartitionReader(p.rows, p.types)
       case p: GSheetsFetchPartition =>

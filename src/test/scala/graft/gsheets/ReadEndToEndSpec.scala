@@ -595,4 +595,64 @@ class ReadEndToEndSpec extends AnyFunSuite {
     val valueGets = mock.recordedRequests.filter(_.url.contains("/values/"))
     assert(valueGets.size == 2)
   }
+
+  test("aggregate pushdown: ungrouped COUNT/MIN/MAX answered from the snapshot") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    val (r, _) = reader(mock)
+    val df = r.load(SpreadsheetId)
+      .agg(count(lit(1)).as("n"), count(col("age")).as("n_age"),
+        min(col("age")).as("min_age"), max(col("age")).as("max_age"),
+        min(col("name")).as("min_name"), max(col("name")).as("max_name"))
+
+    // COMPLETE pushdown: no aggregate exec remains — the plan is a
+    // projection over the one-row agg scan.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.inputPartitions.forall(
+      _.isInstanceOf[graft.sources.gsheets.GSheetsAggPartition]))
+
+    // NULL semantics match a full scan + aggregate: count(age) skips the
+    // two NULL cells, min/max ignore NULLs.
+    assert(rows(df) == Seq(Seq(6L, 4L, 25.0, 99.0, "Alice", "Drake")))
+  }
+
+  test("aggregate pushdown declines GROUP BY, DISTINCT, and executor-fetch") {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    // GROUP BY: Spark's own aggregation, values still exact.
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    val (r, _) = reader(mock)
+    val grouped = r.load(SpreadsheetId).groupBy(col("city")).agg(count(lit(1)).as("n"))
+    assert(grouped.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(grouped.collect().map(x => (x.get(0), x.getLong(1))).toMap ==
+      Map("Toronto" -> 1L, "New York" -> 1L, "Chicago" -> 1L, (null, 3L)))
+
+    // DISTINCT count: declined (would need the raw rows).
+    val mock2 = new MockHttp
+    mock2.addJson(metadataJson)
+    mock2.addJson(sheet1Json())
+    val (r2, _) = reader(mock2)
+    val dist = r2.load(SpreadsheetId).agg(countDistinct(col("city")).as("n"))
+    assert(dist.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(dist.collect().head.getLong(0) == 3L)
+
+    // fetch_on_executor: the bind snapshot must not answer — freshness
+    // is task-time there.
+    val mock3 = new MockHttp
+    mock3.addJson(metadataJson)
+    mock3.addJson(sheet1Json())
+    mock3.addJson(sheet1Json())
+    val (r3, _) = reader(mock3)
+    val exec = r3.option("fetch_on_executor", "true").load(SpreadsheetId)
+      .agg(count(lit(1)).as("n"))
+    assert(exec.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(exec.collect().head.getLong(0) == 6L)
+  }
 }
