@@ -1145,13 +1145,18 @@ object PipelineQueries {
           graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
         .groupBy($"vec_id")
         .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cid"))
-      val clustered = assign.join(e, "vec_id")
+      // Cached: probed by both sides of the intra-cluster self-join and
+      // the final projection — without it the embeddings scan + the
+      // assignment aggregate re-execute three times (at 100 TB, three
+      // full corpus reads).
+      val clustered = assign.join(e, "vec_id").cache()
       val dups = clustered.as("a").join(clustered.as("b"),
           $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
         .filter(graft.functions.GraftFunctions
           .cosineSim($"a.embedding", $"b.embedding") >= 0.4)
         .select($"b.vec_id".as("vec_id")).distinct()
-      assign.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      clustered.select($"vec_id", $"cid")
+        .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
         .select($"vec_id", $"cid", coalesce(!$"dup", lit(true)).as("keep"))
         .orderBy($"vec_id")
     },

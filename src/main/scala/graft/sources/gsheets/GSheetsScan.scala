@@ -4,7 +4,7 @@ import java.util.OptionalLong
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -162,9 +162,36 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
             .map { case (idx, dt) => GSheetsAggSpec(GSheetsAggSpec.MaxCol, idx, dt) }
         case _ => None
       }
+      // SUM/AVG on numeric columns. The snapshot fold runs in sheet row
+      // order — the same order a single-partition scan + aggregate would
+      // fold in — so even floating-point sums are bit-identical to the
+      // unpushed plan. Result types follow Spark's aggregates: SUM
+      // widens integrals to BIGINT and fractionals to DOUBLE; AVG is
+      // DOUBLE; both are NULL over zero non-null cells. DECIMAL declines
+      // (Spark's precision-widening rules aren't worth mirroring here).
+      case sm: Sum if !sm.isDistinct() => sm.column() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          GSheetsRowFilter.resolve(nr.fieldNames()(0), bound, tableSchema)
+            .filter(r => isNumericAgg(r._2))
+            .map { case (idx, dt) => GSheetsAggSpec(GSheetsAggSpec.SumCol, idx, dt) }
+        case _ => None
+      }
+      case a: Avg if !a.isDistinct() => a.column() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          GSheetsRowFilter.resolve(nr.fieldNames()(0), bound, tableSchema)
+            .filter(r => isNumericAgg(r._2))
+            .map { case (idx, dt) => GSheetsAggSpec(GSheetsAggSpec.AvgCol, idx, dt) }
+        case _ => None
+      }
       case _ => None
     }
     if (specs.exists(_.isEmpty)) None else Some(specs.flatten)
+  }
+
+  private def isNumericAgg(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType | LongType | IntegerType | ShortType |
+         ByteType => true
+    case _ => false
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -197,6 +224,16 @@ object GSheetsAggSpec {
   val CountCol = 1
   val MinCol = 2
   val MaxCol = 3
+  val SumCol = 4
+  val AvgCol = 5
+
+  /** SUM's result type, per Spark's `Sum.dataType` for non-decimal
+    * inputs: integrals widen to BIGINT, fractionals to DOUBLE.
+    */
+  def sumType(in: DataType): DataType = in match {
+    case DoubleType | FloatType => DoubleType
+    case _ => LongType
+  }
 }
 
 /** Completely-pushed ungrouped aggregate over the bind snapshot: the
@@ -218,6 +255,10 @@ final class GSheetsAggScan(bound: BoundSheet, specs: Seq[GSheetsAggSpec],
       StructField(s"min_col$i", dt)
     case GSheetsAggSpec(GSheetsAggSpec.MaxCol, i, dt) =>
       StructField(s"max_col$i", dt)
+    case GSheetsAggSpec(GSheetsAggSpec.SumCol, i, dt) =>
+      StructField(s"sum_col$i", GSheetsAggSpec.sumType(dt))
+    case GSheetsAggSpec(GSheetsAggSpec.AvgCol, i, _) =>
+      StructField(s"avg_col$i", DoubleType)
   })
 
   private lazy val resultValues: Array[Any] = {
@@ -246,6 +287,25 @@ final class GSheetsAggScan(bound: BoundSheet, specs: Seq[GSheetsAggSpec],
               best = v
           }
           best
+        case GSheetsAggSpec.SumCol | GSheetsAggSpec.AvgCol =>
+          val fractional = GSheetsAggSpec.sumType(spec.dataType) == DoubleType
+          var dsum = 0.0
+          var lsum = 0L
+          var n = 0L
+          rows.foreach { row =>
+            val cell = if (spec.colIdx < row.size) row(spec.colIdx) else null
+            val v = GSheetsPartitionReader.convert(cell, spec.dataType)
+            if (v != null) {
+              n += 1
+              if (fractional) dsum += v.asInstanceOf[Number].doubleValue()
+              else lsum += v.asInstanceOf[Number].longValue()
+            }
+          }
+          if (n == 0) null
+          else if (spec.fn == GSheetsAggSpec.AvgCol)
+            (if (fractional) dsum else lsum.toDouble) / n
+          else if (fractional) dsum
+          else lsum
       }
     }.toArray
   }
@@ -267,6 +327,8 @@ final class GSheetsAggScan(bound: BoundSheet, specs: Seq[GSheetsAggSpec],
           case GSheetsAggSpec.CountCol => s"count($col)"
           case GSheetsAggSpec.MinCol => s"min($col)"
           case GSheetsAggSpec.MaxCol => s"max($col)"
+          case GSheetsAggSpec.SumCol => s"sum($col)"
+          case GSheetsAggSpec.AvgCol => s"avg($col)"
         }
       }.mkString(", ") + "]"
 }

@@ -597,7 +597,7 @@ class ReadEndToEndSpec extends AnyFunSuite {
   }
 
   test("aggregate pushdown: ungrouped COUNT/MIN/MAX answered from the snapshot") {
-    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.functions.{avg, col, count, lit, max, min, sum}
     val mock = new MockHttp
     mock.addJson(metadataJson)
     mock.addJson(sheet1Json())
@@ -605,6 +605,7 @@ class ReadEndToEndSpec extends AnyFunSuite {
     val df = r.load(SpreadsheetId)
       .agg(count(lit(1)).as("n"), count(col("age")).as("n_age"),
         min(col("age")).as("min_age"), max(col("age")).as("max_age"),
+        sum(col("age")).as("sum_age"), avg(col("age")).as("avg_age"),
         min(col("name")).as("min_name"), max(col("name")).as("max_name"))
 
     // COMPLETE pushdown: no aggregate exec remains — the plan is a
@@ -618,8 +619,9 @@ class ReadEndToEndSpec extends AnyFunSuite {
       _.isInstanceOf[graft.sources.gsheets.GSheetsAggPartition]))
 
     // NULL semantics match a full scan + aggregate: count(age) skips the
-    // two NULL cells, min/max ignore NULLs.
-    assert(rows(df) == Seq(Seq(6L, 4L, 25.0, 99.0, "Alice", "Drake")))
+    // two NULL cells, min/max/sum/avg ignore NULLs.
+    assert(rows(df) ==
+      Seq(Seq(6L, 4L, 25.0, 99.0, 199.0, 49.75, "Alice", "Drake")))
   }
 
   test("aggregate pushdown declines GROUP BY, DISTINCT, and executor-fetch") {

@@ -121,6 +121,32 @@ class Round5OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q71: agrees with brute-force all-pairs containment at small sf") {
+    // The df cap (<= 50) exists to bound hot-key join fan-out at scale;
+    // at sf0.001 no shingle is that common, so the candidate generation
+    // must be LOSSLESS here — q71 equals the all-pairs computation.
+    val docs = Tables(spark, dir).documents
+    val arrs = docs.repartition($"doc_id")
+      .select($"doc_id", array_distinct(
+        graft.functions.GraftFunctions.polyHashArray(
+          graft.functions.GraftFunctions.shingles3(
+            expr("array_remove(split(text, ' '), '')")))).as("sids"))
+      .filter(size($"sids") > 0)
+    val brute = arrs.as("a").crossJoin(arrs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        size(array_intersect($"a.sids", $"b.sids")).cast("long").as("n_shared"),
+        least(size($"a.sids"), size($"b.sids")).cast("long").as("mn"),
+        (size($"a.sids") + size($"b.sids")).cast("long").as("tot"))
+      .filter($"n_shared".cast("double") / $"mn" >= 0.8)
+      .select($"doc_a", $"doc_b", $"n_shared",
+        round($"n_shared".cast("double") / $"mn", 4).as("containment"),
+        round($"n_shared".cast("double") / ($"tot" - $"n_shared"), 4)
+          .as("jaccard"))
+    val q71 = PipelineQueries.queries("q71_containment")(spark, dir)
+    assert(q71.except(brute).isEmpty && brute.except(q71).isEmpty)
+  }
+
   test("q71: metrics are consistent on the synthetic corpus") {
     val out = PipelineQueries.queries("q71_containment")(spark, dir).cache()
     // containment >= jaccard always (min <= union), both in (0, 1].
