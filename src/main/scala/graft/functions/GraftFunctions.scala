@@ -83,6 +83,16 @@ object GraftFunctions {
       require(exprs.length == 1,
         s"simhash32 expects 1 argument, got ${exprs.length}")
       SimHash32(exprs.head)
+    }),
+    ("l2_sq", L2Sq.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 2,
+        s"l2_sq expects 2 arguments, got ${exprs.length}")
+      L2Sq(exprs.head, exprs(1))
+    }),
+    ("bucket_dot", BucketDot.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 2,
+        s"bucket_dot expects 2 arguments, got ${exprs.length}")
+      BucketDot(exprs.head, exprs(1))
     }))
 
   private def intLit(fn: String, e: Expression): Int = e match {
@@ -134,6 +144,14 @@ object GraftFunctions {
   /** Typed column API: `sortedCountIn($"sids", lit(sortedSet))`. */
   def sortedCountIn(arr: Column, sortedSet: Column): Column =
     Bridge.column(SortedCountIn(Bridge.expression(arr), Bridge.expression(sortedSet)))
+
+  /** Typed column API: `l2Sq($"embedding", $"ce")`. */
+  def l2Sq(a: Column, b: Column): Column =
+    Bridge.column(L2Sq(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Typed column API: `bucketDot($"sids", lit(weights))`. */
+  def bucketDot(ids: Column, weights: Column): Column =
+    Bridge.column(BucketDot(Bridge.expression(ids), Bridge.expression(weights)))
 
   /** Typed column API: `pqSubDists($"embedding", $"ce", 8)`. */
   def pqSubDists(a: Column, b: Column, numSub: Int): Column =

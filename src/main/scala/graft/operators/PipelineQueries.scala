@@ -1465,6 +1465,86 @@ object PipelineQueries {
         .filter($"rank" <= 5)
         .select($"query_id", $"rank", $"vec_id", round($"adc", 4).as("adc"))
         .orderBy($"query_id", $"rank")
+    },
+
+    // ----- k-means training (Lloyd's) — the quantizer the ANN family assumes -----
+    // q36 IVF, q60 PQ, and q68 SemDeDup all TAKE a coarse quantizer as
+    // given (every-125th-vector); this is the op that trains one. Two
+    // fixed Lloyd iterations (fixed so the oracle is expressible as
+    // plain CTEs — a convergence loop is the same plan repeated):
+    // assignment scans the corpus against K BROADCAST centroids and
+    // argmins via ONE map-side-combining min_by aggregate over the
+    // native l2_sq kernel (shuffle = one row per vector, never
+    // vector×centroid); the centroid update explodes assigned vectors
+    // to (cluster, dim, value) and partial-aggregates, so its shuffle
+    // is K×D running sums regardless of corpus size — textbook
+    // distributed Lloyd's. At 100 TB: per-iteration cost is one corpus
+    // scan + an O(K·D) shuffle; the corpus is cached here because three
+    // passes re-read it (assignment ×2, update ×1) — on a cluster
+    // that's persist-to-executors or recompute-from-parquet, same plan.
+    // Centroid means round to 6 dp in BOTH engines so the iteration-2
+    // inputs are identical doubles despite engine-specific summation
+    // order in avg(); distances then fold bit-identically (left-to-
+    // right, all-double) and ties break on the lowest centroid id,
+    // making the emitted assignments exact, not threshold-lucky.
+    "q72_kmeans_train" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding").cache()
+      val c0 = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("ce"))
+      def assign(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cents))
+          .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
+          .groupBy($"vec_id")
+          .agg(min_by($"cid", struct($"d", $"cid")).as("cid"))
+      val a1 = assign(c0)
+      val c1 = a1.join(e, "vec_id")
+        .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"cid", $"dim")
+        .agg(round(avg($"v"), 6).as("m"))
+        .groupBy($"cid")
+        .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pm"))
+        .select($"cid", expr("transform(pm, x -> x.m)").as("ce"))
+      val a2 = assign(c1)
+      a1.select($"vec_id", $"cid".as("cluster_init"))
+        .join(a2.select($"vec_id", $"cid".as("cluster")), "vec_id")
+        .select($"vec_id", $"cluster_init", $"cluster")
+        .orderBy($"vec_id")
+    },
+
+    // ----- hashed-feature quality classifier (fastText-style linear model) -----
+    // The model-based quality gate (vs q58's rule funnel): score =
+    // (1/n)·Σ_tok w[h(tok) mod 64] — a logistic-regression logit over
+    // feature-hashed bag-of-words, evaluated WITHOUT materializing the
+    // feature vector: tokens poly-hash map-side (native kernel), the
+    // 64-weight vector rides along as a literal, and the native
+    // bucket_dot kernel folds the dot product in one codegen'd loop.
+    // Fully map-only — the 100 TB cost is exactly one corpus scan, like
+    // q27. The demo weights are deterministic (Knuth-scramble of the
+    // bucket index); a trained model would broadcast its weights the
+    // same way. Every weight is a multiple of 2⁻³² in [-0.5, 0.5), so
+    // partial sums stay EXACT dyadic rationals (53-bit significand
+    // never overflows below |Σ| < 2²¹) — the score is bit-identical in
+    // both engines regardless of summation order, and keep = logit ≥ 0
+    // can't flip on a ulp.
+    "q73_quality_classifier" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val weights = (0 until 64).map { j =>
+        ((j.toLong * 2654435761L) % 4294967296L) / 4294967296.0 - 0.5
+      }.toArray
+      t.documents.repartition($"doc_id")
+        .select($"doc_id",
+          graft.functions.GraftFunctions.polyHashArray(expr(toksExpr)).as("sids"))
+        .filter(size($"sids") > 0)
+        .withColumn("logit",
+          graft.functions.GraftFunctions.bucketDot($"sids", lit(weights)) /
+            size($"sids"))
+        .select($"doc_id", size($"sids").cast("long").as("n_tokens"),
+          round($"logit", 4).as("quality_logit"),
+          ($"logit" >= 0).as("keep"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -2176,6 +2256,61 @@ object PipelineQueries {
         SELECT query_id, rank, vec_id, round(adc, 4) AS adc
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank""",
+
+      // Assignment twin of q72's min_by(cid, (d, cid)): row_number
+      // ORDER BY d, cid. Distances fold left-to-right over doubles in
+      // both engines (l2_sq ≡ list_reduce), iteration-2 centroids are
+      // round(avg, 6) in both, so assignments match exactly.
+      "q72_kmeans_train" -> """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        c0 AS (SELECT vec_id cid, v ce FROM e WHERE vec_id < 8),
+        d1 AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 65),
+                     i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))),
+                   (x, y) -> x + y) d
+               FROM e CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d, cid) rn
+                 FROM d1) WHERE rn = 1),
+        cm AS (SELECT a1.cid, t.dim, round(avg(e.v[t.dim + 1]), 6) m
+               FROM a1 JOIN e USING (vec_id)
+                    CROSS JOIN (SELECT unnest(range(0, 64)) dim) t
+               GROUP BY 1, 2),
+        c1 AS (SELECT cid, list(m ORDER BY dim) ce FROM cm GROUP BY cid),
+        d2 AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 65),
+                     i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))),
+                   (x, y) -> x + y) d
+               FROM e CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d, cid) rn
+                 FROM d2) WHERE rn = 1)
+        SELECT a1.vec_id, a1.cid AS cluster_init, a2.cid AS cluster
+        FROM a1 JOIN a2 USING (vec_id)
+        ORDER BY vec_id""",
+
+      // Weight formula mirrors q73's Scala-side literal exactly: both
+      // are the Knuth scramble of the bucket index, multiples of 2^-32,
+      // so the per-doc sum is exact in any order in either engine.
+      "q73_quality_classifier" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        inst AS (SELECT doc_id, unnest(tk) tok FROM toks),
+        sidt AS (SELECT doc_id, ${oraclePolyHash("tok")} sid FROM inst),
+        sc AS (SELECT doc_id, count(1) n,
+                      sum((((sid % 64) * 2654435761) % 4294967296)
+                          / 4294967296.0 - 0.5) lsum
+               FROM sidt GROUP BY 1)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               round(lsum / n, 4) AS quality_logit,
+               lsum / n >= 0 AS keep
+        FROM sc
+        ORDER BY doc_id""",
 
       // Native-operator twin of q35 — identical contract, same oracle.
       "q35b_asof_native" -> """
