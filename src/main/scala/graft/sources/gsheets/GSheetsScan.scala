@@ -5,7 +5,7 @@ import java.util.OptionalLong
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -34,6 +34,7 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
     options: GSheetsOptions)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit with SupportsPushDownTopN
+  with SupportsPushDownOffset
   with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   // Bind errors (empty range, missing sheet) surface here with the
@@ -68,6 +69,19 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
     * shrinks.
     */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  private var offset: Int = 0
+
+  /** Offset pushdown: `LIMIT n OFFSET m` arrives as `pushLimit(n+m)`
+    * then `pushOffset(m)` (Spark folds the offset into the pushed
+    * limit), so the scan selects the first n+m rows and drops the first
+    * m — rows never ship in task binaries at all. The executor-fetch
+    * path declines (its GET narrowing is keyed off `limit` alone; Spark
+    * then applies the offset itself over the limited rows, which is
+    * exactly as cheap).
+    */
+  override def pushOffset(o: Int): Boolean =
+    if (options.fetchOnExecutor) false else { offset = o; true }
 
   private var topN: Option[(Seq[GSheetsSortKey], Int)] = None
   private var pushedFiltersArr: Array[Filter] = Array.empty
@@ -210,7 +224,7 @@ final class GSheetsScanBuilder(bound: BoundSheet, tableSchema: StructType,
     case None =>
       new GSheetsScan(bound, required, options.numPartitions, options, limit,
         topN, pushedFiltersArr.toSeq.map(f =>
-          GSheetsRowFilter.compile(f, bound, tableSchema)))
+          GSheetsRowFilter.compile(f, bound, tableSchema)), offset)
   }
 }
 
@@ -448,7 +462,8 @@ object GSheetsRowFilter {
 final class GSheetsScan(bound: BoundSheet, required: StructType,
     numPartitions: Int, options: GSheetsOptions, limit: Int = -1,
     topN: Option[(Seq[GSheetsSortKey], Int)] = None,
-    rowFilters: Seq[Vector[String] => Boolean] = Nil)
+    rowFilters: Seq[Vector[String] => Boolean] = Nil,
+    offset: Int = 0)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -494,9 +509,12 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
           0
         }
       }
-      filtered.map(r => (keyed(r), r)).sorted(ord).take(n).map(_._2)
+      // Pushed offset drops AFTER the top-N/limit selection — Spark
+      // pushed limit+offset as one widened limit, so the first `offset`
+      // of the selected rows are exactly the rows `OFFSET` skips.
+      filtered.map(r => (keyed(r), r)).sorted(ord).take(n).drop(offset).map(_._2)
     case None =>
-      if (limit >= 0) filtered.take(limit) else filtered
+      (if (limit >= 0) filtered.take(limit) else filtered).drop(offset)
     }
   }
 
@@ -631,6 +649,7 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
   override def description(): String =
     s"gsheets ${bound.spreadsheetId} ${bound.apiRange}" +
       (if (limit >= 0) s" limit=$limit" else "") +
+      (if (offset > 0) s" offset=$offset" else "") +
       topN.map { case (ks, n) =>
         s" topN=$n(${ks.map(k => bound.schema.fieldNames.lift(k.colIdx)
           .getOrElse("?") + (if (k.ascending) " ASC" else " DESC")).mkString(", ")})"

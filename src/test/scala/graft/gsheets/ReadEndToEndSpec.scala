@@ -483,6 +483,69 @@ class ReadEndToEndSpec extends AnyFunSuite {
       Seq("Charlie", 45.0, "Chicago")))
   }
 
+  test("offset pushdown drops skipped rows before they ship") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    val (r, _) = reader(mock)
+    // LIMIT 2 OFFSET 1 → Spark pushes limit 3 then offset 1; the scan
+    // ships exactly the 2 surviving rows.
+    val df = r.load(SpreadsheetId).offset(1).limit(2)
+
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val shipped = scan.inputPartitions.collect {
+      case p: graft.sources.gsheets.GSheetsInputPartition => p.rows.length
+    }.sum
+    assert(shipped == 2)
+    assert(rows(df) == Seq(
+      Seq("Bob", 25.0, "New York"),
+      Seq("Charlie", 45.0, "Chicago")))
+  }
+
+  test("offset with top-N: widened top-(n+m) ships; Spark applies the skip") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(sheet1Json())
+    val (r, _) = reader(mock)
+    import org.apache.spark.sql.functions.desc
+    // Top-N is only PARTIALLY pushed (Spark keeps its Sort+Limit for
+    // ordering), so Spark does not offer the offset to the source — the
+    // scan ships the widened top-3 and Spark drops rank 1 itself.
+    val df = r.load(SpreadsheetId).orderBy(desc("age")).offset(1).limit(2)
+
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val shipped = scan.inputPartitions.collect {
+      case p: graft.sources.gsheets.GSheetsInputPartition => p.rows.length
+    }.sum
+    assert(shipped == 3)
+    assert(rows(df) == Seq(
+      Seq("Charlie", 45.0, "Chicago"), Seq("Alice", 30.0, "Toronto")))
+  }
+
+  test("offset declines on executor-fetch; Spark applies it post-scan") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson) // bind: GetSheetByIndex(0)
+    mock.addJson(sheet1Json()) // bind: values GET (schema inference)
+    // The GET is still narrowed by the pushed limit (3 = limit+offset).
+    mock.addRoutedJson("Sheet1!1:4", valueRangeJson("Sheet1!1:4", Seq(
+      Seq("name", "age", "city"),
+      Seq("Alice", "30", "Toronto"), Seq("Bob", "25", "New York"),
+      Seq("Charlie", "45", "Chicago"))))
+    val (r, _) = reader(mock)
+    val df = r.option("fetch_on_executor", "true").load(SpreadsheetId)
+      .offset(1).limit(2)
+    assert(rows(df) == Seq(
+      Seq("Bob", 25.0, "New York"), Seq("Charlie", 45.0, "Chicago")))
+    val valueGets = mock.recordedRequests.filter(_.url.contains("/values/"))
+    assert(valueGets.size == 2)
+    assert(java.net.URLDecoder.decode(valueGets(1).url, "UTF-8")
+      .contains("Sheet1!1:4"))
+  }
+
   test("top-N pushdown ships only the n sorted rows") {
     val mock = new MockHttp
     mock.addJson(metadataJson)
