@@ -1545,6 +1545,36 @@ object PipelineQueries {
           round($"logit", 4).as("quality_logit"),
           ($"logit" >= 0).as("keep"))
         .orderBy($"doc_id")
+    },
+
+    // ----- temperature-scaled mixture weights (the data-mix plan) -----
+    // The planning step that feeds q53's interleave: per-source token
+    // counts → sampling weight ∝ tokens^α (α = 0.5, the standard
+    // temperature that upweights small high-quality sources), then the
+    // per-source epoch factor a 1M-token budget implies (>1 = upsample,
+    // <1 = downsample). Shape at 100 TB: ONE map-side-combining
+    // aggregate whose output is #sources rows; everything after is
+    // arithmetic over that tiny relation (the denominator broadcast is
+    // one row). Cross-engine determinism: sqrt is correctly-rounded per
+    // IEEE-754 (identical in both engines), and the denominator folds
+    // over the SORTED per-source terms, so the only order-sensitive sum
+    // is pinned to one order in both engines.
+    "q74_mixture_weights" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val per = t.documents.repartition($"doc_id")
+        .select($"source", size(expr(toksExpr)).cast("long").as("n"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      val denom = per.agg(
+        aggregate(sort_array(collect_list(sqrt($"n_tokens".cast("double")))),
+          lit(0.0), (acc, x) => acc + x).as("z"))
+      per.crossJoin(broadcast(denom))
+        .withColumn("w", sqrt($"n_tokens".cast("double")) / $"z")
+        .select($"source", $"n_docs", $"n_tokens",
+          round($"w", 4).as("weight"),
+          round(lit(1000000.0) * $"w" / $"n_tokens", 4).as("epochs"))
+        .orderBy($"source")
     }
   )
 
@@ -2311,6 +2341,24 @@ object PipelineQueries {
                lsum / n >= 0 AS keep
         FROM sc
         ORDER BY doc_id""",
+
+      // Denominator folds over the SORTED sqrt terms in both engines —
+      // the one order-sensitive float sum is pinned to one order.
+      "q74_mixture_weights" -> s"""
+        WITH toks AS (SELECT doc_id, source, $toks tk FROM documents),
+        per AS (SELECT source, count(1) n_docs,
+                       CAST(sum(len(tk)) AS BIGINT) n_tokens
+                FROM toks GROUP BY 1),
+        z AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                       list_sort(list(sqrt(n_tokens::DOUBLE)))),
+                     (a, b) -> a + b) z
+              FROM per)
+        SELECT source, n_docs, n_tokens,
+               round(sqrt(n_tokens::DOUBLE) / z.z, 4) AS weight,
+               round(1000000.0 * (sqrt(n_tokens::DOUBLE) / z.z)
+                     / n_tokens, 4) AS epochs
+        FROM per, z
+        ORDER BY source""",
 
       // Native-operator twin of q35 — identical contract, same oracle.
       "q35b_asof_native" -> """

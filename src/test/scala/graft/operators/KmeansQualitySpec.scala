@@ -135,6 +135,27 @@ class KmeansQualitySpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q74: weights normalize to 1; epochs consistent with the budget") {
+    val out = PipelineQueries.queries("q74_mixture_weights")(spark, dir).cache()
+    val srcs = Tables(spark, dir).documents.select($"source").distinct().count()
+    assert(out.count() == srcs)
+    val wsum = out.agg(sum($"weight")).head().getDouble(0)
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum to $wsum")
+    // epochs = budget * weight / tokens, up to the two independent
+    // 4-dp roundings (the weight error amplifies by budget/tokens ≈
+    // 1e6/1.2k, so ±5e-5 on weight is ±~0.04 here).
+    val bad = out.filter(
+      abs($"epochs" - lit(1000000.0) * $"weight" / $"n_tokens") > 0.1)
+    assert(bad.isEmpty)
+    // α = 0.5 compresses the range: the weight RATIO between the
+    // largest and smallest source is the sqrt of their token ratio.
+    val rows = out.select($"n_tokens".cast("double"), $"weight").collect()
+    val (tMax, wMax) = { val r = rows.maxBy(_.getDouble(0)); (r.getDouble(0), r.getDouble(1)) }
+    val (tMin, wMin) = { val r = rows.minBy(_.getDouble(0)); (r.getDouble(0), r.getDouble(1)) }
+    assert(math.abs(wMax / wMin - math.sqrt(tMax / tMin)) < 0.01)
+    out.unpersist()
+  }
+
   test("q73: score is invariant to token order (bag-of-words contract)") {
     val fwd = Seq((1L, "alpha beta gamma delta alpha")).toDF("doc_id", "text")
     val rev = Seq((1L, "alpha delta gamma beta alpha")).toDF("doc_id", "text")
