@@ -3,9 +3,9 @@ package graft.sources.gsheets
 import java.util.OptionalLong
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -372,6 +372,9 @@ object GSheetsRowFilter {
   private def lit(value: Any, dt: DataType): Option[Any] = (value, dt) match {
     case (null, _) => None
     case (s: String, StringType) => Some(UTF8String.fromString(s))
+    // Runtime (dynamic-pruning) filters can carry Catalyst-internal
+    // strings; accept both representations.
+    case (s: UTF8String, StringType) => Some(s)
     case (n: Number, DoubleType) => Some(n.doubleValue())
     case (n: Number, FloatType) => Some(n.floatValue())
     case (n: Number, LongType) => Some(n.longValue())
@@ -464,9 +467,37 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
     topN: Option[(Seq[GSheetsSortKey], Int)] = None,
     rowFilters: Seq[Vector[String] => Boolean] = Nil,
     offset: Int = 0)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
+
+  /** Runtime (dynamic-pruning) filtering: when the sheet is the PROBE
+    * side of a broadcast join, Spark re-offers the build side's join
+    * keys at execution time as an `In` filter — rows that can never
+    * join are dropped here, before they ship in task binaries. Applied
+    * AFTER any pushed top-N/limit/offset (those fixed the selected row
+    * set at planning; runtime pruning may only shrink it, never shift
+    * it). The executor-fetch path opts out by advertising no
+    * filterable attributes (its partitions carry coordinates, not
+    * rows). Unsupported runtime filters are ignored — they are an
+    * optimization, Spark re-applies the join itself. Only PROJECTED
+    * columns may be advertised: the planner resolves these against the
+    * scan's (pruned) output and fails analysis on anything else.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    if (options.fetchOnExecutor) Array.empty
+    else required.fieldNames.map(Expressions.column)
+
+  private var runtimePreds: Seq[Vector[String] => Boolean] = Nil
+
+  // Runtime filters resolve through `required`: a runtime-pruning key
+  // is always a projected column, so its read type (user-declared or
+  // inferred) is what the cells convert through on the read path.
+  override def filter(filters: Array[Filter]): Unit =
+    runtimePreds = filters.toSeq
+      .filter(GSheetsRowFilter.supports(_, bound, required))
+      .map(GSheetsRowFilter.compile(_, bound, required))
 
   /** Snapshot data rows after pushed top-N / limit. Top-N is a full
     * driver-side sort then truncate — a sheet caps at 10M cells, so a
@@ -630,8 +661,11 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
     // Default: project to required columns here (driver-side, once) so
     // executors only ever see the pruned cells of the bind snapshot —
     // after pushed top-N / limit, so task binaries don't carry rows the
-    // query can never emit.
-    val rows = effectiveDataRows
+    // query can never emit. Runtime (dynamic-pruning) predicates apply
+    // last: they may only SHRINK the planned row set.
+    val rows =
+      if (runtimePreds.isEmpty) effectiveDataRows
+      else effectiveDataRows.filter(r => runtimePreds.forall(p => p(r)))
     val projected: Array[Array[String]] = rows.map { row =>
       colIdx.map(i => if (i >= 0 && i < row.size) row(i) else null)
     }.toArray
