@@ -47,6 +47,21 @@ class KmeansQualitySpec extends AnyFunSuite {
     assert(empty.head().getDouble(0) == 0.0)
   }
 
+  test("l2_sq metric properties: identity, symmetry, non-negativity") {
+    val rnd = new scala.util.Random(29)
+    val data = Seq.fill(100)((
+      Array.fill(32)(rnd.nextFloat() * 4 - 2),
+      Array.fill(32)(rnd.nextFloat() * 4 - 2)))
+    val df = data.toDF("a", "b")
+      .withColumn("daa", graft.functions.GraftFunctions.l2Sq($"a", $"a"))
+      .withColumn("dab", graft.functions.GraftFunctions.l2Sq($"a", $"b"))
+      .withColumn("dba", graft.functions.GraftFunctions.l2Sq($"b", $"a"))
+    assert(df.filter($"daa" =!= 0.0).count() == 0)
+    // Symmetry is exact: (x-y)^2 == (y-x)^2 in IEEE, same fold order.
+    assert(df.filter($"dab" =!= $"dba").count() == 0)
+    assert(df.filter($"dab" < 0.0).count() == 0)
+  }
+
   // ------------------------------------------------------------ bucket_dot
 
   test("bucket_dot matches the SQL aggregate/transform formulation") {
@@ -77,6 +92,25 @@ class KmeansQualitySpec extends AnyFunSuite {
       .select(graft.functions.GraftFunctions
         .bucketDot($"ids", lit(Array.empty[Double])).as("s"))
     assert(emptyW.head().isNullAt(0))
+  }
+
+  test("bucket_dot is additive over concatenation (exact dyadic sums)") {
+    val rnd = new scala.util.Random(31)
+    val w = Array.tabulate(64)(j =>
+      ((j.toLong * 2654435761L) % 4294967296L) / 4294967296.0 - 0.5)
+    val data = Seq.fill(100)((
+      Array.fill(rnd.nextInt(40))(rnd.nextLong().abs % 1000000007L),
+      Array.fill(rnd.nextInt(40))(rnd.nextLong().abs % 1000000007L)))
+    val df = data.toDF("x", "y")
+      .withColumn("w", lit(w))
+      .withColumn("cat", graft.functions.GraftFunctions.bucketDot(
+        concat($"x", $"y"), $"w"))
+      .withColumn("parts",
+        graft.functions.GraftFunctions.bucketDot($"x", $"w") +
+          graft.functions.GraftFunctions.bucketDot($"y", $"w"))
+    // Every partial sum is a multiple of 2^-32 well inside double's 53
+    // bits, so concatenated and split folds agree BITWISE.
+    assert(df.filter($"cat" =!= $"parts").count() == 0)
   }
 
   // ----------------------------------------------------------------- q72
