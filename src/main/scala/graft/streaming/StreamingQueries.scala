@@ -257,6 +257,52 @@ object StreamingQueries {
       s2.table(sink).orderBy($"doc_id")
     },
 
+    // ----- streaming quality gate (model scoring at ingest) -----
+    // q73's hashed-feature linear classifier run WHERE a production
+    // pipeline runs it: at ingestion, before anything lands. The whole
+    // scorer — tokenize, poly-hash, bucket_dot against the broadcast
+    // weight literal — is map-only, so the streaming plan has ZERO
+    // state, no watermark, and no stream-side shuffle: each micro-batch
+    // scores and gates independently at ingest rate. Results equal the
+    // batch q73 exactly (same kernels, same dyadic-exact arithmetic),
+    // which is what the shared oracle asserts.
+    "q75_stream_quality" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+
+      val weights = (0 until 64).map { j =>
+        ((j.toLong * 2654435761L) % 4294967296L) / 4294967296.0 - 0.5
+      }.toArray
+
+      val stream = s2.readStream
+        .schema(docsStreamSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+
+      val toksExpr = "array_remove(split(text, ' '), '')"
+      val gated = stream
+        .select($"doc_id",
+          graft.functions.GraftFunctions.polyHashArray(expr(toksExpr)).as("sids"))
+        .filter(size($"sids") > 0)
+        .withColumn("logit",
+          graft.functions.GraftFunctions.bucketDot($"sids", lit(weights)) /
+            size($"sids"))
+        .select($"doc_id", size($"sids").cast("long").as("n_tokens"),
+          round($"logit", 4).as("quality_logit"),
+          ($"logit" >= 0).as("keep"))
+
+      val sink = s"q75_sink_${sinkCounter.incrementAndGet()}"
+      val q = gated.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s2.table(sink).orderBy($"doc_id")
+    },
+
     // ----- streaming SLIDING-window aggregation -----
     // Overlapping 1-hour windows every 15 minutes — each event lands in
     // 4 windows (the rate-monitoring shape tumbling q31 can't express).
@@ -433,6 +479,10 @@ object StreamingQueries {
     // identical rows, so the shared oracle grades it.
     "q59_stream_decontaminate" ->
       graft.operators.PipelineQueries.decontamOracleSql,
+
+    // The streaming quality gate must emit exactly the batch q73 rows.
+    "q75_stream_quality" ->
+      graft.operators.PipelineQueries.oracleSql("q73_quality_classifier"),
 
     "q31_stream_window" -> """
       SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,

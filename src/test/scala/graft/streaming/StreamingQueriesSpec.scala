@@ -110,6 +110,17 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("q75 streaming quality gate equals batch q73 exactly on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.queries("q75_stream_quality")(spark, dir)
+    val batch = graft.operators.PipelineQueries
+      .queries("q73_quality_classifier")(spark, dir)
+    // Map-only scoring with dyadic-exact arithmetic: the streamed rows
+    // must equal the batch rows bit-for-bit, not approximately.
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("q62 stream-stream join equals the batch range join on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = StreamingQueries.queries("q62_stream_stream_join")(spark, dir)
