@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gsheets.Fixtures
+
+/** Physical-plan regression pins: correctness tests can't catch a
+  * query silently degrading into a scale-killer shape (a cartesian, an
+  * unpushed filter, an extra corpus shuffle), so the load-bearing plan
+  * properties are pinned here. The audit table in PLANS.md is the
+  * human-readable sweep; these are the subset that must never drift.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = Fixtures.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val streamingQs = Set("q31_stream_window", "q50_stream_dedup",
+    "q59_stream_decontaminate", "q62_stream_stream_join",
+    "q63_state_profile", "q65_sliding_window", "q75_stream_quality")
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("no batch query plans a CartesianProduct") {
+    // The dedup/ANN family's design contract: every pairwise comparison
+    // rides an equality join on derived keys or a broadcast-tiny build;
+    // an all-pairs product sneaking in would pass correctness at test
+    // scale and melt at corpus scale.
+    for (name <- graft.SparkEntry.queries.keys.toSeq.sorted
+         if !streamingQs(name)) {
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_filtered_revenue")
+    assert(p.contains("PushedFilters: [Is") || p.contains("PushedFilters: [Gr") ||
+      p.contains("PushedFilters: [*"), s"no pushed filters in:\n$p")
+    // The scan reads only the columns the query needs, not the full
+    // 16-column lineitem schema.
+    assert(!p.contains("l_comment"), "projection pruning lost: scan reads l_comment")
+  }
+
+  test("q21: exact dedup is one hash shuffle plus the output sort") {
+    val p = plan("q21_dedup_exact")
+    val shuffles = "Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size
+    assert(shuffles <= 2, s"q21 grew to $shuffles shuffles:\n$p")
+  }
+
+  test("q51: the benchmark sid set joins by broadcast, never SMJ") {
+    val p = plan("q51_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bench-sid join degraded to a sort-merge join:\n$p")
+  }
+
+  test("q47: sampling stays map-only (no extra corpus shuffle)") {
+    val p = plan("q47_stratified_sample")
+    val shuffles = "Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size
+    // One range exchange for the output ordering; the sample decision
+    // itself must not shuffle.
+    assert(shuffles <= 1, s"q47 grew to $shuffles shuffles:\n$p")
+  }
+
+  test("q73: the classifier is map-only ahead of the output sort") {
+    val p = plan("q73_quality_classifier")
+    val shuffles = "Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size
+    // repartition(doc_id) + the orderBy range exchange, nothing else.
+    assert(shuffles <= 2, s"q73 grew to $shuffles shuffles:\n$p")
+    assert(p.contains("bucket_dot"), "native kernel missing from the plan")
+  }
+}
