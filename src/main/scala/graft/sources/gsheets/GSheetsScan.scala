@@ -3,7 +3,7 @@ package graft.sources.gsheets
 import java.util.OptionalLong
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
@@ -483,11 +483,15 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
     * rows). Unsupported runtime filters are ignored — they are an
     * optimization, Spark re-applies the join itself. Only PROJECTED
     * columns may be advertised: the planner resolves these against the
-    * scan's (pruned) output and fails analysis on anything else.
+    * scan's (pruned) output and fails analysis on anything else — and
+    * as exact single-part references, NOT via `Expressions.column`,
+    * which PARSES the name: a sheet header containing a dot ("rev.q1")
+    * would advertise a nested field that can never resolve, failing
+    * analysis for every join on that sheet.
     */
   override def filterAttributes(): Array[NamedReference] =
     if (options.fetchOnExecutor) Array.empty
-    else required.fieldNames.map(Expressions.column)
+    else required.fieldNames.map(org.apache.spark.sql.graft.Bridge.fieldReference)
 
   private var runtimePreds: Seq[Vector[String] => Boolean] = Nil
 

@@ -26,6 +26,15 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Exact single-part column reference. `Expressions.column` PARSES
+    * the name (a dot produces a nested reference), and the non-parsing
+    * `FieldReference` factories are `private[sql]` — this is the
+    * public seam for connector columns whose names may contain dots.
+    */
+  def fieldReference(name: String)
+      : org.apache.spark.sql.connector.expressions.NamedReference =
+    org.apache.spark.sql.connector.expressions.FieldReference(Seq(name))
+
   def registerTempFunction(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

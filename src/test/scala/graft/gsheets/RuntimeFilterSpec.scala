@@ -60,6 +60,36 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(shipped == 6)
   }
 
+  test("dotted sheet headers advertise single-part references") {
+    val mock = new MockHttp
+    mock.addJson(metadataJson)
+    mock.addJson(valueRangeJson("Sheet1!A1:Z1000", Seq(
+      Seq("rev.q1", "rev.q2"), Seq("10", "20"), Seq("30", "40"))))
+    TransportRegistry.register("mock-rtf-dots", mock)
+    GSheetsBind.clearCache()
+    val df = spark.read.format("gsheets")
+      .option("token", "test-token").option("transport", "mock-rtf-dots")
+      .option("cachebust", "mock-rtf-dots")
+      .load(s"https://docs.google.com/spreadsheets/d/$SpreadsheetId/edit#gid=0")
+
+    val scanExec = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    val scan = scanExec.scan.asInstanceOf[SupportsRuntimeFiltering]
+    // Expressions.column would PARSE "rev.q1" into a 2-part nested
+    // reference that can never resolve against the scan output —
+    // failing analysis for every join on this sheet. Each attribute
+    // must stay one part.
+    val attrs = scan.filterAttributes()
+    assert(attrs.nonEmpty)
+    assert(attrs.forall(_.fieldNames().length == 1),
+      attrs.map(_.describe()).mkString(", "))
+    // And the sheet still joins fine.
+    import spark.implicits._
+    val dim = Seq(10.0).toDF("rev.q1")
+    assert(df.join(dim, Seq("rev.q1")).count() == 1)
+  }
+
   test("end-to-end: broadcast join keys prune the sheet at execution") {
     import spark.implicits._
     val df = sheetDf("mock-rtf-3")
