@@ -93,6 +93,12 @@ object GraftFunctions {
       require(exprs.length == 2,
         s"bucket_dot expects 2 arguments, got ${exprs.length}")
       BucketDot(exprs.head, exprs(1))
+    }),
+    ("chunk_tokens", ChunkTokens.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 3,
+        s"chunk_tokens expects 3 arguments, got ${exprs.length}")
+      ChunkTokens(exprs.head, intLit("chunk_tokens", exprs(1)),
+        intLit("chunk_tokens", exprs(2)))
     }))
 
   private def intLit(fn: String, e: Expression): Int = e match {
@@ -152,6 +158,12 @@ object GraftFunctions {
   /** Typed column API: `bucketDot($"sids", lit(weights))`. */
   def bucketDot(ids: Column, weights: Column): Column =
     Bridge.column(BucketDot(Bridge.expression(ids), Bridge.expression(weights)))
+
+  /** Typed column API: `chunkTokens($"toks", 32, 24)` (a generator —
+    * use in `select` like `posexplode`).
+    */
+  def chunkTokens(toks: Column, size: Int, stride: Int): Column =
+    Bridge.column(ChunkTokens(Bridge.expression(toks), size, stride))
 
   /** Typed column API: `pqSubDists($"embedding", $"ce", 8)`. */
   def pqSubDists(a: Column, b: Column, numSub: Int): Column =

@@ -1042,20 +1042,21 @@ object PipelineQueries {
     "q64_doc_chunks" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
+      // Native chunk_tokens generator (UDTF): one compiled pass per
+      // document builds every surviving chunk row — including the
+      // coverage guard that drops a tail chunk fully contained in its
+      // predecessor's window (size mod 24 in 1..8) — replacing a
+      // posexplode(transform(filter(sequence))) chain whose three
+      // higher-order lambdas evaluated interpreted per chunk. Emitted
+      // chunk_idx equals the original chunk index (guard drops only
+      // the redundant last start), so the oracle twin is unchanged.
       t.documents
         .repartition($"doc_id")
         .select($"doc_id", expr(toksExpr).as("toks"))
         .filter(size($"toks") > 0)
-        // Keep chunk i>0 only if it EXTENDS coverage: when the previous
-        // chunk's 32-token window already reaches the doc end, the tail
-        // chunk would be a fully contained duplicate (size mod 24 in
-        // 1..8). The filter drops only that redundant last start, so
-        // posexplode positions still equal the original chunk indices.
-        .select($"doc_id", posexplode(expr(
-          "transform(filter(sequence(0, (size(toks)-1) div 24), " +
-            "i -> i = 0 OR (i-1)*24 + 32 < size(toks)), " +
-            "i -> slice(toks, i*24 + 1, 32))"))
-          .as(Seq("chunk_idx", "chunk")))
+        .select($"doc_id",
+          graft.functions.GraftFunctions.chunkTokens($"toks", 32, 24)
+            .as(Seq("chunk_idx", "chunk")))
         .select($"doc_id",
           $"chunk_idx".cast("long").as("chunk_idx"),
           size($"chunk").cast("long").as("n_tokens"),

@@ -113,6 +113,30 @@ class KmeansQualitySpec extends AnyFunSuite {
     assert(df.filter($"cat" =!= $"parts").count() == 0)
   }
 
+  // ---------------------------------------------------------- chunk_tokens
+
+  test("chunk_tokens matches the HOF formulation it replaced") {
+    val rnd = new scala.util.Random(37)
+    val data = Seq.fill(300)(Array.fill(rnd.nextInt(130))(
+      "tok" + rnd.nextInt(50))) ++
+      // Exact boundary shapes: multiples of the stride, the contained
+      // tail (n mod 24 in 1..8), one-chunk docs, single token.
+      Seq(Array.fill(24)("a"), Array.fill(32)("a"), Array.fill(33)("a"),
+        Array.fill(48)("a"), Array.fill(56)("a"), Array.fill(57)("a"),
+        Array("solo"))
+    val df = data.toDF("toks").filter(size($"toks") > 0)
+    val native = df.select($"toks",
+      graft.functions.GraftFunctions.chunkTokens($"toks", 32, 24)
+        .as(Seq("chunk_idx", "chunk")))
+    val hof = df.select($"toks", posexplode(expr(
+      "transform(filter(sequence(0, (size(toks)-1) div 24), " +
+        "i -> i = 0 OR (i-1)*24 + 32 < size(toks)), " +
+        "i -> slice(toks, i*24 + 1, 32))"))
+      .as(Seq("chunk_idx", "chunk")))
+    assert(native.count() == hof.count())
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
   // ----------------------------------------------------------------- q72
 
   test("q72: total single assignment into the 8-centroid id space") {
