@@ -19,6 +19,15 @@ float32 embeddings, events.ts as TIMESTAMP(NANOS) with JSON props
 {"k": int}, TPC-H-ish FK consistency (lineitem -> orders -> customer
 -> nation -> region), 1995+ date ranges so the fixed query literals
 stay selective.
+
+Known residual FAIL class on some seeds (documented, not a bug): a
+rounded output value landing EXACTLY on a decimal tie (x.xx5) rounds
+one ulp apart in Spark (shortest-decimal rendering via BigDecimal)
+vs DuckDB (binary double). 2-decimal inputs keep SUMS tie-free (see
+the events.value comment), but divisions (avg, percentile
+interpolation) can land on ties — e.g. seed 424242 hits 2 such
+values. Treat a 1-ulp diff in a rounded float column as this class;
+anything else is a real bug.
 """
 import json
 import random
