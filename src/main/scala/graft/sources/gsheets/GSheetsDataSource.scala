@@ -2,7 +2,7 @@ package graft.sources.gsheets
 
 import java.util
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -53,11 +53,27 @@ final class GSheetsDataSource extends TableProvider with DataSourceRegister {
   * spreadsheet id + sheet + A1 range, schema inferred at bind.
   */
 final class GSheetsTable(schema0: StructType, options: GSheetsOptions)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsMetadataColumns {
 
   override def name(): String = s"gsheets:${options.url}"
 
   override def schema(): StructType = schema0
+
+  /** Row provenance: `_sheet_row` is the 1-based row of the sheet GRID
+    * each record came from (range start + header offset + position), so
+    * a read-modify-write flow can target the exact `A1` row to update.
+    * Hidden unless selected (Spark metadata-column contract) and
+    * shadowed by a real sheet column of the same name.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = GSheetsScan.SheetRowCol
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def comment: String =
+        "1-based sheet row the record was read from"
+    })
 
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ,

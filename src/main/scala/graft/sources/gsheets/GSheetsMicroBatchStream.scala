@@ -95,10 +95,22 @@ final class GSheetsMicroBatchStream(
     // with NULL — same conversion semantics as the batch reader.
     // Case-insensitive, like the batch path (Spark's default resolution).
     val nameToIdx = latest.schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
-    val colIdx = required.fieldNames.map(n => nameToIdx.getOrElse(n.toLowerCase, -1))
-    val slice = rows.slice(from, math.min(until, rows.size)).map { row =>
-      colIdx.map(i => if (i >= 0 && i < row.size) row(i) else null)
-    }.toArray
+    val colIdx = required.fieldNames.map { n =>
+      nameToIdx.getOrElse(n.toLowerCase,
+        if (n.equalsIgnoreCase(GSheetsScan.SheetRowCol)) -2 else -1)
+    }
+    // `_sheet_row` provenance works on the stream too: the source's row
+    // offsets ARE grid positions, so batch row i carries the absolute
+    // sheet row it was tailed from.
+    val baseRow = GSheetsScan.firstDataRow(latest)
+    val slice = rows.slice(from, math.min(until, rows.size)).zipWithIndex
+      .map { case (row, ri) =>
+        colIdx.map { i =>
+          if (i == -2) (baseRow + from + ri).toString
+          else if (i >= 0 && i < row.size) row(i)
+          else null
+        }
+      }.toArray
     Array(GSheetsInputPartition(slice, required.fields.map(_.dataType)))
   }
 

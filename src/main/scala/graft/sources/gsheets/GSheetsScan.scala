@@ -511,12 +511,18 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
     * explicit null placement), so the selected n rows are exactly the
     * rows Spark's own Sort+Limit would keep.
     */
-  private lazy val effectiveDataRows: Vector[Vector[String]] = {
+  /** Selected rows PAIRED with their 0-based position in the bound
+    * range's data rows — the position survives filter/top-N/limit/
+    * offset selection so the `_sheet_row` metadata column reports the
+    * row's true grid coordinates, not its post-selection index.
+    */
+  private lazy val effectiveIndexedRows: Vector[(Vector[String], Int)] = {
     // Pushed filters prune first (the relation the pushed top-N/limit
     // then selects over, matching Spark's pushdown order).
+    val indexed = bound.dataRows.zipWithIndex
     val filtered =
-      if (rowFilters.isEmpty) bound.dataRows
-      else bound.dataRows.filter(r => rowFilters.forall(p => p(r)))
+      if (rowFilters.isEmpty) indexed
+      else indexed.filter(r => rowFilters.forall(p => p(r._1)))
     topN match {
     case Some((keys, n)) =>
       val cmps = keys.map(k => graft.plans.AsOfJoinExec.typedComparator(k.dataType))
@@ -525,9 +531,9 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
           val cell = if (k.colIdx < row.size) row(k.colIdx) else null
           GSheetsPartitionReader.convert(cell, k.dataType)
         }.toArray
-      val ord = new Ordering[(Array[Any], Vector[String])] {
-        override def compare(a: (Array[Any], Vector[String]),
-            b: (Array[Any], Vector[String])): Int = {
+      val ord = new Ordering[(Array[Any], (Vector[String], Int))] {
+        override def compare(a: (Array[Any], (Vector[String], Int)),
+            b: (Array[Any], (Vector[String], Int))): Int = {
           var i = 0
           while (i < keys.length) {
             val k = keys(i)
@@ -547,11 +553,14 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
       // Pushed offset drops AFTER the top-N/limit selection — Spark
       // pushed limit+offset as one widened limit, so the first `offset`
       // of the selected rows are exactly the rows `OFFSET` skips.
-      filtered.map(r => (keyed(r), r)).sorted(ord).take(n).drop(offset).map(_._2)
+      filtered.map(r => (keyed(r._1), r)).sorted(ord).take(n).drop(offset).map(_._2)
     case None =>
       (if (limit >= 0) filtered.take(limit) else filtered).drop(offset)
     }
   }
+
+  private lazy val effectiveDataRows: Vector[Vector[String]] =
+    effectiveIndexedRows.map(_._1)
 
   /** Exact relation statistics from the bind snapshot. The reference
     * registers no cardinality callback (`src/gsheets_extension.cpp:55-59`)
@@ -596,12 +605,19 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     // -1 = column absent from the sheet (possible only with a
-    // user-declared schema) → all-NULL, like the streaming path.
+    // user-declared schema) → all-NULL, like the streaming path;
+    // -2 = the `_sheet_row` metadata column, synthesized from the row's
+    // grid position (a REAL sheet column of that name shadows it, per
+    // the metadata-column contract — the name lookup runs first).
     // Matching is case-insensitive (Spark's default resolution — a
     // sheet header 'Name' must satisfy .schema("name STRING")).
     val nameToIdx =
       bound.schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
-    val colIdx = required.fieldNames.map(n => nameToIdx.getOrElse(n.toLowerCase, -1))
+    val colIdx = required.fieldNames.map { n =>
+      nameToIdx.getOrElse(n.toLowerCase,
+        if (n.equalsIgnoreCase(GSheetsScan.SheetRowCol)) -2 else -1)
+    }
+    val baseRow = GSheetsScan.firstDataRow(bound)
 
     if (options.fetchOnExecutor) {
       // Pushed limit: ONE partition whose values GET is narrowed to the
@@ -616,7 +632,7 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
           else (bound.apiRange, bound.header)
         return Array(GSheetsFetchPartition(options.raw, bound.spreadsheetId,
           range, hdr, colIdx, required.fields.map(_.dataType),
-          expectRows = -1, maxRows = limit))
+          expectRows = -1, maxRows = limit, baseRow = baseRow))
       }
       // The partition carries coordinates, not cells: the reader fetches
       // on the executor, so neither the task binary nor driver memory
@@ -654,24 +670,31 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
           // reader pads to the pinned length so split/unsplit agree.
           GSheetsFetchPartition(options.raw, bound.spreadsheetId,
             sub, header = false, colIdx, required.fields.map(_.dataType),
-            expectRows = endIdx - startIdx)
+            expectRows = endIdx - startIdx, baseRow = baseRow + startIdx)
         }.toArray[InputPartition]
       }
       return Array(GSheetsFetchPartition(options.raw, bound.spreadsheetId,
         bound.apiRange, bound.header, colIdx,
-        required.fields.map(_.dataType), expectRows = -1))
+        required.fields.map(_.dataType), expectRows = -1, baseRow = baseRow))
     }
 
     // Default: project to required columns here (driver-side, once) so
     // executors only ever see the pruned cells of the bind snapshot —
     // after pushed top-N / limit, so task binaries don't carry rows the
     // query can never emit. Runtime (dynamic-pruning) predicates apply
-    // last: they may only SHRINK the planned row set.
+    // last: they may only SHRINK the planned row set. The `_sheet_row`
+    // metadata cell is synthesized from the row's ORIGINAL grid
+    // position (carried through the selection) as a numeric string —
+    // the reader's LongType conversion parses it like any other cell.
     val rows =
-      if (runtimePreds.isEmpty) effectiveDataRows
-      else effectiveDataRows.filter(r => runtimePreds.forall(p => p(r)))
-    val projected: Array[Array[String]] = rows.map { row =>
-      colIdx.map(i => if (i >= 0 && i < row.size) row(i) else null)
+      if (runtimePreds.isEmpty) effectiveIndexedRows
+      else effectiveIndexedRows.filter(r => runtimePreds.forall(p => p(r._1)))
+    val projected: Array[Array[String]] = rows.map { case (row, idx) =>
+      colIdx.map { i =>
+        if (i == -2) (baseRow + idx).toString
+        else if (i >= 0 && i < row.size) row(i)
+        else null
+      }
     }.toArray
 
     val n = math.max(1, math.min(numPartitions, math.max(projected.length, 1)))
@@ -694,6 +717,29 @@ final class GSheetsScan(bound: BoundSheet, required: StructType,
       }.getOrElse("")
 }
 
+object GSheetsScan {
+
+  /** Name of the row-provenance metadata column. */
+  val SheetRowCol = "_sheet_row"
+
+  /** 1-based grid row of the FIRST data row of a bound selection: the
+    * range's starting row (bare sheet = 1; explicit A1 = its first
+    * cell's row digits, absent digits = 1) plus the header row if one
+    * is consumed. `_sheet_row` for data row i is this + i.
+    */
+  def firstDataRow(bound: BoundSheet): Long = {
+    val a1 = bound.apiRange
+    val start =
+      if (!a1.contains("!")) 1L
+      else {
+        val firstCell = a1.substring(a1.indexOf('!') + 1).split(":")(0)
+        val digits = firstCell.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+        if (digits.isEmpty) 1L else digits.toLong
+      }
+    start + (if (bound.header) 1L else 0L)
+  }
+}
+
 /** Rows are carried in the partition (driver fetched them once at bind,
   * exactly like the reference's `ReadSheetBindData`; bounded by the
   * Sheets 10M-cell product cap — SURVEY §7.3 scale note).
@@ -714,7 +760,8 @@ final case class GSheetsFetchPartition(
     colIdx: Array[Int],
     types: Array[DataType],
     expectRows: Int,
-    maxRows: Int = -1) extends InputPartition
+    maxRows: Int = -1,
+    baseRow: Long = 1L) extends InputPartition
 
 final class GSheetsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -737,8 +784,12 @@ final class GSheetsReaderFactory extends PartitionReaderFactory {
         // project+pad to the pruned columns. A sheet emptied since bind
         // simply yields zero rows.
         val data = if (p.header) vr.values.drop(1) else vr.values
-        val projected = data.map { row =>
-          p.colIdx.map(i => if (i >= 0 && i < row.size) row(i) else null)
+        val projected = data.zipWithIndex.map { case (row, ri) =>
+          p.colIdx.map { i =>
+            if (i == -2) (p.baseRow + ri).toString
+            else if (i >= 0 && i < row.size) row(i)
+            else null
+          }
         }.toArray
         // Pinned sub-ranges pad short responses back to their row count:
         // values.get omits trailing empty rows PER REQUEST, so an
@@ -746,8 +797,14 @@ final class GSheetsReaderFactory extends PartitionReaderFactory {
         // vanish under splitting while the unsplit path keeps it NULL.
         val padded =
           if (p.expectRows >= 0 && projected.length < p.expectRows)
-            projected ++ Array.fill(p.expectRows - projected.length)(
-              Array.fill[String](p.colIdx.length)(null))
+            projected ++ Array.tabulate(p.expectRows - projected.length) { k =>
+              // Padded (trailing-empty) rows still carry their grid
+              // position in the `_sheet_row` metadata cell.
+              p.colIdx.map { i =>
+                if (i == -2) (p.baseRow + projected.length + k).toString
+                else null: String
+              }
+            }
           else projected
         // Pushed limit: truncate post-fetch (covers explicit A1 ranges,
         // where the GET couldn't be narrowed, and trailing growth).
