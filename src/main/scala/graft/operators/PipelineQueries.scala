@@ -202,7 +202,7 @@ object PipelineQueries {
       .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
       .withColumn("jaccard", $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
       .filter($"jaccard" >= 0.6)
-      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+      .select($"doc_a", $"doc_b", CrossRound.r($"jaccard", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -302,7 +302,7 @@ object PipelineQueries {
       .withColumn("i", size(array_intersect($"x.sids", $"y.sids")))
       .withColumn("jaccard", $"i".cast("double") / ($"x.n" + $"y.n" - $"i"))
       .filter($"jaccard" >= 0.6)
-      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+      .select($"doc_a", $"doc_b", CrossRound.r($"jaccard", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -393,7 +393,7 @@ object PipelineQueries {
         .withColumn("jaccard", $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
         .filter($"jaccard" >= 0.6)
         .select($"doc_a", $"doc_b", $"i".as("n_shared"),
-          round($"jaccard", 4).as("jaccard"))
+          CrossRound.r($"jaccard", 4).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -443,7 +443,7 @@ object PipelineQueries {
         .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 10)
-        .select($"query_id", $"rank", $"vec_id", round($"cos", 4).as("cos"))
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"cos", 4).as("cos"))
         .orderBy($"query_id", $"rank")
     },
 
@@ -465,7 +465,7 @@ object PipelineQueries {
         .agg(topk($"vec_id", $"cos").as("top"))
         .select($"query_id", posexplode($"top").as(Seq("i", "sv")))
         .select($"query_id", ($"i" + 1).cast("int").as("rank"),
-          $"sv.vec_id".as("vec_id"), round($"sv.cos", 4).as("cos"))
+          $"sv.vec_id".as("vec_id"), CrossRound.r($"sv.cos", 4).as("cos"))
         .orderBy($"query_id", $"rank")
     },
 
@@ -498,7 +498,7 @@ object PipelineQueries {
           graft.functions.GraftFunctions.cosineSim($"a.embedding", $"b.embedding")
             .as("rawcos"))
         .filter($"rawcos" >= 0.4)
-        .select($"vec_a", $"vec_b", round($"rawcos", 4).as("cos"))
+        .select($"vec_a", $"vec_b", CrossRound.r($"rawcos", 4).as("cos"))
         .distinct()
         .orderBy($"vec_a", $"vec_b")
     },
@@ -529,7 +529,7 @@ object PipelineQueries {
         .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id", round($"cos", 4).as("cos"))
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"cos", 4).as("cos"))
         .orderBy($"query_id", $"rank")
     },
 
@@ -543,12 +543,12 @@ object PipelineQueries {
         .agg(
           count(lit(1)).as("n_tokens"),
           countDistinct($"tk").as("n_uniq"),
-          round(avg(length($"tk")), 4).as("avg_token_len"),
+          CrossRound.r(avg(length($"tk")), 4).as("avg_token_len"),
           sum(when($"tk".isin("the", "a"), 1L).otherwise(0L)).as("n_stop"))
         .withColumn("stop_ratio",
-          round($"n_stop".cast("double") / $"n_tokens", 4))
+          CrossRound.r($"n_stop".cast("double") / $"n_tokens", 4))
         .withColumn("uniq_ratio",
-          round($"n_uniq".cast("double") / $"n_tokens", 4))
+          CrossRound.r($"n_uniq".cast("double") / $"n_tokens", 4))
         .select($"doc_id", $"lang", $"n_chars", $"n_tokens", $"n_uniq",
           $"avg_token_len", $"n_stop", $"stop_ratio", $"uniq_ratio")
         .orderBy($"doc_id")
@@ -570,7 +570,7 @@ object PipelineQueries {
           size(regexp_extract_all($"text", lit(bpe), lit(0))).cast("long")
             .as("n_bpe_tokens"))
         .withColumn("tokens_per_word",
-          round($"n_bpe_tokens".cast("double") / $"n_ws_tokens", 4))
+          CrossRound.r($"n_bpe_tokens".cast("double") / $"n_ws_tokens", 4))
         .orderBy($"doc_id")
     },
 
@@ -603,7 +603,8 @@ object PipelineQueries {
         .join(profile, "sid") // unseen tokens drop (equal smoothing skip)
         .groupBy($"doc_id", $"lang", $"plang")
         .agg(sum($"logp").as("score"))
-      val w = Window.partitionBy($"doc_id").orderBy(round($"score", 6).desc, $"plang")
+      val w = Window.partitionBy($"doc_id")
+        .orderBy(CrossRound.r($"score", 6).desc, $"plang")
       scored
         .withColumn("rk", row_number().over(w))
         .filter($"rk" === 1)
@@ -666,7 +667,7 @@ object PipelineQueries {
         .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id", round($"cos", 4).as("cos"))
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"cos", 4).as("cos"))
         .orderBy($"query_id", $"rank")
     },
 
@@ -938,7 +939,7 @@ object PipelineQueries {
         .withColumn("score", $"tf".cast("double") / $"df")
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= 3)
-        .select($"doc_id", $"rank", $"token", round($"score", 4).as("score"))
+        .select($"doc_id", $"rank", $"token", CrossRound.r($"score", 4).as("score"))
         .orderBy($"doc_id", $"rank")
     },
 
@@ -966,7 +967,7 @@ object PipelineQueries {
         .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
       val out = sizes.join(overlap, Seq("doc_id"), "left")
         .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
-        .withColumn("overlap_ratio", round($"n_overlap" / $"n_shingles", 4))
+        .withColumn("overlap_ratio", CrossRound.r($"n_overlap" / $"n_shingles", 4))
         .withColumn("contaminated", ($"n_overlap" / $"n_shingles") >= 0.5)
         .select($"doc_id", $"n_shingles", $"n_overlap",
           $"overlap_ratio", $"contaminated")
@@ -994,7 +995,7 @@ object PipelineQueries {
           size($"sh").cast("long").as("n_shingles"),
           size(array_distinct($"sh")).cast("long").as("n_distinct"))
         .withColumn("dup_ratio",
-          round(lit(1.0) - $"n_distinct" / $"n_shingles", 4))
+          CrossRound.r(lit(1.0) - $"n_distinct" / $"n_shingles", 4))
         .withColumn("keep", (lit(1.0) - $"n_distinct" / $"n_shingles") <= 0.2)
         .select($"doc_id", $"n_shingles", $"n_distinct", $"dup_ratio", $"keep")
         .orderBy($"doc_id")
@@ -1027,7 +1028,7 @@ object PipelineQueries {
       prefix
         .withColumn("position", row_number().over(wPos).cast("long"))
         .select($"position", $"doc_id", $"source",
-          round($"sched_key", 4).as("sched_key"))
+          CrossRound.r($"sched_key", 4).as("sched_key"))
         .orderBy($"position")
     },
 
@@ -1090,7 +1091,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_shingles"),
              sum(coalesce($"is_boiler", lit(0L))).as("n_boiler"))
         .withColumn("boiler_frac",
-          round($"n_boiler".cast("double") / $"n_shingles", 4))
+          CrossRound.r($"n_boiler".cast("double") / $"n_shingles", 4))
         .withColumn("keep", $"boiler_frac" <= 0.5)
         .select($"doc_id", $"n_shingles", $"n_boiler", $"boiler_frac", $"keep")
         .orderBy($"doc_id")
@@ -1183,7 +1184,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_tokens"),
              sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
         .withColumn("oov_rate",
-          round($"n_oov".cast("double") / $"n_tokens", 4))
+          CrossRound.r($"n_oov".cast("double") / $"n_tokens", 4))
         .select($"doc_id", $"n_tokens", $"n_oov", $"oov_rate")
         .orderBy($"doc_id")
     },
@@ -1240,8 +1241,8 @@ object PipelineQueries {
         .withColumn("jaccard",
           $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
         .select($"doc_a", $"doc_b", $"i".as("n_shared"),
-          round($"containment", 4).as("containment"),
-          round($"jaccard", 4).as("jaccard"))
+          CrossRound.r($"containment", 4).as("containment"),
+          CrossRound.r($"jaccard", 4).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -1279,7 +1280,7 @@ object PipelineQueries {
         .withColumn("i", size(array_intersect($"x.sids", $"y.sids")))
         .withColumn("jaccard", $"i".cast("double") / ($"x.n" + $"y.n" - $"i"))
         .filter($"jaccard" >= 0.6)
-        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+        .select($"doc_a", $"doc_b", CrossRound.r($"jaccard", 4).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -1313,7 +1314,7 @@ object PipelineQueries {
         .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
       sizes.join(overlap, Seq("doc_id"), "left")
         .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
-        .withColumn("overlap_ratio", round($"n_overlap" / $"n_shingles", 4))
+        .withColumn("overlap_ratio", CrossRound.r($"n_overlap" / $"n_shingles", 4))
         .withColumn("contaminated", ($"n_overlap" / $"n_shingles") >= 0.5)
         .select($"doc_id", $"n_shingles", $"n_overlap",
           $"overlap_ratio", $"contaminated")
@@ -1367,7 +1368,7 @@ object PipelineQueries {
       bi.join(bf, "sid")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum($"bf").as("sum_bf"))
-        .withColumn("avg_bf", round($"sum_bf".cast("double") / $"n_bigrams", 4))
+        .withColumn("avg_bf", CrossRound.r($"sum_bf".cast("double") / $"n_bigrams", 4))
         .select($"doc_id", $"n_bigrams", $"avg_bf")
         .orderBy($"doc_id")
     },
@@ -1460,11 +1461,12 @@ object PipelineQueries {
           $"s" === $"ls" && $"code" === $"cid" && $"vec_id" =!= $"query_id")
         .groupBy($"query_id", $"vec_id")
         .agg(sum($"d").as("adc"))
-      val w = Window.partitionBy($"query_id").orderBy(round($"adc", 6), $"vec_id")
+      val w = Window.partitionBy($"query_id")
+        .orderBy(CrossRound.r($"adc", 6), $"vec_id")
       adc
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id", round($"adc", 4).as("adc"))
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"adc", 4).as("adc"))
         .orderBy($"query_id", $"rank")
     },
 
@@ -1503,7 +1505,7 @@ object PipelineQueries {
       val c1 = a1.join(e, "vec_id")
         .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
         .groupBy($"cid", $"dim")
-        .agg(round(avg($"v"), 6).as("m"))
+        .agg(CrossRound.r(avg($"v"), 6).as("m"))
         .groupBy($"cid")
         .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pm"))
         .select($"cid", expr("transform(pm, x -> x.m)").as("ce"))
@@ -1543,7 +1545,7 @@ object PipelineQueries {
           graft.functions.GraftFunctions.bucketDot($"sids", lit(weights)) /
             size($"sids"))
         .select($"doc_id", size($"sids").cast("long").as("n_tokens"),
-          round($"logit", 4).as("quality_logit"),
+          CrossRound.r($"logit", 4).as("quality_logit"),
           ($"logit" >= 0).as("keep"))
         .orderBy($"doc_id")
     },
@@ -1573,8 +1575,8 @@ object PipelineQueries {
       per.crossJoin(broadcast(denom))
         .withColumn("w", sqrt($"n_tokens".cast("double")) / $"z")
         .select($"source", $"n_docs", $"n_tokens",
-          round($"w", 4).as("weight"),
-          round(lit(1000000.0) * $"w" / $"n_tokens", 4).as("epochs"))
+          CrossRound.r($"w", 4).as("weight"),
+          CrossRound.r(lit(1000000.0) * $"w" / $"n_tokens", 4).as("epochs"))
         .orderBy($"source")
     }
   )
@@ -1603,7 +1605,7 @@ object PipelineQueries {
                FROM corpus c JOIN bench USING (sid) GROUP BY 1)
         SELECT s.doc_id, s.n_shingles,
                coalesce(ov.n_overlap, 0) AS n_overlap,
-               round(coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles, 4)
+               floor((coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles) * 10000 + 0.5) / 10000
                  AS overlap_ratio,
                coalesce(ov.n_overlap, 0)::DOUBLE / s.n_shingles >= 0.5
                  AS contaminated
@@ -1713,8 +1715,8 @@ object PipelineQueries {
         SELECT doc_id,
                CAST(n_shingles AS BIGINT) AS n_shingles,
                CAST(n_boiler AS BIGINT) AS n_boiler,
-               round(n_boiler::DOUBLE / n_shingles, 4) AS boiler_frac,
-               round(n_boiler::DOUBLE / n_shingles, 4) <= 0.5 AS keep
+               floor((n_boiler::DOUBLE / n_shingles) * 10000 + 0.5) / 10000 AS boiler_frac,
+               floor((n_boiler::DOUBLE / n_shingles) * 10000 + 0.5) / 10000 <= 0.5 AS keep
         FROM per
         ORDER BY doc_id""",
 
@@ -1780,8 +1782,8 @@ object PipelineQueries {
                CAST(count(1) AS BIGINT) AS n_tokens,
                CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_oov,
-               round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
-                     / count(1), 4) AS oov_rate
+               floor((sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                     / count(1)) * 10000 + 0.5) / 10000 AS oov_rate
         FROM inst i LEFT JOIN vocab v ON i.tok = v.tok
         GROUP BY doc_id
         ORDER BY doc_id""",
@@ -1806,8 +1808,8 @@ object PipelineQueries {
                        ON a.sid = b.sid AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
         SELECT doc_a, doc_b, i AS n_shared,
-               round(i::DOUBLE / least(sa.n, sb.n), 4) AS containment,
-               round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+               floor((i::DOUBLE / least(sa.n, sb.n)) * 10000 + 0.5) / 10000 AS containment,
+               floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
         FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                    JOIN sizes sb ON doc_b = sb.doc_id
         WHERE i::DOUBLE / least(sa.n, sb.n) >= 0.8
@@ -1815,7 +1817,7 @@ object PipelineQueries {
 
       "q22b_minhash_nodict" -> s"""
         WITH $minhashChain
-        SELECT doc_a, doc_b, round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+        SELECT doc_a, doc_b, floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
         FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                    JOIN sizes sb ON doc_b = sb.doc_id
         WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
@@ -1881,7 +1883,7 @@ object PipelineQueries {
               ORDER BY sched_key, source, doc_id LIMIT 500)
         SELECT row_number() OVER (ORDER BY sched_key, source, doc_id)
                  AS position,
-               doc_id, source, round(sched_key, 4) AS sched_key
+               doc_id, source, floor(sched_key * 10000 + 0.5) / 10000 AS sched_key
         FROM k ORDER BY position""",
 
       "q51_decontaminate" -> decontamSql,
@@ -1898,7 +1900,7 @@ object PipelineQueries {
                FROM toks)
         SELECT doc_id, count(1) AS n_shingles,
                count(DISTINCT shingle) AS n_distinct,
-               round(1.0 - count(DISTINCT shingle)::DOUBLE / count(1), 4)
+               floor((1.0 - count(DISTINCT shingle)::DOUBLE / count(1)) * 10000 + 0.5) / 10000
                  AS dup_ratio,
                1.0 - count(DISTINCT shingle)::DOUBLE / count(1) <= 0.2 AS keep
         FROM sh GROUP BY doc_id
@@ -1915,7 +1917,7 @@ object PipelineQueries {
                           row_number() OVER (PARTITION BY doc_id
                                              ORDER BY score DESC, token) AS rank
                    FROM scored)
-        SELECT doc_id, rank, token, round(score, 4) AS score
+        SELECT doc_id, rank, token, floor(score * 10000 + 0.5) / 10000 AS score
         FROM ranked WHERE rank <= 3
         ORDER BY doc_id, rank""",
 
@@ -1943,7 +1945,7 @@ object PipelineQueries {
                   FROM cand JOIN dsid x ON doc_a = x.doc_id
                             JOIN dsid y ON doc_b = y.doc_id AND x.sid = y.sid
                   GROUP BY 1, 2)
-        SELECT doc_a, doc_b, round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+        SELECT doc_a, doc_b, floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
         FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                    JOIN sizes sb ON doc_b = sb.doc_id
         WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
@@ -1978,7 +1980,7 @@ object PipelineQueries {
         bs AS (SELECT doc_id, ${oraclePolyHash("bigram")} sid FROM bg),
         bf AS (SELECT sid, count(1) bf FROM bs GROUP BY 1)
         SELECT doc_id, count(1) AS n_bigrams,
-               round(sum(bf)::DOUBLE / count(1), 4) AS avg_bf
+               floor((sum(bf)::DOUBLE / count(1)) * 10000 + 0.5) / 10000 AS avg_bf
         FROM bs JOIN bf USING (sid)
         GROUP BY doc_id
         ORDER BY doc_id""",
@@ -2042,7 +2044,7 @@ object PipelineQueries {
                     ON a.sid = b.sid AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
         SELECT doc_a, doc_b, i AS n_shared,
-               round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+               floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
         FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                    JOIN sizes sb ON doc_b = sb.doc_id
         WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
@@ -2079,7 +2081,7 @@ object PipelineQueries {
                           row_number() OVER (PARTITION BY query_id
                                              ORDER BY cos DESC, vec_id) rk
                    FROM scored)
-        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
         FROM ranked WHERE rk <= 10
         ORDER BY query_id, rank""",
 
@@ -2096,7 +2098,7 @@ object PipelineQueries {
                           row_number() OVER (PARTITION BY query_id
                                              ORDER BY cos DESC, vec_id) rk
                    FROM scored)
-        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
         FROM ranked WHERE rk <= 10
         ORDER BY query_id, rank""",
 
@@ -2118,7 +2120,7 @@ object PipelineQueries {
                      FROM cand
                      JOIN e ea ON vec_a = ea.vec_id
                      JOIN e eb ON vec_b = eb.vec_id)
-        SELECT vec_a, vec_b, round(cos, 4) AS cos
+        SELECT vec_a, vec_b, floor(cos * 10000 + 0.5) / 10000 AS cos
         FROM verified WHERE cos >= 0.4
         ORDER BY vec_a, vec_b""",
 
@@ -2141,7 +2143,7 @@ object PipelineQueries {
                           row_number() OVER (PARTITION BY query_id
                                              ORDER BY cos DESC, vec_id) rk
                    FROM scored)
-        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
         FROM ranked WHERE rk <= 5
         ORDER BY query_id, rank""",
 
@@ -2150,10 +2152,10 @@ object PipelineQueries {
         SELECT doc_id, lang, n_chars,
                count(1) AS n_tokens,
                count(DISTINCT tk) AS n_uniq,
-               round(avg(length(tk)), 4) AS avg_token_len,
+               floor(avg(length(tk)) * 10000 + 0.5) / 10000 AS avg_token_len,
                CAST(sum(CASE WHEN tk IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
-               round(sum(CASE WHEN tk IN ('the', 'a') THEN 1 ELSE 0 END)::DOUBLE / count(1), 4) AS stop_ratio,
-               round(count(DISTINCT tk)::DOUBLE / count(1), 4) AS uniq_ratio
+               floor((sum(CASE WHEN tk IN ('the', 'a') THEN 1 ELSE 0 END)::DOUBLE / count(1)) * 10000 + 0.5) / 10000 AS stop_ratio,
+               floor((count(DISTINCT tk)::DOUBLE / count(1)) * 10000 + 0.5) / 10000 AS uniq_ratio
         FROM tokx
         GROUP BY 1, 2, 3
         ORDER BY doc_id""",
@@ -2175,7 +2177,7 @@ object PipelineQueries {
                    GROUP BY 1, 2, 3),
         ranked AS (SELECT doc_id, lang, plang,
                           row_number() OVER (PARTITION BY doc_id
-                                             ORDER BY round(score, 6) DESC, plang) rk
+                                             ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC, plang) rk
                    FROM scored)
         SELECT lang AS actual, plang AS predicted, count(1) AS n_docs
         FROM ranked WHERE rk = 1
@@ -2208,9 +2210,9 @@ object PipelineQueries {
                len(regexp_extract_all(text,
                  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
                  AS n_bpe_tokens,
-               round(len(regexp_extract_all(text,
+               floor((len(regexp_extract_all(text,
                  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))::DOUBLE
-                 / len($toks), 4) AS tokens_per_word
+                 / len($toks)) * 10000 + 0.5) / 10000 AS tokens_per_word
         FROM documents
         ORDER BY doc_id""",
 
@@ -2236,7 +2238,7 @@ object PipelineQueries {
                           row_number() OVER (PARTITION BY query_id
                                              ORDER BY cos DESC, vec_id) rk
                    FROM scored)
-        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
         FROM ranked WHERE rk <= 5
         ORDER BY query_id, rank""",
 
@@ -2281,10 +2283,10 @@ object PipelineQueries {
                 GROUP BY 1, 2),
         ranked AS (SELECT query_id, vec_id, adc,
                           row_number() OVER (PARTITION BY query_id
-                                             ORDER BY round(adc, 6), vec_id)
+                                             ORDER BY floor(adc * 1000000 + 0.5) / 1000000, vec_id)
                             AS rank
                    FROM adc)
-        SELECT query_id, rank, vec_id, round(adc, 4) AS adc
+        SELECT query_id, rank, vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank""",
 
@@ -2306,7 +2308,7 @@ object PipelineQueries {
                         row_number() OVER (PARTITION BY vec_id
                                            ORDER BY d, cid) rn
                  FROM d1) WHERE rn = 1),
-        cm AS (SELECT a1.cid, t.dim, round(avg(e.v[t.dim + 1]), 6) m
+        cm AS (SELECT a1.cid, t.dim, floor(avg(e.v[t.dim + 1]) * 1000000 + 0.5) / 1000000 m
                FROM a1 JOIN e USING (vec_id)
                     CROSS JOIN (SELECT unnest(range(0, 64)) dim) t
                GROUP BY 1, 2),
@@ -2338,7 +2340,7 @@ object PipelineQueries {
                           / 4294967296.0 - 0.5) lsum
                FROM sidt GROUP BY 1)
         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-               round(lsum / n, 4) AS quality_logit,
+               floor((lsum / n) * 10000 + 0.5) / 10000 AS quality_logit,
                lsum / n >= 0 AS keep
         FROM sc
         ORDER BY doc_id""",
@@ -2355,9 +2357,9 @@ object PipelineQueries {
                      (a, b) -> a + b) z
               FROM per)
         SELECT source, n_docs, n_tokens,
-               round(sqrt(n_tokens::DOUBLE) / z.z, 4) AS weight,
-               round(1000000.0 * (sqrt(n_tokens::DOUBLE) / z.z)
-                     / n_tokens, 4) AS epochs
+               floor((sqrt(n_tokens::DOUBLE) / z.z) * 10000 + 0.5) / 10000 AS weight,
+               floor((1000000.0 * (sqrt(n_tokens::DOUBLE) / z.z)
+                     / n_tokens) * 10000 + 0.5) / 10000 AS epochs
         FROM per, z
         ORDER BY source""",
 

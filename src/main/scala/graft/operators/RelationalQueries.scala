@@ -48,11 +48,11 @@ object RelationalQueries {
         .agg(
           round(sum($"l_quantity"), 2).as("sum_qty"),
           round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
-          round(avg($"l_quantity"), 4).as("avg_qty"),
-          round(avg($"l_extendedprice"), 4).as("avg_price"),
-          round(avg($"l_discount"), 4).as("avg_disc"),
+          CrossRound.sumMoney($"l_extendedprice" * (lit(1) - $"l_discount"), 4, 2).as("sum_disc_price"),
+          CrossRound.sumMoney($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 6, 2).as("sum_charge"),
+          CrossRound.avgMoney($"l_quantity", 4).as("avg_qty"),
+          CrossRound.avgMoney($"l_extendedprice", 4).as("avg_price"),
+          CrossRound.avgMoney($"l_discount", 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -66,7 +66,7 @@ object RelationalQueries {
                 $"l_shipdate" <  ts("1997-01-01 00:00:00") &&
                 $"l_discount".between(0.03, 0.07) &&
                 $"l_quantity" < 24)
-        .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+        .agg(CrossRound.sumMoney($"l_extendedprice" * $"l_discount", 4, 2).as("revenue"),
              count(lit(1)).as("n_rows"))
     },
 
@@ -80,7 +80,7 @@ object RelationalQueries {
         .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
         .filter($"l_shipdate" > ts("1998-03-15 00:00:00"))
         .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
-        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .agg(CrossRound.sumMoney($"l_extendedprice" * (lit(1) - $"l_discount"), 4, 2).as("revenue"))
         .orderBy($"revenue".desc, $"o_orderkey")
         .limit(10)
     },
@@ -94,7 +94,7 @@ object RelationalQueries {
         .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name")
-        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        .agg(CrossRound.sumMoney($"l_extendedprice" * (lit(1) - $"l_discount"), 4, 2).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy($"r_name")
     },
@@ -121,7 +121,7 @@ object RelationalQueries {
         .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_customers"),
-             round(avg($"c_acctbal"), 4).as("avg_bal"))
+             CrossRound.avgMoney($"c_acctbal", 4).as("avg_bal"))
         .orderBy($"c_mktsegment")
     },
 
@@ -183,7 +183,7 @@ object RelationalQueries {
         .filter($"gap_s".isNotNull)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_gaps"),
-             round(avg($"gap_s"), 2).as("avg_gap_s"),
+             CrossRound.r(avg($"gap_s"), 2).as("avg_gap_s"),
              max($"gap_s").as("max_gap_s"))
         .orderBy($"event_type")
     },
@@ -274,7 +274,7 @@ object RelationalQueries {
           concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
           ($"p_size" % 7).as("size_mod"),
           round(abs($"p_retailprice" - 1000.0), 2).as("price_dist"),
-          round(sqrt($"p_retailprice"), 4).as("price_sqrt"),
+          CrossRound.r(sqrt($"p_retailprice"), 4).as("price_sqrt"),
           when($"p_size" > 25, "L").when($"p_size" > 10, "M").otherwise("S").as("size_class"),
           replace($"p_name", lit(" "), lit("_")).as("name_snake"))
         .orderBy($"p_partkey")
@@ -308,9 +308,9 @@ object RelationalQueries {
       t.orders
         .groupBy($"o_orderstatus")
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
-          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+          CrossRound.r(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          CrossRound.r(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          CrossRound.r(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
           round(min($"o_totalprice"), 2).as("min_price"),
           round(max($"o_totalprice"), 2).as("max_price"))
         .orderBy($"o_orderstatus")
@@ -495,7 +495,7 @@ object RelationalQueries {
           $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
         .groupBy($"band")
         .agg(count(lit(1)).as("n_orders"),
-          round(avg($"o_totalprice"), 2).as("avg_price"))
+          CrossRound.avgMoney($"o_totalprice", 2).as("avg_price"))
         .orderBy($"band")
     },
 
@@ -510,7 +510,7 @@ object RelationalQueries {
         .withColumn("k", get_json_object($"props", "$.k").cast("long"))
         .withColumn("bucket", expr("k DIV 10"))
         .groupBy($"event_type", $"bucket")
-        .agg(count(lit(1)).as("n"), round(avg($"k"), 4).as("avg_k"))
+        .agg(count(lit(1)).as("n"), CrossRound.r(avg($"k"), 4).as("avg_k"))
         .orderBy($"event_type", $"bucket")
     },
 
@@ -560,6 +560,98 @@ object RelationalQueries {
         .agg(count(lit(1)))
         .na.fill(0L, prios)
         .orderBy($"o_orderstatus")
+    },
+
+    // ----- time-series gap-fill: daily grid + last-observation-carried-forward -----
+    // The resample step a telemetry/metrics pipeline needs before any
+    // model sees the series: each user's purchase history becomes a
+    // DENSE daily series over the user's own [first, last] purchase day,
+    // missing days carried forward from the last observed value (LOCF).
+    // Scale plan: per-day last-value is ONE map-side-combining max_by
+    // aggregate (no window over raw events); the grid explodes each
+    // user's bounded day span (calendar-bounded fanout, like q61's
+    // bins); the LOCF window partitions by user, so no global sort and
+    // no skew beyond a user's own span. Determinism: the day's last
+    // purchase is picked by (ts, event_id) — total order even if two
+    // events share a timestamp.
+    "q76_gapfill" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val p = t.events.filter($"event_type" === "purchase")
+        .select($"user_id", date_trunc("day", $"ts").as("day"),
+          $"ts", $"event_id", $"value")
+      val perDay = p.groupBy($"user_id", $"day")
+        .agg(max_by($"value", struct($"ts", $"event_id")).as("day_val"),
+             count(lit(1)).as("n_purch"))
+      val span = p.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+      val grid = span.select($"user_id",
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(perDay, Seq("user_id", "day"), "left")
+        .withColumn("n_purch", coalesce($"n_purch", lit(0L)))
+        .withColumn("filled_val", last($"day_val", ignoreNulls = true).over(w))
+        .select($"user_id", $"day", $"n_purch", $"filled_val")
+        .orderBy($"user_id", $"day")
+    },
+
+    // ----- batch sessionization: 2-hour inactivity gap -----
+    // The batch twin of q32's streaming session_window, for backfill
+    // over historical data: a session breaks where the gap since the
+    // user's previous event exceeds 2 h; the session id is the running
+    // count of breaks. Two windows over the SAME (user_id, ts, event_id)
+    // ordering — one partitioning shuffle, both windows reuse it.
+    // Timestamps go through the q10-proven second-floor contract
+    // (unix_timestamp ∘ date_trunc second ↔ epoch ∘ date_trunc) so the
+    // gap compare and the session bounds are engine-exact.
+    "q77_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.events
+        .withColumn("sec", unix_timestamp(date_trunc("second", $"ts")))
+        .withColumn("gap_s", $"sec" - lag($"sec", 1).over(w))
+        .withColumn("brk",
+          when($"gap_s".isNull || $"gap_s" > 7200, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"brk").over(run))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min($"sec").as("start_sec"),
+             max($"sec").as("end_sec"),
+             round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"user_id", $"session_id")
+    },
+
+    // ----- skew-split join: hot keys broadcast, cold keys shuffled -----
+    // The manual skew mitigation for a fact⋈dim join when one fact key
+    // dominates (q34 is the aggregate flavor; the AQE witness spec is
+    // the automatic flavor): the hottest keys' dim rows join
+    // broadcast-side (no shuffle of the hot rows AT ALL — the skewed
+    // partition never forms), the long tail joins on the normal shuffled
+    // path, and a union restores the full result — bit-identical to the
+    // plain join the oracle runs. The driver materializes ONLY the
+    // bounded hot-key list (top 10 ids — a constant, not data), which at
+    // 100 TB would come from a sampled sketch instead of an exact count.
+    "q78_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val ev = t.events.select($"user_id", $"value")
+      val dim = t.customer
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      val hotIds = ev.groupBy($"user_id").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"user_id").limit(10)
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val hotJoin = ev.filter($"user_id".isin(hotIds: _*))
+        .join(broadcast(dim.filter($"user_id".isin(hotIds: _*))), "user_id")
+      val coldJoin = ev.filter(!$"user_id".isin(hotIds: _*))
+        .join(dim, "user_id")
+      hotJoin.unionByName(coldJoin)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+             round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"c_mktsegment")
     }
   )
 
@@ -572,11 +664,11 @@ object RelationalQueries {
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-             round(avg(l_quantity), 4) AS avg_qty,
-             round(avg(l_extendedprice), 4) AS avg_price,
-             round(avg(l_discount), 4) AS avg_disc,
+             floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 10000) * 100 + 0.5) / 100 AS sum_disc_price,
+             floor((sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000 + 0.5) AS BIGINT)) / 1000000) * 100 + 0.5) / 100 AS sum_charge,
+             floor((sum(CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT)) / (count(l_quantity) * 100.0)) * 10000 + 0.5) / 10000 AS avg_qty,
+             floor((sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) / (count(l_extendedprice) * 100.0)) * 10000 + 0.5) / 10000 AS avg_price,
+             floor((sum(CAST(floor((l_discount) * 100 + 0.5) AS BIGINT)) / (count(l_discount) * 100.0)) * 10000 + 0.5) / 10000 AS avg_disc,
              count(1) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -584,7 +676,7 @@ object RelationalQueries {
       ORDER BY l_returnflag, l_linestatus""",
 
     "q02_filtered_revenue" -> """
-      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      SELECT floor((sum(CAST(floor((l_extendedprice * l_discount) * 10000 + 0.5) AS BIGINT)) / 10000) * 100 + 0.5) / 100 AS revenue,
              count(1) AS n_rows
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -594,7 +686,7 @@ object RelationalQueries {
 
     "q03_top_orders" -> """
       SELECT o_orderkey, o_orderdate, o_orderpriority,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 10000) * 100 + 0.5) / 100 AS revenue
       FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON o_orderkey = l_orderkey
@@ -607,7 +699,7 @@ object RelationalQueries {
 
     "q04_region_revenue" -> """
       SELECT r_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 10000) * 100 + 0.5) / 100 AS revenue,
              count(1) AS n_items
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
@@ -629,7 +721,7 @@ object RelationalQueries {
     "q06_anti_join" -> """
       SELECT c_mktsegment,
              count(1) AS n_customers,
-             round(avg(c_acctbal), 4) AS avg_bal
+             floor((sum(CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT)) / (count(c_acctbal) * 100.0)) * 10000 + 0.5) / 10000 AS avg_bal
       FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
@@ -682,7 +774,7 @@ object RelationalQueries {
         FROM events)
       SELECT event_type,
              count(1) AS n_gaps,
-             round(avg(sec - prev_sec), 2) AS avg_gap_s,
+             floor(avg(sec - prev_sec) * 100 + 0.5) / 100 AS avg_gap_s,
              CAST(max(sec - prev_sec) AS BIGINT) AS max_gap_s
       FROM w
       WHERE prev_sec IS NOT NULL
@@ -738,7 +830,7 @@ object RelationalQueries {
              concat_ws('|', p_brand, p_type) AS brand_type,
              CAST(p_size % 7 AS INT) AS size_mod,
              round(abs(p_retailprice - 1000.0), 2) AS price_dist,
-             round(sqrt(p_retailprice), 4) AS price_sqrt,
+             floor(sqrt(p_retailprice) * 10000 + 0.5) / 10000 AS price_sqrt,
              CASE WHEN p_size > 25 THEN 'L' WHEN p_size > 10 THEN 'M' ELSE 'S' END AS size_class,
              replace(p_name, ' ', '_') AS name_snake
       FROM part
@@ -758,9 +850,9 @@ object RelationalQueries {
 
     "q17_percentiles" -> """
       SELECT o_orderstatus,
-             round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-             round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-             round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+             floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS p50,
+             floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90,
+             floor(quantile_cont(o_totalprice, 0.99) * 100 + 0.5) / 100 AS p99,
              round(min(o_totalprice), 2) AS min_price,
              round(max(o_totalprice), 2) AS max_price
       FROM orders
@@ -855,7 +947,7 @@ object RelationalQueries {
         FROM bounds CROSS JOIN (SELECT unnest(generate_series(0, 9)) band) b)
       SELECT band,
              count(1) AS n_orders,
-             round(avg(o_totalprice), 2) AS avg_price
+             floor((sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) / (count(o_totalprice) * 100.0)) * 100 + 0.5) / 100 AS avg_price
       FROM orders JOIN bands
         ON o_totalprice >= lo AND o_totalprice < hi
       GROUP BY band
@@ -865,7 +957,7 @@ object RelationalQueries {
       SELECT event_type,
              CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS bucket,
              count(1) AS n,
-             round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+             floor(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000 + 0.5) / 10000 AS avg_k
       FROM events
       GROUP BY 1, 2
       ORDER BY event_type, bucket""",
@@ -879,6 +971,67 @@ object RelationalQueries {
              count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
       FROM orders
       GROUP BY o_orderstatus
-      ORDER BY o_orderstatus"""
+      ORDER BY o_orderstatus""",
+
+    "q76_gapfill" -> """
+      WITH p AS (
+        SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        FROM events WHERE event_type = 'purchase'),
+      per_day AS (
+        SELECT user_id, day, day_val, n_purch FROM (
+          SELECT user_id, day, value AS day_val,
+                 row_number() OVER (PARTITION BY user_id, day
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(1) OVER (PARTITION BY user_id, day) AS n_purch
+          FROM p) WHERE rn = 1),
+      span AS (SELECT user_id, min(day) d0, max(day) d1 FROM p GROUP BY 1),
+      grid AS (SELECT user_id,
+                      unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+               FROM span),
+      j AS (SELECT g.user_id, g.day, pd.day_val,
+                   coalesce(pd.n_purch, 0) AS n_purch
+            FROM grid g LEFT JOIN per_day pd
+              ON g.user_id = pd.user_id AND g.day = pd.day)
+      SELECT user_id, day, CAST(n_purch AS BIGINT) AS n_purch,
+             last_value(day_val IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_val
+      FROM j
+      ORDER BY user_id, day""",
+
+    "q77_sessionize" -> """
+      WITH w AS (
+        SELECT user_id, value, ts, event_id,
+               epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS sec,
+               lag(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        FROM events),
+      b AS (SELECT user_id, value, ts, event_id, sec,
+                   CASE WHEN prev_sec IS NULL OR sec - prev_sec > 7200
+                        THEN 1 ELSE 0 END AS brk
+            FROM w),
+      sess AS (SELECT user_id, value, sec,
+                      sum(brk) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS session_id
+               FROM b)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(1) AS n_events,
+             CAST(min(sec) AS BIGINT) AS start_sec,
+             CAST(max(sec) AS BIGINT) AS end_sec,
+             round(sum(value), 2) AS sum_value
+      FROM sess
+      GROUP BY 1, 2
+      ORDER BY user_id, session_id""",
+
+    "q78_salted_join" -> """
+      SELECT c.c_mktsegment,
+             count(1) AS n_events,
+             round(sum(e.value), 2) AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1
+      ORDER BY c_mktsegment"""
   )
 }

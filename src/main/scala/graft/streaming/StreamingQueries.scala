@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.operators.Tables
+import graft.operators.{CrossRound, Tables}
 
 /** One event of a user's stream for the q63 custom-state profile;
   * `ts_us` is the µs-floored epoch (events.ts arrives as ns longs).
@@ -243,7 +243,7 @@ object StreamingQueries {
           size($"sids").cast("long").as("n_shingles"),
           graft.functions.GraftFunctions.sortedCountIn($"sids", lit(bench))
             .cast("long").as("n_overlap"))
-        .withColumn("overlap_ratio", round($"n_overlap" / $"n_shingles", 4))
+        .withColumn("overlap_ratio", CrossRound.r($"n_overlap" / $"n_shingles", 4))
         .withColumn("contaminated", ($"n_overlap" / $"n_shingles") >= 0.5)
 
       val sink = s"q59_sink_${sinkCounter.incrementAndGet()}"
@@ -289,7 +289,7 @@ object StreamingQueries {
           graft.functions.GraftFunctions.bucketDot($"sids", lit(weights)) /
             size($"sids"))
         .select($"doc_id", size($"sids").cast("long").as("n_tokens"),
-          round($"logit", 4).as("quality_logit"),
+          CrossRound.r($"logit", 4).as("quality_logit"),
           ($"logit" >= 0).as("keep"))
 
       val sink = s"q75_sink_${sinkCounter.incrementAndGet()}"
