@@ -1578,6 +1578,55 @@ object PipelineQueries {
           CrossRound.r($"w", 4).as("weight"),
           CrossRound.r(lit(1000000.0) * $"w" / $"n_tokens", 4).as("epochs"))
         .orderBy($"source")
+    },
+
+    // ----- token-budget selection: materialize a per-source budget -----
+    // The curriculum/budget step after q74 picks mixture weights: each
+    // source contributes its docs in a deterministic priority order
+    // (longest first, doc_id tiebreak) until a token budget fills. One
+    // window per source partition computes the running total; the filter
+    // keeps the prefix. Integer token counts sum exactly — no float
+    // contract needed. Scale: like q48, the per-source window is the
+    // small-corpus formulation; at 100 TB the same prefix selection runs
+    // as per-range partial sums + a broadcast of per-range offsets (the
+    // classic distributed prefix-sum), or as a two-pass length-quantile
+    // cutoff — the CONTRACT (deterministic priority order, budget-bounded
+    // prefix) is what this query pins.
+    "q79_budget_select" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val w = Window.partitionBy($"source")
+        .orderBy($"n_tokens".desc, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.documents
+        .select($"source", $"doc_id",
+          size(expr(toksExpr)).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .filter($"cum_tokens" <= 20000)
+        .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+        .orderBy($"source", $"cum_tokens")
+    },
+
+    // ----- score normalization: percent_rank + deciles per language -----
+    // Rank-normalizing a quality score within a stratum (here: token
+    // count within language) — the step that makes thresholds comparable
+    // across languages before a global filter. percent_rank is
+    // (rank-1)/(n-1) in both engines over the same total order
+    // (n_tokens, doc_id), so the division is one identical IEEE op;
+    // ntile's bucket-size rule (larger buckets first) is the SQL
+    // standard in both. One window partition per language — bounded
+    // partition count, each a single ordered pass.
+    "q80_score_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val w = Window.partitionBy($"lang").orderBy($"n_tokens", $"doc_id")
+      t.documents
+        .select($"doc_id", $"lang",
+          size(expr(toksExpr)).cast("long").as("n_tokens"))
+        .withColumn("pr", CrossRound.r(percent_rank().over(w), 6))
+        .withColumn("decile", ntile(10).over(w).cast("int"))
+        .select($"doc_id", $"lang", $"n_tokens", $"pr", $"decile")
+        .orderBy($"doc_id")
     }
   )
 
@@ -2452,6 +2501,33 @@ object PipelineQueries {
                CAST(sum(vw * (p % 97 + 1)) AS BIGINT) AS pix_checksum
         FROM v
         GROUP BY doc_id, w, h
+        ORDER BY doc_id""",
+
+      "q79_budget_select" -> s"""
+        WITH t AS (SELECT source, doc_id,
+                          len($toks)::BIGINT AS n_tokens
+                   FROM documents),
+        c AS (SELECT source, doc_id, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY n_tokens DESC, doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       AS cum_tokens
+              FROM t)
+        SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens <= 20000
+        ORDER BY source, cum_tokens""",
+
+      "q80_score_percentiles" -> s"""
+        WITH t AS (SELECT doc_id, lang,
+                          len($toks)::BIGINT AS n_tokens
+                   FROM documents)
+        SELECT doc_id, lang, n_tokens,
+               floor(percent_rank() OVER (PARTITION BY lang
+                                          ORDER BY n_tokens, doc_id)
+                     * 1000000 + 0.5) / 1000000 AS pr,
+               CAST(ntile(10) OVER (PARTITION BY lang
+                                    ORDER BY n_tokens, doc_id) AS INT) AS decile
+        FROM t
         ORDER BY doc_id"""
     )
   }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.gsheets.Fixtures
+
+/** Invariants for the time-series / skew additions: gap-fill (q76),
+  * batch sessionization (q77), and the skew-split join (q78). Exact
+  * values are pinned by the DuckDB oracle; these hold for any corpus.
+  */
+class TimeSeriesOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = Fixtures.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q76: dense daily grid per user, purchase counts conserved, LOCF total") {
+    val out = RelationalQueries.queries("q76_gapfill")(spark, dir).cache()
+    val purchases = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+    // Grid density: one row per day in the user's own [first, last] span.
+    val perUser = out.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), min($"day").as("d0"), max($"day").as("d1"))
+      .withColumn("span", datediff($"d1", $"d0") + 1)
+    assert(perUser.filter($"n" =!= $"span").isEmpty)
+    // Conservation: the grid invents no purchases and loses none.
+    assert(out.agg(sum($"n_purch")).head.getLong(0) == purchases.count())
+    // LOCF totality: the span starts at the first purchase day, so the
+    // carried-forward value is never null anywhere in the grid.
+    assert(out.filter($"filled_val".isNull).isEmpty)
+    // A zero-purchase day carries the PREVIOUS day's value verbatim.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"day")
+    val lagged = out.withColumn("prev_val", lag($"filled_val", 1).over(w))
+    assert(lagged.filter($"n_purch" === 0 && $"filled_val" =!= $"prev_val").isEmpty)
+    out.unpersist()
+  }
+
+  test("q77: sessions partition the events; consecutive sessions gap > 2h") {
+    val out = RelationalQueries.queries("q77_sessionize")(spark, dir).cache()
+    val events = Tables(spark, dir).events
+    // Every event lands in exactly one session.
+    assert(out.agg(sum($"n_events")).head.getLong(0) == events.count())
+    // Session ids are contiguous 1..k per user.
+    val ids = out.groupBy($"user_id")
+      .agg(min($"session_id").as("lo"), max($"session_id").as("hi"),
+        count(lit(1)).as("n"))
+    assert(ids.filter($"lo" =!= 1 || $"hi" =!= $"n").isEmpty)
+    // Bounds are ordered within a session...
+    assert(out.filter($"end_sec" < $"start_sec").isEmpty)
+    // ...and the NEXT session starts more than 2 h after this one ends
+    // (the break definition, re-checked on the output).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"session_id")
+    val gaps = out.withColumn("prev_end", lag($"end_sec", 1).over(w))
+      .filter($"prev_end".isNotNull)
+    assert(gaps.filter($"start_sec" - $"prev_end" <= 7200).isEmpty)
+    out.unpersist()
+  }
+
+  test("q78: skew-split result is bit-identical to the plain join") {
+    val t = Tables(spark, dir)
+    val plain = t.events.select($"user_id", $"value")
+      .join(t.customer.select($"c_custkey".as("user_id"), $"c_mktsegment"),
+        "user_id")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"c_mktsegment")
+      .collect().toSeq
+    val split = RelationalQueries.queries("q78_salted_join")(spark, dir)
+      .collect().toSeq
+    assert(split == plain)
+  }
+
+  test("q78: hot keys take the broadcast path, the tail the shuffled path") {
+    // Drop the auto-broadcast threshold so only the EXPLICIT broadcast
+    // hint survives — the cold path must then plan a shuffled join.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = RelationalQueries.queries("q78_salted_join")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+}
