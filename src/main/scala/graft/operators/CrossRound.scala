@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{count, floor, sum}
+import org.apache.spark.sql.types.DecimalType
 
 /** Cross-engine deterministic rounding for DIVISION-DERIVED doubles.
   *
@@ -25,10 +26,12 @@ import org.apache.spark.sql.functions.{count, floor, sum}
   *
   * Caveats, deliberate: (1) ties round toward +inf rather than away from
   * zero — a different-but-consistent convention on negative values;
-  * (2) Spark's `floor` returns LONG, so |x|·10^n must stay below 2^63
-  * (fixture values are ≤ ~5e5 scaled by ≤ 1e6); (3) NaN becomes 0 on the
-  * Spark side where `round` would keep NaN — no site feeds NaN (norms and
-  * denominators are nonzero by construction).
+  * (2) Spark's `floor` returns LONG, so a single |x|·10^n must stay
+  * below 2^63 (fixture values are ≤ ~5e5 scaled by ≤ 1e6; SUMS of those
+  * units go through DECIMAL(38,0) in [[avgMoney]]/[[sumMoney]], so no
+  * row-count bound); (3) NaN becomes 0 on the Spark side where `round`
+  * would keep NaN — no site feeds NaN (norms and denominators are
+  * nonzero by construction).
   */
 object CrossRound {
   /** Spark-side tie-safe round to `digits` decimal places. */
@@ -51,12 +54,16 @@ object CrossRound {
     * decides the rounded digit. Fix the sum itself: per value,
     * `floor(x*100 + 0.5)` recovers the exact integer cents (the double
     * is within ~2 ulp of the true 2-dec decimal, far inside the ±0.5
-    * recovery window), the LONG sum of those is exact in ANY order, and
-    * a single division by (count·100) is one exactly-rounded IEEE op.
-    * Bit-identical cross-engine, independent of partitioning.
+    * recovery window), the DECIMAL(38,0) sum of those is exact in ANY
+    * order at ANY row count (no int64 wrap — DuckDB's BIGINT sum widens
+    * to HUGEINT the same way), and a single division by (count·100) is
+    * one exactly-rounded IEEE op after both engines convert the same
+    * exact integer to double. Bit-identical cross-engine, independent
+    * of partitioning.
     */
   def avgMoney(c: Column, outDigits: Int): Column =
-    r(sum(floor(c * 100.0 + 0.5)) / (count(c) * 100.0), outDigits)
+    r(sum(floor(c * 100.0 + 0.5).cast(DecimalType(38, 0))) / (count(c) * 100.0),
+      outDigits)
 
   /** DuckDB twin of [[avgMoney]]. */
   def avgMoneySql(inner: String, outDigits: Int): String =
@@ -68,10 +75,10 @@ object CrossRound {
     * Same order-independence argument as [[avgMoney]]: recover exact
     * integer units per row (product doubles stay within ~3 ulp of the
     * true decimal — far inside ±0.5 at the fixture's magnitudes), sum
-    * as LONG (exact, any order), divide once. */
+    * as DECIMAL(38,0) (exact, any order, any row count), divide once. */
   def sumMoney(c: Column, inDigits: Int, outDigits: Int): Column = {
     val s = math.pow(10.0, inDigits)
-    r(sum(floor(c * s + 0.5)) / s, outDigits)
+    r(sum(floor(c * s + 0.5).cast(DecimalType(38, 0))) / s, outDigits)
   }
 
   /** DuckDB twin of [[sumMoney]]. */

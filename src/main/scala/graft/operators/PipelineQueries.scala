@@ -1604,7 +1604,7 @@ object PipelineQueries {
         .withColumn("cum_tokens", sum($"n_tokens").over(w))
         .filter($"cum_tokens" <= 20000)
         .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
-        .orderBy($"source", $"cum_tokens")
+        .orderBy($"source", $"cum_tokens", $"doc_id")
     },
 
     // ----- score normalization: percent_rank + deciles per language -----
@@ -2515,7 +2515,7 @@ object PipelineQueries {
               FROM t)
         SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         FROM c WHERE cum_tokens <= 20000
-        ORDER BY source, cum_tokens""",
+        ORDER BY source, cum_tokens, doc_id""",
 
       "q80_score_percentiles" -> s"""
         WITH t AS (SELECT doc_id, lang,
