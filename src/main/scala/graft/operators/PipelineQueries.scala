@@ -1607,6 +1607,50 @@ object PipelineQueries {
         .orderBy($"source", $"cum_tokens", $"doc_id")
     },
 
+    // ----- incremental dedup: delta batch vs a PERSISTED signature index -----
+    // The CDC shape production dedup actually runs: the corpus's MinHash
+    // signatures live in a materialized index artifact (16 ints per doc
+    // — constant bytes regardless of text size), and a new batch dedups
+    // against that index WITHOUT ever re-reading corpus text. Candidates
+    // come from the banded join (new bands ⋈ index bands — never
+    // delta×corpus), and verification is signature agreement (matching
+    // minhash positions / 16 estimates Jaccard), so the index alone
+    // suffices — the classic store-signatures-not-text tradeoff. At
+    // 100 TB the index parquet would be bucketed by band so the delta
+    // join co-locates without a corpus-side shuffle; the delta cost is
+    // O(new batch + bucket collisions), independent of corpus size.
+    "q81_delta_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val sigs = docSidArrays(t.documents).filter(size($"sids") > 0)
+        .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
+        .select($"doc_id", $"mh")
+      // The "persisted" index: written once for the corpus slice, then
+      // the delta path reads ONLY this artifact (+ the new batch).
+      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      sigs.filter($"doc_id" < 450).write.mode("overwrite").parquet(idxPath)
+      val index = s.read.parquet(idxPath)
+      val delta = sigs.filter($"doc_id" >= 450)
+      def bands(df: DataFrame): DataFrame = df.select($"doc_id", $"mh",
+        posexplode(array((0 until 4).map(b =>
+          concat_ws("-", (0 until 4).map(r => $"mh" (b * 4 + r)): _*)): _*))
+          .as(Seq("band", "sig")))
+      val cand = bands(delta).as("a")
+        .join(bands(index).as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
+        .select($"a.doc_id".as("new_doc"), $"b.doc_id".as("corpus_doc"),
+          $"a.mh".as("amh"), $"b.mh".as("bmh"))
+        .distinct()
+      cand
+        .withColumn("n_match",
+          expr("size(filter(zip_with(amh, bmh, (x, y) -> x = y), z -> z))")
+            .cast("long"))
+        .filter($"n_match" >= 8)
+        .select($"new_doc", $"corpus_doc", $"n_match",
+          CrossRound.r($"n_match" / 16.0, 4).as("est_sim"))
+        .orderBy($"new_doc", $"corpus_doc")
+    },
+
     // ----- score normalization: percent_rank + deciles per language -----
     // Rank-normalizing a quality score within a stratum (here: token
     // count within language) — the step that makes thresholds comparable
@@ -2502,6 +2546,33 @@ object PipelineQueries {
         FROM v
         GROUP BY doc_id, w, h
         ORDER BY doc_id""",
+
+      "q81_delta_dedup" -> s"""
+        WITH $dsh, $dsid,
+        mh AS (SELECT doc_id, s.s,
+                      min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
+               FROM dsid CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
+               GROUP BY 1, 2),
+        bands AS (SELECT doc_id, s // 4 band,
+                         concat_ws('-', min(CASE WHEN s % 4 = 0 THEN mh END),
+                                        min(CASE WHEN s % 4 = 1 THEN mh END),
+                                        min(CASE WHEN s % 4 = 2 THEN mh END),
+                                        min(CASE WHEN s % 4 = 3 THEN mh END)) sig
+                  FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id new_doc, b.doc_id corpus_doc
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig
+                 WHERE a.doc_id >= 450 AND b.doc_id < 450),
+        agree AS (SELECT c.new_doc, c.corpus_doc,
+                         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) nm
+                  FROM cand c
+                  JOIN mh x ON x.doc_id = c.new_doc
+                  JOIN mh y ON y.doc_id = c.corpus_doc AND y.s = x.s
+                  GROUP BY 1, 2)
+        SELECT new_doc, corpus_doc, CAST(nm AS BIGINT) AS n_match,
+               floor((nm / 16.0) * 10000 + 0.5) / 10000 AS est_sim
+        FROM agree WHERE nm >= 8
+        ORDER BY new_doc, corpus_doc""",
 
       "q79_budget_select" -> s"""
         WITH t AS (SELECT source, doc_id,
