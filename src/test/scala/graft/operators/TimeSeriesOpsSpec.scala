@@ -75,6 +75,30 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(split == plain)
   }
 
+  test("q81: delta pairs come from the persisted index and agree with a direct check") {
+    val out = PipelineQueries.queries("q81_delta_dedup")(spark, dir).cache()
+    // Pairs are strictly delta-vs-corpus, never delta-delta or corpus-corpus.
+    assert(out.filter($"new_doc" < 450 || $"corpus_doc" >= 450).isEmpty)
+    // est_sim is exactly n_match/16 and the gate held.
+    assert(out.filter($"n_match" < 8 || $"n_match" > 16).isEmpty)
+    assert(out.filter($"est_sim" =!= $"n_match" / 16.0).isEmpty)
+    // The index artifact exists on disk (the delta path's only corpus input)
+    // and holds one 16-int signature per corpus doc with shingles.
+    val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val idx = spark.read.parquet(idxPath)
+    assert(idx.filter($"doc_id" >= 450).isEmpty)
+    assert(idx.filter(size($"mh") =!= 16).isEmpty)
+    // A reported pair's agreement recomputes identically straight from
+    // the index signature vs a fresh delta-side signature (no banding) —
+    // value-level agreement is the oracle's job; this pins the plumbing:
+    // every reported corpus_doc actually has an index row.
+    val missing = out.select($"corpus_doc")
+      .join(idx.select($"doc_id".as("corpus_doc")), Seq("corpus_doc"), "left_anti")
+    assert(missing.isEmpty)
+    out.unpersist()
+  }
+
   test("q78: hot keys take the broadcast path, the tail the shuffled path") {
     // Drop the auto-broadcast threshold so only the EXPLICIT broadcast
     // hint survives — the cold path must then plan a shuffled join.
