@@ -1607,6 +1607,29 @@ object PipelineQueries {
         .orderBy($"source", $"cum_tokens", $"doc_id")
     },
 
+    // ----- exact-N stratified sample: fixed-size eval carve-out -----
+    // q47 samples at a RATE; eval/holdout sets need an exact SIZE. Rank
+    // each stratum by the same deterministic key-derived scramble
+    // (uniform, reproducible, independent of physical order) and keep
+    // exactly the first 20 per language. Small-stratum-count
+    // formulation: one window partition per language. At scale the
+    // same contract runs as the two-pass rank-threshold — approximate
+    // the N-th scramble key per stratum, filter map-only, trim the
+    // boundary ties exactly — so no stratum ever funnels through one
+    // reducer.
+    "q82_exact_sample" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val w = Window.partitionBy($"lang").orderBy($"u", $"doc_id")
+      t.documents
+        .select($"doc_id", $"lang", $"source")
+        .withColumn("u", expr(scrambleExpr("doc_id")) / lit(4294967296.0))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 20)
+        .select($"doc_id", $"lang", $"source", $"rk", round($"u", 6).as("u"))
+        .orderBy($"lang", $"rk")
+    },
+
     // ----- incremental dedup: delta batch vs a PERSISTED signature index -----
     // The CDC shape production dedup actually runs: the corpus's MinHash
     // signatures live in a materialized index artifact (16 ints per doc
@@ -2546,6 +2569,19 @@ object PipelineQueries {
         FROM v
         GROUP BY doc_id, w, h
         ORDER BY doc_id""",
+
+      "q82_exact_sample" -> s"""
+        WITH s AS (SELECT doc_id, lang, source,
+                          (${oracleScramble("doc_id")}) / 4294967296.0 AS u
+                   FROM documents),
+        r AS (SELECT doc_id, lang, source, u,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY u, doc_id) AS rk
+              FROM s)
+        SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk,
+               round(u, 6) AS u
+        FROM r WHERE rk <= 20
+        ORDER BY lang, rk""",
 
       "q81_delta_dedup" -> s"""
         WITH $dsh, $dsid,
