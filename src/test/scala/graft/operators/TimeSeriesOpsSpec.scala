@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.gsheets.Fixtures
 
-/** Invariants for the time-series / skew additions: gap-fill (q76),
-  * batch sessionization (q77), and the skew-split join (q78). Exact
+/** Invariants for the time-series / skew / incremental additions:
+  * gap-fill (q76), batch sessionization (q77), the skew-split join
+  * (q78), and delta dedup against the persisted index (q81). Exact
   * values are pinned by the DuckDB oracle; these hold for any corpus.
   */
 class TimeSeriesOpsSpec extends AnyFunSuite {
@@ -84,8 +85,7 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(out.filter($"est_sim" =!= $"n_match" / 16.0).isEmpty)
     // The index artifact exists on disk (the delta path's only corpus input)
     // and holds one 16-int signature per corpus doc with shingles.
-    val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val idxPath = PipelineQueries.deltaIndexPath(spark, dir)
     val idx = spark.read.parquet(idxPath)
     assert(idx.filter($"doc_id" >= 450).isEmpty)
     assert(idx.filter(size($"mh") =!= 16).isEmpty)
