@@ -562,6 +562,29 @@ object RelationalQueries {
         .orderBy($"o_orderstatus")
     },
 
+    // ----- unpivot: wide → long, the inverse of q40's pivot -----
+    // The pivot⇄unpivot round trip: q40's wide frame (one column per
+    // priority) melts back to long form with `stack`, zeros preserved —
+    // so the contract is the FULL status×priority grid, which the
+    // oracle builds relationally (distinct statuses × priority list,
+    // left join, coalesce 0). stack() is a map-side generator: the only
+    // shuffles are the pivot's own aggregation.
+    "q83_unpivot" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val wide = t.orders
+        .groupBy($"o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+        .na.fill(0L, prios)
+      wide.select($"o_orderstatus", expr(
+        "stack(5, '1-URGENT', `1-URGENT`, '2-HIGH', `2-HIGH`, " +
+          "'3-MEDIUM', `3-MEDIUM`, '4-NOT SPECIFIED', `4-NOT SPECIFIED`, " +
+          "'5-LOW', `5-LOW`) AS (o_orderpriority, n_orders)"))
+        .orderBy($"o_orderstatus", $"o_orderpriority")
+    },
+
     // ----- time-series gap-fill: daily grid + last-observation-carried-forward -----
     // The resample step a telemetry/metrics pipeline needs before any
     // model sees the series: each user's purchase history becomes a
@@ -972,6 +995,19 @@ object RelationalQueries {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
+
+    "q83_unpivot" -> """
+      WITH s AS (SELECT DISTINCT o_orderstatus FROM orders),
+      p AS (SELECT unnest(['1-URGENT', '2-HIGH', '3-MEDIUM',
+                           '4-NOT SPECIFIED', '5-LOW']) AS o_orderpriority),
+      c AS (SELECT o_orderstatus, o_orderpriority, count(1) n
+            FROM orders GROUP BY 1, 2)
+      SELECT s.o_orderstatus, p.o_orderpriority,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+      FROM s CROSS JOIN p
+      LEFT JOIN c ON c.o_orderstatus = s.o_orderstatus
+                 AND c.o_orderpriority = p.o_orderpriority
+      ORDER BY s.o_orderstatus, p.o_orderpriority""",
 
     "q76_gapfill" -> """
       WITH p AS (
