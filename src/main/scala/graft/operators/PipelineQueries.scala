@@ -1143,33 +1143,72 @@ object PipelineQueries {
 
     // ----- semantic dedup: cluster-then-prune over embeddings -----
     // The SemDeDup shape (Abbas et al. 2023): assign every embedding to
-    // its nearest coarse centroid, then mark as duplicate any vector
-    // whose cosine to a LOWER-id vector in the SAME cluster is >= τ —
-    // pairwise comparison never crosses a cluster boundary, so the
-    // quadratic term is bounded by cluster size, and K is chosen ∝ N to
-    // keep that bound flat as the corpus grows. Assignment is a
-    // broadcast-centroid scan + ONE map-side-combining max_by aggregate
-    // (shuffle = one row per vector, not one per vector×centroid as the
-    // q36 window formulation would shuffle); the intra-cluster self-join
-    // shuffles each vector once, keyed by cluster.
+    // a cluster, then mark as duplicate any vector whose cosine to a
+    // LOWER-id vector in the SAME cluster is >= τ — pairwise comparison
+    // never crosses a cluster boundary, so the quadratic term is
+    // bounded by cluster size, and K is chosen ∝ N to keep that bound
+    // flat as the corpus grows. Because K ∝ N, the K fine centroids can
+    // NEVER be broadcast (the broadcast would grow with the corpus), so
+    // assignment is TWO-LEVEL, the q36/q60 coarse-quantizer shape made
+    // exact by contract: (1) ⌈√K⌉-ish COARSE centroids (every
+    // 125·step-th vector, step = ⌈√K⌉, computed in-plan from the
+    // centroid count — no driver action) are the only broadcast set,
+    // O(√K·D); (2) the K fine centroids and then every corpus vector
+    // route to their nearest coarse cell via that broadcast + ONE
+    // map-side-combining max_by each; (3) fine assignment is an
+    // EQUALITY join on the coarse cell id — co-partitioned shuffle,
+    // N·(K/√K cell width) compared rows instead of the N·K a flat scan
+    // costs, and no O(K) broadcast anywhere. The cluster is DEFINED by
+    // this two-level rule (the oracle mirrors it step for step), so the
+    // rows are exact, not probe-lucky; ties break (ccos DESC, cid) at
+    // both levels. The intra-cluster self-join shuffles each vector
+    // once, keyed by its fine cluster, and cluster width stays ~125 by
+    // construction as N grows.
     "q68_semantic_dedup" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val e = t.embeddings.select($"vec_id", $"embedding")
       val cents = e.filter($"vec_id" % 125 === 0)
         .select($"vec_id".as("cid"), $"embedding".as("ce"))
-      // max_by on (ccos, -cid): highest cosine, ties to the lowest cid —
-      // identical to the oracle's row_number ORDER BY ccos DESC, cid.
-      val assign = e.crossJoin(broadcast(cents))
+      // step = ⌈√K⌉ rides along as a one-row broadcast scalar; coarse =
+      // every step-th fine centroid, so |coarse| ≈ √K.
+      val kdf = cents.agg(
+        ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("step"))
+      val coarse = cents.crossJoin(broadcast(kdf))
+        .filter($"cid" % (lit(125L) * $"step") === 0)
+        .select($"cid".as("gid"), $"ce".as("ge"))
+      // Route fine centroids to coarse cells: K rows vs a √K broadcast.
+      // max_by on (gcos, -gid): highest cosine, ties to the lowest gid —
+      // identical to the oracle's row_number ORDER BY gcos DESC, gid.
+      val fineCell = cents.crossJoin(broadcast(coarse))
+        .withColumn("gcos",
+          graft.functions.GraftFunctions.cosineSim($"ce", $"ge"))
+        .groupBy($"cid")
+        .agg(max_by($"gid", struct($"gcos", -$"gid")).as("gid"),
+             first($"ce").as("ce"))
+      // Route corpus vectors to coarse cells: N rows vs the same √K
+      // broadcast; shuffle = one row per vector (map-side combine).
+      val vCell = e.crossJoin(broadcast(coarse))
+        .withColumn("gcos",
+          graft.functions.GraftFunctions.cosineSim($"embedding", $"ge"))
+        .groupBy($"vec_id")
+        .agg(max_by($"gid", struct($"gcos", -$"gid")).as("gid"),
+             first($"embedding").as("embedding"))
+      // Fine assignment: equality join on the coarse cell — the fine
+      // side is O(K) DATA, never a broadcast build in the plan contract
+      // (AQE may still elect one locally where K is tiny; at scale it
+      // is a co-partitioned shuffle join).
+      val assign = vCell.join(fineCell, "gid")
         .withColumn("ccos",
           graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
         .groupBy($"vec_id")
-        .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cid"))
+        .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cid"),
+             first($"embedding").as("embedding"))
       // Cached: probed by both sides of the intra-cluster self-join and
       // the final projection — without it the embeddings scan + the
       // assignment aggregate re-execute three times (at 100 TB, three
       // full corpus reads).
-      val clustered = assign.join(e, "vec_id").cache()
+      val clustered = assign.cache()
       val dups = clustered.as("a").join(clustered.as("b"),
           $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
         .filter(graft.functions.GraftFunctions
@@ -1883,21 +1922,44 @@ object PipelineQueries {
         FROM g
         ORDER BY doc_id""",
 
-      // Assignment twin of q68's max_by(cid, (ccos, -cid)): row_number
-      // ORDER BY ccos DESC, cid picks the same centroid incl. ties.
+      // Assignment twin of q68's two-level max_by(·, (cos, -id)) chain:
+      // row_number ORDER BY cos DESC, id picks the same coarse cell for
+      // fine centroids and vectors, then the same fine centroid within
+      // the cell, incl. ties. step = ⌈√K⌉ exactly as the Spark plan
+      // computes it (IEEE sqrt is correctly rounded in both engines).
       "q68_semantic_dedup" -> s"""
         WITH $cosFragment,
         cents AS (SELECT vec_id cid, v ce FROM e WHERE vec_id % 125 = 0),
-        scored AS (SELECT e.vec_id, c.cid,
-                          list_dot_product(e.v, c.ce) /
-                          (sqrt(list_dot_product(e.v, e.v)) *
-                           sqrt(list_dot_product(c.ce, c.ce))) ccos
-                   FROM e CROSS JOIN cents c),
+        k AS (SELECT CAST(ceil(sqrt(count(1)::DOUBLE)) AS BIGINT) AS step
+              FROM cents),
+        coarse AS (SELECT cid gid, ce ge FROM cents, k
+                   WHERE cid % (125 * step) = 0),
+        fcell AS (SELECT cid, ce, gid FROM (
+                    SELECT c.cid, c.ce, g.gid,
+                           row_number() OVER (PARTITION BY c.cid ORDER BY
+                             list_dot_product(c.ce, g.ge) /
+                             (sqrt(list_dot_product(c.ce, c.ce)) *
+                              sqrt(list_dot_product(g.ge, g.ge))) DESC,
+                             g.gid) rk
+                    FROM cents c CROSS JOIN coarse g) WHERE rk = 1),
+        vcell AS (SELECT vec_id, v, gid FROM (
+                    SELECT e.vec_id, e.v, g.gid,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                             list_dot_product(e.v, g.ge) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(g.ge, g.ge))) DESC,
+                             g.gid) rk
+                    FROM e CROSS JOIN coarse g) WHERE rk = 1),
         assigned AS (SELECT vec_id, cid FROM (
-                       SELECT vec_id, cid,
-                              row_number() OVER (PARTITION BY vec_id
-                                                 ORDER BY ccos DESC, cid) rk
-                       FROM scored) WHERE rk = 1),
+                       SELECT v.vec_id, f.cid,
+                              row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY
+                                  list_dot_product(v.v, f.ce) /
+                                  (sqrt(list_dot_product(v.v, v.v)) *
+                                   sqrt(list_dot_product(f.ce, f.ce))) DESC,
+                                  f.cid) rk
+                       FROM vcell v JOIN fcell f ON v.gid = f.gid)
+                     WHERE rk = 1),
         dups AS (SELECT DISTINCT b.vec_id
                  FROM assigned a JOIN assigned b
                       ON a.cid = b.cid AND a.vec_id < b.vec_id

@@ -68,6 +68,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"q47 grew to $shuffles shuffles:\n$p")
   }
 
+  test("q68: assignment is two-level — no O(K) centroid broadcast") {
+    val p = plan("q68_semantic_dedup")
+    // The fine cosine (ccos) must be computed above the EQUALITY join
+    // on the coarse cell id — never above a nested-loop against a
+    // broadcast of all K fine centroids (the pre-round-6 shape, whose
+    // broadcast grows with the corpus because K ∝ N). The coarse
+    // routings (gcos) legitimately sit above BNLJ: their build is the
+    // bounded O(√K) coarse set.
+    val lines = p.linesIterator.toVector
+    for (i <- lines.indices if lines(i).contains("AS ccos")) {
+      assert(!lines(i + 1).contains("BroadcastNestedLoopJoin"),
+        s"q68 fine assignment degraded to a nested-loop over all K fine " +
+        s"centroids:\n${lines.slice(i, i + 3).mkString("\n")}")
+    }
+    assert(lines.exists(_.contains("AS ccos")), s"q68 lost the ccos stage:\n$p")
+    // And the equality join machinery must actually be present.
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).nonEmpty, s"q68 lost the equality fine-assignment join:\n$p")
+  }
+
   test("q73: the classifier is map-only ahead of the output sort") {
     val p = plan("q73_quality_classifier")
     val shuffles = "Exchange".r.findAllIn(p).size -
