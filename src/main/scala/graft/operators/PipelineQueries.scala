@@ -127,13 +127,35 @@ object PipelineQueries {
     * every row through `u < rate` in Spark while DuckDB errors on the
     * same input. Identical in both engines for all non-negative ids.
     */
-  /** q81's persisted-index location — keyed by the Spark application id
-    * AND the data dir, so concurrent sessions (or another user's run on
-    * a shared machine) never clobber each other's artifact. The spec
-    * resolves the path through this same helper. */
+  /** Cheap driver-side fingerprint of the corpus files under
+    * `dir/documents.parquet` (paths + lengths + mtimes): part of q81's
+    * index key, so regenerating the data in place within one long-lived
+    * application invalidates the artifact instead of silently deduping
+    * against stale signatures (ADVICE r5). */
+  private[graft] def dataFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val stamp = walk(new java.io.File(dir, "documents.parquet"))
+      .sortBy(_.getPath)
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(stamp))
+  }
+
+  /** q81's persisted-index key — the Spark application id AND the data
+    * dir AND a corpus fingerprint, so concurrent sessions never clobber
+    * each other's artifact and an in-place data rewrite never serves a
+    * stale index. The spec resolves the path through this same helper.
+    * The key doubles as the catalog table name (the index is a BUCKETED
+    * table — bucketBy needs the catalog, a bare parquet path can't
+    * carry bucket metadata). */
+  private[graft] def deltaIndexKey(s: SparkSession, dir: String): String =
+    "graft_mh_index_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dataFingerprint(dir)
+
   private[graft] def deltaIndexPath(s: SparkSession, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_" +
-      s.sparkContext.applicationId + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/${deltaIndexKey(s, dir)}"
 
   /** Index paths already materialized this session (see q81). */
   private val deltaIndexWritten =
@@ -1687,35 +1709,47 @@ object PipelineQueries {
 
     // ----- incremental dedup: delta batch vs a PERSISTED signature index -----
     // The CDC shape production dedup actually runs: the corpus's MinHash
-    // signatures live in a materialized index artifact (16 ints per doc
-    // — constant bytes regardless of text size), and a new batch dedups
-    // against that index WITHOUT ever re-reading corpus text. Candidates
-    // come from the banded join (new bands ⋈ index bands — never
-    // delta×corpus), and verification is signature agreement (matching
-    // minhash positions / 16 estimates Jaccard), so the index alone
-    // suffices — the classic store-signatures-not-text tradeoff. At
-    // 100 TB the index parquet would be bucketed by band so the delta
-    // join co-locates without a corpus-side shuffle; the delta cost is
-    // O(new batch + bucket collisions), independent of corpus size.
+    // signatures live in a materialized index artifact, and a new batch
+    // dedups against that index WITHOUT ever re-reading corpus text.
+    // The index is the classic banded POSTING TABLE — one (band, sig,
+    // doc_id, mh) row per band — written as a catalog table BUCKETED on
+    // the join keys (band, sig), so the delta probe co-locates with ZERO
+    // index-side Exchange: Spark reads each bucket as one partition and
+    // only the (small) delta side shuffles to match. Duplicating the
+    // 16-int signature across its 4 band rows trades 4× index bytes
+    // (still ~constant per doc, text-size-independent) for a
+    // verify-join-free probe: signature agreement (matching minhash
+    // positions / 16 estimates Jaccard) reads the mh arrays already on
+    // the joined rows. The delta cost is O(new batch + bucket
+    // collisions), independent of corpus size. The corpus/delta split
+    // point is derived from the data (first 90% of the id space is
+    // "corpus", integer arithmetic so both engines cut identically) —
+    // one bounded driver scalar, like q78's hot-key list.
     "q81_delta_dedup" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
+      val cut: Long =
+        (t.documents.agg(max($"doc_id")).first.getLong(0) + 1L) * 9L / 10L
       val sigs = docSidArrays(t.documents).filter(size($"sids") > 0)
         .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
         .select($"doc_id", $"mh")
-      // The "persisted" index: written ONCE per (session, dir) — the
-      // warm path (and any re-construction, e.g. plan capture) reads
-      // the existing artifact, so the measured delta cost excludes the
-      // amortized index build, as in production.
-      val idxPath = deltaIndexPath(s, dir)
-      if (PipelineQueries.deltaIndexWritten.add(idxPath))
-        sigs.filter($"doc_id" < 450).write.mode("overwrite").parquet(idxPath)
-      val index = s.read.parquet(idxPath)
-      val delta = sigs.filter($"doc_id" >= 450)
       def bands(df: DataFrame): DataFrame =
         df.select($"doc_id", $"mh", mhBandCols.as(Seq("band", "sig")))
+      // The "persisted" index: written ONCE per (session, dir,
+      // data-fingerprint) — the warm path (and any re-construction,
+      // e.g. plan capture) reads the existing artifact, so the measured
+      // delta cost excludes the amortized index build, as in production.
+      val idxKey = deltaIndexKey(s, dir)
+      if (PipelineQueries.deltaIndexWritten.add(idxKey))
+        bands(sigs.filter($"doc_id" < cut))
+          .write.mode("overwrite")
+          .bucketBy(8, "band", "sig").sortBy("band", "sig")
+          .option("path", deltaIndexPath(s, dir))
+          .saveAsTable(idxKey)
+      val index = s.table(idxKey)
+      val delta = sigs.filter($"doc_id" >= cut)
       val cand = bands(delta).as("a")
-        .join(bands(index).as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
+        .join(index.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
         .select($"a.doc_id".as("new_doc"), $"b.doc_id".as("corpus_doc"),
           $"a.mh".as("amh"), $"b.mh".as("bmh"))
         .distinct()
@@ -2669,10 +2703,12 @@ object PipelineQueries {
 
       "q81_delta_dedup" -> s"""
         WITH $dsh, $dsid,$mhBandsSql,
+        cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents),
         cand AS (SELECT DISTINCT a.doc_id new_doc, b.doc_id corpus_doc
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.sig = b.sig
-                 WHERE a.doc_id >= 450 AND b.doc_id < 450),
+                 WHERE a.doc_id >= (SELECT c FROM cut)
+                   AND b.doc_id < (SELECT c FROM cut)),
         agree AS (SELECT c.new_doc, c.corpus_doc,
                          sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) nm
                   FROM cand c

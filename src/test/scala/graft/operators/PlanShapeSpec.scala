@@ -88,6 +88,35 @@ class PlanShapeSpec extends AnyFunSuite {
       .findAllIn(p).nonEmpty, s"q68 lost the equality fine-assignment join:\n$p")
   }
 
+  test("q81: the delta probe reads the bucketed index with zero index-side Exchange") {
+    val p = plan("q81_delta_dedup")
+    // The index must come in through the bucketed-table read path...
+    assert(p.contains("Bucketed: true") && p.contains("SelectedBucketsCount"),
+      s"q81 index scan is not bucketed:\n$p")
+    // ...and the branch between the candidate join and the index scan
+    // must contain no Exchange: bucket layout IS the join partitioning.
+    val lines = p.linesIterator.toVector
+    val scanIdx = lines.indexWhere(_.contains("graft_mh_index"))
+    assert(scanIdx >= 0, s"q81 lost the index-table scan:\n$p")
+    val joinIdx = lines.lastIndexWhere(_.contains("HashJoin"), scanIdx)
+    assert(joinIdx >= 0, s"q81 lost the candidate join:\n$p")
+    // An index-side Exchange would be an ANCESTOR of the index scan
+    // strictly below the join. Walk the ancestor chain by tree indent
+    // (each parent's node marker sits left of its child's) and assert
+    // none of those nodes is an Exchange.
+    def indent(l: String): Int = {
+      val i = l.indexOf("+-"); val j = l.indexOf(":-")
+      if (i < 0 && j < 0) Int.MaxValue else if (i < 0) j else if (j < 0) i
+      else math.min(i, j)
+    }
+    var cur = indent(lines(scanIdx))
+    for (k <- (joinIdx + 1 until scanIdx).reverse if indent(lines(k)) < cur) {
+      assert(!lines(k).contains("Exchange"),
+        s"q81 index side re-shuffles despite bucketing: ${lines(k).trim}\n$p")
+      cur = indent(lines(k))
+    }
+  }
+
   test("q73: the classifier is map-only ahead of the output sort") {
     val p = plan("q73_quality_classifier")
     val shuffles = "Exchange".r.findAllIn(p).size -

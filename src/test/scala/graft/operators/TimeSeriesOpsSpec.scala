@@ -83,12 +83,22 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     // est_sim is exactly n_match/16 and the gate held.
     assert(out.filter($"n_match" < 8 || $"n_match" > 16).isEmpty)
     assert(out.filter($"est_sim" =!= $"n_match" / 16.0).isEmpty)
-    // The index artifact exists on disk (the delta path's only corpus input)
-    // and holds one 16-int signature per corpus doc with shingles.
+    // The index artifact exists on disk (the delta path's only corpus
+    // input) in the banded posting layout: 4 (band, sig) rows per
+    // corpus doc with shingles, each carrying the 16-int signature.
     val idxPath = PipelineQueries.deltaIndexPath(spark, dir)
     val idx = spark.read.parquet(idxPath)
     assert(idx.filter($"doc_id" >= 450).isEmpty)
     assert(idx.filter(size($"mh") =!= 16).isEmpty)
+    assert(idx.groupBy($"doc_id").count().filter($"count" =!= 4).isEmpty)
+    // And the catalog knows it as a BUCKETED table on the join keys —
+    // the property that lets the delta probe skip the index-side
+    // shuffle.
+    val cat = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        PipelineQueries.deltaIndexKey(spark, dir)))
+    assert(cat.bucketSpec.exists(b =>
+      b.bucketColumnNames == Seq("band", "sig")))
     // A reported pair's agreement recomputes identically straight from
     // the index signature vs a fresh delta-side signature (no banding) —
     // value-level agreement is the oracle's job; this pins the plumbing:

@@ -162,7 +162,11 @@ def main(seed: int, outdir: str) -> None:
                      ("value", pa.float64()), ("props", pa.string())]))
 
     # ---- documents (>= 10 ASCII tokens, small shared vocab) ---------------
-    n_docs = 400
+    # Matches the fixture's document count so corpus-size-derived split
+    # points (q81's 90% cut) land on the same boundary shape; with fewer
+    # docs than the old hard cut the delta set was empty and q81 passed
+    # vacuously on every seed (ADVICE r5).
+    n_docs = 500
     vocab = ["alpha", "beta", "gamma", "delta", "omega", "table", "scan", "merge",
              "sort", "hash", "join", "group", "filter", "query", "spark", "data",
              "row", "key", "value", "batch", "stream", "window", "fast", "slow",
