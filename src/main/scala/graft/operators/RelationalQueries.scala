@@ -654,18 +654,23 @@ object RelationalQueries {
     // broadcast-side (no shuffle of the hot rows AT ALL — the skewed
     // partition never forms), the long tail joins on the normal shuffled
     // path, and a union restores the full result — bit-identical to the
-    // plain join the oracle runs. The driver materializes ONLY the
-    // bounded hot-key list (top 10 ids — a constant, not data), which at
-    // 100 TB would come from a sampled sketch instead of an exact count.
+    // plain join the oracle runs. Hot-key DETECTION is a bounded-state
+    // sketch, not an exact pass: `stat.freqItems` runs one Misra–Gries-
+    // style scan whose state is an O(1/support) map merged at the
+    // driver — no per-key shuffle, no sort, no full aggregation of the
+    // fact table before the join it protects. Any key above the support
+    // share is guaranteed in the list; false positives only route a few
+    // extra (key, dim-row) pairs down the broadcast path — the unioned
+    // RESULT is identical either way, which is why a sketch is safe
+    // here. The driver materializes only that bounded candidate list.
     "q78_salted_join" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val ev = t.events.select($"user_id", $"value")
       val dim = t.customer
         .select($"c_custkey".as("user_id"), $"c_mktsegment")
-      val hotIds = ev.groupBy($"user_id").agg(count(lit(1)).as("c"))
-        .orderBy($"c".desc, $"user_id").limit(10)
-        .collect().map(_.getLong(0)).toSeq.sorted
+      val hotIds = ev.stat.freqItems(Seq("user_id"), 0.002)
+        .head.getSeq[Long](0).sorted
       val hotJoin = ev.filter($"user_id".isin(hotIds: _*))
         .join(broadcast(dim.filter($"user_id".isin(hotIds: _*))), "user_id")
       val coldJoin = ev.filter(!$"user_id".isin(hotIds: _*))
