@@ -284,6 +284,43 @@ object PipelineQueries {
     labels
   }
 
+  /** Label-artifact paths already materialized this session (see
+    * [[dedupLabelsArtifact]]). */
+  private val labelArtifactWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def dedupLabelsPath(s: SparkSession, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_dedup_labels_" +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dataFingerprint(dir)
+
+  /** The dedup-group label artifact SHARED by q46 (group resolution) and
+    * q67 (leakage-aware split): the (node, lbl) connected-component
+    * output of [[dedupGroupLabels]] over the corpus's verified MinHash
+    * pairs, materialized ONCE per (session, dir, data-fingerprint) —
+    * the same persisted-artifact pattern as q81's signature index.
+    * MinHash candidate generation + label propagation (the most
+    * expensive construction in the suite) runs once; every consumer
+    * thereafter pays one parquet read + join. Keyed with the corpus
+    * fingerprint so an in-place data rewrite rebuilds rather than
+    * serving stale labels.
+    */
+  private def dedupLabelsArtifact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = dedupLabelsPath(s, dir)
+    if (labelArtifactWritten.add(path)) {
+      val t = Tables(s, dir)
+      val docArrs = docSidArrays(t.documents).cache()
+      // Cache pairs BEFORE the union inside the propagation: edges' two
+      // branches would otherwise each recompute the MinHash pipeline.
+      val pairs = minhashLshVerifyArr(docArrs).select($"doc_a", $"doc_b").cache()
+      dedupGroupLabels(pairs).write.mode("overwrite").parquet(path)
+      pairs.unpersist()
+      docArrs.unpersist()
+    }
+    s.read.parquet(path)
+  }
+
   /** The benchmark (eval-suite) shingle-id set, SORTED ascending, as a
     * driver-side array — the pinned reference set streaming
     * decontamination (q59) embeds as a literal. Eval suites are small
@@ -899,18 +936,13 @@ object PipelineQueries {
     // stay in single digits at any corpus size; lineage is truncated
     // per round (localCheckpoint) so plans don't grow with iterations.
     // The driver-side loop reads ONE aggregate scalar per round (the
-    // change count) — never row data.
+    // change count) — never row data. The labels live in the shared
+    // per-(session, dir, fingerprint) artifact ([[dedupLabelsArtifact]])
+    // q67 also reads, so the propagation runs once per corpus, not once
+    // per consumer.
     "q46_dedup_groups" -> { (s, dir) =>
       import s.implicits._
-      val t = Tables(s, dir)
-      val docArrs = docSidArrays(t.documents).cache()
-      // Cache pairs BEFORE the union: edges' two branches would otherwise
-      // each recompute the whole MinHash pipeline.
-      val pairs = minhashLshVerifyArr(docArrs).select($"doc_a", $"doc_b").cache()
-      val labels = dedupGroupLabels(pairs)
-      pairs.unpersist()
-      docArrs.unpersist()
-      labels
+      dedupLabelsArtifact(s, dir)
         .select($"lbl".as("group_id"), $"node".as("doc_id"),
           ($"node" === $"lbl").as("is_canonical"))
         .orderBy($"group_id", $"doc_id")
@@ -1144,16 +1176,13 @@ object PipelineQueries {
     // component (singletons label themselves) — so a whole duplicate
     // cluster lands on one side by construction. The split hash is the
     // q47 deterministic scramble over group_id, 90/10. Scale: the label
-    // propagation is q46's O(diameter)-round loop; assignment itself is
-    // one left join + map-only arithmetic.
+    // propagation is q46's O(diameter)-round loop, paid ONCE per corpus
+    // via the shared [[dedupLabelsArtifact]]; assignment itself is one
+    // left join + map-only arithmetic.
     "q67_leakage_split" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val docArrs = docSidArrays(t.documents).cache()
-      val pairs = minhashLshVerifyArr(docArrs).select($"doc_a", $"doc_b").cache()
-      val labels = dedupGroupLabels(pairs)
-      pairs.unpersist()
-      docArrs.unpersist()
+      val labels = dedupLabelsArtifact(s, dir)
       t.documents.select($"doc_id", $"source")
         .join(labels.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
         .withColumn("group_id", coalesce($"lbl", $"doc_id"))
