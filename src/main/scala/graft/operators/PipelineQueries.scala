@@ -1319,30 +1319,51 @@ object PipelineQueries {
     // ----- containment dedup (asymmetric near-subset detection) -----
     // Jaccard misses a small doc quoted inside a much larger one (the
     // union term swamps the intersection); containment
-    // |A∩B| / min(|A|,|B|) catches exactly that. Candidates are q23's
-    // df-capped shared-sid equality join — never all-pairs, and a hot
-    // boilerplate shingle (df > 50) can't contribute O(df²) join rows —
-    // then one exact intersection count per candidate. Reported with
-    // both metrics so the asymmetric catch (high c, low jaccard) is
-    // visible; `ContainmentSpec` pins that case with an embedded-quote
-    // fixture the synthetic corpus lacks.
+    // |A∩B| / min(|A|,|B|) catches exactly that. The contract counts
+    // shared RARE shingles (df ≤ 50 — a hot boilerplate shingle can't
+    // contribute O(df²) pairs), which makes the rare path COMPLETE for
+    // these semantics: a reported pair has i ≥ 0.8·min(n) ≥ 1 shared
+    // rare sid, so a MinHash-band candidate union (considered r5) could
+    // only add pairs that fail verification. The plan instead removes
+    // the two-sided self-join and the explode-join intersection: ONE
+    // groupBy(sid) pass yields bounded per-sid doc lists (df = list
+    // size — the cap filter and the candidate source are the same
+    // aggregate), candidate pairs are generated MAP-SIDE from each
+    // ≤50-doc list, and verification is a per-candidate array_intersect
+    // over compact per-doc rare-sid arrays (the q22b verify shape) —
+    // shingle rows cross the wire once, pairs as two longs each.
+    // Reported with both metrics so the asymmetric catch (high c, low
+    // jaccard) is visible; `ContainmentSpec` pins that case with an
+    // embedded-quote fixture the synthetic corpus lacks.
     "q71_containment" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val arrs = docSidArrays(t.documents).cache()
       val dsid = arrs.select($"doc_id", explode($"sids").as("sid"))
-      val rare = dsid.groupBy($"sid").agg(count(lit(1)).as("df"))
-        .filter($"df" <= 50)
-        .select($"sid")
-      val rdsh = dsid.join(rare, "sid")
-      val sizes = arrs.select($"doc_id", size($"sids").cast("long").as("n"))
-      val inter = rdsh.as("a").join(rdsh.as("b"),
-          $"a.sid" === $"b.sid" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      // (sid → sorted doc list), df-capped: one shuffle serves rare
+      // filtering, candidate generation, AND the rare-array rebuild.
+      val grouped = dsid.groupBy($"sid")
+        .agg(sort_array(collect_list($"doc_id")).as("docs"))
+        .filter(size($"docs") <= 50)
+        .cache()
+      // All i<j combinations of each bounded list, generated map-side.
+      val cand = grouped.select(explode(expr(
+          """flatten(transform(docs, (x, i) ->
+               transform(slice(docs, i + 2, size(docs)),
+                         y -> named_struct('doc_a', x, 'doc_b', y))))"""))
+          .as("p"))
+        .select($"p.doc_a", $"p.doc_b").distinct()
+      // Per-doc rare-sid array + full set size, one row per doc.
+      val side = grouped.select(explode($"docs").as("doc_id"), $"sid")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list($"sid")).as("rsids"))
+        .join(arrs.select($"doc_id", size($"sids").cast("long").as("n")),
+          "doc_id")
+      cand
+        .join(side.as("sa"), $"doc_a" === $"sa.doc_id")
+        .join(side.as("sb"), $"doc_b" === $"sb.doc_id")
+        .withColumn("i",
+          size(array_intersect($"sa.rsids", $"sb.rsids")).cast("long"))
         .withColumn("containment",
           $"i".cast("double") / least($"sa.n", $"sb.n"))
         .filter($"containment" >= 0.8)
