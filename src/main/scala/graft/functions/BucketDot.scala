@@ -28,6 +28,13 @@ case class BucketDot(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // Can yield NULL even from non-null inputs (empty weight array, or a
+  // NULL element when the child type allows them) — without this
+  // override, nullSafeCodeGen's non-nullable branch renders ev.isNull
+  // as the literal `false` and the generated `false = true;` fails
+  // Janino compilation (ADVICE r5).
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
@@ -38,6 +45,16 @@ case class BucketDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Whether either array type admits NULL elements; only then do the
+    * loops pay per-element null checks (a NULL element propagates NULL,
+    * matching the SQL higher-order fold this kernel replaces — parquet
+    * schemas mark elements nullable even when no nulls exist, so this
+    * must be handled, not rejected). */
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
   override def prettyName: String = "bucket_dot"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -46,10 +63,14 @@ case class BucketDot(left: Expression, right: Expression)
     val m = w.numElements()
     if (m == 0) return null
     val n = ids.numElements()
+    val checkNulls = elemsNullable
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += w.getDouble(java.lang.Math.floorMod(ids.getLong(i), m.toLong).toInt)
+      if (checkNulls && ids.isNullAt(i)) return null
+      val b = java.lang.Math.floorMod(ids.getLong(i), m.toLong).toInt
+      if (checkNulls && w.isNullAt(b)) return null
+      acc += w.getDouble(b)
       i += 1
     }
     acc
@@ -60,7 +81,20 @@ case class BucketDot(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
       val acc = ctx.freshName("acc")
+      val body =
+        if (elemsNullable)
+          s"""
+            |    if ($ids.isNullAt($i)) { ${ev.isNull} = true; break; }
+            |    final int $b =
+            |      (int) java.lang.Math.floorMod($ids.getLong($i), (long) $m);
+            |    if ($w.isNullAt($b)) { ${ev.isNull} = true; break; }
+            |    $acc += $w.getDouble($b);"""
+        else
+          s"""
+            |    $acc += $w.getDouble(
+            |      (int) java.lang.Math.floorMod($ids.getLong($i), (long) $m));"""
       s"""
         |final int $m = $w.numElements();
         |if ($m == 0) {
@@ -68,11 +102,11 @@ case class BucketDot(left: Expression, right: Expression)
         |} else {
         |  final int $n = $ids.numElements();
         |  double $acc = 0.0;
-        |  for (int $i = 0; $i < $n; $i++) {
-        |    $acc += $w.getDouble(
-        |      (int) java.lang.Math.floorMod($ids.getLong($i), (long) $m));
+        |  for (int $i = 0; $i < $n; $i++) {$body
         |  }
-        |  ${ev.value} = $acc;
+        |  if (!${ev.isNull}) {
+        |    ${ev.value} = $acc;
+        |  }
         |}
       """.stripMargin
     })

@@ -28,6 +28,23 @@ case class L2Sq(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  /** Whether either array type admits NULL elements; only then do the
+    * loops pay per-element null checks. A NULL element propagates NULL,
+    * matching the SQL higher-order fold (`aggregate`/`list_reduce`)
+    * this kernel is bit-pinned to — parquet schemas mark elements
+    * nullable even when no nulls exist, so the case must be handled,
+    * not rejected (ADVICE r5). */
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
+  // NULL can arise from non-null inputs when elements are nullable;
+  // the override also keeps nullSafeCodeGen's isNull a variable (the
+  // non-nullable branch renders it as a literal `false`, which the
+  // generated assignment would fail to compile against).
+  override def nullable: Boolean = super.nullable || elemsNullable
+
   private def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
     case _ => false
@@ -55,9 +72,11 @@ case class L2Sq(left: Expression, right: Expression)
     val af = isFloat(left)
     val bf = isFloat(right)
     val n = math.min(a.numElements(), b.numElements())
+    val checkNulls = elemsNullable
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       val d = x - y
@@ -77,14 +96,21 @@ case class L2Sq(left: Expression, right: Expression)
         if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB =
         if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val nullGuard =
+        if (elemsNullable)
+          s"""
+            |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
         |final int $n = Math.min($a.numElements(), $b.numElements());
         |double $acc = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
+        |for (int $i = 0; $i < $n; $i++) {$nullGuard
         |  final double $d = $getA - $getB;
         |  $acc += $d * $d;
         |}
-        |${ev.value} = $acc;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $acc;
+        |}
       """.stripMargin
     })
 

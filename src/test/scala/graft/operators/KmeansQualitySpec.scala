@@ -94,6 +94,42 @@ class KmeansQualitySpec extends AnyFunSuite {
     assert(emptyW.head().isNullAt(0))
   }
 
+  test("kernels survive non-nullable inputs and propagate element NULLs") {
+    // Two literals → both children non-nullable: before the `nullable`
+    // overrides, nullSafeCodeGen rendered ev.isNull as the literal
+    // `false` and bucket_dot's generated `false = true;` failed Janino
+    // compilation (falling back to interpreted eval returning null for
+    // an expression declared non-nullable) — ADVICE r5.
+    val lit2 = spark.range(1)
+      .select(graft.functions.GraftFunctions
+        .bucketDot(lit(Array(1L, 2L)), lit(Array(10.0, 20.0))).as("s"))
+    // ids 1 → w[1]=20, 2 → floorMod(2,2)=0 → w[0]=10.
+    assert(lit2.head().getDouble(0) == 30.0)
+    val lit3 = spark.range(1)
+      .select(graft.functions.GraftFunctions
+        .bucketDot(lit(Array(1L)), lit(Array.empty[Double])).as("s"))
+    assert(lit3.head().isNullAt(0))
+    // A NULL element propagates NULL (the SQL fold's semantics: the
+    // accumulator is poisoned), instead of being read as 0/garbage.
+    val nid: Array[java.lang.Long] = Array(1L, null)
+    val bd = Seq(Tuple1(nid)).toDF("ids")
+      .select(graft.functions.GraftFunctions
+        .bucketDot($"ids".cast("array<long>"), lit(Array(10.0, 20.0))).as("s"))
+    assert(bd.head().isNullAt(0))
+    val nd: Array[java.lang.Double] = Array(1.0, null)
+    val l2 = Seq(Tuple1(nd)).toDF("a")
+      .select(graft.functions.GraftFunctions
+        .l2Sq($"a".cast("array<double>"), lit(Array(0.0, 0.0))).as("d"))
+    assert(l2.head().isNullAt(0))
+    // And the SQL fold agrees on the same poisoned input.
+    val fold = Seq(Tuple1(nd)).toDF("a")
+      .select(expr(
+        """aggregate(zip_with(a, array(0.0d, 0.0d),
+           (x, y) -> (x - y) * (x - y)),
+           CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("d"))
+    assert(fold.head().isNullAt(0))
+  }
+
   test("bucket_dot is additive over concatenation (exact dyadic sums)") {
     val rnd = new scala.util.Random(31)
     val w = Array.tabulate(64)(j =>
