@@ -1612,11 +1612,20 @@ object PipelineQueries {
     // scan + an O(K·D) shuffle; the corpus is cached here because three
     // passes re-read it (assignment ×2, update ×1) — on a cluster
     // that's persist-to-executors or recompute-from-parquet, same plan.
-    // Centroid means round to 6 dp in BOTH engines so the iteration-2
-    // inputs are identical doubles despite engine-specific summation
-    // order in avg(); distances then fold bit-identically (left-to-
-    // right, all-double) and ties break on the lowest centroid id,
-    // making the emitted assignments exact, not threshold-lucky.
+    // Centroid means round to 6 dp in BOTH engines, which pins the
+    // ROUNDING op (CrossRound's IEEE fold) but not the pre-round sum:
+    // avg() still sums in engine-specific order, so a 1-ulp input
+    // difference CAN in principle straddle a floor boundary and flip
+    // an iteration-2 centroid — unlike the avgMoney/sumMoney
+    // exact-integer path, which is order-independent outright. The
+    // residual risk is ulp-at-boundary only (none of the twelve fuzz
+    // seeds or the tie-generator sweep has hit it); the order-pinned
+    // fix — per-(cid, dim) sorted fold, bounded when K ∝ N keeps
+    // cluster size flat — is documented here as the escalation path
+    // rather than paid up front, since q72 fixes K=8 and a sorted
+    // collect over N/K elements is NOT bounded under that demo
+    // contract. Distances then fold bit-identically (left-to-right,
+    // all-double) and ties break on the lowest centroid id.
     "q72_kmeans_train" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
