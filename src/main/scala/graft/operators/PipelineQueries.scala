@@ -1744,6 +1744,8 @@ object PipelineQueries {
     },
 
     // ----- exact-N stratified sample: fixed-size eval carve-out -----
+    // (see budgetSelectPrefixSum below for q79's documented scale form,
+    // implemented as a spec-gated witness)
     // q47 samples at a RATE; eval/holdout sets need an exact SIZE. Rank
     // each stratum by the same deterministic key-derived scramble
     // (uniform, reproducible, independent of physical order) and keep
@@ -1844,6 +1846,50 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }
   )
+
+  /** q79's documented scale form as a runnable WITNESS (VERDICT r5 #8):
+    * the per-source window in the registered query funnels each source
+    * through one task; the distributed prefix-sum splits every source
+    * into `nBuckets` n_tokens BANDS (bucket is a monotone function of
+    * the priority key alone, so band b's rows all precede band b+1's in
+    * (n_tokens desc, doc_id) order and equal keys can't straddle a
+    * boundary), computes intra-band running sums with parallelism
+    * #sources × nBuckets, then adds per-band exclusive offsets from a
+    * #sources × nBuckets-row aggregate broadcast back — the classic
+    * partial-sums + offsets construction. `PrefixSumWitnessSpec` proves
+    * row equality with the window form; q09's global running window
+    * would scale with the same rewrite (source → the single global
+    * partition).
+    */
+  private[graft] def budgetSelectPrefixSum(
+      s: SparkSession, dir: String, nBuckets: Int = 8): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val base = t.documents.select($"source", $"doc_id",
+      size(expr(toksExpr)).cast("long").as("n_tokens"))
+    val stats = base.groupBy($"source")
+      .agg(max($"n_tokens").as("mx"), min($"n_tokens").as("mn"))
+    val bucketed = base.join(broadcast(stats), "source")
+      .withColumn("bucket", least(lit(nBuckets - 1),
+        floor(($"mx" - $"n_tokens") * nBuckets / ($"mx" - $"mn" + 1))
+          .cast("int")))
+    val wIn = Window.partitionBy($"source", $"bucket")
+      .orderBy($"n_tokens".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy($"source").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy($"source", $"bucket")
+      .agg(sum($"n_tokens").as("tot"))
+      .withColumn("off", coalesce(sum($"tot").over(wOff), lit(0L)))
+      .select($"source", $"bucket", $"off")
+    bucketed
+      .withColumn("run", sum($"n_tokens").over(wIn))
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_tokens", $"off" + $"run")
+      .filter($"cum_tokens" <= 20000)
+      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+      .orderBy($"source", $"cum_tokens", $"doc_id")
+  }
 
   /** DuckDB twins computing the identical pipelines. Shared fragments are
     * inlined per query (the driver runs each statement standalone).
