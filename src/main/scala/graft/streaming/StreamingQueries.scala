@@ -57,6 +57,29 @@ object StreamingQueries {
 
   private val sinkCounter = new AtomicInteger(0)
 
+  /** Last EXECUTED physical plan per streaming query, captured right
+    * after each run terminates (VERDICT r5 #6): streaming plans only
+    * exist post-execution (`IncrementalExecution`), so the batch-style
+    * `queryExecution.executedPlan` audit can't see them. tools/
+    * gen_plans reads this map to give the 7 streaming rows the same
+    * pinned audit as the batch ones, and PlanShapeSpec asserts the
+    * state-operator shapes. Public: the audit script runs in a plain
+    * spark-shell outside the graft package. */
+  val executedPlans =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Captures `q.explain()`'s output (the public surface over
+    * `lastExecution.executedPlan`) without touching private[sql] API. */
+  private def capturePlan(name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        q.explain()
+      }
+      executedPlans(name) = bos.toString("UTF-8")
+    } catch { case _: Throwable => () }
+
   /** events.parquet schema for readStream (file sources need an explicit
     * schema; `ts` arrives as nanosecond longs under the legacy conf —
     * same handling as [[Tables.events]]).
@@ -166,6 +189,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      capturePlan("q31_stream_window", q)
       s2.table(sink).orderBy($"hour_start", $"event_type")
     },
 
@@ -205,6 +229,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      capturePlan("q50_stream_dedup", q)
       s2.table(sink).orderBy($"user_id", $"event_type")
     },
 
@@ -254,6 +279,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      capturePlan("q59_stream_decontaminate", q)
       s2.table(sink).orderBy($"doc_id")
     },
 
@@ -300,6 +326,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      capturePlan("q75_stream_quality", q)
       s2.table(sink).orderBy($"doc_id")
     },
 
@@ -341,6 +368,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      capturePlan("q65_sliding_window", q)
       s2.table(sink).orderBy($"window_start", $"event_type")
     },
 
@@ -393,6 +421,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      capturePlan("q62_stream_stream_join", q)
       s2.table(sink).orderBy($"click_id", $"purchase_id")
     },
 
@@ -442,6 +471,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      capturePlan("q63_state_profile", q)
       // Update mode appends one refreshed profile per (user, batch); if
       // the run splits into several micro-batches (more input files, a
       // lower maxFilesPerTrigger), earlier rows are stale. Keep only the
