@@ -1824,6 +1824,85 @@ object PipelineQueries {
         .orderBy($"new_doc", $"corpus_doc")
     },
 
+    // ----- BM25 top-k keyword retrieval (inverted-index shape) -----
+    // The retrieval step RAG/eval tooling runs against a training
+    // corpus. Query = the corpus's top-5 tokens (count desc, token asc
+    // — corpus-derived so every fuzz seed exercises it). The plan IS
+    // the inverted-index shape: postings for the query terms only —
+    // the corpus explodes ONCE and prunes MAP-SIDE against the
+    // broadcast 5-term set before any shuffle, so shuffle volume is
+    // matching postings, never the corpus vocabulary; per-doc scores
+    // top-k via TakeOrderedAndProject. Scoring is BM25 (k1=1.2,
+    // b=0.75) with a RATIONAL idf, (N+1)/(df+0.5), instead of the
+    // textbook log form: ln is not correctly-rounded-guaranteed across
+    // engines, while every op here (int→double widenings, one divide
+    // chain, fixed multiply order) is exactly-rounded IEEE on
+    // identical inputs — and the per-doc term sum folds over the
+    // SORTED term list (q74's trick), so scores are bit-identical in
+    // both engines and the top-20 cut can't flip on a ulp. The idf
+    // keeps log's monotonicity (rarer term ⇒ larger weight), which is
+    // all the ranking uses.
+    "q84_bm25_topk" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val docs = t.documents.repartition($"doc_id")
+      val inst = docs.select($"doc_id", explode(expr(toksExpr)).as("tok"))
+      val dl = docs.select($"doc_id", size(expr(toksExpr)).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nd"), sum($"dl").as("ntok"))
+      val qterms = inst.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"tok").limit(5).select($"tok")
+      val qdf = inst.join(broadcast(qterms), "tok")
+        .select($"doc_id", $"tok").distinct()
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
+      val tf = inst.join(broadcast(qterms), "tok")
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val contrib = tf.join(broadcast(qdf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("c",
+          (($"nd" + 1.0) / ($"df" + 0.5)) *
+            ($"tf" * 2.2 / ($"tf" + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                ($"dl" / ($"ntok".cast("double") / $"nd"))))))
+      contrib.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          aggregate(array_sort(collect_list(struct($"tok", $"c"))),
+            lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+        .orderBy($"score".desc, $"doc_id").limit(20)
+        .select($"doc_id", $"n_terms", CrossRound.r($"score", 4).as("score"))
+    },
+
+    // ----- weighted per-stratum sample (priority-biased carve-out) -----
+    // q82 samples uniformly; curation often wants LENGTH-BIASED picks
+    // (keep the stratum's substantial docs more often, reproducibly).
+    // Each doc gets priority key u/w — u the q47 deterministic dyadic
+    // scramble fraction, w = n_tokens — and the 10 smallest keys per
+    // language win. u/w is a documented engineering deviation from the
+    // A-ES exponential-key form u^(1/w): pow, like ln (see q84), has no
+    // cross-engine correct-rounding guarantee, while u/w is one
+    // exactly-rounded IEEE divide on identical inputs — bit-identical
+    // in both engines — and keeps the property that matters (heavier
+    // docs get stochastically smaller keys; P[i beats j] is monotone in
+    // w_i/w_j, though not exactly w_i/(w_i+w_j)). Map-only until the
+    // bounded per-language window; the q82 two-pass rank-threshold note
+    // is the 100 TB form here too.
+    "q85_weighted_sample" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val w = Window.partitionBy($"lang").orderBy($"key", $"doc_id")
+      t.documents
+        .select($"doc_id", $"lang",
+          size(expr(toksExpr)).cast("long").as("n_tokens"))
+        .filter($"n_tokens" > 0)
+        .withColumn("u", expr(scrambleExpr("doc_id")) / lit(4294967296.0))
+        .withColumn("key", $"u" / $"n_tokens")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 10)
+        .select($"doc_id", $"lang", $"n_tokens", $"rk",
+          CrossRound.r($"key", 8).as("key"))
+        .orderBy($"lang", $"rk")
+    },
+
     // ----- score normalization: percent_rank + deciles per language -----
     // Rank-normalizing a quality score within a stratum (here: token
     // count within language) — the step that makes thresholds comparable
@@ -2824,6 +2903,59 @@ object PipelineQueries {
                floor((nm / 16.0) * 10000 + 0.5) / 10000 AS est_sim
         FROM agree WHERE nm >= 8
         ORDER BY new_doc, corpus_doc""",
+
+      // BM25 twin: identical rational-idf formula, identical op order,
+      // per-doc sum folded over the tok-ORDERED contribution list, so
+      // the scores (and the top-20 cut) are bit-identical.
+      "q84_bm25_topk" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        inst AS (SELECT doc_id, unnest(tk) tok FROM toks),
+        dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) dl FROM toks),
+        stats AS (SELECT count(1) nd, CAST(sum(dl) AS BIGINT) ntok FROM dl),
+        qterms AS (SELECT tok FROM (
+                     SELECT tok, count(1) cnt FROM inst GROUP BY 1)
+                   ORDER BY cnt DESC, tok LIMIT 5),
+        qdf AS (SELECT tok, count(DISTINCT doc_id) df
+                FROM inst JOIN qterms USING (tok) GROUP BY 1),
+        tf AS (SELECT doc_id, tok, count(1) tf
+               FROM inst JOIN qterms USING (tok) GROUP BY 1, 2),
+        contrib AS (SELECT f.doc_id, f.tok,
+                           ((s.nd + 1.0) / (d.df + 0.5)) *
+                           (f.tf * 2.2 / (f.tf + 1.2 *
+                             (0.25 + 0.75 *
+                               (l.dl / (CAST(s.ntok AS DOUBLE) / s.nd))))) c
+                    FROM tf f JOIN qdf d USING (tok)
+                         JOIN dl l ON f.doc_id = l.doc_id
+                         CROSS JOIN stats s),
+        scored AS (SELECT doc_id,
+                          CAST(count(1) AS BIGINT) n_terms,
+                          list_reduce(list_prepend(0.0::DOUBLE,
+                            list(c ORDER BY tok)), (a, b) -> a + b) score
+                   FROM contrib GROUP BY doc_id)
+        SELECT doc_id, n_terms,
+               floor(score * 10000 + 0.5) / 10000 AS score
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 20""",
+
+      // Weighted-sample twin: same scramble, same single divide, same
+      // (key, doc_id) order — keys are bit-identical, so the rank cut
+      // can't flip.
+      "q85_weighted_sample" -> s"""
+        WITH t AS (SELECT doc_id, lang,
+                          CAST(len($toks) AS BIGINT) AS n_tokens
+                   FROM documents),
+        k AS (SELECT doc_id, lang, n_tokens,
+                     ((${oracleScramble("doc_id")}) / 4294967296.0)
+                       / n_tokens AS key
+              FROM t WHERE n_tokens > 0),
+        r AS (SELECT doc_id, lang, n_tokens, key,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY key, doc_id) AS rk
+              FROM k)
+        SELECT doc_id, lang, n_tokens, CAST(rk AS BIGINT) AS rk,
+               floor(key * 100000000 + 0.5) / 100000000 AS key
+        FROM r WHERE rk <= 10
+        ORDER BY lang, rk""",
 
       "q79_budget_select" -> s"""
         WITH t AS (SELECT source, doc_id,
