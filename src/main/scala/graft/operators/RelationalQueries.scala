@@ -158,7 +158,11 @@ object RelationalQueries {
     // because its input is the post-aggregation monthly series — row
     // count is bounded by calendar months, not data volume, so the
     // single-partition window never sees more than ~100 rows at any
-    // scale. Keep the reduction-before-global-window shape.
+    // scale. Keep the reduction-before-global-window shape. Were the
+    // input ever unbounded, the rewrite is the distributed prefix-sum
+    // PROVEN for q79 (`PipelineQueries.budgetSelectPrefixSum` +
+    // `PrefixSumWitnessSpec`): band the order key, intra-band running
+    // sums, broadcast per-band offsets.
     "q09_window_running" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)

@@ -147,6 +147,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(run("q63_state_profile").contains("FlatMapGroupsWithState"))
   }
 
+  test("q84: postings prune via broadcast before any shuffle; top-k never global-sorts") {
+    val p = plan("q84_bm25_topk")
+    // The query-term set must reach the posting stream as a broadcast
+    // hash join (map-side pruning), never a shuffled join of the
+    // exploded corpus against the term table.
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast term pruning in:\n$p")
+    // Top-20 is TakeOrderedAndProject — no global Sort of all scored docs.
+    assert(p.contains("TakeOrderedAndProject"), s"q84 lost the top-k operator:\n$p")
+  }
+
   test("q73: the classifier is map-only ahead of the output sort") {
     val p = plan("q73_quality_classifier")
     val shuffles = "Exchange".r.findAllIn(p).size -
