@@ -284,6 +284,46 @@ object PipelineQueries {
     labels
   }
 
+  /** Shared candidate+verify machinery for the df-capped rare-shingle
+    * family (q23 Jaccard, q71 containment): ONE groupBy(sid) aggregate
+    * yields bounded per-sid doc lists (df = list size — the cap filter
+    * and the candidate source are the same pass); candidate pairs are
+    * generated MAP-SIDE from each ≤`dfCap`-doc list as i<j
+    * combinations; verification is a per-candidate `array_intersect`
+    * over compact sorted rare-sid arrays. Shingle rows cross the wire
+    * once, pairs travel as two longs — no two-sided self-join, no
+    * explode-join count. The df cap bounds per-shingle pair fanout at
+    * dfCap²/2, and the rare path is COMPLETE for both consumers: any
+    * reported pair has i ≥ 1 shared rare sid. Returns
+    * (doc_a, doc_b, i, na, nb) with i = |A∩B| over rare sids and
+    * na/nb the FULL set sizes.
+    */
+  private def rareSharedSidPairs(arrs: DataFrame, dfCap: Int): DataFrame = {
+    import arrs.sparkSession.implicits._
+    val dsid = arrs.select($"doc_id", explode($"sids").as("sid"))
+    val grouped = dsid.groupBy($"sid")
+      .agg(sort_array(collect_list($"doc_id")).as("docs"))
+      .filter(size($"docs") <= dfCap)
+      .cache()
+    val cand = grouped.select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+             transform(slice(docs, i + 2, size(docs)),
+                       y -> named_struct('doc_a', x, 'doc_b', y))))"""))
+        .as("p"))
+      .select($"p.doc_a", $"p.doc_b").distinct()
+    val side = grouped.select(explode($"docs").as("doc_id"), $"sid")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"sid")).as("rsids"))
+      .join(arrs.select($"doc_id", size($"sids").cast("long").as("n")),
+        "doc_id")
+    cand
+      .join(side.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(side.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sa.rsids", $"sb.rsids")).cast("long").as("i"),
+        $"sa.n".as("na"), $"sb.n".as("nb"))
+  }
+
   /** Label-artifact paths already materialized this session (see
     * [[dedupLabelsArtifact]]). */
   private val labelArtifactWritten =
@@ -439,35 +479,24 @@ object PipelineQueries {
       minhashLshVerifyArr(docSidArrays(t.documents).cache())
     },
 
-    // ----- n-gram Jaccard near-dup: doc-frequency-capped self-join -----
-    // The self-join runs only over shingle ids in ≤ 50 docs: a
-    // ubiquitous shingle (a stopword trigram in millions of docs)
-    // contributes O(df²) join rows — the quadratic blowup that kills
-    // shared-key self-joins at scale — so the cap bounds per-shingle
-    // fanout at 50². `n_shared`/Jaccard therefore count shared RARE
-    // shingles over full set sizes (a tight lower bound; a pair can
-    // only be under-scored by shingles common to >50 docs). The oracle
-    // applies the identical cap. Sets are hashed-sid sets
-    // ([[docSidArrays]]): per-doc dedup is map-only, and the exploded
-    // stream / self-join shuffles 8-byte longs, never shingle strings.
+    // ----- n-gram Jaccard near-dup: doc-frequency-capped candidates -----
+    // Candidates/intersections run only over shingle ids in ≤ 50 docs:
+    // a ubiquitous shingle (a stopword trigram in millions of docs)
+    // would contribute O(df²) pairs — the quadratic blowup that kills
+    // shared-key shapes at scale — so the cap bounds per-shingle fanout
+    // at 50². `n_shared`/Jaccard therefore count shared RARE shingles
+    // over full set sizes (a tight lower bound; a pair can only be
+    // under-scored by shingles common to >50 docs). The oracle applies
+    // the identical cap. Machinery is [[rareSharedSidPairs]] (shared
+    // with q71): map-side pair generation from bounded per-sid doc
+    // lists + array_intersect verify — 8-byte longs on the wire, never
+    // shingle strings, no two-sided self-join.
     "q23_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val arrs = docSidArrays(t.documents).cache()
-      val dsid = arrs.select($"doc_id", explode($"sids").as("sid"))
-      val rare = dsid.groupBy($"sid").agg(count(lit(1)).as("df"))
-        .filter($"df" <= 50)
-        .select($"sid")
-      val rdsh = dsid.join(rare, "sid")
-      val sizes = arrs.select($"doc_id", size($"sids").cast("long").as("n"))
-      val inter = rdsh.as("a").join(rdsh.as("b"),
-          $"a.sid" === $"b.sid" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
-        .withColumn("jaccard", $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
+      rareSharedSidPairs(arrs, 50)
+        .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
         .filter($"jaccard" >= 0.6)
         .select($"doc_a", $"doc_b", $"i".as("n_shared"),
           CrossRound.r($"jaccard", 4).as("jaccard"))
@@ -1324,51 +1353,20 @@ object PipelineQueries {
     // contribute O(df²) pairs), which makes the rare path COMPLETE for
     // these semantics: a reported pair has i ≥ 0.8·min(n) ≥ 1 shared
     // rare sid, so a MinHash-band candidate union (considered r5) could
-    // only add pairs that fail verification. The plan instead removes
-    // the two-sided self-join and the explode-join intersection: ONE
-    // groupBy(sid) pass yields bounded per-sid doc lists (df = list
-    // size — the cap filter and the candidate source are the same
-    // aggregate), candidate pairs are generated MAP-SIDE from each
-    // ≤50-doc list, and verification is a per-candidate array_intersect
-    // over compact per-doc rare-sid arrays (the q22b verify shape) —
-    // shingle rows cross the wire once, pairs as two longs each.
-    // Reported with both metrics so the asymmetric catch (high c, low
-    // jaccard) is visible; `ContainmentSpec` pins that case with an
-    // embedded-quote fixture the synthetic corpus lacks.
+    // only add pairs that fail verification. Machinery is
+    // [[rareSharedSidPairs]] (shared with q23): map-side pair
+    // generation from bounded per-sid doc lists + array_intersect
+    // verify. Reported with both metrics so the asymmetric catch
+    // (high c, low jaccard) is visible; `Round5OpsSpec` pins that case
+    // with an embedded-quote fixture the synthetic corpus lacks.
     "q71_containment" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val arrs = docSidArrays(t.documents).cache()
-      val dsid = arrs.select($"doc_id", explode($"sids").as("sid"))
-      // (sid → sorted doc list), df-capped: one shuffle serves rare
-      // filtering, candidate generation, AND the rare-array rebuild.
-      val grouped = dsid.groupBy($"sid")
-        .agg(sort_array(collect_list($"doc_id")).as("docs"))
-        .filter(size($"docs") <= 50)
-        .cache()
-      // All i<j combinations of each bounded list, generated map-side.
-      val cand = grouped.select(explode(expr(
-          """flatten(transform(docs, (x, i) ->
-               transform(slice(docs, i + 2, size(docs)),
-                         y -> named_struct('doc_a', x, 'doc_b', y))))"""))
-          .as("p"))
-        .select($"p.doc_a", $"p.doc_b").distinct()
-      // Per-doc rare-sid array + full set size, one row per doc.
-      val side = grouped.select(explode($"docs").as("doc_id"), $"sid")
-        .groupBy($"doc_id")
-        .agg(sort_array(collect_list($"sid")).as("rsids"))
-        .join(arrs.select($"doc_id", size($"sids").cast("long").as("n")),
-          "doc_id")
-      cand
-        .join(side.as("sa"), $"doc_a" === $"sa.doc_id")
-        .join(side.as("sb"), $"doc_b" === $"sb.doc_id")
-        .withColumn("i",
-          size(array_intersect($"sa.rsids", $"sb.rsids")).cast("long"))
-        .withColumn("containment",
-          $"i".cast("double") / least($"sa.n", $"sb.n"))
+      rareSharedSidPairs(arrs, 50)
+        .withColumn("containment", $"i".cast("double") / least($"na", $"nb"))
         .filter($"containment" >= 0.8)
-        .withColumn("jaccard",
-          $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
+        .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
         .select($"doc_a", $"doc_b", $"i".as("n_shared"),
           CrossRound.r($"containment", 4).as("containment"),
           CrossRound.r($"jaccard", 4).as("jaccard"))
