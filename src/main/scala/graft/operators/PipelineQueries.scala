@@ -1849,11 +1849,13 @@ object PipelineQueries {
       val stats = dl.agg(count(lit(1)).as("nd"), sum($"dl").as("ntok"))
       val qterms = inst.groupBy($"tok").agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"tok").limit(5).select($"tok")
-      val qdf = inst.join(broadcast(qterms), "tok")
-        .select($"doc_id", $"tok").distinct()
-        .groupBy($"tok").agg(count(lit(1)).as("df"))
+      // tf is the posting table (docs × ≤5 terms — small); df falls out
+      // of it as the per-term row count, so the corpus is exploded into
+      // the pruning join ONCE, not twice. Cached: df and the contrib
+      // join both read it.
       val tf = inst.join(broadcast(qterms), "tok")
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf")).cache()
+      val qdf = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
       val contrib = tf.join(broadcast(qdf), "tok")
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
