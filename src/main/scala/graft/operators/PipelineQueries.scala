@@ -1923,6 +1923,141 @@ object PipelineQueries {
         .withColumn("decile", ntile(10).over(w).cast("int"))
         .select($"doc_id", $"lang", $"n_tokens", $"pr", $"decile")
         .orderBy($"doc_id")
+    },
+
+    // ----- distributed BPE trainer: 3 merge iterations on word counts -----
+    // Tokenizer induction — the op that produces the vocabulary q69/q38
+    // assume. The real-world shape: BPE trains on the WORD-FREQUENCY
+    // table, not the corpus — one word-count shuffle (map-side combined)
+    // and the corpus text is never read again; every merge iteration runs
+    // on the cached word table (vocabulary-sized: bounded and
+    // text-size-independent, like q81's index). Per iteration: adjacent
+    // symbol pairs weighted by word count, argmax pair (count desc, pair
+    // asc) via TakeOrdered into a 1-row broadcast — no driver collect —
+    // and the merge applies as 3 identical greedy left-to-right replace
+    // passes over the space-joined symbol string in BOTH engines. Each
+    // pass halves any remaining run of overlapping occurrences, so 3
+    // passes are exact BPE up to 8 repeats of one pair inside a single
+    // word; and since both engines run the same fixed passes the outputs
+    // agree bit-for-bit regardless (`Round6OpsSpec` checks the
+    // distributed result against a sequential textbook BPE). Integer
+    // counts only — no float contract needed. Marker-free BPE variant
+    // (no end-of-word symbol), so no marker/character ambiguity can
+    // arise.
+    "q86_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val words = t.documents
+        .select(explode(expr(toksExpr)).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .withColumn("syms", concat_ws(" ",
+          expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))")))
+        .select($"cnt", $"syms")
+        .cache()
+      def pairCounts(df: DataFrame): DataFrame =
+        df.withColumn("l", split($"syms", " "))
+          .filter(size($"l") >= 2)
+          .select($"cnt", explode(expr(
+            """transform(sequence(1, size(l) - 1),
+                 i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"""))
+            .as("pair"))
+          .groupBy($"pair").agg(sum($"cnt").as("pcnt"))
+      def top1(p: DataFrame): DataFrame =
+        p.orderBy($"pcnt".desc, $"pair").limit(1)
+      def applyMerge(df: DataFrame, top: DataFrame): DataFrame =
+        df.crossJoin(broadcast(top.select($"pair".as("mp"))))
+          .withColumn("syms", expr(
+            """trim(replace(replace(replace(concat(' ', syms, ' '),
+                 concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' ')),
+                 concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' ')),
+                 concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' ')))"""))
+          .select($"cnt", $"syms")
+      val t1 = top1(pairCounts(words))
+      val w2 = applyMerge(words, t1)
+      val t2 = top1(pairCounts(w2))
+      val w3 = applyMerge(w2, t2)
+      val t3 = top1(pairCounts(w3))
+      t1.withColumn("it", lit(1))
+        .unionByName(t2.withColumn("it", lit(2)))
+        .unionByName(t3.withColumn("it", lit(3)))
+        .select($"it".cast("int").as("it"), $"pair",
+          expr("replace(pair, ' ', '')").as("merged"), $"pcnt")
+        .orderBy($"it")
+    },
+
+    // ----- int8 scalar quantization of the embedding column -----
+    // The SQ-8 compression step vector indexes apply before ANN — the
+    // cheaper sibling of q60's PQ. Per-dimension [min, max] over the
+    // corpus (one map-side-combinable agg onto 64 groups, broadcast back
+    // as two 64-element arrays — corpus-size-independent), then a
+    // map-only affine quantize to one byte per dimension. Codes are
+    // exact cross-engine: float→double widening is exact, min/max are
+    // selections (no summation order), and the quantize chain
+    // (v−mn)·(255/(mx−mn))+0.5 → floor is the same correctly-rounded
+    // IEEE sequence in both engines (q84's argument). Reconstruction SSE
+    // folds index-ordered (q74's trick — the array IS the order), so it
+    // is bit-identical too; rounded for presentation only.
+    "q87_embed_quantize" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val stats = e.select(posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"pos").agg(min($"x").as("mn"), max($"x").as("mx"))
+      val arrs = stats.agg(
+        expr("transform(sort_array(collect_list(struct(pos, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(sort_array(collect_list(struct(pos, mx))), s -> s.mx)")
+          .as("mxs"))
+      e.crossJoin(broadcast(arrs))
+        .withColumn("codes", expr(
+          """transform(sequence(1, size(v)), i ->
+               cast(case when element_at(mxs, i) > element_at(mns, i)
+                 then floor((element_at(v, i) - element_at(mns, i))
+                        * (cast(255.0 as double)
+                           / (element_at(mxs, i) - element_at(mns, i)))
+                        + cast(0.5 as double))
+                 else cast(0.0 as double) end as int))"""))
+        .withColumn("errs", expr(
+          """transform(sequence(1, size(v)), i ->
+               element_at(v, i)
+                 - (element_at(mns, i)
+                    + cast(element_at(codes, i) as double)
+                      * ((element_at(mxs, i) - element_at(mns, i))
+                         / cast(255.0 as double))))"""))
+        .select($"vec_id",
+          expr("aggregate(codes, cast(0 as bigint), (a, c) -> a + cast(c as bigint))")
+            .as("code_sum"),
+          element_at($"codes", 1).as("c0"),
+          element_at($"codes", 2).as("c1"),
+          CrossRound.r(
+            expr("aggregate(errs, cast(0.0 as double), (a, x) -> a + x * x)"), 6)
+            .as("sse"))
+        .orderBy($"vec_id")
+    },
+
+    // ----- proportional per-source cap (the per-domain cap) -----
+    // The guard against one domain flooding the mixture: each source
+    // keeps its longest 20% of docs (integer floor, minimum 5) by
+    // (n_chars desc, doc_id). Integer arithmetic only — the cap is
+    // n_docs div 5, exact in both engines. One agg for per-source sizes
+    // (#sources rows, broadcast back) and one rank window per source; at
+    // 100 TB the rank-threshold two-pass (q82's note) replaces the
+    // per-source window so no hot source funnels one reducer.
+    "q88_source_cap" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val per = t.documents.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("cap", greatest(lit(5L), expr("n_docs div 5")))
+        .select($"source", $"cap")
+      val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+      t.documents.select($"doc_id", $"source", $"n_chars")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(per), "source")
+        .filter($"rk" <= $"cap")
+        .select($"source", $"doc_id", $"n_chars", $"rk", $"cap")
+        .orderBy($"source", $"rk")
     }
   )
 
@@ -2982,7 +3117,101 @@ object PipelineQueries {
                CAST(ntile(10) OVER (PARTITION BY lang
                                     ORDER BY n_tokens, doc_id) AS INT) AS decile
         FROM t
-        ORDER BY doc_id"""
+        ORDER BY doc_id""",
+
+      // DuckDB twin of q86's unrolled merge loop. `range(1, len(l))` is
+      // end-exclusive = Spark's inclusive `sequence(1, size(l) - 1)`;
+      // replace() is greedy non-overlapping left-to-right in both
+      // engines, so the 3 padded replace passes are character-identical.
+      "q86_bpe_train" -> {
+        def stage(prev: String, p: String, tnew: String, snew: String) = s"""
+        $p AS (SELECT pair, CAST(sum(cnt) AS BIGINT) pcnt FROM (
+                 SELECT cnt, unnest(list_transform(range(1, len(l)),
+                   i -> l[i] || ' ' || l[i+1])) pair
+                 FROM (SELECT cnt, string_split(syms, ' ') l FROM $prev)
+                 WHERE len(l) >= 2)
+               GROUP BY 1),
+        $tnew AS (SELECT pair, pcnt FROM $p ORDER BY pcnt DESC, pair LIMIT 1),
+        $snew AS (SELECT $prev.cnt,
+                 trim(replace(replace(replace(' ' || $prev.syms || ' ',
+                   ' ' || $tnew.pair || ' ',
+                   ' ' || replace($tnew.pair, ' ', '') || ' '),
+                   ' ' || $tnew.pair || ' ',
+                   ' ' || replace($tnew.pair, ' ', '') || ' '),
+                   ' ' || $tnew.pair || ' ',
+                   ' ' || replace($tnew.pair, ' ', '') || ' ')) syms
+               FROM $prev, $tnew)"""
+        s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        w0 AS (SELECT w, CAST(count(1) AS BIGINT) cnt
+               FROM (SELECT unnest(tk) w FROM toks) GROUP BY 1),
+        s0 AS (SELECT cnt,
+                 array_to_string(list_transform(range(1, length(w) + 1),
+                   i -> substring(w, i, 1)), ' ') syms
+               FROM w0),
+        ${stage("s0", "p1", "t1", "s1")},
+        ${stage("s1", "p2", "t2", "s2")},
+        p3 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) pcnt FROM (
+                 SELECT cnt, unnest(list_transform(range(1, len(l)),
+                   i -> l[i] || ' ' || l[i+1])) pair
+                 FROM (SELECT cnt, string_split(syms, ' ') l FROM s2)
+                 WHERE len(l) >= 2)
+               GROUP BY 1),
+        t3 AS (SELECT pair, pcnt FROM p3 ORDER BY pcnt DESC, pair LIMIT 1)
+        SELECT * FROM (
+          SELECT 1 AS it, pair, replace(pair, ' ', '') AS merged, pcnt FROM t1
+          UNION ALL SELECT 2, pair, replace(pair, ' ', ''), pcnt FROM t2
+          UNION ALL SELECT 3, pair, replace(pair, ' ', ''), pcnt FROM t3)
+        ORDER BY it"""
+      },
+
+      // DuckDB twin of q87: `list(x ORDER BY pos)` pins the per-dim
+      // stats arrays to index order (Spark: sort_array-of-structs), and
+      // both error folds run index-ordered, so codes AND sse are
+      // bit-identical.
+      "q87_embed_quantize" -> """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        d AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) pos FROM e),
+        vals AS (SELECT vec_id, pos, v[pos] x FROM d),
+        st AS (SELECT pos, min(x) mn, max(x) mx FROM vals GROUP BY 1),
+        arrs AS (SELECT list(mn ORDER BY pos) mns, list(mx ORDER BY pos) mxs
+                 FROM st),
+        q AS (SELECT vec_id, v, mns, mxs,
+                list_transform(range(1, len(v) + 1), i ->
+                  CASE WHEN mxs[i] > mns[i]
+                    THEN CAST(floor((v[i] - mns[i])
+                           * (255.0::DOUBLE / (mxs[i] - mns[i]))
+                           + 0.5::DOUBLE) AS INT)
+                    ELSE 0 END) codes
+              FROM e, arrs),
+        er AS (SELECT vec_id, codes,
+                 list_transform(range(1, len(v) + 1), i ->
+                   v[i] - (mns[i] + codes[i]::DOUBLE
+                           * ((mxs[i] - mns[i]) / 255.0::DOUBLE))) errs
+               FROM q)
+        SELECT vec_id,
+               CAST(list_reduce(list_prepend(0::BIGINT,
+                      list_transform(codes, c -> c::BIGINT)),
+                    (a, b) -> a + b) AS BIGINT) AS code_sum,
+               codes[1] AS c0, codes[2] AS c1,
+               floor(list_reduce(list_prepend(0.0::DOUBLE, errs),
+                       (a, b) -> a + b * b) * 1000000 + 0.5) / 1000000 AS sse
+        FROM er
+        ORDER BY vec_id""",
+
+      "q88_source_cap" -> """
+        WITH per AS (SELECT source,
+                            CAST(greatest(5, count(1) // 5) AS BIGINT) cap
+                     FROM documents GROUP BY 1),
+        r AS (SELECT source, doc_id, n_chars,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY n_chars DESC, doc_id)
+                          AS BIGINT) rk
+              FROM documents)
+        SELECT r.source, r.doc_id, r.n_chars, r.rk, per.cap
+        FROM r JOIN per USING (source)
+        WHERE r.rk <= per.cap
+        ORDER BY source, rk"""
     )
   }
 }

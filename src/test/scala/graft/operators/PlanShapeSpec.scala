@@ -157,6 +157,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"q84 lost the top-k operator:\n$p")
   }
 
+  test("q86: merges ride 1-row broadcasts over the cached word table") {
+    val p = plan("q86_bpe_train")
+    // Each merge iteration is crossJoin(broadcast(top-1 row)) — never a
+    // shuffled join; the word table is computed once and cached.
+    assert(p.contains("BroadcastNestedLoopJoin"), s"merge lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q86 grew a shuffled join:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"word table no longer cached:\n$p")
+    // argmax pair is TakeOrdered, never a global sort of the pair table.
+    assert(p.contains("TakeOrderedAndProject"), s"top-pair lost TakeOrdered:\n$p")
+  }
+
+  test("q87: quantization is map-only after one 64-group stats pass") {
+    val p = plan("q87_embed_quantize")
+    val shuffles = "Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size
+    // posexplode stats agg + 1-row array assembly + output range sort.
+    assert(shuffles <= 3, s"q87 grew to $shuffles shuffles:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"per-dim stats no longer broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q87 grew a shuffled join:\n$p")
+  }
+
+  test("q88: the per-source cap joins by broadcast, never SMJ") {
+    val p = plan("q88_source_cap")
+    assert(p.contains("BroadcastHashJoin"), s"cap join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"cap join degraded to SMJ:\n$p")
+    val shuffles = "Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size
+    // source-cap agg + the rank window partitioning + output range sort.
+    assert(shuffles <= 3, s"q88 grew to $shuffles shuffles:\n$p")
+  }
+
   test("q73: the classifier is map-only ahead of the output sort") {
     val p = plan("q73_quality_classifier")
     val shuffles = "Exchange".r.findAllIn(p).size -

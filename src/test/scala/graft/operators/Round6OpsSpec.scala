@@ -55,6 +55,86 @@ class Round6OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q86: merged symbol is the pair, counts positive and non-increasing") {
+    val out = PipelineQueries.queries("q86_bpe_train")(spark, dir).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Int]("it")).toSeq == Seq(1, 2, 3))
+    out.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("pair").replace(" ", ""))
+      assert(r.getAs[Long]("pcnt") > 0)
+    }
+    // A pair first expressible at iteration i was a sub-pair of something
+    // already countable at i-1, so the winning count cannot grow.
+    val counts = out.map(_.getAs[Long]("pcnt")).toSeq
+    assert(counts == counts.sorted.reverse, s"counts grew: $counts")
+  }
+
+  test("q86: distributed merges equal a sequential reference BPE") {
+    // Straight-line reference: word counts -> greedy left-to-right merge,
+    // 3 iterations — the textbook algorithm, no replace-pass trick.
+    val docs = Tables(spark, dir).documents
+      .select(explode(expr("array_remove(split(text, ' '), '')")).as("w"))
+      .groupBy($"w").count().as[(String, Long)].collect()
+    var words: Map[List[String], Long] =
+      docs.groupMapReduce(_._1.map(_.toString).toList)(_._2)(_ + _)
+    val expected = (1 to 3).map { _ =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, cnt) <- words; p <- syms.zip(syms.tail))
+        pc(p) = pc.getOrElse(p, 0L) + cnt
+      val (best, bc) = pc.toSeq.minBy { case ((a, b), c) => (-c, a + " " + b) }
+      words = words.groupMapReduce { case (syms, _) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == best._1 && syms(i + 1) == best._2) {
+            out += best._1 + best._2; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toList
+      }(_._2)(_ + _)
+      (best._1 + " " + best._2, bc)
+    }.toSeq
+    val got = PipelineQueries.queries("q86_bpe_train")(spark, dir)
+      .collect().map(r => (r.getAs[String]("pair"), r.getAs[Long]("pcnt"))).toSeq
+    assert(got == expected, s"got $got, reference says $expected")
+  }
+
+  test("q87: codes are bytes, sse within the half-step bound") {
+    val out = PipelineQueries.queries("q87_embed_quantize")(spark, dir).cache()
+    assert(out.filter($"c0" < 0 || $"c0" > 255 || $"c1" < 0 || $"c1" > 255).isEmpty)
+    assert(out.filter($"code_sum" < 0 || $"code_sum" > 255L * 64).isEmpty)
+    assert(out.filter($"sse" < 0).isEmpty)
+    // Affine SQ error is at most half a step per dimension.
+    val e = Tables(spark, dir).embeddings
+      .select(posexplode(expr("transform(embedding, x -> cast(x as double))"))
+        .as(Seq("pos", "x")))
+      .groupBy($"pos").agg((max($"x") - min($"x")).as("range"))
+    val bound = e.agg(sum(pow($"range" / 510.0, 2))).first.getDouble(0) + 1e-9
+    assert(out.filter($"sse" > bound).isEmpty, s"sse above half-step bound $bound")
+    out.unpersist()
+  }
+
+  test("q88: per-source size equals min(cap, n_docs); keeps the longest docs") {
+    val out = PipelineQueries.queries("q88_source_cap")(spark, dir).cache()
+    val docs = Tables(spark, dir).documents
+    val per = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("expect",
+        least(greatest(lit(5L), expr("n_docs div 5")), $"n_docs"))
+    val got = out.groupBy($"source")
+      .agg(count(lit(1)).as("kept"), max($"rk").as("mx"))
+    // kept == mx: ranks are contiguous 1..kept.
+    assert(got.filter($"kept" =!= $"mx").isEmpty)
+    assert(got.join(per, "source").filter($"kept" =!= $"expect").isEmpty)
+    // Nothing dropped is strictly longer than anything kept (per source).
+    val minKept = out.groupBy($"source").agg(min($"n_chars").as("min_kept"))
+    val dropped = docs.join(out.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy($"source").agg(max($"n_chars").as("max_drop"))
+    assert(minKept.join(dropped, "source")
+      .filter($"max_drop" > $"min_kept").isEmpty)
+    out.unpersist()
+  }
+
   test("q85: heavier docs get stochastically smaller keys (bias witness)") {
     // Within each language, the mean token count of the SELECTED docs
     // must exceed the stratum mean — the whole point of weighting by
