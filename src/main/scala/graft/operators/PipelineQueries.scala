@@ -2036,6 +2036,87 @@ object PipelineQueries {
         .orderBy($"vec_id")
     },
 
+    // ----- duplicated-span detection (substring-level dedup contract) -----
+    // The span-level form of exact dedup (the suffix-array contract of
+    // "Deduplicating Training Data Makes Language Models Better"): find
+    // the token RANGES of each doc covered by 3-token shingles that also
+    // appear in some other document, merged into maximal spans. Shape:
+    // shingle-df on 8-byte sids (one shuffle, map-side combined), an
+    // equality join back (dup-sid set is corpus-sized — joined, never
+    // broadcast), then per-doc interval union via the classic sweep —
+    // running max(end) over start order marks span breaks, a running sum
+    // numbers them. Per-doc windows only (doc-sized partitions — scale-
+    // safe). Integer span arithmetic; the one divide is CrossRound'd.
+    // Within-doc-only repeats are NOT flagged (cross-doc contract, like
+    // the rest of the dedup family); q52 measures intra-doc repetition.
+    "q89_dup_spans" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val toks = t.documents.repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("tk"))
+        .withColumn("n_tokens", size($"tk").cast("long"))
+        .filter($"n_tokens" >= 3)
+      val n = toks.select($"doc_id", $"n_tokens")
+      val sh = toks.select($"doc_id", posexplode(
+          graft.functions.GraftFunctions.polyHashArray(
+            graft.functions.GraftFunctions.shingles3($"tk")))
+          .as(Seq("pos0", "sid")))
+        .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"sid")
+      val dup = sh.groupBy($"sid")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2).select($"sid")
+      val iv = sh.join(dup, "sid")
+        .select($"doc_id", $"pos".as("s"), ($"pos" + 2L).as("e"))
+      val wPrev = Window.partitionBy($"doc_id").orderBy($"s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy($"doc_id").orderBy($"s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spans = iv
+        .withColumn("pme", max($"e").over(wPrev))
+        .withColumn("brk",
+          when($"pme".isNull || $"s" > $"pme", 1L).otherwise(0L))
+        .withColumn("grp", sum($"brk").over(wRun))
+        .groupBy($"doc_id", $"grp")
+        .agg(min($"s").as("s"), max($"e").as("e"))
+      val agg = spans.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum($"e" - $"s" + 1L).as("dup_tokens"),
+        max($"e" - $"s" + 1L).as("longest_span"))
+      n.join(agg, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+          coalesce($"longest_span", lit(0L)).as("longest_span"),
+          coalesce($"n_spans", lit(0L)).as("n_spans"),
+          CrossRound.r(
+            coalesce($"dup_tokens", lit(0L)).cast("double") / $"n_tokens", 4)
+            .as("dup_frac"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- novelty scoring over arrival order -----
+    // The corpus-growth metric curation tracks as data streams in: what
+    // fraction of each doc's (distinct) shingles has never been seen in
+    // any EARLIER doc (arrival order = doc_id)? Complements q81 (delta
+    // vs a frozen index) and q89 (where the duplicated spans sit): one
+    // min-aggregation per sid — first_seen is a selection, exactly
+    // deterministic — and a per-doc ratio. Two shuffles on 8-byte sids;
+    // shingle strings never leave their row (docSidArrays carrier).
+    "q90_novelty_score" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val dsid = docSidArrays(t.documents)
+        .select($"doc_id", explode($"sids").as("sid"))
+      val first = dsid.groupBy($"sid").agg(min($"doc_id").as("fd"))
+      dsid.join(first, "sid")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"fd" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          CrossRound.r($"n_novel".cast("double") / $"n_shingles", 4)
+            .as("novelty"))
+        .orderBy($"doc_id")
+    },
+
     // ----- proportional per-source cap (the per-domain cap) -----
     // The guard against one domain flooding the mixture: each source
     // keeps its longest 20% of docs (integer floor, minimum 5) by
@@ -3198,6 +3279,56 @@ object PipelineQueries {
                        (a, b) -> a + b * b) * 1000000 + 0.5) / 1000000 AS sse
         FROM er
         ORDER BY vec_id""",
+
+      // DuckDB twin of q89's interval-union sweep: identical window
+      // frames, so span boundaries agree exactly.
+      "q89_dup_spans" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) n_tokens FROM toks
+              WHERE len(tk) >= 3),
+        sh0 AS (SELECT doc_id, unnest(range(1, len(tk) - 1)) pos,
+                       unnest(list_transform(range(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
+                FROM toks),
+        sh AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid FROM sh0),
+        dup AS (SELECT sid FROM (
+                  SELECT sid, count(DISTINCT doc_id) nd FROM sh GROUP BY 1)
+                WHERE nd >= 2),
+        iv AS (SELECT doc_id, pos s, pos + 2 e FROM sh JOIN dup USING (sid)),
+        m AS (SELECT doc_id, s, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pme
+              FROM iv),
+        g AS (SELECT doc_id, s, e,
+                sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) grp
+              FROM m),
+        sp AS (SELECT doc_id, grp, min(s) s, max(e) e FROM g GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(count(1) AS BIGINT) n_spans,
+                       CAST(sum(e - s + 1) AS BIGINT) dup_tokens,
+                       CAST(max(e - s + 1) AS BIGINT) longest_span
+                FROM sp GROUP BY 1)
+        SELECT n.doc_id, n.n_tokens,
+               coalesce(agg.dup_tokens, 0::BIGINT) AS dup_tokens,
+               coalesce(agg.longest_span, 0::BIGINT) AS longest_span,
+               coalesce(agg.n_spans, 0::BIGINT) AS n_spans,
+               floor(coalesce(agg.dup_tokens, 0)::DOUBLE / n.n_tokens
+                     * 10000 + 0.5) / 10000 AS dup_frac
+        FROM n LEFT JOIN agg USING (doc_id)
+        ORDER BY doc_id""",
+
+      "q90_novelty_score" -> s"""
+        WITH $dsh, $dsid,
+        first AS (SELECT sid, min(doc_id) fd FROM dsid GROUP BY 1)
+        SELECT doc_id, CAST(count(1) AS BIGINT) n_shingles,
+               CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel,
+               floor(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)::DOUBLE
+                     / count(1) * 10000 + 0.5) / 10000 AS novelty
+        FROM dsid JOIN first USING (sid)
+        GROUP BY doc_id
+        ORDER BY doc_id""",
 
       "q88_source_cap" -> """
         WITH per AS (SELECT source,

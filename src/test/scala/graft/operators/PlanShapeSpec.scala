@@ -189,6 +189,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 3, s"q88 grew to $shuffles shuffles:\n$p")
   }
 
+  test("q89: spans ride per-doc windows; sids stay 8-byte through the joins") {
+    val p = plan("q89_dup_spans")
+    // The dup-sid set is corpus-sized: it must arrive by equality JOIN.
+    // A BroadcastNestedLoopJoin would mean a non-equi or cross shape
+    // crept in.
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q89 grew a BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q89 grew a cartesian:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"interval-union windows missing:\n$p")
+    val shuffles = "Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size
+    assert(shuffles <= 9, s"q89 grew to $shuffles shuffles:\n$p")
+  }
+
+  test("q90: novelty is two sid shuffles plus the per-doc ratio") {
+    val p = plan("q90_novelty_score")
+    val shuffles = "Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size
+    assert(shuffles <= 6, s"q90 grew to $shuffles shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q90 join degraded:\n$p")
+  }
+
   test("q73: the classifier is map-only ahead of the output sort") {
     val p = plan("q73_quality_classifier")
     val shuffles = "Exchange".r.findAllIn(p).size -

@@ -135,6 +135,53 @@ class Round6OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q89: span accounting is internally consistent") {
+    val out = PipelineQueries.queries("q89_dup_spans")(spark, dir).cache()
+    // Spans cover 3..n_tokens tokens; each span is >= one 3-token
+    // shingle; totals bound the parts.
+    assert(out.filter($"dup_tokens" > $"n_tokens").isEmpty)
+    assert(out.filter($"longest_span" > $"dup_tokens").isEmpty)
+    assert(out.filter($"n_spans" > 0 &&
+      ($"longest_span" < 3 || $"dup_tokens" < $"n_spans" * 3)).isEmpty)
+    assert(out.filter($"n_spans" === 0 &&
+      ($"dup_tokens" =!= 0 || $"longest_span" =!= 0)).isEmpty)
+    out.unpersist()
+  }
+
+  test("q89: a constructed shared span is found with exact boundaries") {
+    // Two docs sharing exactly the 5-token run "c d e f g" and nothing
+    // else: the merged span must cover exactly those 5 tokens in each.
+    val tmp = java.nio.file.Files.createTempDirectory("q89fix").toString
+    spark.createDataFrame(Seq(
+      (0L, "a b c d e f g h", "en", "src0", 15L),
+      (1L, "p q r c d e f g u v", "en", "src0", 19L)
+    )).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = PipelineQueries.queries("q89_dup_spans")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 5L, 5L, 1L), (1L, 5L, 5L, 1L)),
+      s"unexpected spans: ${out.toSeq}")
+  }
+
+  test("q90: every shingle is novel exactly once, first doc fully novel") {
+    val out = PipelineQueries.queries("q90_novelty_score")(spark, dir).cache()
+    assert(out.filter($"n_novel" < 0 || $"n_novel" > $"n_shingles").isEmpty)
+    // The corpus-wide novel count IS the distinct-sid count: each sid
+    // is first-seen in exactly one doc.
+    val totalNovel = out.agg(sum($"n_novel")).first.getLong(0)
+    val distinctSids = Tables(spark, dir).documents
+      .select(explode(graft.functions.GraftFunctions.polyHashArray(
+        graft.functions.GraftFunctions.shingles3(
+          expr("array_remove(split(text, ' '), '')")))).as("sid"))
+      .select($"sid").distinct().count()
+    assert(totalNovel == distinctSids,
+      s"novel sum $totalNovel != distinct sids $distinctSids")
+    val firstDoc = out.orderBy($"doc_id").first
+    assert(firstDoc.getAs[Double]("novelty") == 1.0,
+      "arrival-order first doc must be fully novel")
+    out.unpersist()
+  }
+
   test("q85: heavier docs get stochastically smaller keys (bias witness)") {
     // Within each language, the mean token count of the SELECTED docs
     // must exceed the stratum mean — the whole point of weighting by
