@@ -284,44 +284,43 @@ object PipelineQueries {
     labels
   }
 
-  /** Shared candidate+verify machinery for the df-capped rare-shingle
+  /** Shared candidate+count machinery for the df-capped rare-shingle
     * family (q23 Jaccard, q71 containment): ONE groupBy(sid) aggregate
     * yields bounded per-sid doc lists (df = list size — the cap filter
     * and the candidate source are the same pass); candidate pairs are
     * generated MAP-SIDE from each ≤`dfCap`-doc list as i<j
-    * combinations; verification is a per-candidate `array_intersect`
-    * over compact sorted rare-sid arrays. Shingle rows cross the wire
-    * once, pairs travel as two longs — no two-sided self-join, no
-    * explode-join count. The df cap bounds per-shingle pair fanout at
-    * dfCap²/2, and the rare path is COMPLETE for both consumers: any
-    * reported pair has i ≥ 1 shared rare sid. Returns
-    * (doc_a, doc_b, i, na, nb) with i = |A∩B| over rare sids and
-    * na/nb the FULL set sizes.
+    * combinations. Because each shared rare sid of (a, b) emits the
+    * pair exactly once (sid sets are distinct per doc), the rare-set
+    * intersection |A∩B| IS the pair's multiplicity in that stream — so
+    * ONE map-side-combinable `groupBy(doc_a, doc_b).count()` replaces
+    * the distinct + per-doc rare-array re-collection + array_intersect
+    * verify an earlier formulation used (measured 3–7× slower at sf0.1:
+    * the distinct shuffled the raw pair stream uncompacted and the
+    * verify re-joined doc-sized arrays onto every candidate). Shingle
+    * rows cross the wire once; pairs cross as two longs, pre-counted.
+    * The df cap bounds per-shingle pair fanout at dfCap²/2, and the
+    * rare path is COMPLETE for both consumers: any reported pair has
+    * i ≥ 1 shared rare sid. Returns (doc_a, doc_b, i, na, nb) with
+    * i = |A∩B| over rare sids and na/nb the FULL set sizes.
     */
   private def rareSharedSidPairs(arrs: DataFrame, dfCap: Int): DataFrame = {
     import arrs.sparkSession.implicits._
     val dsid = arrs.select($"doc_id", explode($"sids").as("sid"))
-    val grouped = dsid.groupBy($"sid")
+    val counts = dsid.groupBy($"sid")
       .agg(sort_array(collect_list($"doc_id")).as("docs"))
       .filter(size($"docs") <= dfCap)
-      .cache()
-    val cand = grouped.select(explode(expr(
+      .select(explode(expr(
         """flatten(transform(docs, (x, i) ->
              transform(slice(docs, i + 2, size(docs)),
                        y -> named_struct('doc_a', x, 'doc_b', y))))"""))
         .as("p"))
-      .select($"p.doc_a", $"p.doc_b").distinct()
-    val side = grouped.select(explode($"docs").as("doc_id"), $"sid")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list($"sid")).as("rsids"))
-      .join(arrs.select($"doc_id", size($"sids").cast("long").as("n")),
-        "doc_id")
-    cand
-      .join(side.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(side.as("sb"), $"doc_b" === $"sb.doc_id")
-      .select($"doc_a", $"doc_b",
-        size(array_intersect($"sa.rsids", $"sb.rsids")).cast("long").as("i"),
-        $"sa.n".as("na"), $"sb.n".as("nb"))
+      .select($"p.doc_a", $"p.doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
+    val sizes = arrs.select($"doc_id", size($"sids").cast("long").as("n"))
+    counts
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"i", $"na", $"nb")
   }
 
   /** Label-artifact paths already materialized this session (see
