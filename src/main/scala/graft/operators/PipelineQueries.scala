@@ -323,6 +323,64 @@ object PipelineQueries {
       .select($"doc_a", $"doc_b", $"i", $"na", $"nb")
   }
 
+  /** BPE machinery shared by q86 (training) and q92 (encoding): the
+    * pruned word-frequency table with space-joined character symbols
+    * (`w` is carried so q92 can join symbol counts back to
+    * occurrences), weighted adjacent-pair counts, the argmax pair, and
+    * the 3-pass greedy merge (see q86 for the exactness bound).
+    */
+  private def bpeWords(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(expr(toksExpr)).as("w"))
+      .filter(expr("char_length(w) <= 15"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", concat_ws(" ",
+        expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))")))
+      .select($"w", $"cnt", $"syms")
+  }
+
+  private def bpePairCounts(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.withColumn("l", split($"syms", " "))
+      .filter(size($"l") >= 2)
+      .select($"cnt", explode(expr(
+        """transform(sequence(1, size(l) - 1),
+             i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"""))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"cnt").as("pcnt"))
+  }
+
+  private def bpeTop1(p: DataFrame): DataFrame = {
+    import p.sparkSession.implicits._
+    p.orderBy($"pcnt".desc, $"pair").limit(1)
+  }
+
+  private def bpeApplyMerge(df: DataFrame, top: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.crossJoin(broadcast(top.select($"pair".as("mp"))))
+      .withColumn("syms", expr(
+        """trim(replace(replace(replace(concat(' ', syms, ' '),
+             concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' ')),
+             concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' ')),
+             concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' ')))"""))
+      .select($"w", $"cnt", $"syms")
+  }
+
+  /** The 3-iteration BPE merge chain over [[bpeWords]]: returns the
+    * per-iteration argmax pairs (t1..t3) and the final symbolized word
+    * table (used by q92's encoder; q86 reports only the merges).
+    */
+  private def bpeMergeChain(words: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val t1 = bpeTop1(bpePairCounts(words))
+    val w2 = bpeApplyMerge(words, t1)
+    val t2 = bpeTop1(bpePairCounts(w2))
+    val w3 = bpeApplyMerge(w2, t2)
+    val t3 = bpeTop1(bpePairCounts(w3))
+    val w4 = bpeApplyMerge(w3, t3)
+    (t1, t2, t3, w4)
+  }
+
   /** Label-artifact paths already materialized this session (see
     * [[dedupLabelsArtifact]]). */
   private val labelArtifactWritten =
@@ -1948,37 +2006,8 @@ object PipelineQueries {
     "q86_bpe_train" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val words = t.documents
-        .select(explode(expr(toksExpr)).as("w"))
-        .filter(expr("char_length(w) <= 15"))
-        .groupBy($"w").agg(count(lit(1)).as("cnt"))
-        .withColumn("syms", concat_ws(" ",
-          expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))")))
-        .select($"cnt", $"syms")
-        .cache()
-      def pairCounts(df: DataFrame): DataFrame =
-        df.withColumn("l", split($"syms", " "))
-          .filter(size($"l") >= 2)
-          .select($"cnt", explode(expr(
-            """transform(sequence(1, size(l) - 1),
-                 i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"""))
-            .as("pair"))
-          .groupBy($"pair").agg(sum($"cnt").as("pcnt"))
-      def top1(p: DataFrame): DataFrame =
-        p.orderBy($"pcnt".desc, $"pair").limit(1)
-      def applyMerge(df: DataFrame, top: DataFrame): DataFrame =
-        df.crossJoin(broadcast(top.select($"pair".as("mp"))))
-          .withColumn("syms", expr(
-            """trim(replace(replace(replace(concat(' ', syms, ' '),
-                 concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' ')),
-                 concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' ')),
-                 concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' ')))"""))
-          .select($"cnt", $"syms")
-      val t1 = top1(pairCounts(words))
-      val w2 = applyMerge(words, t1)
-      val t2 = top1(pairCounts(w2))
-      val w3 = applyMerge(w2, t2)
-      val t3 = top1(pairCounts(w3))
+      val words = bpeWords(t.documents).cache()
+      val (t1, t2, t3, _) = bpeMergeChain(words)
       t1.withColumn("it", lit(1))
         .unionByName(t2.withColumn("it", lit(2)))
         .unionByName(t3.withColumn("it", lit(3)))
@@ -2141,6 +2170,55 @@ object PipelineQueries {
         .filter($"rk" <= $"cap")
         .select($"source", $"doc_id", $"n_chars", $"rk", $"cap")
         .orderBy($"source", $"rk")
+    },
+
+    // ----- canonical-copy selection (duplicate retention policy) -----
+    // The "which copy do we keep" step after near-dup grouping: within
+    // every dedup group (q46's labels — third consumer of the shared
+    // persisted artifact) keep the highest-quality copy (longest, then
+    // lowest doc_id); singletons keep themselves. One left join against
+    // the label artifact + one rank window over groups (group-sized
+    // partitions — bounded by construction). Integer-only.
+    "q91_keep_list" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val labels = dedupLabelsArtifact(s, dir)
+      val g = t.documents.select($"doc_id", $"n_chars")
+        .join(labels.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce($"lbl", $"doc_id"))
+      val w = Window.partitionBy($"group_id").orderBy($"n_chars".desc, $"doc_id")
+      g.withColumn("rk", row_number().over(w))
+        .select($"doc_id", $"group_id", $"n_chars", ($"rk" === 1).as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- BPE encoding: apply the learned merges corpus-wide -----
+    // The consumption side of q86: every retained (≤15-char) word token
+    // is re-encoded with the 3 learned merges and per-source
+    // compression (chars per emitted symbol) is reported — what the
+    // tokenizer actually buys on each slice of the mixture. The merge
+    // chain runs once on the DISTINCT-word table ([[bpeMergeChain]],
+    // shared with q86); occurrences join symbol counts back by word
+    // (vocabulary-sized build side — a shuffle join at corpus scale,
+    // AQE-broadcast locally). Integer counts, one CrossRound'd divide.
+    "q92_bpe_encode" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val words = bpeWords(t.documents).cache()
+      val (_, _, _, w4) = bpeMergeChain(words)
+      val wmap = w4.select($"w",
+        size(split($"syms", " ")).cast("long").as("n_syms"))
+      t.documents.select($"source", explode(expr(toksExpr)).as("w"))
+        .filter(expr("char_length(w) <= 15"))
+        .join(wmap, "w")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(expr("char_length(w)").cast("long")).as("n_chars_toks"),
+          sum($"n_syms").as("n_syms"))
+        .select($"source", $"n_words", $"n_chars_toks", $"n_syms",
+          CrossRound.r($"n_chars_toks".cast("double") / $"n_syms", 4)
+            .as("compression"))
+        .orderBy($"source")
     }
   )
 
@@ -2219,6 +2297,29 @@ object PipelineQueries {
         FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
         ORDER BY s.doc_id"""
   }
+
+  /** DuckDB twin of one BPE merge stage (see q86): pair counts from the
+    * space-joined symbols, argmax pair, 3 greedy replace passes.
+    * `carry` prefixes extra columns (e.g. `"s0.w,"`) through the stage.
+    */
+  private def bpeStageSql(prev: String, p: String, tnew: String,
+      snew: String, carry: String = ""): String = s"""
+        $p AS (SELECT pair, CAST(sum(cnt) AS BIGINT) pcnt FROM (
+                 SELECT cnt, unnest(list_transform(range(1, len(l)),
+                   i -> l[i] || ' ' || l[i+1])) pair
+                 FROM (SELECT cnt, string_split(syms, ' ') l FROM $prev)
+                 WHERE len(l) >= 2)
+               GROUP BY 1),
+        $tnew AS (SELECT pair, pcnt FROM $p ORDER BY pcnt DESC, pair LIMIT 1),
+        $snew AS (SELECT $carry $prev.cnt,
+                 trim(replace(replace(replace(' ' || $prev.syms || ' ',
+                   ' ' || $tnew.pair || ' ',
+                   ' ' || replace($tnew.pair, ' ', '') || ' '),
+                   ' ' || $tnew.pair || ' ',
+                   ' ' || replace($tnew.pair, ' ', '') || ' '),
+                   ' ' || $tnew.pair || ' ',
+                   ' ' || replace($tnew.pair, ' ', '') || ' ')) syms
+               FROM $prev, $tnew)"""
 
   def oracleSql: Map[String, String] = {
     val toks = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -3206,25 +3307,7 @@ object PipelineQueries {
       // end-exclusive = Spark's inclusive `sequence(1, size(l) - 1)`;
       // replace() is greedy non-overlapping left-to-right in both
       // engines, so the 3 padded replace passes are character-identical.
-      "q86_bpe_train" -> {
-        def stage(prev: String, p: String, tnew: String, snew: String) = s"""
-        $p AS (SELECT pair, CAST(sum(cnt) AS BIGINT) pcnt FROM (
-                 SELECT cnt, unnest(list_transform(range(1, len(l)),
-                   i -> l[i] || ' ' || l[i+1])) pair
-                 FROM (SELECT cnt, string_split(syms, ' ') l FROM $prev)
-                 WHERE len(l) >= 2)
-               GROUP BY 1),
-        $tnew AS (SELECT pair, pcnt FROM $p ORDER BY pcnt DESC, pair LIMIT 1),
-        $snew AS (SELECT $prev.cnt,
-                 trim(replace(replace(replace(' ' || $prev.syms || ' ',
-                   ' ' || $tnew.pair || ' ',
-                   ' ' || replace($tnew.pair, ' ', '') || ' '),
-                   ' ' || $tnew.pair || ' ',
-                   ' ' || replace($tnew.pair, ' ', '') || ' '),
-                   ' ' || $tnew.pair || ' ',
-                   ' ' || replace($tnew.pair, ' ', '') || ' ')) syms
-               FROM $prev, $tnew)"""
-        s"""
+      "q86_bpe_train" -> s"""
         WITH toks AS (SELECT doc_id, $toks tk FROM documents),
         w0 AS (SELECT w, CAST(count(1) AS BIGINT) cnt
                FROM (SELECT unnest(tk) w FROM toks)
@@ -3233,21 +3316,14 @@ object PipelineQueries {
                  array_to_string(list_transform(range(1, length(w) + 1),
                    i -> substring(w, i, 1)), ' ') syms
                FROM w0),
-        ${stage("s0", "p1", "t1", "s1")},
-        ${stage("s1", "p2", "t2", "s2")},
-        p3 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) pcnt FROM (
-                 SELECT cnt, unnest(list_transform(range(1, len(l)),
-                   i -> l[i] || ' ' || l[i+1])) pair
-                 FROM (SELECT cnt, string_split(syms, ' ') l FROM s2)
-                 WHERE len(l) >= 2)
-               GROUP BY 1),
-        t3 AS (SELECT pair, pcnt FROM p3 ORDER BY pcnt DESC, pair LIMIT 1)
+        ${bpeStageSql("s0", "p1", "t1", "s1")},
+        ${bpeStageSql("s1", "p2", "t2", "s2")},
+        ${bpeStageSql("s2", "p3", "t3", "s3")}
         SELECT * FROM (
           SELECT 1 AS it, pair, replace(pair, ' ', '') AS merged, pcnt FROM t1
           UNION ALL SELECT 2, pair, replace(pair, ' ', ''), pcnt FROM t2
           UNION ALL SELECT 3, pair, replace(pair, ' ', ''), pcnt FROM t3)
-        ORDER BY it"""
-      },
+        ORDER BY it""",
 
       // DuckDB twin of q87: `list(x ORDER BY pos)` pins the per-dim
       // stats arrays to index order (Spark: sort_array-of-structs), and
@@ -3345,7 +3421,62 @@ object PipelineQueries {
         SELECT r.source, r.doc_id, r.n_chars, r.rk, per.cap
         FROM r JOIN per USING (source)
         WHERE r.rk <= per.cap
-        ORDER BY source, rk"""
+        ORDER BY source, rk""",
+
+      // q91: q46's component labels (same recursive-CTE twin), then the
+      // keep flag is a rank-1 test within each group under the identical
+      // (n_chars DESC, doc_id) retention order. Singletons (no label row)
+      // group under their own doc_id via coalesce, as in Spark.
+      "q91_keep_list" -> s"""
+        WITH RECURSIVE $minhashChain,
+        pairs AS (SELECT doc_a, doc_b
+                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                             JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
+        edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT src AS node, src AS lbl FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM reach r
+                  JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
+                 FROM reach GROUP BY node)
+        SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id,
+               d.n_chars,
+               row_number() OVER (
+                 PARTITION BY coalesce(c.group_id, d.doc_id)
+                 ORDER BY d.n_chars DESC, d.doc_id) = 1 AS keep
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+        ORDER BY d.doc_id""",
+
+      // q92: the identical 3-stage merge chain (shared [[bpeStageSql]]
+      // twin, `w` carried through), then occurrences join the symbolized
+      // vocabulary back by word — same integer totals, same single
+      // CrossRound'd divide.
+      "q92_bpe_encode" -> s"""
+        WITH toks AS (SELECT doc_id, source, $toks tk FROM documents),
+        w0 AS (SELECT w, CAST(count(1) AS BIGINT) cnt
+               FROM (SELECT unnest(tk) w FROM toks)
+               WHERE length(w) <= 15 GROUP BY 1),
+        s0 AS (SELECT w, cnt,
+                 array_to_string(list_transform(range(1, length(w) + 1),
+                   i -> substring(w, i, 1)), ' ') syms
+               FROM w0),
+        ${bpeStageSql("s0", "p1", "t1", "s1", "s0.w,")},
+        ${bpeStageSql("s1", "p2", "t2", "s2", "s1.w,")},
+        ${bpeStageSql("s2", "p3", "t3", "s3", "s2.w,")},
+        wmap AS (SELECT w, CAST(len(string_split(syms, ' ')) AS BIGINT) n_syms
+                 FROM s3),
+        occ AS (SELECT source, w FROM (
+                  SELECT source, unnest(tk) w FROM toks)
+                WHERE length(w) <= 15)
+        SELECT source, CAST(count(1) AS BIGINT) n_words,
+               CAST(sum(length(w)) AS BIGINT) n_chars_toks,
+               CAST(sum(n_syms) AS BIGINT) n_syms,
+               floor(sum(length(w))::DOUBLE / sum(n_syms) * 10000 + 0.5) / 10000
+                 AS compression
+        FROM occ JOIN wmap USING (w)
+        GROUP BY 1 ORDER BY source"""
     )
   }
 }

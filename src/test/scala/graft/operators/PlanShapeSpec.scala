@@ -212,6 +212,38 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"q90 join degraded:\n$p")
   }
 
+  test("q91: keep list is one label join + one group window") {
+    val p = plan("q91_keep_list")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q91 join degraded:\n$p")
+    assert(p.contains("Window"), s"retention rank window missing:\n$p")
+    val shuffles = "Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size
+    // label join + group window partitioning + output range sort; the
+    // artifact scan side arrives pre-materialized (one parquet read).
+    assert(shuffles <= 4, s"q91 grew to $shuffles shuffles:\n$p")
+  }
+
+  test("q92: merge builds ride broadcasts; occurrence join is equality") {
+    val p = plan("q92_bpe_encode")
+    assert(!p.contains("CartesianProduct"), s"q92 grew a cartesian:\n$p")
+    // The 3 argmax-pair builds are 1-row broadcasts (BNLJ over a
+    // broadcast single row is the expected crossJoin(broadcast(top1))
+    // shape, as in q86); the word table is computed once and cached.
+    assert(p.contains("BroadcastNestedLoopJoin"), s"merge lost its broadcast:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"word table no longer cached:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-pair lost TakeOrdered:\n$p")
+    // Distinct-normalized count (cached subtrees reprint per use site —
+    // same rule as tools/gen_plans): pair aggs + vocab join + source agg
+    // + output sort, never a corpus-side re-shuffle per merge stage.
+    val shuffles = p.linesIterator
+      .map(_.replaceAll("^[\\s:+*-]+", "").replaceAll("#\\d+L?", "#x")
+        .replaceAll("plan_id=\\d+", "plan_id=x"))
+      .filter(l => l.startsWith("Exchange") && !l.contains("SinglePartition"))
+      .toSet.size
+    assert(shuffles <= 8, s"q92 grew to $shuffles distinct shuffles:\n$p")
+  }
+
   test("q73: the classifier is map-only ahead of the output sort") {
     val p = plan("q73_quality_classifier")
     val shuffles = "Exchange".r.findAllIn(p).size -

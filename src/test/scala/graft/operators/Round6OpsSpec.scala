@@ -197,4 +197,47 @@ class Round6OpsSpec extends AnyFunSuite {
     val bad = sel.join(all, "lang").filter($"sel_mean" <= $"all_mean")
     assert(bad.isEmpty, "length bias missing in at least one stratum")
   }
+
+  test("q91: one keep per group, kept doc is group max, docs partitioned") {
+    val out = PipelineQueries.queries("q91_keep_list")(spark, dir).cache()
+    val nDocs = Tables(spark, dir).documents.count()
+    assert(out.count() == nDocs, "keep list must cover every document")
+    val perGroup = out.groupBy($"group_id").agg(
+      sum(when($"keep", 1L).otherwise(0L)).as("kept"),
+      max($"n_chars").as("mx"),
+      max(when($"keep", $"n_chars")).as("kept_chars"))
+    assert(perGroup.filter($"kept" =!= 1L).isEmpty,
+      "every group keeps exactly one copy")
+    assert(perGroup.filter($"kept_chars" =!= $"mx").isEmpty,
+      "kept copy must have the group max n_chars")
+    // Singletons (group of one) keep themselves.
+    val singletons = out.groupBy($"group_id").agg(count(lit(1)).as("n"))
+      .filter($"n" === 1).select($"group_id")
+    assert(out.join(singletons, "group_id").filter(!$"keep").isEmpty)
+    out.unpersist()
+  }
+
+  test("q92: compression >= 1, totals consistent, merges bought something") {
+    val out = PipelineQueries.queries("q92_bpe_encode")(spark, dir).cache()
+    assert(out.count() > 0)
+    assert(out.filter($"compression" < 1.0).isEmpty,
+      "merges never add symbols, so chars/symbol >= 1")
+    assert(out.filter($"n_syms" > $"n_chars_toks").isEmpty)
+    assert(out.filter($"n_words" > $"n_syms").isEmpty,
+      "every word emits at least one symbol")
+    // The 3 learned merges must actually fire somewhere: at least one
+    // source compresses strictly.
+    assert(out.filter($"n_syms" < $"n_chars_toks").count() > 0,
+      "no merge ever applied — encoder is a no-op")
+    out.unpersist()
+  }
+
+  test("q91/q46 agree: group assignment matches the dedup-group labels") {
+    val keep = PipelineQueries.queries("q91_keep_list")(spark, dir)
+      .select($"doc_id", $"group_id")
+    val groups = PipelineQueries.queries("q46_dedup_groups")(spark, dir)
+      .select($"doc_id", $"group_id".as("g46"))
+    // Every labeled doc carries the same group id in both outputs.
+    assert(keep.join(groups, "doc_id").filter($"group_id" =!= $"g46").isEmpty)
+  }
 }
