@@ -63,6 +63,8 @@ object Bench {
         s""""sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outPath), json + "\n")
+    // Epilogue: drop session-keyed persisted artifacts (see Verify).
+    graft.operators.PipelineQueries.cleanupArtifacts(spark)
     spark.stop()
     // Printed AFTER spark.stop() so the bare JSON is the process's last
     // stdout line (run / outputStrategy := StdoutOutput keeps sbt's

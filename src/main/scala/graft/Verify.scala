@@ -47,6 +47,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Session epilogue: drop the tmpdir/metastore artifacts this run
+    // materialized (dedup labels, q81's bucketed index, BPE training)
+    // so repeated driver runs don't accumulate copies keyed by old
+    // application ids.
+    graft.operators.PipelineQueries.cleanupArtifacts(spark)
     spark.stop()
   }
 }

@@ -157,9 +157,56 @@ object PipelineQueries {
   private[graft] def deltaIndexPath(s: SparkSession, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/${deltaIndexKey(s, dir)}"
 
-  /** Index paths already materialized this session (see q81). */
-  private val deltaIndexWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Session artifact registry: every persisted artifact (dedup labels,
+    * q81's bucketed signature index, the BPE training artifact) is
+    * materialized through [[materializeOnce]] and recorded here so
+    * [[cleanupArtifacts]] can drop it at session end.
+    *
+    * `computeIfAbsent` replaces the old check-then-write keySet#add: a
+    * second concurrent caller of the same key now BLOCKS until the
+    * winner's build completes instead of racing ahead to read a
+    * half-written parquet (ADVICE r6 — harmless under the
+    * single-threaded Verify driver, unsafe if queries ever run
+    * concurrently). Builds must not call materializeOnce recursively
+    * (ConcurrentHashMap forbids reentrant compute); no current artifact
+    * builds another.
+    */
+  private final case class ArtifactRef(path: String, table: Option[String])
+  private val artifactsDone =
+    new java.util.concurrent.ConcurrentHashMap[String, ArtifactRef]()
+
+  private def materializeOnce(key: String, path: String,
+      table: Option[String] = None)(build: => Unit): Unit =
+    artifactsDone.computeIfAbsent(key, _ => { build; ArtifactRef(path, table) })
+
+  /** Drops every artifact this session materialized — tmpdir parquet
+    * trees recursively, the bucketed index's catalog entry (external
+    * table: DROP removes metadata only, the path delete removes bytes)
+    * — and clears the memos so a later caller REBUILDS from data. The
+    * Verify/Bench epilogue (VERDICT r6 #5): artifacts are keyed by
+    * application id, so without this every session leaks its own copy
+    * into java.io.tmpdir and the metastore.
+    */
+  private[graft] def cleanupArtifacts(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    artifactsDone.values.asScala.toVector.foreach { ref =>
+      ref.table.foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      rm(new java.io.File(ref.path))
+    }
+    artifactsDone.clear()
+    benchSidsMemo.clear()
+  }
+
+  /** Memo for [[benchSortedSids]] (VERDICT r6 #7): the eval-suite sid
+    * set is a bounded driver-side array, but collecting it on EVERY
+    * q59 construction re-runs a distinct+sort job; one fetch per
+    * (session, dir, fingerprint) suffices. */
+  private val benchSidsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
   private def scrambleExpr(column: String): String =
     s"""((((($column % 4294967296) div 65536) * 2654435761) % 4294967296)
@@ -297,29 +344,32 @@ object PipelineQueries {
     * verify an earlier formulation used (measured 3–7× slower at sf0.1:
     * the distinct shuffled the raw pair stream uncompacted and the
     * verify re-joined doc-sized arrays onto every candidate). Shingle
-    * rows cross the wire once; pairs cross as two longs, pre-counted.
-    * The df cap bounds per-shingle pair fanout at dfCap²/2, and the
-    * rare path is COMPLETE for both consumers: any reported pair has
-    * i ≥ 1 shared rare sid. Returns (doc_a, doc_b, i, na, nb) with
-    * i = |A∩B| over rare sids and na/nb the FULL set sizes.
+    * rows cross the wire once; pairs cross as four longs, pre-counted.
+    * The per-doc FULL set size rides INSIDE the per-sid doc lists
+    * (struct of (doc_id, n) — n is functionally determined by doc_id,
+    * so adding it to the count's grouping keys changes nothing), which
+    * removes the two post-count size joins an earlier formulation paid:
+    * the count aggregate's output IS the final result. The df cap
+    * bounds per-shingle pair fanout at dfCap²/2, and the rare path is
+    * COMPLETE for both consumers: any reported pair has i ≥ 1 shared
+    * rare sid. Returns (doc_a, doc_b, i, na, nb) with i = |A∩B| over
+    * rare sids and na/nb the FULL set sizes.
     */
   private def rareSharedSidPairs(arrs: DataFrame, dfCap: Int): DataFrame = {
     import arrs.sparkSession.implicits._
-    val dsid = arrs.select($"doc_id", explode($"sids").as("sid"))
-    val counts = dsid.groupBy($"sid")
-      .agg(sort_array(collect_list($"doc_id")).as("docs"))
+    val dsid = arrs.select($"doc_id", size($"sids").cast("long").as("n"),
+      explode($"sids").as("sid"))
+    dsid.groupBy($"sid")
+      .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("docs"))
       .filter(size($"docs") <= dfCap)
       .select(explode(expr(
         """flatten(transform(docs, (x, i) ->
              transform(slice(docs, i + 2, size(docs)),
-                       y -> named_struct('doc_a', x, 'doc_b', y))))"""))
+                       y -> named_struct('doc_a', x.doc_id, 'na', x.n,
+                                         'doc_b', y.doc_id, 'nb', y.n))))"""))
         .as("p"))
-      .select($"p.doc_a", $"p.doc_b")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
-    val sizes = arrs.select($"doc_id", size($"sids").cast("long").as("n"))
-    counts
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"p.doc_a", $"p.doc_b", $"p.na", $"p.nb")
+      .groupBy($"doc_a", $"doc_b", $"na", $"nb").agg(count(lit(1)).as("i"))
       .select($"doc_a", $"doc_b", $"i", $"na", $"nb")
   }
 
@@ -329,7 +379,7 @@ object PipelineQueries {
     * occurrences), weighted adjacent-pair counts, the argmax pair, and
     * the 3-pass greedy merge (see q86 for the exactness bound).
     */
-  private def bpeWords(docs: DataFrame): DataFrame = {
+  private[operators] def bpeWords(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(explode(expr(toksExpr)).as("w"))
       .filter(expr("char_length(w) <= 15"))
@@ -370,7 +420,7 @@ object PipelineQueries {
     * per-iteration argmax pairs (t1..t3) and the final symbolized word
     * table (used by q92's encoder; q86 reports only the merges).
     */
-  private def bpeMergeChain(words: DataFrame)
+  private[operators] def bpeMergeChain(words: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val t1 = bpeTop1(bpePairCounts(words))
     val w2 = bpeApplyMerge(words, t1)
@@ -381,10 +431,36 @@ object PipelineQueries {
     (t1, t2, t3, w4)
   }
 
-  /** Label-artifact paths already materialized this session (see
-    * [[dedupLabelsArtifact]]). */
-  private val labelArtifactWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def bpeArtifactPath(s: SparkSession, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bpe_" +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dataFingerprint(dir)
+
+  /** The BPE training artifact SHARED by q86 (reports the merges) and
+    * q92 (encodes the corpus with them) — [[bpeWords]] +
+    * [[bpeMergeChain]] materialized ONCE per (session, dir,
+    * data-fingerprint), the dedup-label-artifact pattern (VERDICT r6
+    * #3: q92 previously re-ran the whole training chain, re-paying
+    * q86's cost). Two parquets under one base path: `merges`
+    * (it, pair, pcnt — the per-iteration argmax) and `words`
+    * (w, cnt, syms — the final symbolization after all 3 merges).
+    * Returns (merges, words) readers over the persisted artifact.
+    */
+  private def bpeArtifact(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = bpeArtifactPath(s, dir)
+    materializeOnce(base, base) {
+      val words = bpeWords(Tables(s, dir).documents).cache()
+      val (t1, t2, t3, w4) = bpeMergeChain(words)
+      t1.withColumn("it", lit(1))
+        .unionByName(t2.withColumn("it", lit(2)))
+        .unionByName(t3.withColumn("it", lit(3)))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/merges")
+      w4.write.mode("overwrite").parquet(s"$base/words")
+      words.unpersist()
+    }
+    (s.read.parquet(s"$base/merges"), s.read.parquet(s"$base/words"))
+  }
 
   private[graft] def dedupLabelsPath(s: SparkSession, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_dedup_labels_" +
@@ -405,7 +481,7 @@ object PipelineQueries {
   private def dedupLabelsArtifact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = dedupLabelsPath(s, dir)
-    if (labelArtifactWritten.add(path)) {
+    materializeOnce(path, path) {
       val t = Tables(s, dir)
       val docArrs = docSidArrays(t.documents).cache()
       // Cache pairs BEFORE the union inside the propagation: edges' two
@@ -428,11 +504,15 @@ object PipelineQueries {
     */
   private[graft] def benchSortedSids(s: SparkSession, dir: String): Array[Long] = {
     import s.implicits._
-    docSidArrays(Tables(s, dir).documents)
-      .filter($"doc_id" < 10)
-      .select(explode($"sids").as("sid")).distinct()
-      .orderBy($"sid")
-      .as[Long].collect()
+    val key = "graft_bench_sids_" +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dataFingerprint(dir)
+    benchSidsMemo.computeIfAbsent(key, _ =>
+      docSidArrays(Tables(s, dir).documents)
+        .filter($"doc_id" < 10)
+        .select(explode($"sids").as("sid")).distinct()
+        .orderBy($"sid")
+        .as[Long].collect())
   }
 
   /** Map-only MinHash(16) → 4-band LSH → Jaccard verify over
@@ -546,8 +626,10 @@ object PipelineQueries {
     // under-scored by shingles common to >50 docs). The oracle applies
     // the identical cap. Machinery is [[rareSharedSidPairs]] (shared
     // with q71): map-side pair generation from bounded per-sid doc
-    // lists + array_intersect verify — 8-byte longs on the wire, never
-    // shingle strings, no two-sided self-join.
+    // lists, with the rare-set intersection counted as the pair's
+    // multiplicity in that stream (one pre-counted aggregate — no
+    // array_intersect re-verify, no post-count size joins) — 8-byte
+    // longs on the wire, never shingle strings, no two-sided self-join.
     "q23_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -1412,8 +1494,9 @@ object PipelineQueries {
     // rare sid, so a MinHash-band candidate union (considered r5) could
     // only add pairs that fail verification. Machinery is
     // [[rareSharedSidPairs]] (shared with q23): map-side pair
-    // generation from bounded per-sid doc lists + array_intersect
-    // verify. Reported with both metrics so the asymmetric catch
+    // generation from bounded per-sid doc lists, intersections counted
+    // as pair multiplicity (sizes ride inside the lists — no verify or
+    // size joins). Reported with both metrics so the asymmetric catch
     // (high c, low jaccard) is visible; `Round5OpsSpec` pins that case
     // with an embedded-quote fixture the synthetic corpus lacks.
     "q71_containment" -> { (s, dir) =>
@@ -1856,12 +1939,13 @@ object PipelineQueries {
       // e.g. plan capture) reads the existing artifact, so the measured
       // delta cost excludes the amortized index build, as in production.
       val idxKey = deltaIndexKey(s, dir)
-      if (PipelineQueries.deltaIndexWritten.add(idxKey))
+      materializeOnce(idxKey, deltaIndexPath(s, dir), Some(idxKey)) {
         bands(sigs.filter($"doc_id" < cut))
           .write.mode("overwrite")
           .bucketBy(8, "band", "sig").sortBy("band", "sig")
           .option("path", deltaIndexPath(s, dir))
           .saveAsTable(idxKey)
+      }
       val index = s.table(idxKey)
       val delta = sigs.filter($"doc_id" >= cut)
       val cand = bands(delta).as("a")
@@ -1992,25 +2076,26 @@ object PipelineQueries {
     // symbol pairs weighted by word count, argmax pair (count desc, pair
     // asc) via TakeOrdered into a 1-row broadcast — no driver collect —
     // and the merge applies as 3 identical greedy left-to-right replace
-    // passes over the space-joined symbol string in BOTH engines. Each
-    // pass halves any remaining run of overlapping occurrences, so with
-    // words pruned to ≤ 15 chars (the standard absurd-token drop before
-    // tokenizer training — a no-op on every corpus the gate generates,
-    // whose words cap at 8) a run is ≤ 7 occurrences and 3 passes are
-    // EXACT BPE, not an approximation (`Round6OpsSpec` checks the
-    // distributed result against a sequential textbook BPE). Even
-    // beyond that bound both engines run the same fixed passes, so the
-    // cross-engine contract can never break. Integer counts only — no
-    // float contract needed. Marker-free BPE variant (no end-of-word
-    // symbol), so no marker/character ambiguity can arise.
+    // passes over the space-joined symbol string in BOTH engines, so
+    // the CROSS-ENGINE contract is unconditional: same passes, same
+    // integer counts, no float anywhere. Equivalence to TEXTBOOK greedy
+    // BPE additionally holds whenever no symbol RUN exceeds 4 at any
+    // stage: runs ≤ 3 merge in one pass and a run of 4 in two, but the
+    // padded replace consumes each match's trailing space, so a run of
+    // 5+ identical symbols deviates ('a a a a a' → 'aa a aa' vs
+    // textbook 'aa aa a' — no further pass converges). The ≤ 15-char
+    // prune bounds run length but does NOT eliminate 5-runs, so the
+    // textbook equivalence is corpus-conditional; `Round6OpsSpec` pins
+    // the replace-pass contract corpus-wide (its sequential reference
+    // mirrors the pass semantics exactly) AND pins the 5-run deviation
+    // case explicitly on a constructed corpus. Marker-free BPE variant
+    // (no end-of-word symbol), so no marker/character ambiguity can
+    // arise. Training runs once per (session, dir, fingerprint) via
+    // [[bpeArtifact]], shared with q92's encoder.
     "q86_bpe_train" -> { (s, dir) =>
       import s.implicits._
-      val t = Tables(s, dir)
-      val words = bpeWords(t.documents).cache()
-      val (t1, t2, t3, _) = bpeMergeChain(words)
-      t1.withColumn("it", lit(1))
-        .unionByName(t2.withColumn("it", lit(2)))
-        .unionByName(t3.withColumn("it", lit(3)))
+      val (merges, _) = bpeArtifact(s, dir)
+      merges
         .select($"it".cast("int").as("it"), $"pair",
           expr("replace(pair, ' ', '')").as("merged"), $"pcnt")
         .orderBy($"it")
@@ -2196,16 +2281,17 @@ object PipelineQueries {
     // The consumption side of q86: every retained (≤15-char) word token
     // is re-encoded with the 3 learned merges and per-source
     // compression (chars per emitted symbol) is reported — what the
-    // tokenizer actually buys on each slice of the mixture. The merge
-    // chain runs once on the DISTINCT-word table ([[bpeMergeChain]],
-    // shared with q86); occurrences join symbol counts back by word
-    // (vocabulary-sized build side — a shuffle join at corpus scale,
-    // AQE-broadcast locally). Integer counts, one CrossRound'd divide.
+    // tokenizer actually buys on each slice of the mixture. The trained
+    // symbolization comes from the persisted [[bpeArtifact]] (shared
+    // with q86 — training runs ONCE per session/dir/fingerprint, this
+    // query pays only the vocabulary-sized parquet read); occurrences
+    // join symbol counts back by word (vocabulary-sized build side — a
+    // shuffle join at corpus scale, AQE-broadcast locally). Integer
+    // counts, one CrossRound'd divide.
     "q92_bpe_encode" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val words = bpeWords(t.documents).cache()
-      val (_, _, _, w4) = bpeMergeChain(words)
+      val (_, w4) = bpeArtifact(s, dir)
       val wmap = w4.select($"w",
         size(split($"syms", " ")).cast("long").as("n_syms"))
       t.documents.select($"source", explode(expr(toksExpr)).as("w"))
@@ -3250,11 +3336,16 @@ object PipelineQueries {
                           CAST(count(1) AS BIGINT) n_terms,
                           list_reduce(list_prepend(0.0::DOUBLE,
                             list(c ORDER BY tok)), (a, b) -> a + b) score
-                   FROM contrib GROUP BY doc_id)
+                   FROM contrib GROUP BY doc_id),
+        -- top-20 cut on the UNROUNDED score (matching the Spark side);
+        -- rounding happens in an outer select so the ORDER BY here can't
+        -- rebind to the rounded output alias and flip a near-boundary tie.
+        top AS (SELECT doc_id, n_terms, score FROM scored
+                ORDER BY score DESC, doc_id LIMIT 20)
         SELECT doc_id, n_terms,
                floor(score * 10000 + 0.5) / 10000 AS score
-        FROM scored
-        ORDER BY score DESC, doc_id LIMIT 20""",
+        FROM top
+        ORDER BY score DESC, doc_id""",
 
       // Weighted-sample twin: same scramble, same single divide, same
       // (key, doc_id) order — keys are bit-identical, so the rank cut

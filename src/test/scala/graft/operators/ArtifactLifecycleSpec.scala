@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gsheets.Fixtures
+
+/** Lifecycle of the session-keyed persisted artifacts (dedup labels,
+  * q81's bucketed signature index, the BPE training artifact): they
+  * materialize once per (session, dir, data-fingerprint), and
+  * `cleanupArtifacts` — the Verify/Bench epilogue — drops every path
+  * and catalog entry, after which the next caller REBUILDS from data
+  * rather than serving a dangling reference (VERDICT r6 #5).
+  */
+class ArtifactLifecycleSpec extends AnyFunSuite {
+
+  private lazy val spark = Fixtures.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cleanup drops all persisted artifacts; a later call rebuilds") {
+    // Materialize all three artifact families (collect forces the build).
+    PipelineQueries.queries("q46_dedup_groups")(spark, dir).collect()
+    PipelineQueries.queries("q81_delta_dedup")(spark, dir).collect()
+    PipelineQueries.queries("q86_bpe_train")(spark, dir).collect()
+    val labels = new java.io.File(PipelineQueries.dedupLabelsPath(spark, dir))
+    val index = new java.io.File(PipelineQueries.deltaIndexPath(spark, dir))
+    val bpe = new java.io.File(PipelineQueries.bpeArtifactPath(spark, dir))
+    val idxKey = PipelineQueries.deltaIndexKey(spark, dir)
+    assert(labels.exists && index.exists && bpe.exists,
+      "artifacts must exist on disk after their queries ran")
+    assert(spark.catalog.tableExists(idxKey))
+
+    PipelineQueries.cleanupArtifacts(spark)
+    assert(!labels.exists && !index.exists && !bpe.exists,
+      "cleanup must remove every artifact path")
+    assert(!spark.catalog.tableExists(idxKey),
+      "cleanup must drop the bucketed index's catalog entry")
+
+    // Rebuild-on-demand: the memo was cleared with the files, so the
+    // same queries are green again and the artifacts are back.
+    assert(PipelineQueries.queries("q86_bpe_train")(spark, dir)
+      .collect().length == 3)
+    assert(PipelineQueries.queries("q81_delta_dedup")(spark, dir)
+      .collect() != null)
+    assert(bpe.exists && index.exists, "artifacts must re-materialize")
+  }
+
+  test("q86 and q92 share one training artifact (no retrain on the second)") {
+    PipelineQueries.cleanupArtifacts(spark)
+    val bpe = new java.io.File(PipelineQueries.bpeArtifactPath(spark, dir))
+    assert(!bpe.exists)
+    PipelineQueries.queries("q86_bpe_train")(spark, dir).collect()
+    assert(bpe.exists)
+    val mergesDir = new java.io.File(bpe, "merges")
+    val stamp = mergesDir.lastModified
+    // q92 must read the persisted artifact, not rewrite it.
+    val enc = PipelineQueries.queries("q92_bpe_encode")(spark, dir).collect()
+    assert(enc.nonEmpty)
+    assert(mergesDir.lastModified == stamp,
+      "q92 re-materialized the BPE artifact instead of sharing it")
+  }
+}
