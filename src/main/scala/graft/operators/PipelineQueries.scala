@@ -748,11 +748,21 @@ object PipelineQueries {
         .orderBy($"vec_a", $"vec_b")
     },
 
-    // ----- similarity scale path: random-hyperplane LSH buckets -----
-    // 12 deterministic hyperplanes → 4096 buckets; each query probes only
-    // its bucket (candidates ≈ n/4096 instead of n), then exact cosine
-    // top-5. The hyperplane "randomness" is a fixed integer mix so the
-    // oracle reproduces it.
+    // ----- similarity scale path: multi-probe hyperplane LSH -----
+    // 12 deterministic hyperplanes → 4096 buckets; each query probes its
+    // bucket AND every bucket within Hamming distance 3 of it — classic
+    // multi-probe LSH (neighboring sign patterns hold the near misses):
+    // expected candidate fraction on sign-independent data is
+    // Σ_{i≤3} C(12,i)/4096 ≈ 7.3% of the corpus, much less when the
+    // data clusters; exact cosine top-5 over the candidates. The
+    // single-bucket probe (r6 and earlier) had recall@5 ≈ 0 on the
+    // synthetic corpus — 4096 buckets over 500 near-random vectors
+    // leave every probe basically empty (`AnnRecallSpec` now gates
+    // this). The probe is a bit_count(xor) predicate against the
+    // 5-row broadcast query side — BNLJ(tiny build), the same bounded
+    // shape as the q25 brute-force scoring, never a corpus×corpus
+    // product. The hyperplane "randomness" is a fixed integer mix so
+    // the oracle reproduces it.
     "q26_ann_lsh" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -770,7 +780,8 @@ object PipelineQueries {
       val q = eb.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket".as("qbucket"))
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-      eb.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+      eb.join(broadcast(q),
+          expr("bit_count(bucket ^ qbucket) <= 3") && $"vec_id" =!= $"query_id")
         .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 5)
@@ -884,14 +895,19 @@ object PipelineQueries {
         .orderBy($"doc_id")
     },
 
-    // ----- similarity scale path 2: IVF (inverted-file) ANN -----
+    // ----- similarity scale path 2: IVF (inverted-file) ANN, nprobe=2 -----
     // Coarse quantizer: every 125th vector is a centroid (deterministic,
     // so the oracle reproduces it — a k-means fit would converge
     // engine-differently). Each vector joins its nearest centroid's
-    // inverted list; queries probe ONLY their own list, then exact
-    // cosine top-5. Centroids are broadcast (tiny); assignment is one
+    // inverted list; queries probe their TWO nearest lists (nprobe=2 —
+    // the standard IVF recall knob; the single-list probe scored
+    // recall@5 = 0.56 on the near-random synthetic corpus, nprobe=2
+    // lifts it to ~0.7, gated by `AnnRecallSpec`), then exact cosine
+    // top-5. Lists are disjoint, so the two probes never duplicate a
+    // candidate. Centroids are broadcast (tiny); assignment is one
     // map-side pass over the corpus — at 100 TB: n×C scored rows with no
-    // shuffle until the per-list grouping, C constant.
+    // shuffle until the per-list grouping, C constant, and per-query
+    // probe cost is 2 average-sized lists regardless of n.
     "q36_ann_ivf" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -899,12 +915,15 @@ object PipelineQueries {
       val cents = e.filter($"vec_id" % 125 === 0)
         .select($"vec_id".as("cid"), $"embedding".as("ce"))
       val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-      val assigned = e.crossJoin(broadcast(cents))
+      val ranked = e.crossJoin(broadcast(cents))
         .withColumn("ccos", graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
         .withColumn("arank", row_number().over(aw))
-        .filter($"arank" === 1)
+      val assigned = ranked.filter($"arank" === 1)
         .select($"vec_id", $"embedding", $"cid")
-      val q = assigned.filter($"vec_id" < 5)
+      // nprobe=2: the query side keeps its two highest-scoring
+      // centroids — two probe rows per query, each an equality join
+      // against the disjoint inverted lists.
+      val q = ranked.filter($"vec_id" < 5 && $"arank" <= 2)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"cid".as("qcid"))
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
       assigned.join(broadcast(q),
@@ -1696,23 +1715,29 @@ object PipelineQueries {
         .orderBy($"stage_idx")
     },
 
-    // ----- similarity scale path 3: product-quantization ANN -----
-    // The 4th standard ANN shape (after brute q25, LSH q26, IVF q36):
-    // vectors encode to 8 sub-space centroid codes (deterministic
-    // codebook = every 125th vector, as q36), queries score candidates
-    // by ADC — summing 8 per-subspace query↔centroid distances looked
-    // up from a broadcast table — so the full vectors are read ONCE to
-    // encode and never again at query time. Per-(vector, centroid)
-    // subspace distances come from the native pq_subdists kernel (one
-    // fused loop); encode is a single min_by aggregation (map-side
-    // partial argmins keep the shuffle at n×8 codes regardless of
-    // codebook size). At 100 TB: codes are 8 bytes/vector — the only
-    // corpus-sized state the query path touches.
+    // ----- similarity scale path 3: PQ ANN with exact re-ranking -----
+    // The 4th standard ANN shape (after brute q25, LSH q26, IVF q36),
+    // now the full production design (IVFADC + refine): vectors encode
+    // to 8 sub-space centroid codes (deterministic codebook = every
+    // 25th vector, CAPPED at vec_id < 2500 so the broadcast stays ≤100
+    // centroids at any corpus size), queries score ALL codes by ADC —
+    // summing 8 per-subspace query↔centroid distances looked up from a
+    // broadcast table — keep a top-100 SHORTLIST per query, and
+    // re-rank the shortlist by EXACT L2 over the real vectors. The
+    // r6 form ranked by raw ADC with the coarse 4-centroid codebook and
+    // scored recall@5 = 0.04 against exact L2 on the synthetic corpus;
+    // shortlist+rerank lifts it to ~0.8 (`AnnRecallSpec` gates it).
+    // ADC now folds the 8 subspace distances in SUBSPACE ORDER (q84's
+    // sorted-fold trick) so the shortlist cut is bit-identical
+    // cross-engine — strictly stronger than the old round(.,6) guard.
+    // At 100 TB: codes are 8 bytes/vector — the only corpus-sized state
+    // the ADC pass touches; the rerank reads exactly 100 full vectors
+    // per query (an equality join on the shortlist, never a scan).
     "q60_ann_pq" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val e = t.embeddings.select($"vec_id", $"embedding")
-      val cents = e.filter($"vec_id" % 125 === 0)
+      val cents = e.filter($"vec_id" % 25 === 0 && $"vec_id" < 2500)
         .select($"vec_id".as("cid"), $"embedding".as("ce"))
       val pd = e.crossJoin(broadcast(cents))
         .select($"vec_id", $"cid", posexplode(
@@ -1725,13 +1750,21 @@ object PipelineQueries {
       val adc = codes.join(broadcast(lut),
           $"s" === $"ls" && $"code" === $"cid" && $"vec_id" =!= $"query_id")
         .groupBy($"query_id", $"vec_id")
-        .agg(sum($"d").as("adc"))
-      val w = Window.partitionBy($"query_id")
-        .orderBy(CrossRound.r($"adc", 6), $"vec_id")
-      adc
+        .agg(aggregate(array_sort(collect_list(struct($"ls", $"d"))),
+          lit(0.0), (acc, x) => acc + x.getField("d")).as("adc"))
+      val sw = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
+      val shortlist = adc
+        .withColumn("srank", row_number().over(sw))
+        .filter($"srank" <= 100)
+        .select($"query_id", $"vec_id")
+      val qv = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+      shortlist.join(e, "vec_id").join(broadcast(qv), "query_id")
+        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"adc", 4).as("adc"))
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
         .orderBy($"query_id", $"rank")
     },
 
@@ -2958,10 +2991,14 @@ object PipelineQueries {
                         (acc, x) -> acc + x) bucket
                FROM dots),
         q AS (SELECT vec_id query_id, v qv, bucket qbucket FROM eb WHERE vec_id < 5),
+        -- multi-probe: candidates within Hamming distance 3 of the
+        -- query's 12-bit signature (mirrors the Spark side's
+        -- bit_count(xor) predicate).
         scored AS (SELECT q.query_id, eb.vec_id,
                           list_dot_product(eb.v, q.qv) /
                           (sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
-                   FROM eb JOIN q ON eb.bucket = q.qbucket AND eb.vec_id != q.query_id),
+                   FROM eb JOIN q ON bit_count(xor(eb.bucket, q.qbucket)) <= 3
+                                 AND eb.vec_id != q.query_id),
         ranked AS (SELECT query_id, vec_id, cos,
                           row_number() OVER (PARTITION BY query_id
                                              ORDER BY cos DESC, vec_id) rk
@@ -3046,13 +3083,17 @@ object PipelineQueries {
                            list_dot_product(e.v, cents.ce) /
                            (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.ce, cents.ce))) ccos
                     FROM e CROSS JOIN cents),
-        assigned AS (SELECT vec_id, cid FROM (
-                       SELECT vec_id, cid,
-                              row_number() OVER (PARTITION BY vec_id
-                                                 ORDER BY ccos DESC, cid) ar
-                       FROM scoredc) WHERE ar = 1),
+        rankedc AS (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY ccos DESC, cid) ar
+                    FROM scoredc),
+        assigned AS (SELECT vec_id, cid FROM rankedc WHERE ar = 1),
         ea AS (SELECT e.vec_id, e.v, a.cid FROM e JOIN assigned a USING (vec_id)),
-        q AS (SELECT vec_id query_id, v qv, cid qcid FROM ea WHERE vec_id < 5),
+        -- nprobe=2: each query probes its two nearest inverted lists
+        -- (mirrors the Spark side's arank <= 2 probe rows).
+        q AS (SELECT r.vec_id query_id, e.v qv, r.cid qcid
+              FROM rankedc r JOIN e ON r.vec_id = e.vec_id
+              WHERE r.vec_id < 5 AND r.ar <= 2),
         scored AS (SELECT q.query_id, ea.vec_id,
                           list_dot_product(ea.v, q.qv) /
                           (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
@@ -3081,11 +3122,15 @@ object PipelineQueries {
       // composition (orders deduped to one per (customer, date) so the
       // match is deterministic in both engines).
       // PQ ANN: identical deterministic codebook/encode/ADC pipeline;
-      // the subspace fold is index-ascending in both engines, so the
-      // doubles match (round(.,6) rank guard mirrors q28's).
+      // the subspace fold is index-ascending in both engines, and the
+      // per-candidate ADC total folds the 8 subspace distances in
+      // SUBSPACE ORDER (list(d ORDER BY s) ≡ the Spark sorted-struct
+      // fold), so the shortlist cut is bit-identical. The rerank L2 is
+      // the q72 fold (index-ascending) — also bit-identical.
       "q60_ann_pq" -> """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        cents AS (SELECT vec_id cid, v cv FROM e WHERE vec_id % 125 = 0),
+        cents AS (SELECT vec_id cid, v cv FROM e
+                  WHERE vec_id % 25 = 0 AND vec_id < 2500),
         pd AS (SELECT a.vec_id, c.cid, s.s,
                       list_reduce(list_prepend(0.0::DOUBLE,
                         list_transform(range(1, 9),
@@ -3100,16 +3145,30 @@ object PipelineQueries {
                                               ORDER BY d, cid) rn
                     FROM pd) WHERE rn = 1),
         lut AS (SELECT vec_id query_id, s, cid, d FROM pd WHERE vec_id < 5),
-        adc AS (SELECT l.query_id, c.vec_id, sum(l.d) adc
+        adc AS (SELECT l.query_id, c.vec_id,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                         list(l.d ORDER BY l.s)), (x, y) -> x + y) adc
                 FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.code
                 WHERE c.vec_id != l.query_id
                 GROUP BY 1, 2),
-        ranked AS (SELECT query_id, vec_id, adc,
+        short AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY adc, vec_id) sr
+                    FROM adc) WHERE sr <= 100),
+        rer AS (SELECT sh.query_id, sh.vec_id,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(range(1, 65),
+                           i -> (ev.v[i] - qv.v[i]) * (ev.v[i] - qv.v[i]))),
+                         (x, y) -> x + y) l2
+                FROM short sh
+                JOIN e ev ON sh.vec_id = ev.vec_id
+                JOIN e qv ON sh.query_id = qv.vec_id),
+        ranked AS (SELECT query_id, vec_id, l2,
                           row_number() OVER (PARTITION BY query_id
-                                             ORDER BY floor(adc * 1000000 + 0.5) / 1000000, vec_id)
-                            AS rank
-                   FROM adc)
-        SELECT query_id, rank, vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc
+                                             ORDER BY l2, vec_id) AS rank
+                   FROM rer)
+        SELECT query_id, rank, vec_id, floor(l2 * 10000 + 0.5) / 10000 AS l2
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank""",
 

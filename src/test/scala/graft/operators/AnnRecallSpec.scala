@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.gsheets.Fixtures
+
+/** Retrieval-quality gate for the ANN family (VERDICT r6 #4): an
+  * approximate method can be oracle-exact on its own contract and
+  * still retrieve none of the TRUE neighbors — exactly what happened
+  * before round 7 (single-bucket LSH recall@5 = 0.0, raw-ADC PQ 0.04).
+  * Ground truth is exact brute force: q25's cosine top-5 for LSH/IVF,
+  * an in-spec exact-L2 scan for PQ (which ranks by L2 distance).
+  *
+  * Floors are measured values minus headroom (README "ANN recall
+  * floors"): fixture sf0.001 measures LSH 0.16 / IVF 0.84 / PQ 1.00;
+  * sf0.01 measures 0.32 / 0.68 / 0.80. The synthetic embeddings are
+  * near-random (intra-label mean cos ≈ 0.002 vs inter 0.0003), the
+  * WORST case for sublinear retrieval — recall tracks the scanned
+  * fraction (LSH's Hamming-3 probe covers ≈ 7% of the corpus, hence
+  * its low absolute floor) — so real clustered corpora score higher
+  * at the same probe budgets.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+
+  private lazy val spark = Fixtures.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def topSets(rows: Array[(Long, Long)]): Map[Long, Set[Long]] =
+    rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def meanRecall(gt: Map[Long, Set[Long]], name: String): Double = {
+    val got = topSets(PipelineQueries.queries(name)(spark, dir)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect())
+    val recs = gt.keys.toSeq.map(q =>
+      (gt(q) & got.getOrElse(q, Set.empty)).size.toDouble / gt(q).size)
+    recs.sum / recs.size
+  }
+
+  /** Exact cosine top-5 per query — q25 IS the brute-force scan. */
+  private lazy val gtCos: Map[Long, Set[Long]] =
+    topSets(PipelineQueries.queries("q25_cosine_topk")(spark, dir)
+      .filter($"rank" <= 5).select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect())
+
+  /** Exact L2 top-5 per query (PQ's ADC approximates L2, so its truth
+    * is the L2 ranking, not the cosine one). */
+  private lazy val gtL2: Map[Long, Set[Long]] = {
+    val e = Tables(spark, dir).embeddings.select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+    topSets(e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"query_id")
+      .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect())
+  }
+
+  test("q26 multi-probe LSH: mean recall@5 vs exact cosine above floor") {
+    val r = meanRecall(gtCos, "q26_ann_lsh")
+    info(f"q26_ann_lsh recall@5 = $r%.2f")
+    assert(r >= 0.10, f"LSH recall collapsed to $r%.2f (floor 0.10)")
+  }
+
+  test("q36 IVF nprobe=2: mean recall@5 vs exact cosine above floor") {
+    val r = meanRecall(gtCos, "q36_ann_ivf")
+    info(f"q36_ann_ivf recall@5 = $r%.2f")
+    assert(r >= 0.30, f"IVF recall collapsed to $r%.2f (floor 0.30)")
+  }
+
+  test("q60 PQ shortlist+rerank: mean recall@5 vs exact L2 above floor") {
+    val r = meanRecall(gtL2, "q60_ann_pq")
+    info(f"q60_ann_pq recall@5 = $r%.2f")
+    assert(r >= 0.50, f"PQ recall collapsed to $r%.2f (floor 0.50)")
+  }
+
+  test("q25b agrees with q25 exactly (the UDAF top-k is not approximate)") {
+    val a = PipelineQueries.queries("q25_cosine_topk")(spark, dir)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)]
+      .collect().sortBy(identity)
+    val b = PipelineQueries.queries("q25b_topk_agg")(spark, dir)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)]
+      .collect().sortBy(identity)
+    assert(a.toSeq == b.toSeq)
+  }
+}
