@@ -55,10 +55,22 @@ object Bench {
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def sum(rs: Seq[(String, Double)]): Double = rs.map(_._2).filter(_ >= 0).sum
+    // Streaming wall times are dominated by per-run job lifecycle
+    // (planning, state-store init, offset/commit WALs); the per-batch
+    // triggerExecution durations from the LAST (warm) run are the
+    // steady-state cost a long-lived stream sees — reported additively
+    // so streaming rows are comparable to batch rows (driver schema
+    // untouched).
+    val batchMs = graft.streaming.StreamingQueries.batchDurationsMs.toSeq
+      .sortBy(_._1)
+      .map { case (k, ds) =>
+        "\"" + k + "\":" + ds.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${sum(results)},"unit":"sec","n_queries":${names.size},""" +
         s""""queries":${fmt(results)},"value_warm":${sum(warm)},""" +
         s""""queries_warm":${fmt(warm)},""" +
+        s""""streaming_batch_ms":$batchMs,""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -2338,6 +2338,90 @@ object PipelineQueries {
           CrossRound.r($"n_chars_toks".cast("double") / $"n_syms", 4)
             .as("compression"))
         .orderBy($"source")
+    },
+
+    // ----- perplexity filtering (the CCNet/RedPajama LM quality gate) -----
+    // The standard "does a language model find this document likely"
+    // filter: train an add-1-smoothed bigram LM on the doc_id%5==0
+    // split (q28's split rule), score EVERY doc's per-bigram negative
+    // log-likelihood, and keep docs at or below the corpus-mean NLL —
+    // a corpus-adaptive threshold, so every fuzz corpus exercises both
+    // sides of the gate. Shape: one bigram-frequency agg (token-sized,
+    // map-side combined), a frequency LEFT join back (unseen bigrams
+    // hit add-1), one doc-keyed agg, and a 1-row threshold broadcast.
+    // Cross-engine: ln has no correct-rounding guarantee (q28's
+    // precedent) but inputs are identical rationals and the per-doc
+    // fold runs in sid-sorted order (q84's trick), so any divergence
+    // is a sub-ulp sum difference absorbed by CrossRound except
+    // exactly at a rounding boundary — the documented residual class.
+    // The keep flag compares ROUNDED nll to the ROUNDED mean, so both
+    // engines decide from identical values. At 100 TB: bigram counts
+    // shuffle once (vocabulary-sized state), docs score map-side after
+    // the frequency join, threshold is one scalar.
+    "q93_perplexity_filter" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val bi = t.documents.repartition($"doc_id")
+        .select($"doc_id", explode(graft.functions.GraftFunctions.polyHashArray(
+          graft.functions.GraftFunctions.shinglesK(expr(toksExpr), 2))).as("sid"))
+        .cache()
+      val train = bi.filter($"doc_id" % 5 === 0)
+      val bf = train.groupBy($"sid").agg(count(lit(1)).as("c"))
+      val stats = train.agg(count(lit(1)).as("tot"),
+        countDistinct($"sid").as("v"))
+      val scored = bi.join(bf, Seq("sid"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("lp",
+          log((coalesce($"c", lit(0L)) + lit(1.0)) / ($"tot" + $"v")))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(array_sort(collect_list(struct($"sid", $"lp"))),
+            lit(0.0), (acc, x) => acc + x.getField("lp")).as("ll"))
+        .withColumn("nll", CrossRound.r(-$"ll" / $"n_bigrams", 4))
+      val thr = scored.agg(CrossRound.r(
+        aggregate(sort_array(collect_list(struct($"nll", $"doc_id"))),
+          lit(0.0), (acc, x) => acc + x.getField("nll")) / count(lit(1)), 6)
+        .as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .select($"doc_id", $"n_bigrams", $"nll", ($"nll" <= $"thr").as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- importance resampling: APPLY the q74 mixture by thinning -----
+    // q74 plans the mixture (weight ∝ √tokens); this op executes it:
+    // each source gets keep-probability p = min(1, B·w_s / tokens_s)
+    // (B = half the corpus's total tokens — CORPUS-ADAPTIVE, so the
+    // gate thins on every fuzz corpus instead of saturating at p = 1
+    // under a fixed budget) and each doc keeps iff its deterministic
+    // scramble fraction u < p — reproducible Bernoulli thinning toward
+    // the temperature-scaled target, the downsample half of the
+    // mixture (upsampling = epochs > 1 is q53's interleave). Map-only
+    // after one #sources-row aggregate: probabilities broadcast, u is
+    // a per-row projection, no window anywhere — the 100 TB shape
+    // outright. Cross-engine: z folds sorted per-source terms (q74's
+    // argument), sqrt is correctly-rounded IEEE, u is a dyadic
+    // rational, and the fixed op chain B·√t/z/t is exactly-rounded on
+    // identical inputs — so u < p is decided on bit-identical doubles.
+    "q94_importance_resample" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val base = t.documents.repartition($"doc_id")
+        .select($"doc_id", $"source", size(expr(toksExpr)).cast("long").as("n"))
+      val per = base.groupBy($"source").agg(sum($"n").as("n_tokens"))
+      val denom = per.agg(
+        aggregate(sort_array(collect_list(sqrt($"n_tokens".cast("double")))),
+          lit(0.0), (acc, x) => acc + x).as("z"),
+        expr("sum(n_tokens) div 2").as("b"))
+      val probs = per.crossJoin(broadcast(denom))
+        .withColumn("p", least(lit(1.0),
+          $"b".cast("double") * sqrt($"n_tokens".cast("double"))
+            / $"z" / $"n_tokens"))
+        .select($"source", $"p")
+      base.join(broadcast(probs), "source")
+        .withColumn("u", expr(scrambleExpr("doc_id")) / lit(4294967296.0))
+        .select($"doc_id", $"source", $"n".as("n_tokens"),
+          CrossRound.r($"p", 6).as("p_keep"), ($"u" < $"p").as("keep"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -3425,6 +3509,57 @@ object PipelineQueries {
                floor(key * 100000000 + 0.5) / 100000000 AS key
         FROM r WHERE rk <= 10
         ORDER BY lang, rk""",
+
+      // Perplexity-filter twin: identical add-1 bigram LM on the same
+      // split, per-doc fold in sid order (equal sids carry equal logps,
+      // so the sorted fold is deterministic), keep decided on ROUNDED
+      // nll vs ROUNDED mean in both engines.
+      "q93_perplexity_filter" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) bigram FROM toks),
+        bs AS (SELECT doc_id, ${oraclePolyHash("bigram")} sid FROM bg),
+        train AS (SELECT * FROM bs WHERE doc_id % 5 = 0),
+        bf AS (SELECT sid, count(1) c FROM train GROUP BY 1),
+        st AS (SELECT count(1) tot, count(DISTINCT sid) v FROM train),
+        lp AS (SELECT b.doc_id, b.sid,
+                      ln((coalesce(bf.c, 0) + 1.0) / (st.tot + st.v)) lp
+               FROM bs b LEFT JOIN bf USING (sid) CROSS JOIN st),
+        scored AS (SELECT doc_id, CAST(count(1) AS BIGINT) n_bigrams,
+                          floor((-list_reduce(list_prepend(0.0::DOUBLE,
+                            list(lp ORDER BY sid)), (a, b) -> a + b)
+                            / count(1)) * 10000 + 0.5) / 10000 nll
+                   FROM lp GROUP BY doc_id),
+        thr AS (SELECT floor((list_reduce(list_prepend(0.0::DOUBLE,
+                          list_sort(list(nll))), (a, b) -> a + b)
+                        / count(1)) * 1000000 + 0.5) / 1000000 thr
+                FROM scored)
+        SELECT doc_id, n_bigrams, nll, nll <= thr.thr AS keep
+        FROM scored, thr
+        ORDER BY doc_id""",
+
+      // Resample twin: same sorted-fold denominator as q74, same single
+      // op chain for p, same dyadic scramble fraction for u — u < p is
+      // decided on bit-identical doubles.
+      "q94_importance_resample" -> s"""
+        WITH t AS (SELECT doc_id, source,
+                          CAST(len($toks) AS BIGINT) n FROM documents),
+        per AS (SELECT source, CAST(sum(n) AS BIGINT) n_tokens
+                FROM t GROUP BY 1),
+        z AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                       list_sort(list(sqrt(n_tokens::DOUBLE)))),
+                     (a, b) -> a + b) z,
+                     CAST(sum(n_tokens) // 2 AS BIGINT) b
+              FROM per),
+        pr AS (SELECT source,
+                      least(1.0, z.b::DOUBLE * sqrt(n_tokens::DOUBLE) / z.z
+                                 / n_tokens) p
+               FROM per, z)
+        SELECT t.doc_id, t.source, t.n AS n_tokens,
+               floor(p * 1000000 + 0.5) / 1000000 AS p_keep,
+               (${oracleScramble("t.doc_id")}) / 4294967296.0 < p AS keep
+        FROM t JOIN pr USING (source)
+        ORDER BY doc_id""",
 
       "q79_budget_select" -> s"""
         WITH t AS (SELECT source, doc_id,

@@ -68,8 +68,19 @@ object StreamingQueries {
   val executedPlans =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Per-micro-batch `triggerExecution` durations (ms) of the most
+    * recent run of each streaming query, captured alongside the plan
+    * (VERDICT r6 #8): the bench wall time for a streaming query is
+    * dominated by job lifecycle (planning, state-store init, WALs), so
+    * Bench reports these as `streaming_batch_ms` — the steady-state
+    * number a long-lived stream actually sees — next to the wall time.
+    * Public for the same reason as [[executedPlans]]. */
+  val batchDurationsMs =
+    scala.collection.concurrent.TrieMap[String, Seq[Long]]()
+
   /** Captures `q.explain()`'s output (the public surface over
-    * `lastExecution.executedPlan`) without touching private[sql] API. */
+    * `lastExecution.executedPlan`) without touching private[sql] API,
+    * plus the run's per-batch durations from the progress log. */
   private def capturePlan(name: String,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try {
@@ -78,6 +89,9 @@ object StreamingQueries {
         q.explain()
       }
       executedPlans(name) = bos.toString("UTF-8")
+      batchDurationsMs(name) = q.recentProgress.toSeq
+        .flatMap(p => Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue()))
     } catch { case _: Throwable => () }
 
   /** events.parquet schema for readStream (file sources need an explicit
