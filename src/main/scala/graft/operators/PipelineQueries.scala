@@ -2346,9 +2346,12 @@ object PipelineQueries {
     // split (q28's split rule), score EVERY doc's per-bigram negative
     // log-likelihood, and keep docs at or below the corpus-mean NLL —
     // a corpus-adaptive threshold, so every fuzz corpus exercises both
-    // sides of the gate. Shape: one bigram-frequency agg (token-sized,
-    // map-side combined), a frequency LEFT join back (unseen bigrams
-    // hit add-1), one doc-keyed agg, and a 1-row threshold broadcast.
+    // sides of the gate. Shape: occurrences pre-aggregate to
+    // (doc, sid, multiplicity) BEFORE anything crosses the wire (the
+    // q71 trick — repeated bigrams ride as one row), then one
+    // bigram-frequency agg (vocabulary-sized, map-side combined), a
+    // frequency LEFT join back (unseen bigrams hit add-1), one
+    // doc-keyed agg, and a 1-row threshold broadcast.
     // Cross-engine: ln has no correct-rounding guarantee (q28's
     // precedent) but inputs are identical rationals and the per-doc
     // fold runs in sid-sorted order (q84's trick), so any divergence
@@ -2361,22 +2364,23 @@ object PipelineQueries {
     "q93_perplexity_filter" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val bi = t.documents.repartition($"doc_id")
+      val occ = t.documents.repartition($"doc_id")
         .select($"doc_id", explode(graft.functions.GraftFunctions.polyHashArray(
           graft.functions.GraftFunctions.shinglesK(expr(toksExpr), 2))).as("sid"))
+        .groupBy($"doc_id", $"sid").agg(count(lit(1)).as("n"))
         .cache()
-      val train = bi.filter($"doc_id" % 5 === 0)
-      val bf = train.groupBy($"sid").agg(count(lit(1)).as("c"))
-      val stats = train.agg(count(lit(1)).as("tot"),
+      val train = occ.filter($"doc_id" % 5 === 0)
+      val bf = train.groupBy($"sid").agg(sum($"n").as("c"))
+      val stats = train.agg(sum($"n").as("tot"),
         countDistinct($"sid").as("v"))
-      val scored = bi.join(bf, Seq("sid"), "left")
+      val scored = occ.join(bf, Seq("sid"), "left")
         .crossJoin(broadcast(stats))
-        .withColumn("lp",
+        .withColumn("nlp", $"n" *
           log((coalesce($"c", lit(0L)) + lit(1.0)) / ($"tot" + $"v")))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          aggregate(array_sort(collect_list(struct($"sid", $"lp"))),
-            lit(0.0), (acc, x) => acc + x.getField("lp")).as("ll"))
+        .agg(sum($"n").as("n_bigrams"),
+          aggregate(array_sort(collect_list(struct($"sid", $"nlp"))),
+            lit(0.0), (acc, x) => acc + x.getField("nlp")).as("ll"))
         .withColumn("nll", CrossRound.r(-$"ll" / $"n_bigrams", 4))
       val thr = scored.agg(CrossRound.r(
         aggregate(sort_array(collect_list(struct($"nll", $"doc_id"))),
@@ -3519,16 +3523,19 @@ object PipelineQueries {
         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
                  i -> tk[i] || ' ' || tk[i+1])) bigram FROM toks),
         bs AS (SELECT doc_id, ${oraclePolyHash("bigram")} sid FROM bg),
-        train AS (SELECT * FROM bs WHERE doc_id % 5 = 0),
-        bf AS (SELECT sid, count(1) c FROM train GROUP BY 1),
-        st AS (SELECT count(1) tot, count(DISTINCT sid) v FROM train),
-        lp AS (SELECT b.doc_id, b.sid,
-                      ln((coalesce(bf.c, 0) + 1.0) / (st.tot + st.v)) lp
-               FROM bs b LEFT JOIN bf USING (sid) CROSS JOIN st),
-        scored AS (SELECT doc_id, CAST(count(1) AS BIGINT) n_bigrams,
+        bsn AS (SELECT doc_id, sid, CAST(count(1) AS BIGINT) n
+                FROM bs GROUP BY 1, 2),
+        train AS (SELECT * FROM bsn WHERE doc_id % 5 = 0),
+        bf AS (SELECT sid, CAST(sum(n) AS BIGINT) c FROM train GROUP BY 1),
+        st AS (SELECT CAST(sum(n) AS BIGINT) tot, count(DISTINCT sid) v
+               FROM train),
+        lp AS (SELECT b.doc_id, b.sid, b.n,
+                      b.n * ln((coalesce(bf.c, 0) + 1.0) / (st.tot + st.v)) nlp
+               FROM bsn b LEFT JOIN bf USING (sid) CROSS JOIN st),
+        scored AS (SELECT doc_id, CAST(sum(n) AS BIGINT) n_bigrams,
                           floor((-list_reduce(list_prepend(0.0::DOUBLE,
-                            list(lp ORDER BY sid)), (a, b) -> a + b)
-                            / count(1)) * 10000 + 0.5) / 10000 nll
+                            list(nlp ORDER BY sid)), (a, b) -> a + b)
+                            / sum(n)) * 10000 + 0.5) / 10000 nll
                    FROM lp GROUP BY doc_id),
         thr AS (SELECT floor((list_reduce(list_prepend(0.0::DOUBLE,
                           list_sort(list(nll))), (a, b) -> a + b)

@@ -45,6 +45,26 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
     assert(bpe.exists && index.exists, "artifacts must re-materialize")
   }
 
+  test("concurrent callers of one artifact block until the build completes") {
+    // The ADVICE r6 race: under check-then-write, a second caller whose
+    // membership test lost proceeded straight to reading a half-written
+    // parquet. computeIfAbsent makes losers BLOCK; four threads racing
+    // the same cold artifact must all read the complete result.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    PipelineQueries.cleanupArtifacts(spark)
+    assert(!new java.io.File(PipelineQueries.bpeArtifactPath(spark, dir)).exists)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val runs = (1 to 4).map(_ => Future {
+        PipelineQueries.queries("q86_bpe_train")(spark, dir).collect().length
+      })
+      val ns = Await.result(Future.sequence(runs), 5.minutes)
+      assert(ns.forall(_ == 3), s"a racer saw a partial artifact: $ns")
+    } finally pool.shutdown()
+  }
+
   test("q86 and q92 share one training artifact (no retrain on the second)") {
     PipelineQueries.cleanupArtifacts(spark)
     val bpe = new java.io.File(PipelineQueries.bpeArtifactPath(spark, dir))
