@@ -462,6 +462,37 @@ object PipelineQueries {
     (s.read.parquet(s"$base/merges"), s.read.parquet(s"$base/words"))
   }
 
+  /** Two-iteration Lloyd's assignment over the embeddings — the q72
+    * machinery (see its registry comment for the shape and the float
+    * contract), factored out so q95 can evaluate cluster purity on the
+    * SAME assignment it reports. Returns (vec_id, cluster_init,
+    * cluster), unordered.
+    */
+  private[operators] def kmeansAssignments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val e = t.embeddings.select($"vec_id", $"embedding").cache()
+    val c0 = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("ce"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
+        .groupBy($"vec_id")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("cid"))
+    val a1 = assign(c0)
+    val c1 = a1.join(e, "vec_id")
+      .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"cid", $"dim")
+      .agg(CrossRound.r(avg($"v"), 6).as("m"))
+      .groupBy($"cid")
+      .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pm"))
+      .select($"cid", expr("transform(pm, x -> x.m)").as("ce"))
+    val a2 = assign(c1)
+    a1.select($"vec_id", $"cid".as("cluster_init"))
+      .join(a2.select($"vec_id", $"cid".as("cluster")), "vec_id")
+      .select($"vec_id", $"cluster_init", $"cluster")
+  }
+
   private[graft] def dedupLabelsPath(s: SparkSession, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_dedup_labels_" +
       s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
@@ -1798,29 +1829,7 @@ object PipelineQueries {
     // contract. Distances then fold bit-identically (left-to-right,
     // all-double) and ties break on the lowest centroid id.
     "q72_kmeans_train" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val e = t.embeddings.select($"vec_id", $"embedding").cache()
-      val c0 = e.filter($"vec_id" < 8)
-        .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("ce"))
-      def assign(cents: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cents))
-          .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
-          .groupBy($"vec_id")
-          .agg(min_by($"cid", struct($"d", $"cid")).as("cid"))
-      val a1 = assign(c0)
-      val c1 = a1.join(e, "vec_id")
-        .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
-        .groupBy($"cid", $"dim")
-        .agg(CrossRound.r(avg($"v"), 6).as("m"))
-        .groupBy($"cid")
-        .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pm"))
-        .select($"cid", expr("transform(pm, x -> x.m)").as("ce"))
-      val a2 = assign(c1)
-      a1.select($"vec_id", $"cid".as("cluster_init"))
-        .join(a2.select($"vec_id", $"cid".as("cluster")), "vec_id")
-        .select($"vec_id", $"cluster_init", $"cluster")
-        .orderBy($"vec_id")
+      kmeansAssignments(s, dir).orderBy(col("vec_id"))
     },
 
     // ----- hashed-feature quality classifier (fastText-style linear model) -----
@@ -2426,6 +2435,191 @@ object PipelineQueries {
         .select($"doc_id", $"source", $"n".as("n_tokens"),
           CrossRound.r($"p", 6).as("p_keep"), ($"u" < $"p").as("keep"))
         .orderBy($"doc_id")
+    },
+
+    // ----- cluster purity: label-based evaluation of the quantizer -----
+    // The evaluation step after clustering: how well do q72's k-means
+    // cells align with the embedding labels (the one schema column no
+    // operator consumed)? Per cluster: size, majority label (tie →
+    // lowest label), and purity = majority fraction — the standard
+    // external clustering metric. Reuses the EXACT assignment q72
+    // reports ([[kmeansAssignments]]); after it, everything is integer
+    // counting over a #clusters × #labels relation (bounded: 8 × 10),
+    // one equality join on vec_id and two tiny aggregates — nothing
+    // here grows with the corpus beyond the assignment pass itself.
+    "q95_cluster_purity" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val a = kmeansAssignments(s, dir).select($"vec_id", $"cluster")
+      val cl = a.join(t.embeddings.select($"vec_id", $"label"), "vec_id")
+        .groupBy($"cluster", $"label").agg(count(lit(1)).as("n"))
+      cl.groupBy($"cluster")
+        .agg(sum($"n").as("n_vecs"),
+          min_by(struct($"label", $"n"), struct(-$"n", $"label")).as("top"))
+        .select($"cluster", $"n_vecs",
+          $"top.label".as("top_label"), $"top.n".as("n_top"),
+          CrossRound.r($"top.n".cast("double") / $"n_vecs", 4).as("purity"))
+        .orderBy($"cluster")
+    },
+
+    // ----- stratified train/val/test split: exact counts per stratum -----
+    // The split every training pipeline runs before anything else:
+    // within each source, docs rank by their deterministic scramble
+    // (ties impossible to matter — doc_id breaks them) and the first
+    // ⌊0.8n⌋ go to train, the next ⌊0.9n⌋−⌊0.8n⌋ to val, the rest to
+    // test — EXACT integer counts per stratum (a Bernoulli split like
+    // q47 only hits 80/10/10 in expectation; eval sets care about the
+    // exact count). rn and n ride the SAME per-source window partition
+    // (one shuffle); boundaries are integer arithmetic, so both engines
+    // agree without a float anywhere. At 100 TB: rank-within-stratum is
+    // a per-source window — partition-parallel across sources, and the
+    // documented two-pass rank-threshold form (q85) applies verbatim if
+    // one stratum outgrows a task.
+    "q96_train_split" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val w = Window.partitionBy($"source")
+      val wr = w.orderBy($"u", $"doc_id")
+      t.documents
+        .select($"doc_id", $"source",
+          expr(scrambleExpr("doc_id")).as("u"))
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(w))
+        .select($"doc_id", $"source",
+          when($"rn" <= expr("(8 * n) div 10"), "train")
+            .when($"rn" <= expr("(9 * n) div 10"), "val")
+            .otherwise("test").as("split"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- cross-source overlap matrix: which corpora share content -----
+    // Pairwise shingle-set Jaccard BETWEEN SOURCES — the corpus-level
+    // contamination audit (q51/q54 answer it per document; mixture
+    // design wants the source×source view: is source C a re-crawl of
+    // A?). Shape: distinct (source, sid) — one shuffle — then each
+    // sid's sorted source list (bounded by #sources, so per-key state
+    // is O(1)) emits its i<j pairs MAP-SIDE and the pair counts ARE
+    // the intersection sizes; per-source set sizes ride a tiny
+    // broadcast. Never a self-join on the shingle relation, never
+    // all-pairs over docs: at 100 TB this is one dedup shuffle plus
+    // integer counting over a #sources²-bounded relation. Pairs with
+    // an empty intersection don't appear (they share no sid — and no
+    // row — by construction).
+    "q97_source_overlap" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val ss = t.documents.repartition($"doc_id")
+        .select($"source", explode(
+          graft.functions.GraftFunctions.polyHashArray(shinglesCol())).as("sid"))
+        .distinct()
+      val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n"))
+      val pairs = ss.groupBy($"sid")
+        .agg(sort_array(collect_list($"source")).as("srcs"))
+        .filter(size($"srcs") >= 2)
+        .select(explode(expr(
+          """flatten(transform(srcs, (a, i) ->
+               transform(slice(srcs, i + 2, size(srcs)),
+                         b -> named_struct('source_a', a, 'source_b', b))))"""))
+          .as("p"))
+        .select($"p.source_a", $"p.source_b")
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("n_a"))),
+          "source_a")
+        .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("n_b"))),
+          "source_b")
+        .select($"source_a", $"source_b", $"n_common", $"n_a", $"n_b",
+          CrossRound.r($"n_common".cast("double")
+            / ($"n_a" + $"n_b" - $"n_common"), 4).as("jaccard"))
+        .orderBy($"source_a", $"source_b")
+    },
+
+    // ----- per-source lexical profile: TTR, hapax rate, head mass -----
+    // The corpus-statistics panel mixture designers read before
+    // weighting sources: type/token ratio (lexical diversity), hapax
+    // fraction (long-tail share), top-10 token mass (head
+    // concentration — high = templated/boilerplate-ish source). Every
+    // metric is a RATIO OF INTEGERS from one (source, token) count
+    // shuffle — the one float op per metric is a single division of
+    // identical integers, so both engines round identical doubles (no
+    // order-sensitive float fold anywhere, unlike entropy — deliberate
+    // metric choice). Top-10 rides a per-source window over the
+    // vocabulary-sized count relation (tie → lexicographic token);
+    // at 100 TB vocabulary per source is bounded by the language, and
+    // the q85 two-pass threshold form applies if one source's vocab
+    // outgrows a task.
+    "q98_source_lexical" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val tc = t.documents.repartition($"doc_id")
+        .select($"source", explode(expr(toksExpr)).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+        .cache()
+      val per = tc.groupBy($"source").agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      val w = Window.partitionBy($"source").orderBy($"c".desc, $"tok")
+      val top10 = tc.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .groupBy($"source").agg(sum($"c").as("top10"))
+      per.join(broadcast(top10), "source")
+        .select($"source", $"n_tokens", $"n_types",
+          CrossRound.r($"n_types".cast("double") / $"n_tokens", 4).as("ttr"),
+          CrossRound.r($"n_hapax".cast("double") / $"n_types", 4).as("hapax_frac"),
+          CrossRound.r($"top10".cast("double") / $"n_tokens", 4).as("top10_mass"))
+        .orderBy($"source")
+    },
+
+    // ----- label cohesion/separation: is the embedding space usable? -----
+    // The embedding-quality gate run before any similarity-based
+    // curation (ANN dedup, semantic clustering): per label, how tight
+    // is the class (MEDIAN member→centroid L2², not mean — the median
+    // is selection over bit-identical doubles, order-free, where a
+    // mean would re-open the summation-order ulp hazard q72 documents)
+    // and how far is the nearest other class (min inter-centroid L2²,
+    // tie → lowest label). separation = nearest/intra: > 1 means
+    // classes are tighter than their spacing. Centroids follow q72's
+    // update-step contract (per-dim avg rounded 6 dp); member
+    // distances are one broadcast join + the codegen'd l2_sq kernel;
+    // the centroid×centroid relation is #labels² — bounded, broadcast.
+    // At 100 TB: one corpus pass for centroids, one for distances,
+    // exact median per label via q17c's two-pass rank selection if a
+    // label outgrows one aggregation buffer.
+    "q99_label_cohesion" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"label", $"vec_id", $"embedding")
+      val cent = e
+        .select($"label",
+          posexplode($"embedding".cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy($"label", $"dim").agg(CrossRound.r(avg($"v"), 6).as("m"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pm"))
+        .select($"label".as("clabel"), expr("transform(pm, x -> x.m)").as("ce"))
+      val intra = e.join(broadcast(cent), $"label" === $"clabel")
+        .select($"label",
+          graft.functions.GraftFunctions.l2Sq($"embedding", $"ce").as("d"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("percentile(d, 0.5)").as("med_raw"))
+      val near = cent.select($"clabel".as("la"), $"ce".as("ca"))
+        .crossJoin(broadcast(cent.select($"clabel".as("lb"), $"ce".as("cb"))))
+        .filter($"la" =!= $"lb")
+        .select($"la",
+          graft.functions.GraftFunctions.l2Sq($"ca", $"cb").as("dc"), $"lb")
+        .groupBy($"la")
+        .agg(min_by(struct($"lb", $"dc"), struct($"dc", $"lb")).as("nb"))
+        .select($"la".as("label"), $"nb.lb".as("nearest_label"),
+          $"nb.dc".as("dc_raw"))
+      intra.join(broadcast(near), "label")
+        .select($"label", $"n_vecs",
+          CrossRound.r($"med_raw", 4).as("intra_d2"),
+          $"nearest_label",
+          CrossRound.r($"dc_raw", 4).as("inter_d2"),
+          CrossRound.r($"dc_raw" / $"med_raw", 4).as("separation"))
+        .orderBy($"label")
     }
   )
 
@@ -2537,6 +2731,39 @@ object PipelineQueries {
           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle FROM toks))"""
     val cosFragment = """
       e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"""
+    // q72's full two-iteration Lloyd's CTE chain (initial centroids →
+    // assignment → round(avg,6) update → re-assignment), factored once
+    // so q95's purity evaluation runs on the IDENTICAL assignment.
+    val kmeansOracleCtes = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        c0 AS (SELECT vec_id cid, v ce FROM e WHERE vec_id < 8),
+        d1 AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 65),
+                     i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))),
+                   (x, y) -> x + y) d
+               FROM e CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d, cid) rn
+                 FROM d1) WHERE rn = 1),
+        cm AS (SELECT a1.cid, t.dim, floor(avg(e.v[t.dim + 1]) * 1000000 + 0.5) / 1000000 m
+               FROM a1 JOIN e USING (vec_id)
+                    CROSS JOIN (SELECT unnest(range(0, 64)) dim) t
+               GROUP BY 1, 2),
+        c1 AS (SELECT cid, list(m ORDER BY dim) ce FROM cm GROUP BY cid),
+        d2 AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 65),
+                     i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))),
+                   (x, y) -> x + y) d
+               FROM e CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d, cid) rn
+                 FROM d2) WHERE rn = 1)"""
     // DuckDB twin of [[graft.functions.HyperplaneDots]]: the identical index-ordered left
     // fold, so the per-hyperplane dot products match Spark's bit-for-bit.
     def hyperDots(nH: Int) = s"""
@@ -3264,39 +3491,137 @@ object PipelineQueries {
       // ORDER BY d, cid. Distances fold left-to-right over doubles in
       // both engines (l2_sq ≡ list_reduce), iteration-2 centroids are
       // round(avg, 6) in both, so assignments match exactly.
-      "q72_kmeans_train" -> """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        c0 AS (SELECT vec_id cid, v ce FROM e WHERE vec_id < 8),
-        d1 AS (SELECT e.vec_id, c.cid,
-                 list_reduce(list_prepend(0.0::DOUBLE,
-                   list_transform(range(1, 65),
-                     i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))),
-                   (x, y) -> x + y) d
-               FROM e CROSS JOIN c0 c),
-        a1 AS (SELECT vec_id, cid FROM (
-                 SELECT vec_id, cid,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY d, cid) rn
-                 FROM d1) WHERE rn = 1),
-        cm AS (SELECT a1.cid, t.dim, floor(avg(e.v[t.dim + 1]) * 1000000 + 0.5) / 1000000 m
-               FROM a1 JOIN e USING (vec_id)
-                    CROSS JOIN (SELECT unnest(range(0, 64)) dim) t
-               GROUP BY 1, 2),
-        c1 AS (SELECT cid, list(m ORDER BY dim) ce FROM cm GROUP BY cid),
-        d2 AS (SELECT e.vec_id, c.cid,
-                 list_reduce(list_prepend(0.0::DOUBLE,
-                   list_transform(range(1, 65),
-                     i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))),
-                   (x, y) -> x + y) d
-               FROM e CROSS JOIN c1 c),
-        a2 AS (SELECT vec_id, cid FROM (
-                 SELECT vec_id, cid,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY d, cid) rn
-                 FROM d2) WHERE rn = 1)
+      "q72_kmeans_train" -> s"""
+        $kmeansOracleCtes
         SELECT a1.vec_id, a1.cid AS cluster_init, a2.cid AS cluster
         FROM a1 JOIN a2 USING (vec_id)
         ORDER BY vec_id""",
+
+      // Purity twin over the SAME assignment CTEs: integer counting
+      // only after the join; majority tie broken by lowest label in
+      // both engines (ORDER BY n DESC, label ≡ min_by struct(-n, label)).
+      "q95_cluster_purity" -> s"""
+        $kmeansOracleCtes,
+        lbl AS (SELECT a2.vec_id, a2.cid AS cluster, emb.label
+                FROM a2 JOIN embeddings emb USING (vec_id)),
+        cl AS (SELECT cluster, label, CAST(count(1) AS BIGINT) n
+               FROM lbl GROUP BY 1, 2),
+        per AS (SELECT cluster, CAST(sum(n) AS BIGINT) n_vecs
+                FROM cl GROUP BY 1),
+        top AS (SELECT cluster, label top_label, n n_top FROM (
+                  SELECT cluster, label, n,
+                         row_number() OVER (PARTITION BY cluster
+                                            ORDER BY n DESC, label) rn
+                  FROM cl) WHERE rn = 1)
+        SELECT per.cluster AS cluster, n_vecs, top_label, n_top,
+               floor((n_top::DOUBLE / n_vecs) * 10000 + 0.5) / 10000 AS purity
+        FROM per JOIN top USING (cluster)
+        ORDER BY cluster""",
+
+      // Integer-only split boundaries: both engines rank on the same
+      // dyadic scramble key and compare rn against (8n)//10 / (9n)//10.
+      "q96_train_split" -> s"""
+        WITH t AS (SELECT doc_id, source,
+                          (${oracleScramble("doc_id")}) u
+                   FROM documents),
+        r AS (SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY u, doc_id) rn,
+                     count(1) OVER (PARTITION BY source) n
+              FROM t)
+        SELECT doc_id, source,
+               CASE WHEN rn <= (8 * n) // 10 THEN 'train'
+                    WHEN rn <= (9 * n) // 10 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r
+        ORDER BY doc_id""",
+
+      // Intersection = count over the sid equi-join (DuckDB's planner
+      // handles the self-join fine at oracle scale; the Spark side uses
+      // the map-side bounded-list form — same relation either way).
+      // Jaccard is one division rounded at 4 dp in both engines.
+      "q97_source_overlap" -> s"""
+        WITH toks AS (SELECT doc_id, source, $toks tk FROM documents),
+        shr AS (SELECT DISTINCT source, shingle FROM (
+          SELECT source, unnest(list_transform(range(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
+          FROM toks)),
+        ss AS (SELECT DISTINCT source, ${oraclePolyHash("shingle")} sid
+               FROM shr),
+        sizes AS (SELECT source, CAST(count(1) AS BIGINT) n
+                  FROM ss GROUP BY 1),
+        inter AS (SELECT a.source source_a, b.source source_b,
+                         CAST(count(1) AS BIGINT) n_common
+                  FROM ss a JOIN ss b
+                    ON a.sid = b.sid AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+               floor((n_common::DOUBLE / (sa.n + sb.n - n_common))
+                     * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter JOIN sizes sa ON source_a = sa.source
+                   JOIN sizes sb ON source_b = sb.source
+        ORDER BY source_a, source_b""",
+
+      // Every metric divides identical BIGINTs — the doubles being
+      // rounded are bit-identical across engines by IEEE division.
+      "q98_source_lexical" -> s"""
+        WITH toks AS (SELECT doc_id, source, $toks tk FROM documents),
+        inst AS (SELECT source, unnest(tk) tok FROM toks),
+        tc AS (SELECT source, tok, CAST(count(1) AS BIGINT) c
+               FROM inst GROUP BY 1, 2),
+        per AS (SELECT source, CAST(sum(c) AS BIGINT) n_tokens,
+                       CAST(count(1) AS BIGINT) n_types,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) n_hapax
+                FROM tc GROUP BY 1),
+        t10 AS (SELECT source, CAST(sum(c) AS BIGINT) top10 FROM (
+                  SELECT source, c,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY c DESC, tok) rn
+                  FROM tc) WHERE rn <= 10 GROUP BY 1)
+        SELECT per.source AS source, n_tokens, n_types,
+               floor((n_types::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS ttr,
+               floor((n_hapax::DOUBLE / n_types) * 10000 + 0.5) / 10000 AS hapax_frac,
+               floor((top10::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS top10_mass
+        FROM per JOIN t10 USING (source)
+        ORDER BY source""",
+
+      // Centroids follow q72's cm CTE (round(avg,6) per dim); the
+      // median is quantile_cont ≡ Spark's percentile — selection +
+      // one interpolation over bit-identical doubles, order-free.
+      "q99_label_cohesion" -> s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+        cm AS (SELECT label, t.dim,
+                      floor(avg(e.v[t.dim + 1]) * 1000000 + 0.5) / 1000000 m
+               FROM e CROSS JOIN (SELECT unnest(range(0, 64)) dim) t
+               GROUP BY 1, 2),
+        c AS (SELECT label, list(m ORDER BY dim) ce FROM cm GROUP BY label),
+        dm AS (SELECT e.label, list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, 65),
+                   i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))),
+                 (x, y) -> x + y) d
+               FROM e JOIN c USING (label)),
+        intra AS (SELECT label, CAST(count(1) AS BIGINT) n_vecs,
+                         quantile_cont(d, 0.5) med
+                  FROM dm GROUP BY 1),
+        cc AS (SELECT a.label la, b.label lb,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, 65),
+                          i -> (a.ce[i] - b.ce[i]) * (a.ce[i] - b.ce[i]))),
+                        (x, y) -> x + y) dc
+               FROM c a JOIN c b ON a.label != b.label),
+        near AS (SELECT la AS label, lb nearest_label, dc FROM (
+                   SELECT la, lb, dc,
+                          row_number() OVER (PARTITION BY la
+                                             ORDER BY dc, lb) rn
+                   FROM cc) WHERE rn = 1)
+        SELECT intra.label AS label, n_vecs,
+               floor(med * 10000 + 0.5) / 10000 AS intra_d2,
+               nearest_label,
+               floor(dc * 10000 + 0.5) / 10000 AS inter_d2,
+               floor((dc / med) * 10000 + 0.5) / 10000 AS separation
+        FROM intra JOIN near USING (label)
+        ORDER BY label""",
 
       // Weight formula mirrors q73's Scala-side literal exactly: both
       // are the Knuth scramble of the bucket index, multiples of 2^-32,

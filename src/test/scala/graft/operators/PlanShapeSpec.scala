@@ -262,6 +262,89 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 4, s"q92 grew to $shuffles distinct shuffles:\n$p")
   }
 
+  test("q93: the LM join is equality on sid; threshold rides a 1-row broadcast") {
+    val p = plan("q93_perplexity_filter")
+    assert(!p.contains("CartesianProduct"), s"q93 grew a cartesian:\n$p")
+    // The bigram-LM probabilities join back by equality on the bigram
+    // sid; only the 1-row corpus-mean threshold may ride a BNLJ. A BNLJ
+    // whose build side is a corpus-derived relation would be the
+    // all-pairs failure shape.
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"q93 lost its equality LM join:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 6, s"q93 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q94: resampling is map-only after the #sources aggregate") {
+    val p = plan("q94_importance_resample")
+    assert(!p.contains("CartesianProduct"), s"q94 grew a cartesian:\n$p")
+    // No window: the keep decision is u < p with p broadcast per
+    // source. A Window node here means the rank-threshold form leaked
+    // back into the default path.
+    assert(!p.contains("Window"), s"q94 grew a window (rank form leaked):\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 4, s"q94 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q95: purity is bounded counting over the shared assignment") {
+    val p = plan("q95_cluster_purity")
+    assert(!p.contains("CartesianProduct"), s"q95 grew a cartesian:\n$p")
+    // The label join on vec_id must stay an equality join; the only
+    // BNLJ allowed is the broadcast-tiny centroid table inside the
+    // shared k-means assignment.
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"q95 lost its equality label join:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 7, s"q95 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q96: both split boundaries ride ONE per-source window partition") {
+    val p = plan("q96_train_split")
+    // rn and n must share the same window frame's exchange — a second
+    // Window partitioning would mean the count leaked into its own
+    // shuffle.
+    assert(p.contains("Window"), s"q96 lost its window:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 2, s"q96 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q97: overlap counting never self-joins the shingle relation") {
+    val p = plan("q97_source_overlap")
+    // Pair generation is map-side from per-sid source lists; the only
+    // joins are the two broadcast-tiny size lookups.
+    assert(!p.contains("SortMergeJoin"),
+      s"q97 grew a sort-merge join (shingle self-join shape leaked):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q97 lost its size joins:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 6, s"q97 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q98: all three metrics come off one (source, token) count") {
+    val p = plan("q98_source_lexical")
+    assert(p.contains("Window"), s"q98 lost its top-10 window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q98's profile join degraded to sort-merge:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 6, s"q98 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q99: distances ride equality/broadcast joins only") {
+    val p = plan("q99_label_cohesion")
+    // Member→centroid distances join by label equality (broadcast-tiny
+    // centroid build); the only BNLJ allowed is the #labels² centroid
+    // cross — never a corpus-sized build.
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 8, s"q99 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  // Distinct-normalized data-shuffle count (cached subtrees reprint per
+  // use site — same normalization as tools/gen_plans).
+  private def distinctShuffles(p: String): Int = p.linesIterator
+    .map(_.replaceAll("^[\\s:+*-]+", "").replaceAll("#\\d+L?", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x"))
+    .filter(l => l.startsWith("Exchange") && !l.contains("SinglePartition"))
+    .toSet.size
+
   test("q73: the classifier is map-only ahead of the output sort") {
     val p = plan("q73_quality_classifier")
     val shuffles = "Exchange".r.findAllIn(p).size -

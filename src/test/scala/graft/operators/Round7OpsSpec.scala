@@ -49,6 +49,120 @@ class Round7OpsSpec extends AnyFunSuite {
       s"train mean ${m(true)} should be below held-out mean ${m(false)}")
   }
 
+  test("q95: clusters partition the corpus, purity is the majority fraction") {
+    val out = PipelineQueries.queries("q95_cluster_purity")(spark, dir).cache()
+    val nVecs = Tables(spark, dir).embeddings.count()
+    assert(out.agg(sum($"n_vecs")).first.getLong(0) == nVecs,
+      "cluster sizes must partition the embedding corpus")
+    assert(out.filter($"n_top" > $"n_vecs" || $"n_top" < 1).isEmpty)
+    assert(out.filter($"purity" <= 0 || $"purity" > 1).isEmpty)
+    // Majority really is the majority: recompute per-cluster label
+    // counts from the SAME assignment and compare the max.
+    val a = PipelineQueries.queries("q72_kmeans_train")(spark, dir)
+      .select($"vec_id", $"cluster")
+    val lab = Tables(spark, dir).embeddings.select($"vec_id", $"label")
+    val mx = a.join(lab, "vec_id").groupBy($"cluster", $"label")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"cluster").agg(max($"n").as("mx"))
+    assert(out.join(mx, "cluster").filter($"n_top" =!= $"mx").isEmpty,
+      "n_top must be the true per-cluster majority count")
+    out.unpersist()
+  }
+
+  test("q96: split counts are exactly floor(0.8n)/floor(0.9n) per source") {
+    val out = PipelineQueries.queries("q96_train_split")(spark, dir).cache()
+    val nDocs = Tables(spark, dir).documents.count()
+    assert(out.count() == nDocs, "every document must land in one split")
+    val got = out.groupBy($"source")
+      .agg(sum(when($"split" === "train", 1L).otherwise(0L)).as("tr"),
+        sum(when($"split" === "val", 1L).otherwise(0L)).as("va"),
+        sum(when($"split" === "test", 1L).otherwise(0L)).as("te"),
+        count(lit(1)).as("n"))
+    // Exact integer boundaries — the whole point vs a Bernoulli split.
+    assert(got.filter($"tr" =!= expr("(8 * n) div 10") ||
+      $"va" =!= expr("(9 * n) div 10 - (8 * n) div 10") ||
+      $"te" =!= expr("n - (9 * n) div 10")).isEmpty,
+      "per-source split counts must be the exact floor boundaries")
+    assert(got.filter($"te" < 1).isEmpty,
+      "test stratum must be non-empty for every source in the fixture")
+    out.unpersist()
+  }
+
+  test("q97: canonical pairs, intersections bounded by set sizes") {
+    val out = PipelineQueries.queries("q97_source_overlap")(spark, dir).cache()
+    assert(out.filter($"source_a" >= $"source_b").isEmpty,
+      "pairs must be canonical (source_a < source_b)")
+    assert(out.filter($"n_common" < 1).isEmpty,
+      "pairs with empty intersections must not appear")
+    assert(out.filter($"n_common" > least($"n_a", $"n_b")).isEmpty,
+      "an intersection cannot exceed either set size")
+    // Set sizes are per-source facts: the same source must report the
+    // same size on every row it appears in, on either side.
+    val szs = out.select($"source_a".as("s"), $"n_a".as("n"))
+      .unionByName(out.select($"source_b".as("s"), $"n_b".as("n")))
+    assert(szs.distinct().groupBy($"s").count().filter($"count" > 1).isEmpty,
+      "per-source set size must be consistent across all pair rows")
+    // Jaccard recomputes from the three integers it's derived from.
+    assert(out.filter(abs($"jaccard" -
+      $"n_common" / ($"n_a" + $"n_b" - $"n_common")) > 1e-4).isEmpty)
+    val nSources = Tables(spark, dir).documents
+      .select($"source").distinct().count()
+    assert(out.count() <= nSources * (nSources - 1) / 2)
+    out.unpersist()
+  }
+
+  test("q98: every metric is consistent with its integer numerators") {
+    val out = PipelineQueries.queries("q98_source_lexical")(spark, dir).cache()
+    val nSources = Tables(spark, dir).documents
+      .select($"source").distinct().count()
+    assert(out.count() == nSources, "one profile row per source")
+    assert(out.filter($"n_types" > $"n_tokens").isEmpty)
+    assert(out.filter($"ttr" <= 0 || $"ttr" > 1).isEmpty)
+    assert(out.filter($"hapax_frac" < 0 || $"hapax_frac" > 1).isEmpty)
+    assert(out.filter($"top10_mass" <= 0 || $"top10_mass" > 1).isEmpty)
+    assert(out.filter(abs($"ttr" -
+      $"n_types" / $"n_tokens".cast("double")) > 1e-4).isEmpty)
+    // Total token mass matches an independent corpus count.
+    val toks = Tables(spark, dir).documents
+      .select($"source",
+        size(expr("array_remove(split(text, ' '), '')")).cast("long").as("nt"))
+      .groupBy($"source").agg(sum($"nt").as("nt"))
+    assert(out.join(toks, "source").filter($"n_tokens" =!= $"nt").isEmpty,
+      "n_tokens must equal the independent per-source token count")
+    out.unpersist()
+  }
+
+  test("q99: nearest centroid is the true argmin; ratios recompute") {
+    val out = PipelineQueries.queries("q99_label_cohesion")(spark, dir).cache()
+    val emb = Tables(spark, dir).embeddings
+    assert(out.count() == emb.select($"label").distinct().count())
+    assert(out.agg(sum($"n_vecs")).first.getLong(0) == emb.count(),
+      "per-label sizes must partition the embedding corpus")
+    assert(out.filter($"label" === $"nearest_label").isEmpty)
+    assert(out.filter($"intra_d2" <= 0 || $"inter_d2" <= 0).isEmpty)
+    assert(out.filter(abs($"separation" - $"inter_d2" / $"intra_d2")
+      > 2e-3).isEmpty, "separation must recompute from its rounded parts")
+    // Independent centroid recomputation: per-label mean (rounded 6 dp
+    // like the query), then check each row's inter_d2 really is the
+    // MINIMUM distance to any other label's centroid.
+    val cent = emb
+      .select($"label", posexplode($"embedding".cast("array<double>"))
+        .as(Seq("dim", "v")))
+      .groupBy($"label", $"dim").agg(CrossRound.r(avg($"v"), 6).as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pm"))
+      .select($"label", expr("transform(pm, x -> x.m)").as("ce"))
+    val minD = cent.as("a").crossJoin(cent.as("b"))
+      .filter($"a.label" =!= $"b.label")
+      .select($"a.label".as("label"),
+        graft.functions.GraftFunctions.l2Sq($"a.ce", $"b.ce").as("dc"))
+      .groupBy($"label").agg(min($"dc").as("mind"))
+    assert(out.join(minD, "label")
+      .filter(abs($"inter_d2" - $"mind") > 1e-3).isEmpty,
+      "inter_d2 must be the minimum inter-centroid distance")
+    out.unpersist()
+  }
+
   test("q94: p decreases with source size, keep flags recompute from u < p") {
     val out = PipelineQueries.queries("q94_importance_resample")(spark, dir).cache()
     val nDocs = Tables(spark, dir).documents.count()
