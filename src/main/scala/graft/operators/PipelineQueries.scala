@@ -355,6 +355,42 @@ object PipelineQueries {
     * rare sid. Returns (doc_a, doc_b, i, na, nb) with i = |A∩B| over
     * rare sids and na/nb the FULL set sizes.
     */
+  /** Maximal cross-doc duplicated token spans, shared by q89 (reports
+    * them) and q100 (excises them): 1-based inclusive token ranges
+    * [s, e] covered by 3-token shingles appearing in ≥ 2 documents,
+    * merged into maximal spans by the classic interval-union sweep
+    * (running max(end) over start order marks breaks, a running sum
+    * numbers them). Input is (doc_id, tk) token arrays; docs under 3
+    * tokens have no shingles and emit no rows. All windows are per-doc
+    * (doc-sized partitions — scale-safe); the dup-sid set is
+    * corpus-sized and JOINED, never broadcast. */
+  private def dupTokenSpans(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
+    val sh = toks.filter(size($"tk") >= 3)
+      .select($"doc_id", posexplode(
+        graft.functions.GraftFunctions.polyHashArray(
+          graft.functions.GraftFunctions.shingles3($"tk")))
+        .as(Seq("pos0", "sid")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"sid")
+    val dup = sh.groupBy($"sid")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"sid")
+    val iv = sh.join(dup, "sid")
+      .select($"doc_id", $"pos".as("s"), ($"pos" + 2L).as("e"))
+    val wPrev = Window.partitionBy($"doc_id").orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy($"doc_id").orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("pme", max($"e").over(wPrev))
+      .withColumn("brk",
+        when($"pme".isNull || $"s" > $"pme", 1L).otherwise(0L))
+      .withColumn("grp", sum($"brk").over(wRun))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"s").as("s"), max($"e").as("e"))
+      .select($"doc_id", $"s", $"e")
+  }
+
   private def rareSharedSidPairs(arrs: DataFrame, dfCap: Int): DataFrame = {
     import arrs.sparkSession.implicits._
     val dsid = arrs.select($"doc_id", size($"sids").cast("long").as("n"),
@@ -2215,27 +2251,7 @@ object PipelineQueries {
         .withColumn("n_tokens", size($"tk").cast("long"))
         .filter($"n_tokens" >= 3)
       val n = toks.select($"doc_id", $"n_tokens")
-      val sh = toks.select($"doc_id", posexplode(
-          graft.functions.GraftFunctions.polyHashArray(
-            graft.functions.GraftFunctions.shingles3($"tk")))
-          .as(Seq("pos0", "sid")))
-        .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"sid")
-      val dup = sh.groupBy($"sid")
-        .agg(countDistinct($"doc_id").as("nd"))
-        .filter($"nd" >= 2).select($"sid")
-      val iv = sh.join(dup, "sid")
-        .select($"doc_id", $"pos".as("s"), ($"pos" + 2L).as("e"))
-      val wPrev = Window.partitionBy($"doc_id").orderBy($"s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = Window.partitionBy($"doc_id").orderBy($"s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val spans = iv
-        .withColumn("pme", max($"e").over(wPrev))
-        .withColumn("brk",
-          when($"pme".isNull || $"s" > $"pme", 1L).otherwise(0L))
-        .withColumn("grp", sum($"brk").over(wRun))
-        .groupBy($"doc_id", $"grp")
-        .agg(min($"s").as("s"), max($"e").as("e"))
+      val spans = dupTokenSpans(toks)
       val agg = spans.groupBy($"doc_id").agg(
         count(lit(1)).as("n_spans"),
         sum($"e" - $"s" + 1L).as("dup_tokens"),
@@ -2620,6 +2636,38 @@ object PipelineQueries {
           CrossRound.r($"dc_raw", 4).as("inter_d2"),
           CrossRound.r($"dc_raw" / $"med_raw", 4).as("separation"))
         .orderBy($"label")
+    },
+
+    // ----- duplicated-span EXCISION: rewrite text with dup spans cut -----
+    // q89's transformation side (the RefinedWeb/"Deduplicating Training
+    // Data" remedy, not just the diagnostic): every token position
+    // covered by a cross-doc duplicated span is dropped and the
+    // document re-joins as cleaned text. Shares [[dupTokenSpans]]
+    // verbatim, so detection and excision can never disagree. The
+    // rewrite itself is MAP-ONLY after the span join: covered positions
+    // flatten from the per-doc merged-span list (bounded by the doc's
+    // own token count) and the keep filter is one pass over the token
+    // array — per-doc work is O(n_tokens × n_spans) worst case, bounded
+    // by doc size, independent of corpus size. Docs with no dup spans
+    // (or < 3 tokens) pass through whole. Token-joined output text is
+    // the normalized single-space form on BOTH engines by construction.
+    "q100_span_excise" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val toks = t.documents.repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("tk"))
+      val sp = dupTokenSpans(toks)
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"s", $"e"))).as("sp"))
+      toks.join(sp, Seq("doc_id"), "left")
+        .withColumn("cov", expr("flatten(transform(sp, p -> sequence(p.s, p.e)))"))
+        .withColumn("kept", when($"cov".isNull, $"tk").otherwise(expr(
+          "filter(tk, (x, i) -> NOT array_contains(cov, CAST(i + 1 AS BIGINT)))")))
+        .select($"doc_id",
+          size($"tk").cast("long").as("n_tokens"),
+          size($"kept").cast("long").as("kept_tokens"),
+          array_join($"kept", " ").as("text_clean"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -3622,6 +3670,45 @@ object PipelineQueries {
                floor((dc / med) * 10000 + 0.5) / 10000 AS separation
         FROM intra JOIN near USING (label)
         ORDER BY label""",
+
+      // Span CTEs are q89's verbatim; the excision is list_filter with
+      // DuckDB's 1-based lambda index against the flattened covered-
+      // position list (Spark's 0-based index is shifted by 1), and the
+      // rebuilt text is the token join — identical strings by
+      // construction.
+      "q100_span_excise" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        sh0 AS (SELECT doc_id, unnest(range(1, len(tk) - 1)) pos,
+                       unnest(list_transform(range(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
+                FROM toks WHERE len(tk) >= 3),
+        sh AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid FROM sh0),
+        dup AS (SELECT sid FROM (
+                  SELECT sid, count(DISTINCT doc_id) nd FROM sh GROUP BY 1)
+                WHERE nd >= 2),
+        iv AS (SELECT doc_id, pos s, pos + 2 e FROM sh JOIN dup USING (sid)),
+        m AS (SELECT doc_id, s, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pme
+              FROM iv),
+        g AS (SELECT doc_id, s, e,
+                sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) grp
+              FROM m),
+        sp AS (SELECT doc_id, grp, min(s) s, max(e) e FROM g GROUP BY 1, 2),
+        cov AS (SELECT doc_id, flatten(list(range(s, e + 1) ORDER BY s)) cv
+                FROM sp GROUP BY 1),
+        cut AS (SELECT t.doc_id, tk,
+                  CASE WHEN cv IS NULL THEN tk
+                       ELSE list_filter(tk, (x, i) ->
+                              NOT list_contains(cv, CAST(i AS BIGINT))) END kept
+                FROM toks t LEFT JOIN cov USING (doc_id))
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(kept) AS BIGINT) AS kept_tokens,
+               coalesce(array_to_string(kept, ' '), '') AS text_clean
+        FROM cut
+        ORDER BY doc_id""",
 
       // Weight formula mirrors q73's Scala-side literal exactly: both
       // are the Knuth scramble of the bucket index, multiples of 2^-32,

@@ -337,6 +337,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 8, s"q99 grew to $shuffles distinct shuffles:\n$p")
   }
 
+  test("q100: the rewrite is map-only after the span join") {
+    val p = plan("q100_span_excise")
+    // Spans join back by doc_id equality (left join — corpus-sized
+    // probe, never broadcast of the corpus); no window or shuffle may
+    // appear downstream of it beyond the output sort.
+    assert(!p.contains("CartesianProduct"), s"q100 grew a cartesian:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 6, s"q100 grew to $shuffles distinct shuffles:\n$p")
+  }
+
   // Distinct-normalized data-shuffle count (cached subtrees reprint per
   // use site — same normalization as tools/gen_plans).
   private def distinctShuffles(p: String): Int = p.linesIterator

@@ -163,6 +163,28 @@ class Round7OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q100: excision removes exactly the token mass q89 reports") {
+    val out = PipelineQueries.queries("q100_span_excise")(spark, dir).cache()
+    val nDocs = Tables(spark, dir).documents.count()
+    assert(out.count() == nDocs, "every document must be rewritten")
+    // Detection and excision share dupTokenSpans, so the removed mass
+    // must equal q89's dup_tokens doc-for-doc (q89 only reports docs
+    // with >= 3 tokens; the rest pass through whole).
+    val d = PipelineQueries.queries("q89_dup_spans")(spark, dir)
+      .select($"doc_id", $"dup_tokens")
+    assert(out.join(d, "doc_id")
+      .filter($"n_tokens" - $"kept_tokens" =!= $"dup_tokens").isEmpty,
+      "kept_tokens must be n_tokens minus q89's dup_tokens")
+    assert(out.filter($"kept_tokens" < 0 || $"kept_tokens" > $"n_tokens").isEmpty)
+    // The rebuilt text really has kept_tokens tokens.
+    assert(out.filter(
+      size(expr("array_remove(split(text_clean, ' '), '')")) =!= $"kept_tokens")
+      .isEmpty, "text_clean must re-tokenize to exactly kept_tokens")
+    // Excision is real on the fixture corpus (it contains duplicates).
+    assert(out.filter($"kept_tokens" < $"n_tokens").count() > 0)
+    out.unpersist()
+  }
+
   test("q94: p decreases with source size, keep flags recompute from u < p") {
     val out = PipelineQueries.queries("q94_importance_resample")(spark, dir).cache()
     val nDocs = Tables(spark, dir).documents.count()
