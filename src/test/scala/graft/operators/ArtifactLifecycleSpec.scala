@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.gsheets.Fixtures
 
 /** Lifecycle of the session-keyed persisted artifacts (dedup labels,
-  * q81's bucketed signature index, the BPE training artifact): they
+  * q81's bucketed signature index, the BPE training artifact, the
+  * duplicated-span table): they
   * materialize once per (session, dir, data-fingerprint), and
   * `cleanupArtifacts` — the Verify/Bench epilogue — drops every path
   * and catalog entry, after which the next caller REBUILDS from data
@@ -18,20 +19,22 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("cleanup drops all persisted artifacts; a later call rebuilds") {
-    // Materialize all three artifact families (collect forces the build).
+    // Materialize all four artifact families (collect forces the build).
     PipelineQueries.queries("q46_dedup_groups")(spark, dir).collect()
     PipelineQueries.queries("q81_delta_dedup")(spark, dir).collect()
     PipelineQueries.queries("q86_bpe_train")(spark, dir).collect()
+    PipelineQueries.queries("q89_dup_spans")(spark, dir).collect()
     val labels = new java.io.File(PipelineQueries.dedupLabelsPath(spark, dir))
     val index = new java.io.File(PipelineQueries.deltaIndexPath(spark, dir))
     val bpe = new java.io.File(PipelineQueries.bpeArtifactPath(spark, dir))
+    val spans = new java.io.File(PipelineQueries.spanArtifactPath(spark, dir))
     val idxKey = PipelineQueries.deltaIndexKey(spark, dir)
-    assert(labels.exists && index.exists && bpe.exists,
+    assert(labels.exists && index.exists && bpe.exists && spans.exists,
       "artifacts must exist on disk after their queries ran")
     assert(spark.catalog.tableExists(idxKey))
 
     PipelineQueries.cleanupArtifacts(spark)
-    assert(!labels.exists && !index.exists && !bpe.exists,
+    assert(!labels.exists && !index.exists && !bpe.exists && !spans.exists,
       "cleanup must remove every artifact path")
     assert(!spark.catalog.tableExists(idxKey),
       "cleanup must drop the bucketed index's catalog entry")
@@ -78,5 +81,19 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
     assert(enc.nonEmpty)
     assert(mergesDir.lastModified == stamp,
       "q92 re-materialized the BPE artifact instead of sharing it")
+  }
+
+  test("q89 and q100 share one span artifact (no re-sweep on the second)") {
+    PipelineQueries.cleanupArtifacts(spark)
+    val spans = new java.io.File(PipelineQueries.spanArtifactPath(spark, dir))
+    assert(!spans.exists)
+    PipelineQueries.queries("q89_dup_spans")(spark, dir).collect()
+    assert(spans.exists)
+    val stamp = spans.lastModified
+    // q100 must read the persisted spans, not recompute the sweep.
+    val out = PipelineQueries.queries("q100_span_excise")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(spans.lastModified == stamp,
+      "q100 re-materialized the span artifact instead of sharing it")
   }
 }

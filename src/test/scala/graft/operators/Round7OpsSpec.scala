@@ -202,4 +202,63 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out.filter($"keep").count() > 0 && out.filter(!$"keep").count() > 0)
     out.unpersist()
   }
+
+  test("q89/q100 match a brute-force cross-doc cover on random corpora") {
+    // Property check against a from-scratch model of the span contract:
+    // a position is covered iff some 3-token shingle starting within 2
+    // positions of it appears in >= 2 distinct documents (raw token
+    // triples, no hashing — a polyHash collision would surface here as
+    // a real finding). Deterministic seed; small vocab forces rich
+    // cross-doc overlap, lengths 0..25 include shingle-free docs.
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (trial <- 1 to 3) {
+      val docs = (0 until 40).map { i =>
+        val tks = Vector.fill(rnd.nextInt(26))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, tks.mkString(" "), "en", "src0", 0L)
+      }
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_spanprop$trial").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val toks = docs.map { case (id, text, _, _, _) =>
+        id -> text.split(" ").filter(_.nonEmpty).toVector
+      }.toMap
+      val tripleDocs = scala.collection.mutable.Map[Seq[String], Set[Long]]()
+      for ((id, tk) <- toks; p <- 0 to tk.length - 3)
+        tripleDocs.update(tk.slice(p, p + 3),
+          tripleDocs.getOrElse(tk.slice(p, p + 3), Set.empty) + id)
+      val dup = tripleDocs.filter(_._2.size >= 2).keySet
+      val covered: Map[Long, Set[Int]] = toks.map { case (id, tk) =>
+        id -> (0 to tk.length - 3).filter(p => dup(tk.slice(p, p + 3)))
+          .flatMap(p => p to p + 2).toSet
+      }
+      val out89 = PipelineQueries.queries("q89_dup_spans")(spark, tmp)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      for ((id, tk) <- toks if tk.length >= 3) {
+        val cov = covered(id).toVector.sorted
+        val comps = cov.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+          if (acc.nonEmpty && acc.last.last == p - 1) acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+        }
+        val r = out89(id)
+        assert(r.getAs[Long]("dup_tokens") == cov.size, s"doc $id dup_tokens")
+        assert(r.getAs[Long]("n_spans") == comps.size, s"doc $id n_spans")
+        assert(r.getAs[Long]("longest_span") ==
+          (if (comps.isEmpty) 0L else comps.map(_.size).max.toLong),
+          s"doc $id longest_span")
+      }
+      val out100 = PipelineQueries.queries("q100_span_excise")(spark, tmp)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(out100.size == docs.size)
+      for ((id, tk) <- toks) {
+        val cov = covered.getOrElse(id, Set.empty[Int])
+        val kept = tk.zipWithIndex.collect { case (t, p) if !cov(p) => t }
+        assert(out100(id).getAs[Long]("kept_tokens") == kept.size.toLong,
+          s"doc $id kept_tokens")
+        assert(out100(id).getAs[String]("text_clean") == kept.mkString(" "),
+          s"doc $id text_clean")
+      }
+    }
+  }
 }
