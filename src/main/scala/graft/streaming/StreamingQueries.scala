@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 import graft.operators.{CrossRound, Tables}
 
 /** One event of a user's stream for the q63 custom-state profile;
-  * `ts_us` is the µs-floored epoch (events.ts arrives as ns longs).
+  * `ts_us` is the µs epoch of the normalized [[StreamingQueries.eventsStream]] `ts`.
   */
 private[streaming] case class UserEvent(user_id: Long, ts_us: Long, value: Double)
 
@@ -94,16 +94,38 @@ object StreamingQueries {
           .map(_.longValue()))
     } catch { case _: Throwable => () }
 
-  /** events.parquet schema for readStream (file sources need an explicit
-    * schema; `ts` arrives as nanosecond longs under the legacy conf —
-    * same handling as [[Tables.events]]).
+  /** The events feed as a streaming DataFrame with `ts` normalized to a
+    * session-tz µs TimestampType — the streaming twin of
+    * [[Tables.events]]. File sources need an explicit schema, and
+    * `events.ts` has shipped in two parquet layouts across testdata
+    * generations (TIMESTAMP(NANOS), read as ns longs under the legacy
+    * conf; TIMESTAMP(MICROS) `isAdjustedToUTC=false`, read as
+    * TIMESTAMP_NTZ), so sniff the batch footer once per call and
+    * declare the matching type before normalizing. The footer read is a
+    * driver-side metadata fetch, not a data scan.
     */
-  private val eventsStreamSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType)))
+  private def eventsStream(s2: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[String] = None): DataFrame = {
+    val tsType = s2.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val reader = s2.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val df = reader.parquet(dir)
+    tsType match {
+      case LongType => // nanos-as-long: floor to µs
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // micros NTZ: value-preserving under UTC
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
 
   /** 30-minute session gap in µs (the q32/q63 session rule). */
   private val sessionGapUs = 30L * 60 * 1000000L
@@ -182,11 +204,7 @@ object StreamingQueries {
 
       // File streaming sources take a directory; glob-filter to the
       // events table (one file per table in the testdata layout).
-      val stream = s2.readStream
-        .schema(eventsStreamSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s2, dir)
 
       val agg = stream
         .groupBy(window($"ts", "1 hour"), $"event_type")
@@ -226,10 +244,7 @@ object StreamingQueries {
         s2.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-      val stream = s2.readStream
-        .schema(eventsStreamSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val stream = eventsStream(s2, dir)
 
       val dedup = stream
         .select($"user_id", $"event_type")
@@ -361,11 +376,7 @@ object StreamingQueries {
         s2.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-      val stream = s2.readStream
-        .schema(eventsStreamSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s2, dir)
 
       val agg = stream
         .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
@@ -406,11 +417,7 @@ object StreamingQueries {
         s2.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-      def src: DataFrame = s2.readStream
-        .schema(eventsStreamSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src: DataFrame = eventsStream(s2, dir)
 
       val clicks = src.filter($"event_type" === "click")
         .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
@@ -462,14 +469,9 @@ object StreamingQueries {
       // multi-file feed (events_0.parquet, …) exercises genuine
       // multi-batch runs; spark.graft.streaming.maxFilesPerTrigger
       // bounds files admitted per micro-batch (AvailableNow honors it).
-      val reader = s2.readStream
-        .schema(eventsStreamSchema)
-        .option("pathGlobFilter", "events*.parquet")
-      s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
-        .foreach(n => reader.option("maxFilesPerTrigger", n))
-      val stream = reader
-        .parquet(dir)
-        .select($"user_id", expr("ts div 1000").as("ts_us"), $"value")
+      val stream = eventsStream(s2, dir, "events*.parquet",
+          s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger"))
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"value")
         .as[UserEvent]
 
       val profiles = stream
