@@ -2703,6 +2703,146 @@ object PipelineQueries {
           size($"kept").cast("long").as("kept_tokens"),
           array_join($"kept", " ").as("text_clean"))
         .orderBy($"doc_id")
+    },
+
+    // ----- soft dedup: per-doc sampling weight = 1 / dup-group size -----
+    // The down-weighting alternative to dropping duplicates (keep every
+    // copy, sample each at 1/|group| so a group contributes one
+    // document's worth of mass in expectation) — the fourth consumer of
+    // the shared dedup-label artifact, so the MinHash + label
+    // propagation cost is already paid. Singletons (docs in no verified
+    // pair) weight 1 by definition. Group sizes come from one
+    // group-keyed count; the only other shuffle is the size join back.
+    // The division is one correctly-rounded IEEE op per group —
+    // identical cross-engine — and nothing ever sums the weights, so no
+    // summation-order hazard exists.
+    "q101_soft_dedup_weight" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val g = t.documents.select($"doc_id", $"source")
+        .join(dedupLabelsArtifact(s, dir).withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce($"lbl", $"doc_id"))
+        .select($"doc_id", $"source", $"group_id")
+      val sizes = g.groupBy($"group_id").agg(count(lit(1)).as("group_size"))
+      g.join(sizes, "group_id")
+        .select($"doc_id", $"source", $"group_id", $"group_size",
+          CrossRound.r(lit(1.0) / $"group_size", 6).as("weight"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- hard-negative mining: top-k nearest with a DIFFERENT label -----
+    // The contrastive-training counterpart of q25: for each anchor
+    // vector, the 3 most cosine-similar vectors whose label differs —
+    // the "hard negatives" an embedding trainer pairs with each anchor.
+    // Uses the partial-aggregating TopKAgg (q25b's scale shape: each map
+    // task keeps ≤ k candidates per anchor, so the shuffle is
+    // O(anchors × k), never the score matrix); the negative's label
+    // rides back via one bounded join (anchors × k rows, broadcast).
+    "q102_hard_negatives" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      val e = t.embeddings.select($"vec_id", $"label", $"embedding")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+          $"embedding".as("qe"))
+      val top = e.crossJoin(broadcast(q))
+        .filter($"label" =!= $"qlabel")
+        .withColumn("cos",
+          graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
+        .groupBy($"query_id")
+        .agg(topk($"vec_id", $"cos").as("top"))
+        .select($"query_id", posexplode($"top").as(Seq("i", "sv")))
+        .select($"query_id", ($"i" + 1).cast("int").as("rank"),
+          $"sv.vec_id".as("vec_id"), $"sv.cos".as("cos"))
+      e.select($"vec_id", $"label")
+        .join(broadcast(top), "vec_id")
+        .select($"query_id", $"rank", $"vec_id", $"label",
+          CrossRound.r($"cos", 4).as("cos"))
+        .orderBy($"query_id", $"rank")
+    },
+
+    // ----- tf-weighted shingle cosine (sparse lexical similarity) -----
+    // The multiset sibling of q23's rare-shingle Jaccard: documents as
+    // sparse shingle-count vectors, pair similarity = cosine over
+    // shingles in ≤ 50 docs (the same df cap, and for the same reason —
+    // a ubiquitous shingle would emit O(df²) pairs; norms stay FULL
+    // per-doc so capped pairs are only ever under-scored, the q23
+    // contract). The pair stream is the q23/q71 machinery shape — per-
+    // sid bounded doc lists, map-side i<j emission with tf products and
+    // both docs' full squared norms riding INSIDE the structs, one
+    // pre-aggregated (doc_a, doc_b) sum — no post-count joins. Every
+    // quantity up to the final cosine is an INTEGER (tf products and
+    // squared norms), so summation order cannot matter; the cosine is
+    // then 3 correctly-rounded IEEE ops (sqrt, sqrt·sqrt... one
+    // multiply, one divide) — identical cross-engine, q84's argument.
+    "q103_shingle_cosine" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val sid = t.documents.repartition($"doc_id")
+        .select($"doc_id", explode(
+          graft.functions.GraftFunctions.polyHashArray(shinglesCol())).as("sid"))
+      val tf = sid.groupBy($"doc_id", $"sid").agg(count(lit(1)).as("tf"))
+      val perDoc = tf.groupBy($"doc_id")
+        .agg(collect_list(struct($"sid", $"tf")).as("st"))
+        .withColumn("n2", expr(
+          "aggregate(st, 0L, (acc, x) -> acc + x.tf * x.tf)"))
+        .select($"doc_id", $"n2", explode($"st").as("x"))
+        .select($"doc_id", $"n2", $"x.sid".as("sid"), $"x.tf".as("tf"))
+      perDoc.groupBy($"sid")
+        .agg(sort_array(collect_list(struct($"doc_id", $"tf", $"n2"))).as("docs"))
+        .filter(size($"docs") <= 50)
+        .select(explode(expr(
+          """flatten(transform(docs, (x, i) ->
+               transform(slice(docs, i + 2, size(docs)),
+                         y -> named_struct('doc_a', x.doc_id, 'na2', x.n2,
+                                           'doc_b', y.doc_id, 'nb2', y.n2,
+                                           'prod', x.tf * y.tf))))"""))
+          .as("p"))
+        .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"),
+          $"p.na2".as("na2"), $"p.nb2".as("nb2"))
+        .agg(sum($"p.prod").as("dot"), count(lit(1)).as("n_shared"))
+        .withColumn("cos", $"dot".cast("double") /
+          (sqrt($"na2".cast("double")) * sqrt($"nb2".cast("double"))))
+        .filter($"cos" >= 0.5)
+        .select($"doc_a", $"doc_b", $"n_shared", $"dot",
+          CrossRound.r($"cos", 4).as("cos"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // ----- chunk-level dedup: which RAG/training chunks repeat corpus-wide -----
+    // q64's chunker feeding q21's exact-dedup idea at chunk granularity:
+    // a chunk is duplicated if its exact text occurs ≥ 2 times anywhere
+    // in the corpus (including within one document); each doc reports
+    // its duplicated-chunk fraction and a keep verdict. Chunks are
+    // keyed by md5 of the chunk text — both engines produce the same
+    // lowercase hex, and only the 32-char digest ever shuffles, not
+    // chunk text (at 100 TB this is the difference between shuffling
+    // the corpus and shuffling 3% of it). Occurrence counts are one
+    // map-side-combinable digest agg; the join back is digest-keyed
+    // equality; the per-doc rollup is doc-keyed. No collect, no windows.
+    "q104_chunk_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val chunks = t.documents.repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id",
+          graft.functions.GraftFunctions.chunkTokens($"toks", 32, 24)
+            .as(Seq("chunk_idx", "chunk")))
+        .select($"doc_id", md5(concat_ws(" ", $"chunk")).as("hk"))
+        .cache()
+      val occ = chunks.groupBy($"hk").agg(count(lit(1)).as("n_occ"))
+      chunks.join(occ, "hk")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(when($"n_occ" >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          CrossRound.r($"n_dup".cast("double") / $"n_chunks", 4))
+        .select($"doc_id", $"n_chunks", $"n_dup", $"dup_frac",
+          ($"dup_frac" <= 0.5).as("keep"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -3743,6 +3883,111 @@ object PipelineQueries {
                CAST(len(kept) AS BIGINT) AS kept_tokens,
                coalesce(array_to_string(kept, ' '), '') AS text_clean
         FROM cut
+        ORDER BY doc_id""",
+
+      // Same transitive closure as q46; singletons label themselves, a
+      // group-sized count supplies 1/|group|.
+      "q101_soft_dedup_weight" -> s"""
+        WITH RECURSIVE $minhashChain,
+        pairs AS (SELECT doc_a, doc_b
+                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                             JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
+        edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT src AS node, src AS lbl FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM reach r
+                  JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
+                 FROM reach GROUP BY node),
+        g AS (SELECT d.doc_id, d.source,
+                     coalesce(c.group_id, d.doc_id) AS group_id
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        gs AS (SELECT group_id, count(1) AS group_size FROM g GROUP BY 1)
+        SELECT g.doc_id, g.source, g.group_id,
+               CAST(gs.group_size AS BIGINT) AS group_size,
+               floor((1.0 / gs.group_size) * 1000000 + 0.5) / 1000000 AS weight
+        FROM g JOIN gs USING (group_id)
+        ORDER BY g.doc_id""",
+
+      "q102_hard_negatives" -> s"""
+        WITH $cosFragment,
+        el AS (SELECT e.vec_id, emb.label, e.v
+               FROM e JOIN embeddings emb USING (vec_id)),
+        q AS (SELECT vec_id query_id, label qlabel, v qv
+              FROM el WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, el.vec_id, el.label,
+                          list_dot_product(el.v, q.qv) /
+                          (sqrt(list_dot_product(el.v, el.v)) *
+                           sqrt(list_dot_product(q.qv, q.qv))) cos
+                   FROM el CROSS JOIN q WHERE el.label != q.qlabel),
+        ranked AS (SELECT query_id, vec_id, label, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, label,
+               floor(cos * 10000 + 0.5) / 10000 AS cos
+        FROM ranked WHERE rk <= 3
+        ORDER BY query_id, rank""",
+
+      // Non-distinct shingle stream (multiplicity matters); sid hash,
+      // df cap, and the integer dot/norm algebra mirror the Spark side.
+      "q103_shingle_cosine" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        shm AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
+                FROM toks),
+        msid AS (SELECT doc_id, ${oraclePolyHash("shingle")} sid FROM shm),
+        tf AS (SELECT doc_id, sid, count(1)::BIGINT tf FROM msid GROUP BY 1, 2),
+        n2 AS (SELECT doc_id, sum(tf * tf)::BIGINT n2 FROM tf GROUP BY 1),
+        dfreq AS (SELECT sid, count(1) df FROM tf GROUP BY 1),
+        rare AS (SELECT tf.doc_id, tf.sid, tf.tf
+                 FROM tf JOIN dfreq USING (sid) WHERE df <= 50),
+        dots AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+                        sum(a.tf * b.tf)::BIGINT dot,
+                        count(1)::BIGINT n_shared
+                 FROM rare a JOIN rare b
+                   ON a.sid = b.sid AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+        scored AS (SELECT doc_a, doc_b, n_shared, dot,
+                          dot::DOUBLE / (sqrt(na.n2::DOUBLE) *
+                                         sqrt(nb.n2::DOUBLE)) cos
+                   FROM dots JOIN n2 na ON doc_a = na.doc_id
+                             JOIN n2 nb ON doc_b = nb.doc_id)
+        SELECT doc_a, doc_b, n_shared, dot,
+               floor(cos * 10000 + 0.5) / 10000 AS cos
+        FROM scored WHERE cos >= 0.5
+        ORDER BY doc_a, doc_b""",
+
+      // Chunk slicing is q64's oracle twin verbatim; dedup keys on
+      // md5(chunk_text) exactly like the Spark side.
+      "q104_chunk_dedup" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        c AS (SELECT doc_id,
+                     unnest(range(0, (len(tk) - 1) // 24 + 1)) AS chunk_idx,
+                     tk
+              FROM toks WHERE len(tk) > 0),
+        sliced AS (SELECT doc_id,
+                          array_to_string(
+                            tk[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')
+                            AS chunk_text
+                   FROM c
+                   WHERE chunk_idx = 0
+                      OR (chunk_idx - 1) * 24 + 32 < len(tk)),
+        h AS (SELECT doc_id, md5(chunk_text) hk FROM sliced),
+        occ AS (SELECT hk, count(1) n_occ FROM h GROUP BY 1),
+        per AS (SELECT doc_id, count(1) n_chunks,
+                       sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) n_dup
+                FROM h JOIN occ USING (hk) GROUP BY 1)
+        SELECT doc_id,
+               CAST(n_chunks AS BIGINT) AS n_chunks,
+               CAST(n_dup AS BIGINT) AS n_dup,
+               floor((n_dup::DOUBLE / n_chunks) * 10000 + 0.5) / 10000
+                 AS dup_frac,
+               floor((n_dup::DOUBLE / n_chunks) * 10000 + 0.5) / 10000 <= 0.5
+                 AS keep
+        FROM per
         ORDER BY doc_id""",
 
       // Weight formula mirrors q73's Scala-side literal exactly: both

@@ -364,4 +364,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"q73 grew to $shuffles shuffles:\n$p")
     assert(p.contains("bucket_dot"), "native kernel missing from the plan")
   }
+
+  test("q101: weights read the label artifact — no minhash recompute") {
+    val p = plan("q101_soft_dedup_weight")
+    assert(!p.contains("minhash_sigs"),
+      s"q101 must read the persisted labels, not re-sign the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q101 join degraded:\n$p")
+    val shuffles = distinctShuffles(p)
+    // label join + group-size agg + size join + output range sort.
+    assert(shuffles <= 5, s"q101 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q102: negatives shuffle O(anchors×k) partials, labels by broadcast") {
+    val p = plan("q102_hard_negatives")
+    // The scoring pass is the q25b shape: partial TopKAgg above a
+    // BNLJ against the broadcast-tiny anchor build; the label ride-back
+    // must stay a broadcast join, never SMJ.
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"partial top-k aggregate missing:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"label join degraded to SMJ:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 3, s"q102 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q103: pair stream is map-side generated — no self-join of postings") {
+    val p = plan("q103_shingle_cosine")
+    // One sid-keyed aggregate builds bounded doc lists; pairs explode
+    // map-side from each list. A SortMergeJoin would mean the postings
+    // self-join crept back in.
+    assert(!p.contains("SortMergeJoin"), s"postings self-join returned:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q103 join degraded:\n$p")
+    val shuffles = distinctShuffles(p)
+    // doc repartition + (doc,sid) tf agg + per-doc list agg + sid
+    // posting agg + pair-count agg + output range sort.
+    assert(shuffles <= 6, s"q103 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q104: only digests shuffle — chunk text stays map-side") {
+    val p = plan("q104_chunk_dedup")
+    assert(p.contains("chunk_tokens"), "native chunker missing from plan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q104 join degraded:\n$p")
+    val shuffles = distinctShuffles(p)
+    // doc repartition + digest agg + digest join + per-doc agg + sort.
+    assert(shuffles <= 5, s"q104 grew to $shuffles distinct shuffles:\n$p")
+  }
 }

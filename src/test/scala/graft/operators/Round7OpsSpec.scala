@@ -261,4 +261,102 @@ class Round7OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q101: weights are 1/|group|, groups agree with q46, mass ≈ #groups") {
+    val out = PipelineQueries.queries("q101_soft_dedup_weight")(spark, dir).cache()
+    val nDocs = Tables(spark, dir).documents.count()
+    assert(out.count() == nDocs, "every document gets a weight")
+    // Weight recomputes from the reported group size (6-dp round).
+    assert(out.filter(
+      abs($"weight" - lit(1.0) / $"group_size") > 5e-7).isEmpty)
+    // Group membership matches q46's labels for every non-singleton.
+    val q46 = PipelineQueries.queries("q46_dedup_groups")(spark, dir)
+      .select($"doc_id", $"group_id".as("g46"))
+    assert(out.join(q46, "doc_id").filter($"group_id" =!= $"g46").isEmpty)
+    // Singletons (not in q46) weigh exactly 1.
+    assert(out.join(q46, Seq("doc_id"), "left_anti")
+      .filter($"weight" =!= 1.0).isEmpty)
+    // Total weighted mass = number of groups, up to rounding.
+    val mass = out.agg(sum($"weight")).first.getDouble(0)
+    val nGroups = out.select($"group_id").distinct().count()
+    assert(math.abs(mass - nGroups) < 1e-3 * nDocs)
+    out.unpersist()
+  }
+
+  test("q102: negatives differ in label and are the true cross-label top-3") {
+    val out = PipelineQueries.queries("q102_hard_negatives")(spark, dir).cache()
+    val lab = Tables(spark, dir).embeddings
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val anchors = out.select($"query_id").distinct().as[Long].collect()
+    for (a <- anchors) {
+      val rows = out.filter($"query_id" === a)
+        .orderBy($"rank").collect()
+      assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length),
+        s"anchor $a ranks contiguous")
+      rows.foreach { r =>
+        assert(r.getAs[Int]("label") != lab(a), s"anchor $a label clash")
+        assert(lab(r.getAs[Long]("vec_id")) == r.getAs[Int]("label"))
+      }
+      // cos is non-increasing down the ranks.
+      val cs = rows.map(_.getAs[Double]("cos")).toSeq
+      assert(cs == cs.sorted.reverse, s"anchor $a cos ordering")
+    }
+    // Spot-agreement with the brute-force window form on anchor 0:
+    // q25's exact scorer restricted to cross-label rows gives the same
+    // top-3 ids.
+    val e = Tables(spark, dir).embeddings.collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val (q0, l0, v0) = e.find(_._1 == 0L).get
+    def cos(x: Array[Double], y: Array[Double]) = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) { d += x(i)*y(i); nx += x(i)*x(i); ny += y(i)*y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val want = e.filter(x => x._1 != q0 && x._2 != l0)
+      .map(x => (x._1, cos(v0, x._3)))
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
+    val got = out.filter($"query_id" === 0).orderBy($"rank")
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == want, "anchor 0 top-3 matches brute force")
+    out.unpersist()
+  }
+
+  test("q103: Cauchy-Schwarz holds, pairs share shingles, dup pairs score ≈1") {
+    val out = PipelineQueries.queries("q103_shingle_cosine")(spark, dir).cache()
+    assert(out.count() > 0, "fixture near-dups must surface")
+    // Cauchy-Schwarz: the capped dot can only undershoot the full one,
+    // so cos ≤ 1 always.
+    assert(out.filter($"cos" > 1.0 + 1e-9).isEmpty)
+    assert(out.filter($"n_shared" <= 0 || $"dot" <= 0).isEmpty)
+    // The q22b verified near-dup pairs (jaccard ≥ 0.6 on distinct sids)
+    // are a subset of high-cosine pairs: multiset cosine ≥ 0.5 is a
+    // weaker cut than 0.6 set-Jaccard for these corpora.
+    val nd = PipelineQueries.queries("q22b_minhash_nodict")(spark, dir)
+      .select($"doc_a", $"doc_b")
+    assert(nd.join(out, Seq("doc_a", "doc_b"), "left_anti").isEmpty,
+      "every verified near-dup pair clears the cosine cut")
+    out.unpersist()
+  }
+
+  test("q104: chunk counts tie to q64 and dup fractions recompute") {
+    val out = PipelineQueries.queries("q104_chunk_dedup")(spark, dir).cache()
+    val chunks = PipelineQueries.queries("q64_doc_chunks")(spark, dir)
+      .select($"doc_id", $"chunk_text").cache()
+    // Per-doc chunk counts equal q64's rows for that doc.
+    val cnt = chunks.groupBy($"doc_id").agg(count(lit(1)).as("n64"))
+    assert(out.join(cnt, "doc_id").filter($"n_chunks" =!= $"n64").isEmpty)
+    assert(out.filter($"n_dup" > $"n_chunks").isEmpty)
+    // Brute-force recount of duplicated chunks from q64's own output.
+    val occ = chunks.groupBy($"chunk_text").agg(count(lit(1)).as("o"))
+    val dup = chunks.join(occ, "chunk_text").filter($"o" >= 2)
+      .groupBy($"doc_id").agg(count(lit(1)).as("nd"))
+    assert(out.join(dup, "doc_id").filter($"n_dup" =!= $"nd").isEmpty)
+    assert(out.join(dup, Seq("doc_id"), "left_anti")
+      .filter($"n_dup" =!= 0).isEmpty)
+    chunks.unpersist()
+    out.unpersist()
+  }
 }
