@@ -2843,6 +2843,151 @@ object PipelineQueries {
         .select($"doc_id", $"n_chunks", $"n_dup", $"dup_frac",
           ($"dup_frac" <= 0.5).as("keep"))
         .orderBy($"doc_id")
+    },
+
+    // ----- vocabulary growth curve (Heaps' law) over arrival order -----
+    // The corpus-level twin of q90's per-doc novelty: as docs arrive
+    // (arrival order = doc_id), how fast does the WORD vocabulary grow?
+    // Docs bucket into 10 equal doc_id bands (band edges from a 1-row
+    // min/max broadcast — a monotone function of doc_id alone, no global
+    // row_number), each word contributes to the band where it FIRST
+    // appears (one vocabulary-sized min-agg — same shape as q90's
+    // first_seen), and the cumulative curve is a window over exactly 10
+    // rows (bounded by construction, not by data). All integer counts —
+    // exact in both engines. At 100 TB: one corpus explode, one
+    // word-keyed agg, one 10-row window; nothing else.
+    "q105_vocab_growth" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val bounds = t.documents
+        .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      val docs = t.documents.crossJoin(broadcast(bounds))
+        .withColumn("decile",
+          expr("((doc_id - mn) * 10) div (mx - mn + 1)").cast("int"))
+      val toks = docs.select($"decile", explode(expr(toksExpr)).as("w"))
+      val perTok = toks.groupBy($"decile").agg(count(lit(1)).as("n_tokens"))
+      val firstSeen = toks.groupBy($"w").agg(min($"decile").as("fdec"))
+        .groupBy($"fdec").agg(count(lit(1)).as("n_new"))
+        .withColumnRenamed("fdec", "decile")
+      val perDoc = docs.groupBy($"decile").agg(count(lit(1)).as("n_docs"))
+      // 10-row cumulative window: bounded by the band count, never by
+      // the corpus — the one place a global orderBy window is safe.
+      val w10 = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDoc.join(perTok, "decile")
+        .join(firstSeen, Seq("decile"), "left")
+        .na.fill(0L, Seq("n_new"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w10))
+        .withColumn("cum_vocab", sum($"n_new").over(w10))
+        .select($"decile", $"n_docs", $"n_tokens", $"n_new",
+          $"cum_tokens", $"cum_vocab")
+        .orderBy($"decile")
+    },
+
+    // ----- Zipf slope: log-log regression over the top-100 ranks -----
+    // The second corpus-shape diagnostic (q105 = vocabulary growth,
+    // this = frequency decay): fit ln(freq) ~ ln(rank) by least squares
+    // over the 100 most frequent words. Ranking happens AFTER an
+    // orderBy(freq desc, word).limit(100) cut — TakeOrderedAndProject
+    // on the vocabulary-sized freq table — so the row_number window
+    // only ever sees 100 rows (a global row_number over the full
+    // vocabulary would funnel ~10^8 words through one task at 100 TB).
+    // Cross-engine: the four regression sums fold rank-ORDERED
+    // contribution lists (q84's argument — identical add order ⇒
+    // bit-identical doubles), and slope/intercept are single fixed op
+    // chains on those sums.
+    "q106_zipf_slope" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val freqs = t.documents.repartition($"doc_id")
+        .select(explode(expr(toksExpr)).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("f"))
+        .cache()
+      val vocabN = freqs.agg(count(lit(1)).as("n_vocab"))
+      val top = freqs.orderBy($"f".desc, $"w").limit(100)
+      val ranked = top
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"f".desc, $"w")))
+        .withColumn("x", log($"rank".cast("double")))
+        .withColumn("y", log($"f".cast("double")))
+      def fold(col: Column): Column =
+        aggregate(array_sort(collect_list(struct($"rank", col.as("v")))),
+          lit(0.0), (acc, e) => acc + e.getField("v"))
+      val sums = ranked.agg(
+        count(lit(1)).as("n"),
+        fold($"x").as("sx"), fold($"y").as("sy"),
+        fold($"x" * $"y").as("sxy"), fold($"x" * $"x").as("sxx"))
+      sums.crossJoin(broadcast(vocabN))
+        .withColumn("slope_raw",
+          ($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx"))
+        .select($"n_vocab", $"n".cast("long").as("n_ranks"),
+          CrossRound.r($"slope_raw", 6).as("zipf_slope"),
+          CrossRound.r(($"sy" - $"slope_raw" * $"sx") / $"n", 6)
+            .as("intercept"))
+    },
+
+    // ----- token-entropy quality filter -----
+    // The information-theoretic repetition gate (vs q52's max-run rule
+    // and q57's LM score): per-doc Shannon entropy of the word
+    // distribution, H = ln(n) − (Σ c·ln c)/n over per-word counts c.
+    // Low H = the doc is dominated by few words (boilerplate, spam
+    // lists) — keep iff H clears the corpus mean (corpus-ADAPTIVE, so
+    // every fuzz corpus exercises both sides of the gate, q93's
+    // argument). Per-doc folds run over word-ORDERED count lists
+    // (ASCII vocab ⇒ Java and DuckDB binary collation agree) and the
+    // threshold folds doc-ordered entropies — bit-identical in both
+    // engines. Shape at 100 TB: one (doc, word) count agg, one per-doc
+    // agg, one 1-row threshold broadcast — all doc-keyed, no windows.
+    "q107_token_entropy" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cnt = t.documents.repartition($"doc_id")
+        .select($"doc_id", explode(expr(toksExpr)).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      val per = cnt.groupBy($"doc_id")
+        .agg(sum($"c").as("n_toks"),
+          aggregate(array_sort(collect_list(struct($"w",
+              ($"c".cast("double") * log($"c".cast("double"))).as("clc")))),
+            lit(0.0), (acc, e) => acc + e.getField("clc")).as("clc"))
+        .withColumn("entropy", CrossRound.r(
+          log($"n_toks".cast("double")) - $"clc" / $"n_toks", 4))
+        .cache()
+      val thr = per.agg(CrossRound.r(
+        aggregate(sort_array(collect_list(struct($"entropy", $"doc_id"))),
+          lit(0.0), (acc, e) => acc + e.getField("entropy")) / count(lit(1)),
+        6).as("thr"))
+      per.crossJoin(broadcast(thr))
+        .select($"doc_id", $"n_toks", $"entropy",
+          ($"entropy" >= $"thr").as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- robust length-outlier filter (median + MAD) -----
+    // The robust alternative to 3σ length clipping: median and median
+    // absolute deviation are insensitive to the heavy tail that defines
+    // the outliers being hunted. Two exact global percentiles (each a
+    // 1-row broadcast) then a map-only flag. n_chars is integer, so the
+    // interpolated median is integer-or-half — every derived double is
+    // exact and tie-free under round(…, 2). At 100 TB the exact
+    // percentile pair becomes the q17b sketch (approx_percentile) with
+    // the same downstream shape; the flag pass itself is already
+    // map-only.
+    "q109_mad_outlier" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val med = t.documents.agg(
+        expr("percentile(n_chars, 0.5)").as("med"))
+      val dev = t.documents.crossJoin(broadcast(med))
+        .withColumn("adev", abs($"n_chars".cast("double") - $"med"))
+      val mad = dev.agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .select($"doc_id", $"n_chars",
+          round($"med", 2).as("med"),
+          round($"mad", 2).as("mad"),
+          round($"adev", 2).as("adev"),
+          ($"adev" > lit(3.0) * $"mad").as("is_outlier"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -4460,7 +4605,110 @@ object PipelineQueries {
                floor(sum(length(w))::DOUBLE / sum(n_syms) * 10000 + 0.5) / 10000
                  AS compression
         FROM occ JOIN wmap USING (w)
-        GROUP BY 1 ORDER BY source"""
+        GROUP BY 1 ORDER BY source""",
+
+      // Heaps twin: identical integer band edges (// = Spark's div),
+      // identical first-seen min-agg; every output is an integer.
+      "q105_vocab_growth" -> s"""
+        WITH b AS (SELECT min(doc_id) mn, max(doc_id) mx FROM documents),
+        docs AS (SELECT doc_id,
+                   CAST(((doc_id - b.mn) * 10) // (b.mx - b.mn + 1)
+                        AS INTEGER) decile,
+                   $toks tk
+                 FROM documents, b),
+        tok AS (SELECT decile, unnest(tk) w FROM docs),
+        per AS (SELECT decile, CAST(count(1) AS BIGINT) n_tokens
+                FROM tok GROUP BY 1),
+        fs AS (SELECT w, min(decile) fdec FROM tok GROUP BY 1),
+        nn AS (SELECT fdec decile, CAST(count(1) AS BIGINT) n_new
+               FROM fs GROUP BY 1),
+        dd AS (SELECT decile, CAST(count(1) AS BIGINT) n_docs
+               FROM docs GROUP BY 1)
+        SELECT dd.decile, dd.n_docs, per.n_tokens,
+               CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
+               CAST(sum(per.n_tokens) OVER
+                 (ORDER BY dd.decile ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+               CAST(sum(coalesce(nn.n_new, 0)) OVER
+                 (ORDER BY dd.decile ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        FROM dd JOIN per USING (decile) LEFT JOIN nn USING (decile)
+        ORDER BY dd.decile""",
+
+      // Zipf twin: same top-100 cut BEFORE ranking, regression sums
+      // folded over rank-ORDERED lists, slope/intercept as the same
+      // fixed op chain — bit-identical doubles.
+      "q106_zipf_slope" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        fr AS (SELECT w, CAST(count(1) AS BIGINT) f FROM (
+                 SELECT unnest(tk) w FROM toks) GROUP BY 1),
+        v AS (SELECT CAST(count(1) AS BIGINT) n_vocab FROM fr),
+        top AS (SELECT w, f FROM fr ORDER BY f DESC, w LIMIT 100),
+        rk AS (SELECT w, f, row_number() OVER (ORDER BY f DESC, w) rank
+               FROM top),
+        xy AS (SELECT rank, ln(rank::DOUBLE) x, ln(f::DOUBLE) y FROM rk),
+        s AS (SELECT CAST(count(1) AS BIGINT) n,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list(x ORDER BY rank)), (a, b) -> a + b) sx,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list(y ORDER BY rank)), (a, b) -> a + b) sy,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list(x * y ORDER BY rank)), (a, b) -> a + b) sxy,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list(x * x ORDER BY rank)), (a, b) -> a + b) sxx
+              FROM xy)
+        SELECT v.n_vocab, s.n AS n_ranks,
+               ${CrossRound.sql(
+                 "(s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx)",
+                 6)} AS zipf_slope,
+               ${CrossRound.sql(
+                 "(s.sy - ((s.n * s.sxy - s.sx * s.sy)" +
+                   " / (s.n * s.sxx - s.sx * s.sx)) * s.sx) / s.n",
+                 6)} AS intercept
+        FROM s, v""",
+
+      // Entropy twin: per-doc fold over word-ORDERED c·ln(c) terms,
+      // H = ln(n) − clc/n as the same op chain, corpus-mean threshold
+      // folded over (entropy, doc_id)-ordered rounded entropies.
+      "q107_token_entropy" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        cnt AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) c FROM (
+                  SELECT doc_id, unnest(tk) w FROM toks) GROUP BY 1, 2),
+        per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_toks,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                         list(c::DOUBLE * ln(c::DOUBLE) ORDER BY w)),
+                         (a, b) -> a + b) clc
+                FROM cnt GROUP BY 1),
+        e AS (SELECT doc_id, n_toks,
+                     ${CrossRound.sql(
+                       "ln(n_toks::DOUBLE) - clc / n_toks", 4)} AS entropy
+              FROM per),
+        thr AS (SELECT ${CrossRound.sql(
+                  "list_reduce(list_prepend(0.0::DOUBLE," +
+                    " list(entropy ORDER BY entropy, doc_id))," +
+                    " (a, b) -> a + b) / count(1)", 6)} AS thr
+                FROM e)
+        SELECT doc_id, n_toks, entropy, entropy >= thr.thr AS keep
+        FROM e, thr
+        ORDER BY doc_id""",
+
+      // MAD twin: quantile_cont's interpolation on integer-valued
+      // doubles is exact in both engines (dyadic arithmetic below
+      // 2^52), so med/mad/adev and the 3·MAD flag are bit-identical.
+      "q109_mad_outlier" -> """
+        WITH med AS (SELECT quantile_cont(n_chars::DOUBLE, 0.5) med
+                     FROM documents),
+        dev AS (SELECT doc_id, n_chars,
+                       abs(n_chars::DOUBLE - med.med) adev, med.med
+                FROM documents, med),
+        mad AS (SELECT quantile_cont(adev, 0.5) mad FROM dev)
+        SELECT doc_id, n_chars,
+               round(dev.med, 2) AS med,
+               round(mad.mad, 2) AS mad,
+               round(adev, 2) AS adev,
+               adev > 3.0 * mad.mad AS is_outlier
+        FROM dev, mad
+        ORDER BY doc_id"""
     )
   }
 }

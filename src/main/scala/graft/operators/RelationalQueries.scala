@@ -684,6 +684,82 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"),
              round(sum($"value"), 2).as("sum_value"))
         .orderBy($"c_mktsegment")
+    },
+
+    // ----- ordered event funnel: signup → view → click → purchase -----
+    // The product-analytics staple q77's sessions don't answer: of the
+    // users who signed up, how many then VIEWED (strictly after the
+    // signup), then CLICKED after that, then PURCHASED? Each stage is a
+    // per-user min-aggregation over a filtered scan joined back on
+    // user_id — user-keyed equality shuffles end to end (AQE can
+    // co-locate them), never a window over the event stream, so the
+    // shape is flat in corpus size and skew-free in users. The summary
+    // is a union of four 1-row aggregates; conversions are single
+    // int/int divisions — exact and tie-safe cross-engine.
+    "q108_event_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.events.select($"user_id", $"event_type",
+        unix_timestamp(date_trunc("second", $"ts")).as("sec"),
+        $"event_id")
+      def stage(prev: DataFrame, tcol: String, typ: String,
+          out: String): DataFrame =
+        e.filter($"event_type" === typ)
+          .join(prev, "user_id")
+          .filter($"sec" > col(tcol))
+          .groupBy($"user_id").agg(min($"sec").as(out))
+      val s1 = e.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"sec").as("t1"))
+      val s2 = stage(s1, "t1", "view", "t2")
+      val s3 = stage(s2, "t2", "click", "t3")
+      val s4 = stage(s3, "t3", "purchase", "t4")
+      val n1 = s1.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("step"), lit("signup").as("event_type"), $"n_users")
+      val n2 = s2.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("step"), lit("view").as("event_type"), $"n_users")
+      val n3 = s3.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("step"), lit("click").as("event_type"), $"n_users")
+      val n4 = s4.agg(count(lit(1)).as("n_users"))
+        .select(lit(4).as("step"), lit("purchase").as("event_type"),
+          $"n_users")
+      val steps = n1.unionByName(n2).unionByName(n3).unionByName(n4)
+      val w = Window.orderBy($"step") // 4 rows — bounded by construction
+      steps
+        .withColumn("first_n", first($"n_users").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_n", lag($"n_users", 1).over(w))
+        .select($"step", $"event_type", $"n_users",
+          when(coalesce($"prev_n", $"n_users") === 0, lit(0.0))
+            .otherwise(CrossRound.r($"n_users".cast("double") /
+              coalesce($"prev_n", $"n_users"), 4)).as("conv_prev"),
+          when($"first_n" === 0, lit(0.0))
+            .otherwise(CrossRound.r($"n_users".cast("double") / $"first_n",
+              4)).as("conv_first"))
+        .orderBy($"step")
+    },
+
+    // ----- event-type transition matrix (first-order Markov) -----
+    // The behavior model over q77's same ordered stream: for each
+    // consecutive (prev → next) event pair within a user's timeline,
+    // count transitions and row-normalize into P(next | prev). The lag
+    // window partitions by user (per-user state, parallel in users —
+    // q10's shape); the matrix itself is |types|² rows, so the
+    // normalizing join broadcasts. Probabilities are single int/int
+    // divisions on exact counts.
+    "q110_type_transitions" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = t.events
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy($"prev_type").agg(sum($"n").as("tot"))
+      pairs.join(broadcast(totals), "prev_type")
+        .select($"prev_type", $"next_type", $"n",
+          CrossRound.r($"n".cast("double") / $"tot", 6).as("p"))
+        .orderBy($"prev_type", $"next_type")
     }
   )
 
@@ -1077,6 +1153,59 @@ object RelationalQueries {
              round(sum(e.value), 2) AS sum_value
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       GROUP BY 1
-      ORDER BY c_mktsegment"""
+      ORDER BY c_mktsegment""",
+
+    // Funnel twin: identical per-user min-agg stages with strict-after
+    // joins; conversions are the same guarded int/int divisions.
+    "q108_event_funnel" -> """
+      WITH e AS (SELECT user_id, event_type,
+                        epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+                          AS sec
+                 FROM events),
+      s1 AS (SELECT user_id, min(sec) t1 FROM e
+             WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(sec) t2 FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'view' AND sec > t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(sec) t3 FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'click' AND sec > t2 GROUP BY 1),
+      s4 AS (SELECT e.user_id, min(sec) t4 FROM e JOIN s3 USING (user_id)
+             WHERE event_type = 'purchase' AND sec > t3 GROUP BY 1),
+      steps AS (
+        SELECT 1 AS step, 'signup' AS event_type,
+               (SELECT count(1) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'view', (SELECT count(1) FROM s2)
+        UNION ALL SELECT 3, 'click', (SELECT count(1) FROM s3)
+        UNION ALL SELECT 4, 'purchase', (SELECT count(1) FROM s4)),
+      x AS (SELECT step, event_type, CAST(n_users AS BIGINT) n_users,
+                   lag(n_users) OVER (ORDER BY step) prev_n,
+                   first_value(n_users) OVER (ORDER BY step) first_n
+            FROM steps)
+      SELECT step, event_type, n_users,
+             CASE WHEN coalesce(prev_n, n_users) = 0 THEN 0.0
+                  ELSE floor((n_users::DOUBLE / coalesce(prev_n, n_users))
+                             * 10000 + 0.5) / 10000 END AS conv_prev,
+             CASE WHEN first_n = 0 THEN 0.0
+                  ELSE floor((n_users::DOUBLE / first_n) * 10000 + 0.5)
+                       / 10000 END AS conv_first
+      FROM x
+      ORDER BY step""",
+
+    // Transition twin: identical lag ordering (ts, event_id) and the
+    // same single int/int division per cell.
+    "q110_type_transitions" -> """
+      WITH p AS (SELECT user_id, event_type,
+                        lag(event_type) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                          AS prev_type
+                 FROM events),
+      c AS (SELECT prev_type, event_type AS next_type,
+                   CAST(count(1) AS BIGINT) n
+            FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) tot
+            FROM c GROUP BY 1)
+      SELECT c.prev_type, c.next_type, c.n,
+             floor((c.n::DOUBLE / t.tot) * 1000000 + 0.5) / 1000000 AS p
+      FROM c JOIN t USING (prev_type)
+      ORDER BY prev_type, next_type"""
   )
 }
