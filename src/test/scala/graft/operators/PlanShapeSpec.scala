@@ -411,4 +411,66 @@ class PlanShapeSpec extends AnyFunSuite {
     // doc repartition + digest agg + digest join + per-doc agg + sort.
     assert(shuffles <= 5, s"q104 grew to $shuffles distinct shuffles:\n$p")
   }
+
+  test("q105: band edges broadcast; first-seen is one word-keyed agg") {
+    val p = plan("q105_vocab_growth")
+    // The only BNLJ build is the 1-row min/max bounds; the band joins
+    // are equality on the 10-value decile key. A Window is fine ONLY
+    // because its input is 10 rows by construction.
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"q105 lost its decile equality joins:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 6, s"q105 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q106: ranking happens after a top-k cut, never over the vocabulary") {
+    val p = plan("q106_zipf_slope")
+    // The freq table must be cut by TakeOrderedAndProject BEFORE the
+    // row_number window — a Window whose input is the full vocabulary
+    // is the 100 TB funnel this query is designed to avoid.
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q106 lost its top-100 cut:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 4, s"q106 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q107: the gate is doc-keyed aggs plus a 1-row threshold broadcast") {
+    val p = plan("q107_token_entropy")
+    assert(!p.contains("Window"), s"q107 grew a window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q107's threshold join degraded to SMJ:\n$p")
+    val shuffles = distinctShuffles(p)
+    // doc repartition + (doc,word) agg + per-doc agg + output sort.
+    assert(shuffles <= 4, s"q107 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q108: stages join by user_id equality; no stream-wide window") {
+    val p = plan("q108_event_funnel")
+    // Strict-after stages are per-user min-aggs joined on user_id; the
+    // only window runs over the 4-row summary. An event-stream window
+    // (partitioned or global) would serialize the corpus.
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"q108 lost its user_id equality joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q108 grew a cartesian:\n$p")
+  }
+
+  test("q109: two 1-row percentile broadcasts then a map-only flag") {
+    val p = plan("q109_mad_outlier")
+    assert(!p.contains("Window"), s"q109 grew a window:\n$p")
+    val shuffles = distinctShuffles(p)
+    // Each percentile is a partial+final agg; the flag pass adds only
+    // the output range sort.
+    assert(shuffles <= 2, s"q109 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q110: transitions are one user-keyed window + broadcast normalize") {
+    val p = plan("q110_type_transitions")
+    assert(p.contains("Window"), s"q110 lost its per-user lag window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q110's |types|^2 normalizing join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q110 normalizing join degraded to SMJ:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 4, s"q110 grew to $shuffles distinct shuffles:\n$p")
+  }
 }
