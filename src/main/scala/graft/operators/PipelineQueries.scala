@@ -2988,6 +2988,198 @@ object PipelineQueries {
           round($"adev", 2).as("adev"),
           ($"adev" > lit(3.0) * $"mad").as("is_outlier"))
         .orderBy($"doc_id")
+    },
+
+    // ----- per-source distribution drift (two-sample KS statistic) -----
+    // The data-mix audit q74/q94 assume implicitly: does each source's
+    // length distribution actually differ from the corpus? D_s =
+    // max_x |CDF_s(x) − CDF(x)|, evaluated on the shared breakpoint
+    // grid (every distinct length — step CDFs change only there, so the
+    // sup over the reals IS the max over the grid). The grid is bounded
+    // by the VALUE domain (distinct integer lengths — ~10⁴ even at
+    // 100 TB), not the row count: counts collapse to (source, len)
+    // first, the #sources×|grid| filled relation is windowed per source
+    // over grid-sized partitions, and the single-partition global-CDF
+    // window runs over |grid| rows only (the q79 band rewrite applies
+    // verbatim if a value domain ever outgrows a task). Every CDF value
+    // is an int/int division on identical integers → bit-identical
+    // doubles; |difference| and max are single-op/selection, so only
+    // the final report rounds.
+    "q112_ks_distance" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val docs = t.documents.select($"source", $"n_chars".as("len"))
+      val c = docs.groupBy($"source", $"len").agg(count(lit(1)).as("n"))
+      val g = docs.groupBy($"len").agg(count(lit(1)).as("n")).cache()
+      val tot = docs.agg(count(lit(1)).as("n_all"))
+      val ns = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      val filled = ns.select($"source").crossJoin(g.select($"len"))
+        .join(c, Seq("source", "len"), "left")
+        .withColumn("n", coalesce($"n", lit(0L)))
+      val cs = filled.withColumn("cum_s",
+        sum($"n").over(Window.partitionBy($"source").orderBy($"len")))
+      val cg = g
+        .withColumn("cum_g", sum($"n").over(Window.orderBy($"len")))
+        .select($"len", $"cum_g")
+      cs.join(cg, "len")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("d", abs($"cum_s".cast("double") / $"n_s" -
+          $"cum_g".cast("double") / $"n_all"))
+        .groupBy($"source", $"n_s")
+        .agg(CrossRound.r(max($"d"), 6).as("ks"))
+        .select($"source", $"n_s".as("n_docs"), $"ks")
+        .orderBy($"source")
+    },
+
+    // ----- literal phrase search (corpus-adaptive query) -----
+    // Retrieval by exact n-gram match, q84's lexical sibling: the
+    // phrase is the corpus's own most frequent bigram (count desc, then
+    // lexicographic — fully deterministic, and derived from the data so
+    // every fuzz corpus exercises it), and each document scores its
+    // adjacency-match count. The phrase is a 1-row TakeOrdered
+    // broadcast; matching is a map-side equality prune of the exploded
+    // bigram stream (only matching postings ever shuffle — never the
+    // vocabulary), and the top-10 cut is TakeOrderedAndProject with a
+    // total (n_matches desc, doc_id) order. The many-query form builds
+    // q84's posting-table artifact with POSITIONS; for one phrase the
+    // prune-then-count plan strictly dominates it (no index to
+    // materialize or probe).
+    "q113_phrase_search" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val bg = t.documents.repartition($"doc_id")
+        .select($"doc_id", explode(
+          graft.functions.GraftFunctions.shinglesK(expr(toksExpr), 2))
+          .as("b"))
+        .cache()
+      val top1 = bg.groupBy($"b").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"b").limit(1)
+        .select($"b".as("phrase"))
+      bg.join(broadcast(top1), $"b" === $"phrase")
+        .groupBy($"doc_id", $"phrase")
+        .agg(count(lit(1)).as("n_matches"))
+        .select($"doc_id", $"phrase", $"n_matches")
+        .orderBy($"n_matches".desc, $"doc_id")
+        .limit(10)
+    },
+
+    // ----- tokenizer fertility by language -----
+    // The tokenizer-budget planning number (tokens the BPE-ish
+    // pretokenizer spends per whitespace word, per language): q38's two
+    // per-doc token counts aggregated to #langs rows. Integer sums
+    // (exact in any order), one division per output row. Fully map-only
+    // into a map-side-combining agg — the ideal 100 TB shape.
+    "q114_tokenizer_fertility" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val bpe =
+        "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+      t.documents
+        .select($"lang",
+          size(expr(toksExpr)).cast("long").as("ws"),
+          size(regexp_extract_all($"text", lit(bpe), lit(0))).cast("long")
+            .as("bp"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"ws").as("n_ws_tokens"),
+          sum($"bp").as("n_bpe_tokens"))
+        .withColumn("fertility",
+          CrossRound.r($"n_bpe_tokens".cast("double") / $"n_ws_tokens", 4))
+        .orderBy($"lang")
+    },
+
+    // ----- held-out n-gram coverage -----
+    // The LM-eval sanity check decontamination (q51) is the inverse of:
+    // what fraction of a HELD-OUT doc's distinct bigrams does the train
+    // split's bigram vocabulary cover (unseen n-grams ⇒ guaranteed
+    // perplexity spikes)? Split = doc_id parity (deterministic, both
+    // sides populated on any corpus). Bigrams hash to 8-byte sids
+    // map-side (strings never shuffle; a colliding pair merges
+    // identically in both engines); coverage = one sid-keyed equality
+    // join of the val postings against the distinct train-sid set (AQE
+    // broadcasts it when small, shuffle-join otherwise — never a
+    // driver-side set), then one doc-keyed count. All-integer until one
+    // division per doc.
+    "q115_ngram_coverage" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val bs = t.documents.repartition($"doc_id")
+        .select($"doc_id", explode(array_distinct(
+          graft.functions.GraftFunctions.polyHashArray(
+            graft.functions.GraftFunctions.shinglesK(expr(toksExpr), 2))))
+          .as("sid"))
+        .cache()
+      val train = bs.filter($"doc_id" % 2 === 0).select($"sid").distinct()
+      val vd = bs.filter($"doc_id" % 2 =!= 0)
+      val sizes = vd.groupBy($"doc_id").agg(count(lit(1)).as("n_bigrams"))
+      val cov = vd.join(train, "sid")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_covered"))
+      sizes.join(cov, Seq("doc_id"), "left")
+        .withColumn("n_covered", coalesce($"n_covered", lit(0L)))
+        .withColumn("coverage",
+          CrossRound.r($"n_covered".cast("double") / $"n_bigrams", 4))
+        .orderBy($"doc_id")
+    },
+
+    // ----- PageRank over the rare-shingle similarity graph -----
+    // Centrality-weighted curation (which documents anchor dense
+    // near-duplicate neighborhoods): PageRank, damping 0.85, two
+    // synchronous iterations unrolled, over the undirected graph whose
+    // edges are [[rareSharedSidPairs]] candidates sharing ≥ 3 df≤50
+    // shingles (the same bounded-fanout pair stream q23/q71/q103 ride;
+    // q46 walks these edges for components, this WEIGHS them). The
+    // multiplicity threshold is load-bearing at scale: single-shingle
+    // collisions make the candidate graph nearly dense on a
+    // shared-vocabulary corpus (measured sf0.1: 1.13M pairs at i≥1 vs
+    // 10k at i≥3 over 5000 docs) — ≥3 keeps edges that witness real
+    // lexical overlap and bounds the message volume the sweeps ship.
+    // Each
+    // iteration is one src-keyed join (rank onto edges) + one dst-keyed
+    // aggregate — the standard message-passing shape, parallel in
+    // nodes, no broadcast of anything node-count-sized (N and the
+    // teleport term ride a 1-row broadcast). Dangling mass is NOT
+    // redistributed (documented simplification — both engines drop it
+    // identically, so ranks sum below 1 when isolated docs exist).
+    // Determinism: every contribution is a single divide of identical
+    // doubles; per-node sums fold neighbor lists in src order, so both
+    // engines add in the same sequence — bit-identical before the one
+    // rounding.
+    "q116_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val arrs = docSidArrays(t.documents)
+      val pairs = rareSharedSidPairs(arrs, 50)
+        .filter($"i" >= 3)
+        .select($"doc_a", $"doc_b").cache()
+      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val edgesD = edges.join(deg, "src").cache()
+      val tot = t.documents.agg(count(lit(1)).as("n_docs"))
+      val docs = t.documents.select($"doc_id")
+      def sweep(ranks: DataFrame): DataFrame =
+        edgesD.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+          .select($"dst", $"src", ($"r" / $"deg").as("contrib"))
+          .groupBy($"dst")
+          .agg(aggregate(
+            array_sort(collect_list(struct($"src", $"contrib"))),
+            lit(0.0), (acc, e) => acc + e.getField("contrib")).as("s"))
+      def step(ranks: DataFrame): DataFrame =
+        docs.join(sweep(ranks).withColumnRenamed("dst", "doc_id"),
+            Seq("doc_id"), "left")
+          .crossJoin(broadcast(tot))
+          .select($"doc_id",
+            (lit(0.15) / $"n_docs" +
+              lit(0.85) * coalesce($"s", lit(0.0))).as("r"))
+      val r0 = docs.crossJoin(broadcast(tot))
+        .select($"doc_id", (lit(1.0) / $"n_docs").as("r"))
+      val r1 = step(r0).cache()
+      val r2 = step(r1)
+      r2.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"deg", lit(0L)).as("deg"),
+          CrossRound.r($"r", 8).as("pr"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -4708,6 +4900,127 @@ object PipelineQueries {
                round(adev, 2) AS adev,
                adev > 3.0 * mad.mad AS is_outlier
         FROM dev, mad
+        ORDER BY doc_id""",
+
+      // Step CDFs on the shared breakpoint grid; every CDF value a
+      // single int/int division, max a selection — one rounding at the
+      // end. Window frames are the default RANGE-to-current-row in both
+      // engines; (source, len) / len keys are unique so ties can't
+      // differ.
+      "q112_ks_distance" -> s"""
+        WITH d AS (SELECT source, n_chars len FROM documents),
+        c AS (SELECT source, len, CAST(count(1) AS BIGINT) n
+              FROM d GROUP BY 1, 2),
+        g AS (SELECT len, CAST(count(1) AS BIGINT) n FROM d GROUP BY 1),
+        tot AS (SELECT CAST(count(1) AS BIGINT) n_all FROM d),
+        ns AS (SELECT source, CAST(count(1) AS BIGINT) n_s
+               FROM d GROUP BY 1),
+        filled AS (SELECT s.source, gl.len, coalesce(c.n, 0) n
+                   FROM (SELECT source FROM ns) s
+                   CROSS JOIN (SELECT len FROM g) gl
+                   LEFT JOIN c ON c.source = s.source AND c.len = gl.len),
+        cs AS (SELECT source, len,
+                      sum(n) OVER (PARTITION BY source ORDER BY len) cum_s
+               FROM filled),
+        cg AS (SELECT len, sum(n) OVER (ORDER BY len) cum_g FROM g),
+        dd AS (SELECT cs.source, ns.n_s,
+                      abs(cum_s::DOUBLE / ns.n_s
+                          - cum_g::DOUBLE / tot.n_all) dv
+               FROM cs JOIN cg USING (len) JOIN ns USING (source)
+               CROSS JOIN tot)
+        SELECT source, n_s AS n_docs,
+               ${CrossRound.sql("max(dv)", 6)} AS ks
+        FROM dd GROUP BY source, n_s
+        ORDER BY source""",
+
+      "q113_phrase_search" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) b FROM toks),
+        top1 AS (SELECT b AS phrase FROM (
+                   SELECT b, count(1) c FROM bg GROUP BY 1)
+                 ORDER BY c DESC, b LIMIT 1)
+        SELECT doc_id, top1.phrase, CAST(count(1) AS BIGINT) n_matches
+        FROM bg CROSS JOIN top1 WHERE bg.b = top1.phrase
+        GROUP BY doc_id, top1.phrase
+        ORDER BY n_matches DESC, doc_id LIMIT 10""",
+
+      // Integer sums are exact in any order; one division per lang row.
+      "q114_tokenizer_fertility" -> s"""
+        SELECT lang, CAST(count(1) AS BIGINT) n_docs,
+               CAST(sum(len($toks)) AS BIGINT) n_ws_tokens,
+               CAST(sum(len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')))
+                 AS BIGINT) n_bpe_tokens,
+               floor((sum(len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')))::DOUBLE
+                 / sum(len($toks))) * 10000 + 0.5) / 10000 AS fertility
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang""",
+
+      "q115_ngram_coverage" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) b FROM toks),
+        bs AS (SELECT DISTINCT doc_id, ${oraclePolyHash("b")} sid FROM bg),
+        train AS (SELECT DISTINCT sid FROM bs WHERE doc_id % 2 = 0),
+        vd AS (SELECT doc_id, sid FROM bs WHERE doc_id % 2 != 0),
+        sizes AS (SELECT doc_id, CAST(count(1) AS BIGINT) n_bigrams
+                  FROM vd GROUP BY 1),
+        cov AS (SELECT doc_id, CAST(count(1) AS BIGINT) n_covered
+                FROM vd JOIN train USING (sid) GROUP BY 1)
+        SELECT s.doc_id, s.n_bigrams,
+               coalesce(c.n_covered, 0) AS n_covered,
+               floor((coalesce(c.n_covered, 0)::DOUBLE / s.n_bigrams)
+                 * 10000 + 0.5) / 10000 AS coverage
+        FROM sizes s LEFT JOIN cov c USING (doc_id)
+        ORDER BY doc_id""",
+
+      // Two unrolled synchronous iterations; contributions fold in src
+      // order (the same sequence Spark's array_sort'ed fold adds in),
+      // teleport/damping constants cast to DOUBLE so no DECIMAL
+      // arithmetic sneaks in. Dangling mass intentionally not
+      // redistributed — identically in both engines.
+      "q116_pagerank" -> s"""
+        WITH $dsh, $dsid,
+        rare AS (SELECT sid FROM dsid GROUP BY sid
+                 HAVING count(1) <= 50),
+        rdsh AS (SELECT doc_id, sid FROM dsid JOIN rare USING (sid)),
+        pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+                  FROM rdsh a JOIN rdsh b
+                    ON a.sid = b.sid AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2 HAVING count(1) >= 3),
+        edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        deg AS (SELECT src, CAST(count(1) AS BIGINT) deg
+                FROM edges GROUP BY 1),
+        tot AS (SELECT CAST(count(1) AS BIGINT) n_docs FROM documents),
+        r0 AS (SELECT doc_id, 1.0::DOUBLE / tot.n_docs r
+               FROM documents CROSS JOIN tot),
+        s1 AS (SELECT dst, list_reduce(list_prepend(0.0::DOUBLE,
+                 list(r0.r / deg.deg ORDER BY e.src)), (a, b) -> a + b) s
+               FROM edges e JOIN deg USING (src)
+                    JOIN r0 ON r0.doc_id = e.src
+               GROUP BY dst),
+        r1 AS (SELECT d.doc_id,
+                      0.15::DOUBLE / tot.n_docs
+                        + 0.85::DOUBLE * coalesce(s1.s, 0.0::DOUBLE) r
+               FROM documents d LEFT JOIN s1 ON s1.dst = d.doc_id
+               CROSS JOIN tot),
+        s2 AS (SELECT dst, list_reduce(list_prepend(0.0::DOUBLE,
+                 list(r1.r / deg.deg ORDER BY e.src)), (a, b) -> a + b) s
+               FROM edges e JOIN deg USING (src)
+                    JOIN r1 ON r1.doc_id = e.src
+               GROUP BY dst),
+        r2 AS (SELECT d.doc_id,
+                      0.15::DOUBLE / tot.n_docs
+                        + 0.85::DOUBLE * coalesce(s2.s, 0.0::DOUBLE) r
+               FROM documents d LEFT JOIN s2 ON s2.dst = d.doc_id
+               CROSS JOIN tot)
+        SELECT r2.doc_id, coalesce(deg.deg, 0) AS deg,
+               ${CrossRound.sql("r2.r", 8)} AS pr
+        FROM r2 LEFT JOIN deg ON deg.src = r2.doc_id
         ORDER BY doc_id"""
     )
   }

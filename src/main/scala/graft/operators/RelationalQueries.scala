@@ -760,6 +760,39 @@ object RelationalQueries {
         .select($"prev_type", $"next_type", $"n",
           CrossRound.r($"n".cast("double") / $"tot", 6).as("p"))
         .orderBy($"prev_type", $"next_type")
+    },
+
+    // ----- cohort retention matrix -----
+    // The growth-analytics companion to q108's funnel and q110's
+    // transitions: users cohort by the ISO-agnostic integer week of
+    // their FIRST activity (epoch-day div 7 — pure integer arithmetic,
+    // no engine-specific week-truncation rules), and each later active
+    // week counts into (cohort_week, offset). Retention = active/cohort
+    // size, a single int/int division. Scale: the active-week relation
+    // is DISTINCT (user, week) — one user-keyed shuffle — the cohort is
+    // a per-user min-agg on the same key (exchange reuse), and the
+    // matrix is at most #weeks² rows, so the cohort-size join
+    // broadcasts. No windows anywhere: every step is a key-equality
+    // aggregate, parallel in users.
+    "q111_cohort_retention" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val wk = t.events
+        .select($"user_id",
+          expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7")
+            .as("week"))
+        .distinct()
+      val cohort = wk.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+      val base = cohort.groupBy($"cohort_week")
+        .agg(count(lit(1)).as("n_cohort"))
+      wk.join(cohort, "user_id")
+        .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(base), "cohort_week")
+        .select($"cohort_week", $"week_offset", $"n_active", $"n_cohort",
+          CrossRound.r($"n_active".cast("double") / $"n_cohort", 4)
+            .as("retention"))
+        .orderBy($"cohort_week", $"week_offset")
     }
   )
 
@@ -1206,6 +1239,26 @@ object RelationalQueries {
       SELECT c.prev_type, c.next_type, c.n,
              floor((c.n::DOUBLE / t.tot) * 1000000 + 0.5) / 1000000 AS p
       FROM c JOIN t USING (prev_type)
-      ORDER BY prev_type, next_type"""
+      ORDER BY prev_type, next_type""",
+
+    // Integer week index = epoch-day // 7 in both engines (DuckDB's //
+    // and Spark's div both truncate; days are non-negative here), so no
+    // calendar/week-start rule ever crosses the engine boundary.
+    "q111_cohort_retention" -> """
+      WITH wk AS (SELECT DISTINCT user_id,
+                         date_diff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) // 7 AS week
+                  FROM events),
+      co AS (SELECT user_id, min(week) cohort_week FROM wk GROUP BY 1),
+      base AS (SELECT cohort_week, CAST(count(1) AS BIGINT) n_cohort
+               FROM co GROUP BY 1),
+      act AS (SELECT cohort_week, week - cohort_week AS week_offset,
+                     CAST(count(1) AS BIGINT) n_active
+              FROM wk JOIN co USING (user_id) GROUP BY 1, 2)
+      SELECT cohort_week, week_offset, n_active, n_cohort,
+             floor((n_active::DOUBLE / n_cohort) * 10000 + 0.5) / 10000
+               AS retention
+      FROM act JOIN base USING (cohort_week)
+      ORDER BY cohort_week, week_offset"""
   )
 }

@@ -473,4 +473,67 @@ class PlanShapeSpec extends AnyFunSuite {
     val shuffles = distinctShuffles(p)
     assert(shuffles <= 4, s"q110 grew to $shuffles distinct shuffles:\n$p")
   }
+
+  test("q111: cohorts are key-equality aggs; the size join broadcasts") {
+    val p = plan("q111_cohort_retention")
+    // Every step is a user- or cohort-keyed aggregate — a window over
+    // the event stream (or per-cohort row_numbers) would serialize it.
+    assert(!p.contains("Window"), s"q111 grew a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q111's #weeks-sized cohort-size join must broadcast:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 5, s"q111 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q112: CDF windows partition by source over the value-domain grid") {
+    val p = plan("q112_ks_distance")
+    assert(p.contains("Window"), s"q112 lost its CDF windows:\n$p")
+    // The grid cross product is #sources × |grid| — both builds tiny
+    // relative to the corpus; the corpus itself only ever feeds
+    // map-side-combining counts.
+    assert(!p.contains("CartesianProduct"), s"q112 grew a cartesian:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 8, s"q112 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q113: phrase match prunes via broadcast; top-10 is TakeOrdered") {
+    val p = plan("q113_phrase_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q113's top-10 cut must be TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q113's 1-row phrase must broadcast into the bigram stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q113's phrase prune degraded to SMJ:\n$p")
+  }
+
+  test("q114: fertility is map-only into one lang-keyed agg") {
+    val p = plan("q114_tokenizer_fertility")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"q114 must stay a pure map + aggregate:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 2, s"q114 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q115: coverage joins on sid equality; no window, no cartesian") {
+    val p = plan("q115_ngram_coverage")
+    assert(!p.contains("Window"), s"q115 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q115 grew a cartesian:\n$p")
+    assert(p.contains("Join"), s"q115 lost its sid-equality join:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 7, s"q115 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q116: rank sweeps are src-keyed joins + dst-keyed folds") {
+    val p = plan("q116_pagerank")
+    // The message-passing contract: ranks reach edges by src-equality
+    // join, per-node sums are dst-keyed aggregates. N and the teleport
+    // term ride 1-row BNL broadcasts; nothing node-count-sized may
+    // broadcast, and no window may appear.
+    assert(!p.contains("Window"), s"q116 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q116 grew a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q116's 1-row N broadcast disappeared:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 12, s"q116 grew to $shuffles distinct shuffles:\n$p")
+  }
 }
