@@ -3180,6 +3180,252 @@ object PipelineQueries {
         .select($"doc_id", coalesce($"deg", lit(0L)).as("deg"),
           CrossRound.r($"r", 8).as("pr"))
         .orderBy($"doc_id")
+    },
+
+    // ----- Gopher-style repetition rules (Rae et al. 2021 §A1.1) -----
+    // Two per-doc repetition fractions, both integer-exact until one
+    // final division: (a) characters in the single most frequent word
+    // (count desc, word asc tiebreak via a doc-partitioned row_number —
+    // partitions are doc-vocabulary-sized) over all word characters;
+    // (b) characters inside DUPLICATE bigrams (c ≥ 2, counted over all
+    // occurrences) over all bigram characters — the n=2 instance of
+    // Gopher's dup-n-gram family, the one a shared-vocab corpus
+    // actually exercises (349/500 fixture docs contain a repeated
+    // bigram; 5-grams never repeat within a doc there). Gates compare
+    // against corpus MEANS of the 4-dp-rounded fractions, computed
+    // order-independently: each rounded fraction scales to an exact
+    // 10^4 integer (floor(x·10⁴+0.5) — exact, the value HAS ≤ 4
+    // decimals), DECIMAL(38,0)-sums in any order, divides once
+    // ([[CrossRound.avgMoney]]'s argument — no ordered fold, no
+    // corpus-sized collect_list, so the threshold agg is a plain
+    // map-side-combining reduce at any scale). Every other step is
+    // doc-keyed; thresholds ride a 1-row broadcast.
+    "q117_gopher_repetition" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val toks = t.documents.repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("tk")).cache()
+      val wc = toks.select($"doc_id", explode($"tk").as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .withColumn("lw", length($"w").cast("long"))
+      val tot = wc.groupBy($"doc_id")
+        .agg(sum($"c" * $"lw").as("n_word_chars"))
+      val wTop = Window.partitionBy($"doc_id").orderBy($"c".desc, $"w")
+      val top = wc.withColumn("rn", row_number().over(wTop))
+        .filter($"rn" === 1)
+        .select($"doc_id", ($"c" * $"lw").as("tc"))
+      val grams = toks.select($"doc_id", explode(
+          graft.functions.GraftFunctions.shinglesK($"tk", 2)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .withColumn("lg", length($"g").cast("long"))
+      val gstat = grams.groupBy($"doc_id")
+        .agg(sum($"c" * $"lg").as("tot_chars"),
+          coalesce(sum(when($"c" >= 2, $"c" * $"lg")), lit(0L))
+            .as("dup_chars"))
+      val per = tot.join(top, "doc_id")
+        .join(gstat, Seq("doc_id"), "left")
+        .select($"doc_id",
+          CrossRound.r($"tc".cast("double") / $"n_word_chars", 4)
+            .as("top_frac"),
+          coalesce(
+            CrossRound.r($"dup_chars".cast("double") / $"tot_chars", 4),
+            lit(0.0)).as("dup_frac"))
+        .cache()
+      val thr = per.agg(
+        CrossRound.r(
+          sum(floor($"top_frac" * 10000 + 0.5)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            / (count(lit(1)) * 10000.0), 6).as("t_top"),
+        CrossRound.r(
+          sum(floor($"dup_frac" * 10000 + 0.5)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            / (count(lit(1)) * 10000.0), 6).as("t_dup"))
+      per.crossJoin(broadcast(thr))
+        .select($"doc_id", $"top_frac", $"dup_frac",
+          ($"top_frac" <= $"t_top" && $"dup_frac" <= $"t_dup").as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- bag-of-words dedup (word-order-insensitive exact) -----
+    // Canonical form = tokens sorted and re-joined; its polynomial hash
+    // is the bag signature (native [[graft.functions.PolyHashArray]]
+    // kernel — one fused pass, no interpreted per-char lambda). Catches
+    // everything q21's byte-exact dedup catches PLUS token
+    // permutations (shuffle-augmented or re-serialized copies). One
+    // map-only canonicalization + one signature-keyed agg + one
+    // signature-keyed join back: two shuffles on 8-byte keys, no
+    // string ever shuffles twice. keep = min-doc_id canonical, q21's
+    // convention.
+    "q118_bag_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val sig = t.documents.repartition($"doc_id")
+        .select($"doc_id",
+          element_at(graft.functions.GraftFunctions.polyHashArray(
+            array(concat_ws(" ", array_sort(expr(toksExpr))))), 1)
+            .as("bag_sig"))
+      val grp = sig.groupBy($"bag_sig")
+        .agg(count(lit(1)).as("n_bag"), min($"doc_id").as("canon_id"))
+      sig.join(grp, "bag_sig")
+        .select($"doc_id", $"bag_sig", $"n_bag",
+          ($"doc_id" === $"canon_id").as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- corpus-adaptive stopword discovery + ratio gate -----
+    // C4's "no stopwords ⇒ not prose" heuristic without a fixed list:
+    // the corpus's own 20 most frequent words (count desc, word asc —
+    // deterministic, data-derived so every fuzz corpus exercises it)
+    // ARE the stopword list, discovered by one map-side-combining word
+    // count + TakeOrdered(20) into a broadcast. Per-doc ratio is then
+    // one broadcast-semi-tagged explode + doc-keyed count; the keep
+    // threshold is the corpus mean of the rounded ratio via the same
+    // exact scaled-integer mean as q117 (order-independent, no global
+    // fold). Docs BELOW the mean stopword ratio are flagged (the
+    // C4 direction: too few function words ⇒ boilerplate/list page).
+    "q119_stopword_ratio" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val w = t.documents.repartition($"doc_id")
+        .select($"doc_id", explode(expr(toksExpr)).as("w"))
+      val stop = w.groupBy($"w").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"w").limit(20)
+        .select($"w", lit(1L).as("is_stop"))
+      val per = w.join(broadcast(stop), Seq("w"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          coalesce(sum($"is_stop"), lit(0L)).as("n_stop"))
+        .withColumn("stop_ratio",
+          CrossRound.r($"n_stop".cast("double") / $"n_toks", 4))
+        .cache()
+      val thr = per.agg(CrossRound.r(
+        sum(floor($"stop_ratio" * 10000 + 0.5)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          / (count(lit(1)) * 10000.0), 6).as("t"))
+      per.crossJoin(broadcast(thr))
+        .select($"doc_id", $"n_toks", $"n_stop", $"stop_ratio",
+          ($"stop_ratio" >= $"t").as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    // ----- curriculum binning by exact length deciles -----
+    // Length-curriculum assignment (shortest-first epochs) WITHOUT a
+    // global rank: decile thresholds come from the inverted-CDF
+    // quantile over the BOUNDED length value domain (q112's trick —
+    // distinct token counts, ~10⁴ values at any corpus size, so the
+    // one cumulative window runs over a bounded single partition),
+    // t_k = min{v : cum(v) ≥ ⌈kN/10⌉}. The 9 thresholds collapse to
+    // one broadcast array and every doc bins MAP-SIDE as
+    // epoch = 1 + #{t_k < n_tokens} — ties share a bin
+    // deterministically in both engines. Per-epoch stats are integer
+    // sums + one exact division each.
+    "q120_curriculum_bins" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val base = t.documents
+        .select($"doc_id", size(expr(toksExpr)).cast("long").as("n_tokens"))
+        .cache()
+      val vc = base.groupBy($"n_tokens".as("v")).agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.withColumn("cum", sum($"c").over(wCum))
+      val n = base.agg(count(lit(1)).as("n"))
+      val thresholds = cum.crossJoin(broadcast(n))
+        .select($"v", $"cum", $"n",
+          explode(expr("sequence(1, 9)")).as("k"))
+        .filter($"cum" >= expr("(k * n + 9) DIV 10"))
+        .groupBy($"k").agg(min($"v").as("tv"))
+      val tarr = thresholds
+        .agg(expr("transform(array_sort(collect_list(struct(k, tv))), x -> x.tv)")
+          .as("tvs"))
+      base.crossJoin(broadcast(tarr))
+        .select($"doc_id", $"n_tokens",
+          (lit(1) + size(expr("filter(tvs, t -> n_tokens > t)")))
+            .cast("int").as("epoch"))
+        .groupBy($"epoch")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("tot_tokens"))
+        .withColumn("mean_tokens",
+          CrossRound.r($"tot_tokens".cast("double") / $"n_docs", 4))
+        .orderBy($"epoch")
+    },
+
+    // ----- prefix-filtered exact similarity join (AllPairs/PPJoin) -----
+    // The COMPLETE exact-Jaccard-≥-0.5 pair join — no df cap, no rare-
+    // shingle contract (q23's complement): order every doc's distinct
+    // 3-shingle sids by global (df asc, sid) rarity, emit only the
+    // first ⌊n/2⌋+1 sids as the probe prefix (prefix length
+    // n − ⌈t·n⌉ + 1 — any pair with J ≥ t MUST share a prefix token
+    // under a common global order; Bayardo et al. WWW'07, Vernica et
+    // al. SIGMOD'10's MapReduce form), self-join prefixes on sid,
+    // verify candidates exactly with one array_intersect over the two
+    // doc-bounded sid arrays. The filter is the exact integer form
+    // 2i ≥ na+nb−i (no float in the decision); jac is one division.
+    // Rarity ordering makes prefixes maximally selective: the most
+    // frequent sids never appear in any prefix. The ORACLE computes
+    // all-pairs J ≥ 0.5 directly from postings, so any candidate the
+    // prefix filter missed fails the row compare — the oracle IS the
+    // completeness check (plus the brute-force equality spec in
+    // Round10OpsSpec).
+    "q121_prefix_filter_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val posting = docSidArrays(t.documents)
+        .select($"doc_id", explode($"sids").as("sid"))
+      val dfreq = posting.groupBy($"sid").agg(count(lit(1)).as("df"))
+      val ordered = posting.join(dfreq, "sid")
+        .groupBy($"doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(df, sid))), x -> x.sid)")
+          .as("sids"))
+        .select($"doc_id", $"sids", size($"sids").cast("long").as("n"))
+        .cache()
+      val prefixes = ordered.select($"doc_id", explode(
+        expr("slice(sids, 1, CAST(n DIV 2 + 1 AS INT))")).as("sid"))
+      val cands = prefixes.as("a")
+        .join(prefixes.as("b"),
+          $"a.sid" === $"b.sid" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+      cands
+        .join(ordered.select($"doc_id".as("doc_a"), $"sids".as("sa"),
+          $"n".as("na")), "doc_a")
+        .join(ordered.select($"doc_id".as("doc_b"), $"sids".as("sb"),
+          $"n".as("nb")), "doc_b")
+        .withColumn("i", size(array_intersect($"sa", $"sb")).cast("long"))
+        .filter($"i" * 2 >= $"na" + $"nb" - $"i")
+        .select($"doc_a", $"doc_b", $"i", $"na", $"nb",
+          CrossRound.r(
+            $"i".cast("double") / ($"na" + $"nb" - $"i"), 6).as("jac"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // ----- per-source dataset card -----
+    // The rollup a dataset release ships: per source, doc and token
+    // counts, language spread, byte-exact duplicate rate (distinct
+    // md5 — 16-byte keys shuffle, never full texts), and exact integer
+    // means. One source-keyed aggregate; every mean is
+    // (BIGINT sum)/(count) — a single exactly-rounded division.
+    "q122_dataset_card" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.documents
+        .select($"source", $"lang", $"n_chars", md5($"text").as("h"),
+          size(expr(toksExpr)).cast("long").as("n_tokens"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_tokens"),
+          countDistinct($"lang").as("n_langs"),
+          countDistinct($"h").as("n_distinct"),
+          sum($"n_chars").as("sum_chars"))
+        .select($"source", $"n_docs", $"n_tokens", $"n_langs",
+          CrossRound.r(
+            lit(1.0) - $"n_distinct".cast("double") / $"n_docs", 4)
+            .as("exact_dup_rate"),
+          CrossRound.r($"n_tokens".cast("double") / $"n_docs", 4)
+            .as("mean_tokens"),
+          CrossRound.r($"sum_chars".cast("double") / $"n_docs", 2)
+            .as("mean_chars"))
+        .orderBy($"source")
     }
   )
 
@@ -5021,7 +5267,138 @@ object PipelineQueries {
         SELECT r2.doc_id, coalesce(deg.deg, 0) AS deg,
                ${CrossRound.sql("r2.r", 8)} AS pr
         FROM r2 LEFT JOIN deg ON deg.src = r2.doc_id
-        ORDER BY doc_id"""
+        ORDER BY doc_id""",
+
+      "q117_gopher_repetition" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        wc AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) c,
+                      CAST(len(w) AS BIGINT) lw
+               FROM (SELECT doc_id, unnest(tk) w FROM toks) GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(c * lw) n_word_chars FROM wc GROUP BY 1),
+        top AS (SELECT doc_id, tc FROM (
+                  SELECT doc_id, c * lw tc,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY c DESC, w) rn
+                  FROM wc) WHERE rn = 1),
+        grams AS (SELECT doc_id, g, CAST(count(1) AS BIGINT) c,
+                         CAST(len(g) AS BIGINT) lg
+                  FROM (SELECT doc_id, unnest(list_transform(
+                          range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) g
+                        FROM toks) GROUP BY 1, 2),
+        gstat AS (SELECT doc_id, sum(c * lg) tot_chars,
+                         coalesce(sum(CASE WHEN c >= 2 THEN c * lg END), 0)
+                           dup_chars
+                  FROM grams GROUP BY 1),
+        per AS (SELECT t.doc_id,
+                       ${CrossRound.sql("top.tc::DOUBLE / t.n_word_chars", 4)}
+                         top_frac,
+                       coalesce(${CrossRound.sql(
+                         "g.dup_chars::DOUBLE / g.tot_chars", 4)}, 0.0)
+                         dup_frac
+                FROM tot t JOIN top USING (doc_id)
+                LEFT JOIN gstat g ON t.doc_id = g.doc_id),
+        thr AS (SELECT ${CrossRound.sql(
+                  "sum(CAST(floor(top_frac * 10000 + 0.5) AS BIGINT))" +
+                    " / (count(1) * 10000.0)", 6)} t_top,
+                       ${CrossRound.sql(
+                  "sum(CAST(floor(dup_frac * 10000 + 0.5) AS BIGINT))" +
+                    " / (count(1) * 10000.0)", 6)} t_dup
+                FROM per)
+        SELECT doc_id, top_frac, dup_frac,
+               (top_frac <= thr.t_top AND dup_frac <= thr.t_dup) AS keep
+        FROM per, thr ORDER BY doc_id""",
+
+      "q118_bag_dedup" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        canon AS (SELECT doc_id, array_to_string(list_sort(tk), ' ') cw
+                  FROM toks),
+        sig AS (SELECT doc_id, ${oraclePolyHash("cw")} bag_sig FROM canon),
+        grp AS (SELECT bag_sig, CAST(count(1) AS BIGINT) n_bag,
+                       min(doc_id) canon_id
+                FROM sig GROUP BY 1)
+        SELECT s.doc_id, s.bag_sig, g.n_bag,
+               s.doc_id = g.canon_id AS keep
+        FROM sig s JOIN grp g USING (bag_sig) ORDER BY s.doc_id""",
+
+      "q119_stopword_ratio" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        w AS (SELECT doc_id, unnest(tk) w FROM toks),
+        wc AS (SELECT w, CAST(count(1) AS BIGINT) c FROM w GROUP BY 1),
+        stop AS (SELECT w FROM wc ORDER BY c DESC, w LIMIT 20),
+        per AS (SELECT w.doc_id, CAST(count(1) AS BIGINT) n_toks,
+                       CAST(coalesce(sum(CASE WHEN stop.w IS NOT NULL
+                                              THEN 1 END), 0) AS BIGINT)
+                         n_stop
+                FROM w LEFT JOIN stop ON w.w = stop.w GROUP BY 1),
+        r AS (SELECT doc_id, n_toks, n_stop,
+                     ${CrossRound.sql("n_stop::DOUBLE / n_toks", 4)}
+                       stop_ratio
+              FROM per),
+        thr AS (SELECT ${CrossRound.sql(
+                  "sum(CAST(floor(stop_ratio * 10000 + 0.5) AS BIGINT))" +
+                    " / (count(1) * 10000.0)", 6)} t
+                FROM r)
+        SELECT doc_id, n_toks, n_stop, stop_ratio,
+               stop_ratio >= thr.t AS keep
+        FROM r, thr ORDER BY doc_id""",
+
+      "q120_curriculum_bins" -> s"""
+        WITH base AS (SELECT doc_id, CAST(len($toks) AS BIGINT) n_tokens
+                      FROM documents),
+        vc AS (SELECT n_tokens v, CAST(count(1) AS BIGINT) c
+               FROM base GROUP BY 1),
+        cum AS (SELECT v, sum(c) OVER (ORDER BY v) cum FROM vc),
+        n AS (SELECT CAST(count(1) AS BIGINT) n FROM base),
+        t AS (SELECT k, min(v) tv
+              FROM (SELECT unnest(range(1, 10)) k) ks, cum, n
+              WHERE cum.cum >= (k * n.n + 9) // 10 GROUP BY k),
+        binned AS (SELECT b.doc_id, b.n_tokens,
+                          CAST(1 + coalesce((SELECT count(1) FROM t
+                                             WHERE b.n_tokens > t.tv), 0)
+                               AS INT) epoch
+                   FROM base b)
+        SELECT epoch, CAST(count(1) AS BIGINT) n_docs,
+               CAST(sum(n_tokens) AS BIGINT) tot_tokens,
+               ${CrossRound.sql("sum(n_tokens)::DOUBLE / count(1)", 4)}
+                 AS mean_tokens
+        FROM binned GROUP BY 1 ORDER BY 1""",
+
+      // All-pairs J >= 0.5 computed DIRECTLY from postings (no prefix
+      // logic) — so a candidate the Spark-side prefix filter missed
+      // fails the row compare: the oracle doubles as the completeness
+      // proof on every corpus it runs on.
+      "q121_prefix_filter_join" -> s"""
+        WITH $dsh, $dsid,
+        sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) n
+               FROM dsid GROUP BY 1),
+        pairs AS (SELECT a.doc_id da, b.doc_id db,
+                         CAST(count(1) AS BIGINT) i
+                  FROM dsid a JOIN dsid b
+                    ON a.sid = b.sid AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT da AS doc_a, db AS doc_b, i, sa.n AS na, sb.n AS nb,
+               ${CrossRound.sql("i::DOUBLE / (sa.n + sb.n - i)", 6)} AS jac
+        FROM pairs JOIN sz sa ON da = sa.doc_id
+                   JOIN sz sb ON db = sb.doc_id
+        WHERE i * 2 >= sa.n + sb.n - i
+        ORDER BY doc_a, doc_b""",
+
+      "q122_dataset_card" -> s"""
+        WITH base AS (SELECT source, lang, md5(text) h, n_chars,
+                             CAST(len($toks) AS BIGINT) n_tokens
+                      FROM documents)
+        SELECT source,
+               CAST(count(1) AS BIGINT) n_docs,
+               CAST(sum(n_tokens) AS BIGINT) n_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) n_langs,
+               ${CrossRound.sql(
+                 "1.0 - count(DISTINCT h)::DOUBLE / count(1)", 4)}
+                 AS exact_dup_rate,
+               ${CrossRound.sql("sum(n_tokens)::DOUBLE / count(1)", 4)}
+                 AS mean_tokens,
+               ${CrossRound.sql("sum(n_chars)::DOUBLE / count(1)", 2)}
+                 AS mean_chars
+        FROM base GROUP BY 1 ORDER BY 1"""
     )
   }
 }

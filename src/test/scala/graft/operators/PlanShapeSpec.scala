@@ -536,4 +536,70 @@ class PlanShapeSpec extends AnyFunSuite {
     val shuffles = distinctShuffles(p)
     assert(shuffles <= 12, s"q116 grew to $shuffles distinct shuffles:\n$p")
   }
+
+  test("q117: repetition stats are doc-keyed; thresholds ride a 1-row BNL") {
+    val p = plan("q117_gopher_repetition")
+    // The one Window is the doc-partitioned top-word row_number —
+    // partitions are doc-vocabulary-sized, never corpus-sized. The
+    // threshold mean is a plain reduce (scaled-integer sum), NOT an
+    // ordered corpus-wide fold, so no corpus-sized collect_list may
+    // appear in the agg.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q117's 1-row thresholds must ride a BNL broadcast:\n$p")
+    assert(!p.contains("collect_list"),
+      s"q117's threshold mean regressed to an ordered fold:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q117 grew a cartesian:\n$p")
+  }
+
+  test("q118: bag dedup is two 8-byte-key shuffles, no window") {
+    val p = plan("q118_bag_dedup")
+    assert(!p.contains("Window"), s"q118 grew a window:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 3, s"q118 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q119: stoplist is TakeOrdered into a broadcast; no SMJ") {
+    val p = plan("q119_stopword_ratio")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q119's top-20 stoplist must be TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q119's stoplist tag must be a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q119's stoplist join degraded to SMJ:\n$p")
+    assert(!p.contains("Window"), s"q119 grew a window:\n$p")
+  }
+
+  test("q120: binning is map-side against a broadcast threshold array") {
+    val p = plan("q120_curriculum_bins")
+    // The only Window runs over the bounded length VALUE domain (q112's
+    // argument); each doc bins map-side against the 9-value broadcast
+    // array — no per-doc rank, no corpus-sized window, no cartesian.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q120's 1-row threshold array must ride a BNL broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q120 grew a cartesian:\n$p")
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows <= 2,
+      s"q120 grew $windows Window operators (expected the one value-domain cum):\n$p")
+  }
+
+  test("q121: candidates join on sid equality; verify joins are hash joins") {
+    val p = plan("q121_prefix_filter_join")
+    // The prefix self-join and both verify joins are equality joins;
+    // an all-pairs product would pass correctness here and melt at
+    // corpus scale — exactly what the prefix filter exists to avoid.
+    assert(!p.contains("CartesianProduct"), s"q121 grew a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q121 grew a nested-loop join:\n$p")
+    assert(p.contains("HashAggregate"), s"q121 lost its candidate dedup:\n$p")
+  }
+
+  test("q122: dataset card is one source-keyed aggregate") {
+    val p = plan("q122_dataset_card")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"q122 must stay a pure map + aggregate:\n$p")
+    // distinct-count expansion keeps it within a few source-keyed
+    // exchanges; the corpus never shuffles raw text (16-byte md5 only).
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 3, s"q122 grew to $shuffles distinct shuffles:\n$p")
+  }
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.gsheets.Fixtures
+
+/** Invariants for the round-10 additions: Gopher repetition rules
+  * (q117), bag-of-words dedup (q118), corpus-adaptive stopword ratio
+  * (q119), curriculum binning (q120), the prefix-filtered exact
+  * similarity join (q121) and the per-source dataset card (q122).
+  * Exact values are pinned by the DuckDB oracle; these recompute the
+  * contracts independently (driver-side reimplementations over the
+  * tiny sf0.001 fixture) so they hold on any corpus.
+  */
+class Round10OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = Fixtures.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def words(text: String): Array[String] =
+    text.split(' ').filter(_.nonEmpty)
+
+  private def polyHash(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 131 + c.toLong) % 1000000007L)
+
+  private def r(x: Double, d: Int): Double = {
+    val s = math.pow(10.0, d)
+    math.floor(x * s + 0.5) / s
+  }
+
+  private lazy val docs = Tables(spark, dir).documents
+    .select($"doc_id", $"text", $"source", $"lang", $"n_chars")
+    .as[(Long, String, String, String, Long)].collect()
+
+  test("q117: both repetition fractions recompute; both gate sides fire") {
+    val out = PipelineQueries.queries("q117_gopher_repetition")(spark, dir)
+      .collect()
+    val exp = docs.map { case (id, text, _, _, _) =>
+      val ws = words(text)
+      val wc = ws.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+      val totW = wc.map { case (w, c) => c * w.length }.sum
+      val (topW, topC) = wc.toSeq.sortBy { case (w, c) => (-c, w) }.head
+      val topFrac = r(topC.toDouble * topW.length / totW, 4)
+      val grams = ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+        .toSeq.groupBy(identity).map { case (g, o) => g -> o.length.toLong }
+      val totG = grams.map { case (g, c) => c * g.length }.sum
+      val dupG = grams.collect { case (g, c) if c >= 2 => c * g.length }.sum
+      val dupFrac = if (totG == 0L) 0.0 else r(dupG.toDouble / totG, 4)
+      id -> (topFrac, dupFrac)
+    }.toMap
+    val tTop = r(exp.values.map(v => math.floor(v._1 * 10000 + 0.5)).sum /
+      (exp.size * 10000.0), 6)
+    val tDup = r(exp.values.map(v => math.floor(v._2 * 10000 + 0.5)).sum /
+      (exp.size * 10000.0), 6)
+    assert(out.length == docs.length)
+    out.foreach { row =>
+      val (tf, df) = exp(row.getAs[Long]("doc_id"))
+      assert(row.getAs[Double]("top_frac") == tf)
+      assert(row.getAs[Double]("dup_frac") == df)
+      assert(row.getAs[Boolean]("keep") == (tf <= tTop && df <= tDup))
+    }
+    // The corpus must exercise BOTH rules: some doc repeats a bigram,
+    // and the gate rejects on each side somewhere.
+    assert(exp.values.exists(_._2 > 0.0), "no doc with a duplicate bigram")
+    assert(out.exists(!_.getAs[Boolean]("keep")))
+    assert(out.exists(_.getAs[Boolean]("keep")))
+  }
+
+  test("q118: bag signature is order-insensitive and groups match") {
+    val out = PipelineQueries.queries("q118_bag_dedup")(spark, dir)
+      .collect()
+    val canon = docs.map { case (id, text, _, _, _) =>
+      id -> polyHash(words(text).sorted.mkString(" "))
+    }.toMap
+    val groups = canon.groupBy(_._2).map { case (sig, m) =>
+      sig -> (m.size.toLong, m.keys.min)
+    }
+    assert(out.length == docs.length)
+    out.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val sig = canon(id)
+      assert(row.getAs[Long]("bag_sig") == sig)
+      val (n, cid) = groups(sig)
+      assert(row.getAs[Long]("n_bag") == n)
+      assert(row.getAs[Boolean]("keep") == (id == cid))
+    }
+    // Order-insensitivity, the property q21 lacks: a permuted token
+    // sequence hashes to the same bag signature.
+    val ws = words(docs.head._2)
+    assert(polyHash(ws.sorted.mkString(" ")) ==
+      polyHash(ws.reverse.sorted.mkString(" ")))
+  }
+
+  test("q119: top-20 stoplist and ratios recompute") {
+    val out = PipelineQueries.queries("q119_stopword_ratio")(spark, dir)
+      .collect()
+    val all = docs.flatMap(d => words(d._2))
+    val stop = all.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(20).map(_._1).toSet
+    val exp = docs.map { case (id, text, _, _, _) =>
+      val ws = words(text)
+      val nStop = ws.count(stop).toLong
+      id -> (ws.length.toLong, nStop, r(nStop.toDouble / ws.length, 4))
+    }.toMap
+    val thr = r(exp.values.map(v => math.floor(v._3 * 10000 + 0.5)).sum /
+      (exp.size * 10000.0), 6)
+    out.foreach { row =>
+      val (n, s, ratio) = exp(row.getAs[Long]("doc_id"))
+      assert(row.getAs[Long]("n_toks") == n)
+      assert(row.getAs[Long]("n_stop") == s)
+      assert(row.getAs[Double]("stop_ratio") == ratio)
+      assert(row.getAs[Boolean]("keep") == (ratio >= thr))
+    }
+    assert(out.exists(_.getAs[Boolean]("keep")))
+    assert(out.exists(!_.getAs[Boolean]("keep")))
+  }
+
+  test("q120: inverted-CDF deciles partition the corpus") {
+    val out = PipelineQueries.queries("q120_curriculum_bins")(spark, dir)
+      .collect()
+    val lens = docs.map(d => words(d._2).length.toLong)
+    val n = lens.length.toLong
+    val sorted = lens.sorted
+    val thresholds = (1 to 9).map { k =>
+      val need = (k * n + 9) / 10
+      sorted(need.toInt - 1) // min v with cum >= need
+    }
+    val bins = lens.groupBy(v => 1 + thresholds.count(v > _))
+    assert(out.map(_.getAs[Long]("n_docs")).sum == n)
+    out.foreach { row =>
+      val e = row.getAs[Int]("epoch")
+      val members = bins(e)
+      assert(row.getAs[Long]("n_docs") == members.length.toLong)
+      assert(row.getAs[Long]("tot_tokens") == members.sum)
+      assert(row.getAs[Double]("mean_tokens") ==
+        r(members.sum.toDouble / members.length, 4))
+    }
+    // Epochs order shortest-first: per-epoch means must be monotone.
+    val means = out.sortBy(_.getAs[Int]("epoch"))
+      .map(_.getAs[Double]("mean_tokens"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q121: prefix filter is COMPLETE — equals brute-force all-pairs") {
+    val out = PipelineQueries.queries("q121_prefix_filter_join")(spark, dir)
+      .collect()
+      .map(row => (row.getAs[Long]("doc_a"), row.getAs[Long]("doc_b"),
+        row.getAs[Long]("i"), row.getAs[Long]("na"), row.getAs[Long]("nb")))
+      .toSet
+    val sets = docs.map { case (id, text, _, _, _) =>
+      id -> words(text).sliding(3).filter(_.length == 3)
+        .map(g => polyHash(g.mkString(" "))).toSet
+    }
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      i = (sa & sb).size.toLong
+      if i * 2 >= sa.size + sb.size - i && i > 0
+    } yield (a, b, i, sa.size.toLong, sb.size.toLong)).toSet
+    assert(out == brute,
+      s"prefix filter diverged from brute force: " +
+        s"missed=${(brute -- out).take(3)} extra=${(out -- brute).take(3)}")
+  }
+
+  test("q122: dataset card recomputes per source") {
+    val out = PipelineQueries.queries("q122_dataset_card")(spark, dir)
+      .collect()
+    val bySrc = docs.groupBy(_._3)
+    assert(out.length == bySrc.size)
+    out.foreach { row =>
+      val g = bySrc(row.getAs[String]("source"))
+      val toks = g.map(d => words(d._2).length.toLong)
+      assert(row.getAs[Long]("n_docs") == g.length.toLong)
+      assert(row.getAs[Long]("n_tokens") == toks.sum)
+      assert(row.getAs[Long]("n_langs") == g.map(_._4).distinct.length.toLong)
+      assert(row.getAs[Double]("exact_dup_rate") ==
+        r(1.0 - g.map(_._2).distinct.length.toDouble / g.length, 4))
+      assert(row.getAs[Double]("mean_tokens") ==
+        r(toks.sum.toDouble / g.length, 4))
+      assert(row.getAs[Double]("mean_chars") ==
+        r(g.map(_._5).sum.toDouble / g.length, 2))
+    }
+  }
+}
