@@ -442,6 +442,49 @@ object PipelineQueries {
       .select($"doc_a", $"doc_b", $"i", $"na", $"nb")
   }
 
+  /** The COMPLETE exact-Jaccard-≥-0.5 pair join via prefix filtering
+    * (AllPairs/PPJoin; Bayardo et al. WWW'07, Vernica et al.
+    * SIGMOD'10's MapReduce form), shared by q121 (reports the pairs)
+    * and q123 (uses them as sketch-fidelity ground truth): order each
+    * doc's distinct sids by global (df asc, sid) rarity, emit only the
+    * first ⌊n/2⌋+1 as the probe prefix (prefix length n − ⌈t·n⌉ + 1 —
+    * any pair with J ≥ t MUST share a prefix token under a common
+    * global order), self-join prefixes on sid equality, verify
+    * candidates exactly with one array_intersect over the two
+    * doc-bounded sid arrays. The accept decision is the exact integer
+    * form 2i ≥ na+nb−i; jac is a single division. Rarity ordering
+    * makes prefixes maximally selective — the most frequent sids never
+    * enter any prefix. Returns (doc_a, doc_b, i, na, nb, jac).
+    */
+  private def prefixJaccardPairs(arrs: DataFrame): DataFrame = {
+    import arrs.sparkSession.implicits._
+    val posting = arrs.select($"doc_id", explode($"sids").as("sid"))
+    val dfreq = posting.groupBy($"sid").agg(count(lit(1)).as("df"))
+    val ordered = posting.join(dfreq, "sid")
+      .groupBy($"doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, sid))), x -> x.sid)")
+        .as("sids"))
+      .select($"doc_id", $"sids", size($"sids").cast("long").as("n"))
+      .cache()
+    val prefixes = ordered.select($"doc_id", explode(
+      expr("slice(sids, 1, CAST(n DIV 2 + 1 AS INT))")).as("sid"))
+    val cands = prefixes.as("a")
+      .join(prefixes.as("b"),
+        $"a.sid" === $"b.sid" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cands
+      .join(ordered.select($"doc_id".as("doc_a"), $"sids".as("sa"),
+        $"n".as("na")), "doc_a")
+      .join(ordered.select($"doc_id".as("doc_b"), $"sids".as("sb"),
+        $"n".as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect($"sa", $"sb")).cast("long"))
+      .filter($"i" * 2 >= $"na" + $"nb" - $"i")
+      .select($"doc_a", $"doc_b", $"i", $"na", $"nb",
+        CrossRound.r(
+          $"i".cast("double") / ($"na" + $"nb" - $"i"), 6).as("jac"))
+  }
+
   /** BPE machinery shared by q86 (training) and q92 (encoding): the
     * pruned word-frequency table with space-joined character symbols
     * (`w` is carried so q92 can join symbol counts back to
@@ -3369,34 +3412,69 @@ object PipelineQueries {
     // Round10OpsSpec).
     "q121_prefix_filter_join" -> { (s, dir) =>
       import s.implicits._
-      val t = Tables(s, dir)
-      val posting = docSidArrays(t.documents)
-        .select($"doc_id", explode($"sids").as("sid"))
-      val dfreq = posting.groupBy($"sid").agg(count(lit(1)).as("df"))
-      val ordered = posting.join(dfreq, "sid")
-        .groupBy($"doc_id")
-        .agg(expr("transform(array_sort(collect_list(struct(df, sid))), x -> x.sid)")
-          .as("sids"))
-        .select($"doc_id", $"sids", size($"sids").cast("long").as("n"))
-        .cache()
-      val prefixes = ordered.select($"doc_id", explode(
-        expr("slice(sids, 1, CAST(n DIV 2 + 1 AS INT))")).as("sid"))
-      val cands = prefixes.as("a")
-        .join(prefixes.as("b"),
-          $"a.sid" === $"b.sid" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .distinct()
-      cands
-        .join(ordered.select($"doc_id".as("doc_a"), $"sids".as("sa"),
-          $"n".as("na")), "doc_a")
-        .join(ordered.select($"doc_id".as("doc_b"), $"sids".as("sb"),
-          $"n".as("nb")), "doc_b")
-        .withColumn("i", size(array_intersect($"sa", $"sb")).cast("long"))
-        .filter($"i" * 2 >= $"na" + $"nb" - $"i")
-        .select($"doc_a", $"doc_b", $"i", $"na", $"nb",
-          CrossRound.r(
-            $"i".cast("double") / ($"na" + $"nb" - $"i"), 6).as("jac"))
+      prefixJaccardPairs(docSidArrays(Tables(s, dir).documents))
         .orderBy($"doc_a", $"doc_b")
+    },
+
+    // ----- MinHash sketch fidelity vs exact Jaccard -----
+    // Evaluates the 16-hash MinHash sketch q22b/q81 band on against
+    // GROUND TRUTH: over the complete exact J ≥ 0.5 pair set
+    // ([[prefixJaccardPairs]] — q121's machinery, second consumer),
+    // est = (matching signature positions)/16, err = |est − jac|.
+    // est is exactly k/16 (a dyadic rational — no rounding needed);
+    // the corpus mean error uses the scaled-integer order-independent
+    // mean (q117's argument, at 10⁶ for the 6-dp err). The sids feed
+    // the identical native kernel the production dedup path uses, so
+    // this measures the REAL sketch, not a reimplementation — the
+    // recall@k analogue (AnnRecallSpec) for the dedup family, but
+    // oracle-checked end to end.
+    "q123_minhash_fidelity" -> { (s, dir) =>
+      import s.implicits._
+      val arrs = docSidArrays(Tables(s, dir).documents).cache()
+      val pairs = prefixJaccardPairs(arrs)
+      val sigs = arrs.select($"doc_id",
+        graft.functions.GraftFunctions.minhashSigs($"sids", 16).as("mh"))
+      val per = pairs
+        .join(sigs.select($"doc_id".as("doc_a"), $"mh".as("ma")), "doc_a")
+        .join(sigs.select($"doc_id".as("doc_b"), $"mh".as("mb")), "doc_b")
+        .withColumn("k", expr(
+          """aggregate(zip_with(ma, mb, (x, y) -> IF(x = y, 1, 0)),
+             CAST(0 AS BIGINT), (a, e) -> a + e)"""))
+        .withColumn("est", $"k" / 16.0)
+        .withColumn("err", CrossRound.r(abs($"est" - $"jac"), 6))
+        .select($"doc_a", $"doc_b", $"jac", $"k", $"est", $"err")
+        .cache()
+      val thr = per.agg(CrossRound.r(
+        sum(floor($"err" * 1000000 + 0.5)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          / (count(lit(1)) * 1000000.0), 6).as("mean_err"))
+      per.crossJoin(broadcast(thr))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // ----- shard balance audit -----
+    // The health check after q70's deterministic shard assignment:
+    // per-shard doc and token totals plus the balance ratio
+    // shard_tokens·8/total — the skew a training job's data loader
+    // actually feels. One shard-keyed aggregate (8 groups) + a 1-row
+    // total broadcast; the scramble is q70's exact expression, so the
+    // audit measures the REAL assignment.
+    "q124_shard_balance" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val per = t.documents.repartition($"doc_id")
+        .select($"doc_id",
+          (expr(scrambleExpr("doc_id")).cast("long") % 8).as("shard"),
+          size(expr(toksExpr)).cast("long").as("n_tokens"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tot_tokens"))
+      val tot = per.agg(sum($"tot_tokens").as("all_tokens"))
+      per.crossJoin(broadcast(tot))
+        .select($"shard", $"n_docs", $"tot_tokens",
+          CrossRound.r(
+            $"tot_tokens".cast("double") * 8 / $"all_tokens", 6)
+            .as("balance"))
+        .orderBy($"shard")
     },
 
     // ----- per-source dataset card -----
@@ -5398,7 +5476,62 @@ object PipelineQueries {
                  AS mean_tokens,
                ${CrossRound.sql("sum(n_chars)::DOUBLE / count(1)", 2)}
                  AS mean_chars
-        FROM base GROUP BY 1 ORDER BY 1"""
+        FROM base GROUP BY 1 ORDER BY 1""",
+
+      // Ground-truth pairs computed all-pairs from postings (q121's
+      // oracle), signatures from the SAME hash family as mhBandsSql —
+      // so the fidelity numbers grade the production sketch exactly.
+      "q123_minhash_fidelity" -> s"""
+        WITH $dsh, $dsid,
+        sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) n
+               FROM dsid GROUP BY 1),
+        pairs AS (SELECT a.doc_id da, b.doc_id db,
+                         CAST(count(1) AS BIGINT) i
+                  FROM dsid a JOIN dsid b
+                    ON a.sid = b.sid AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        cand AS (SELECT da doc_a, db doc_b,
+                        ${CrossRound.sql(
+                          "i::DOUBLE / (sa.n + sb.n - i)", 6)} jac
+                 FROM pairs JOIN sz sa ON da = sa.doc_id
+                            JOIN sz sb ON db = sb.doc_id
+                 WHERE i * 2 >= sa.n + sb.n - i),
+        mh AS (SELECT doc_id, s.s,
+                      min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
+               FROM dsid CROSS JOIN
+                 (SELECT unnest(generate_series(0, 15)) s) s
+               GROUP BY 1, 2),
+        est AS (SELECT c.doc_a, c.doc_b, c.jac,
+                       CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                            AS BIGINT) k
+                FROM cand c JOIN mh a ON a.doc_id = c.doc_a
+                            JOIN mh b ON b.doc_id = c.doc_b AND a.s = b.s
+                GROUP BY 1, 2, 3),
+        r AS (SELECT doc_a, doc_b, jac, k, k / 16.0 est,
+                     ${CrossRound.sql("abs(k / 16.0 - jac)", 6)} err
+              FROM est),
+        thr AS (SELECT ${CrossRound.sql(
+                  "sum(CAST(floor(err * 1000000 + 0.5) AS BIGINT))" +
+                    " / (count(1) * 1000000.0)", 6)} mean_err
+                FROM r)
+        SELECT doc_a, doc_b, jac, k, est, err, thr.mean_err
+        FROM r, thr ORDER BY doc_a, doc_b""",
+
+      "q124_shard_balance" -> s"""
+        WITH t AS (SELECT doc_id, $toks tk FROM documents),
+        o AS (SELECT doc_id,
+                     CAST((${oracleScramble("doc_id")}) AS BIGINT) AS ord,
+                     CAST(len(tk) AS BIGINT) AS n_tokens
+              FROM t),
+        per AS (SELECT ord % 8 AS shard,
+                       CAST(count(1) AS BIGINT) n_docs,
+                       CAST(sum(n_tokens) AS BIGINT) tot_tokens
+                FROM o GROUP BY 1),
+        tot AS (SELECT CAST(sum(tot_tokens) AS BIGINT) all_tokens FROM per)
+        SELECT shard, n_docs, tot_tokens,
+               ${CrossRound.sql(
+                 "tot_tokens::DOUBLE * 8 / tot.all_tokens", 6)} AS balance
+        FROM per, tot ORDER BY shard"""
     )
   }
 }

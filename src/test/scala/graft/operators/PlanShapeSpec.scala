@@ -593,6 +593,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"q121 lost its candidate dedup:\n$p")
   }
 
+  test("q123: fidelity joins pairs to sigs by doc equality; no cartesian") {
+    val p = plan("q123_minhash_fidelity")
+    // The pair set comes from the prefix filter (q121's machinery),
+    // signatures ride the native map-only kernel; the only acceptable
+    // non-equality join is the 1-row mean-err broadcast.
+    assert(!p.contains("CartesianProduct"), s"q123 grew a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q123's 1-row mean-err must ride a BNL broadcast:\n$p")
+  }
+
+  test("q124: shard balance is one 8-group agg + a 1-row total broadcast") {
+    val p = plan("q124_shard_balance")
+    assert(!p.contains("Window"), s"q124 grew a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q124's 1-row total must ride a BNL broadcast:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 3, s"q124 grew to $shuffles distinct shuffles:\n$p")
+  }
+
   test("q122: dataset card is one source-keyed aggregate") {
     val p = plan("q122_dataset_card")
     assert(!p.contains("Window") && !p.contains("Join"),

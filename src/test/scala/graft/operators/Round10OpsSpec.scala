@@ -164,6 +164,69 @@ class Round10OpsSpec extends AnyFunSuite {
         s"missed=${(brute -- out).take(3)} extra=${(out -- brute).take(3)}")
   }
 
+  test("q123: sketch fidelity recomputes from the raw hash family") {
+    val out = PipelineQueries.queries("q123_minhash_fidelity")(spark, dir)
+      .collect()
+    val sets = docs.map { case (id, text, _, _, _) =>
+      id -> words(text).sliding(3).filter(_.length == 3)
+        .map(g => polyHash(g.mkString(" "))).toSet
+    }.toMap
+    def sig(sids: Set[Long], s: Int): Long =
+      sids.map(sid => ((37L * s + 7) * sid + (101L * s + 3)) % 1000000007L).min
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      i = (sa & sb).size.toLong
+      if i * 2 >= sa.size + sb.size - i && i > 0
+    } yield {
+      val jac = r(i.toDouble / (sa.size + sb.size - i), 6)
+      val k = (0 until 16).count(s => sig(sa, s) == sig(sb, s)).toLong
+      (a, b) -> (jac, k, k / 16.0, r(math.abs(k / 16.0 - jac), 6))
+    }).toMap
+    assert(out.length == expected.size)
+    val meanErr = r(expected.values.map(v =>
+      math.floor(v._4 * 1000000 + 0.5)).sum / (expected.size * 1000000.0), 6)
+    out.foreach { row =>
+      val (jac, k, est, err) = expected(
+        (row.getAs[Long]("doc_a"), row.getAs[Long]("doc_b")))
+      assert(row.getAs[Double]("jac") == jac)
+      assert(row.getAs[Long]("k") == k)
+      assert(row.getAs[Double]("est") == est)
+      assert(row.getAs[Double]("err") == err)
+      assert(row.getAs[Double]("mean_err") == meanErr)
+    }
+    // The sketch must actually carry signal on near-dup pairs: the
+    // mean absolute error of a 16-hash MinHash on J >= 0.5 pairs is
+    // bounded well below the trivial baseline (est == 0 would err
+    // at >= 0.5).
+    assert(meanErr < 0.25, s"sketch carries no signal: mean_err=$meanErr")
+  }
+
+  test("q124: shard balance recomputes from the scramble") {
+    val out = PipelineQueries.queries("q124_shard_balance")(spark, dir)
+      .collect()
+    def scramble(id: Long): Long = {
+      val m = id % 4294967296L
+      ((m / 65536) * 2654435761L % 4294967296L * 65536 +
+        (m % 65536) * 2654435761L) % 4294967296L
+    }
+    val per = docs.map { case (id, text, _, _, _) =>
+      (scramble(id) % 8, words(text).length.toLong)
+    }.groupBy(_._1)
+    val total = per.values.flatten.map(_._2).sum
+    assert(out.map(_.getAs[Long]("tot_tokens")).sum == total)
+    out.foreach { row =>
+      val g = per(row.getAs[Long]("shard"))
+      assert(row.getAs[Long]("n_docs") == g.length.toLong)
+      assert(row.getAs[Long]("tot_tokens") == g.map(_._2).sum)
+      assert(row.getAs[Double]("balance") ==
+        r(g.map(_._2).sum.toDouble * 8 / total, 6))
+    }
+    // The scramble must spread docs: every shard populated, and no
+    // shard more than 2x its fair token share on the fixture.
+    assert(out.length == 8)
+    assert(out.forall(r => r.getAs[Double]("balance") < 2.0))
+  }
+
   test("q122: dataset card recomputes per source") {
     val out = PipelineQueries.queries("q122_dataset_card")(spark, dir)
       .collect()
