@@ -35,5 +35,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 128-query registry's warm bench pass thrashed the
+  // old 8g heap's storage pool (warm q27 9.2s vs cold 1.0s — pure
+  // eviction/GC churn, not plan cost). The host runs local[32] with
+  // 128 GiB; 16g keeps every per-query cache resident across both
+  // bench passes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
