@@ -3452,6 +3452,35 @@ object PipelineQueries {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // ----- winnowing-fingerprint near-dup screen (MOSS-style) -----
+    // The sublinear similarity SCREEN a plagiarism/dup pipeline runs
+    // before exact verification: per doc, the DISTINCT winnowing
+    // fingerprints (window-4 sliding min over 3-shingle sids — q29's
+    // exact parameters, so this screens on the production fingerprint,
+    // ~1/4 the posting volume of full shingles at corpus scale), then
+    // the df-capped map-side pair machinery shared with q23/q71
+    // ([[rareSharedSidPairs]], third consumer) with the ≥2-shared-
+    // fingerprint threshold; overlap = i/min(na,nb) is the containment
+    // screen score. Winnowing guarantees any sufficiently long shared
+    // run yields a shared fingerprint, so long-verbatim-overlap pairs
+    // cannot evade the screen.
+    "q125_winnow_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val arrs = t.documents.repartition($"doc_id")
+        .select($"doc_id", graft.functions.GraftFunctions.slidingMin(
+          graft.functions.GraftFunctions.polyHashArray(shinglesCol()), 4)
+          .as("wmins"))
+        .filter(size($"wmins") > 0)
+        .select($"doc_id", array_distinct($"wmins").as("sids"))
+      rareSharedSidPairs(arrs, 50)
+        .filter($"i" >= 2)
+        .select($"doc_a", $"doc_b", $"i", $"na", $"nb",
+          CrossRound.r(
+            $"i".cast("double") / least($"na", $"nb"), 4).as("overlap"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // ----- shard balance audit -----
     // The health check after q70's deterministic shard assignment:
     // per-shard doc and token totals plus the balance ratio
@@ -5516,6 +5545,36 @@ object PipelineQueries {
                 FROM r)
         SELECT doc_a, doc_b, jac, k, est, err, thr.mean_err
         FROM r, thr ORDER BY doc_a, doc_b""",
+
+      "q125_winnow_neardup" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        pos_sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle,
+                     generate_subscripts(range(1, len(tk) - 1), 1) - 1 pos
+                   FROM toks),
+        sids AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid
+                 FROM pos_sh),
+        mx AS (SELECT doc_id, max(pos) max_pos FROM sids GROUP BY 1),
+        wins AS (SELECT s.doc_id, pos,
+                        min(sid) OVER (PARTITION BY s.doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                          wmin,
+                        max_pos
+                 FROM sids s JOIN mx ON s.doc_id = mx.doc_id),
+        fps AS (SELECT DISTINCT doc_id, wmin fp FROM wins
+                WHERE pos <= max_pos - 3),
+        sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) n FROM fps GROUP BY 1),
+        rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(1) <= 50),
+        rfps AS (SELECT f.* FROM fps f JOIN rare USING (fp)),
+        pairs AS (SELECT a.doc_id da, b.doc_id db, CAST(count(1) AS BIGINT) i
+                  FROM rfps a JOIN rfps b
+                    ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2 HAVING count(1) >= 2)
+        SELECT da AS doc_a, db AS doc_b, i, sa.n AS na, sb.n AS nb,
+               ${CrossRound.sql("i::DOUBLE / least(sa.n, sb.n)", 4)} AS overlap
+        FROM pairs JOIN sz sa ON da = sa.doc_id
+                   JOIN sz sb ON db = sb.doc_id
+        ORDER BY doc_a, doc_b""",
 
       "q124_shard_balance" -> s"""
         WITH t AS (SELECT doc_id, $toks tk FROM documents),

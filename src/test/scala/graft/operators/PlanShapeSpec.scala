@@ -612,6 +612,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 3, s"q124 grew to $shuffles distinct shuffles:\n$p")
   }
 
+  test("q125: winnow screen rides the map-side pair machinery") {
+    val p = plan("q125_winnow_neardup")
+    // Fingerprints are map-only native kernels; pairs come from the
+    // shared df-capped per-fp doc lists — never a posting self-join of
+    // the raw stream, never a cartesian.
+    assert(!p.contains("CartesianProduct"), s"q125 grew a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q125 grew a nested-loop join:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 4, s"q125 grew to $shuffles distinct shuffles:\n$p")
+  }
+
   test("q122: dataset card is one source-keyed aggregate") {
     val p = plan("q122_dataset_card")
     assert(!p.contains("Window") && !p.contains("Join"),

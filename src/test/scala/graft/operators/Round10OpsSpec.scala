@@ -227,6 +227,34 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Double]("balance") < 2.0))
   }
 
+  test("q125: winnow screen recomputes; planted dups hit full containment") {
+    val out = PipelineQueries.queries("q125_winnow_neardup")(spark, dir)
+      .collect()
+      .map(row => (row.getAs[Long]("doc_a"), row.getAs[Long]("doc_b")) ->
+        (row.getAs[Long]("i"), row.getAs[Long]("na"), row.getAs[Long]("nb"),
+          row.getAs[Double]("overlap")))
+      .toMap
+    val fps = docs.flatMap { case (id, text, _, _, _) =>
+      val sids = words(text).sliding(3).filter(_.length == 3)
+        .map(g => polyHash(g.mkString(" "))).toArray
+      if (sids.length < 4) None
+      else Some(id -> sids.sliding(4).map(_.min).toSet)
+    }.toMap
+    val df = fps.toSeq.flatMap(_._2).groupBy(identity)
+      .map { case (fp, o) => fp -> o.size }
+    val rare = df.filter(_._2 <= 50).keySet
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      i = (fa & fb).count(rare).toLong if i >= 2
+    } yield (a, b) -> (i, fa.size.toLong, fb.size.toLong,
+      r(i.toDouble / math.min(fa.size, fb.size), 4))).toMap
+    assert(out == expected,
+      s"missed=${(expected.keySet -- out.keySet).take(3)} " +
+        s"extra=${(out.keySet -- expected.keySet).take(3)}")
+    // The fixture's planted exact dups must screen at full containment.
+    assert(out.values.exists(_._4 == 1.0), "no pair at overlap 1.0")
+  }
+
   test("q122: dataset card recomputes per source") {
     val out = PipelineQueries.queries("q122_dataset_card")(spark, dir)
       .collect()
