@@ -3506,6 +3506,32 @@ object PipelineQueries {
         .orderBy($"shard")
     },
 
+    // ----- image perceptual hash (aHash) over real decoded pixels -----
+    // The image-dedup feature extractor: render→PNG-encode→REAL
+    // decode→8×8 average-hash per asset ([[Multimodal.aHash]] — exact
+    // integer thresholding, two 32-bit halves). Same mapPartitions
+    // codec shape as q30/q41/q42 (codec state amortized per partition,
+    // 12 bytes/doc shuffle before the bytes are born); swap the
+    // formula renderer for camera bytes and the plan is unchanged —
+    // the downstream Hamming-bucket join is q24's simhash shape.
+    "q126_image_ahash" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val assets = t.documents
+        .select($"doc_id", length($"text").cast("int").as("text_len"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (docId, n) =>
+          (docId, Multimodal.encodePng(docId, n))
+        })
+      assets.mapPartitions { it =>
+        it.map { case (docId, bytes) => Multimodal.aHash(docId, bytes) }
+      }.toDF()
+        .select($"doc_id", $"width", $"height",
+          $"hash_hi", $"hash_lo", $"n_above")
+        .orderBy($"doc_id")
+    },
+
     // ----- per-source dataset card -----
     // The rollup a dataset release ships: per source, doc and token
     // counts, language spread, byte-exact duplicate rate (distinct
@@ -5576,6 +5602,40 @@ object PipelineQueries {
                    JOIN sz sb ON db = sb.doc_id
         ORDER BY doc_a, doc_b""",
 
+      // Every bit reproduced relationally from the deterministic pixel
+      // formula (q30/q42's argument): 64·v > Σv is exact integer
+      // arithmetic in both engines, so one mis-sampled pixel on the
+      // Spark decode side flips bits and fails the compare.
+      "q126_image_ahash" -> """
+        WITH dims AS (
+          SELECT doc_id, CAST(doc_id % 256 AS BIGINT) d,
+                 CAST(length(text) % 64 + 16 AS INT) w,
+                 CAST((length(text) * 7) % 48 + 16 AS INT) h
+          FROM documents),
+        px AS (SELECT doc_id, w, h, j,
+                 CAST(((((j % 8) * w) // 8) * 31
+                       + (((j // 8) * h) // 8) * 7 + d) % 256
+                  + 2 * (((((j % 8) * w) // 8) * 13
+                          + (((j // 8) * h) // 8) * 11 + 2 * d) % 256)
+                  + 3 * (((((j % 8) * w) // 8) * 5
+                          + (((j // 8) * h) // 8) * 3 + 3 * d) % 256)
+                  AS BIGINT) v
+               FROM dims, (SELECT unnest(range(0, 64)) j)),
+        s AS (SELECT doc_id, sum(v) s FROM px GROUP BY 1),
+        bits AS (SELECT px.doc_id, px.w, px.h, j,
+                        CASE WHEN 64 * v > s.s
+                             THEN 1::BIGINT ELSE 0::BIGINT END b
+                 FROM px JOIN s USING (doc_id))
+        SELECT doc_id, min(w) AS width, min(h) AS height,
+               CAST(sum(CASE WHEN j >= 32
+                             THEN b * (1::BIGINT << (j - 32))
+                             ELSE 0 END) AS BIGINT) AS hash_hi,
+               CAST(sum(CASE WHEN j < 32
+                             THEN b * (1::BIGINT << j)
+                             ELSE 0 END) AS BIGINT) AS hash_lo,
+               CAST(sum(b) AS INT) AS n_above
+        FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
       "q124_shard_balance" -> s"""
         WITH t AS (SELECT doc_id, $toks tk FROM documents),
         o AS (SELECT doc_id,
@@ -5723,6 +5783,47 @@ object Multimodal {
       }
       FrameMeta(docId, y, w, cs)
     }
+  }
+
+  final case class AHashMeta(doc_id: Long, width: Int, height: Int,
+      hash_hi: Long, hash_lo: Long, n_above: Int)
+
+  /** Average-hash (aHash) perceptual fingerprint over the REAL decoded
+    * pixels: nearest-neighbor 8×8 downsample of the r+2g+3b pixel
+    * weights (the same sampling as [[resizeThumb]] at target=8), each
+    * cell thresholded against the 64-cell mean — compared in exact
+    * integers as 64·v > Σv, so no division exists to diverge on — and
+    * packed into two 32-bit halves (a single 64-bit value would need
+    * bit 63 to flip the sign). Near-identical images differ in a few
+    * bits (Hamming distance on hash_hi/hash_lo); the oracle reproduces
+    * every bit relationally from the deterministic pixel formula, so a
+    * decode or sampling drift flips bits and fails the compare.
+    */
+  def aHash(docId: Long, bytes: Array[Byte]): AHashMeta = {
+    val (w, h, px) = decodePixels(bytes)
+    val vs = new Array[Long](64)
+    var sum = 0L
+    var j = 0
+    while (j < 64) {
+      val sx = (j % 8) * w / 8
+      val sy = (j / 8) * h / 8
+      val v = weightOf(px(sy * w + sx)).toLong
+      vs(j) = v
+      sum += v
+      j += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var n = 0
+    j = 0
+    while (j < 64) {
+      if (64L * vs(j) > sum) {
+        n += 1
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    AHashMeta(docId, w, h, hi, lo, n)
   }
 
   final case class ResizedMeta(

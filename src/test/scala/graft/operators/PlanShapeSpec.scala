@@ -624,6 +624,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 4, s"q125 grew to $shuffles distinct shuffles:\n$p")
   }
 
+  test("q126: aHash is the mapPartitions codec shape, no join, no window") {
+    val p = plan("q126_image_ahash")
+    // The codec stages ride mapPartitions after a 12-byte/doc
+    // repartition; no relational operator may sneak between decode and
+    // output.
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q126 must stay scan → repartition → mapPartitions:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"q126 lost its mapPartitions codec stage:\n$p")
+  }
+
   test("q122: dataset card is one source-keyed aggregate") {
     val p = plan("q122_dataset_card")
     assert(!p.contains("Window") && !p.contains("Join"),

@@ -255,6 +255,37 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out.values.exists(_._4 == 1.0), "no pair at overlap 1.0")
   }
 
+  test("q126: aHash recomputes from the pixel formula; bits are balanced") {
+    val out = PipelineQueries.queries("q126_image_ahash")(spark, dir)
+      .collect()
+    assert(out.length == docs.length)
+    out.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val textLen = docs.find(_._1 == id).get._2.length
+      val w = textLen % 64 + 16
+      val h = (textLen * 7) % 48 + 16
+      val d = (id % 256).toInt
+      def weight(x: Int, y: Int): Long =
+        ((x * 31 + y * 7 + d) % 256 + 2 * ((x * 13 + y * 11 + 2 * d) % 256) +
+          3 * ((x * 5 + y * 3 + 3 * d) % 256)).toLong
+      val vs = (0 until 64).map(j => weight((j % 8) * w / 8, (j / 8) * h / 8))
+      val sum = vs.sum
+      var lo = 0L; var hi = 0L; var n = 0
+      for (j <- 0 until 64 if 64L * vs(j) > sum) {
+        n += 1
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      assert(row.getAs[Int]("width") == w)
+      assert(row.getAs[Int]("height") == h)
+      assert(row.getAs[Long]("hash_hi") == hi)
+      assert(row.getAs[Long]("hash_lo") == lo)
+      assert(row.getAs[Int]("n_above") == n)
+      // Mean-thresholded bits are roughly balanced — a degenerate
+      // all-zero/all-one hash carries no dedup signal.
+      assert(n > 8 && n < 56)
+    }
+  }
+
   test("q122: dataset card recomputes per source") {
     val out = PipelineQueries.queries("q122_dataset_card")(spark, dir)
       .collect()
