@@ -3506,6 +3506,42 @@ object PipelineQueries {
         .orderBy($"shard")
     },
 
+    // ----- edit-distance verification of screened candidates -----
+    // The two-stage dedup pattern end-to-end: q125's sublinear winnow
+    // SCREEN proposes candidates (containment ≥ 0.5 — the ≥2-fp rule's
+    // strict form), then exact char-level Levenshtein VERIFIES each
+    // one. Only screened pairs ever ship their texts (the verify join
+    // reads exactly 2 docs per candidate by doc_id equality); the
+    // O(n·m) distance runs on candidate pairs only, never the corpus.
+    // levenshtein() is the standard unit-cost DP in both engines —
+    // integer-exact cross-engine; sim = 1 − d/max_len is one division.
+    // is_dup at 0.8 is the Gyawali et al. (LREC'20) near-dup band.
+    "q127_editdist_verify" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val arrs = t.documents.repartition($"doc_id")
+        .select($"doc_id", graft.functions.GraftFunctions.slidingMin(
+          graft.functions.GraftFunctions.polyHashArray(shinglesCol()), 4)
+          .as("wmins"))
+        .filter(size($"wmins") > 0)
+        .select($"doc_id", array_distinct($"wmins").as("sids"))
+      val cand = rareSharedSidPairs(arrs, 50)
+        .filter($"i" >= 2 && $"i" * 2 >= least($"na", $"nb"))
+        .select($"doc_a", $"doc_b")
+      val texts = t.documents.select($"doc_id", $"text")
+      cand
+        .join(texts.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
+        .join(texts.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          levenshtein($"ta", $"tb").cast("long").as("edit_dist"),
+          greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
+        .withColumn("sim", CrossRound.r(
+          lit(1.0) - $"edit_dist".cast("double") / $"max_len", 4))
+        .withColumn("is_dup",
+          lit(1.0) - $"edit_dist".cast("double") / $"max_len" >= 0.8)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // ----- image perceptual hash (aHash) over real decoded pixels -----
     // The image-dedup feature extractor: render→PNG-encode→REAL
     // decode→8×8 average-hash per asset ([[Multimodal.aHash]] — exact
@@ -5601,6 +5637,45 @@ object PipelineQueries {
         FROM pairs JOIN sz sa ON da = sa.doc_id
                    JOIN sz sb ON db = sb.doc_id
         ORDER BY doc_a, doc_b""",
+
+      "q127_editdist_verify" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        pos_sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle,
+                     generate_subscripts(range(1, len(tk) - 1), 1) - 1 pos
+                   FROM toks),
+        sids AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid
+                 FROM pos_sh),
+        mx AS (SELECT doc_id, max(pos) max_pos FROM sids GROUP BY 1),
+        wins AS (SELECT s.doc_id, pos,
+                        min(sid) OVER (PARTITION BY s.doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                          wmin,
+                        max_pos
+                 FROM sids s JOIN mx ON s.doc_id = mx.doc_id),
+        fps AS (SELECT DISTINCT doc_id, wmin fp FROM wins
+                WHERE pos <= max_pos - 3),
+        sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) n FROM fps GROUP BY 1),
+        rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(1) <= 50),
+        rfps AS (SELECT f.* FROM fps f JOIN rare USING (fp)),
+        pairs AS (SELECT a.doc_id da, b.doc_id db, CAST(count(1) AS BIGINT) i
+                  FROM rfps a JOIN rfps b
+                    ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2 HAVING count(1) >= 2),
+        cand AS (SELECT da doc_a, db doc_b FROM pairs
+                 JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                 WHERE i * 2 >= least(sa.n, sb.n)),
+        v AS (SELECT c.doc_a, c.doc_b,
+                     CAST(levenshtein(ta.text, tb.text) AS BIGINT) edit_dist,
+                     CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT)
+                       max_len
+              FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
+                          JOIN documents tb ON tb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, edit_dist, max_len,
+               ${CrossRound.sql("1.0 - edit_dist::DOUBLE / max_len", 4)}
+                 AS sim,
+               1.0 - edit_dist::DOUBLE / max_len >= 0.8 AS is_dup
+        FROM v ORDER BY doc_a, doc_b""",
 
       // Every bit reproduced relationally from the deterministic pixel
       // formula (q30/q42's argument): 64·v > Σv is exact integer

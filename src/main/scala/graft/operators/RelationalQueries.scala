@@ -793,6 +793,34 @@ object RelationalQueries {
           CrossRound.r($"n_active".cast("double") / $"n_cohort", 4)
             .as("retention"))
         .orderBy($"cohort_week", $"week_offset")
+    },
+
+    // ----- DAU/WAU stickiness ratio -----
+    // The engagement metric next to q111's retention: per integer week
+    // (q111's epoch-day div 7 — no engine week-truncation rules),
+    // stickiness = mean daily active users over the FIXED 7-day
+    // denominator / weekly active users. Distinct-user counts are two
+    // key-equality aggregates (day grain and week grain) joined on
+    // week; empty days contribute 0 through the fixed ·7 denominator
+    // rather than a fragile day-grid join. Integer counts, one
+    // division per output row.
+    "q128_stickiness" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.events
+        .select($"user_id",
+          expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+            .cast("long").as("dayn"))
+      val d = e.groupBy(expr("dayn div 7").as("week"), $"dayn")
+        .agg(countDistinct($"user_id").as("dau"))
+      val w = e.groupBy(expr("dayn div 7").as("week"))
+        .agg(countDistinct($"user_id").as("wau"))
+      d.groupBy($"week").agg(sum($"dau").as("sum_dau"))
+        .join(w, "week")
+        .select($"week", $"wau", $"sum_dau",
+          CrossRound.r(
+            $"sum_dau".cast("double") / ($"wau" * 7), 4).as("stickiness"))
+        .orderBy($"week")
     }
   )
 
@@ -1259,6 +1287,26 @@ object RelationalQueries {
              floor((n_active::DOUBLE / n_cohort) * 10000 + 0.5) / 10000
                AS retention
       FROM act JOIN base USING (cohort_week)
-      ORDER BY cohort_week, week_offset"""
+      ORDER BY cohort_week, week_offset""",
+
+    // Stickiness twin: same integer week index; the ·7 denominator is
+    // fixed, so empty days need no grid join in either engine.
+    "q128_stickiness" -> """
+      WITH e AS (SELECT user_id,
+                        CAST(date_diff('day', DATE '1970-01-01',
+                                       CAST(ts AS DATE)) AS BIGINT) dayn
+                 FROM events),
+      d AS (SELECT dayn // 7 wk, dayn,
+                   CAST(count(DISTINCT user_id) AS BIGINT) dau
+            FROM e GROUP BY 1, 2),
+      w AS (SELECT dayn // 7 wk,
+                   CAST(count(DISTINCT user_id) AS BIGINT) wau
+            FROM e GROUP BY 1)
+      SELECT w.wk AS week, w.wau, CAST(sum(d.dau) AS BIGINT) AS sum_dau,
+             floor((sum(d.dau)::DOUBLE / (w.wau * 7)) * 10000 + 0.5) / 10000
+               AS stickiness
+      FROM w JOIN d ON w.wk = d.wk
+      GROUP BY w.wk, w.wau
+      ORDER BY week"""
   )
 }

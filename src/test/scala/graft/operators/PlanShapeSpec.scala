@@ -635,6 +635,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q126 lost its mapPartitions codec stage:\n$p")
   }
 
+  test("q127: only screened candidates ship texts; all joins equality") {
+    val p = plan("q127_editdist_verify")
+    // The O(n·m) Levenshtein runs on candidate pairs only; the text
+    // joins are doc_id-equality, the screen is the shared map-side pair
+    // machinery — never a corpus-pair product.
+    assert(!p.contains("CartesianProduct"), s"q127 grew a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q127 grew a nested-loop join:\n$p")
+  }
+
+  test("q128: stickiness is two distinct-aggs and one week join") {
+    val p = plan("q128_stickiness")
+    assert(!p.contains("Window"), s"q128 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q128 grew a cartesian:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 6, s"q128 grew to $shuffles distinct shuffles:\n$p")
+  }
+
   test("q122: dataset card is one source-keyed aggregate") {
     val p = plan("q122_dataset_card")
     assert(!p.contains("Window") && !p.contains("Join"),

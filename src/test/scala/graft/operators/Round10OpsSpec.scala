@@ -286,6 +286,78 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q127: edit-distance verify recomputes over the screened candidates") {
+    val out = PipelineQueries.queries("q127_editdist_verify")(spark, dir)
+      .collect()
+      .map(row => (row.getAs[Long]("doc_a"), row.getAs[Long]("doc_b")) ->
+        (row.getAs[Long]("edit_dist"), row.getAs[Long]("max_len"),
+          row.getAs[Double]("sim"), row.getAs[Boolean]("is_dup")))
+      .toMap
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(_.toLong)
+      val cur = new Array[Long](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i.toLong
+        for (j <- 1 to b.length) {
+          val cost = if (a(i - 1) == b(j - 1)) 0L else 1L
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + cost)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val texts = docs.map(d => d._1 -> d._2).toMap
+    val fps = docs.flatMap { case (id, text, _, _, _) =>
+      val sids = words(text).sliding(3).filter(_.length == 3)
+        .map(g => polyHash(g.mkString(" "))).toArray
+      if (sids.length < 4) None
+      else Some(id -> sids.sliding(4).map(_.min).toSet)
+    }.toMap
+    val df = fps.toSeq.flatMap(_._2).groupBy(identity)
+      .map { case (fp, o) => fp -> o.size }
+    val rare = df.filter(_._2 <= 50).keySet
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      i = (fa & fb).count(rare).toLong
+      if i >= 2 && i * 2 >= math.min(fa.size, fb.size)
+    } yield {
+      val d = lev(texts(a), texts(b))
+      val m = math.max(texts(a).length, texts(b).length).toLong
+      val sim = r(1.0 - d.toDouble / m, 4)
+      (a, b) -> (d, m, sim, 1.0 - d.toDouble / m >= 0.8)
+    }).toMap
+    assert(out == expected,
+      s"missed=${(expected.keySet -- out.keySet).take(3)} " +
+        s"extra=${(out.keySet -- expected.keySet).take(3)}")
+    // The verifier must separate: the fixture has both confirmed dups
+    // and screened-but-rejected candidates ... or at least one side.
+    assert(out.values.exists(_._4), "no pair verified as dup")
+  }
+
+  test("q128: stickiness recomputes from raw events") {
+    val out = RelationalQueries.queries("q128_stickiness")(spark, dir)
+      .collect()
+    val ev = Tables(spark, dir).events
+      .select($"user_id", expr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01')").cast("long"))
+      .as[(Long, Long)].collect()
+    val byWeek = ev.map { case (u, d) => (d / 7, d, u) }.distinct
+      .groupBy(_._1)
+    assert(out.length == byWeek.size)
+    out.foreach { row =>
+      val g = byWeek(row.getAs[Long]("week"))
+      val wau = g.map(_._3).distinct.length.toLong
+      val sumDau = g.groupBy(_._2).values
+        .map(_.map(_._3).distinct.length.toLong).sum
+      assert(row.getAs[Long]("wau") == wau)
+      assert(row.getAs[Long]("sum_dau") == sumDau)
+      val st = row.getAs[Double]("stickiness")
+      assert(st == r(sumDau.toDouble / (7 * wau), 4))
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
+
   test("q122: dataset card recomputes per source") {
     val out = PipelineQueries.queries("q122_dataset_card")(spark, dir)
       .collect()
