@@ -3595,6 +3595,190 @@ object PipelineQueries {
           CrossRound.r($"sum_chars".cast("double") / $"n_docs", 2)
             .as("mean_chars"))
         .orderBy($"source")
+    },
+
+    // ----- content-defined chunking (CDC) + chunk-level dedup -----
+    // The shift-resistant chunker q64/q104's FIXED windows can't be:
+    // boundaries come from the CONTENT (a 3-token rolling signature —
+    // the shingle sid — hitting sid % 16 == 0), so inserting one token
+    // at the front of a doc re-syncs every chunk after the next
+    // boundary instead of shifting all of them (the FastCDC/LBFS
+    // argument; re-sync property pinned in `Round7OpsSpec`). Everything
+    // up to the chunk signature is ONE map-only projection per doc:
+    // native token/shingle hashes, boundary positions, and the per-chunk
+    // polynomial signature all ride higher-order functions over long
+    // arrays (the kernels take the token array as one child, so
+    // CollapseProject can't re-evaluate split per element — the
+    // shinglesCol trap). Only 8-byte chunk signatures ever shuffle:
+    // one vocabulary-sized df aggregate + one join back, doc-keyed agg.
+    // At 100 TB the shape is q104's: chunk-granular dedup where the
+    // chunk table is content-addressed — CDC is what keeps that table
+    // stable under document edits.
+    "q129_cdc_chunks" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val chunks = t.documents.repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id", size($"toks").cast("long").as("n_toks"),
+          graft.functions.GraftFunctions.polyHashArray($"toks").as("thash"),
+          graft.functions.GraftFunctions.polyHashArray(
+            graft.functions.GraftFunctions.shingles3($"toks")).as("sh"))
+        // 0-based shingle positions whose sid is a boundary; a boundary
+        // at position p ends its chunk after token p+2 (the window's
+        // last token), so the next chunk starts at token p+3.
+        .withColumn("bnds", expr(
+          """CASE WHEN size(sh) = 0 THEN array()
+             ELSE filter(sequence(0, size(sh) - 1),
+                         p -> element_at(sh, CAST(p + 1 AS INT)) % 16 = 0)
+             END"""))
+        .withColumn("starts",
+          expr("concat(array(0), transform(bnds, p -> CAST(p + 3 AS INT)))"))
+        .withColumn("ends", expr(
+          "concat(transform(bnds, p -> CAST(p + 3 AS INT)), array(size(thash)))"))
+        // Per-chunk signature = the polynomial fold over the chunk's
+        // TOKEN hashes (not its text — strings never leave the row);
+        // a boundary on the final shingle yields an empty tail segment,
+        // filtered here (the oracle's group-by-chunk never sees it).
+        .withColumn("sigs", expr(
+          """filter(zip_with(starts, ends, (st, en) -> IF(en > st,
+               named_struct(
+                 'sig', aggregate(slice(thash, st + 1, en - st),
+                   CAST(0 AS BIGINT), (h, x) -> (h * 131 + x) % 1000000007),
+                 'ntk', CAST(en - st AS BIGINT)),
+               NULL)), c -> c IS NOT NULL)"""))
+        .select($"doc_id", $"n_toks", explode($"sigs").as("c"))
+        .select($"doc_id", $"n_toks", $"c.sig".as("sig"), $"c.ntk".as("ntk"))
+      val df = chunks.groupBy($"sig").agg(count(lit(1)).as("df"))
+      chunks.join(df, "sig")
+        .groupBy($"doc_id")
+        .agg(min($"n_toks").as("n_toks"),
+          count(lit(1)).as("n_chunks"),
+          sum(when($"df" > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when($"df" > 1, $"ntk").otherwise(0L)).as("dup_toks"))
+        .withColumn("dup_frac",
+          CrossRound.r($"dup_toks".cast("double") / $"n_toks", 4))
+        .orderBy($"doc_id")
+    },
+
+    // ----- hybrid retrieval: reciprocal-rank fusion (RRF) -----
+    // The rank-ensembling step a hybrid search stack runs over its two
+    // channels (Cormack et al. SIGIR'09): for each of 5 query DOCS, the
+    // LEXICAL channel scores the corpus by BM25 against the query doc's
+    // own top-5 tf terms (q84's machinery made per-query — rational
+    // idf, sorted struct fold, scores bit-identical cross-engine), the
+    // SEMANTIC channel by embedding cosine (q25's contract; vec_id ≡
+    // doc_id in the corpus), each cut to a top-20 rank list on the
+    // UNROUNDED scores with doc_id tie-breaks (the q84 oracle-tie
+    // lesson). Fusion scores every retrieved doc 1/(60+rank_bm25) +
+    // 1/(60+rank_cos) — missing from a channel contributes 0 via the
+    // FULL OUTER join, exactly two IEEE terms per doc so no
+    // summation-order hazard exists; docs surfacing in BOTH channels
+    // rise above either channel's own leaders, which is the point of
+    // hybrid retrieval. (An L2-vs-cosine fusion would be vacuous here:
+    // the corpus embeddings are unit-norm, so those ranks coincide
+    // exactly.) Scale: the lexical side is q84's inverted-index shape
+    // (corpus explodes once, prunes map-side against ≤25 broadcast
+    // terms), the semantic side q25's broadcast-query scoring (swap in
+    // q25b's partial top-k UDAF at scale); the fusion join touches only
+    // O(queries × k) rows, broadcast-sized regardless of corpus size.
+    "q130_rrf_fusion" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val docs = t.documents.repartition($"doc_id")
+      val inst = docs.select($"doc_id", explode(expr(toksExpr)).as("tok"))
+      val dl = docs.select($"doc_id",
+        size(expr(toksExpr)).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nd"), sum($"dl").as("ntok"))
+      val wq = Window.partitionBy($"query_id").orderBy($"cnt".desc, $"tok")
+      val qterms = inst.filter($"doc_id" < 5)
+        .groupBy($"doc_id".as("query_id"), $"tok")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("qrk", row_number().over(wq)).filter($"qrk" <= 5)
+        .select($"query_id", $"tok")
+      val tf = inst.join(broadcast(qterms), "tok")
+        .groupBy($"query_id", $"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        .cache()
+      val qdf = tf.select($"tok", $"doc_id").distinct()
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
+      val contrib = tf.join(broadcast(qdf), "tok").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("c",
+          (($"nd" + 1.0) / ($"df" + 0.5)) *
+            ($"tf" * 2.2 / ($"tf" + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                ($"dl" / ($"ntok".cast("double") / $"nd"))))))
+      val wb = Window.partitionBy($"query_id").orderBy($"bscore".desc, $"doc_id")
+      val bmTop = contrib.filter($"doc_id" =!= $"query_id")
+        .groupBy($"query_id", $"doc_id")
+        .agg(aggregate(array_sort(collect_list(struct($"tok", $"c"))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("bscore"))
+        .withColumn("br", row_number().over(wb)).filter($"br" <= 20)
+        .select($"query_id", $"doc_id", $"br")
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("cq"), $"embedding".as("qe"))
+      val wc = Window.partitionBy($"cq").orderBy($"cos".desc, $"vec_id")
+      val cosTop = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"cq")
+        .withColumn("cos",
+          graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
+        .withColumn("cr", row_number().over(wc)).filter($"cr" <= 20)
+        .select($"cq", $"vec_id".as("cv"), $"cr")
+      val fused = bmTop.join(cosTop,
+          $"query_id" === $"cq" && $"doc_id" === $"cv", "full_outer")
+        .select(coalesce($"query_id", $"cq").as("query_id"),
+          coalesce($"doc_id", $"cv").as("doc_id"), $"br", $"cr")
+        .withColumn("score",
+          coalesce(lit(1.0) / (lit(60) + $"br"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"cr"), lit(0.0)))
+      val wr = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+      fused.withColumn("rank", row_number().over(wr)).filter($"rank" <= 10)
+        .select($"query_id", $"rank", $"doc_id",
+          $"br".cast("int").as("bm25_rank"), $"cr".cast("int").as("cos_rank"),
+          CrossRound.r($"score", 6).as("rrf_score"))
+        .orderBy($"query_id", $"rank")
+    },
+
+    // ----- image near-dup: banded aHash Hamming join -----
+    // q126's perceptual hashes put to work: the 64-bit aHash splits
+    // into FOUR disjoint 16-bit bands, candidates agree on at least one
+    // band, and exact Hamming ≤ 3 verifies. Unlike q24's simhash
+    // prefix-bucket (a recall heuristic), this screen is COMPLETE by
+    // pigeonhole: 3 differing bits can dirty at most 3 of 4 disjoint
+    // bands, so every qualifying pair shares a clean band (property-
+    // tested on random 64-bit pairs in `Round7OpsSpec`). Hashes come
+    // from the REAL decode pipeline (cached — the codec runs once, not
+    // once per self-join side); the join shuffles 16-byte hash rows,
+    // never pixels. At 100 TB the one extra lever is hot-band handling:
+    // a degenerate band value (e.g. all-dark thumbnails) concentrates
+    // one reducer — cap or salt that band's posting list exactly as
+    // q81 treats hot MinHash bands.
+    "q131_image_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val hashes = t.documents
+        .select($"doc_id", length($"text").cast("int").as("text_len"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (docId, n) =>
+          Multimodal.aHash(docId, Multimodal.encodePng(docId, n))
+        }).toDF()
+        .select($"doc_id", $"hash_hi", $"hash_lo")
+        .cache()
+      val bands = hashes.select($"doc_id", $"hash_hi", $"hash_lo",
+        posexplode(expr(
+          """array(hash_lo % 65536, hash_lo div 65536,
+                   hash_hi % 65536, hash_hi div 65536)"""))
+          .as(Seq("band", "sig")))
+      bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+          $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          expr("""CAST(bit_count(a.hash_hi ^ b.hash_hi)
+                     + bit_count(a.hash_lo ^ b.hash_lo) AS INT)""").as("hd"))
+        .filter($"hd" <= 3)
+        .distinct()
+        .orderBy($"doc_a", $"doc_b")
     }
   )
 
@@ -5725,7 +5909,162 @@ object PipelineQueries {
         SELECT shard, n_docs, tot_tokens,
                ${CrossRound.sql(
                  "tot_tokens::DOUBLE * 8 / tot.all_tokens", 6)} AS balance
-        FROM per, tot ORDER BY shard"""
+        FROM per, tot ORDER BY shard""",
+
+      // Relational CDC twin: a token's chunk index is the count of
+      // boundaries at positions p with p+3 <= its position — computed
+      // as a running sum of chunk-START flags, never a range join; the
+      // per-chunk signature folds token hashes in position order, the
+      // same left fold as the Spark side's aggregate().
+      "q129_cdc_chunks" -> s"""
+        WITH tk0 AS (SELECT doc_id, $toks t FROM documents),
+        tk AS (SELECT * FROM tk0 WHERE len(t) > 0),
+        tpos AS (SELECT doc_id, CAST(len(t) AS BIGINT) n_toks,
+                        generate_subscripts(t, 1) - 1 tp, unnest(t) tok
+                 FROM tk),
+        thh AS (SELECT doc_id, n_toks, tp, ${oraclePolyHash("tok")} th
+                FROM tpos),
+        sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingle,
+                 generate_subscripts(range(1, len(t) - 1), 1) - 1 pos
+               FROM tk),
+        bnd AS (SELECT doc_id, pos FROM
+                  (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid
+                   FROM sh)
+                WHERE sid % 16 = 0),
+        ci AS (SELECT t.doc_id, t.n_toks, t.tp, t.th,
+                      sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY t.doc_id ORDER BY t.tp) chunk
+               FROM thh t LEFT JOIN bnd b
+                 ON b.doc_id = t.doc_id AND b.pos = t.tp - 3),
+        chunks AS (SELECT doc_id, min(n_toks) n_toks, chunk,
+                          list_reduce(list_prepend(0::BIGINT,
+                            list(th ORDER BY tp)),
+                            (h, x) -> (h * 131 + x) % 1000000007) sig,
+                          CAST(count(1) AS BIGINT) ntk
+                   FROM ci GROUP BY doc_id, chunk),
+        df AS (SELECT sig, count(1) df FROM chunks GROUP BY 1),
+        agg AS (SELECT c.doc_id, min(c.n_toks) n_toks,
+                       CAST(count(1) AS BIGINT) n_chunks,
+                       CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) n_dup_chunks,
+                       CAST(sum(CASE WHEN df.df > 1 THEN c.ntk ELSE 0 END)
+                         AS BIGINT) dup_toks
+                FROM chunks c JOIN df USING (sig) GROUP BY c.doc_id)
+        SELECT doc_id, n_toks, n_chunks, n_dup_chunks, dup_toks,
+               ${CrossRound.sql("dup_toks::DOUBLE / n_toks", 4)} AS dup_frac
+        FROM agg ORDER BY doc_id""",
+
+      // Both rank tables bind to the UNROUNDED scores (the q84 oracle
+      // lesson) with doc_id tie-breaks, so ranks — and the two-term
+      // fused score — are bit-identical cross-engine; the final order
+      // is on the raw score, rounding happens in the outer SELECT.
+      "q130_rrf_fusion" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        inst AS (SELECT doc_id, unnest(tk) tok FROM toks),
+        dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) dl FROM toks),
+        stats AS (SELECT count(1) nd, CAST(sum(dl) AS BIGINT) ntok FROM dl),
+        qt AS (SELECT query_id, tok FROM (
+                 SELECT doc_id query_id, tok, count(1) cnt,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY count(1) DESC, tok) qrk
+                 FROM inst WHERE doc_id < 5 GROUP BY 1, 2)
+               WHERE qrk <= 5),
+        tf AS (SELECT q.query_id, i.doc_id, i.tok, count(1) tf
+               FROM inst i JOIN qt q USING (tok) GROUP BY 1, 2, 3),
+        qdf AS (SELECT tok, count(1) df FROM
+                  (SELECT DISTINCT tok, doc_id FROM tf) GROUP BY 1),
+        contrib AS (SELECT f.query_id, f.doc_id, f.tok,
+                           ((s.nd + 1.0) / (d.df + 0.5)) *
+                           (f.tf * 2.2 / (f.tf + 1.2 *
+                             (0.25 + 0.75 *
+                               (l.dl / (CAST(s.ntok AS DOUBLE) / s.nd))))) c
+                    FROM tf f JOIN qdf d USING (tok)
+                         JOIN dl l ON f.doc_id = l.doc_id
+                         CROSS JOIN stats s),
+        bm AS (SELECT query_id, doc_id,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list(c ORDER BY tok)), (a, b) -> a + b) bscore
+               FROM contrib WHERE doc_id != query_id GROUP BY 1, 2),
+        bmr AS (SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY bscore DESC, doc_id) br
+                FROM bm QUALIFY br <= 20),
+        e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        q AS (SELECT vec_id cq, v qv FROM e WHERE vec_id < 5),
+        cs AS (SELECT q.cq, e.vec_id cv,
+                      list_dot_product(e.v, q.qv) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(q.qv, q.qv))) cos
+               FROM e CROSS JOIN q WHERE e.vec_id != q.cq),
+        csr AS (SELECT cq, cv,
+                       row_number() OVER (PARTITION BY cq
+                                          ORDER BY cos DESC, cv) cr
+                FROM cs QUALIFY cr <= 20),
+        fused AS (SELECT coalesce(b.query_id, c.cq) query_id,
+                         coalesce(b.doc_id, c.cv) doc_id, b.br, c.cr,
+                         coalesce(1.0 / (60 + b.br), 0)
+                           + coalesce(1.0 / (60 + c.cr), 0) score
+                  FROM bmr b FULL JOIN csr c
+                    ON b.query_id = c.cq AND b.doc_id = c.cv),
+        rr AS (SELECT query_id, doc_id, br, cr, score,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) rk
+               FROM fused QUALIFY rk <= 10)
+        SELECT query_id, CAST(rk AS INT) AS rank, doc_id,
+               CAST(br AS INT) AS bm25_rank, CAST(cr AS INT) AS cos_rank,
+               ${CrossRound.sql("score", 6)} AS rrf_score
+        FROM rr ORDER BY query_id, rank""",
+
+      // q126's relational hash reproduction feeding the same 4×16-bit
+      // banding and exact Hamming verify as the Spark side.
+      "q131_image_neardup" -> """
+        WITH dims AS (
+          SELECT doc_id, CAST(doc_id % 256 AS BIGINT) d,
+                 CAST(length(text) % 64 + 16 AS INT) w,
+                 CAST((length(text) * 7) % 48 + 16 AS INT) h
+          FROM documents),
+        px AS (SELECT doc_id, w, h, j,
+                 CAST(((((j % 8) * w) // 8) * 31
+                       + (((j // 8) * h) // 8) * 7 + d) % 256
+                  + 2 * (((((j % 8) * w) // 8) * 13
+                          + (((j // 8) * h) // 8) * 11 + 2 * d) % 256)
+                  + 3 * (((((j % 8) * w) // 8) * 5
+                          + (((j // 8) * h) // 8) * 3 + 3 * d) % 256)
+                  AS BIGINT) v
+               FROM dims, (SELECT unnest(range(0, 64)) j)),
+        s AS (SELECT doc_id, sum(v) s FROM px GROUP BY 1),
+        bits AS (SELECT px.doc_id, j,
+                        CASE WHEN 64 * v > s.s
+                             THEN 1::BIGINT ELSE 0::BIGINT END b
+                 FROM px JOIN s USING (doc_id)),
+        ah AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN j >= 32
+                                    THEN b * (1::BIGINT << (j - 32))
+                                    ELSE 0 END) AS BIGINT) hash_hi,
+                      CAST(sum(CASE WHEN j < 32
+                                    THEN b * (1::BIGINT << j)
+                                    ELSE 0 END) AS BIGINT) hash_lo
+               FROM bits GROUP BY doc_id),
+        bands AS (SELECT doc_id, hash_hi, hash_lo, bb.band,
+                         CASE bb.band WHEN 0 THEN hash_lo % 65536
+                                      WHEN 1 THEN hash_lo // 65536
+                                      WHEN 2 THEN hash_hi % 65536
+                                      ELSE hash_hi // 65536 END sig
+                  FROM ah CROSS JOIN
+                    (SELECT unnest(range(0, 4)) band) bb),
+        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db,
+                        a.hash_hi ha, a.hash_lo la,
+                        b.hash_hi hb, b.hash_lo lb
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id)
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT)
+                 AS hd
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+        ORDER BY doc_a, doc_b"""
     )
   }
 }

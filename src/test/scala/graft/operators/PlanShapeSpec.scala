@@ -662,4 +662,41 @@ class PlanShapeSpec extends AnyFunSuite {
     val shuffles = distinctShuffles(p)
     assert(shuffles <= 3, s"q122 grew to $shuffles distinct shuffles:\n$p")
   }
+
+  test("q129: CDC chunking shuffles 8-byte signatures, never windows") {
+    val p = plan("q129_cdc_chunks")
+    // Tokenize→hash→boundary→chunk-signature is ONE map-only projection
+    // per doc; only the sig df aggregate, the join back and the doc
+    // rollup shuffle — all on 8-byte keys. A Window (per-doc running
+    // chunk index) would mean the HOF formulation regressed to the
+    // oracle's relational shape.
+    assert(!p.contains("Window"), s"q129 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q129 grew a product:\n$p")
+    val shuffles = distinctShuffles(p)
+    assert(shuffles <= 5, s"q129 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("q130: both retrieval channels prune against broadcast builds") {
+    val p = plan("q130_rrf_fusion")
+    // The lexical channel is q84's inverted-index shape (corpus
+    // explodes once, prunes map-side against the <=25-term broadcast);
+    // the semantic channel is q25's broadcast-query BNL. The fusion
+    // join touches only O(queries x k) rows.
+    assert(!p.contains("CartesianProduct"), s"q130 grew a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q130's query-term prune must ride a broadcast hash join:\n$p")
+  }
+
+  test("q131: hashes compute once (cached); the band join is equality") {
+    val p = plan("q131_image_neardup")
+    // The codec pipeline materializes once behind the cache — the
+    // band self-join must read InMemoryTableScan on both sides, never
+    // re-decode; candidates come from (band, sig) equality, never a
+    // pairwise product.
+    assert(p.contains("InMemoryTableScan"),
+      s"q131 lost its hash cache — the codec would run twice:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q131 grew a product:\n$p")
+  }
 }

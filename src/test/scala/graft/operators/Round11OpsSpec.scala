@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.gsheets.Fixtures
+
+/** Invariants for the round-11 additions: content-defined chunking
+  * (q129), hybrid-retrieval reciprocal-rank fusion (q130) and the
+  * banded aHash image near-dup join (q131). Exact values are pinned by
+  * the DuckDB oracle; these verify the CONTRACTS independently —
+  * driver-side reimplementations over the sf0.001 fixture plus the two
+  * structural lemmas the oracle can't express: CDC's boundary re-sync
+  * under an edit, and the pigeonhole completeness of the 4-band
+  * Hamming screen.
+  */
+class Round11OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = Fixtures.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def words(text: String): Array[String] =
+    text.split(' ').filter(_.nonEmpty)
+
+  private def polyHash(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 131 + c.toLong) % 1000000007L)
+
+  private def r(x: Double, d: Int): Double = {
+    val s = math.pow(10.0, d)
+    math.floor(x * s + 0.5) / s
+  }
+
+  private lazy val docs = Tables(spark, dir).documents
+    .select($"doc_id", $"text")
+    .as[(Long, String)].collect()
+
+  /** Sequential reference of q129's chunker: boundary = 3-token window
+    * whose shingle hash hits sid % 16 == 0 at position p, ending its
+    * chunk after token p+2; chunk signature = polynomial fold over the
+    * chunk's TOKEN hashes; empty tail segments are dropped.
+    */
+  private def cdcChunks(toks: Array[String]): Vector[(Long, Int)] = {
+    val th = toks.map(polyHash)
+    val sh =
+      if (toks.length < 3) Array.empty[Long]
+      else toks.sliding(3).map(w => polyHash(w.mkString(" "))).toArray
+    val bnds = sh.zipWithIndex.collect { case (s, p) if s % 16 == 0 => p }
+    val starts = 0 +: bnds.map(_ + 3)
+    val ends = bnds.map(_ + 3) :+ toks.length
+    starts.zip(ends).collect { case (s, e) if e > s =>
+      (th.slice(s, e).foldLeft(0L)((h, x) => (h * 131 + x) % 1000000007L),
+        e - s)
+    }.toVector
+  }
+
+  test("q129: chunk counts, dup counts and fractions recompute per doc") {
+    val out = PipelineQueries.queries("q129_cdc_chunks")(spark, dir)
+      .collect()
+    val ref = docs.map { case (id, t) => (id, words(t)) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, w) => (id, w.length.toLong, cdcChunks(w)) }
+    val dfc = ref.flatMap(_._3.map(_._1))
+      .groupBy(identity).map { case (k, v) => (k, v.length) }
+    assert(out.length == ref.length)
+    val byId = out.map(row => row.getAs[Long]("doc_id") -> row).toMap
+    ref.foreach { case (id, nToks, chunks) =>
+      val row = byId(id)
+      assert(row.getAs[Long]("n_toks") == nToks)
+      assert(row.getAs[Long]("n_chunks") == chunks.length.toLong)
+      val dup = chunks.filter(c => dfc(c._1) > 1)
+      assert(row.getAs[Long]("n_dup_chunks") == dup.length.toLong)
+      assert(row.getAs[Long]("dup_toks") == dup.map(_._2.toLong).sum)
+      assert(row.getAs[Double]("dup_frac") ==
+        r(dup.map(_._2.toLong).sum.toDouble / nToks, 4))
+    }
+  }
+
+  test("q129: CDC boundaries re-sync after a single-token prepend") {
+    // THE property fixed-stride chunking lacks: prepending one token
+    // shifts every fixed window, but content-defined boundaries live in
+    // the content — each 3-token window still hashes the same — so all
+    // chunks strictly after the first boundary keep their signatures.
+    // Verified on every fixture doc that has at least 2 chunks.
+    var checked = 0
+    docs.foreach { case (_, t) =>
+      val w = words(t)
+      if (w.length >= 3) {
+        val orig = cdcChunks(w).map(_._1)
+        if (orig.length >= 2) {
+          val shifted = cdcChunks("xq" +: w).map(_._1)
+          // Multiset intersection must keep everything except the
+          // first (edited) chunk — re-sync is exact from chunk 2 on.
+          val lost = orig.diff(shifted)
+          assert(lost.length <= 1,
+            s"CDC lost ${lost.length} of ${orig.length} chunks after prepend")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 100, s"re-sync property exercised on only $checked docs")
+  }
+
+  test("q130: fused ranks are consistent and fusion is non-vacuous") {
+    val out = PipelineQueries.queries("q130_rrf_fusion")(spark, dir)
+      .collect()
+    assert(out.length == 50)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+      // Score must equal the RRF formula on the reported channel ranks
+      // and be non-increasing down the fused list.
+      var prev = Double.MaxValue
+      sorted.foreach { row =>
+        val br = Option(row.getAs[Integer]("bm25_rank")).map(_.toInt)
+        val cr = Option(row.getAs[Integer]("cos_rank")).map(_.toInt)
+        assert(br.nonEmpty || cr.nonEmpty)
+        val score = br.map(b => 1.0 / (60 + b)).getOrElse(0.0) +
+          cr.map(c => 1.0 / (60 + c)).getOrElse(0.0)
+        assert(row.getAs[Double]("rrf_score") == r(score, 6))
+        assert(score <= prev + 1e-12)
+        prev = score
+      }
+    }
+    // The fusion must actually fuse: somewhere a doc retrieved by BOTH
+    // channels outranks docs that led a single channel.
+    assert(out.exists(row =>
+      row.getAs[Integer]("bm25_rank") != null &&
+        row.getAs[Integer]("cos_rank") != null))
+  }
+
+  test("q131: 4-band screen is complete for Hamming <= 3 (pigeonhole)") {
+    // 3 differing bits can dirty at most 3 of 4 disjoint 16-bit bands,
+    // so every qualifying pair shares a clean band. Property-tested on
+    // deterministic pseudo-random 64-bit pairs with 0-4 flipped bits
+    // (4 flips may — and sometimes does — evade all bands, which is
+    // why the verify threshold is 3).
+    val rnd = new scala.util.Random(20260814L)
+    var evaded4 = 0
+    (1 to 5000).foreach { _ =>
+      val h = rnd.nextLong()
+      val nFlips = rnd.nextInt(5)
+      val flips = Seq.fill(nFlips)(rnd.nextInt(64)).distinct
+      val h2 = flips.foldLeft(h)((x, b) => x ^ (1L << b))
+      val bandsEqual = (0 until 4).exists { b =>
+        ((h >>> (16 * b)) & 0xffffL) == ((h2 >>> (16 * b)) & 0xffffL)
+      }
+      val hd = java.lang.Long.bitCount(h ^ h2)
+      if (hd <= 3) assert(bandsEqual,
+        f"pair with Hamming $hd evaded all 4 bands: $h%016x vs $h2%016x")
+      else if (!bandsEqual) evaded4 += 1
+    }
+    assert(evaded4 > 0, "the 4-flip evasion case never occurred — " +
+      "the property test isn't exercising the boundary")
+  }
+
+  test("q131: banded join finds exactly the all-pairs Hamming<=3 set") {
+    val out = PipelineQueries.queries("q131_image_neardup")(spark, dir)
+      .collect()
+      .map(row => (row.getAs[Long]("doc_a"), row.getAs[Long]("doc_b"),
+        row.getAs[Int]("hd")))
+      .sortBy(p => (p._1, p._2))
+    // Ground truth: brute-force aHash Hamming over every doc pair.
+    val hashes = docs.map { case (id, t) =>
+      val m = Multimodal.aHash(id, Multimodal.encodePng(id, t.length))
+      (id, m.hash_hi, m.hash_lo)
+    }.sortBy(_._1)
+    val truth = for {
+      i <- hashes.indices
+      j <- (i + 1) until hashes.length
+      hd = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2) +
+        java.lang.Long.bitCount(hashes(i)._3 ^ hashes(j)._3)
+      if hd <= 3
+    } yield (hashes(i)._1, hashes(j)._1, hd)
+    assert(out.toSeq == truth.toSeq)
+    assert(truth.nonEmpty, "fixture has no near-dup image pair — vacuous")
+  }
+}
