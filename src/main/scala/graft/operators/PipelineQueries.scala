@@ -3779,6 +3779,49 @@ object PipelineQueries {
         .filter($"hd" <= 3)
         .distinct()
         .orderBy($"doc_a", $"doc_b")
+    },
+
+    // ----- PMI collocation mining -----
+    // The association-score family (vs q57's LM probability, q113's raw
+    // modal count): pointwise mutual information over corpus bigrams,
+    // p(ab)/(p(a)p(b)) with a count >= 5 support floor — the classic
+    // collocation extractor feeding tokenizer-vocabulary and
+    // multi-word-expression decisions. Every count is an integer; the
+    // score evaluates as ((c_ab·N)/B)·(N/(c_a·c_b)) — each product an
+    // exact int64, each of the two divisions and the one multiply a
+    // single exactly-rounded IEEE op in the SAME order in both engines,
+    // so scores are bit-identical and the top-20 cut (on the UNROUNDED
+    // score, bigram tie-break) cannot flip. Scale: one vocabulary-sized
+    // unigram agg, one bigram agg with the support floor applied before
+    // any join (the >= 5 filter kills the long tail — the joined
+    // relation is the FREQUENT-bigram table), two token-equality joins,
+    // stats ride a 1-row broadcast, top-20 = TakeOrderedAndProject.
+    "q132_pmi_collocations" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val tk = t.documents.repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("toks"))
+      val uni = tk.select(explode($"toks").as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+      val bg = tk.select(explode(
+        graft.functions.GraftFunctions.shinglesK($"toks", 2)).as("bigram"))
+      val bgc = bg.groupBy($"bigram").agg(count(lit(1)).as("c_ab"))
+        .filter($"c_ab" >= 5)
+      val stats = uni.agg(sum($"c").as("n"))
+        .crossJoin(bg.agg(count(lit(1)).as("b")))
+      val scored = bgc
+        .withColumn("a_tok", expr("split(bigram, ' ')[0]"))
+        .withColumn("b_tok", expr("split(bigram, ' ')[1]"))
+        .join(uni.select($"tok".as("a_tok"), $"c".as("c_a")), "a_tok")
+        .join(uni.select($"tok".as("b_tok"), $"c".as("c_b")), "b_tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("pmi",
+          (($"c_ab" * $"n").cast("double") / $"b") *
+            ($"n".cast("double") / ($"c_a" * $"c_b")))
+      scored.orderBy($"pmi".desc, $"bigram").limit(20)
+        .select($"bigram", $"c_ab", $"c_a", $"c_b",
+          CrossRound.r($"pmi", 6).as("pmi"))
+        .orderBy($"pmi".desc, $"bigram")
     }
   )
 
@@ -6064,7 +6107,33 @@ object PipelineQueries {
                  AS hd
         FROM cand
         WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
-        ORDER BY doc_a, doc_b"""
+        ORDER BY doc_a, doc_b""",
+
+      // PMI twin: identical integer counts, identical
+      // ((c_ab·N)/B)·(N/(c_a·c_b)) op sequence — bit-identical scores;
+      // the top-20 cut binds to the UNROUNDED score (q84 lesson),
+      // rounding happens in the outer SELECT.
+      "q132_pmi_collocations" -> s"""
+        WITH tk AS (SELECT doc_id, $toks t FROM documents),
+        inst AS (SELECT unnest(t) tok FROM tk),
+        uni AS (SELECT tok, CAST(count(1) AS BIGINT) c FROM inst GROUP BY 1),
+        bg AS (SELECT unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) bigram FROM tk),
+        bgc AS (SELECT bigram, CAST(count(1) AS BIGINT) c_ab FROM bg
+                GROUP BY 1 HAVING count(1) >= 5),
+        stats AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) n,
+                         (SELECT CAST(count(1) AS BIGINT) FROM bg) b),
+        scored AS (SELECT bgc.bigram, bgc.c_ab, ua.c c_a, ub.c c_b,
+                          ((bgc.c_ab * s.n)::DOUBLE / s.b)
+                            * (s.n::DOUBLE / (ua.c * ub.c)) pmi
+                   FROM bgc
+                   JOIN uni ua ON ua.tok = string_split(bgc.bigram, ' ')[1]
+                   JOIN uni ub ON ub.tok = string_split(bgc.bigram, ' ')[2]
+                   CROSS JOIN stats s),
+        top AS (SELECT * FROM scored ORDER BY pmi DESC, bigram LIMIT 20)
+        SELECT bigram, c_ab, c_a, c_b,
+               ${CrossRound.sql("pmi", 6)} AS pmi
+        FROM top ORDER BY pmi DESC, bigram"""
     )
   }
 }

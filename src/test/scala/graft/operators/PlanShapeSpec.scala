@@ -688,6 +688,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q130's query-term prune must ride a broadcast hash join:\n$p")
   }
 
+  test("q132: support floor precedes the joins; top-20 never global-sorts") {
+    val p = plan("q132_pmi_collocations")
+    // The >= 5 floor is applied to the bigram aggregate BEFORE the two
+    // unigram joins (the joined relation is the frequent-bigram table,
+    // not the tail); the cut is a TakeOrderedAndProject, the 1-row
+    // stats ride a BNL broadcast.
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q132's top-20 degraded to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q132 grew a cartesian:\n$p")
+  }
+
   test("q131: hashes compute once (cached); the band join is equality") {
     val p = plan("q131_image_neardup")
     // The codec pipeline materializes once behind the cache — the

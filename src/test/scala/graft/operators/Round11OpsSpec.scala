@@ -157,6 +157,33 @@ class Round11OpsSpec extends AnyFunSuite {
       "the property test isn't exercising the boundary")
   }
 
+  test("q132: PMI recomputes with the exact integer-ratio op sequence") {
+    val out = PipelineQueries.queries("q132_pmi_collocations")(spark, dir)
+      .collect()
+    val toks = docs.map(d => words(d._2))
+    val uni = toks.flatten.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val bgs = toks.flatMap(w => w.sliding(2).filter(_.length == 2)
+      .map(p => p(0) + " " + p(1)))
+    val bgc = bgs.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      .filter(_._2 >= 5)
+    val n = uni.values.sum
+    val b = bgs.length.toLong
+    val ref = bgc.toSeq.map { case (bigram, cab) =>
+      val Array(a, bb) = bigram.split(' ')
+      val (ca, cb) = (uni(a), uni(bb))
+      val pmi = ((cab * n).toDouble / b) * (n.toDouble / (ca * cb))
+      (bigram, cab, ca, cb, pmi)
+    }.sortBy(t => (-t._5, t._1)).take(20)
+    assert(out.length == ref.length)
+    out.zip(ref).foreach { case (row, (bigram, cab, ca, cb, pmi)) =>
+      assert(row.getAs[String]("bigram") == bigram)
+      assert(row.getAs[Long]("c_ab") == cab)
+      assert(row.getAs[Long]("c_a") == ca)
+      assert(row.getAs[Long]("c_b") == cb)
+      assert(row.getAs[Double]("pmi") == r(pmi, 6))
+    }
+  }
+
   test("q131: banded join finds exactly the all-pairs Hamming<=3 set") {
     val out = PipelineQueries.queries("q131_image_neardup")(spark, dir)
       .collect()
