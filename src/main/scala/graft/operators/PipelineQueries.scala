@@ -3649,6 +3649,7 @@ object PipelineQueries {
                NULL)), c -> c IS NOT NULL)"""))
         .select($"doc_id", $"n_toks", explode($"sigs").as("c"))
         .select($"doc_id", $"n_toks", $"c.sig".as("sig"), $"c.ntk".as("ntk"))
+        .cache() // read twice: the df aggregate and the join back
       val df = chunks.groupBy($"sig").agg(count(lit(1)).as("df"))
       chunks.join(df, "sig")
         .groupBy($"doc_id")
@@ -3803,12 +3804,17 @@ object PipelineQueries {
         .select($"doc_id", expr(toksExpr).as("toks"))
       val uni = tk.select(explode($"toks").as("tok"))
         .groupBy($"tok").agg(count(lit(1)).as("c"))
+        .cache() // read twice: the two component-count joins
       val bg = tk.select(explode(
         graft.functions.GraftFunctions.shinglesK($"toks", 2)).as("bigram"))
       val bgc = bg.groupBy($"bigram").agg(count(lit(1)).as("c_ab"))
         .filter($"c_ab" >= 5)
-      val stats = uni.agg(sum($"c").as("n"))
-        .crossJoin(bg.agg(count(lit(1)).as("b")))
+      // N = Σ len, B = Σ max(len-1, 0) — one doc-level agg instead of
+      // re-exploding the corpus twice more; integer-identical to
+      // summing the unigram/bigram relations (the oracle's form).
+      val stats = tk.select(size($"toks").as("nt"))
+        .agg(sum($"nt").cast("long").as("n"),
+          sum(greatest($"nt" - 1, lit(0))).cast("long").as("b"))
       val scored = bgc
         .withColumn("a_tok", expr("split(bigram, ' ')[0]"))
         .withColumn("b_tok", expr("split(bigram, ' ')[1]"))
