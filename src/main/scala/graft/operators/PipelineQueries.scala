@@ -2460,9 +2460,14 @@ object PipelineQueries {
     // is a sub-ulp sum difference absorbed by CrossRound except
     // exactly at a rounding boundary — the documented residual class.
     // The keep flag compares ROUNDED nll to the ROUNDED mean, so both
-    // engines decide from identical values. At 100 TB: bigram counts
-    // shuffle once (vocabulary-sized state), docs score map-side after
-    // the frequency join, threshold is one scalar.
+    // engines decide from identical values. The corpus-mean threshold
+    // is q117's scaled-integer mean: nll is already 4-dp-rounded, so
+    // floor(nll·10⁴+0.5) recovers its exact scaled integer, the
+    // DECIMAL(38,0) sum of those is order-independent and map-side
+    // combining, and one division yields the exact mean — no
+    // corpus-sized collect_list, no single-reducer array. At 100 TB:
+    // bigram counts shuffle once (vocabulary-sized state), docs score
+    // map-side after the frequency join, threshold is one scalar.
     "q93_perplexity_filter" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -2485,9 +2490,9 @@ object PipelineQueries {
             lit(0.0), (acc, x) => acc + x.getField("nlp")).as("ll"))
         .withColumn("nll", CrossRound.r(-$"ll" / $"n_bigrams", 4))
       val thr = scored.agg(CrossRound.r(
-        aggregate(sort_array(collect_list(struct($"nll", $"doc_id"))),
-          lit(0.0), (acc, x) => acc + x.getField("nll")) / count(lit(1)), 6)
-        .as("thr"))
+        sum(floor($"nll" * 10000 + 0.5)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          / (count(lit(1)) * 10000.0), 6).as("thr"))
       scored.crossJoin(broadcast(thr))
         .select($"doc_id", $"n_bigrams", $"nll", ($"nll" <= $"thr").as("keep"))
         .orderBy($"doc_id")
@@ -2978,10 +2983,12 @@ object PipelineQueries {
     // lists) — keep iff H clears the corpus mean (corpus-ADAPTIVE, so
     // every fuzz corpus exercises both sides of the gate, q93's
     // argument). Per-doc folds run over word-ORDERED count lists
-    // (ASCII vocab ⇒ Java and DuckDB binary collation agree) and the
-    // threshold folds doc-ordered entropies — bit-identical in both
-    // engines. Shape at 100 TB: one (doc, word) count agg, one per-doc
-    // agg, one 1-row threshold broadcast — all doc-keyed, no windows.
+    // (ASCII vocab ⇒ Java and DuckDB binary collation agree); the
+    // threshold is q117's scaled-integer mean over the 4-dp-rounded
+    // entropies (exact, order-independent, map-side combining — no
+    // corpus-sized collect_list) — bit-identical in both engines.
+    // Shape at 100 TB: one (doc, word) count agg, one per-doc agg,
+    // one 1-row threshold broadcast — all doc-keyed, no windows.
     "q107_token_entropy" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -2997,9 +3004,9 @@ object PipelineQueries {
           log($"n_toks".cast("double")) - $"clc" / $"n_toks", 4))
         .cache()
       val thr = per.agg(CrossRound.r(
-        aggregate(sort_array(collect_list(struct($"entropy", $"doc_id"))),
-          lit(0.0), (acc, e) => acc + e.getField("entropy")) / count(lit(1)),
-        6).as("thr"))
+        sum(floor($"entropy" * 10000 + 0.5)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          / (count(lit(1)) * 10000.0), 6).as("thr"))
       per.crossJoin(broadcast(thr))
         .select($"doc_id", $"n_toks", $"entropy",
           ($"entropy" >= $"thr").as("keep"))
@@ -3603,7 +3610,7 @@ object PipelineQueries {
     // the shingle sid — hitting sid % 16 == 0), so inserting one token
     // at the front of a doc re-syncs every chunk after the next
     // boundary instead of shifting all of them (the FastCDC/LBFS
-    // argument; re-sync property pinned in `Round7OpsSpec`). Everything
+    // argument; re-sync property pinned in `Round11OpsSpec`). Everything
     // up to the chunk signature is ONE map-only projection per doc:
     // native token/shingle hashes, boundary positions, and the per-chunk
     // polynomial signature all ride higher-order functions over long
@@ -3747,7 +3754,7 @@ object PipelineQueries {
     // prefix-bucket (a recall heuristic), this screen is COMPLETE by
     // pigeonhole: 3 differing bits can dirty at most 3 of 4 disjoint
     // bands, so every qualifying pair shares a clean band (property-
-    // tested on random 64-bit pairs in `Round7OpsSpec`). Hashes come
+    // tested on random 64-bit pairs in `Round11OpsSpec`). Hashes come
     // from the REAL decode pipeline (cached — the codec runs once, not
     // once per self-join side); the join shuffles 16-byte hash rows,
     // never pixels. At 100 TB the one extra lever is hot-band handling:
@@ -3789,10 +3796,16 @@ object PipelineQueries {
     // collocation extractor feeding tokenizer-vocabulary and
     // multi-word-expression decisions. Every count is an integer; the
     // score evaluates as ((c_ab·N)/B)·(N/(c_a·c_b)) — each product an
-    // exact int64, each of the two divisions and the one multiply a
-    // single exactly-rounded IEEE op in the SAME order in both engines,
-    // so scores are bit-identical and the top-20 cut (on the UNROUNDED
-    // score, bigram tie-break) cannot flip. Scale: one vocabulary-sized
+    // exact int64 WHILE N < ~3e9 tokens (worst case c_ab ≤ N gives
+    // c_ab·N ≤ N² < 2^63; the fixture and every fuzz corpus are far
+    // inside that bound), each of the two divisions and the one
+    // multiply a single exactly-rounded IEEE op in the SAME order in
+    // both engines, so scores are bit-identical and the top-20 cut (on
+    // the UNROUNDED score, bigram tie-break) cannot flip. Past ~3e9
+    // tokens (the 100 TB regime) the products overflow int64 — there
+    // restructure as (c_ab/B)·(N/c_a)·(N/c_b) in doubles (monotone
+    // enough for the top-20 cut; exactness claim is scoped to the
+    // validated scale, q22's df-cap convention). Scale: one vocabulary-sized
     // unigram agg, one bigram agg with the support floor applied before
     // any join (the >= 5 filter kills the long tail — the joined
     // relation is the FREQUENT-bigram table), two token-equality joins,
@@ -5214,9 +5227,9 @@ object PipelineQueries {
                             list(nlp ORDER BY sid)), (a, b) -> a + b)
                             / sum(n)) * 10000 + 0.5) / 10000 nll
                    FROM lp GROUP BY doc_id),
-        thr AS (SELECT floor((list_reduce(list_prepend(0.0::DOUBLE,
-                          list_sort(list(nll))), (a, b) -> a + b)
-                        / count(1)) * 1000000 + 0.5) / 1000000 thr
+        thr AS (SELECT ${CrossRound.sql(
+                  "sum(CAST(floor(nll * 10000 + 0.5) AS BIGINT))" +
+                    " / (count(1) * 10000.0)", 6)} thr
                 FROM scored)
         SELECT doc_id, n_bigrams, nll, nll <= thr.thr AS keep
         FROM scored, thr
@@ -5524,9 +5537,8 @@ object PipelineQueries {
                        "ln(n_toks::DOUBLE) - clc / n_toks", 4)} AS entropy
               FROM per),
         thr AS (SELECT ${CrossRound.sql(
-                  "list_reduce(list_prepend(0.0::DOUBLE," +
-                    " list(entropy ORDER BY entropy, doc_id))," +
-                    " (a, b) -> a + b) / count(1)", 6)} AS thr
+                  "sum(CAST(floor(entropy * 10000 + 0.5) AS BIGINT))" +
+                    " / (count(1) * 10000.0)", 6)} AS thr
                 FROM e)
         SELECT doc_id, n_toks, entropy, entropy >= thr.thr AS keep
         FROM e, thr

@@ -699,6 +699,64 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"q132 grew a cartesian:\n$p")
   }
 
+  test("global collect_list aggregates fold only bounded frames") {
+    // The q93/q107 regression guard (VERDICT r7 #2): a GLOBAL aggregate
+    // (keys=[]) whose buffer is a collect_list materializes its entire
+    // input frame in ONE reducer's memory. Over a bounded frame
+    // (#sources rows, decile edges, a top-k cut) that is fine; over a
+    // corpus-cardinality frame it is the single-reducer OOM shape that
+    // q93/q107 shipped with in round 7. Every global collect_list site
+    // must be allow-listed here with its bound; corpus-adaptive scalar
+    // thresholds must use q117's scaled-integer mean instead.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // name -> why its global collect_list input frame is bounded (the
+    // bound must hold at ANY corpus size, not just test scale).
+    val bounded: Map[String, String] = Map(
+      "q74_mixture_weights" -> "folds per-source rows (#sources)",
+      "q94_importance_resample" -> "folds per-source rows (#sources)",
+      "q87_embed_quantize" -> "folds per-dimension stats (embedding dim)",
+      "q106_zipf_slope" -> "folds the top-100 rank cut (<= 100 rows)",
+      "q120_curriculum_bins" -> "folds the 9 decile edges")
+    // Walk through the AQE wrapper (executedPlan is a childless
+    // AdaptiveSparkPlanExec until execution) and into cached subtrees
+    // (InMemoryTableScan hides its build plan from toString/collect).
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val root = p match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case x => x
+      }
+      val direct = root.collectWithSubqueries { case n => n }
+      direct ++ direct.flatMap {
+        case s: InMemoryTableScanExec => nodes(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => nodes(a.inputPlan)
+        case _ => Nil
+      }
+    }
+    def offenders(p: SparkPlan): Seq[String] = nodes(p).collect {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty &&
+          a.aggregateExpressions.exists(
+            _.aggregateFunction.prettyName == "collect_list") =>
+        a.nodeName
+    }
+    val unlisted = for {
+      name <- graft.SparkEntry.queries.keys.toSeq.sorted
+      if !streamingQs(name) && !bounded.contains(name)
+      hits = offenders(
+        graft.SparkEntry.queries(name)(spark, dir).queryExecution
+          .executedPlan)
+      if hits.nonEmpty
+    } yield s"$name (${hits.distinct.mkString(", ")})"
+    assert(unlisted.isEmpty,
+      s"global collect_list aggregates not allow-listed as bounded: " +
+        s"${unlisted.mkString("; ")} — if the input frame is " +
+        "corpus-cardinality this is the q93/q107 single-reducer " +
+        "shape; use the scaled-integer mean (q117) or bound the " +
+        "frame first")
+  }
+
   test("q131: hashes compute once (cached); the band join is equality") {
     val p = plan("q131_image_neardup")
     // The codec pipeline materializes once behind the cache — the
