@@ -451,10 +451,22 @@ object PipelineQueries {
     * any pair with J ≥ t MUST share a prefix token under a common
     * global order), self-join prefixes on sid equality, verify
     * candidates exactly with one array_intersect over the two
-    * doc-bounded sid arrays. The accept decision is the exact integer
-    * form 2i ≥ na+nb−i; jac is a single division. Rarity ordering
-    * makes prefixes maximally selective — the most frequent sids never
-    * enter any prefix. Returns (doc_a, doc_b, i, na, nb, jac).
+    * doc-bounded sid arrays. Two PPJoin prunes cut candidates BEFORE
+    * they reach the distinct/verify stages, both complete for t=0.5:
+    * the LENGTH filter (J ≥ 0.5 ⇒ 3·min(na,nb) ≥ na+nb ≥
+    * min+max ⇒ max ≤ 2·min) and the POSITIONAL filter — under the
+    * common global order, the common elements of a and b occupy
+    * increasing positions in BOTH arrays, so for a shared prefix sid
+    * at (1-based) positions (pa, pb), overlap ≤ (common strictly
+    * before: ≤ min(pa,pb)−1) + 1 + (common strictly after:
+    * ≤ min(na−pa, nb−pb)) = min(pa,pb) + min(na−pa, nb−pb). For a
+    * TRUE J ≥ 0.5 pair that bound ≥ i on EVERY shared row, so
+    * 3·bound ≥ 3i ≥ na+nb holds row-wise and per-row filtering keeps
+    * completeness (pinned by PrefixFilterPropertySpec). The accept
+    * decision is the exact integer form 2i ≥ na+nb−i; jac is a single
+    * division. Rarity ordering makes prefixes maximally selective —
+    * the most frequent sids never enter any prefix. Returns
+    * (doc_a, doc_b, i, na, nb, jac).
     */
   private def prefixJaccardPairs(arrs: DataFrame): DataFrame = {
     import arrs.sparkSession.implicits._
@@ -466,11 +478,17 @@ object PipelineQueries {
         .as("sids"))
       .select($"doc_id", $"sids", size($"sids").cast("long").as("n"))
       .cache()
-    val prefixes = ordered.select($"doc_id", explode(
-      expr("slice(sids, 1, CAST(n DIV 2 + 1 AS INT))")).as("sid"))
+    val prefixes = ordered.select($"doc_id", $"n", posexplode(
+        expr("slice(sids, 1, CAST(n DIV 2 + 1 AS INT))"))
+        .as(Seq("p0", "sid")))
+      .select($"doc_id", $"n", ($"p0" + 1).cast("long").as("p"), $"sid")
     val cands = prefixes.as("a")
       .join(prefixes.as("b"),
-        $"a.sid" === $"b.sid" && $"a.doc_id" < $"b.doc_id")
+        $"a.sid" === $"b.sid" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2 &&
+          (least($"a.p", $"b.p") +
+            least($"a.n" - $"a.p", $"b.n" - $"b.p")) * 3 >=
+            $"a.n" + $"b.n")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     cands

@@ -17,7 +17,12 @@ import org.scalacheck.rng.Seed
   *
   * The simulation mirrors the Spark side exactly: global order =
   * (document frequency asc, sid asc), prefix length ⌊n/2⌋ + 1 for
-  * t = 0.5, accept decision in exact integers (2i ≥ na + nb − i).
+  * t = 0.5, accept decision in exact integers (2i ≥ na + nb − i),
+  * AND the two PPJoin prunes the candidate join applies row-wise —
+  * the length filter (max(na,nb) ≤ 2·min(na,nb)) and the positional
+  * filter (a shared prefix sid at 1-based positions (pa, pb) proposes
+  * the pair only if 3·(min(pa,pb) + min(na−pa, nb−pb)) ≥ na+nb).
+  * Completeness here proves the prunes never drop a qualifying pair.
   * (Plain ScalaCheck sampling — the scalatest/scalacheck bridge
   * artifact isn't in the offline cache.)
   */
@@ -50,9 +55,11 @@ class PrefixFilterPropertySpec extends AnyFunSuite {
   private def simulate(
       sets: List[Set[Int]]): (Set[(Int, Int)], Set[(Int, Int)]) = {
     val df = sets.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
-    // Global rarity order, exactly the Spark side's (df asc, sid asc).
-    def prefix(s: Set[Int]): Set[Int] =
-      s.toList.sortBy(x => (df(x), x)).take(s.size / 2 + 1).toSet
+    // Global rarity order, exactly the Spark side's (df asc, sid asc);
+    // prefix positions are 1-based indices into the FULL ordered array.
+    def prefixPos(s: Set[Int]): Map[Int, Int] =
+      s.toList.sortBy(x => (df(x), x)).take(s.size / 2 + 1)
+        .zipWithIndex.map { case (sid, i0) => sid -> (i0 + 1) }.toMap
     val qualifying = (for {
       (a, ia) <- sets.zipWithIndex
       (b, ib) <- sets.zipWithIndex if ia < ib
@@ -62,7 +69,13 @@ class PrefixFilterPropertySpec extends AnyFunSuite {
     val proposed = (for {
       (a, ia) <- sets.zipWithIndex
       (b, ib) <- sets.zipWithIndex if ia < ib
-      if (prefix(a) & prefix(b)).nonEmpty
+      na = a.size; nb = b.size
+      if math.max(na, nb) <= 2 * math.min(na, nb) // length filter
+      pa = prefixPos(a); pb = prefixPos(b)
+      if pa.keySet.intersect(pb.keySet).exists { sid =>
+        val (qa, qb) = (pa(sid), pb(sid)) // positional filter
+        3 * (math.min(qa, qb) + math.min(na - qa, nb - qb)) >= na + nb
+      }
     } yield (ia, ib)).toSet
     (qualifying, proposed)
   }
