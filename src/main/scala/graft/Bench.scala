@@ -45,21 +45,22 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     runOnce(names.head) // untimed JVM/codegen warm-up
     val results = names.map(n => n -> runOnce(n))
-    // Warm = per-query MIN over two post-cold passes: codegen
+    // Warm = per-query MEDIAN over three post-cold passes: codegen
     // compilation (the dominant fixed cost at this scale — measured 16s
     // cold vs 3.7s warm for the MinHash pipeline) is already paid, so
     // this is the steady-state number a long-lived session sees. The
-    // min-of-two suppresses one-off host stalls (a shared host lands a
+    // median suppresses one-off host stalls (a shared host lands a
     // multi-second hiccup on ONE random query per pass — observed as a
     // 21s q16 in one run, a 12s q23 in the next, each trivially sub-
     // second in every other run — which would otherwise read as a fake
-    // per-query regression). Reported alongside, never replacing, the
-    // cold pass.
-    val warm1 = names.map(n => n -> runOnce(n)).toMap
+    // per-query regression) WITHOUT the flattering bias a min has
+    // (min-of-2 was the round-4–7 estimator; VERDICT r7 #3 asked for
+    // the stall-robust unbiased one). Reported alongside, never
+    // replacing, the cold pass.
+    val warmPasses = (1 to 3).map(_ => names.map(n => n -> runOnce(n)).toMap)
     val warm = names.map { n =>
-      val w2 = runOnce(n)
-      val w1 = warm1(n)
-      n -> (if (w1 < 0) w2 else if (w2 < 0) w1 else math.min(w1, w2))
+      val ok = warmPasses.map(_(n)).filter(_ >= 0).sorted
+      n -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
     }
 
     def fmt(rs: Seq[(String, Double)]): String =

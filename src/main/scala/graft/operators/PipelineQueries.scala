@@ -700,15 +700,75 @@ object PipelineQueries {
     posexplode(array((0 until 4).map(b =>
       concat_ws("-", (0 until 4).map(r => col("mh")(b * 4 + r)): _*)): _*))
 
+  /** Per-bucket candidate-pair cap before salting kicks in. At test
+    * scale every bucket is far below this, so g = 1 and the plan is the
+    * plain band self-join; the bound only matters at corpus scale, and
+    * `BandSaltSpec` exercises the g > 1 path on a constructed skew
+    * fixture through the same code.
+    */
+  private[operators] val bandSaltCap = 1024
+
+  /** Banded-LSH candidate pairs with HOT-BUCKET salting (the triangle /
+    * 1-bucket-theta split, Okcan & Riedewald SIGMOD'11's shape): a
+    * degenerate band value — all-dark thumbnails under aHash, a
+    * boilerplate-dominated MinHash band — puts m rows on ONE join key,
+    * and a plain self-join does all m²/2 comparisons in the single task
+    * that owns that key. Here each bucket with m > cap rows splits into
+    * g = ⌈m/cap⌉ doc-hash groups and its pairs spread over the
+    * g·(g+1)/2 CELLS (i ≤ j) of the group grid: a row with group r
+    * enters cell (r, j) for j ≥ r on the A side and cell (i, r) for
+    * i ≤ r on the B side, so cross-group pairs (i < j) meet in exactly
+    * cell (i, j) with their roles fixed by group, and same-group pairs
+    * meet only in cell (r, r) where `a.doc_id < b.doc_id` picks one
+    * ordering — every co-bucketed pair is emitted EXACTLY once (the
+    * uniqueness argument is pinned by `BandSaltSpec` against brute
+    * force), per-cell input is ~2·cap rows, and the cells hash across
+    * reducers on (band, sig, ci, cj). Cold buckets (m ≤ cap) take
+    * g = 1: one A row + one B row per doc, cell (0, 0) — the plain
+    * self-join, at 2× replication. Only the tiny over-cap key list
+    * (≤ #rows/cap keys, and in practice the handful of degenerate
+    * values) joins back by broadcast — the q78 hot-key-list pattern;
+    * a corpus where MOST keys are hot would need the shuffle join
+    * instead, but such a corpus has no selective bands to begin with.
+    * Input: (band, sig, doc_id, payload...). Output: (doc_a < doc_b,
+    * pa, pb) with pa/pb the full input rows as structs, one row per
+    * shared (band, sig) — consumers verify then distinct().
+    */
+  private[operators] def saltedBandPairs(
+      bands: DataFrame, cap: Int): DataFrame = {
+    import bands.sparkSession.implicits._
+    val payload = struct(bands.columns.map(col).toIndexedSeq: _*)
+    val hot = bands.groupBy($"band", $"sig")
+      .agg(count(lit(1)).as("bdf")).filter($"bdf" > cap)
+    val salted = bands
+      .join(broadcast(hot), Seq("band", "sig"), "left")
+      .withColumn("g",
+        coalesce(expr(s"CAST((bdf + $cap - 1) DIV $cap AS INT)"), lit(1)))
+      .withColumn("grp", pmod(xxhash64($"doc_id"), $"g").cast("int"))
+      .select($"band", $"sig", $"g", $"grp", $"doc_id", payload.as("p"))
+    val aSide = salted.select($"band", $"sig", $"grp".as("ci"),
+      explode(expr("sequence(grp, g - 1)")).as("cj"), $"doc_id", $"p")
+    val bSide = salted.select($"band", $"sig",
+      explode(expr("sequence(0, grp)")).as("ci"), $"grp".as("cj"),
+      $"doc_id", $"p")
+    aSide.as("a").join(bSide.as("b"),
+        $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+        $"a.ci" === $"b.ci" && $"a.cj" === $"b.cj" &&
+        ($"a.ci" =!= $"a.cj" || $"a.doc_id" < $"b.doc_id"))
+      .select(
+        least($"a.doc_id", $"b.doc_id").as("doc_a"),
+        greatest($"a.doc_id", $"b.doc_id").as("doc_b"),
+        when($"a.doc_id" < $"b.doc_id", $"a.p").otherwise($"b.p").as("pa"),
+        when($"a.doc_id" < $"b.doc_id", $"b.p").otherwise($"a.p").as("pb"))
+  }
+
   private def minhashLshVerifyArr(docArrs: DataFrame): DataFrame = {
     import docArrs.sparkSession.implicits._
     val sigs = docArrs.filter(size($"sids") > 0)
       .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
     val bands = sigs.select($"doc_id", mhBandCols.as(Seq("band", "sig")))
-    val cand = bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
-        $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val cand = saltedBandPairs(bands, bandSaltCap)
+      .select($"doc_a", $"doc_b")
       .distinct()
     val sets = docArrs.select($"doc_id", $"sids", size($"sids").as("n"))
     cand
@@ -766,7 +826,9 @@ object PipelineQueries {
     // collect, no broadcast. The signature stage is MAP-ONLY (native
     // poly_hash_array → minhash_sigs kernels per doc row — zero shuffle
     // before the band join); banded LSH join generates candidates (never
-    // all-pairs); exact shingle-Jaccard verifies only candidates via
+    // all-pairs) via [[saltedBandPairs]], so a boilerplate-dominated hot
+    // band triangle-splits instead of funneling one reducer; exact
+    // shingle-Jaccard verifies only candidates via
     // per-pair array_intersect. 16 integer minhashes from
     // h_s(x) = (37s+7)·sid + 101s+3 mod P. (The sorted-dictionary id
     // variant lives OUTSIDE the driver contract as
@@ -2095,7 +2157,14 @@ object PipelineQueries {
     // collisions), independent of corpus size. The corpus/delta split
     // point is derived from the data (first 90% of the id space is
     // "corpus", integer arithmetic so both engines cut identically) —
-    // one bounded driver scalar, like q78's hot-key list.
+    // one bounded driver scalar, like q78's hot-key list. Hot-band
+    // audit (the q131/q22b salting question): this probe is index ⋈
+    // DELTA, not a self-join — per-key fanout is delta_df·corpus_df,
+    // linear in the (small) batch even on a degenerate band, and an
+    // oversized index bucket is partition skew on the PROBE side,
+    // which AQE's skew-join split handles without breaking the
+    // bucketed zero-Exchange read; [[saltedBandPairs]]' triangle split
+    // is the self-join remedy and would cost the index its bucketing.
     "q81_delta_dedup" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -3775,10 +3844,11 @@ object PipelineQueries {
     // tested on random 64-bit pairs in `Round11OpsSpec`). Hashes come
     // from the REAL decode pipeline (cached — the codec runs once, not
     // once per self-join side); the join shuffles 16-byte hash rows,
-    // never pixels. At 100 TB the one extra lever is hot-band handling:
-    // a degenerate band value (e.g. all-dark thumbnails) concentrates
-    // one reducer — cap or salt that band's posting list exactly as
-    // q81 treats hot MinHash bands.
+    // never pixels. Hot-band handling: a degenerate band value (e.g.
+    // all-dark thumbnails) would concentrate one reducer, so candidates
+    // come from [[saltedBandPairs]] — over-cap buckets triangle-split
+    // across group cells with identical pair output (g = 1 plain path
+    // at test scale; the g > 1 path is pinned by BandSaltSpec).
     "q131_image_neardup" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -3796,12 +3866,11 @@ object PipelineQueries {
           """array(hash_lo % 65536, hash_lo div 65536,
                    hash_hi % 65536, hash_hi div 65536)"""))
           .as(Seq("band", "sig")))
-      bands.as("a").join(bands.as("b"),
-          $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
-          $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-          expr("""CAST(bit_count(a.hash_hi ^ b.hash_hi)
-                     + bit_count(a.hash_lo ^ b.hash_lo) AS INT)""").as("hd"))
+        .select($"band", $"sig", $"doc_id", $"hash_hi", $"hash_lo")
+      saltedBandPairs(bands, bandSaltCap)
+        .select($"doc_a", $"doc_b",
+          expr("""CAST(bit_count(pa.hash_hi ^ pb.hash_hi)
+                     + bit_count(pa.hash_lo ^ pb.hash_lo) AS INT)""").as("hd"))
         .filter($"hd" <= 3)
         .distinct()
         .orderBy($"doc_a", $"doc_b")

@@ -761,11 +761,16 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q131_image_neardup")
     // The codec pipeline materializes once behind the cache — the
     // band self-join must read InMemoryTableScan on both sides, never
-    // re-decode; candidates come from (band, sig) equality, never a
-    // pairwise product.
+    // re-decode; candidates come from (band, sig, cell) equality via
+    // saltedBandPairs, never a pairwise product, and the hot-bucket
+    // list joins back by BROADCAST (the q78 hot-key pattern) — an SMJ
+    // there would shuffle the whole band relation just to find the
+    // handful of over-cap keys.
     assert(p.contains("InMemoryTableScan"),
       s"q131 lost its hash cache — the codec would run twice:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"q131 grew a product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q131's hot-bucket list lost its broadcast join:\n$p")
   }
 }
