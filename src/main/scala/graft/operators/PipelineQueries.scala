@@ -4007,6 +4007,50 @@ object PipelineQueries {
         ORDER BY s.doc_id"""
   }
 
+  /** The q129 chunker's oracle CTE chain, ending at
+    * `chunks(doc_id, n_toks, chunk, sig, ntk)` — shared by q129's
+    * per-doc dup stats and the streaming q133 chunk-store dedup, so the
+    * batch and ingest-time forms are graded against the IDENTICAL
+    * chunking semantics.
+    */
+  private lazy val cdcChunksOracleCtes: String = {
+    val toks = "list_filter(string_split(text, ' '), x -> x != '')"
+    s"""tk0 AS (SELECT doc_id, $toks t FROM documents),
+        tk AS (SELECT * FROM tk0 WHERE len(t) > 0),
+        tpos AS (SELECT doc_id, CAST(len(t) AS BIGINT) n_toks,
+                        generate_subscripts(t, 1) - 1 tp, unnest(t) tok
+                 FROM tk),
+        thh AS (SELECT doc_id, n_toks, tp, ${oraclePolyHash("tok")} th
+                FROM tpos),
+        sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingle,
+                 generate_subscripts(range(1, len(t) - 1), 1) - 1 pos
+               FROM tk),
+        bnd AS (SELECT doc_id, pos FROM
+                  (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid
+                   FROM sh)
+                WHERE sid % 16 = 0),
+        ci AS (SELECT t.doc_id, t.n_toks, t.tp, t.th,
+                      sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY t.doc_id ORDER BY t.tp) chunk
+               FROM thh t LEFT JOIN bnd b
+                 ON b.doc_id = t.doc_id AND b.pos = t.tp - 3),
+        chunks AS (SELECT doc_id, min(n_toks) n_toks, chunk,
+                          list_reduce(list_prepend(0::BIGINT,
+                            list(th ORDER BY tp)),
+                            (h, x) -> (h * 131 + x) % 1000000007) sig,
+                          CAST(count(1) AS BIGINT) ntk
+                   FROM ci GROUP BY doc_id, chunk)"""
+  }
+
+  /** DuckDB oracle for the streaming chunk-store dedup (q133): the
+    * distinct chunk signatures the q129 chunker produces — exactly the
+    * content-addressed store's key set after ingesting the corpus.
+    */
+  private[graft] lazy val chunkDedupOracleSql: String =
+    s"""WITH $cdcChunksOracleCtes
+        SELECT sig FROM chunks GROUP BY sig ORDER BY sig"""
+
   /** DuckDB twin of one BPE merge stage (see q86): pair counts from the
     * space-joined symbols, argmax pair, 3 greedy replace passes.
     * `carry` prefixes extra columns (e.g. `"s0.w,"`) through the stage.
@@ -6065,32 +6109,7 @@ object PipelineQueries {
       // per-chunk signature folds token hashes in position order, the
       // same left fold as the Spark side's aggregate().
       "q129_cdc_chunks" -> s"""
-        WITH tk0 AS (SELECT doc_id, $toks t FROM documents),
-        tk AS (SELECT * FROM tk0 WHERE len(t) > 0),
-        tpos AS (SELECT doc_id, CAST(len(t) AS BIGINT) n_toks,
-                        generate_subscripts(t, 1) - 1 tp, unnest(t) tok
-                 FROM tk),
-        thh AS (SELECT doc_id, n_toks, tp, ${oraclePolyHash("tok")} th
-                FROM tpos),
-        sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingle,
-                 generate_subscripts(range(1, len(t) - 1), 1) - 1 pos
-               FROM tk),
-        bnd AS (SELECT doc_id, pos FROM
-                  (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid
-                   FROM sh)
-                WHERE sid % 16 = 0),
-        ci AS (SELECT t.doc_id, t.n_toks, t.tp, t.th,
-                      sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
-                        OVER (PARTITION BY t.doc_id ORDER BY t.tp) chunk
-               FROM thh t LEFT JOIN bnd b
-                 ON b.doc_id = t.doc_id AND b.pos = t.tp - 3),
-        chunks AS (SELECT doc_id, min(n_toks) n_toks, chunk,
-                          list_reduce(list_prepend(0::BIGINT,
-                            list(th ORDER BY tp)),
-                            (h, x) -> (h * 131 + x) % 1000000007) sig,
-                          CAST(count(1) AS BIGINT) ntk
-                   FROM ci GROUP BY doc_id, chunk),
+        WITH $cdcChunksOracleCtes,
         df AS (SELECT sig, count(1) df FROM chunks GROUP BY 1),
         agg AS (SELECT c.doc_id, min(c.n_toks) n_toks,
                        CAST(count(1) AS BIGINT) n_chunks,

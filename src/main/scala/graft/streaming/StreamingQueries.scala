@@ -359,6 +359,77 @@ object StreamingQueries {
       s2.table(sink).orderBy($"doc_id")
     },
 
+    // ----- streaming chunk-store dedup (CDC dedup at ingest) -----
+    // q129+q104's batch form run WHERE a production dedup store runs
+    // it: as content arrives. Each arriving document is chunked
+    // map-side by the IDENTICAL content-defined rule as batch q129
+    // (3-token rolling signature % 16 == 0 — same native kernels, same
+    // expression chain), each chunk's 8-byte polynomial signature is
+    // emitted, and `dropDuplicates` keyed on the signature answers the
+    // ingest question: WHICH chunks must be written to the
+    // content-addressed store. Only the keys are emitted (q50's
+    // argument — which arrival wins is parallelism-dependent, the key
+    // set is not), so on a bounded input the result equals the batch
+    // DISTINCT over q129's chunk relation — what the shared oracle
+    // checks. State = one 8-byte entry per DISTINCT chunk: the
+    // content-store's key set, which CDC keeps stable under document
+    // edits (only genuinely novel chunks grow it); for an unbounded
+    // store horizon use dropDuplicatesWithinWatermark + the RocksDB
+    // provider, exactly as q50 notes. Per-batch work is map-side
+    // chunking + one shuffle of 8-byte signatures to the dedup state
+    // operator — text never leaves the scanning task.
+    "q133_stream_chunk_dedup" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+
+      // documents*.parquet: one file in testdata, but a staged
+      // multi-file feed exercises the dedup state ACROSS micro-batches
+      // (q63's staging trick; StreamingQueriesSpec pins that a chunk
+      // seen in batch 1 is not re-emitted by batch 2).
+      val reader = s2.readStream
+        .schema(docsStreamSchema)
+        .option("pathGlobFilter", "documents*.parquet")
+      s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+        .foreach(n => reader.option("maxFilesPerTrigger", n))
+      val stream = reader.parquet(dir)
+
+      val toksExpr = "array_remove(split(text, ' '), '')"
+      val sigs = stream
+        .select(expr(toksExpr).as("toks"))
+        .filter(size($"toks") > 0)
+        .select(
+          graft.functions.GraftFunctions.polyHashArray($"toks").as("thash"),
+          graft.functions.GraftFunctions.polyHashArray(
+            graft.functions.GraftFunctions.shingles3($"toks")).as("sh"))
+        .withColumn("bnds", expr(
+          """CASE WHEN size(sh) = 0 THEN array()
+             ELSE filter(sequence(0, size(sh) - 1),
+                         p -> element_at(sh, CAST(p + 1 AS INT)) % 16 = 0)
+             END"""))
+        .withColumn("starts",
+          expr("concat(array(0), transform(bnds, p -> CAST(p + 3 AS INT)))"))
+        .withColumn("ends", expr(
+          "concat(transform(bnds, p -> CAST(p + 3 AS INT)), array(size(thash)))"))
+        .select(explode(expr(
+          """filter(zip_with(starts, ends, (st, en) -> IF(en > st,
+               aggregate(slice(thash, st + 1, en - st),
+                 CAST(0 AS BIGINT), (h, x) -> (h * 131 + x) % 1000000007),
+               NULL)), c -> c IS NOT NULL)""")).as("sig"))
+        .dropDuplicates("sig")
+
+      val sink = s"q133_sink_${sinkCounter.incrementAndGet()}"
+      val q = sigs.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      capturePlan("q133_stream_chunk_dedup", q)
+      s2.table(sink).orderBy($"sig")
+    },
+
     // ----- streaming SLIDING-window aggregation -----
     // Overlapping 1-hour windows every 15 minutes — each event lands in
     // 4 windows (the rate-monitoring shape tumbling q31 can't express).
@@ -529,6 +600,11 @@ object StreamingQueries {
     // The streaming quality gate must emit exactly the batch q73 rows.
     "q75_stream_quality" ->
       graft.operators.PipelineQueries.oracleSql("q73_quality_classifier"),
+
+    // The ingest-time chunk dedup must produce exactly the distinct
+    // chunk-signature set of q129's batch chunker (shared CTE chain).
+    "q133_stream_chunk_dedup" ->
+      graft.operators.PipelineQueries.chunkDedupOracleSql,
 
     "q31_stream_window" -> """
       SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,

@@ -18,7 +18,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private val streamingQs = Set("q31_stream_window", "q50_stream_dedup",
     "q59_stream_decontaminate", "q62_stream_stream_join",
-    "q63_state_profile", "q65_sliding_window", "q75_stream_quality")
+    "q63_state_profile", "q65_sliding_window", "q75_stream_quality",
+    "q133_stream_chunk_dedup")
 
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, dir)
@@ -133,6 +134,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(run("q65_sliding_window").contains("StateStoreSave"))
     // Keyed dedup state.
     assert(run("q50_stream_dedup").contains("StreamingDeduplicate"))
+    // Chunk-store dedup: map-side CDC chunking, then ONLY the 8-byte
+    // signatures reach the dedup state operator — no aggregation
+    // state, no text past the scan.
+    assert(run("q133_stream_chunk_dedup").contains("StreamingDeduplicate"))
     // The two ingest gates are STATELESS map-only pipelines: no state
     // operator, no Exchange anywhere in the micro-batch plan.
     for (name <- Seq("q59_stream_decontaminate", "q75_stream_quality")) {

@@ -271,6 +271,71 @@ class StreamingQueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
   }
 
+  test("q133 chunk dedup equals the batch chunker's distinct signatures") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.queries("q133_stream_chunk_dedup")(spark, dir)
+    // Batch twin: q129's chunk relation is internal, but its per-doc
+    // output determines the chunk COUNT; the signature set itself is
+    // recomputed here with the same expression chain over the table.
+    val toksExpr = "array_remove(split(text, ' '), '')"
+    val twin = graft.operators.Tables(spark, dir).documents
+      .select(expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        graft.functions.GraftFunctions.polyHashArray(col("toks")).as("thash"),
+        graft.functions.GraftFunctions.polyHashArray(
+          graft.functions.GraftFunctions.shingles3(col("toks"))).as("sh"))
+      .withColumn("bnds", expr(
+        """CASE WHEN size(sh) = 0 THEN array()
+           ELSE filter(sequence(0, size(sh) - 1),
+                       p -> element_at(sh, CAST(p + 1 AS INT)) % 16 = 0)
+           END"""))
+      .withColumn("starts",
+        expr("concat(array(0), transform(bnds, p -> CAST(p + 3 AS INT)))"))
+      .withColumn("ends", expr(
+        "concat(transform(bnds, p -> CAST(p + 3 AS INT)), array(size(thash)))"))
+      .select(explode(expr(
+        """filter(zip_with(starts, ends, (st, en) -> IF(en > st,
+             aggregate(slice(thash, st + 1, en - st),
+               CAST(0 AS BIGINT), (h, x) -> (h * 131 + x) % 1000000007),
+             NULL)), c -> c IS NOT NULL)""")).as("sig"))
+      .distinct()
+    assert(streamed.count() > 0)
+    assert(streamed.count() == twin.count())
+    assert(streamed.exceptAll(twin).isEmpty && twin.exceptAll(streamed).isEmpty)
+  }
+
+  test("q133 dedup state holds across micro-batches: batch 2 emits only novel chunks") {
+    // Stage the corpus as two document files and admit one per
+    // micro-batch: every signature must appear EXACTLY once in the
+    // sink even when its chunk recurs in both halves — the
+    // content-addressed store's write-once contract at ingest.
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("q133-multi").toString
+    val tmp = s"$staged/_tmp"
+    val docs = graft.operators.Tables(spark, dir).documents
+    for (i <- 1 to 2) {
+      val slice = s"$tmp/$i"
+      docs.filter(col("doc_id") % 2 === (i - 1)).coalesce(1)
+        .write.mode("overwrite").parquet(slice)
+      val part = new java.io.File(slice).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$staged/documents_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1000000L * i)
+    }
+    spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+    try {
+      val got = StreamingQueries.queries("q133_stream_chunk_dedup")(spark, staged)
+      val dupes = got.groupBy("sig").count().filter(col("count") > 1)
+      assert(dupes.count() == 0,
+        "a chunk signature was re-emitted in a later micro-batch")
+      // And the multi-batch key set equals the single-batch run's.
+      val single = StreamingQueries.queries("q133_stream_chunk_dedup")(spark, dir)
+      assert(got.exceptAll(single).isEmpty && single.exceptAll(got).isEmpty)
+    } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+  }
+
   test("q50 streaming dedup equals batch DISTINCT, under both state stores") {
     val dir = "/root/testdata/sf0.001"
     val twin = graft.operators.Tables(spark, dir).events
