@@ -382,6 +382,12 @@ object StreamingQueries {
       val s2 = s.newSession()
       import s2.implicits._
       s2.conf.set("spark.sql.shuffle.partitions", "2")
+      // The chunk-store key set is exactly the state class that
+      // outgrows an executor heap (it grows with distinct content, not
+      // entities), so the RocksDB provider toggle matters here most.
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
       // documents*.parquet: one file in testdata, but a staged
       // multi-file feed exercises the dedup state ACROSS micro-batches

@@ -303,6 +303,14 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
     assert(streamed.count() == twin.count())
     assert(streamed.exceptAll(twin).isEmpty && twin.exceptAll(streamed).isEmpty)
+    // Chunk-store state grows with distinct CONTENT (not entities), so
+    // the off-heap provider is this query's production posture — the
+    // key set must be identical under it.
+    spark.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    try {
+      val rocks = StreamingQueries.queries("q133_stream_chunk_dedup")(spark, dir)
+      assert(rocks.exceptAll(twin).isEmpty && twin.exceptAll(rocks).isEmpty)
+    } finally spark.conf.unset("spark.graft.streaming.stateStore")
   }
 
   test("q133 dedup state holds across micro-batches: batch 2 emits only novel chunks") {
