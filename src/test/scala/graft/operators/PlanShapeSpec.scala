@@ -596,6 +596,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"q121 grew a nested-loop join:\n$p")
     assert(p.contains("HashAggregate"), s"q121 lost its candidate dedup:\n$p")
+    // The PPJoin prunes live in the candidate join's CONDITION, so
+    // deleting them changes no result — only this pin (and the perf
+    // cliff) would notice. The positional filter prints as the
+    // least(...)+least(...) * 3 bound; the length filter as n <= n*2.
+    assert(p.contains("least(") && p.contains("* 3)"),
+      s"q121's candidate join lost the positional filter:\n$p")
+    assert(p.contains("* 2)"),
+      s"q121's candidate join lost the length filter:\n$p")
   }
 
   test("q123: fidelity joins pairs to sigs by doc equality; no cartesian") {
