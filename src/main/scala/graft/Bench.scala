@@ -25,6 +25,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same provider toggle as Verify: SPARK_GRAFT_STATE_STORE=rocksdb
+    // benches the streaming family on the off-heap state store.
+    sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .foreach(v => spark.conf.set("spark.graft.streaming.stateStore", v))
+
+    // q133 steady-state staging (VERDICT r8 #4): feed q133 a 3-file
+    // copy of the documents table with maxFilesPerTrigger=1 so its
+    // streaming_batch_ms rows report MULTI-batch steady state — the
+    // post-first-batch state-probe amortization — instead of one
+    // all-of-input batch. The chunk-signature key set is independent
+    // of arrival batching (the q50 argument; StreamingQueriesSpec pins
+    // the 2-file staged run equal to the single-batch run), so the
+    // measured query is result-identical; only the feed is staged.
+    val q133Dir = {
+      val staged = Files.createTempDirectory("q133-stage").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      for (i <- 1 to 3) {
+        val slice = s"$staged/_tmp/$i"
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === (i - 1))
+          .coalesce(1).write.mode("overwrite").parquet(slice)
+        val part = new java.io.File(slice).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(s"$staged/documents_$i.parquet")
+        Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1000000L * i) // deterministic batch order
+      }
+      spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+      staged
+    }
 
     // A failed query records the sentinel -1, never its elapsed-to-crash
     // time — a regression that breaks a query must not read as a speedup.
@@ -32,7 +61,8 @@ object Bench {
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir)
+        val dirFor = if (name == "q133_stream_chunk_dedup") q133Dir else sfDir
+        SparkEntry.queries(name)(spark, dirFor)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
@@ -60,7 +90,15 @@ object Bench {
     val warmPasses = (1 to 3).map(_ => names.map(n => n -> runOnce(n)).toMap)
     val warm = names.map { n =>
       val ok = warmPasses.map(_(n)).filter(_ >= 0).sorted
-      n -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
+      // Median of the surviving passes. With one failed pass (two
+      // survivors) the median IS their mean — ok(1) would silently be
+      // the MAX of the two, a pessimistic bias the estimator never
+      // intended (ADVICE r8).
+      n -> (ok.size match {
+        case 0 => -1.0
+        case 2 => (ok(0) + ok(1)) / 2
+        case k => ok(k / 2)
+      })
     }
 
     def fmt(rs: Seq[(String, Double)]): String =

@@ -21,6 +21,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STATE_STORE=rocksdb runs the streaming family's
+    // off-heap state-store path under the full oracle gate (VERDICT
+    // r8 #3) — results must be identical under both providers.
+    sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .foreach(v => spark.conf.set("spark.graft.streaming.stateStore", v))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

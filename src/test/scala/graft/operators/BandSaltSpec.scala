@@ -65,6 +65,25 @@ class BandSaltSpec extends AnyFunSuite {
         s"${gotPairs.length} rows, expected $perBucket")
   }
 
+  test("shuffle fallback past the broadcast ceiling emits identical pairs") {
+    // ADVICE r8: the hot-key list is broadcast only while a bounded
+    // probe confirms it fits under hotKeyBroadcastMax; force the
+    // fallback (ceiling 0 — every hot list "too big") and pin that the
+    // shuffle-join path is pair-for-pair identical, so the guard can
+    // never change results, only the join strategy.
+    val s = spark
+    import s.implicits._
+    val viaBroadcast = PipelineQueries.saltedBandPairs(fixture, cap)
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaShuffle =
+      PipelineQueries.saltedBandPairs(fixture, cap, hotBroadcastMax = 0L)
+        .select($"doc_a", $"doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaShuffle === viaBroadcast,
+      "hot-list shuffle fallback changed the emitted pair multiset")
+  }
+
   test("per-cell input is bounded — no reducer owns the full bucket") {
     val s = spark
     import s.implicits._

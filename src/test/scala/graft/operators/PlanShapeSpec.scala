@@ -25,6 +25,46 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
 
+  // Walk through the AQE wrapper (executedPlan is a childless
+  // AdaptiveSparkPlanExec until execution) and into cached subtrees
+  // (InMemoryTableScan hides its build plan from toString/collect).
+  private def planNodes(name: String)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val root = p match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case x => x
+      }
+      val direct = root.collectWithSubqueries { case n => n }
+      direct ++ direct.flatMap {
+        case s: InMemoryTableScanExec => nodes(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => nodes(a.inputPlan)
+        case _ => Nil
+      }
+    }
+    nodes(graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan)
+  }
+
+  /** Condition strings of every equality-join node in the plan, for
+    * pins that must anchor to a JOIN CONDITION rather than the whole
+    * plan text (ADVICE r8: a raw substring over the full plan can stay
+    * green on an unrelated expression after the pinned predicate is
+    * deleted).
+    */
+  private def joinConditions(name: String): Seq[String] = {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    planNodes(name).collect {
+      case j: BroadcastHashJoinExec => j.condition
+      case j: ShuffledHashJoinExec => j.condition
+      case j: SortMergeJoinExec => j.condition
+    }.flatten.map(_.toString)
+  }
+
   test("no batch query plans a CartesianProduct") {
     // The dedup/ANN family's design contract: every pairwise comparison
     // rides an equality join on derived keys or a broadcast-tiny build;
@@ -598,12 +638,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"q121 lost its candidate dedup:\n$p")
     // The PPJoin prunes live in the candidate join's CONDITION, so
     // deleting them changes no result — only this pin (and the perf
-    // cliff) would notice. The positional filter prints as the
-    // least(...)+least(...) * 3 bound; the length filter as n <= n*2.
-    assert(p.contains("least(") && p.contains("* 3)"),
-      s"q121's candidate join lost the positional filter:\n$p")
-    assert(p.contains("* 2)"),
-      s"q121's candidate join lost the length filter:\n$p")
+    // cliff) would notice. Anchor to the join-node conditions
+    // themselves (ADVICE r8), not the whole plan text: ONE join must
+    // carry BOTH the positional filter ((least(pa,pb) +
+    // least(na-pa, nb-pb)) * 3 >= na+nb — two least() calls feeding a
+    // *3 comparison) and the length filter (n <= m*2, both directions).
+    val conds = joinConditions("q121_prefix_filter_join")
+    val positional = "least\\(.*least\\(.*\\* 3\\) >=".r
+    val length = "<= \\([^()]* \\* 2\\)".r
+    assert(conds.exists(c => positional.findFirstIn(c).isDefined &&
+        length.findFirstIn(c).isDefined),
+      s"no join condition carries both PPJoin prunes; conditions were:\n" +
+        conds.mkString("\n---\n"))
   }
 
   test("q123: fidelity joins pairs to sigs by doc equality; no cartesian") {
@@ -721,10 +767,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // q93/q107 shipped with in round 7. Every global collect_list site
     // must be allow-listed here with its bound; corpus-adaptive scalar
     // thresholds must use q117's scaled-integer mean instead.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     // name -> why its global collect_list input frame is bounded (the
     // bound must hold at ANY corpus size, not just test scale).
     val bounded: Map[String, String] = Map(
@@ -733,22 +776,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q87_embed_quantize" -> "folds per-dimension stats (embedding dim)",
       "q106_zipf_slope" -> "folds the top-100 rank cut (<= 100 rows)",
       "q120_curriculum_bins" -> "folds the 9 decile edges")
-    // Walk through the AQE wrapper (executedPlan is a childless
-    // AdaptiveSparkPlanExec until execution) and into cached subtrees
-    // (InMemoryTableScan hides its build plan from toString/collect).
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val root = p match {
-        case a: AdaptiveSparkPlanExec => a.inputPlan
-        case x => x
-      }
-      val direct = root.collectWithSubqueries { case n => n }
-      direct ++ direct.flatMap {
-        case s: InMemoryTableScanExec => nodes(s.relation.cachedPlan)
-        case a: AdaptiveSparkPlanExec => nodes(a.inputPlan)
-        case _ => Nil
-      }
-    }
-    def offenders(p: SparkPlan): Seq[String] = nodes(p).collect {
+    def offenders(name: String): Seq[String] = planNodes(name).collect {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty &&
           a.aggregateExpressions.exists(
             _.aggregateFunction.prettyName == "collect_list") =>
@@ -757,9 +785,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val unlisted = for {
       name <- graft.SparkEntry.queries.keys.toSeq.sorted
       if !streamingQs(name) && !bounded.contains(name)
-      hits = offenders(
-        graft.SparkEntry.queries(name)(spark, dir).queryExecution
-          .executedPlan)
+      hits = offenders(name)
       if hits.nonEmpty
     } yield s"$name (${hits.distinct.mkString(", ")})"
     assert(unlisted.isEmpty,

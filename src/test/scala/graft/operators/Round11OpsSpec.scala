@@ -171,7 +171,9 @@ class Round11OpsSpec extends AnyFunSuite {
     val ref = bgc.toSeq.map { case (bigram, cab) =>
       val Array(a, bb) = bigram.split(' ')
       val (ca, cb) = (uni(a), uni(bb))
-      val pmi = ((cab * n).toDouble / b) * (n.toDouble / (ca * cb))
+      // r9: the overflow-free op order (VERDICT r8 #1) — three casts,
+      // three divisions, two left-assoc multiplies, no integer product.
+      val pmi = (cab.toDouble / b) * (n.toDouble / ca) * (n.toDouble / cb)
       (bigram, cab, ca, cb, pmi)
     }.sortBy(t => (-t._5, t._1)).take(20)
     assert(out.length == ref.length)

@@ -12,6 +12,18 @@ run on arbitrarily many corpora:
     sbt -batch "runMain graft.Verify /tmp/fuzz_1234 /tmp/fuzz_1234_out"
     python3 tools/check_correctness.py /tmp/fuzz_1234 /tmp/fuzz_1234_out
 
+Row-count knobs (VERDICT r8 #1 — the measured scale-stress witness)
+scale individual tables so the pair-machinery family can be gated and
+benched at 10x+ the fixture's document count:
+
+    python3 tools/gen_fuzz_corpus.py 42 /tmp/scale_base \
+        --n-docs 5000 --n-vec 2000 --n-events 10000 --n-orders 12000
+    python3 tools/gen_fuzz_corpus.py 42 /tmp/scale_10x \
+        --n-docs 50000 --n-vec 20000 --n-events 100000 --n-orders 12000
+
+Defaults reproduce the historical fuzz shape (500/500/900/1200), so
+the twelve-seed sweep's corpora are unchanged.
+
 Shapes mirror the fixture's documented invariants (the contracts the
 queries assume): sequential doc_ids with the benchmark set at
 doc_id < 10, documents of >= 10 ASCII whitespace tokens, 64-dim
@@ -37,7 +49,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def main(seed: int, outdir: str) -> None:
+def main(seed: int, outdir: str, n_docs: int = 500, n_vec: int = 500,
+         n_events: int = 900, n_orders: int = 1200) -> None:
     rnd = random.Random(seed)
     import os
     os.makedirs(outdir, exist_ok=True)
@@ -96,7 +109,6 @@ def main(seed: int, outdir: str) -> None:
     # ---- orders / lineitem -----------------------------------------------
     day_ms = 86400000
     epoch_1995 = 788918400000  # 1995-01-01 UTC in ms
-    n_orders = 1200
     statuses = ["F", "O", "P"]
     prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     o_dates = [epoch_1995 + rnd.randrange(0, 2400) * day_ms for _ in range(n_orders)]
@@ -136,7 +148,6 @@ def main(seed: int, outdir: str) -> None:
                      ("l_shipdate", pa.timestamp("ms"))]))
 
     # ---- events (TIMESTAMP NANOS + JSON props) ----------------------------
-    n_events = 900
     epoch_2024_ns = 1704067200000000000  # 2024-01-01 UTC in ns
     etypes = ["view", "click", "purchase", "signup", "error"]
     ts = sorted(epoch_2024_ns + rnd.randrange(0, 30 * 86400 * 10**9)
@@ -162,11 +173,11 @@ def main(seed: int, outdir: str) -> None:
                      ("value", pa.float64()), ("props", pa.string())]))
 
     # ---- documents (>= 10 ASCII tokens, small shared vocab) ---------------
-    # Matches the fixture's document count so corpus-size-derived split
-    # points (q81's 90% cut) land on the same boundary shape; with fewer
-    # docs than the old hard cut the delta set was empty and q81 passed
-    # vacuously on every seed (ADVICE r5).
-    n_docs = 500
+    # Default matches the fixture's document count so corpus-size-derived
+    # split points (q81's 90% cut) land on the same boundary shape; with
+    # fewer docs than the old hard cut the delta set was empty and q81
+    # passed vacuously on every seed (ADVICE r5). --n-docs overrides for
+    # the scale-stress corpora (VERDICT r8 #1).
     vocab = ["alpha", "beta", "gamma", "delta", "omega", "table", "scan", "merge",
              "sort", "hash", "join", "group", "filter", "query", "spark", "data",
              "row", "key", "value", "batch", "stream", "window", "fast", "slow",
@@ -195,7 +206,6 @@ def main(seed: int, outdir: str) -> None:
                      ("n_chars", pa.int64())]))
 
     # ---- embeddings (64-dim float32, centroid ids at %125) ----------------
-    n_vec = 500
     embs = []
     for i in range(n_vec):
         center = [rnd.uniform(-1, 1) for _ in range(64)]
@@ -212,4 +222,14 @@ def main(seed: int, outdir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), sys.argv[2])
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("seed", type=int)
+    ap.add_argument("outdir")
+    ap.add_argument("--n-docs", type=int, default=500)
+    ap.add_argument("--n-vec", type=int, default=500)
+    ap.add_argument("--n-events", type=int, default=900)
+    ap.add_argument("--n-orders", type=int, default=1200)
+    a = ap.parse_args()
+    main(a.seed, a.outdir, n_docs=a.n_docs, n_vec=a.n_vec,
+         n_events=a.n_events, n_orders=a.n_orders)
