@@ -72,7 +72,11 @@ object Bench {
       }
     }
 
+    // Optional comma-separated name filter (scale-witness subset runs;
+    // the driver never sets it, so its runs always cover the registry).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     runOnce(names.head) // untimed JVM/codegen warm-up
     val results = names.map(n => n -> runOnce(n))
     // Warm = per-query MEDIAN over three post-cold passes: codegen

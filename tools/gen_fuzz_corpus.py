@@ -50,7 +50,8 @@ import pyarrow.parquet as pq
 
 
 def main(seed: int, outdir: str, n_docs: int = 500, n_vec: int = 500,
-         n_events: int = 900, n_orders: int = 1200) -> None:
+         n_events: int = 900, n_orders: int = 1200,
+         n_vocab: int = 32) -> None:
     rnd = random.Random(seed)
     import os
     os.makedirs(outdir, exist_ok=True)
@@ -182,6 +183,19 @@ def main(seed: int, outdir: str, n_docs: int = 500, n_vec: int = 500,
              "sort", "hash", "join", "group", "filter", "query", "spark", "data",
              "row", "key", "value", "batch", "stream", "window", "fast", "slow",
              "big", "small", "the", "a", "line", "part", "dup", "node"]
+    # --n-vocab grows the vocabulary for the scale corpora. A FIXED
+    # vocab under 10x the docs densifies shingle df ~10x and near-dup
+    # pair counts ~100x — an artificial quadratic regime no real corpus
+    # shows (vocabulary grows with corpus size; pair density per doc
+    # stays roughly constant). Scaling vocab with n_docs**(1/3) keeps
+    # the 3-shingle space ∝ n_docs, i.e. per-shingle df ≈ the fixture's
+    # (~8), so base-vs-10x wall-time ratios measure the operators, not
+    # corpus densification. Default 32 = the historical list, byte-
+    # identical corpora for the twelve-seed sweep.
+    if n_vocab > len(vocab):
+        vocab = vocab + [f"tok{i}" for i in range(n_vocab - len(vocab))]
+    elif n_vocab < len(vocab):
+        vocab = vocab[:n_vocab]
     langs = ["en", "es", "de", "fr", "zh"]
     texts = []
     for i in range(n_docs):
@@ -230,6 +244,7 @@ if __name__ == "__main__":
     ap.add_argument("--n-vec", type=int, default=500)
     ap.add_argument("--n-events", type=int, default=900)
     ap.add_argument("--n-orders", type=int, default=1200)
+    ap.add_argument("--n-vocab", type=int, default=32)
     a = ap.parse_args()
     main(a.seed, a.outdir, n_docs=a.n_docs, n_vec=a.n_vec,
-         n_events=a.n_events, n_orders=a.n_orders)
+         n_events=a.n_events, n_orders=a.n_orders, n_vocab=a.n_vocab)
