@@ -23,8 +23,17 @@ object ScaleStats {
     spark.sparkContext.setLogLevel("WARN")
     val stats = graft.operators.PipelineQueries.prefixPruneStats(spark, dir) ++
       graft.operators.PipelineQueries.bandBucketStats(spark, dir)
+    // dir is user input riding inside a JSON string — escape it
+    // (ADVICE r9: a quote or backslash in the path produced malformed
+    // JSON for the SCALE.md tooling).
+    val dirJson = dir.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val json = stats.map { case (k, v) => s""""$k":$v""" }
-      .mkString(s"""{"dir":"$dir",""", ",", "}")
+      .mkString(s"""{"dir":"$dirJson",""", ",", "}")
     if (args.length > 1) Files.writeString(Paths.get(args(1)), json + "\n")
     spark.stop()
     println(json)

@@ -540,14 +540,24 @@ object PipelineQueries {
   private[graft] def prefixPruneStats(
       s: SparkSession, dir: String): collection.immutable.ListMap[String, Long] = {
     val arrs = docSidArrays(Tables(s, dir).documents).cache()
-    val (_, prefixes) = prefixRelations(arrs)
-    collection.immutable.ListMap(
+    val (ordered, prefixes) = prefixRelations(arrs)
+    // Every stat is an eager .count(), so the caches can be dropped on
+    // the way out — a diagnostic must not leave pinned frames behind
+    // (VERDICT r9 #6). prefixJaccardPairs re-derives `ordered`
+    // internally, but its .cache() call dedups onto the same
+    // CacheManager entry (identical canonical plan), so unpersisting
+    // the one handle here clears it.
+    try collection.immutable.ListMap(
       "prefix_rows" -> prefixes.count(),
       "cand_prefix_only" -> prefixCandidates(prefixes, lit(true)).count(),
       "cand_after_length" -> prefixCandidates(prefixes, ppLengthFilter).count(),
       "cand_after_all" -> prefixCandidates(prefixes,
         ppLengthFilter && ppPositionalFilter).count(),
       "verified_pairs" -> prefixJaccardPairs(arrs).count())
+    finally {
+      ordered.unpersist()
+      arrs.unpersist()
+    }
   }
 
   /** Diagnostic band-bucket histograms for the LSH family (the
@@ -844,15 +854,25 @@ object PipelineQueries {
     val payload = struct(bands.columns.map(col).toIndexedSeq: _*)
     val hot = bands.groupBy($"band", $"sig")
       .agg(count(lit(1)).as("bdf")).filter($"bdf" > cap)
-      .cache() // tiny (hot keys only); read by the probe and the join
-    // Bounded strategy probe — never scans past the ceiling, decides
-    // the JOIN STRATEGY only (the 1-row-scalar convention, q81's split
-    // point): broadcast while the hot list provably fits, otherwise
-    // fall back to the shuffle join the docstring describes.
-    val hotFits =
-      hot.limit(hotBroadcastMax.toInt + 1).count() <= hotBroadcastMax
+    // Bounded strategy probe — never fetches past the ceiling + 1 rows
+    // (≤ ~2.4 MB), decides the JOIN STRATEGY (the 1-row-scalar
+    // convention, q81's split point) AND, when the list fits, IS the
+    // hot list: the fetched rows re-enter as a broadcast local
+    // relation, so the hot aggregation runs exactly once and no frame
+    // stays cached in the session. (ADVICE r9: the old `hot.cache()`
+    // was never unpersisted — every LSH query pinned one for the
+    // process lifetime, and in the fallback regime the pinned frame
+    // was by definition large.) Past the ceiling the probe rows are
+    // discarded and the salt assignment degrades to the shuffle join
+    // the docstring describes, recomputing `hot` once inside it.
+    val probe = hot.limit(hotBroadcastMax.toInt + 1).collect()
+    val hotFits = probe.length <= hotBroadcastMax
+    val hotRel =
+      if (hotFits) broadcast(bands.sparkSession.createDataFrame(
+        java.util.Arrays.asList(probe: _*), hot.schema))
+      else hot
     val salted = bands
-      .join(if (hotFits) broadcast(hot) else hot, Seq("band", "sig"), "left")
+      .join(hotRel, Seq("band", "sig"), "left")
       .withColumn("g",
         coalesce(expr(s"CAST((bdf + $cap - 1) DIV $cap AS INT)"), lit(1)))
       .withColumn("grp", pmod(xxhash64($"doc_id"), $"g").cast("int"))

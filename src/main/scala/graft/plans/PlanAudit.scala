@@ -28,10 +28,19 @@ object PlanAudit {
     val out = new StringBuilder
     var skipIndent = -1
     for (l <- plan.linesIterator) {
-      val ind = math.max(0, l.indexWhere(_ != ' '))
-      if (skipIndent >= 0 && ind > skipIndent) ()
-      else if (l.contains("== Initial Plan ==")) skipIndent = ind
-      else { skipIndent = -1; out.append(l).append('\n') }
+      // A blank line has indexWhere == -1 → indent 0, which would end
+      // the skip region and leak the rest of an Initial block into the
+      // counts; pass blanks through without touching the skip state
+      // (ADVICE r9 — current explain output has no interior blanks,
+      // but the counter must not depend on that formatting detail).
+      if (l.forall(_ == ' ')) {
+        if (skipIndent < 0) out.append(l).append('\n')
+      } else {
+        val ind = l.indexWhere(_ != ' ')
+        if (skipIndent >= 0 && ind > skipIndent) ()
+        else if (l.contains("== Initial Plan ==")) skipIndent = ind
+        else { skipIndent = -1; out.append(l).append('\n') }
+      }
     }
     out.toString
   }

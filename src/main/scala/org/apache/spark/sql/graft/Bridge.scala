@@ -35,6 +35,17 @@ object Bridge {
       : org.apache.spark.sql.connector.expressions.NamedReference =
     org.apache.spark.sql.connector.expressions.FieldReference(Seq(name))
 
+  /** Unload every loaded streaming state-store provider (the JVM-wide
+    * `StateStore.loadedProviders` map — `private[sql]`). Providers of
+    * STOPPED queries stay loaded, every in-memory state version
+    * included, until an unload or provider-id reuse; a harness that
+    * runs many short streaming jobs (Bench's four passes × 8 queries,
+    * each on a fresh checkpoint dir) must drop them between passes or
+    * they accumulate against the heap (VERDICT r9 #3).
+    */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   def registerTempFunction(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

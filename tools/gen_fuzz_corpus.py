@@ -21,6 +21,15 @@ benched at 10x+ the fixture's document count:
     python3 tools/gen_fuzz_corpus.py 42 /tmp/scale_10x \
         --n-docs 50000 --n-vec 20000 --n-events 100000 --n-orders 12000
 
+When --n-vocab is omitted it is DERIVED as 32*(n_docs/500)**(1/3)
+(rounded; 69 at 5000 docs, 149 at 50000) so 3-shingle document
+frequency stays at the fixture's level — a fixed 32-token vocabulary
+at 10x the docs would densify near-dup pair counts ~100x and the
+scale witness would measure corpus densification, not the operators
+(ADVICE r9). n_docs=500 derives exactly the historical 32, so the
+twelve-seed sweep corpora stay byte-identical; pass --n-vocab
+explicitly to pin any other shape.
+
 Defaults reproduce the historical fuzz shape (500/500/900/1200), so
 the twelve-seed sweep's corpora are unchanged.
 
@@ -51,7 +60,11 @@ import pyarrow.parquet as pq
 
 def main(seed: int, outdir: str, n_docs: int = 500, n_vec: int = 500,
          n_events: int = 900, n_orders: int = 1200,
-         n_vocab: int = 32) -> None:
+         n_vocab: int = None) -> None:
+    if n_vocab is None:
+        # df-preserving default: vocab**3 scales with n_docs (see module
+        # docstring). Exactly 32 at the historical 500-doc shape.
+        n_vocab = round(32 * (n_docs / 500) ** (1 / 3))
     rnd = random.Random(seed)
     import os
     os.makedirs(outdir, exist_ok=True)
@@ -244,7 +257,7 @@ if __name__ == "__main__":
     ap.add_argument("--n-vec", type=int, default=500)
     ap.add_argument("--n-events", type=int, default=900)
     ap.add_argument("--n-orders", type=int, default=1200)
-    ap.add_argument("--n-vocab", type=int, default=32)
+    ap.add_argument("--n-vocab", type=int, default=None)
     a = ap.parse_args()
     main(a.seed, a.outdir, n_docs=a.n_docs, n_vec=a.n_vec,
          n_events=a.n_events, n_orders=a.n_orders, n_vocab=a.n_vocab)
