@@ -157,6 +157,33 @@ object PipelineQueries {
   private[graft] def deltaIndexPath(s: SparkSession, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/${deltaIndexKey(s, dir)}"
 
+  /** CACHE LIFECYCLE POLICY (VERDICT r9 #6 — the written bound). Three
+    * classes of `.cache()` in this file, each with a stated lifetime:
+    *
+    *  1. Per-query construction caches (docSidArrays, tf tables,
+    *     centroid assignments, …): SESSION-scoped by design — they are
+    *     the warm-cache working set a long-lived session reuses.
+    *     Bounded by the DISTINCT canonical plans in the registry at one
+    *     scale factor (CacheManager dedups re-registration of an
+    *     identical plan, so re-constructing a query never adds entries;
+    *     Verify/Bench pay the set once per process). The two
+    *     construction-time loops that execute jobs (dedupGroupLabels,
+    *     the artifact build) unpersist their handles on the build path.
+    *  2. Diagnostics (prefixPruneStats, bandBucketStats, ScaleStats):
+    *     unpersist everything they pinned before returning — a
+    *     diagnostic must leave the session as it found it.
+    *  3. Strategy probes: never cache at all — the bounded probe
+    *     COLLECTS its ≤ ceiling+1 rows and re-emits them as a local
+    *     relation (saltedBandPairs), so nothing outlives the plan.
+    *
+    * Streaming state is the fourth accumulator and lives outside the
+    * CacheManager: stopped queries' state-store providers stay in the
+    * JVM-wide loadedProviders map until unloaded — harness loops that
+    * run many short streaming jobs must call
+    * [[org.apache.spark.sql.graft.Bridge.unloadStateStores]] between
+    * passes (Bench does).
+    */
+
   /** Session artifact registry: every persisted artifact (dedup labels,
     * q81's bucketed signature index, the BPE training artifact) is
     * materialized through [[materializeOnce]] and recorded here so

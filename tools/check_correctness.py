@@ -24,6 +24,27 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Default memory_limit is 80% of host RAM PER PROCESS: two
+    # concurrent gate runs (or a gate next to Spark JVMs) can OOM the
+    # box and surface as phantom "oracle error" FAILs (seen at the 50k-
+    # doc scale corpus, round 10). Cap at half the host RAM instead —
+    # low caps just shift the blowup to disk spill (a 32GB cap spilled
+    # >80GB of duckdb_temp_storage on the same corpus and filled the
+    # disk). Spill goes to the system tmpdir, never the cwd/repo.
+    # Insertion order is irrelevant because rows are sorted before
+    # compare.
+    # GRAFT_ORACLE_MEM_GB overrides for a dedicated box: the q101
+    # oracle's recursive-closure chain wants ~100GB of workspace at the
+    # 50k-doc corpus — beyond half-RAM it needs the full machine (run
+    # it alone), NOT a bigger spill (it out-spills a 60GB disk).
+    half_ram_gb = int(os.environ.get("GRAFT_ORACLE_MEM_GB") or
+                      max(8, (os.sysconf("SC_PAGE_SIZE")
+                              * os.sysconf("SC_PHYS_PAGES")) // (2 << 30)))
+    con.execute(f"SET memory_limit='{half_ram_gb}GB'")
+    con.execute("SET preserve_insertion_order=false")
+    import tempfile
+    spill = tempfile.mkdtemp(prefix="duckdb_spill_")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
