@@ -602,8 +602,11 @@ object PipelineQueries {
       .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
       .select($"doc_id", mhBandCols.as(Seq("band", "sig")))
       .groupBy($"band", $"sig").count()
-    // q131's band layout (same codec, same four 16-bit slices).
-    val ahBands = docs
+    // q131's band layout (same codec, same four 16-bit slices). The
+    // per-doc band rows (`ah`) feed both the bucket histogram and the
+    // over-cap salt-group witness below; cached for the two passes and
+    // unpersisted on the way out (diagnostic lifecycle policy).
+    val ah = docs
       .select($"doc_id", length($"text").cast("int").as("text_len"))
       .as[(Long, Int)]
       .mapPartitions(_.map { case (docId, n) =>
@@ -613,7 +616,8 @@ object PipelineQueries {
         """array(hash_lo % 65536, hash_lo div 65536,
                  hash_hi % 65536, hash_hi div 65536)"""))
         .as(Seq("band", "sig")))
-      .groupBy($"band", $"sig").count()
+      .cache()
+    val ahBands = ah.groupBy($"band", $"sig").count()
     def hist(b: DataFrame, prefix: String) = {
       val agg = b.agg(count(lit(1)), max($"count"),
         sum(when($"count" > bandSaltCap, 1L).otherwise(0L))).head()
@@ -622,7 +626,31 @@ object PipelineQueries {
         s"${prefix}_max_bucket" -> agg.getLong(1),
         s"${prefix}_over_cap" -> agg.getLong(2))
     }
-    hist(mhBands, "minhash") ++ hist(ahBands, "ahash")
+    // Live witness of the salted-path per-reducer bound, measured on
+    // whatever REAL over-cap buckets this corpus has (the 40× scale
+    // corpus is the first to produce any — SCALE.md §4): for each
+    // bucket with m > cap, recompute the shipped salt assignment
+    // (g = ceil(m/cap), grp = pmod(xxhash64(doc_id), g) — the
+    // saltedBandPairs formulas) and report the LARGEST salt group.
+    // Each triangle cell (i, j) reads two groups, so per-cell input is
+    // ≤ 2 × this number; BandSaltSpec pins the same bound on a
+    // constructed fixture, this measures it on generated data. Zero
+    // when no bucket is over the cap.
+    def overCapMaxGroup(bands: DataFrame): Long = {
+      val bdf = bands.groupBy($"band", $"sig")
+        .agg(count(lit(1)).as("bdf")).filter($"bdf" > bandSaltCap)
+      val r = bands.join(bdf, Seq("band", "sig"))
+        .withColumn("g", expr(s"CAST((bdf + $bandSaltCap - 1) DIV $bandSaltCap AS INT)"))
+        .groupBy($"band", $"sig",
+          pmod(xxhash64($"doc_id"), $"g").as("grp"))
+        .agg(count(lit(1)).as("n"))
+        .agg(max($"n")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    try hist(mhBands, "minhash") ++ hist(ahBands, "ahash") ++
+      collection.immutable.ListMap(
+        "ahash_overcap_max_group" -> overCapMaxGroup(ah))
+    finally ah.unpersist()
   }
 
   /** BPE machinery shared by q86 (training) and q92 (encoding): the
