@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One (token, estimated count) entry of a Misra–Gries summary. */
+final case class TokenEst(token: String, est: Long)
+
+/** Mergeable Misra–Gries heavy-hitter summary over a token stream —
+  * the third partial-aggregating UDAF beside [[TopKAgg]] and the Bloom
+  * bitset (SURVEY §2.2 UDAF surface), and the propose stage of q135's
+  * propose→exact-verify heavy-hitter pattern (q55's Bloom shape applied
+  * to frequency instead of membership).
+  *
+  * Per map task the classic MG update runs (Misra & Gries '82): an
+  * incoming token increments its counter, opens a counter if fewer than
+  * `k` are live, else decrements ALL live counters by one (dropping
+  * zeros). `merge` is the Agarwal et al. (PODS'12, "Mergeable
+  * Summaries") form: sum counters pointwise, and if more than `k`
+  * remain, subtract the (k+1)-th largest counter value from every
+  * counter and drop the non-positive ones. Both operations maintain the
+  * MG invariant — for every token, 0 ≤ true_count − est ≤ N/(k+1)
+  * where N is the TOTAL stream length consumed so far (across all
+  * merged partials, in any merge tree order) — so after an arbitrary
+  * partition/merge schedule, EVERY token with true count > N/(k+1) has
+  * a live counter (its estimate cannot have reached zero). That
+  * superset guarantee is what makes the sketch a sound candidate
+  * proposer: q135 verifies candidates with exact counts and emits
+  * tokens with count > N/k ⊂ (N/(k+1), ∞), so the final output is
+  * EXACT (false positives die in the verify join, the q55 contract).
+  * The guarantee — not just the happy path — is property-tested over
+  * random streams, random partitionings, and random merge orders in
+  * `MisraGriesSpec`.
+  *
+  * Scale shape: the buffer is ≤ `k` entries regardless of input size —
+  * shuffle volume for the whole-corpus aggregate is O(map_tasks × k),
+  * never vocabulary-sized; the driver receives ONE ≤ k-entry row.
+  * `finish` orders by (est desc, token asc) so the output column is
+  * deterministic for a given merge result.
+  */
+final class MisraGriesAgg(k: Int)(implicit outEnc: Encoder[Seq[TokenEst]])
+  extends Aggregator[String, Map[String, Long], Seq[TokenEst]] {
+
+  require(k > 0, s"misra_gries: k must be positive, got $k")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(m: Map[String, Long], w: String): Map[String, Long] =
+    m.get(w) match {
+      case Some(c) => m.updated(w, c + 1L)
+      case None if m.size < k => m.updated(w, 1L)
+      case None =>
+        // Decrement-all: the incoming token's +1 and one global −1
+        // cancel, so it never materializes.
+        m.iterator.collect { case (t, c) if c > 1L => (t, c - 1L) }.toMap
+    }
+
+  override def merge(
+      m1: Map[String, Long], m2: Map[String, Long]): Map[String, Long] = {
+    val sum = m2.foldLeft(m1) { case (acc, (t, c)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + c)
+    }
+    if (sum.size <= k) sum
+    else {
+      // (k+1)-th largest counter value — subtracting it leaves at most
+      // k positive counters and charges every surviving token at most
+      // one more bounded undercount (the mergeable-summaries bound).
+      val kth = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+      sum.iterator.collect { case (t, c) if c > kth => (t, c - kth) }.toMap
+    }
+  }
+
+  override def finish(m: Map[String, Long]): Seq[TokenEst] =
+    m.toSeq.map { case (t, c) => TokenEst(t, c) }
+      .sortBy(e => (-e.est, e.token))
+
+  // Buffer rides the shuffle opaquely (kryo, ≤ k entries); the OUTPUT
+  // uses the product-seq encoder so callers get a real
+  // array<struct<token,est>> column they can explode.
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+
+  override def outputEncoder: Encoder[Seq[TokenEst]] = outEnc
+}

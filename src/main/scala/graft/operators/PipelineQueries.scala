@@ -358,6 +358,78 @@ object PipelineQueries {
     labels
   }
 
+  /** Connected-component labels by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the O(log n)-round algorithm
+    * [[dedupGroupLabels]]' own failure message points at: min-label
+    * propagation needs diameter-many rounds (fine for clique-ish
+    * near-dup groups, pathological on chain-shaped components), while
+    * star contraction provably halves component height per round pair
+    * regardless of shape. q136 runs it against the SAME verified
+    * MinHash pair input as q46 and the oracle's transitive closure, so
+    * the two algorithms are mutually checking — and
+    * `Round13OpsSpec` additionally proves them equal on random graphs
+    * against a brute-force union-find.
+    *
+    * Per round, both phases are one min-aggregation plus one equality
+    * join — no adjacency list is ever collected, so a hub node with
+    * millions of neighbors never materializes its neighborhood in one
+    * task (the reason this formulation, not the textbook
+    * collect-neighbors one, is the 100 TB shape):
+    *   - large-star: every undirected edge, processed at its SMALLER
+    *     endpoint u, re-links the larger endpoint v to
+    *     m(u) = min(Γ(u) ∪ {u});
+    *   - small-star: every edge, processed at its LARGER endpoint u,
+    *     re-links the smaller endpoint v to m(u), and u links to m(u).
+    * Edges stay canonical (lo, hi); per-round `localCheckpoint`
+    * truncates lineage (q46's convention). Convergence = the edge set
+    * reaches a fixpoint (two anti-joins per round); at the fixpoint the
+    * graph is a star forest whose centers are the component minima, so
+    * labels read directly off the edges. Returns (node, lbl) for every
+    * doc in a pair — the [[dedupGroupLabels]] contract exactly.
+    */
+  private[operators] def bigStarLabels(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    var edges = pairs
+      .select(least($"doc_a", $"doc_b").as("lo"),
+        greatest($"doc_a", $"doc_b").as("hi"))
+      .filter($"lo" =!= $"hi").distinct().localCheckpoint()
+    val maxRounds = 50
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxRounds) {
+      val dir1 = edges.select($"lo".as("u"), $"hi".as("v"))
+        .union(edges.select($"hi".as("u"), $"lo".as("v")))
+      val min1 = dir1.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      // v > u ≥ m, so (v, m) can never be a self-loop.
+      val large = dir1.join(min1, "u").filter($"v" > $"u")
+        .select($"m".as("lo"), $"v".as("hi")).distinct()
+      val dir2 = large.select($"lo".as("u"), $"hi".as("v"))
+        .union(large.select($"hi".as("u"), $"lo".as("v")))
+      val min2 = dir2.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val relink = dir2.join(min2, "u").filter($"v" < $"u")
+        .select($"v".as("a"), $"m".as("b"))
+      val self = min2.filter($"u" =!= $"m").select($"u".as("a"), $"m".as("b"))
+      val small = relink.union(self).filter($"a" =!= $"b")
+        .select(least($"a", $"b").as("lo"), greatest($"a", $"b").as("hi"))
+        .distinct().localCheckpoint()
+      converged = small.except(edges).isEmpty && edges.except(small).isEmpty
+      edges = small
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"big-star CC: no fixpoint in $maxRounds rounds — impossible for " +
+          "any graph this size (rounds needed is O(log n)); investigating " +
+          "beats emitting unconverged labels")
+    // Star forest: every canonical edge is (component-min, member).
+    edges.select($"hi".as("node"), $"lo".as("lbl"))
+      .union(edges.select($"lo".as("node"), $"lo".as("lbl")))
+      .distinct()
+  }
+
   /** Maximal cross-doc duplicated token spans, shared by q89 (reports
     * them) and q100 (excises them): 1-based inclusive token ranges
     * [s, e] covered by 3-token shingles appearing in ≥ 2 documents,
@@ -4118,6 +4190,198 @@ object PipelineQueries {
         .select($"bigram", $"c_ab", $"c_a", $"c_b",
           CrossRound.r($"pmi", 6).as("pmi"))
         .orderBy($"pmi".desc, $"bigram")
+    },
+
+    // ----- per-source unigram KL drift (content distribution shift) -----
+    // The CONTENT sibling of q112's KS-on-lengths: per source,
+    // KL(p_source ‖ p_corpus) over the unigram distribution — the
+    // standard "has this source drifted from the mixture" audit before
+    // re-weighting (q74) or resampling (q94). Every term
+    // (c/ns)·ln((c/ns)·(n/cw)) is computed from exact integer counts in
+    // a fixed op order (two divides, one multiply, one ln, one
+    // multiply — each exactly-rounded IEEE, q93's ln argument), then
+    // the per-source SUM uses the order-independent scaled-integer form
+    // (q117's pattern at 10¹²: |term| ≤ ~30 so the scaled value fits a
+    // long with 2⁵³ to spare) — a plain map-side-combining aggregate,
+    // NO per-source vocabulary-sized sorted fold (which would funnel a
+    // 10⁸-word vocabulary through one task at corpus scale). Words hash
+    // to 8-byte sids via the portable polynomial hash (the docSidArrays
+    // collision tradeoff, applied identically in both engines); the
+    // only corpus-sized shuffles are the two token-count aggregates and
+    // one sid-equality join; source totals and the 1-row corpus total
+    // ride broadcasts.
+    "q134_source_kl_drift" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val tok = t.documents.repartition($"doc_id")
+        .select($"source", explode(expr(toksExpr)).as("w"))
+        .select($"source", graft.functions.GraftFunctions.polyHash($"w").as("tid"))
+      val cw = tok.groupBy($"tid").agg(count(lit(1)).as("cw"))
+      val csw = tok.groupBy($"source", $"tid").agg(count(lit(1)).as("c"))
+      val cs = csw.groupBy($"source")
+        .agg(sum($"c").cast("long").as("ns"),
+          count(lit(1)).cast("long").as("n_types"))
+      val tot = cw.agg(sum($"cw").cast("long").as("n"))
+      val kls = csw.join(cw, "tid")
+        .join(broadcast(cs.select($"source", $"ns")), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          ($"c".cast("double") / $"ns") *
+            log(($"c".cast("double") / $"ns") * ($"n".cast("double") / $"cw")))
+        .groupBy($"source")
+        .agg(sum(floor($"term" * 1000000000000.0 + 0.5)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ts"))
+      kls.join(broadcast(cs), "source")
+        .select($"source", $"ns".as("n_tokens"), $"n_types",
+          CrossRound.r($"ts".cast("double") / 1000000000000.0, 6).as("kl"))
+        .orderBy($"source")
+    },
+
+    // ----- heavy hitters: mergeable Misra–Gries propose → exact verify -----
+    // q55's propose/verify pattern applied to FREQUENCY instead of
+    // membership: a 64-counter Misra–Gries summary
+    // ([[graft.functions.MisraGriesAgg]] — the mergeable PODS'12 form,
+    // guarantee property-tested in `MisraGriesSpec`) aggregates the
+    // token stream into ONE ≤ 64-entry row (shuffle volume
+    // O(map_tasks·k), never vocabulary-sized — the reason a sketch, not
+    // a full count table, is the 100 TB shape for "what are the top
+    // tokens"), and every token with true count > N/65 is guaranteed a
+    // live counter. The candidate set then broadcasts back and an exact
+    // count over JUST those ≤ 64 tokens (map-side pruned semi-join)
+    // verifies against the emit threshold 64·count > N ⊂ the guarantee
+    // region — so the output is EXACT (sketch false positives die in
+    // the verify, and false negatives cannot exist), which is what lets
+    // a DuckDB GROUP BY/HAVING oracle check a sketch-powered query
+    // hash-for-hash.
+    "q135_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val mg = udaf(new graft.functions.MisraGriesAgg(64))
+      def tok = t.documents.repartition($"doc_id")
+        .select(explode(expr(toksExpr)).as("w"))
+      val cands = tok.agg(mg($"w").as("summary"))
+        .select(explode($"summary").as("e")).select($"e.token".as("w"))
+      val tot = t.documents
+        .select(size(expr(toksExpr)).cast("long").as("nt"))
+        .agg(sum($"nt").cast("long").as("n"))
+      tok.join(broadcast(cands), "w")
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter($"cnt" * 64 > $"n")
+        .select($"w".as("token"), $"cnt", $"n",
+          CrossRound.r($"cnt".cast("double") / $"n", 6).as("frac"))
+        .orderBy($"cnt".desc, $"token")
+    },
+
+    // ----- connected components by large-star/small-star contraction -----
+    // The same dedup-group contract as q46 (identical oracle SQL: the
+    // transitive closure over verified MinHash pairs), computed by the
+    // O(log n)-round star-contraction algorithm instead of
+    // O(diameter)-round min-label propagation — the algorithm a 100 TB
+    // component resolution wants when components are NOT clique-ish
+    // (chains of borderline near-dups: propagation pays the chain
+    // length, contraction halves it every round pair). See
+    // [[bigStarLabels]]; `Round13OpsSpec` pins algorithm-equality with
+    // q46's propagation on the fixture AND against brute-force
+    // union-find on random graphs.
+    "q136_cc_bigstar" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val docArrs = docSidArrays(t.documents).cache()
+      val pairs = minhashLshVerifyArr(docArrs)
+        .select($"doc_a", $"doc_b").cache()
+      val labels = bigStarLabels(pairs) // localCheckpointed: safe to unpersist inputs
+      pairs.unpersist()
+      docArrs.unpersist()
+      labels
+        .select($"lbl".as("group_id"), $"node".as("doc_id"),
+          ($"node" === $"lbl").as("is_canonical"))
+        .orderBy($"group_id", $"doc_id")
+    },
+
+    // ----- Johnson–Lindenstrauss projection + distortion audit -----
+    // The dimensionality-reduction step in front of a 100 TB ANN stack:
+    // 64-float embeddings compress map-only to 16 hyperplane
+    // projections (the SAME native [[graft.functions.HyperplaneDots]]
+    // kernel q26/q33 sign for LSH bits — here the real-valued dots ARE
+    // the reduced vector, random-projection JL), and the audit grades
+    // the compression the q123 way: over the deterministic
+    // consecutive-id pair sample, cosine in the projected space vs
+    // exact cosine, per-pair |error| plus the corpus mean error via the
+    // order-independent scaled-integer mean. Projection is zero-shuffle
+    // (one codegen'd kernel per row); the pair sample is one
+    // equality join on a derived key (vec_id+1) — never a window over
+    // a global vector order.
+    "q137_jl_projection" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      def dot(x: String, y: String): Column = expr(
+        s"aggregate(zip_with($x, $y, (p, q) -> p * q), " +
+          "CAST(0 AS DOUBLE), (acc, e) -> acc + e)")
+      val proj = t.embeddings.repartition($"vec_id")
+        .select($"vec_id", $"embedding".as("v"),
+          graft.functions.GraftFunctions.hyperplaneDots($"embedding", 16)
+            .as("dots"))
+      val a = proj.select($"vec_id".as("vec_a"), $"v".as("va"),
+        $"dots".as("da"))
+      val b = proj.select(($"vec_id" - 1L).as("vec_a"),
+        $"vec_id".as("vec_b"), $"v".as("vb"), $"dots".as("db"))
+      val per = a.join(b, "vec_a")
+        .withColumn("cos_full", CrossRound.r(
+          graft.functions.GraftFunctions.cosineSim($"va", $"vb"), 6))
+        .withColumn("cos_proj", CrossRound.r(
+          dot("da", "db") / (sqrt(dot("da", "da")) * sqrt(dot("db", "db"))),
+          6))
+        .withColumn("err", CrossRound.r(abs($"cos_full" - $"cos_proj"), 6))
+        .select($"vec_a", $"vec_b", $"cos_full", $"cos_proj", $"err")
+        .cache() // read twice: per-pair rows + the 1-row mean (q123's shape)
+      val thr = per.agg(CrossRound.r(
+        sum(floor($"err" * 1000000 + 0.5)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          / (count(lit(1)) * 1000000.0), 6).as("mean_err"))
+      per.crossJoin(broadcast(thr)).orderBy($"vec_a")
+    },
+
+    // ----- sequential dedup cascade (exact → bag-of-words → near-dup) -----
+    // The end-to-end attrition rollup a curation run reports, with the
+    // SEQUENTIAL keep-the-minimum semantics a real cascade applies:
+    // stage 1 keeps the min doc_id per exact text (md5 — 16-byte keys
+    // shuffle, q21's convention), stage 2 keeps the min doc per
+    // bag-of-words signature AMONG stage-1 survivors (q118's canonical
+    // form — catches permuted copies), stage 3 keeps the survivors that
+    // are their near-dup group's canonical doc (group-min label from
+    // the SHARED persisted label artifact — its fifth consumer, so the
+    // MinHash + propagation cost is still paid once per session;
+    // singletons are canonical). Stage counts are monotone by
+    // construction (asserted in `Round13OpsSpec`); every stage is one
+    // key-equality aggregate + one join, no windows, no collects.
+    "q138_dedup_cascade" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val sig = t.documents.repartition($"doc_id")
+        .select($"doc_id", $"source", md5($"text").as("eh"),
+          element_at(graft.functions.GraftFunctions.polyHashArray(
+            array(concat_ws(" ", array_sort(expr(toksExpr))))), 1).as("bh"))
+      val s1 = sig.groupBy($"eh").agg(min($"doc_id").as("k1"))
+      val st1 = sig.join(s1, "eh").withColumn("in1", $"doc_id" === $"k1")
+      // Every bh value has ≥ 1 stage-1 survivor (the md5-group min has
+      // the same text, hence the same bag signature), so the stage-2
+      // join is inner on both sides.
+      val s2 = st1.filter($"in1").groupBy($"bh").agg(min($"doc_id").as("k2"))
+      val st2 = st1.join(s2, "bh")
+        .withColumn("in2", $"in1" && $"doc_id" === $"k2")
+      val labels = dedupLabelsArtifact(s, dir)
+      st2.join(labels.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+        .withColumn("in3", $"in2" && ($"lbl".isNull || $"lbl" === $"doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"in1".cast("long")).as("n_exact"),
+          sum($"in2".cast("long")).as("n_bow"),
+          sum($"in3".cast("long")).as("n_neardup"))
+        .select($"source", $"n_docs", $"n_exact", $"n_bow", $"n_neardup",
+          CrossRound.r($"n_neardup".cast("double") / $"n_docs", 6)
+            .as("keep_frac"))
+        .orderBy($"source")
     }
   )
 
@@ -4358,6 +4622,27 @@ object PipelineQueries {
 
     val decontamSql = decontamOracleSql
 
+    // Connected components over verified MinHash pairs as a transitive
+    // closure — shared verbatim by q46 (min-label propagation) and q136
+    // (large-star/small-star contraction): one oracle, two algorithms.
+    val ccSql = s"""
+        WITH RECURSIVE $minhashChain,
+        pairs AS (SELECT doc_a, doc_b
+                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                             JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
+        edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT src AS node, src AS lbl FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM reach r
+                  JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
+                 FROM reach GROUP BY node)
+        SELECT group_id, doc_id, doc_id = group_id AS is_canonical
+        FROM comp
+        ORDER BY group_id, doc_id"""
+
     Map(
       "q21_dedup_exact" -> """
         SELECT min(doc_id) AS doc_id,
@@ -4539,23 +4824,13 @@ object PipelineQueries {
       // q46: transitive closure of the q22b pairs (recursive CTE — the
       // oracle-side analog of Spark's min-label propagation), then
       // min-reachable-id per node = component label.
-      "q46_dedup_groups" -> s"""
-        WITH RECURSIVE $minhashChain,
-        pairs AS (SELECT doc_a, doc_b
-                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                             JOIN sizes sb ON doc_b = sb.doc_id
-                  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
-        edges AS (SELECT doc_a src, doc_b dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        reach AS (SELECT src AS node, src AS lbl FROM edges
-                  UNION
-                  SELECT e.dst, r.lbl FROM reach r
-                  JOIN edges e ON e.src = r.node),
-        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
-                 FROM reach GROUP BY node)
-        SELECT group_id, doc_id, doc_id = group_id AS is_canonical
-        FROM comp
-        ORDER BY group_id, doc_id""",
+      "q46_dedup_groups" -> ccSql,
+
+      // Identical result contract to q46 — the Spark side differs only
+      // in the ALGORITHM (large-star/small-star contraction vs min-label
+      // propagation), so the transitive-closure oracle checks both
+      // (the q25/q25b precedent applied to graph algorithms).
+      "q136_cc_bigstar" -> ccSql,
 
       "q47_stratified_sample" -> s"""
         SELECT doc_id, lang, source,
@@ -6448,7 +6723,120 @@ object PipelineQueries {
         top AS (SELECT * FROM scored ORDER BY pmi DESC, bigram LIMIT 20)
         SELECT bigram, c_ab, c_a, c_b,
                ${CrossRound.sql("pmi", 6)} AS pmi
-        FROM top ORDER BY pmi DESC, bigram"""
+        FROM top ORDER BY pmi DESC, bigram""",
+
+      // Term op order mirrors Spark exactly: (c/ns), ×(n/cw), ln,
+      // ×(c/ns) — each an exactly-rounded IEEE op on exact integer
+      // inputs; the per-source sum is the order-independent
+      // scaled-integer form at 10¹² (q117's argument).
+      "q134_source_kl_drift" -> s"""
+        WITH tok AS (SELECT source, ${oraclePolyHash("w")} tid
+                     FROM (SELECT source, unnest($toks) w FROM documents)),
+        cw AS (SELECT tid, CAST(count(1) AS BIGINT) cw FROM tok GROUP BY 1),
+        csw AS (SELECT source, tid, CAST(count(1) AS BIGINT) c FROM tok
+                GROUP BY 1, 2),
+        cs AS (SELECT source, CAST(sum(c) AS BIGINT) ns,
+                      CAST(count(1) AS BIGINT) n_types
+               FROM csw GROUP BY 1),
+        tot AS (SELECT CAST(sum(cw) AS BIGINT) n FROM cw),
+        terms AS (SELECT source,
+                    CAST(floor((c::DOUBLE / ns)
+                      * ln((c::DOUBLE / ns) * (n::DOUBLE / cw))
+                      * 1000000000000.0 + 0.5) AS BIGINT) ts
+                  FROM csw JOIN cw USING (tid) JOIN cs USING (source)
+                       CROSS JOIN tot),
+        kls AS (SELECT source, sum(ts) ts FROM terms GROUP BY 1)
+        SELECT source, ns AS n_tokens, n_types,
+               ${CrossRound.sql("ts::DOUBLE / 1000000000000.0", 6)} AS kl
+        FROM kls JOIN cs USING (source)
+        ORDER BY source""",
+
+      // The sketch is exact-by-verification: every token with count
+      // > N/65 is guaranteed a Misra–Gries counter (mergeable-summaries
+      // bound), the emit threshold 64·count > N is strictly inside that
+      // region, and survivors are re-counted exactly — so a plain
+      // GROUP BY/HAVING twin checks the sketch-powered plan.
+      "q135_heavy_hitters" -> s"""
+        WITH tok AS (SELECT unnest($toks) w FROM documents),
+        tot AS (SELECT CAST(count(1) AS BIGINT) n FROM tok),
+        c AS (SELECT w, CAST(count(1) AS BIGINT) cnt FROM tok GROUP BY 1)
+        SELECT w AS token, cnt, n,
+               ${CrossRound.sql("cnt::DOUBLE / n", 6)} AS frac
+        FROM c CROSS JOIN tot
+        WHERE cnt * 64 > n
+        ORDER BY cnt DESC, token""",
+
+      // Full-space cosine and projected-space cosine both fold in
+      // ascending element order (list_dot_product ≡ the Spark kernel /
+      // zip_with-aggregate fold); the mean distortion is the
+      // scaled-integer mean over the ROUNDED per-pair errors (q123's
+      // exact shape).
+      "q137_jl_projection" -> s"""
+        WITH $cosFragment,
+        ${hyperDots(16)},
+        p AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
+                ${CrossRound.sql(
+                  "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))" +
+                    " * sqrt(list_dot_product(b.v, b.v)))", 6)} cos_full,
+                ${CrossRound.sql(
+                  "list_dot_product(a.dot, b.dot) / (sqrt(list_dot_product(a.dot, a.dot))" +
+                    " * sqrt(list_dot_product(b.dot, b.dot)))", 6)} cos_proj
+              FROM dots a JOIN dots b ON b.vec_id = a.vec_id + 1),
+        r AS (SELECT vec_a, vec_b, cos_full, cos_proj,
+                     ${CrossRound.sql("abs(cos_full - cos_proj)", 6)} err
+              FROM p),
+        thr AS (SELECT ${CrossRound.sql(
+                  "sum(CAST(floor(err * 1000000 + 0.5) AS BIGINT))" +
+                    " / (count(1) * 1000000.0)", 6)} mean_err
+                FROM r)
+        SELECT vec_a, vec_b, cos_full, cos_proj, err, mean_err
+        FROM r CROSS JOIN thr
+        ORDER BY vec_a""",
+
+      // Sequential survivor semantics: min-per-md5, then min-per-bag
+      // among stage-1 survivors (inner join is safe — the md5-group min
+      // shares the exact text and hence the bag signature), then
+      // group-canonical (comp's min label; docs absent from comp are
+      // singletons and canonical).
+      "q138_dedup_cascade" -> s"""
+        WITH RECURSIVE $minhashChain,
+        prs AS (SELECT doc_a, doc_b
+                FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
+        edges AS (SELECT doc_a src, doc_b dst FROM prs
+                  UNION ALL SELECT doc_b, doc_a FROM prs),
+        reach AS (SELECT src AS node, src AS lbl FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM reach r
+                  JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
+                 FROM reach GROUP BY node),
+        canon AS (SELECT d.doc_id, d.source, md5(d.text) eh,
+                         array_to_string(list_sort($toks), ' ') cw
+                  FROM documents d),
+        sg AS (SELECT doc_id, source, eh, ${oraclePolyHash("cw")} bh
+               FROM canon),
+        s1 AS (SELECT eh, min(doc_id) k1 FROM sg GROUP BY 1),
+        f1 AS (SELECT sg.*, sg.doc_id = s1.k1 AS in1
+               FROM sg JOIN s1 USING (eh)),
+        s2 AS (SELECT bh, min(doc_id) k2 FROM f1 WHERE in1 GROUP BY 1),
+        f2 AS (SELECT f1.*, f1.in1 AND f1.doc_id = s2.k2 AS in2
+               FROM f1 JOIN s2 USING (bh)),
+        f3 AS (SELECT f2.*,
+                      f2.in2 AND (c.group_id IS NULL
+                                  OR c.group_id = f2.doc_id) AS in3
+               FROM f2 LEFT JOIN comp c ON f2.doc_id = c.doc_id)
+        SELECT source, CAST(count(1) AS BIGINT) n_docs,
+               CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) n_exact,
+               CAST(sum(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) n_bow,
+               CAST(sum(CASE WHEN in3 THEN 1 ELSE 0 END) AS BIGINT) n_neardup,
+               ${CrossRound.sql(
+                 "sum(CASE WHEN in3 THEN 1 ELSE 0 END)::DOUBLE / count(1)", 6)}
+                 AS keep_frac
+        FROM f3
+        GROUP BY source
+        ORDER BY source"""
     )
   }
 }
