@@ -84,6 +84,11 @@ object GraftFunctions {
         s"simhash32 expects 1 argument, got ${exprs.length}")
       SimHash32(exprs.head)
     }),
+    ("rle_tf_stats", RleTfStats.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 1,
+        s"rle_tf_stats expects 1 argument, got ${exprs.length}")
+      RleTfStats(exprs.head)
+    }),
     ("l2_sq", L2Sq.info, { exprs: Seq[Expression] =>
       require(exprs.length == 2,
         s"l2_sq expects 2 arguments, got ${exprs.length}")
@@ -134,6 +139,10 @@ object GraftFunctions {
   /** Typed column API: `simhash32($"tids")`. */
   def simhash32(tids: Column): Column =
     Bridge.column(SimHash32(Bridge.expression(tids)))
+
+  /** Typed column API: `rleTfStats($"sids")`. */
+  def rleTfStats(sids: Column): Column =
+    Bridge.column(RleTfStats(Bridge.expression(sids)))
 
   /** Typed column API: `shingles3($"toks")`. */
   def shingles3(toks: Column): Column =

@@ -132,6 +132,53 @@ object TextSketch {
     new GenericArrayData(out)
   }
 
+  /** See [[RleTfStats]]. Sorts a null-free copy of the input, then one
+    * linear run-length pass; n2 accumulates tf² as it goes and is
+    * patched onto every struct (functionally determined by the row, so
+    * duplication is free at the consumer after projection).
+    */
+  def rleTfStats(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val arr = new Array[Long](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { arr(m) = a.getLong(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(arr, 0, m)
+    var runs = 0
+    var s = 0
+    while (s < m) {
+      var e = s + 1
+      while (e < m && arr(e) == arr(s)) e += 1
+      runs += 1
+      s = e
+    }
+    val sids = new Array[Long](runs)
+    val tfs = new Array[Long](runs)
+    var n2 = 0L
+    var r = 0
+    s = 0
+    while (s < m) {
+      var e = s + 1
+      while (e < m && arr(e) == arr(s)) e += 1
+      val tf = (e - s).toLong
+      sids(r) = arr(s)
+      tfs(r) = tf
+      n2 += tf * tf
+      r += 1
+      s = e
+    }
+    val out = new Array[Any](runs)
+    r = 0
+    while (r < runs) {
+      out(r) = org.apache.spark.sql.catalyst.InternalRow(sids(r), tfs(r), n2)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** See [[SortedCountIn]]. `sorted` MUST be ascending; null elements of
     * `a` are skipped, nulls must not occur in `sorted`.
     */
@@ -438,4 +485,51 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 object SimHash32 {
   val info: ExpressionInfo =
     new ExpressionInfo(classOf[SimHash32].getName, null, "simhash32")
+}
+
+/** `rle_tf_stats(sids)` — per-row term-frequency run-length encoding
+  * with the squared norm riding along (see [[TextSketch.rleTfStats]]):
+  * `array<struct<sid, tf, n2>>` where each distinct sid of the input
+  * appears once with its multiplicity `tf`, sids ascending, and
+  * `n2 = Σ tf²` (identical on every element of one row's output).
+  *
+  * This is q103's map-side replacement for TWO posting-volume shuffles
+  * (the (doc, sid) count aggregate and the per-doc re-collection): the
+  * entire per-doc sparse tf vector — values AND norm — is built in one
+  * compiled pass and handed straight to `explode`. Carrying n2 inside
+  * the struct (8 redundant bytes per element, gone after the explode
+  * projection) is what makes the consumer HOF-free: an
+  * `aggregate(st, …)` fold over the kernel output would re-open the
+  * CollapseProject lambda-inlining trap the shinglesCol scaladoc
+  * documents (the round-11 SQL-RLE attempt hit exactly that — the hash
+  * chain re-evaluated per element and a 2.5 s query became a 25-minute
+  * spin).
+  *
+  * tf values and n2 are integer-identical to the aggregation
+  * formulation, so oracles are unchanged; null input elements are
+  * skipped (the hash kernels never emit them).
+  */
+case class RleTfStats(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rle_tf_stats expects ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sid", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("n2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "rle_tf_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextSketch.rleTfStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.rleTfStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RleTfStats =
+    copy(child = newChild)
+}
+
+object RleTfStats {
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[RleTfStats].getName, null, "rle_tf_stats")
 }

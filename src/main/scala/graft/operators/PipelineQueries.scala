@@ -84,7 +84,7 @@ object PipelineQueries {
     * dedup-pipeline tradeoff — ~n²/2P expected collisions corpus-wide,
     * each perturbing one set size by 1.
     */
-  private def docSidArrays(docs: DataFrame): DataFrame =
+  private[operators] def docSidArrays(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id"))
       .select(col("doc_id"), array_distinct(
         graft.functions.GraftFunctions.polyHashArray(shinglesCol())).as("sids"))
@@ -523,7 +523,7 @@ object PipelineQueries {
     * rare sid. Returns (doc_a, doc_b, i, na, nb) with i = |A∩B| over
     * rare sids and na/nb the FULL set sizes.
     */
-  private def rareSharedSidPairs(arrs: DataFrame, dfCap: Int): DataFrame = {
+  private[operators] def rareSharedSidPairs(arrs: DataFrame, dfCap: Int): DataFrame = {
     import arrs.sparkSession.implicits._
     val dsid = arrs.select($"doc_id", size($"sids").cast("long").as("n"),
       explode($"sids").as("sid"))
@@ -877,6 +877,66 @@ object PipelineQueries {
     s.read.parquet(path)
   }
 
+  private[graft] def rarePairsPath(s: SparkSession, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rarepairs_" +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dataFingerprint(dir)
+
+  /** The df-capped rare-shingle pair stream
+    * ([[rareSharedSidPairs]] over [[docSidArrays]], cap 50) as a
+    * persisted per-(session, dir, fingerprint) artifact — the
+    * dedup-label / span / BPE pattern applied to the pair family:
+    * q23 (Jaccard) and q71 (containment) consume the IDENTICAL
+    * (doc_a, doc_b, i, na, nb) relation and differ only in the metric
+    * and threshold applied on top, so the shingle explode + per-sid
+    * aggregation + map-side pair emission is paid once per session and
+    * each consumer reads one pair-sized parquet. At 100 TB this is the
+    * difference between two posting-volume aggregations and one.
+    */
+  private def rareSidPairsArtifact(s: SparkSession, dir: String): DataFrame = {
+    val path = rarePairsPath(s, dir)
+    materializeOnce(path, path) {
+      rareSharedSidPairs(docSidArrays(Tables(s, dir).documents), 50)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** (doc_id, sids) with the DISTINCT winnowing fingerprints (window-4
+    * sliding min over 3-shingle sids — q29's exact parameters) as the
+    * sid-set carrier: the screen-side input shared by q125 and q127.
+    */
+  private[operators] def winnowSidArrays(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.repartition($"doc_id")
+      .select($"doc_id", graft.functions.GraftFunctions.slidingMin(
+        graft.functions.GraftFunctions.polyHashArray(shinglesCol()), 4)
+        .as("wmins"))
+      .filter(size($"wmins") > 0)
+      .select($"doc_id", array_distinct($"wmins").as("sids"))
+  }
+
+  private[graft] def winnowPairsPath(s: SparkSession, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_winnowpairs_" +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dataFingerprint(dir)
+
+  /** [[rareSharedSidPairs]] over the winnowing-fingerprint sets
+    * ([[winnowSidArrays]], cap 50), persisted once per (session, dir,
+    * fingerprint): q125 (the screen's report) and q127 (the screen
+    * feeding exact Levenshtein verification) consume the identical
+    * UNFILTERED pair stream — the screen machinery runs once, each
+    * consumer applies its own threshold on a pair-sized parquet read.
+    */
+  private def winnowPairsArtifact(s: SparkSession, dir: String): DataFrame = {
+    val path = winnowPairsPath(s, dir)
+    materializeOnce(path, path) {
+      rareSharedSidPairs(winnowSidArrays(Tables(s, dir).documents), 50)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** The benchmark (eval-suite) shingle-id set, SORTED ascending, as a
     * driver-side array — the pinned reference set streaming
     * decontamination (q59) embeds as a literal. Eval suites are small
@@ -1111,11 +1171,12 @@ object PipelineQueries {
     // multiplicity in that stream (one pre-counted aggregate — no
     // array_intersect re-verify, no post-count size joins) — 8-byte
     // longs on the wire, never shingle strings, no two-sided self-join.
+    // Round 11: the pair stream is the shared [[rareSidPairsArtifact]]
+    // (q23/q71 consume the identical relation — machinery paid once per
+    // session, the dedup-label-artifact precedent).
     "q23_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
-      val t = Tables(s, dir)
-      val arrs = docSidArrays(t.documents).cache()
-      rareSharedSidPairs(arrs, 50)
+      rareSidPairsArtifact(s, dir)
         .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
         .filter($"jaccard" >= 0.6)
         .select($"doc_a", $"doc_b", $"i".as("n_shared"),
@@ -2001,9 +2062,7 @@ object PipelineQueries {
     // with an embedded-quote fixture the synthetic corpus lacks.
     "q71_containment" -> { (s, dir) =>
       import s.implicits._
-      val t = Tables(s, dir)
-      val arrs = docSidArrays(t.documents).cache()
-      rareSharedSidPairs(arrs, 50)
+      rareSidPairsArtifact(s, dir)
         .withColumn("containment", $"i".cast("double") / least($"na", $"nb"))
         .filter($"containment" >= 0.8)
         .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
@@ -3170,19 +3229,27 @@ object PipelineQueries {
     // squared norms), so summation order cannot matter; the cosine is
     // then 3 correctly-rounded IEEE ops (sqrt, sqrt·sqrt... one
     // multiply, one divide) — identical cross-engine, q84's argument.
+    // Round-11 reshape: the per-doc sparse tf vector AND its squared
+    // norm are built MAP-SIDE by the native [[graft.functions
+    // .RleTfStats]] kernel (sort + run-length + Σtf² in one compiled
+    // pass, n2 riding inside each struct so the consumer is HOF-free),
+    // replacing the (doc, sid) count shuffle AND the per-doc
+    // re-collection shuffle an earlier formulation paid (5 Exchanges →
+    // 3) — at corpus scale those two were posting-volume shuffles, the
+    // largest in the query. A SQL-HOF RLE was tried first and hit the
+    // CollapseProject lambda-inlining trap (hash chain re-evaluated per
+    // element — the shinglesCol lesson; see the kernel scaladoc).
+    // tf values and n2 are integer-identical to the aggregation form,
+    // so the oracle is unchanged.
     "q103_shingle_cosine" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val sid = t.documents.repartition($"doc_id")
-        .select($"doc_id", explode(
-          graft.functions.GraftFunctions.polyHashArray(shinglesCol())).as("sid"))
-      val tf = sid.groupBy($"doc_id", $"sid").agg(count(lit(1)).as("tf"))
-      val perDoc = tf.groupBy($"doc_id")
-        .agg(collect_list(struct($"sid", $"tf")).as("st"))
-        .withColumn("n2", expr(
-          "aggregate(st, 0L, (acc, x) -> acc + x.tf * x.tf)"))
-        .select($"doc_id", $"n2", explode($"st").as("x"))
-        .select($"doc_id", $"n2", $"x.sid".as("sid"), $"x.tf".as("tf"))
+      val perDoc = t.documents.repartition($"doc_id")
+        .select($"doc_id", explode(graft.functions.GraftFunctions.rleTfStats(
+          graft.functions.GraftFunctions.polyHashArray(shinglesCol())))
+          .as("x"))
+        .select($"doc_id", $"x.sid".as("sid"), $"x.tf".as("tf"),
+          $"x.n2".as("n2"))
       perDoc.groupBy($"sid")
         .agg(sort_array(collect_list(struct($"doc_id", $"tf", $"n2"))).as("docs"))
         .filter(size($"docs") <= 50)
@@ -3818,14 +3885,7 @@ object PipelineQueries {
     // cannot evade the screen.
     "q125_winnow_neardup" -> { (s, dir) =>
       import s.implicits._
-      val t = Tables(s, dir)
-      val arrs = t.documents.repartition($"doc_id")
-        .select($"doc_id", graft.functions.GraftFunctions.slidingMin(
-          graft.functions.GraftFunctions.polyHashArray(shinglesCol()), 4)
-          .as("wmins"))
-        .filter(size($"wmins") > 0)
-        .select($"doc_id", array_distinct($"wmins").as("sids"))
-      rareSharedSidPairs(arrs, 50)
+      winnowPairsArtifact(s, dir)
         .filter($"i" >= 2)
         .select($"doc_a", $"doc_b", $"i", $"na", $"nb",
           CrossRound.r(
@@ -3871,13 +3931,7 @@ object PipelineQueries {
     "q127_editdist_verify" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val arrs = t.documents.repartition($"doc_id")
-        .select($"doc_id", graft.functions.GraftFunctions.slidingMin(
-          graft.functions.GraftFunctions.polyHashArray(shinglesCol()), 4)
-          .as("wmins"))
-        .filter(size($"wmins") > 0)
-        .select($"doc_id", array_distinct($"wmins").as("sids"))
-      val cand = rareSharedSidPairs(arrs, 50)
+      val cand = winnowPairsArtifact(s, dir)
         .filter($"i" >= 2 && $"i" * 2 >= least($"na", $"nb"))
         .select($"doc_a", $"doc_b")
       val texts = t.documents.select($"doc_id", $"text")

@@ -205,6 +205,47 @@ class TextSketchSpec extends AnyFunSuite {
     assert(df.filter(not($"native" <=> $"viaFold")).count() == 0)
   }
 
+  test("rle_tf_stats matches the groupBy formulation it replaced") {
+    // The kernel's (sid, tf) set and n2 must be integer-identical to
+    // an explode + count aggregation — that equivalence is q103's
+    // oracle-compatibility argument. Random multisets with repeats.
+    val rnd = new scala.util.Random(31)
+    val data = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(40))(rnd.nextInt(12).toLong)) ++
+      Seq(Seq.empty[Long], Seq(7L), Seq(5L, 5L, 5L))
+    val df = data.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "arr")
+    val native = df
+      .select($"id", explode(GraftFunctions.rleTfStats($"arr")).as("x"))
+      .select($"id", $"x.sid", $"x.tf", $"x.n2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val model = data.zipWithIndex.flatMap { case (a, i) =>
+      val counts = a.groupBy(identity).map { case (v, xs) =>
+        (v, xs.size.toLong) }
+      val n2 = counts.values.map(t => t * t).sum
+      counts.map { case (v, tf) => (i.toLong, v, tf, n2) }
+    }.toSet
+    assert(native == model)
+    // Ascending sid order within each row (the collect_list downstream
+    // sorts anyway, but the kernel contract says ascending).
+    val rows = df.select($"id", GraftFunctions.rleTfStats($"arr").as("st"))
+      .collect()
+    rows.foreach { r =>
+      val sids = r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+      assert(sids == sids.sorted, s"row ${r.getLong(0)} not ascending")
+    }
+  }
+
+  test("rle_tf_stats skips null elements") {
+    val df = Seq(1).toDF("i").select(
+      GraftFunctions.rleTfStats(
+        expr("array(3L, CAST(NULL AS BIGINT), 3L, 1L)")).as("st"))
+    val st = df.collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(st == Seq((1L, 1L, 5L), (3L, 2L, 5L)))
+  }
+
   test("kernels are reachable from SQL text") {
     GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(

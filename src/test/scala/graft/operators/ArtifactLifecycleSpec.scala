@@ -6,7 +6,7 @@ import graft.gsheets.Fixtures
 
 /** Lifecycle of the session-keyed persisted artifacts (dedup labels,
   * q81's bucketed signature index, the BPE training artifact, the
-  * duplicated-span table): they
+  * duplicated-span table, the rare-shingle and winnow pair streams): they
   * materialize once per (session, dir, data-fingerprint), and
   * `cleanupArtifacts` — the Verify/Bench epilogue — drops every path
   * and catalog entry, after which the next caller REBUILDS from data
@@ -19,22 +19,28 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("cleanup drops all persisted artifacts; a later call rebuilds") {
-    // Materialize all four artifact families (collect forces the build).
+    // Materialize all six artifact families (collect forces the build).
     PipelineQueries.queries("q46_dedup_groups")(spark, dir).collect()
     PipelineQueries.queries("q81_delta_dedup")(spark, dir).collect()
     PipelineQueries.queries("q86_bpe_train")(spark, dir).collect()
     PipelineQueries.queries("q89_dup_spans")(spark, dir).collect()
+    PipelineQueries.queries("q23_ngram_jaccard")(spark, dir).collect()
+    PipelineQueries.queries("q125_winnow_neardup")(spark, dir).collect()
     val labels = new java.io.File(PipelineQueries.dedupLabelsPath(spark, dir))
     val index = new java.io.File(PipelineQueries.deltaIndexPath(spark, dir))
     val bpe = new java.io.File(PipelineQueries.bpeArtifactPath(spark, dir))
     val spans = new java.io.File(PipelineQueries.spanArtifactPath(spark, dir))
+    val rare = new java.io.File(PipelineQueries.rarePairsPath(spark, dir))
+    val winnow = new java.io.File(PipelineQueries.winnowPairsPath(spark, dir))
     val idxKey = PipelineQueries.deltaIndexKey(spark, dir)
-    assert(labels.exists && index.exists && bpe.exists && spans.exists,
+    assert(labels.exists && index.exists && bpe.exists && spans.exists &&
+      rare.exists && winnow.exists,
       "artifacts must exist on disk after their queries ran")
     assert(spark.catalog.tableExists(idxKey))
 
     PipelineQueries.cleanupArtifacts(spark)
-    assert(!labels.exists && !index.exists && !bpe.exists && !spans.exists,
+    assert(!labels.exists && !index.exists && !bpe.exists && !spans.exists &&
+      !rare.exists && !winnow.exists,
       "cleanup must remove every artifact path")
     assert(!spark.catalog.tableExists(idxKey),
       "cleanup must drop the bucketed index's catalog entry")

@@ -673,14 +673,38 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q125: winnow screen rides the map-side pair machinery") {
     val p = plan("q125_winnow_neardup")
-    // Fingerprints are map-only native kernels; pairs come from the
-    // shared df-capped per-fp doc lists — never a posting self-join of
-    // the raw stream, never a cartesian.
+    // Since round 11 the pair stream is the shared winnow-pairs
+    // artifact (one parquet read + threshold); the machinery itself is
+    // pinned through the BUILD plan in the test below.
     assert(!p.contains("CartesianProduct"), s"q125 grew a cartesian:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"q125 grew a nested-loop join:\n$p")
     val shuffles = distinctShuffles(p)
     assert(shuffles <= 4, s"q125 grew to $shuffles distinct shuffles:\n$p")
+  }
+
+  test("pair-artifact builds: map-side pair generation, no posting self-join") {
+    // q23/q71 (rare-shingle) and q125/q127 (winnow) read persisted pair
+    // artifacts, so THEIR plans no longer show the machinery — this
+    // pins the literal build-side frames instead: one sid-keyed
+    // aggregate into bounded doc lists, pairs exploded map-side from
+    // each list, one pair-count aggregate. A SortMergeJoin or cartesian
+    // here would mean the postings self-join crept back into the build.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    for (arrs <- Seq(PipelineQueries.docSidArrays(docs),
+        PipelineQueries.winnowSidArrays(docs))) {
+      val build = PipelineQueries.rareSharedSidPairs(arrs, 50)
+      val p = build.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"),
+        s"pair build grew a postings self-join:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"pair build join degraded:\n$p")
+      val shuffles = distinctShuffles(p)
+      // doc repartition + sid posting agg + pair-count agg.
+      assert(shuffles <= 3, s"pair build grew to $shuffles shuffles:\n$p")
+    }
   }
 
   test("q126: aHash is the mapPartitions codec shape, no join, no window") {
