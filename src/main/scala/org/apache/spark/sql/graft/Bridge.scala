@@ -46,6 +46,24 @@ object Bridge {
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 
+  /** Drop the pinned RDD blocks behind a `localCheckpoint()`ed
+    * Dataset. `df.unpersist()` only talks to the CacheManager — a local
+    * checkpoint's blocks are an RDD-level persist on the INTERNAL
+    * checkpointed RDD (reachable through the `LogicalRDD` the
+    * checkpoint returned; `df.rdd` would wrap a fresh deserializing
+    * RDD whose unpersist frees nothing). Iterative drivers that
+    * checkpoint per round (label propagation, star contraction) call
+    * this on superseded rounds so re-running the construction doesn't
+    * accumulate one block chain per run. No-op for non-checkpoint
+    * frames.
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def registerTempFunction(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

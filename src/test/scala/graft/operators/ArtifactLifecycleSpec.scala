@@ -32,15 +32,16 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
     val spans = new java.io.File(PipelineQueries.spanArtifactPath(spark, dir))
     val rare = new java.io.File(PipelineQueries.rarePairsPath(spark, dir))
     val winnow = new java.io.File(PipelineQueries.winnowPairsPath(spark, dir))
+    val mhp = new java.io.File(PipelineQueries.minhashPairsPath(spark, dir))
     val idxKey = PipelineQueries.deltaIndexKey(spark, dir)
     assert(labels.exists && index.exists && bpe.exists && spans.exists &&
-      rare.exists && winnow.exists,
+      rare.exists && winnow.exists && mhp.exists,
       "artifacts must exist on disk after their queries ran")
     assert(spark.catalog.tableExists(idxKey))
 
     PipelineQueries.cleanupArtifacts(spark)
     assert(!labels.exists && !index.exists && !bpe.exists && !spans.exists &&
-      !rare.exists && !winnow.exists,
+      !rare.exists && !winnow.exists && !mhp.exists,
       "cleanup must remove every artifact path")
     assert(!spark.catalog.tableExists(idxKey),
       "cleanup must drop the bucketed index's catalog entry")
