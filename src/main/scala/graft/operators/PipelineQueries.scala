@@ -3989,7 +3989,20 @@ object PipelineQueries {
       val cand = winnowPairsArtifact(s, dir)
         .filter($"i" >= 2 && $"i" * 2 >= least($"na", $"nb"))
         .select($"doc_a", $"doc_b")
-      val texts = t.documents.select($"doc_id", $"text")
+      // Explicit-width repartition of the TEXT side. The screened pair
+      // set is broadcast-small, so the planner builds a broadcast hash
+      // join around it and the join (and the Levenshtein projection
+      // above it — the one genuinely CPU-heavy stage here) runs at the
+      // STREAM side's parallelism: the raw documents scan, which at
+      // bench corpus sizes is a single parquet split. That serialized
+      // the verify stage onto one core (measured 19.5 s vs 0.8 s for
+      // the same rows spread wide at the 50k-doc witness). Explicit
+      // numPartitions so AQE's small-shuffle coalescing cannot fold
+      // the width back to one; at cluster scale the scan arrives as
+      // many splits and this exchange is one doc-keyed pass.
+      val texts = t.documents
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+        .select($"doc_id", $"text")
       cand
         .join(texts.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
         .join(texts.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
