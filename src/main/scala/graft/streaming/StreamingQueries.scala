@@ -436,6 +436,68 @@ object StreamingQueries {
       s2.table(sink).orderBy($"sig")
     },
 
+    // ----- streaming heavy hitters (mergeable sketch at ingest) -----
+    // q135's Misra–Gries propose stage run WHERE a monitoring pipeline
+    // runs it: as a streaming aggregation. The 64-counter mergeable
+    // summary ([[graft.functions.MisraGriesAgg]]) IS the aggregation
+    // state — one O(k) buffer total, regardless of stream volume or
+    // vocabulary size (the reason a sketch, not a count table, is what
+    // a stream can afford to keep: a per-token streaming count would
+    // grow state with the vocabulary). Complete-mode AvailableNow over
+    // the bounded input yields a summary whose CONTENT may differ from
+    // the batch run's (Misra–Gries summaries are partition-order
+    // dependent) but whose GUARANTEE is schedule-independent — every
+    // token with count > N/65 holds a live counter (`MisraGriesSpec`
+    // property-tests exactly this over random merge schedules) — so the
+    // batch-side exact verify emits the identical final rows and the
+    // shared q135 oracle grades both paths hash-for-hash.
+    "q139_stream_heavy_hitters" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      val mg = udaf(new graft.functions.MisraGriesAgg(64))
+      val stream = s2.readStream
+        .schema(docsStreamSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+
+      val toksExpr = "array_remove(split(text, ' '), '')"
+      val agg = stream
+        .select(explode(expr(toksExpr)).as("w"))
+        .agg(mg($"w").as("summary"), count(lit(1)).as("n"))
+
+      val sink = s"q139_sink_${sinkCounter.incrementAndGet()}"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      capturePlan("q139_stream_heavy_hitters", q)
+
+      // Exact verify, batch-side (the q135 contract): candidates are
+      // the ≤ 64 sketch survivors; false positives die here, false
+      // negatives cannot exist by the MG bound.
+      val last = s2.table(sink)
+      val cands = last.select(explode($"summary").as("e"))
+        .select($"e.token".as("w"))
+      val tot = last.select($"n".cast("long").as("n"))
+      Tables(s2, dir).documents.repartition($"doc_id")
+        .select(explode(expr(toksExpr)).as("w"))
+        .join(broadcast(cands), "w")
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter($"cnt" * 64 > $"n")
+        .select($"w".as("token"), $"cnt", $"n",
+          CrossRound.r($"cnt".cast("double") / $"n", 6).as("frac"))
+        .orderBy($"cnt".desc, $"token")
+    },
+
     // ----- streaming SLIDING-window aggregation -----
     // Overlapping 1-hour windows every 15 minutes — each event lands in
     // 4 windows (the rate-monitoring shape tumbling q31 can't express).
@@ -611,6 +673,12 @@ object StreamingQueries {
     // chunk-signature set of q129's batch chunker (shared CTE chain).
     "q133_stream_chunk_dedup" ->
       graft.operators.PipelineQueries.chunkDedupOracleSql,
+
+    // The streaming sketch + exact verify must emit exactly the batch
+    // q135 rows — sketch CONTENT is schedule-dependent, the verified
+    // output is not (the MG guarantee; see the query's comment).
+    "q139_stream_heavy_hitters" ->
+      graft.operators.PipelineQueries.oracleSql("q135_heavy_hitters"),
 
     "q31_stream_window" -> """
       SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,

@@ -19,7 +19,7 @@ class PlanShapeSpec extends AnyFunSuite {
   private val streamingQs = Set("q31_stream_window", "q50_stream_dedup",
     "q59_stream_decontaminate", "q62_stream_stream_join",
     "q63_state_profile", "q65_sliding_window", "q75_stream_quality",
-    "q133_stream_chunk_dedup")
+    "q133_stream_chunk_dedup", "q139_stream_heavy_hitters")
 
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, dir)
@@ -185,6 +185,12 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("StateStore") && !p.contains("Exchange"),
         s"$name is no longer a zero-state zero-shuffle gate:\n$p")
     }
+    // Sketch-at-ingest: the Misra–Gries summary IS the aggregation
+    // state — one O(k) buffer through the state store, so the plan
+    // must carry StateStoreSave (and the object-buffer aggregate).
+    val hh = run("q139_stream_heavy_hitters")
+    assert(hh.contains("StateStoreSave"),
+      s"q139 lost its sketch aggregation state:\n$hh")
     // Stream-stream join: symmetric hash join with per-side state.
     assert(run("q62_stream_stream_join")
       .contains("StreamingSymmetricHashJoin"))

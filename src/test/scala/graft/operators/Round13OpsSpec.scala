@@ -114,6 +114,22 @@ class Round13OpsSpec extends AnyFunSuite {
       "mean_err must equal the scaled-integer mean of the per-pair errs")
   }
 
+  test("q139: streaming sketch + exact verify equals batch q135 row-for-row") {
+    // Misra–Gries summary CONTENT is partition/merge-order dependent —
+    // the streaming run's candidate set may differ from the batch
+    // run's — but both are guaranteed supersets of the true heavy
+    // hitters, so the exact-verified OUTPUT must be identical.
+    val batch = PipelineQueries.queries("q135_heavy_hitters")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.StreamingQueries
+      .queries("q139_stream_heavy_hitters")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture should have heavy tokens")
+    assert(streamed == batch,
+      s"paths disagree: only-batch=${(batch -- streamed).take(3)} " +
+        s"only-stream=${(streamed -- batch).take(3)}")
+  }
+
   test("q138: cascade stages are monotone; exact stage sums to distinct texts") {
     import spark.implicits._
     val rows = PipelineQueries.queries("q138_dedup_cascade")(spark, dir)

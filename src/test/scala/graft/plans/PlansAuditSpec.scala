@@ -32,7 +32,7 @@ class PlansAuditSpec extends AnyFunSuite {
   private val streamingQs = Set("q31_stream_window", "q50_stream_dedup",
     "q59_stream_decontaminate", "q62_stream_stream_join",
     "q63_state_profile", "q65_sliding_window", "q75_stream_quality",
-    "q133_stream_chunk_dedup")
+    "q133_stream_chunk_dedup", "q139_stream_heavy_hitters")
 
   // Queries whose audited shape differs between sf0.001 and sf0.01,
   // with the reason. Keep EMPTY unless a mismatch is understood and
