@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANN recall-at-scale witness (VERDICT r11 #1): mean recall@5 for the
+  * three sublinear ANN paths against exact brute force, at an arbitrary
+  * corpus dir, as one JSON line — the `AnnRecallSpec` measurement made
+  * mechanical so the SCALE.md §6 curve re-measures with one command per
+  * corpus instead of a hand-driven spark-shell session:
+  *
+  *   sbt -batch "runMain graft.AnnRecall /tmp/scale_10x [out.json]"
+  *
+  * Ground truth is q25's exact cosine top-5 for LSH/IVF and an exact-L2
+  * scan for PQ (whose ADC approximates L2). Also reports the dial each
+  * query's [[graft.operators.AnnPolicy]] resolved to at this corpus
+  * size, so the recall curve and the policy curve land in the same
+  * line.
+  */
+object AnnRecall {
+
+  private def topSets(rows: Array[(Long, Long)]): Map[Long, Set[Long]] =
+    rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def run(name: String): Map[Long, Set[Long]] =
+      topSets(graft.operators.PipelineQueries.queries(name)(spark, dir)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect())
+
+    def recall(gt: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double = {
+      val recs = gt.keys.toSeq.map(q =>
+        (gt(q) & got.getOrElse(q, Set.empty)).size.toDouble / gt(q).size)
+      recs.sum / recs.size
+    }
+
+    val e = graft.operators.Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding")
+    val n = e.count()
+    val numLists = e.filter($"vec_id" % 125 === 0).count()
+
+    val gtCos = topSets(
+      graft.operators.PipelineQueries.queries("q25_cosine_topk")(spark, dir)
+        .filter($"rank" <= 5).select($"query_id", $"vec_id")
+        .as[(Long, Long)].collect())
+    val qv = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+    val gtL2 = topSets(e.crossJoin(broadcast(qv))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect())
+
+    val rLsh = recall(gtCos, run("q26_ann_lsh"))
+    val rIvf = recall(gtCos, run("q36_ann_ivf"))
+    val rPq = recall(gtL2, run("q60_ann_pq"))
+
+    val pol = graft.operators.AnnPolicy
+    val json = f"""{"dir":"${dir.replace("\\", "\\\\").replace("\"", "\\\"")}"""" +
+      f""","n_vectors":$n,"num_lists":$numLists""" +
+      f""","lsh_radius":${pol.lshRadius(n)},"ivf_nprobe":${pol.ivfNprobe(numLists)}""" +
+      f""","pq_shortlist":${pol.pqShortlist(n)}""" +
+      f""","recall5_lsh":$rLsh%.4f,"recall5_ivf":$rIvf%.4f,"recall5_pq":$rPq%.4f}"""
+    if (args.length > 1) Files.writeString(Paths.get(args(1)), json + "\n")
+    spark.stop()
+    println(json)
+  }
+}

@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -32,6 +34,16 @@ final case class TokenEst(token: String, est: Long)
   * random streams, random partitionings, and random merge orders in
   * `MisraGriesSpec`.
   *
+  * The buffer is a MUTABLE hash map updated in place — `Aggregator`'s
+  * contract explicitly permits `reduce`/`merge` to mutate and return
+  * their first argument. The previous immutable-`Map` buffer paid a
+  * persistent-node allocation per token and an O(k) full-copy rebuild
+  * on every decrement-all — pure overhead on the hottest ingest path
+  * of a sketch whose purpose is corpus-scale token streams (VERDICT
+  * r11 #3). Serialization cost is unchanged: the buffer crosses a
+  * boundary only at shuffle/state-store time (kryo, ≤ k entries),
+  * never per row.
+  *
   * Scale shape: the buffer is ≤ `k` entries regardless of input size —
   * shuffle volume for the whole-corpus aggregate is O(map_tasks × k),
   * never vocabulary-sized; the driver receives ONE ≤ k-entry row.
@@ -39,46 +51,52 @@ final case class TokenEst(token: String, est: Long)
   * deterministic for a given merge result.
   */
 final class MisraGriesAgg(k: Int)(implicit outEnc: Encoder[Seq[TokenEst]])
-  extends Aggregator[String, Map[String, Long], Seq[TokenEst]] {
+  extends Aggregator[String, mutable.HashMap[String, Long], Seq[TokenEst]] {
 
   require(k > 0, s"misra_gries: k must be positive, got $k")
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-  override def reduce(m: Map[String, Long], w: String): Map[String, Long] =
-    m.get(w) match {
-      case Some(c) => m.updated(w, c + 1L)
-      case None if m.size < k => m.updated(w, 1L)
-      case None =>
-        // Decrement-all: the incoming token's +1 and one global −1
-        // cancel, so it never materializes.
-        m.iterator.collect { case (t, c) if c > 1L => (t, c - 1L) }.toMap
+  override def reduce(
+      m: mutable.HashMap[String, Long], w: String): mutable.HashMap[String, Long] = {
+    val c = m.getOrElse(w, 0L)
+    if (c > 0L) m.update(w, c + 1L)
+    else if (m.size < k) m.update(w, 1L)
+    else {
+      // Decrement-all, in place: the incoming token's +1 and one global
+      // −1 cancel, so it never materializes.
+      m.mapValuesInPlace((_, v) => v - 1L)
+      m.filterInPlace((_, v) => v > 0L)
     }
+    m
+  }
 
   override def merge(
-      m1: Map[String, Long], m2: Map[String, Long]): Map[String, Long] = {
-    val sum = m2.foldLeft(m1) { case (acc, (t, c)) =>
-      acc.updated(t, acc.getOrElse(t, 0L) + c)
-    }
-    if (sum.size <= k) sum
-    else {
+      m1: mutable.HashMap[String, Long],
+      m2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    m2.foreachEntry((t, c) => m1.update(t, m1.getOrElse(t, 0L) + c))
+    if (m1.size > k) {
       // (k+1)-th largest counter value — subtracting it leaves at most
       // k positive counters and charges every surviving token at most
       // one more bounded undercount (the mergeable-summaries bound).
-      val kth = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
-      sum.iterator.collect { case (t, c) if c > kth => (t, c - kth) }.toMap
+      val vals = m1.values.toArray
+      java.util.Arrays.sort(vals)
+      val kth = vals(vals.length - 1 - k)
+      m1.mapValuesInPlace((_, v) => v - kth)
+      m1.filterInPlace((_, v) => v > 0L)
     }
+    m1
   }
 
-  override def finish(m: Map[String, Long]): Seq[TokenEst] =
+  override def finish(m: mutable.HashMap[String, Long]): Seq[TokenEst] =
     m.toSeq.map { case (t, c) => TokenEst(t, c) }
       .sortBy(e => (-e.est, e.token))
 
   // Buffer rides the shuffle opaquely (kryo, ≤ k entries); the OUTPUT
   // uses the product-seq encoder so callers get a real
   // array<struct<token,est>> column they can explode.
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
 
   override def outputEncoder: Encoder[Seq[TokenEst]] = outEnc
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+/** Scale policy for the ANN family's recall/latency dials (VERDICT r11
+  * #1): a dial that is FIXED while the index grows silently ships
+  * decaying recall — measured on the near-random scale corpus, q36's
+  * fixed nprobe=2 fell from recall@5 = 0.84 at 500 vectors (2 of 4
+  * lists probed) to 0.20 at 20k vectors (2 of 160). On near-random
+  * embeddings recall tracks the SCANNED FRACTION of the corpus, so the
+  * policy that holds recall flat is a fixed target scan fraction; on
+  * real clustered corpora the same policy over-delivers (the probed
+  * lists are the clusters the answers live in).
+  *
+  * All three dials are integer arithmetic (ceiling division, integer
+  * threshold compares) so the DuckDB oracle reproduces them bit-for-bit
+  * — no float rounding seam — and each is computed IN-PLAN from a
+  * 1-row count aggregate cross-joined (broadcast) into the probe side:
+  * no driver-side collect, and the plan adapts to whatever corpus it
+  * runs against.
+  *
+  *  - IVF (q36): `nprobe = max(2, ⌈L/20⌉)` over L inverted lists —
+  *    scan fraction ≥ 5% at any index size (L grows ∝ n, 1 list per
+  *    125 vectors, so probed volume is ~5% of n; the floor keeps the
+  *    2-list behavior the small fixtures were calibrated on).
+  *  - PQ (q60): ADC shortlist `S = max(100, ⌈n/20⌉)` — the exact
+  *    re-rank reads ≥ 5% of the corpus's full vectors per query; the
+  *    floor keeps the shortlist ≥ 20× k (top-5) where 5% of the corpus
+  *    would be thinner than the calibrated 100.
+  *  - Multi-probe LSH (q26): 12 hyperplane bits are corpus-independent
+  *    (the probe set is a FRACTION of the 4096 buckets, so recall does
+  *    not decay with n), but a small corpus leaves the Hamming-r probe
+  *    set nearly empty. The radius policy targets an expected candidate
+  *    pool of ≥ 250 on sign-uniform data: the smallest r ∈ [3, 6] with
+  *    cum(r) · n ≥ 250 · 4096, where cum(r) = Σ_{i≤r} C(12, i) is the
+  *    probed-bucket count. At ≥ ~3.5k vectors the floor r = 3 (≈ 7.3%
+  *    of buckets) is already enough and the policy is the r10 behavior
+  *    unchanged; below that the radius widens (r = 4 at 2k vectors,
+  *    r = 6 at 500) instead of probing near-empty buckets.
+  *
+  * These Scala forms are the SPEC for the in-plan column expressions in
+  * `PipelineQueries` (q26/q36/q60) and the oracle SQL twins —
+  * `Round14OpsSpec` pins the policy values at the corpus sizes that
+  * matter (500, 2k, 20k, 80k, and each threshold's edges).
+  */
+object AnnPolicy {
+
+  /** Target scan fraction, as a ceiling division by 20 (= 5%). */
+  val ScanDiv = 20L
+
+  /** IVF probe count for an index of `numLists` inverted lists. */
+  def ivfNprobe(numLists: Long): Long =
+    math.max(2L, (numLists + ScanDiv - 1) / ScanDiv)
+
+  /** PQ ADC shortlist size for a corpus of `n` vectors. */
+  def pqShortlist(n: Long): Long =
+    math.max(100L, (n + ScanDiv - 1) / ScanDiv)
+
+  /** Expected-candidate target for the LSH probe set. */
+  val LshCandidateTarget = 250L
+
+  /** Cumulative probed-bucket counts Σ_{i≤r} C(12, i) for r = 3..6
+    * over 12-bit signatures (4096 buckets).
+    */
+  val LshCum: Seq[(Int, Long)] =
+    Seq(3 -> 299L, 4 -> 794L, 5 -> 1586L, 6 -> 2510L)
+
+  /** Multi-probe Hamming radius for a corpus of `n` vectors. */
+  def lshRadius(n: Long): Int =
+    LshCum.collectFirst {
+      case (r, cum) if cum * n >= LshCandidateTarget * 4096 => r
+    }.getOrElse(6)
+}

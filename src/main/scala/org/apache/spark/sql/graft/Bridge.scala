@@ -54,14 +54,27 @@ object Bridge {
     * RDD whose unpersist frees nothing). Iterative drivers that
     * checkpoint per round (label propagation, star contraction) call
     * this on superseded rounds so re-running the construction doesn't
-    * accumulate one block chain per run. No-op for non-checkpoint
-    * frames.
+    * accumulate one block chain per run.
+    *
+    * Accepts ONLY a frame whose analyzed plan IS a bare `LogicalRDD`
+    * leaf — i.e. the direct result of `localCheckpoint()` (ADVICE
+    * r11): the earlier tree-walking form unpersisted the RDD of ANY
+    * `LogicalRDD` found anywhere in the plan, which would silently
+    * free shared blocks if ever handed a derived plan embedding
+    * someone else's checkpointed frame. A future caller passing a
+    * derived frame now fails loudly instead of corrupting a shared
+    * cache.
     */
   def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other => throw new IllegalArgumentException(
+        "unpersistLocalCheckpoint expects the direct result of " +
+          "localCheckpoint() (a bare LogicalRDD leaf); got a derived " +
+          s"plan rooted at ${other.nodeName} — unpersisting LogicalRDDs " +
+          "inside a derived plan could free blocks shared with other " +
+          "frames")
     }
 
   def registerTempFunction(spark: SparkSession, name: String,

@@ -16,9 +16,14 @@ class MisraGriesSpec extends AnyFunSuite {
 
   private lazy val spark = Fixtures.spark
 
+  import scala.collection.mutable
+
+  private def buf(kv: (String, Long)*): mutable.HashMap[String, Long] =
+    mutable.HashMap(kv: _*)
+
   private def runSchedule(
       stream: Seq[String], k: Int, parts: Int,
-      rnd: scala.util.Random): Map[String, Long] = {
+      rnd: scala.util.Random): collection.Map[String, Long] = {
     val agg = new MisraGriesAgg(k)(null) // encoders unused off-plan
     // Random contiguous partitioning (preserves per-partition stream
     // order, as Spark's map tasks do), then a random binary merge tree.
@@ -70,11 +75,16 @@ class MisraGriesSpec extends AnyFunSuite {
   test("merge is summary-safe: empty identity, k respected, order-free guarantee") {
     val agg = new MisraGriesAgg(4)(null)
     val m = Seq("a", "a", "b", "c").foldLeft(agg.zero)(agg.reduce)
-    assert(agg.merge(m, agg.zero) == m && agg.merge(agg.zero, m) == m)
+    // merge mutates its FIRST argument in place (the Aggregator
+    // contract), so identity is asserted on content snapshots of
+    // cloned inputs, not object equality.
+    val snap = m.toMap
+    assert(agg.merge(m.clone(), agg.zero).toMap == snap)
+    assert(agg.merge(agg.zero, m.clone()).toMap == snap)
     // Merging two full summaries subtracts the (k+1)-th largest value
     // and keeps at most k strictly positive counters.
-    val m1 = Map("a" -> 5L, "b" -> 3L, "c" -> 1L, "d" -> 1L)
-    val m2 = Map("e" -> 4L, "f" -> 2L, "a" -> 1L, "g" -> 1L)
+    val m1 = buf("a" -> 5L, "b" -> 3L, "c" -> 1L, "d" -> 1L)
+    val m2 = buf("e" -> 4L, "f" -> 2L, "a" -> 1L, "g" -> 1L)
     val merged = agg.merge(m1, m2)
     assert(merged.size <= 4 && merged.values.forall(_ > 0))
     assert(merged.contains("a"), "dominant key must survive the spill")
@@ -82,7 +92,7 @@ class MisraGriesSpec extends AnyFunSuite {
 
   test("finish orders by (est desc, token asc) deterministically") {
     val agg = new MisraGriesAgg(8)(null)
-    val out = agg.finish(Map("b" -> 2L, "a" -> 2L, "c" -> 5L))
+    val out = agg.finish(buf("b" -> 2L, "a" -> 2L, "c" -> 5L))
     assert(out.map(_.token) == Seq("c", "a", "b"))
   }
 

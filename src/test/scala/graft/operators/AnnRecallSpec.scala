@@ -13,14 +13,18 @@ import graft.gsheets.Fixtures
   * Ground truth is exact brute force: q25's cosine top-5 for LSH/IVF,
   * an in-spec exact-L2 scan for PQ (which ranks by L2 distance).
   *
-  * Floors are measured values minus headroom (README "ANN recall
-  * floors"): fixture sf0.001 measures LSH 0.16 / IVF 0.84 / PQ 1.00;
-  * sf0.01 measures 0.32 / 0.68 / 0.80. The synthetic embeddings are
-  * near-random (intra-label mean cos ≈ 0.002 vs inter 0.0003), the
-  * WORST case for sublinear retrieval — recall tracks the scanned
-  * fraction (LSH's Hamming-3 probe covers ≈ 7% of the corpus, hence
-  * its low absolute floor) — so real clustered corpora score higher
-  * at the same probe budgets.
+  * Round 12 made every dial a function of index size ([[AnnPolicy]],
+  * VERDICT r11 #1), so the floors here gate the POLICY-active
+  * behavior: with the policy, the 500-vector fixture measures
+  * LSH 0.68 (radius 6) / IVF 0.84 (nprobe 2 = half the 4 lists) /
+  * PQ 1.00 (shortlist 100); 2k vectors measures 0.68 / 0.48 / 0.80.
+  * Scale measurements at 20k and 80k vectors (where the policy bites
+  * for IVF/PQ: nprobe 8/32, shortlist 1000/4000) run via
+  * `graft.AnnRecall` and live in SCALE.md §6. The synthetic
+  * embeddings are near-random (intra-label mean cos ≈ 0.002 vs inter
+  * 0.0003), the WORST case for sublinear retrieval — recall tracks
+  * the scanned fraction — so real clustered corpora score higher at
+  * the same scan budgets.
   */
 class AnnRecallSpec extends AnyFunSuite {
 
@@ -62,19 +66,22 @@ class AnnRecallSpec extends AnyFunSuite {
   test("q26 multi-probe LSH: mean recall@5 vs exact cosine above floor") {
     val r = meanRecall(gtCos, "q26_ann_lsh")
     info(f"q26_ann_lsh recall@5 = $r%.2f")
-    assert(r >= 0.10, f"LSH recall collapsed to $r%.2f (floor 0.10)")
+    assert(r >= 0.40, f"LSH recall collapsed to $r%.2f (floor 0.40; " +
+      "policy-active measurement here is 0.68)")
   }
 
-  test("q36 IVF nprobe=2: mean recall@5 vs exact cosine above floor") {
+  test("q36 IVF policy nprobe: mean recall@5 vs exact cosine above floor") {
     val r = meanRecall(gtCos, "q36_ann_ivf")
     info(f"q36_ann_ivf recall@5 = $r%.2f")
-    assert(r >= 0.30, f"IVF recall collapsed to $r%.2f (floor 0.30)")
+    assert(r >= 0.50, f"IVF recall collapsed to $r%.2f (floor 0.50; " +
+      "policy-active measurement here is 0.84)")
   }
 
   test("q60 PQ shortlist+rerank: mean recall@5 vs exact L2 above floor") {
     val r = meanRecall(gtL2, "q60_ann_pq")
     info(f"q60_ann_pq recall@5 = $r%.2f")
-    assert(r >= 0.50, f"PQ recall collapsed to $r%.2f (floor 0.50)")
+    assert(r >= 0.70, f"PQ recall collapsed to $r%.2f (floor 0.70; " +
+      "policy-active measurement here is 1.00)")
   }
 
   test("q25b agrees with q25 exactly (the UDAF top-k is not approximate)") {

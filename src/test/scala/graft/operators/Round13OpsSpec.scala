@@ -84,14 +84,23 @@ class Round13OpsSpec extends AnyFunSuite {
     }
     // Single-source corpus: p_source == p_corpus, every term ln(1)=0.
     val tmp = java.nio.file.Files
-      .createTempDirectory("graft_kl_single").toString
-    spark.read.parquet(s"$dir/documents.parquet")
-      .withColumn("source", lit("only"))
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val single = PipelineQueries.queries("q134_source_kl_drift")(spark, tmp)
-      .collect()
-    assert(single.length == 1 && single.head.getAs[Double]("kl") == 0.0,
-      s"single-source KL must be exactly 0, got ${single.toSeq}")
+      .createTempDirectory("graft_kl_single")
+    try {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("source", lit("only"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val single = PipelineQueries.queries("q134_source_kl_drift")(
+        spark, tmp.toString).collect()
+      assert(single.length == 1 && single.head.getAs[Double]("kl") == 0.0,
+        s"single-source KL must be exactly 0, got ${single.toSeq}")
+    } finally {
+      // The temp corpus leaked one directory per run before r12
+      // (ADVICE r11).
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("q137: per-pair err and corpus mean are internally consistent") {
