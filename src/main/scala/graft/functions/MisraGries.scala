@@ -95,6 +95,15 @@ final class MisraGriesAgg(k: Int)(implicit outEnc: Encoder[Seq[TokenEst]])
   // Buffer rides the shuffle opaquely (kryo, ≤ k entries); the OUTPUT
   // uses the product-seq encoder so callers get a real
   // array<struct<token,est>> column they can explode.
+  //
+  // State-format note (ADVICE r12): r12 changed this buffer's kryo
+  // class from immutable Map to mutable.HashMap, so a q139 streaming
+  // state-store checkpoint persisted by a pre-r12 build would fail to
+  // deserialize on restore. Harmless today — q139 runs fresh-per-run
+  // against a memory sink with a throwaway checkpoint dir — but if
+  // durable streaming checkpoints are ever adopted, pin the buffer to
+  // an immutable snapshot at the encoder boundary (or version the
+  // state) before relying on restart-over-upgrade.
   override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
     Encoders.kryo[mutable.HashMap[String, Long]]
 

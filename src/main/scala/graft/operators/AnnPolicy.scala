@@ -1,5 +1,8 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{expr, greatest, lit, when}
+
 /** Scale policy for the ANN family's recall/latency dials (VERDICT r11
   * #1): a dial that is FIXED while the index grows silently ships
   * decaying recall — measured on the near-random scale corpus, q36's
@@ -37,22 +40,47 @@ package graft.operators
   *    r = 6 at 500) instead of probing near-empty buckets.
   *
   * These Scala forms are the SPEC for the in-plan column expressions in
-  * `PipelineQueries` (q26/q36/q60) and the oracle SQL twins —
-  * `Round14OpsSpec` pins the policy values at the corpus sizes that
-  * matter (500, 2k, 20k, 80k, and each threshold's edges).
+  * `PipelineQueries` (q26/q36/q60) and the oracle SQL twins — both are
+  * BUILT from this object's constants via [[scanCeilCol]]/[[scanCeilSql]]
+  * and [[lshRadiusCol]]/[[lshRadiusSql]], so the three copies cannot
+  * drift (ADVICE r12). `Round14OpsSpec` pins the policy values at the
+  * corpus sizes that matter (500, 2k, 20k, 80k, and each threshold's
+  * edges) and asserts the generated SQL/Column forms stay in lockstep
+  * with the Scala functions.
   */
 object AnnPolicy {
 
   /** Target scan fraction, as a ceiling division by 20 (= 5%). */
   val ScanDiv = 20L
 
+  /** nprobe floor: the 2-list behavior the small fixtures were
+    * calibrated on. */
+  val IvfNprobeFloor = 2L
+
+  /** Shortlist floor: ≥ 20× k (top-5) where 5% of the corpus would be
+    * thinner than the calibrated 100. */
+  val PqShortlistFloor = 100L
+
+  /** max(floor, ⌈n/ScanDiv⌉) — the shared scan-fraction dial. */
+  def scanCeil(n: Long, floor: Long): Long =
+    math.max(floor, (n + ScanDiv - 1) / ScanDiv)
+
   /** IVF probe count for an index of `numLists` inverted lists. */
-  def ivfNprobe(numLists: Long): Long =
-    math.max(2L, (numLists + ScanDiv - 1) / ScanDiv)
+  def ivfNprobe(numLists: Long): Long = scanCeil(numLists, IvfNprobeFloor)
 
   /** PQ ADC shortlist size for a corpus of `n` vectors. */
-  def pqShortlist(n: Long): Long =
-    math.max(100L, (n + ScanDiv - 1) / ScanDiv)
+  def pqShortlist(n: Long): Long = scanCeil(n, PqShortlistFloor)
+
+  /** In-plan twin of [[scanCeil]] over a 1-row count column `n` —
+    * integer ceiling division (`DIV`), bit-identical to the Scala and
+    * SQL forms. */
+  def scanCeilCol(n: String, floor: Long): Column =
+    greatest(lit(floor), expr(s"($n + ${ScanDiv - 1}) DIV $ScanDiv"))
+
+  /** DuckDB-SQL twin of [[scanCeil]] (`//` is DuckDB's integer
+    * division). */
+  def scanCeilSql(n: String, floor: Long): String =
+    s"greatest($floor, ($n + ${ScanDiv - 1}) // $ScanDiv)"
 
   /** Expected-candidate target for the LSH probe set. */
   val LshCandidateTarget = 250L
@@ -68,4 +96,18 @@ object AnnPolicy {
     LshCum.collectFirst {
       case (r, cum) if cum * n >= LshCandidateTarget * 4096 => r
     }.getOrElse(6)
+
+  /** In-plan twin of [[lshRadius]] over a 1-row count column `n` —
+    * the same integer threshold compares as the Scala fold. */
+  def lshRadiusCol(n: Column): Column =
+    LshCum.init.foldRight(lit(LshCum.last._1): Column) {
+      case ((r, cum), rest) =>
+        when(n * cum >= LshCandidateTarget * 4096L, r).otherwise(rest)
+    }
+
+  /** DuckDB-SQL twin of [[lshRadius]]. */
+  def lshRadiusSql(n: String): String =
+    LshCum.init.map { case (r, cum) =>
+      s"WHEN $n * $cum >= ${LshCandidateTarget * 4096} THEN $r"
+    }.mkString("CASE ", " ", s" ELSE ${LshCum.last._1} END")
 }

@@ -1418,10 +1418,7 @@ object PipelineQueries {
                  shiftleft(CAST(1 AS BIGINT), h), CAST(0 AS BIGINT)))"""))
         .drop("dots")
       val rad = e.agg(count(lit(1)).as("nv")).select(
-        when($"nv" * 299L >= 250L * 4096, 3)
-          .when($"nv" * 794L >= 250L * 4096, 4)
-          .when($"nv" * 1586L >= 250L * 4096, 5)
-          .otherwise(6).as("radius"))
+        AnnPolicy.lshRadiusCol($"nv").as("radius"))
       val q = eb.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket".as("qbucket"))
         .crossJoin(rad)
@@ -1575,7 +1572,8 @@ object PipelineQueries {
       // disjoint inverted lists. Integer ceiling division so the
       // oracle's `//`-arithmetic twin is bit-identical.
       val np = cents.agg(count(lit(1)).as("nl"))
-        .select(greatest(lit(2L), expr("(nl + 19) DIV 20")).as("nprobe"))
+        .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfNprobeFloor)
+          .as("nprobe"))
       val q = ranked.filter($"vec_id" < 5).crossJoin(broadcast(np))
         .filter($"arank" <= $"nprobe")
         .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"cid".as("qcid"))
@@ -2412,7 +2410,8 @@ object PipelineQueries {
       // the index grows (VERDICT r11 #1) — in-plan 1-row count,
       // integer ceiling division, oracle-mirrored.
       val slist = e.agg(count(lit(1)).as("nv"))
-        .select(greatest(lit(100L), expr("(nv + 19) DIV 20")).as("slist"))
+        .select(AnnPolicy.scanCeilCol("nv", AnnPolicy.PqShortlistFloor)
+          .as("slist"))
       val shortlist = adc
         .withColumn("srank", row_number().over(sw))
         .crossJoin(broadcast(slist))
@@ -4785,10 +4784,16 @@ object PipelineQueries {
 
     // DISTINCT (doc_id, sid) shingle-id sets — the oracle twin of
     // [[docSidArrays]] (hash then dedup; a colliding shingle pair merges
-    // identically in both engines).
-    val dsid = s"""
-      dsid AS (SELECT DISTINCT doc_id, ${oraclePolyHash("shingle")} sid
+    // identically in both engines). Two spellings from ONE definition
+    // site (ADVICE r12 — the old post-hoc string replace would have
+    // silently no-op'd if the literal's spelling drifted): the plain
+    // CTE, and the `MATERIALIZED`-hinted one `minhashChain` stages so
+    // the q101/q46 recursive-closure oracles release the shingle
+    // pipeline's memory before the closure runs (VERDICT r11 #2).
+    def dsidDef(mat: String) = s"""
+      dsid AS $mat(SELECT DISTINCT doc_id, ${oraclePolyHash("shingle")} sid
                FROM dsh)"""
+    val dsid = dsidDef("")
 
     // q22b's full MinHash→LSH→verify CTE chain (shingle ids from the
     // portable polynomial hash — h = 131h + code mod P, folded
@@ -4819,8 +4824,7 @@ object PipelineQueries {
     // computes the massive chain once with a pipeline breaker,
     // releasing its memory before the closure runs. Hint-only, result
     // sets identical (equality + 6× speedup measured at 50k docs).
-    val minhashChain = s"""$dsh, ${
-        dsid.replace("dsid AS (", "dsid AS MATERIALIZED (")},$mhBandsSql,
+    val minhashChain = s"""$dsh, ${dsidDef("MATERIALIZED ")},$mhBandsSql,
         cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
@@ -5338,10 +5342,7 @@ object PipelineQueries {
         -- smallest r in [3, 6] whose expected candidate pool reaches
         -- 250 (integer threshold compares, mirroring the Spark side's
         -- CASE over the corpus count).
-        rad AS (SELECT CASE WHEN count(1) * 299 >= 1024000 THEN 3
-                            WHEN count(1) * 794 >= 1024000 THEN 4
-                            WHEN count(1) * 1586 >= 1024000 THEN 5
-                            ELSE 6 END r FROM eb),
+        rad AS (SELECT ${AnnPolicy.lshRadiusSql("count(1)")} r FROM eb),
         scored AS (SELECT q.query_id, eb.vec_id,
                           list_dot_product(eb.v, q.qv) /
                           (sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
@@ -5440,7 +5441,9 @@ object PipelineQueries {
         -- AnnPolicy.ivfNprobe: max(2, ceil(L/20)) over L inverted
         -- lists — integer ceiling division, mirroring the Spark side's
         -- (nl + 19) DIV 20 exactly.
-        np AS (SELECT greatest(2, (count(1) + 19) // 20) np FROM cents),
+        np AS (SELECT ${
+          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.IvfNprobeFloor)
+        } np FROM cents),
         q AS (SELECT r.vec_id query_id, e.v qv, r.cid qcid
               FROM rankedc r JOIN e ON r.vec_id = e.vec_id
               WHERE r.vec_id < 5 AND r.ar <= (SELECT np FROM np)),
@@ -5477,7 +5480,7 @@ object PipelineQueries {
       // SUBSPACE ORDER (list(d ORDER BY s) ≡ the Spark sorted-struct
       // fold), so the shortlist cut is bit-identical. The rerank L2 is
       // the q72 fold (index-ascending) — also bit-identical.
-      "q60_ann_pq" -> """
+      "q60_ann_pq" -> s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         cents AS (SELECT vec_id cid, v cv FROM e
                   WHERE vec_id % 25 = 0 AND vec_id < 2500),
@@ -5504,7 +5507,9 @@ object PipelineQueries {
         -- AnnPolicy.pqShortlist: max(100, ceil(n/20)) — integer
         -- ceiling division, mirroring the Spark side's
         -- (nv + 19) DIV 20.
-        sl AS (SELECT greatest(100, (count(1) + 19) // 20) sl FROM e),
+        sl AS (SELECT ${
+          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.PqShortlistFloor)
+        } sl FROM e),
         short AS (SELECT query_id, vec_id FROM (
                     SELECT query_id, vec_id,
                            row_number() OVER (PARTITION BY query_id
