@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions.{expr, greatest, lit, when}
   * no driver-side collect, and the plan adapts to whatever corpus it
   * runs against.
   *
-  *  - IVF (q36): `nprobe = max(2, ⌈L/20⌉)` over L inverted lists —
-  *    scan fraction ≥ 5% at any index size (L grows ∝ n, 1 list per
-  *    125 vectors, so probed volume is ~5% of n; the floor keeps the
-  *    2-list behavior the small fixtures were calibrated on).
+  *  - IVF (q36): `nprobe = max(2, ⌈L/10⌉)` over L inverted lists —
+  *    scan fraction ≥ 10% at any index size (L grows ∝ n, 1 list per
+  *    125 vectors, so probed volume is ~10% of n; the floor keeps the
+  *    2-list behavior the small fixtures were calibrated on). The
+  *    divisor is measured, not assumed — see [[IvfScanDiv]].
   *  - PQ (q60): ADC shortlist `S = max(100, ⌈n/20⌉)` — the exact
   *    re-rank reads ≥ 5% of the corpus's full vectors per query; the
   *    floor keeps the shortlist ≥ 20× k (top-5) where 5% of the corpus
@@ -50,8 +51,22 @@ import org.apache.spark.sql.functions.{expr, greatest, lit, when}
   */
 object AnnPolicy {
 
-  /** Target scan fraction, as a ceiling division by 20 (= 5%). */
-  val ScanDiv = 20L
+  /** PQ target scan fraction, as a ceiling division by 20 (= 5%): the
+    * shortlist's exact re-rank at 5% already measures recall@5 = 0.96
+    * at 20k vectors (SCALE.md §6) — ADC does the candidate ranking, so
+    * the scan fraction only has to catch rank inversions. */
+  val PqScanDiv = 20L
+
+  /** IVF target scan fraction, as a ceiling division by 10 (= 10%) —
+    * set ON DATA (VERDICT r12 #8, measured at 20k/80k vectors on the
+    * near-random worst-case corpus, `evidence/r13/
+    * ivf_scan_fraction_exp.log`): a 5% scan gave recall@5 = 0.32/0.52,
+    * 10% gives 0.52/0.72 — above the 0.50 floor at every measured
+    * scale — and 20% only 0.68/0.76 (diminishing returns). Unlike PQ
+    * there is no re-rank stage to recover misses: the probed lists ARE
+    * the candidate set, so IVF buys recall with scan fraction
+    * directly. */
+  val IvfScanDiv = 10L
 
   /** nprobe floor: the 2-list behavior the small fixtures were
     * calibrated on. */
@@ -61,26 +76,27 @@ object AnnPolicy {
     * thinner than the calibrated 100. */
   val PqShortlistFloor = 100L
 
-  /** max(floor, ⌈n/ScanDiv⌉) — the shared scan-fraction dial. */
-  def scanCeil(n: Long, floor: Long): Long =
-    math.max(floor, (n + ScanDiv - 1) / ScanDiv)
+  /** max(floor, ⌈n/div⌉) — the shared scan-fraction dial. */
+  def scanCeil(n: Long, div: Long, floor: Long): Long =
+    math.max(floor, (n + div - 1) / div)
 
   /** IVF probe count for an index of `numLists` inverted lists. */
-  def ivfNprobe(numLists: Long): Long = scanCeil(numLists, IvfNprobeFloor)
+  def ivfNprobe(numLists: Long): Long =
+    scanCeil(numLists, IvfScanDiv, IvfNprobeFloor)
 
   /** PQ ADC shortlist size for a corpus of `n` vectors. */
-  def pqShortlist(n: Long): Long = scanCeil(n, PqShortlistFloor)
+  def pqShortlist(n: Long): Long = scanCeil(n, PqScanDiv, PqShortlistFloor)
 
   /** In-plan twin of [[scanCeil]] over a 1-row count column `n` —
     * integer ceiling division (`DIV`), bit-identical to the Scala and
     * SQL forms. */
-  def scanCeilCol(n: String, floor: Long): Column =
-    greatest(lit(floor), expr(s"($n + ${ScanDiv - 1}) DIV $ScanDiv"))
+  def scanCeilCol(n: String, div: Long, floor: Long): Column =
+    greatest(lit(floor), expr(s"($n + ${div - 1}) DIV $div"))
 
   /** DuckDB-SQL twin of [[scanCeil]] (`//` is DuckDB's integer
     * division). */
-  def scanCeilSql(n: String, floor: Long): String =
-    s"greatest($floor, ($n + ${ScanDiv - 1}) // $ScanDiv)"
+  def scanCeilSql(n: String, div: Long, floor: Long): String =
+    s"greatest($floor, ($n + ${div - 1}) // $div)"
 
   /** Expected-candidate target for the LSH probe set. */
   val LshCandidateTarget = 250L

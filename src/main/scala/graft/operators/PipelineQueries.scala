@@ -1544,7 +1544,7 @@ object PipelineQueries {
     // engine-differently). Each vector joins its nearest centroid's
     // inverted list; queries probe their nprobe nearest lists, then
     // exact cosine top-5. nprobe follows [[AnnPolicy.ivfNprobe]] —
-    // max(2, ⌈L/20⌉) over L lists, a ≥5% scan fraction at ANY index
+    // max(2, ⌈L/10⌉) over L lists, a ≥10% scan fraction at ANY index
     // size, computed in-plan from a 1-row centroid count (the fixed
     // nprobe=2 of rounds 7–11 scanned 2/L, and recall@5 decayed
     // 0.84 → 0.20 as the corpus grew 500 → 20k vectors — VERDICT r11
@@ -1572,8 +1572,8 @@ object PipelineQueries {
       // disjoint inverted lists. Integer ceiling division so the
       // oracle's `//`-arithmetic twin is bit-identical.
       val np = cents.agg(count(lit(1)).as("nl"))
-        .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfNprobeFloor)
-          .as("nprobe"))
+        .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
+          AnnPolicy.IvfNprobeFloor).as("nprobe"))
       val q = ranked.filter($"vec_id" < 5).crossJoin(broadcast(np))
         .filter($"arank" <= $"nprobe")
         .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"cid".as("qcid"))
@@ -2410,8 +2410,8 @@ object PipelineQueries {
       // the index grows (VERDICT r11 #1) — in-plan 1-row count,
       // integer ceiling division, oracle-mirrored.
       val slist = e.agg(count(lit(1)).as("nv"))
-        .select(AnnPolicy.scanCeilCol("nv", AnnPolicy.PqShortlistFloor)
-          .as("slist"))
+        .select(AnnPolicy.scanCeilCol("nv", AnnPolicy.PqScanDiv,
+          AnnPolicy.PqShortlistFloor).as("slist"))
       val shortlist = adc
         .withColumn("srank", row_number().over(sw))
         .crossJoin(broadcast(slist))
@@ -5438,11 +5438,12 @@ object PipelineQueries {
                     FROM scoredc),
         assigned AS (SELECT vec_id, cid FROM rankedc WHERE ar = 1),
         ea AS (SELECT e.vec_id, e.v, a.cid FROM e JOIN assigned a USING (vec_id)),
-        -- AnnPolicy.ivfNprobe: max(2, ceil(L/20)) over L inverted
+        -- AnnPolicy.ivfNprobe: max(2, ceil(L/10)) over L inverted
         -- lists — integer ceiling division, mirroring the Spark side's
-        -- (nl + 19) DIV 20 exactly.
+        -- (nl + 9) DIV 10 exactly.
         np AS (SELECT ${
-          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.IvfNprobeFloor)
+          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.IvfScanDiv,
+            AnnPolicy.IvfNprobeFloor)
         } np FROM cents),
         q AS (SELECT r.vec_id query_id, e.v qv, r.cid qcid
               FROM rankedc r JOIN e ON r.vec_id = e.vec_id
@@ -5508,7 +5509,8 @@ object PipelineQueries {
         -- ceiling division, mirroring the Spark side's
         -- (nv + 19) DIV 20.
         sl AS (SELECT ${
-          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.PqShortlistFloor)
+          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.PqScanDiv,
+            AnnPolicy.PqShortlistFloor)
         } sl FROM e),
         short AS (SELECT query_id, vec_id FROM (
                     SELECT query_id, vec_id,

@@ -35,11 +35,13 @@ class Round14OpsSpec extends AnyFunSuite {
   }
 
   test("ivfNprobe at the witness index sizes (1 list per 125 vectors)") {
-    // 500 vecs → 4 lists, 2k → 16, 20k → 160, 80k → 640.
+    // 500 vecs → 4 lists, 2k → 16, 20k → 160, 80k → 640. The divisor
+    // is 10 (a 10% scan), measured against 20 and 5 at 20k/80k —
+    // recall@5 0.52/0.72 vs 0.32/0.52 vs 0.68/0.76 (SCALE.md §6).
     assert(AnnPolicy.ivfNprobe(4L) == 2L)    // floor: half the index
     assert(AnnPolicy.ivfNprobe(16L) == 2L)   // floor: 12.5%
-    assert(AnnPolicy.ivfNprobe(160L) == 8L)  // ⌈160/20⌉ — 5% scan
-    assert(AnnPolicy.ivfNprobe(640L) == 32L) // ⌈640/20⌉ — 5% scan
+    assert(AnnPolicy.ivfNprobe(160L) == 16L) // ⌈160/10⌉ — 10% scan
+    assert(AnnPolicy.ivfNprobe(640L) == 64L) // ⌈640/10⌉ — 10% scan
   }
 
   test("pqShortlist at the witness corpus sizes") {
@@ -65,14 +67,14 @@ class Round14OpsSpec extends AnyFunSuite {
   }
 
   test("scan-fraction dials leave their floors at the exact thresholds") {
-    // nprobe floor 2 holds through L = 40 (⌈40/20⌉ = 2), steps at 41.
-    assert(AnnPolicy.ivfNprobe(40L) == 2L)
-    assert(AnnPolicy.ivfNprobe(41L) == 3L)
+    // nprobe floor 2 holds through L = 20 (⌈20/10⌉ = 2), steps at 21.
+    assert(AnnPolicy.ivfNprobe(20L) == 2L)
+    assert(AnnPolicy.ivfNprobe(21L) == 3L)
     // shortlist floor 100 holds through n = 2000, steps at 2001.
     assert(AnnPolicy.pqShortlist(2000L) == 100L)
     assert(AnnPolicy.pqShortlist(2001L) == 101L)
     // Ceiling division, not floor: one extra row rounds UP.
-    assert(AnnPolicy.scanCeil(20001L, 100L) == 1001L)
+    assert(AnnPolicy.scanCeil(20001L, AnnPolicy.PqScanDiv, 100L) == 1001L)
   }
 
   // ---- 3. Scala / Column / SQL lockstep --------------------------------
@@ -93,13 +95,15 @@ class Round14OpsSpec extends AnyFunSuite {
   }
 
   test("scanCeilCol computes exactly scanCeil for every sweep point") {
-    for (floor <- Seq(AnnPolicy.IvfNprobeFloor, AnnPolicy.PqShortlistFloor)) {
+    for ((div, floor) <- Seq(
+        AnnPolicy.IvfScanDiv -> AnnPolicy.IvfNprobeFloor,
+        AnnPolicy.PqScanDiv -> AnnPolicy.PqShortlistFloor)) {
       val got = sweep.toDF("nv")
-        .select($"nv", AnnPolicy.scanCeilCol("nv", floor).as("v"))
+        .select($"nv", AnnPolicy.scanCeilCol("nv", div, floor).as("v"))
         .as[(Long, Long)].collect().toMap
       sweep.foreach { n =>
-        assert(got(n) == AnnPolicy.scanCeil(n, floor),
-          s"scanCeilCol at n=$n floor=$floor")
+        assert(got(n) == AnnPolicy.scanCeil(n, div, floor),
+          s"scanCeilCol at n=$n div=$div floor=$floor")
       }
     }
   }
@@ -109,9 +113,11 @@ class Round14OpsSpec extends AnyFunSuite {
     // pinned by spelling: the exact arithmetic the driver's oracle gate
     // then executes against real corpora (CORRECTNESS_r*.json is the
     // cross-engine value check; this is the drift check).
-    assert(AnnPolicy.scanCeilSql("count(1)", 2L) ==
-      "greatest(2, (count(1) + 19) // 20)")
-    assert(AnnPolicy.scanCeilSql("count(1)", 100L) ==
+    assert(AnnPolicy.scanCeilSql("count(1)",
+      AnnPolicy.IvfScanDiv, AnnPolicy.IvfNprobeFloor) ==
+      "greatest(2, (count(1) + 9) // 10)")
+    assert(AnnPolicy.scanCeilSql("count(1)",
+      AnnPolicy.PqScanDiv, AnnPolicy.PqShortlistFloor) ==
       "greatest(100, (count(1) + 19) // 20)")
     val radSql = AnnPolicy.lshRadiusSql("count(1)")
     AnnPolicy.LshCum.init.foreach { case (r, cum) =>
