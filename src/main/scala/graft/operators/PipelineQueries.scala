@@ -4582,6 +4582,49 @@ object PipelineQueries {
           CrossRound.r($"n_neardup".cast("double") / $"n_docs", 6)
             .as("keep_frac"))
         .orderBy($"source")
+    },
+
+    // ----- embedding-space outlier pruning (cluster-distance z-filter) -----
+    // The embedding-quality sibling of the text-side Gopher rules: a
+    // curation run drops vectors that sit far outside their own
+    // cluster before any similarity-based step trusts them (mis-encoded
+    // docs, empty-input embeddings, wrong-modality rows — the
+    // SemDeDup-adjacent hygiene pass). Quantizer = the family's shared
+    // every-125th-vector coarse codebook (q36/q60/q68 contract, so the
+    // oracle reproduces assignment bit-for-bit); each vector's
+    // distance-to-own-centroid is compared against its CLUSTER MEDIAN
+    // distance: keep iff d ≤ 4·median. Median, not mean — selection/
+    // interpolation over bit-identical doubles is summation-order-free
+    // (the q99 argument), and 4·med is an EXACT IEEE product (scaling
+    // by a power of two), so the keep verdict has no rounding seam at
+    // all; the reported ratio is one correctly-rounded divide. Shapes
+    // at 100 TB: assignment is one map-side pass against broadcast
+    // centroids folded by a map-side-combining min_by (q72's shape —
+    // one row per vector shuffles, never vector×centroid); cluster
+    // stats are a K-row aggregate broadcast back; no windows, no
+    // collects, nothing corpus-sized on the driver.
+    "q140_embedding_outliers" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" % 125 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("d",
+          graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
+        .groupBy($"vec_id")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("cid"),
+          min($"d").as("d"))
+      val st = asg.groupBy($"cid")
+        .agg(count(lit(1)).as("n_members"),
+          expr("percentile(d, 0.5)").as("med"))
+      asg.join(broadcast(st), "cid")
+        .select($"vec_id", $"cid", $"n_members",
+          CrossRound.r($"d", 4).as("d2"),
+          CrossRound.r($"med", 4).as("med_d2"),
+          when($"med" > 0, CrossRound.r($"d" / $"med", 4)).as("ratio"),
+          ($"d" <= lit(4.0) * $"med").as("keep"))
+        .orderBy($"vec_id")
     }
   )
 
@@ -7065,7 +7108,38 @@ object PipelineQueries {
                  AS keep_frac
         FROM f3
         GROUP BY source
-        ORDER BY source"""
+        ORDER BY source""",
+
+      // Assignment is q36's deterministic coarse codebook; the cluster
+      // stat is quantile_cont (the q99-proven twin of Spark's exact
+      // interpolated percentile); keep compares d against 4*med — an
+      // exact IEEE product — so the verdict can never tie-split across
+      // engines.
+      "q140_embedding_outliers" -> s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        cents AS (SELECT vec_id cid, v cv FROM e WHERE vec_id % 125 = 0),
+        sc AS (SELECT e.vec_id, c.cid,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, 65),
+                          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+                        (x, y) -> x + y) d
+               FROM e CROSS JOIN cents c),
+        asg AS (SELECT vec_id, cid, d FROM (
+                  SELECT vec_id, cid, d,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) rn
+                  FROM sc) WHERE rn = 1),
+        st AS (SELECT cid, CAST(count(1) AS BIGINT) n_members,
+                      quantile_cont(d, 0.5) med
+               FROM asg GROUP BY 1)
+        SELECT a.vec_id, a.cid, n_members,
+               floor(a.d * 10000 + 0.5) / 10000 AS d2,
+               floor(med * 10000 + 0.5) / 10000 AS med_d2,
+               CASE WHEN med > 0
+                    THEN floor(a.d / med * 10000 + 0.5) / 10000 END AS ratio,
+               a.d <= 4 * med AS keep
+        FROM asg a JOIN st USING (cid)
+        ORDER BY a.vec_id"""
     )
   }
 }

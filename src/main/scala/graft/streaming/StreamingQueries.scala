@@ -169,6 +169,11 @@ object StreamingQueries {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  private val embStreamSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ----- streaming tumbling-window aggregation over the events feed -----
@@ -498,6 +503,87 @@ object StreamingQueries {
         .orderBy($"cnt".desc, $"token")
     },
 
+    // ----- streaming vector ingestion: IVFPQ cell routing + ingest dedup -----
+    // The vector-database ingest path: embeddings arrive as a stream,
+    // each is routed to its IVF list (nearest coarse centroid — the
+    // family's shared every-125th codebook, q36/q60/q68 contract) and
+    // quantized to its 8-subspace PQ code (q60's exact cell
+    // arithmetic); the ledger keeps ONE row per occupied (list, code)
+    // cell — canonical vector = min vec_id, plus how many ingested
+    // vectors collapsed into the cell (the quantization-duplicate
+    // count an ingest pipeline uses to short-circuit re-indexing).
+    //
+    // The scale design is what this query exists to demonstrate:
+    // routing must NOT be a streaming aggregation. The static codebook
+    // folds into ONE broadcastable row of array<struct<cid, ce>>, a
+    // stream-static cross join pins it to every arriving row, and both
+    // the full-dim argmin and the 8 per-subspace argmins are PURE
+    // PER-ROW expressions (array_min over a transform — struct
+    // ordering compares d then cid, the oracle's row_number twin), so
+    // the only stateful operator is the final (cid, pcode) aggregate:
+    // state = occupied CELLS (bounded by the code space), never
+    // per-vector — the q139 sketch-state argument applied to vector
+    // ingest. On bounded input the complete-mode final state equals
+    // the batch group-by, which is what the oracle computes; every
+    // distance is a left-to-right fold of exactly-rounded doubles
+    // (the q60-proven parity shape), so cell assignment can never
+    // tie-split across engines.
+    "q141_stream_vector_ingest" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      val cb = s2.read.option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(dir)
+        .filter($"vec_id" % 125 === 0)
+        .select($"vec_id".as("cid"),
+          $"embedding".cast("array<double>").as("ce"))
+        .agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
+
+      val reader = s2.readStream
+        .schema(embStreamSchema)
+        .option("pathGlobFilter", "embeddings*.parquet")
+      s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+        .foreach(n => reader.option("maxFilesPerTrigger", n))
+      val stream = reader.parquet(dir)
+
+      val routed = stream
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .crossJoin(broadcast(cb))
+        .withColumn("cid", expr(
+          """array_min(transform(cb, c -> named_struct(
+               'd', aggregate(zip_with(v, c.ce, (a, b) -> (a - b) * (a - b)),
+                      CAST(0 AS DOUBLE), (x, y) -> x + y),
+               'cid', c.cid))).cid"""))
+        .withColumn("pcode", expr(
+          """array_join(transform(sequence(0, 7), sidx -> CAST(
+               array_min(transform(cb, c -> named_struct(
+                 'd', aggregate(zip_with(slice(v, sidx * 8 + 1, 8),
+                                         slice(c.ce, sidx * 8 + 1, 8),
+                                         (a, b) -> (a - b) * (a - b)),
+                        CAST(0 AS DOUBLE), (x, y) -> x + y),
+                 'cid', c.cid))).cid AS STRING)), '-')"""))
+
+      val ledger = routed
+        .groupBy($"cid", $"pcode")
+        .agg(count(lit(1)).as("n_ingested"),
+          min($"vec_id").as("canonical_vec"))
+
+      val sink = s"q141_sink_${sinkCounter.incrementAndGet()}"
+      val q = ledger.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      capturePlan("q141_stream_vector_ingest", q)
+      s2.table(sink).orderBy($"cid", $"pcode")
+    },
+
     // ----- streaming SLIDING-window aggregation -----
     // Overlapping 1-hour windows every 15 minutes — each event lands in
     // 4 windows (the rate-monitoring shape tumbling q31 can't express).
@@ -679,6 +765,46 @@ object StreamingQueries {
     // output is not (the MG guarantee; see the query's comment).
     "q139_stream_heavy_hitters" ->
       graft.operators.PipelineQueries.oracleSql("q135_heavy_hitters"),
+
+    // The ingest ledger on bounded input equals the batch (list, code)
+    // group-by — assignment and sub-codes via the q60-proven CTE
+    // shapes (row_number over (d, cid) = the Spark side's struct
+    // array_min).
+    "q141_stream_vector_ingest" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      cents AS (SELECT vec_id cid, v cv FROM e WHERE vec_id % 125 = 0),
+      fd AS (SELECT e.vec_id, c.cid,
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      list_transform(range(1, 65),
+                        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+                      (x, y) -> x + y) d
+             FROM e CROSS JOIN cents c),
+      asg AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cid) rn
+                FROM fd) WHERE rn = 1),
+      pd AS (SELECT e.vec_id, c.cid, s.s,
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      list_transform(range(1, 9),
+                        j -> (e.v[s.s*8+j] - c.cv[s.s*8+j])
+                             * (e.v[s.s*8+j] - c.cv[s.s*8+j]))),
+                      (x, y) -> x + y) d
+             FROM e CROSS JOIN cents c
+                  CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
+      codes AS (SELECT vec_id, s, cid code FROM (
+                  SELECT vec_id, s, cid,
+                         row_number() OVER (PARTITION BY vec_id, s
+                                            ORDER BY d, cid) rn
+                  FROM pd) WHERE rn = 1),
+      pc AS (SELECT vec_id, string_agg(code::VARCHAR, '-' ORDER BY s) pcode
+             FROM codes GROUP BY 1)
+      SELECT a.cid, p.pcode,
+             CAST(count(1) AS BIGINT) n_ingested,
+             min(a.vec_id) canonical_vec
+      FROM asg a JOIN pc p USING (vec_id)
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
 
     "q31_stream_window" -> """
       SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,

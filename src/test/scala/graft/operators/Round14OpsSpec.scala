@@ -206,6 +206,89 @@ class Round14OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- 5. round-13 operators: q140 / q141 -------------------------------
+
+  test("q140: assignment is total, centroids are their own cluster floor, " +
+      "and the keep verdict is the 4x-median rule") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = PipelineQueries.queries("q140_embedding_outliers")(spark, dir)
+      .collect()
+    val nVec = Tables(spark, dir).embeddings.count()
+    assert(rows.length == nVec, "one verdict per vector, no drops/dups")
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    rows.filter(_.getAs[Long]("vec_id") % 125 == 0).foreach { r =>
+      // A centroid is a member of its own cluster at distance 0.
+      assert(r.getAs[Long]("cid") == r.getAs[Long]("vec_id"))
+      assert(r.getAs[Double]("d2") == 0.0)
+      assert(r.getAs[Boolean]("keep"))
+    }
+    // Median property: within each cluster at least half the members
+    // sit at or below the cluster median (ratio <= 1 + rounding ulp).
+    rows.groupBy(_.getAs[Long]("cid")).foreach { case (cid, members) =>
+      val atOrBelow = members.count { r =>
+        val ratio = r.getAs[java.lang.Double]("ratio")
+        ratio == null || ratio <= 1.0001
+      }
+      assert(atOrBelow * 2 >= members.length,
+        s"cluster $cid: only $atOrBelow/${members.length} at/below median")
+    }
+    // keep <=> d <= 4*med, checked away from the rounded boundary.
+    rows.foreach { r =>
+      val ratio = r.getAs[java.lang.Double]("ratio")
+      if (ratio != null) {
+        if (ratio <= 3.999) assert(r.getAs[Boolean]("keep"))
+        if (ratio >= 4.001) assert(!r.getAs[Boolean]("keep"))
+      }
+    }
+  }
+
+  test("q141: the ingest ledger is feed-batching-independent and " +
+      "accounts for every vector") {
+    val dir = "/root/testdata/sf0.01"
+    val single = graft.streaming.StreamingQueries
+      .queries("q141_stream_vector_ingest")(spark, dir).collect()
+    val nVec = Tables(spark, dir).embeddings.count()
+    assert(single.map(_.getAs[Long]("n_ingested")).sum == nVec,
+      "every ingested vector lands in exactly one cell")
+    val centIds = Tables(spark, dir).embeddings
+      .filter(col("vec_id") % 125 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(single.map(_.getAs[Long]("cid")).forall(centIds),
+      "every route target is a codebook centroid")
+    assert(single.forall(_.getAs[String]("pcode").split("-").length == 8),
+      "PQ code is 8 subspace ids")
+
+    // Staged 2-file feed, maxFilesPerTrigger=1: two micro-batches must
+    // produce the identical ledger (the complete-mode state carries
+    // cells across batches; cell counts are arrival-order independent).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q141_stage")
+    try {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      for ((pred, i) <- Seq(col("vec_id") < 250, col("vec_id") >= 250).zipWithIndex) {
+        val slice = s"$tmp/_tmp/$i"
+        e.filter(pred).coalesce(1).write.mode("overwrite").parquet(slice)
+        val part = new java.io.File(slice).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(s"$tmp/embeddings_$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1000000L * (i + 1))
+      }
+      spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+      try {
+        val staged = graft.streaming.StreamingQueries
+          .queries("q141_stream_vector_ingest")(spark, tmp.toString).collect()
+        assert(staged.map(_.toSeq).toSet == single.map(_.toSeq).toSet,
+          "staged multi-batch ledger differs from the single-batch run")
+      } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(tmp)) { st =>
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("the in-plan dials at the sf0.001 fixture resolve the calibrated values") {
     // 500-vector fixture: radius 6, nprobe 2 (4 lists), shortlist 100 —
     // the small-corpus branches AnnRecallSpec's floors were calibrated
