@@ -4609,7 +4609,15 @@ object PipelineQueries {
       val e = t.embeddings.select($"vec_id", $"embedding")
       val cents = e.filter($"vec_id" % 125 === 0)
         .select($"vec_id".as("cid"), $"embedding".as("ce"))
-      val asg = e.crossJoin(broadcast(cents))
+      // Explicit-width repartition of the probe side: the broadcast
+      // join (and the n×K distance projection above it) runs at the
+      // PROBE side's parallelism, and the embeddings table is ONE
+      // parquet split at every witness size — without this the scoring
+      // serializes onto a single core (the q127 lesson, re-caught live
+      // by the 40× witness on this very query; 80k×640 distances on
+      // one task). Explicit numPartitions so AQE cannot coalesce it
+      // back.
+      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
         .withColumn("d",
           graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
         .groupBy($"vec_id")

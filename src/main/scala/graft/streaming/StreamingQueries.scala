@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -539,8 +539,7 @@ object StreamingQueries {
       val cb = s2.read.option("pathGlobFilter", "embeddings*.parquet")
         .parquet(dir)
         .filter($"vec_id" % 125 === 0)
-        .select($"vec_id".as("cid"),
-          $"embedding".cast("array<double>").as("ce"))
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
         .agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
 
       val reader = s2.readStream
@@ -550,22 +549,42 @@ object StreamingQueries {
         .foreach(n => reader.option("maxFilesPerTrigger", n))
       val stream = reader.parquet(dir)
 
+      // Explicit-width repartition BEFORE the heavy per-row routing:
+      // the embeddings feed is one parquet split per file, and the
+      // O(K)-per-row routing above a broadcast join runs at the probe
+      // side's width — unrepartitioned, the 40× witness measured the
+      // whole micro-batch serialized onto one core (the q127
+      // broadcast-probe-width lesson, streaming edition). Explicit 32
+      // because this session pins shuffle.partitions=2 for the small
+      // state-store stage.
+      //
+      // The distance arithmetic is the NATIVE [[graft.functions
+      // .PqSubDists]] kernel, one fused 64-dim loop per (row,
+      // centroid), composed into the per-row HOFs through the typed
+      // `transform(col, fn)` API (no FunctionRegistry dependency) —
+      // an all-lambda zip_with/aggregate formulation was 50× slower
+      // interpreted (the 40× witness measured 216 s per micro-batch
+      // at 80k vectors; the shinglesCol HOF lesson again). The
+      // full-dim distance is the ordered fold of the 8 subspace sums
+      // (identical grouping in the oracle via list(d ORDER BY s)), so
+      // the IVF argmin and the 8 PQ argmins read ONE dsub array.
+      val tf = org.apache.spark.sql.functions.transform(_: Column, _: Column => Column)
       val routed = stream
-        .withColumn("v", $"embedding".cast("array<double>"))
+        .repartition(32, $"vec_id")
         .crossJoin(broadcast(cb))
-        .withColumn("cid", expr(
-          """array_min(transform(cb, c -> named_struct(
-               'd', aggregate(zip_with(v, c.ce, (a, b) -> (a - b) * (a - b)),
-                      CAST(0 AS DOUBLE), (x, y) -> x + y),
-               'cid', c.cid))).cid"""))
-        .withColumn("pcode", expr(
-          """array_join(transform(sequence(0, 7), sidx -> CAST(
-               array_min(transform(cb, c -> named_struct(
-                 'd', aggregate(zip_with(slice(v, sidx * 8 + 1, 8),
-                                         slice(c.ce, sidx * 8 + 1, 8),
-                                         (a, b) -> (a - b) * (a - b)),
-                        CAST(0 AS DOUBLE), (x, y) -> x + y),
-                 'cid', c.cid))).cid AS STRING)), '-')"""))
+        .withColumn("dsub", tf($"cb", c => struct(
+          c.getField("cid").as("cid"),
+          graft.functions.GraftFunctions
+            .pqSubDists($"embedding", c.getField("ce"), 8).as("ds"))))
+        .withColumn("cid", array_min(tf($"dsub", x => struct(
+          aggregate(x.getField("ds"), lit(0.0d), (a, b) => a + b).as("d"),
+          x.getField("cid").as("cid")))).getField("cid"))
+        .withColumn("pcode", array_join(
+          tf(sequence(lit(0), lit(7)), s =>
+            array_min(tf($"dsub", x => struct(
+              element_at(x.getField("ds"), (s + 1).cast("int")).as("d"),
+              x.getField("cid").as("cid")))).getField("cid").cast("string")),
+          "-"))
 
       val ledger = routed
         .groupBy($"cid", $"pcode")
@@ -773,17 +792,6 @@ object StreamingQueries {
     "q141_stream_vector_ingest" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       cents AS (SELECT vec_id cid, v cv FROM e WHERE vec_id % 125 = 0),
-      fd AS (SELECT e.vec_id, c.cid,
-                    list_reduce(list_prepend(0.0::DOUBLE,
-                      list_transform(range(1, 65),
-                        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
-                      (x, y) -> x + y) d
-             FROM e CROSS JOIN cents c),
-      asg AS (SELECT vec_id, cid FROM (
-                SELECT vec_id, cid,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY d, cid) rn
-                FROM fd) WHERE rn = 1),
       pd AS (SELECT e.vec_id, c.cid, s.s,
                     list_reduce(list_prepend(0.0::DOUBLE,
                       list_transform(range(1, 9),
@@ -792,6 +800,18 @@ object StreamingQueries {
                       (x, y) -> x + y) d
              FROM e CROSS JOIN cents c
                   CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
+      -- Full-dim distance = the ORDERED fold of the 8 subspace sums —
+      -- the same grouping as the Spark side's aggregate over the
+      -- pq_subdists array (a flat 64-term fold would round differently).
+      fd AS (SELECT vec_id, cid,
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      list(d ORDER BY s)), (x, y) -> x + y) d
+             FROM pd GROUP BY vec_id, cid),
+      asg AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cid) rn
+                FROM fd) WHERE rn = 1),
       codes AS (SELECT vec_id, s, cid code FROM (
                   SELECT vec_id, s, cid,
                          row_number() OVER (PARTITION BY vec_id, s
