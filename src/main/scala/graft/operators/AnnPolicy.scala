@@ -107,11 +107,15 @@ object AnnPolicy {
   val LshCum: Seq[(Int, Long)] =
     Seq(3 -> 299L, 4 -> 794L, 5 -> 1586L, 6 -> 2510L)
 
-  /** Multi-probe Hamming radius for a corpus of `n` vectors. */
+  /** Multi-probe Hamming radius for a corpus of `n` vectors —
+    * structured exactly like the Column/SQL twins below (thresholds
+    * over `LshCum.init`, unconditional fallback to `LshCum.last._1`)
+    * so extending or editing the table cannot diverge the three
+    * copies. */
   def lshRadius(n: Long): Int =
-    LshCum.collectFirst {
+    LshCum.init.collectFirst {
       case (r, cum) if cum * n >= LshCandidateTarget * 4096 => r
-    }.getOrElse(6)
+    }.getOrElse(LshCum.last._1)
 
   /** In-plan twin of [[lshRadius]] over a 1-row count column `n` —
     * the same integer threshold compares as the Scala fold. */

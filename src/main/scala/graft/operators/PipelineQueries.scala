@@ -4617,12 +4617,19 @@ object PipelineQueries {
       // by the 40× witness on this very query; 80k×640 distances on
       // one task). Explicit numPartitions so AQE cannot coalesce it
       // back.
+      // cache(): asg feeds TWO plan branches (the K-row cluster stats
+      // and the per-vector verdict join), and with the aggregate
+      // sitting directly on the repartition there is no Exchange above
+      // the n×K scoring for ReuseExchange to share — uncached, the
+      // dominant distance stage runs twice (the q72 corpus-cache
+      // pattern; one row per vector, bounded).
       val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
         .withColumn("d",
           graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
         .groupBy($"vec_id")
         .agg(min_by($"cid", struct($"d", $"cid")).as("cid"),
           min($"d").as("d"))
+        .cache()
       val st = asg.groupBy($"cid")
         .agg(count(lit(1)).as("n_members"),
           expr("percentile(d, 0.5)").as("med"))

@@ -521,13 +521,19 @@ object StreamingQueries {
     // PER-ROW expressions (array_min over a transform — struct
     // ordering compares d then cid, the oracle's row_number twin), so
     // the only stateful operator is the final (cid, pcode) aggregate:
-    // state = occupied CELLS (bounded by the code space), never
-    // per-vector — the q139 sketch-state argument applied to vector
-    // ingest. On bounded input the complete-mode final state equals
-    // the batch group-by, which is what the oracle computes; every
-    // distance is a left-to-right fold of exactly-rounded doubles
-    // (the q60-proven parity shape), so cell assignment can never
-    // tie-split across engines.
+    // one state row per OCCUPIED CELL. That is the q133 chunk-store
+    // argument, not q139's O(k): the ledger grows with DISTINCT
+    // ingested content (≤ min(stream volume, cell space)) — on this
+    // repo's near-random embeddings with the fixture's n/125-centroid
+    // codebook, occupancy is close to one cell per vector, and a
+    // production deployment bounds it the way production PQ does:
+    // a FIXED small per-subspace codebook (e.g. 256 trained codes),
+    // which caps per-cell re-ingest cost and concentrates duplicates
+    // without changing this plan's shape. On bounded input the
+    // complete-mode final state equals the batch group-by, which is
+    // what the oracle computes; every distance is a left-to-right
+    // fold of exactly-rounded doubles (the q60-proven parity shape),
+    // so cell assignment can never tie-split across engines.
     "q141_stream_vector_ingest" -> { (s, dir) =>
       val s2 = s.newSession()
       import s2.implicits._

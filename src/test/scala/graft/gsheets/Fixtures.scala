@@ -24,6 +24,18 @@ object Fixtures {
     s
   }
 
+  /** Recursive temp-dir cleanup that CLOSES the walk stream (the
+    * ADVICE-r12 handle-leak fix, extracted once after the same 5-line
+    * block accreted in three suites and the fix had to chase each
+    * copy). */
+  def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+      st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   val SpreadsheetId = "11QdEasMWbETbFVxry-SsD8jVcdYIT1zBQszcF84MdE8"
 
   /** Metadata with the sheets the reference SQL tests exercise. */

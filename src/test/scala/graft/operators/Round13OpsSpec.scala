@@ -95,14 +95,9 @@ class Round13OpsSpec extends AnyFunSuite {
         s"single-source KL must be exactly 0, got ${single.toSeq}")
     } finally {
       // The temp corpus leaked one directory per run before r12
-      // (ADVICE r11); Files.walk holds a directory handle until
-      // closed (ADVICE r12), so drain it under Using.
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(tmp)) { st =>
-        st.iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      // (ADVICE r11); cleanup shared via Fixtures (handle-closing,
+      // ADVICE r12).
+      Fixtures.deleteRecursively(tmp)
     }
   }
 

@@ -197,13 +197,7 @@ class Round14OpsSpec extends AnyFunSuite {
       assert(rLsh >= 0.28, f"LSH radius-3 recall@5 $rLsh%.2f below floor")
       assert(rIvf >= 0.28, f"IVF nprobe-4 recall@5 $rIvf%.2f below floor")
       assert(rPq >= 0.70, f"PQ shortlist-250 recall@5 $rPq%.2f below floor")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(tmp)) { st =>
-        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    } finally Fixtures.deleteRecursively(tmp)
   }
 
   // ---- 5. round-13 operators: q140 / q141 -------------------------------
@@ -280,13 +274,7 @@ class Round14OpsSpec extends AnyFunSuite {
         assert(staged.map(_.toSeq).toSet == single.map(_.toSeq).toSet,
           "staged multi-batch ledger differs from the single-batch run")
       } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(tmp)) { st =>
-        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    } finally Fixtures.deleteRecursively(tmp)
   }
 
   test("the in-plan dials at the sf0.001 fixture resolve the calibrated values") {

@@ -8,8 +8,10 @@
 #   sbt -batch package
 #   sh tools/r13/fuzz_sweep.sh > evidence/r13/fuzz_sweep.log 2>&1
 #
-# Expected per seed: "== 141 pass, 0 fail ==" (q17b/q44 are
-# spec-bounded approximations with no oracle entry, by design).
+# Expected per seed: "== N pass, 0 fail ==" where N is the current
+# oracle-checked registry size (141 at the r13 sweep recorded in
+# evidence/r13/fuzz_sweep.log, 143 after q140/q141 landed; q17b/q44
+# are spec-bounded approximations with no oracle entry, by design).
 set -u
 cd "$(dirname "$0")/../.."
 JAR=target/scala-2.13/duckdb_gsheetsspark_2.13-0.1.0.jar
