@@ -39,7 +39,7 @@ object AnnRecall {
     import spark.implicits._
 
     def run(name: String): Map[Long, Set[Long]] =
-      topSets(graft.operators.PipelineQueries.queries(name)(spark, dir)
+      topSets(SparkEntry.queries(name)(spark, dir)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect())
 
     def recall(gt: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double = {
@@ -69,13 +69,25 @@ object AnnRecall {
     val rLsh = recall(gtCos, run("q26_ann_lsh"))
     val rIvf = recall(gtCos, run("q36_ann_ivf"))
     val rPq = recall(gtL2, run("q60_ann_pq"))
+    // Round-14 trained-quantizer variants (VERDICT r13 #1/#2): all three
+    // are L2-metric (the metric the quantizer was trained in), so their
+    // truth is the exact-L2 ranking.
+    val rIvfT = recall(gtL2, run("q36b_ann_ivf_trained"))
+    val rPqT = recall(gtL2, run("q60b_ann_pq_trained"))
+    val rQ142 = recall(gtL2, run("q142_stream_ann_query"))
+    val numListsTrained =
+      graft.operators.PipelineQueries.trainedCodebook(spark, dir).count()
 
     val pol = graft.operators.AnnPolicy
     val json = f"""{"dir":"${dir.replace("\\", "\\\\").replace("\"", "\\\"")}"""" +
       f""","n_vectors":$n,"num_lists":$numLists""" +
+      f""","num_lists_trained":$numListsTrained""" +
       f""","lsh_radius":${pol.lshRadius(n)},"ivf_nprobe":${pol.ivfNprobe(numLists)}""" +
+      f""","ivf_nprobe_trained":${pol.ivfNprobe(numListsTrained)}""" +
       f""","pq_shortlist":${pol.pqShortlist(n)}""" +
-      f""","recall5_lsh":$rLsh%.4f,"recall5_ivf":$rIvf%.4f,"recall5_pq":$rPq%.4f}"""
+      f""","recall5_lsh":$rLsh%.4f,"recall5_ivf":$rIvf%.4f,"recall5_pq":$rPq%.4f""" +
+      f""","recall5_ivf_trained":$rIvfT%.4f,"recall5_pq_trained":$rPqT%.4f""" +
+      f""","recall5_q142_stream":$rQ142%.4f}"""
     if (args.length > 1) Files.writeString(Paths.get(args(1)), json + "\n")
     spark.stop()
     println(json)

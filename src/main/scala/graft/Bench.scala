@@ -182,14 +182,28 @@ object Bench {
         s""""streaming_batch_ms":$batchMs,""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""sf":"$sfDir"}"""
+    // The driver's artifact capture keeps only the TAIL of stdout
+    // (~2000 chars — BENCH_r12/r13 both parsed null because the full
+    // per-query line is ~9.5 KB and its head was cut off; VERDICT r13
+    // #3/#7). The LAST line must therefore be a summary that fits the
+    // tail whole: totals + failures, with the per-query maps pointed at
+    // by `detail` (bench_out.json is committed as evidence each round).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val compact =
+      f"""{"metric":"total","value":${sum(results)}%.3f,"unit":"sec",""" +
+        f""""n_queries":${names.size},"value_warm":${sum(warm)}%.3f,""" +
+        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""sf":"$sfDir","detail":"$outPath"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     // Epilogue: drop session-keyed persisted artifacts (see Verify).
     graft.operators.PipelineQueries.cleanupArtifacts(spark)
     spark.stop()
-    // Printed AFTER spark.stop() so the bare JSON is the process's last
-    // stdout line (run / outputStrategy := StdoutOutput keeps sbt's
-    // logger from prefixing it with "[info] ").
+    // Printed AFTER spark.stop() so the bare JSON lines are the
+    // process's last stdout lines (run / outputStrategy := StdoutOutput
+    // keeps sbt's logger from prefixing them with "[info] "): first the
+    // full per-query line (for logs and anyone reading the whole
+    // stream), then the tail-sized compact summary as the FINAL line.
     println(json)
+    println(compact)
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** `pq_subdists(v, c, numSub)` — squared L2 distance between two
-  * `ARRAY<FLOAT>` vectors PER SUBSPACE: the vectors split into `numSub`
+  * embedding vectors PER SUBSPACE: the vectors split into `numSub`
   * equal contiguous blocks, out[s] = Σ_j (v[j]−c[j])² over block s,
   * accumulating ascending-index in double like the oracle's
   * `list_reduce` fold (floats widen to double first — identical values
@@ -16,6 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * loop per (vector, centroid) pair, the same native-kernel treatment
   * as [[CosineSim]]/[[HyperplaneDots]].
   *
+  * Like [[L2Sq]] it accepts `ARRAY<FLOAT>` or `ARRAY<DOUBLE>` on EITHER
+  * side independently: corpus vectors arrive as float32 parquet, while
+  * TRAINED codebook centroids (the q72 Lloyd artifact the production
+  * ANN variants quantize against) are double averages — forcing a cast
+  * of the corpus side would materialize a doubled copy of every vector.
+  *
   * A null ELEMENT in either input nulls every subspace (SQL-fold
   * parity); mismatched or non-divisible lengths are an error.
   */
@@ -23,20 +29,34 @@ case class PqSubDists(left: Expression, right: Expression, numSub: Int)
   extends BinaryExpression {
   require(numSub > 0, s"pq_subdists: numSub must be positive, got $numSub")
   override def nullIntolerant: Boolean = true
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"pq_subdists expects (ARRAY<FLOAT>, ARRAY<FLOAT>), got ($l, $r)")
-    }
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_subdists expects ARRAY<FLOAT|DOUBLE> on both sides, got " +
+        s"(${left.dataType}, ${right.dataType})")
+
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def prettyName: String = "pq_subdists"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    PqSubDists.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], numSub)
+    PqSubDists.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      numSub, isFloat(left), isFloat(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.PqSubDists.compute($a, $b, $numSub)")
+      (a, b) => s"graft.functions.PqSubDists.compute($a, $b, $numSub, " +
+        s"${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqSubDists =
     copy(left = newLeft, right = newRight)
@@ -46,7 +66,8 @@ object PqSubDists {
   val info: ExpressionInfo =
     new ExpressionInfo(classOf[PqSubDists].getName, null, "pq_subdists")
 
-  def compute(a: ArrayData, b: ArrayData, numSub: Int): ArrayData = {
+  def compute(a: ArrayData, b: ArrayData, numSub: Int,
+      aFloat: Boolean, bFloat: Boolean): ArrayData = {
     val n = a.numElements()
     require(b.numElements() == n,
       s"pq_subdists: length mismatch ${b.numElements()} vs $n")
@@ -66,7 +87,9 @@ object PqSubDists {
       var j = s * sub
       val end = j + sub
       while (j < end) {
-        val d = a.getFloat(j).toDouble - b.getFloat(j).toDouble
+        val x = if (aFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        val y = if (bFloat) b.getFloat(j).toDouble else b.getDouble(j)
+        val d = x - y
         acc += d * d
         j += 1
       }

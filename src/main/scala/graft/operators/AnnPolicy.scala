@@ -51,6 +51,19 @@ import org.apache.spark.sql.functions.{expr, greatest, lit, when}
   */
 object AnnPolicy {
 
+  /** Fixed size of the TRAINED coarse codebook (VERDICT r13 #1): the
+    * q72 Lloyd trainer with K lifted to 64 replaces the
+    * every-125th-vector fixture convention in the production-shaped ANN
+    * variants (q36b/q60b/q141b/q142). K is a CONSTANT, so per-row
+    * routing work is O(K) and total assignment work is linear in the
+    * corpus — the property the fixture convention (K = n/125, total
+    * work O(n²/125)) could not ship. 64 lists keeps the
+    * [[ivfNprobe]] policy at ⌈64/10⌉ = 7 probed lists ≈ 11% expected
+    * scan fraction on near-random data — the measured recall floor's
+    * neighborhood (SCALE.md §6) — while a real deployment retunes K to
+    * its corpus (√n-ish) without touching any plan here. */
+  val TrainedK = 64L
+
   /** PQ target scan fraction, as a ceiling division by 20 (= 5%): the
     * shortlist's exact re-rank at 5% already measures recall@5 = 0.96
     * at 20k vectors (SCALE.md §6) — ADC does the candidate ranking, so

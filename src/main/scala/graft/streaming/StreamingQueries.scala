@@ -542,6 +542,17 @@ object StreamingQueries {
         s2.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+      // BOUNDED-INPUT CONTRACT (ADVICE r13 #1): this codebook is a
+      // batch read over the SAME directory the stream ingests, and the
+      // static side of a stream-static join re-executes per
+      // micro-batch — files landing mid-run would shift centroid
+      // assignment between batches and destabilize the (cid, pcode)
+      // ledger keys. Safe here ONLY because the query runs under
+      // Trigger.AvailableNow over a fixed file set (the verify-harness
+      // contract every streaming query in this registry shares). A
+      // continuous-trigger deployment must freeze the codebook instead
+      // — which is exactly what q141b does (trained-codebook artifact
+      // parquet, immutable for the life of the run).
       val cb = s2.read.option("pathGlobFilter", "embeddings*.parquet")
         .parquet(dir)
         .filter($"vec_id" % 125 === 0)
@@ -607,6 +618,182 @@ object StreamingQueries {
       q.awaitTermination()
       capturePlan("q141_stream_vector_ingest", q)
       s2.table(sink).orderBy($"cid", $"pcode")
+    },
+
+    // ----- streaming IVFPQ ingest over the TRAINED fixed-K codebook -----
+    // q141 with its every-125th-vector fixture codebook (K = n/125 —
+    // the VERDICT r13 #1 quadratic-by-construction seam; the 40×
+    // witness measured 4.7× wall per 4× corpus) replaced by the
+    // PERSISTED q72-trained K=64 artifact: per-row routing is O(K)
+    // against a ~32 KB broadcast, so ingest is LINEAR in stream volume
+    // at any corpus size — the number SCALE.md §8 re-measures. The
+    // codebook is read from the FROZEN artifact parquet, not the live
+    // ingest directory, so the static side's per-micro-batch
+    // re-execution can never shift cell routing mid-run — this variant
+    // is trigger-agnostic where q141 is safe only under its bounded
+    // AvailableNow contract (ADVICE r13 #1). Routing expressions are
+    // [[graft.operators.PipelineQueries.pqRoute]], SHARED with the
+    // q142 index build, so ledger and index can never disagree.
+    "q141b_stream_ingest_trained" -> { (s, dir) =>
+      // Train (or reuse) the codebook via the parent batch session
+      // BEFORE the stream starts.
+      graft.operators.PipelineQueries.trainedCodebook(s, dir)
+      val cbPath = graft.operators.PipelineQueries.trainedCbPath(s, dir)
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      val cb = s2.read.parquet(cbPath)
+        .agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
+
+      val reader = s2.readStream
+        .schema(embStreamSchema)
+        .option("pathGlobFilter", "embeddings*.parquet")
+      s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+        .foreach(n => reader.option("maxFilesPerTrigger", n))
+      val stream = reader.parquet(dir)
+
+      // Same explicit-width repartition as q141 (broadcast-probe-width
+      // lesson, streaming edition): the one-file feed is one partition
+      // and the O(K)-per-row routing runs at the probe side's width.
+      val routed = graft.operators.PipelineQueries.pqRoute(
+        stream.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+
+      val ledger = routed
+        .groupBy($"cid", $"pcode")
+        .agg(count(lit(1)).as("n_ingested"),
+          min($"vec_id").as("canonical_vec"))
+
+      val sink = s"q141b_sink_${sinkCounter.incrementAndGet()}"
+      val q = ledger.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      capturePlan("q141b_stream_ingest_trained", q)
+      s2.table(sink).orderBy($"cid", $"pcode")
+    },
+
+    // ----- streaming ANN QUERY path over the static IVFPQ index -----
+    // The other half of the vector-db story (VERDICT r13 #2): q141b
+    // INGESTS vectors into IVFPQ cells; this query serves a STREAM of
+    // query vectors against the persisted index. Per micro-batch, each
+    // query row routes against the broadcast trained codebook (same
+    // 8-subspace native-kernel distances as ingest), keeps its
+    // [[graft.operators.AnnPolicy.ivfNprobe]] nearest lists, probes the
+    // static (vec_id, cid, codes) index with a stream-static equality
+    // join on list id, scores every candidate by ADC — 8 lookups into
+    // the query's own per-centroid subspace-distance table, folded in
+    // subspace order (the q60/q141-proven parity shape) — and keeps a
+    // [[graft.operators.AnnPolicy.pqShortlist]]-sized shortlist per
+    // query through the partial-aggregating [[graft.functions.TopKAgg]]
+    // (the UDAF rides the streaming aggregation: O(queries × S) state,
+    // never the candidate volume). The exact re-rank then reads ONLY
+    // the shortlisted full vectors — a bounded batch join on the sink,
+    // exactly the point-lookup re-rank a production serving tier runs.
+    // At 100 TB: the index probe is an equality join on cid (the
+    // candidates are ~nprobe/K of the codes table — 8-byte codes, not
+    // vectors), the ADC table is per-query-row local, and the only
+    // stateful operator is the per-query top-S aggregate. The two
+    // policy dials arrive as bounded driver scalars (corpus count +
+    // artifact list count — the q81-cut precedent), identical to the
+    // oracle's integer-arithmetic twins.
+    "q142_stream_ann_query" -> { (s, dir) =>
+      val ops = graft.operators.PipelineQueries
+      ops.trainedCodebook(s, dir)
+      ops.ivfpqIndex(s, dir)
+      val cbPath = ops.trainedCbPath(s, dir)
+      val idxPath = ops.ivfpqIndexPath(s, dir)
+      val nVecs = ops.embGlob(s, dir).count()
+      val nLists = s.read.parquet(cbPath).count()
+      val nprobe = graft.operators.AnnPolicy.ivfNprobe(nLists).toInt
+      val shortS = graft.operators.AnnPolicy.pqShortlist(nVecs).toInt
+
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      val cb = s2.read.parquet(cbPath)
+        .agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
+      val idx = s2.read.parquet(idxPath)
+
+      val reader = s2.readStream
+        .schema(embStreamSchema)
+        .option("pathGlobFilter", "embeddings*.parquet")
+      s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+        .foreach(n => reader.option("maxFilesPerTrigger", n))
+      val queryStream = reader.parquet(dir).filter($"vec_id" < 5)
+
+      val tf = org.apache.spark.sql.functions.transform(_: Column, _: Column => Column)
+      val probes = queryStream
+        .repartition(32, $"vec_id")
+        .crossJoin(broadcast(cb))
+        .withColumn("dsub", tf($"cb", c => struct(
+          c.getField("cid").as("cid"),
+          graft.functions.GraftFunctions
+            .pqSubDists($"embedding", c.getField("ce"), 8).as("ds"))))
+        // The query's per-centroid subspace-distance table as a map —
+        // the ADC lookup structure (bounded: K entries × 8 doubles).
+        .withColumn("dmap", map_from_entries(tf($"dsub", x =>
+          struct(x.getField("cid"), x.getField("ds")))))
+        // Top-nprobe lists by full-dim distance = the ordered fold of
+        // the 8 subspace sums (identical grouping in the oracle).
+        .withColumn("plists", slice(array_sort(tf($"dsub", x => struct(
+          aggregate(x.getField("ds"), lit(0.0d), (a, b) => a + b).as("d"),
+          x.getField("cid").as("cid")))), 1, nprobe))
+        .select($"vec_id".as("query_id"), $"dmap",
+          explode($"plists".getField("cid")).as("qcid"))
+
+      // ADC = Σ_s dmap[codes[s]][s], folded in subspace order.
+      val cand = probes.join(idx,
+          probes("qcid") === idx("cid") &&
+            idx("vec_id") =!= probes("query_id"))
+        .withColumn("adc", aggregate(sequence(lit(0), lit(7)), lit(0.0d),
+          (acc, sb) => acc + element_at(
+            element_at($"dmap", element_at($"codes", (sb + 1).cast("int"))),
+            (sb + 1).cast("int"))))
+
+      // Shortlist by (adc asc, vec_id asc) — TopKAgg ranks by (score
+      // desc, vec_id asc), so the score is the (exact) negated ADC.
+      val topS = udaf(new graft.functions.TopKAgg(shortS))
+      val short = cand.groupBy($"query_id")
+        .agg(topS($"vec_id", -$"adc").as("top"))
+
+      val sink = s"q142_sink_${sinkCounter.incrementAndGet()}"
+      val q = short.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      capturePlan("q142_stream_ann_query", q)
+
+      // Exact re-rank over the shortlist: a BOUNDED batch join
+      // (queries × S rows against the base vectors), top-5 by exact L2.
+      val e = ops.embGlob(s2, dir)
+      val qv = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"l2", $"vec_id")
+      s2.table(sink)
+        .select($"query_id", explode($"top").as("sv"))
+        .select($"query_id", $"sv.vec_id".as("vec_id"))
+        .join(e, "vec_id").join(broadcast(qv), "query_id")
+        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id",
+          CrossRound.r($"l2", 4).as("l2"))
+        .orderBy($"query_id", $"rank")
     },
 
     // ----- streaming SLIDING-window aggregation -----
@@ -816,12 +1003,12 @@ object StreamingQueries {
       asg AS (SELECT vec_id, cid FROM (
                 SELECT vec_id, cid,
                        row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY d, cid) rn
+                                          ORDER BY d NULLS FIRST, cid) rn
                 FROM fd) WHERE rn = 1),
       codes AS (SELECT vec_id, s, cid code FROM (
                   SELECT vec_id, s, cid,
                          row_number() OVER (PARTITION BY vec_id, s
-                                            ORDER BY d, cid) rn
+                                            ORDER BY d NULLS FIRST, cid) rn
                   FROM pd) WHERE rn = 1),
       pc AS (SELECT vec_id, string_agg(code::VARCHAR, '-' ORDER BY s) pcode
              FROM codes GROUP BY 1)
@@ -831,6 +1018,117 @@ object StreamingQueries {
       FROM asg a JOIN pc p USING (vec_id)
       GROUP BY 1, 2
       ORDER BY 1, 2""",
+
+    // Trained-codebook ingest twin: the q141 ledger chain with the
+    // fixture codebook replaced by the shared trained-Lloyd CTEs
+    // (PipelineQueries.trainedCbOracleCtes) and NULLS FIRST distance
+    // orderings (ADVICE r13 #3).
+    "q141b_stream_ingest_trained" -> s"""
+      WITH ${graft.operators.PipelineQueries.trainedCbOracleCtes},
+      pd AS (SELECT te.vec_id, c.cid, s.s,
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      list_transform(range(1, 9),
+                        j -> (te.v[s.s*8+j] - c.ce[s.s*8+j])
+                             * (te.v[s.s*8+j] - c.ce[s.s*8+j]))),
+                      (x, y) -> x + y) d
+             FROM te CROSS JOIN tcb c
+                  CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
+      fd AS (SELECT vec_id, cid,
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      list(d ORDER BY s)), (x, y) -> x + y) d
+             FROM pd GROUP BY vec_id, cid),
+      asg AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d NULLS FIRST, cid) rn
+                FROM fd) WHERE rn = 1),
+      codes AS (SELECT vec_id, s, cid code FROM (
+                  SELECT vec_id, s, cid,
+                         row_number() OVER (PARTITION BY vec_id, s
+                                            ORDER BY d NULLS FIRST, cid) rn
+                  FROM pd) WHERE rn = 1),
+      pc AS (SELECT vec_id, string_agg(code::VARCHAR, '-' ORDER BY s) pcode
+             FROM codes GROUP BY 1)
+      SELECT a.cid, p.pcode,
+             CAST(count(1) AS BIGINT) n_ingested,
+             min(a.vec_id) canonical_vec
+      FROM asg a JOIN pc p USING (vec_id)
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+
+    // Streaming ANN query twin: the q141b routing chain (assignment +
+    // per-subspace codes over the trained codebook) feeding the
+    // q60-proven probe→ADC→shortlist→re-rank pipeline. The probed
+    // lists, the subspace-ordered ADC fold, both policy dials
+    // (integer-arithmetic twins of the Spark side's driver scalars)
+    // and the shortlist/re-rank cuts are all bit-pinned.
+    "q142_stream_ann_query" -> s"""
+      WITH ${graft.operators.PipelineQueries.trainedCbOracleCtes},
+      pd AS (SELECT te.vec_id, c.cid, s.s,
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      list_transform(range(1, 9),
+                        j -> (te.v[s.s*8+j] - c.ce[s.s*8+j])
+                             * (te.v[s.s*8+j] - c.ce[s.s*8+j]))),
+                      (x, y) -> x + y) d
+             FROM te CROSS JOIN tcb c
+                  CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
+      fd AS (SELECT vec_id, cid,
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      list(d ORDER BY s)), (x, y) -> x + y) d
+             FROM pd GROUP BY vec_id, cid),
+      asg AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d NULLS FIRST, cid) rn
+                FROM fd) WHERE rn = 1),
+      codes AS (SELECT vec_id, s, cid code FROM (
+                  SELECT vec_id, s, cid,
+                         row_number() OVER (PARTITION BY vec_id, s
+                                            ORDER BY d NULLS FIRST, cid) rn
+                  FROM pd) WHERE rn = 1),
+      np AS (SELECT ${graft.operators.AnnPolicy.scanCeilSql("count(1)",
+        graft.operators.AnnPolicy.IvfScanDiv,
+        graft.operators.AnnPolicy.IvfNprobeFloor)} np FROM tcb),
+      qp AS (SELECT vec_id query_id, cid qcid FROM (
+               SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d NULLS FIRST, cid) rn
+               FROM fd WHERE vec_id < 5)
+             WHERE rn <= (SELECT np FROM np)),
+      cand AS (SELECT q.query_id, a.vec_id
+               FROM asg a JOIN qp q
+                 ON a.cid = q.qcid AND a.vec_id != q.query_id),
+      adc AS (SELECT c.query_id, c.vec_id,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list(p.d ORDER BY p.s)), (x, y) -> x + y) adc
+              FROM cand c
+              JOIN codes k ON k.vec_id = c.vec_id
+              JOIN pd p ON p.vec_id = c.query_id
+                       AND p.s = k.s AND p.cid = k.code
+              GROUP BY 1, 2),
+      sl AS (SELECT ${graft.operators.AnnPolicy.scanCeilSql("count(1)",
+        graft.operators.AnnPolicy.PqScanDiv,
+        graft.operators.AnnPolicy.PqShortlistFloor)} sl FROM te),
+      short AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY adc NULLS FIRST, vec_id) sr
+                  FROM adc) WHERE sr <= (SELECT sl FROM sl)),
+      rer AS (SELECT sh.query_id, sh.vec_id,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range(1, 65),
+                         i -> (ev.v[i] - qv.v[i]) * (ev.v[i] - qv.v[i]))),
+                       (x, y) -> x + y) l2
+              FROM short sh
+              JOIN te ev ON sh.vec_id = ev.vec_id
+              JOIN te qv ON sh.query_id = qv.vec_id),
+      ranked AS (SELECT query_id, vec_id, l2,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY l2 NULLS FIRST, vec_id) AS rank
+                 FROM rer)
+      SELECT query_id, rank, vec_id, floor(l2 * 10000 + 0.5) / 10000 AS l2
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
 
     "q31_stream_window" -> """
       SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
