@@ -1,0 +1,1285 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity-search / embedding-space family: brute-force and
+  * approximate top-k (LSH, IVF, PQ — fixture and TRAINED-codebook
+  * variants), quantization, clustering and its evaluation, embedding
+  * hygiene.
+  *
+  * Moved verbatim from `PipelineQueries` (round 14, VERDICT r13 #5 —
+  * a pure file split along the family seams; shared helpers, artifacts
+  * and oracle CTE fragments stay in [[PipelineQueries]] and arrive via
+  * the wildcard import). Registered through [[PipelineQueries.queries]]
+  * / [[PipelineQueries.oracleSql]], so the driver contract is unchanged.
+  */
+private[operators] object AnnQueries {
+  import PipelineQueries._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----- similarity search: brute-force cosine top-k (baseline) -----
+    // Query vectors broadcast; scoring is the native codegen'd
+    // CosineSim expression (one fused loop per pair — the SQL-fold
+    // formulation walks the arrays 3× and allocates a product array),
+    // accumulating in double left-to-right like the oracle's list fold.
+    "q25_cosine_topk" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      e.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"cos", 4).as("cos"))
+        .orderBy($"query_id", $"rank")
+    },
+
+
+    // ----- top-k via partial-aggregating UDAF (scale path for q25) -----
+    // Same result as q25's window rank, but the Aggregator keeps ≤k rows
+    // per group per map task — shuffle is O(queries × k), not the full
+    // score matrix. Same oracle as q25.
+    "q25b_topk_agg" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val topk = udaf(new graft.functions.TopKAgg(10))
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      e.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
+        .groupBy($"query_id")
+        .agg(topk($"vec_id", $"cos").as("top"))
+        .select($"query_id", posexplode($"top").as(Seq("i", "sv")))
+        .select($"query_id", ($"i" + 1).cast("int").as("rank"),
+          $"sv.vec_id".as("vec_id"), CrossRound.r($"sv.cos", 4).as("cos"))
+        .orderBy($"query_id", $"rank")
+    },
+
+
+    // ----- embedding-cosine near-dup: banded hyperplane LSH + verify -----
+    // Dedup by embedding similarity: 8 deterministic hyperplane bits in
+    // 2 bands of 4; candidate pairs agree on at least one band (never
+    // all-pairs — O(n·bands) shuffle), then the native CosineSim verifies
+    // cos >= 0.4. Banding trades precision for recall exactly like the
+    // MinHash bands in q22b. The signature is a per-row map-only fold
+    // ([[hyperDots]], native codegen) and the embedding rides along to the band join,
+    // so the only shuffles left are the candidate equality-join and the
+    // pair dedup — no join back to the base table.
+    "q33_embed_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val sigs = e
+        .withColumn("dots", hyperDots(8))
+        .withColumn("band_sigs", expr(
+          """transform(sequence(0, 1), b ->
+               aggregate(sequence(0, 3), CAST(0 AS BIGINT),
+                 (acc, r) -> acc + IF(dots[b*4 + r] >= 0D,
+                   shiftleft(CAST(1 AS BIGINT), r), CAST(0 AS BIGINT))))"""))
+        .select($"vec_id", $"embedding",
+          posexplode($"band_sigs").as(Seq("band", "sig")))
+      sigs.as("a").join(sigs.as("b"),
+          $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+          $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+          graft.functions.GraftFunctions.cosineSim($"a.embedding", $"b.embedding")
+            .as("rawcos"))
+        .filter($"rawcos" >= 0.4)
+        .select($"vec_a", $"vec_b", CrossRound.r($"rawcos", 4).as("cos"))
+        .distinct()
+        .orderBy($"vec_a", $"vec_b")
+    },
+
+
+    // ----- similarity scale path: multi-probe hyperplane LSH -----
+    // 12 deterministic hyperplanes → 4096 buckets; each query probes its
+    // bucket AND every bucket within Hamming distance r of it — classic
+    // multi-probe LSH (neighboring sign patterns hold the near misses):
+    // expected candidate fraction on sign-independent data is
+    // Σ_{i≤r} C(12,i)/4096 (≈ 7.3% at the r = 3 floor), much less when
+    // the data clusters; exact cosine top-5 over the candidates. The
+    // single-bucket probe (r6 and earlier) had recall@5 ≈ 0 on the
+    // synthetic corpus — 4096 buckets over 500 near-random vectors
+    // leave every probe basically empty (`AnnRecallSpec` now gates
+    // this). The radius follows [[AnnPolicy.lshRadius]]: the fraction-
+    // of-buckets probe makes recall corpus-size-INdependent at scale
+    // (unlike q36's fixed count was), so the floor stays 3 for any
+    // corpus ≥ ~3.5k vectors; on smaller corpora the radius widens
+    // until the expected candidate pool reaches 250 (r = 4 at 2k
+    // vectors, 6 at 500) instead of probing near-empty buckets —
+    // computed in-plan from a 1-row corpus count with integer
+    // threshold compares the oracle mirrors exactly. The probe is a
+    // bit_count(xor) predicate against the 5-row broadcast query
+    // side — BNLJ(tiny build), the same bounded shape as the q25
+    // brute-force scoring, never a corpus×corpus product. The
+    // hyperplane "randomness" is a fixed integer mix so the oracle
+    // reproduces it.
+    "q26_ann_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      // Bucket id is a pure per-row projection ([[hyperDots]], native codegen,
+      // sign-bit pack) — no explode, no groupBy, no join back to e. The
+      // remaining shuffles are the top-k window and the output sort.
+      val eb = e
+        .withColumn("dots", hyperDots(12))
+        .withColumn("bucket", expr(
+          """aggregate(sequence(0, 11), CAST(0 AS BIGINT),
+               (acc, h) -> acc + IF(dots[h] >= 0D,
+                 shiftleft(CAST(1 AS BIGINT), h), CAST(0 AS BIGINT)))"""))
+        .drop("dots")
+      val rad = e.agg(count(lit(1)).as("nv")).select(
+        AnnPolicy.lshRadiusCol($"nv").as("radius"))
+      val q = eb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket".as("qbucket"))
+        .crossJoin(rad)
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      eb.join(broadcast(q),
+          expr("bit_count(bucket ^ qbucket) <= radius") && $"vec_id" =!= $"query_id")
+        .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"cos", 4).as("cos"))
+        .orderBy($"query_id", $"rank")
+    },
+
+
+    // ----- similarity scale path 2: IVF (inverted-file) ANN -----
+    // Coarse quantizer: every 125th vector is a centroid (deterministic,
+    // so the oracle reproduces it — a k-means fit would converge
+    // engine-differently). Each vector joins its nearest centroid's
+    // inverted list; queries probe their nprobe nearest lists, then
+    // exact cosine top-5. nprobe follows [[AnnPolicy.ivfNprobe]] —
+    // max(2, ⌈L/10⌉) over L lists, a ≥10% scan fraction at ANY index
+    // size, computed in-plan from a 1-row centroid count (the fixed
+    // nprobe=2 of rounds 7–11 scanned 2/L, and recall@5 decayed
+    // 0.84 → 0.20 as the corpus grew 500 → 20k vectors — VERDICT r11
+    // #1; `AnnRecallSpec` floors plus the scale measurements in
+    // SCALE.md §6 gate the policy). Lists are disjoint, so probes
+    // never duplicate a candidate. Centroids are broadcast (tiny);
+    // assignment is one map-side pass over the corpus — at 100 TB:
+    // n×C scored rows with no shuffle until the per-list grouping, C
+    // constant, and per-query probe cost is nprobe average-sized
+    // lists ≈ a fixed fraction of n.
+    "q36_ann_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" % 125 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      val ranked = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
+        .withColumn("arank", row_number().over(aw))
+      val assigned = ranked.filter($"arank" === 1)
+        .select($"vec_id", $"embedding", $"cid")
+      // The query side keeps its nprobe highest-scoring centroids —
+      // nprobe probe rows per query, each an equality join against the
+      // disjoint inverted lists. Integer ceiling division so the
+      // oracle's `//`-arithmetic twin is bit-identical.
+      val np = cents.agg(count(lit(1)).as("nl"))
+        .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
+          AnnPolicy.IvfNprobeFloor).as("nprobe"))
+      val q = ranked.filter($"vec_id" < 5).crossJoin(broadcast(np))
+        .filter($"arank" <= $"nprobe")
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"cid".as("qcid"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      assigned.join(broadcast(q),
+          $"cid" === $"qcid" && $"vec_id" =!= $"query_id")
+        .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"cos", 4).as("cos"))
+        .orderBy($"query_id", $"rank")
+    },
+
+
+    // ----- IVF over the TRAINED fixed-K codebook (production variant) -----
+    // q36 with the fixture's every-125th-vector quantizer (K = n/125 —
+    // total assignment work O(n²/125), the VERDICT r13 #1 seam)
+    // replaced by the PERSISTED q72-trained K=64 codebook
+    // ([[trainedCodebook]]): per-row routing is O(K) against a ~32 KB
+    // broadcast, so index build is LINEAR in the corpus at any size —
+    // the 100 TB shape. Metric is L2 (the metric the quantizer was
+    // trained in; q36 stays the cosine-metric fixture twin). Assignment
+    // argmins via ONE map-side-combining min_by carrying the embedding
+    // as payload — one row per vector shuffles, never vector×centroid
+    // (strictly better than q36's window-over-scored-rows shape, which
+    // shuffled all n×K scored rows to rank them). Only the 5 query
+    // rows rank their probes through a window (5×K rows). nprobe
+    // follows [[AnnPolicy.ivfNprobe]] over the artifact's ACTUAL list
+    // count (empty clusters drop out of the Lloyd update in both
+    // engines identically).
+    "q36b_ann_ivf_trained" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = trainedCodebook(s, dir).select($"cid", $"ce")
+      // Explicit-width repartition: the n×K scoring above a broadcast
+      // join runs at the probe side's parallelism and the embeddings
+      // table is one parquet split (the q127/q140 lesson).
+      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
+        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))
+        .select($"vec_id", $"m.cid".as("cid"), $"m.embedding".as("embedding"))
+      val np = cents.agg(count(lit(1)).as("nl"))
+        .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
+          AnnPolicy.IvfNprobeFloor).as("nprobe"))
+      val qw = Window.partitionBy($"query_id").orderBy($"qd", $"cid")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qd", graft.functions.GraftFunctions.l2Sq($"qe", $"ce"))
+        .withColumn("qrank", row_number().over(qw))
+        .crossJoin(broadcast(np))
+        .filter($"qrank" <= $"nprobe")
+        .select($"query_id", $"qe", $"cid".as("qcid"))
+      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+      asg.join(broadcast(q),
+          $"cid" === $"qcid" && $"vec_id" =!= $"query_id")
+        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
+        .orderBy($"query_id", $"rank")
+    },
+
+
+    // ----- semantic dedup: cluster-then-prune over embeddings -----
+    // The SemDeDup shape (Abbas et al. 2023): assign every embedding to
+    // a cluster, then mark as duplicate any vector whose cosine to a
+    // LOWER-id vector in the SAME cluster is >= τ — pairwise comparison
+    // never crosses a cluster boundary, so the quadratic term is
+    // bounded by cluster size, and K is chosen ∝ N to keep that bound
+    // flat as the corpus grows. Because K ∝ N, the K fine centroids can
+    // NEVER be broadcast (the broadcast would grow with the corpus), so
+    // assignment is TWO-LEVEL, the q36/q60 coarse-quantizer shape made
+    // exact by contract: (1) ⌈√K⌉-ish COARSE centroids (every
+    // 125·step-th vector, step = ⌈√K⌉, computed in-plan from the
+    // centroid count — no driver action) are the only broadcast set,
+    // O(√K·D); (2) the K fine centroids and then every corpus vector
+    // route to their nearest coarse cell via that broadcast + ONE
+    // map-side-combining max_by each; (3) fine assignment is an
+    // EQUALITY join on the coarse cell id — co-partitioned shuffle,
+    // N·(K/√K cell width) compared rows instead of the N·K a flat scan
+    // costs, and no O(K) broadcast anywhere. The cluster is DEFINED by
+    // this two-level rule (the oracle mirrors it step for step), so the
+    // rows are exact, not probe-lucky; ties break (ccos DESC, cid) at
+    // both levels. The intra-cluster self-join shuffles each vector
+    // once, keyed by its fine cluster, and cluster width stays ~125 by
+    // construction as N grows.
+    "q68_semantic_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" % 125 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      // step = ⌈√K⌉ rides along as a one-row broadcast scalar; coarse =
+      // every step-th fine centroid, so |coarse| ≈ √K.
+      val kdf = cents.agg(
+        ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("step"))
+      val coarse = cents.crossJoin(broadcast(kdf))
+        .filter($"cid" % (lit(125L) * $"step") === 0)
+        .select($"cid".as("gid"), $"ce".as("ge"))
+      // Route fine centroids to coarse cells: K rows vs a √K broadcast.
+      // max_by on (gcos, -gid): highest cosine, ties to the lowest gid —
+      // identical to the oracle's row_number ORDER BY gcos DESC, gid.
+      val fineCell = cents.crossJoin(broadcast(coarse))
+        .withColumn("gcos",
+          graft.functions.GraftFunctions.cosineSim($"ce", $"ge"))
+        .groupBy($"cid")
+        .agg(max_by($"gid", struct($"gcos", -$"gid")).as("gid"),
+             first($"ce").as("ce"))
+      // Route corpus vectors to coarse cells: N rows vs the same √K
+      // broadcast; shuffle = one row per vector (map-side combine).
+      val vCell = e.crossJoin(broadcast(coarse))
+        .withColumn("gcos",
+          graft.functions.GraftFunctions.cosineSim($"embedding", $"ge"))
+        .groupBy($"vec_id")
+        .agg(max_by($"gid", struct($"gcos", -$"gid")).as("gid"),
+             first($"embedding").as("embedding"))
+      // Fine assignment: equality join on the coarse cell — the fine
+      // side is O(K) DATA, never a broadcast build in the plan contract
+      // (AQE may still elect one locally where K is tiny; at scale it
+      // is a co-partitioned shuffle join).
+      val assign = vCell.join(fineCell, "gid")
+        .withColumn("ccos",
+          graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cid"),
+             first($"embedding").as("embedding"))
+      // Cached: probed by both sides of the intra-cluster self-join and
+      // the final projection — without it the embeddings scan + the
+      // assignment aggregate re-execute three times (at 100 TB, three
+      // full corpus reads).
+      val clustered = assign.cache()
+      val dups = clustered.as("a").join(clustered.as("b"),
+          $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+        .filter(graft.functions.GraftFunctions
+          .cosineSim($"a.embedding", $"b.embedding") >= 0.4)
+        .select($"b.vec_id".as("vec_id")).distinct()
+      clustered.select($"vec_id", $"cid")
+        .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cid", coalesce(!$"dup", lit(true)).as("keep"))
+        .orderBy($"vec_id")
+    },
+
+
+    // ----- similarity scale path 3: PQ ANN with exact re-ranking -----
+    // The 4th standard ANN shape (after brute q25, LSH q26, IVF q36),
+    // now the full production design (IVFADC + refine): vectors encode
+    // to 8 sub-space centroid codes (deterministic codebook = every
+    // 25th vector, CAPPED at vec_id < 2500 so the broadcast stays ≤100
+    // centroids at any corpus size), queries score ALL codes by ADC —
+    // summing 8 per-subspace query↔centroid distances looked up from a
+    // broadcast table — keep a top-S SHORTLIST per query
+    // (S = max(100, ⌈n/20⌉), [[AnnPolicy.pqShortlist]]), and
+    // re-rank the shortlist by EXACT L2 over the real vectors. The
+    // r6 form ranked by raw ADC with the coarse 4-centroid codebook and
+    // scored recall@5 = 0.04 against exact L2 on the synthetic corpus;
+    // shortlist+rerank lifts it to ~0.8 (`AnnRecallSpec` gates it).
+    // ADC now folds the 8 subspace distances in SUBSPACE ORDER (q84's
+    // sorted-fold trick) so the shortlist cut is bit-identical
+    // cross-engine — strictly stronger than the old round(.,6) guard.
+    // At 100 TB: codes are 8 bytes/vector — the only corpus-sized state
+    // the ADC pass touches; the rerank reads exactly S full vectors
+    // per query (an equality join on the shortlist, never a scan).
+    "q60_ann_pq" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" % 25 === 0 && $"vec_id" < 2500)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val pd = e.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cid", posexplode(
+          graft.functions.GraftFunctions.pqSubDists($"embedding", $"ce", 8))
+          .as(Seq("s", "d")))
+      val codes = pd.groupBy($"vec_id", $"s")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
+      val lut = pd.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"s".as("ls"), $"cid", $"d")
+      val adc = codes.join(broadcast(lut),
+          $"s" === $"ls" && $"code" === $"cid" && $"vec_id" =!= $"query_id")
+        .groupBy($"query_id", $"vec_id")
+        .agg(aggregate(array_sort(collect_list(struct($"ls", $"d"))),
+          lit(0.0), (acc, x) => acc + x.getField("d")).as("adc"))
+      val sw = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
+      // Shortlist size follows [[AnnPolicy.pqShortlist]]: max(100,
+      // ⌈n/20⌉), so the exact re-rank always reads ≥ 5% of the corpus
+      // per query instead of a fixed 100 whose recall would decay as
+      // the index grows (VERDICT r11 #1) — in-plan 1-row count,
+      // integer ceiling division, oracle-mirrored.
+      val slist = e.agg(count(lit(1)).as("nv"))
+        .select(AnnPolicy.scanCeilCol("nv", AnnPolicy.PqScanDiv,
+          AnnPolicy.PqShortlistFloor).as("slist"))
+      val shortlist = adc
+        .withColumn("srank", row_number().over(sw))
+        .crossJoin(broadcast(slist))
+        .filter($"srank" <= $"slist")
+        .select($"query_id", $"vec_id")
+      val qv = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+      shortlist.join(e, "vec_id").join(broadcast(qv), "query_id")
+        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
+        .orderBy($"query_id", $"rank")
+    },
+
+
+    // ----- IVFADC+refine over the TRAINED fixed-K codebook (production variant) -----
+    // q60's pipeline (encode → ADC shortlist → exact re-rank, the
+    // [[AnnPolicy.pqShortlist]] dial) with the deterministic
+    // every-25th-vector codebook replaced by the PERSISTED q72-trained
+    // K=64 artifact ([[trainedCodebook]]) — the per-subspace code
+    // tables are the trained codebook's 8-dim slices (the shared-
+    // codebook IVFPQ simplification; an independently trained 256-code
+    // subspace codebook drops into the same plan as a wider `cents`).
+    // Same shapes as q60 — codes are the only corpus-sized state the
+    // ADC pass touches, the re-rank reads exactly S full vectors per
+    // query — plus the explicit-width repartition of the one-split
+    // probe side (q127/q140 lesson). The subspace-ordered ADC fold and
+    // the NULLS FIRST oracle orderings pin the same cross-engine seams
+    // q60/q141 proved out.
+    "q60b_ann_pq_trained" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = trainedCodebook(s, dir)
+        .select($"cid", $"ce")
+      val pd = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
+        .select($"vec_id", $"cid", posexplode(
+          graft.functions.GraftFunctions.pqSubDists($"embedding", $"ce", 8))
+          .as(Seq("s", "d")))
+      val codes = pd.groupBy($"vec_id", $"s")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
+      val lut = pd.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"s".as("ls"), $"cid", $"d")
+      val adc = codes.join(broadcast(lut),
+          $"s" === $"ls" && $"code" === $"cid" && $"vec_id" =!= $"query_id")
+        .groupBy($"query_id", $"vec_id")
+        .agg(aggregate(array_sort(collect_list(struct($"ls", $"d"))),
+          lit(0.0), (acc, x) => acc + x.getField("d")).as("adc"))
+      val sw = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
+      val slist = e.agg(count(lit(1)).as("nv"))
+        .select(AnnPolicy.scanCeilCol("nv", AnnPolicy.PqScanDiv,
+          AnnPolicy.PqShortlistFloor).as("slist"))
+      val shortlist = adc
+        .withColumn("srank", row_number().over(sw))
+        .crossJoin(broadcast(slist))
+        .filter($"srank" <= $"slist")
+        .select($"query_id", $"vec_id")
+      val qv = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+      shortlist.join(e, "vec_id").join(broadcast(qv), "query_id")
+        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
+        .orderBy($"query_id", $"rank")
+    },
+
+
+    // ----- k-means training (Lloyd's) — the quantizer the ANN family assumes -----
+    // q36 IVF, q60 PQ, and q68 SemDeDup all TAKE a coarse quantizer as
+    // given (every-125th-vector); this is the op that trains one. Two
+    // fixed Lloyd iterations (fixed so the oracle is expressible as
+    // plain CTEs — a convergence loop is the same plan repeated):
+    // assignment scans the corpus against K BROADCAST centroids and
+    // argmins via ONE map-side-combining min_by aggregate over the
+    // native l2_sq kernel (shuffle = one row per vector, never
+    // vector×centroid); the centroid update explodes assigned vectors
+    // to (cluster, dim, value) and partial-aggregates, so its shuffle
+    // is K×D running sums regardless of corpus size — textbook
+    // distributed Lloyd's. At 100 TB: per-iteration cost is one corpus
+    // scan + an O(K·D) shuffle; the corpus is cached here because three
+    // passes re-read it (assignment ×2, update ×1) — on a cluster
+    // that's persist-to-executors or recompute-from-parquet, same plan.
+    // Centroid means round to 6 dp in BOTH engines, which pins the
+    // ROUNDING op (CrossRound's IEEE fold) but not the pre-round sum:
+    // avg() still sums in engine-specific order, so a 1-ulp input
+    // difference CAN in principle straddle a floor boundary and flip
+    // an iteration-2 centroid — unlike the avgMoney/sumMoney
+    // exact-integer path, which is order-independent outright. The
+    // residual risk is ulp-at-boundary only (none of the twelve fuzz
+    // seeds or the tie-generator sweep has hit it); the order-pinned
+    // fix — per-(cid, dim) sorted fold, bounded when K ∝ N keeps
+    // cluster size flat — is documented here as the escalation path
+    // rather than paid up front, since q72 fixes K=8 and a sorted
+    // collect over N/K elements is NOT bounded under that demo
+    // contract. Distances then fold bit-identically (left-to-right,
+    // all-double) and ties break on the lowest centroid id.
+    "q72_kmeans_train" -> { (s, dir) =>
+      kmeansAssignments(s, dir).orderBy(col("vec_id"))
+    },
+
+
+    // ----- int8 scalar quantization of the embedding column -----
+    // The SQ-8 compression step vector indexes apply before ANN — the
+    // cheaper sibling of q60's PQ. Per-dimension [min, max] over the
+    // corpus (one map-side-combinable agg onto 64 groups, broadcast back
+    // as two 64-element arrays — corpus-size-independent), then a
+    // map-only affine quantize to one byte per dimension. Codes are
+    // exact cross-engine: float→double widening is exact, min/max are
+    // selections (no summation order), and the quantize chain
+    // (v−mn)·(255/(mx−mn))+0.5 → floor is the same correctly-rounded
+    // IEEE sequence in both engines (q84's argument). Reconstruction SSE
+    // folds index-ordered (q74's trick — the array IS the order), so it
+    // is bit-identical too; rounded for presentation only.
+    "q87_embed_quantize" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val stats = e.select(posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"pos").agg(min($"x").as("mn"), max($"x").as("mx"))
+      val arrs = stats.agg(
+        expr("transform(sort_array(collect_list(struct(pos, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(sort_array(collect_list(struct(pos, mx))), s -> s.mx)")
+          .as("mxs"))
+      e.crossJoin(broadcast(arrs))
+        .withColumn("codes", expr(
+          """transform(sequence(1, size(v)), i ->
+               cast(case when element_at(mxs, i) > element_at(mns, i)
+                 then floor((element_at(v, i) - element_at(mns, i))
+                        * (cast(255.0 as double)
+                           / (element_at(mxs, i) - element_at(mns, i)))
+                        + cast(0.5 as double))
+                 else cast(0.0 as double) end as int))"""))
+        .withColumn("errs", expr(
+          """transform(sequence(1, size(v)), i ->
+               element_at(v, i)
+                 - (element_at(mns, i)
+                    + cast(element_at(codes, i) as double)
+                      * ((element_at(mxs, i) - element_at(mns, i))
+                         / cast(255.0 as double))))"""))
+        .select($"vec_id",
+          expr("aggregate(codes, cast(0 as bigint), (a, c) -> a + cast(c as bigint))")
+            .as("code_sum"),
+          element_at($"codes", 1).as("c0"),
+          element_at($"codes", 2).as("c1"),
+          CrossRound.r(
+            expr("aggregate(errs, cast(0.0 as double), (a, x) -> a + x * x)"), 6)
+            .as("sse"))
+        .orderBy($"vec_id")
+    },
+
+
+    // ----- cluster purity: label-based evaluation of the quantizer -----
+    // The evaluation step after clustering: how well do q72's k-means
+    // cells align with the embedding labels (the one schema column no
+    // operator consumed)? Per cluster: size, majority label (tie →
+    // lowest label), and purity = majority fraction — the standard
+    // external clustering metric. Reuses the EXACT assignment q72
+    // reports ([[kmeansAssignments]]); after it, everything is integer
+    // counting over a #clusters × #labels relation (bounded: 8 × 10),
+    // one equality join on vec_id and two tiny aggregates — nothing
+    // here grows with the corpus beyond the assignment pass itself.
+    "q95_cluster_purity" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val a = kmeansAssignments(s, dir).select($"vec_id", $"cluster")
+      val cl = a.join(t.embeddings.select($"vec_id", $"label"), "vec_id")
+        .groupBy($"cluster", $"label").agg(count(lit(1)).as("n"))
+      cl.groupBy($"cluster")
+        .agg(sum($"n").as("n_vecs"),
+          min_by(struct($"label", $"n"), struct(-$"n", $"label")).as("top"))
+        .select($"cluster", $"n_vecs",
+          $"top.label".as("top_label"), $"top.n".as("n_top"),
+          CrossRound.r($"top.n".cast("double") / $"n_vecs", 4).as("purity"))
+        .orderBy($"cluster")
+    },
+
+
+    // ----- label cohesion/separation: is the embedding space usable? -----
+    // The embedding-quality gate run before any similarity-based
+    // curation (ANN dedup, semantic clustering): per label, how tight
+    // is the class (MEDIAN member→centroid L2², not mean — the median
+    // is selection over bit-identical doubles, order-free, where a
+    // mean would re-open the summation-order ulp hazard q72 documents)
+    // and how far is the nearest other class (min inter-centroid L2²,
+    // tie → lowest label). separation = nearest/intra: > 1 means
+    // classes are tighter than their spacing. Centroids follow q72's
+    // update-step contract (per-dim avg rounded 6 dp); member
+    // distances are one broadcast join + the codegen'd l2_sq kernel;
+    // the centroid×centroid relation is #labels² — bounded, broadcast.
+    // At 100 TB: one corpus pass for centroids, one for distances,
+    // exact median per label via q17c's two-pass rank selection if a
+    // label outgrows one aggregation buffer.
+    "q99_label_cohesion" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"label", $"vec_id", $"embedding")
+      val cent = e
+        .select($"label",
+          posexplode($"embedding".cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy($"label", $"dim").agg(CrossRound.r(avg($"v"), 6).as("m"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pm"))
+        .select($"label".as("clabel"), expr("transform(pm, x -> x.m)").as("ce"))
+      val intra = e.join(broadcast(cent), $"label" === $"clabel")
+        .select($"label",
+          graft.functions.GraftFunctions.l2Sq($"embedding", $"ce").as("d"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("percentile(d, 0.5)").as("med_raw"))
+      val near = cent.select($"clabel".as("la"), $"ce".as("ca"))
+        .crossJoin(broadcast(cent.select($"clabel".as("lb"), $"ce".as("cb"))))
+        .filter($"la" =!= $"lb")
+        .select($"la",
+          graft.functions.GraftFunctions.l2Sq($"ca", $"cb").as("dc"), $"lb")
+        .groupBy($"la")
+        .agg(min_by(struct($"lb", $"dc"), struct($"dc", $"lb")).as("nb"))
+        .select($"la".as("label"), $"nb.lb".as("nearest_label"),
+          $"nb.dc".as("dc_raw"))
+      intra.join(broadcast(near), "label")
+        .select($"label", $"n_vecs",
+          CrossRound.r($"med_raw", 4).as("intra_d2"),
+          $"nearest_label",
+          CrossRound.r($"dc_raw", 4).as("inter_d2"),
+          CrossRound.r($"dc_raw" / $"med_raw", 4).as("separation"))
+        .orderBy($"label")
+    },
+
+
+    // ----- hard-negative mining: top-k nearest with a DIFFERENT label -----
+    // The contrastive-training counterpart of q25: for each anchor
+    // vector, the 3 most cosine-similar vectors whose label differs —
+    // the "hard negatives" an embedding trainer pairs with each anchor.
+    // Uses the partial-aggregating TopKAgg (q25b's scale shape: each map
+    // task keeps ≤ k candidates per anchor, so the shuffle is
+    // O(anchors × k), never the score matrix); the negative's label
+    // rides back via one bounded join (anchors × k rows, broadcast).
+    "q102_hard_negatives" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      val e = t.embeddings.select($"vec_id", $"label", $"embedding")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+          $"embedding".as("qe"))
+      val top = e.crossJoin(broadcast(q))
+        .filter($"label" =!= $"qlabel")
+        .withColumn("cos",
+          graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
+        .groupBy($"query_id")
+        .agg(topk($"vec_id", $"cos").as("top"))
+        .select($"query_id", posexplode($"top").as(Seq("i", "sv")))
+        .select($"query_id", ($"i" + 1).cast("int").as("rank"),
+          $"sv.vec_id".as("vec_id"), $"sv.cos".as("cos"))
+      e.select($"vec_id", $"label")
+        .join(broadcast(top), "vec_id")
+        .select($"query_id", $"rank", $"vec_id", $"label",
+          CrossRound.r($"cos", 4).as("cos"))
+        .orderBy($"query_id", $"rank")
+    },
+
+
+    // ----- Johnson–Lindenstrauss projection + distortion audit -----
+    // The dimensionality-reduction step in front of a 100 TB ANN stack:
+    // 64-float embeddings compress map-only to 16 hyperplane
+    // projections (the SAME native [[graft.functions.HyperplaneDots]]
+    // kernel q26/q33 sign for LSH bits — here the real-valued dots ARE
+    // the reduced vector, random-projection JL), and the audit grades
+    // the compression the q123 way: over the deterministic
+    // consecutive-id pair sample, cosine in the projected space vs
+    // exact cosine, per-pair |error| plus the corpus mean error via the
+    // order-independent scaled-integer mean. Projection is zero-shuffle
+    // (one codegen'd kernel per row); the pair sample is one
+    // equality join on a derived key (vec_id+1) — never a window over
+    // a global vector order.
+    "q137_jl_projection" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      def dot(x: String, y: String): Column = expr(
+        s"aggregate(zip_with($x, $y, (p, q) -> p * q), " +
+          "CAST(0 AS DOUBLE), (acc, e) -> acc + e)")
+      val proj = t.embeddings.repartition($"vec_id")
+        .select($"vec_id", $"embedding".as("v"),
+          graft.functions.GraftFunctions.hyperplaneDots($"embedding", 16)
+            .as("dots"))
+      val a = proj.select($"vec_id".as("vec_a"), $"v".as("va"),
+        $"dots".as("da"))
+      val b = proj.select(($"vec_id" - 1L).as("vec_a"),
+        $"vec_id".as("vec_b"), $"v".as("vb"), $"dots".as("db"))
+      val per = a.join(b, "vec_a")
+        .withColumn("cos_full", CrossRound.r(
+          graft.functions.GraftFunctions.cosineSim($"va", $"vb"), 6))
+        .withColumn("cos_proj", CrossRound.r(
+          dot("da", "db") / (sqrt(dot("da", "da")) * sqrt(dot("db", "db"))),
+          6))
+        .withColumn("err", CrossRound.r(abs($"cos_full" - $"cos_proj"), 6))
+        .select($"vec_a", $"vec_b", $"cos_full", $"cos_proj", $"err")
+        .cache() // read twice: per-pair rows + the 1-row mean (q123's shape)
+      val thr = per.agg(CrossRound.r(
+        sum(floor($"err" * 1000000 + 0.5)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          / (count(lit(1)) * 1000000.0), 6).as("mean_err"))
+      per.crossJoin(broadcast(thr)).orderBy($"vec_a")
+    },
+
+
+    // ----- embedding-space outlier pruning (cluster-distance z-filter) -----
+    // The embedding-quality sibling of the text-side Gopher rules: a
+    // curation run drops vectors that sit far outside their own
+    // cluster before any similarity-based step trusts them (mis-encoded
+    // docs, empty-input embeddings, wrong-modality rows — the
+    // SemDeDup-adjacent hygiene pass). Quantizer = the family's shared
+    // every-125th-vector coarse codebook (q36/q60/q68 contract, so the
+    // oracle reproduces assignment bit-for-bit); each vector's
+    // distance-to-own-centroid is compared against its CLUSTER MEDIAN
+    // distance: keep iff d ≤ 4·median. Median, not mean — selection/
+    // interpolation over bit-identical doubles is summation-order-free
+    // (the q99 argument), and 4·med is an EXACT IEEE product (scaling
+    // by a power of two), so the keep verdict has no rounding seam at
+    // all; the reported ratio is one correctly-rounded divide. Shapes
+    // at 100 TB: assignment is one map-side pass against broadcast
+    // centroids folded by a map-side-combining min_by (q72's shape —
+    // one row per vector shuffles, never vector×centroid); cluster
+    // stats are a K-row aggregate broadcast back; no windows, no
+    // collects, nothing corpus-sized on the driver. CAVEAT (ADVICE r13
+    // #2): the FIXTURE codebook here has no size cap — K = n/125, so
+    // the broadcast grows with the corpus and per-row routing is
+    // O(n/125), i.e. O(n²/125) total. A production run swaps in the
+    // fixed-K [[trainedCodebook]] artifact (exactly what q36b/q60b/
+    // q141b/q142 consume — K constant, ~32 KB broadcast, linear total
+    // work) without changing any other part of this plan; the fixture
+    // convention stays here because this query's oracle pins it.
+    "q140_embedding_outliers" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" % 125 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      // Explicit-width repartition of the probe side: the broadcast
+      // join (and the n×K distance projection above it) runs at the
+      // PROBE side's parallelism, and the embeddings table is ONE
+      // parquet split at every witness size — without this the scoring
+      // serializes onto a single core (the q127 lesson, re-caught live
+      // by the 40× witness on this very query; 80k×640 distances on
+      // one task). Explicit numPartitions so AQE cannot coalesce it
+      // back.
+      // cache(): asg feeds TWO plan branches (the K-row cluster stats
+      // and the per-vector verdict join), and with the aggregate
+      // sitting directly on the repartition there is no Exchange above
+      // the n×K scoring for ReuseExchange to share — uncached, the
+      // dominant distance stage runs twice (the q72 corpus-cache
+      // pattern; one row per vector, bounded).
+      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
+        .withColumn("d",
+          graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
+        .groupBy($"vec_id")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("cid"),
+          min($"d").as("d"))
+        .cache()
+      val st = asg.groupBy($"cid")
+        .agg(count(lit(1)).as("n_members"),
+          expr("percentile(d, 0.5)").as("med"))
+      asg.join(broadcast(st), "cid")
+        .select($"vec_id", $"cid", $"n_members",
+          CrossRound.r($"d", 4).as("d2"),
+          CrossRound.r($"med", 4).as("med_d2"),
+          when($"med" > 0, CrossRound.r($"d" / $"med", 4)).as("ratio"),
+          ($"d" <= lit(4.0) * $"med").as("keep"))
+        .orderBy($"vec_id")
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+      // Assignment twin of q68's two-level max_by(·, (cos, -id)) chain:
+      // row_number ORDER BY cos DESC, id picks the same coarse cell for
+      // fine centroids and vectors, then the same fine centroid within
+      // the cell, incl. ties. step = ⌈√K⌉ exactly as the Spark plan
+      // computes it (IEEE sqrt is correctly rounded in both engines).
+      "q68_semantic_dedup" -> s"""
+        WITH $cosFragment,
+        cents AS (SELECT vec_id cid, v ce FROM e WHERE vec_id % 125 = 0),
+        k AS (SELECT CAST(ceil(sqrt(count(1)::DOUBLE)) AS BIGINT) AS step
+              FROM cents),
+        coarse AS (SELECT cid gid, ce ge FROM cents, k
+                   WHERE cid % (125 * step) = 0),
+        fcell AS (SELECT cid, ce, gid FROM (
+                    SELECT c.cid, c.ce, g.gid,
+                           row_number() OVER (PARTITION BY c.cid ORDER BY
+                             list_dot_product(c.ce, g.ge) /
+                             (sqrt(list_dot_product(c.ce, c.ce)) *
+                              sqrt(list_dot_product(g.ge, g.ge))) DESC,
+                             g.gid) rk
+                    FROM cents c CROSS JOIN coarse g) WHERE rk = 1),
+        vcell AS (SELECT vec_id, v, gid FROM (
+                    SELECT e.vec_id, e.v, g.gid,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                             list_dot_product(e.v, g.ge) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(g.ge, g.ge))) DESC,
+                             g.gid) rk
+                    FROM e CROSS JOIN coarse g) WHERE rk = 1),
+        assigned AS (SELECT vec_id, cid FROM (
+                       SELECT v.vec_id, f.cid,
+                              row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY
+                                  list_dot_product(v.v, f.ce) /
+                                  (sqrt(list_dot_product(v.v, v.v)) *
+                                   sqrt(list_dot_product(f.ce, f.ce))) DESC,
+                                  f.cid) rk
+                       FROM vcell v JOIN fcell f ON v.gid = f.gid)
+                     WHERE rk = 1),
+        dups AS (SELECT DISTINCT b.vec_id
+                 FROM assigned a JOIN assigned b
+                      ON a.cid = b.cid AND a.vec_id < b.vec_id
+                 JOIN e x ON x.vec_id = a.vec_id
+                 JOIN e y ON y.vec_id = b.vec_id
+                 WHERE list_dot_product(x.v, y.v) /
+                       (sqrt(list_dot_product(x.v, x.v)) *
+                        sqrt(list_dot_product(y.v, y.v))) >= 0.4)
+        SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep
+        FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id""",
+
+
+      "q25_cosine_topk" -> s"""
+        WITH $cosFragment,
+        q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, e.vec_id,
+                          list_dot_product(e.v, q.qv) /
+                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
+                   FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        ranked AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
+        FROM ranked WHERE rk <= 10
+        ORDER BY query_id, rank""",
+
+
+      // Identical result contract to q25 — the Spark side differs only in
+      // HOW the top-k is computed (partial-aggregating UDAF vs window).
+      "q25b_topk_agg" -> s"""
+        WITH $cosFragment,
+        q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, e.vec_id,
+                          list_dot_product(e.v, q.qv) /
+                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
+                   FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        ranked AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
+        FROM ranked WHERE rk <= 10
+        ORDER BY query_id, rank""",
+
+
+      "q33_embed_neardup" -> s"""
+        WITH $cosFragment,
+        ${hyperDotsSql(8)},
+        sigs AS (SELECT vec_id, b.b AS band,
+                        ( CASE WHEN dot[b.b*4 + 1] >= 0 THEN 1 ELSE 0 END
+                        + CASE WHEN dot[b.b*4 + 2] >= 0 THEN 2 ELSE 0 END
+                        + CASE WHEN dot[b.b*4 + 3] >= 0 THEN 4 ELSE 0 END
+                        + CASE WHEN dot[b.b*4 + 4] >= 0 THEN 8 ELSE 0 END)::BIGINT sig
+                 FROM dots CROSS JOIN (SELECT unnest(generate_series(0, 1)) b) b),
+        cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
+                 FROM sigs a JOIN sigs b
+                   ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        verified AS (SELECT vec_a, vec_b,
+                            list_dot_product(ea.v, eb.v) /
+                            (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) cos
+                     FROM cand
+                     JOIN e ea ON vec_a = ea.vec_id
+                     JOIN e eb ON vec_b = eb.vec_id)
+        SELECT vec_a, vec_b, floor(cos * 10000 + 0.5) / 10000 AS cos
+        FROM verified WHERE cos >= 0.4
+        ORDER BY vec_a, vec_b""",
+
+
+      "q26_ann_lsh" -> s"""
+        WITH $cosFragment,
+        ${hyperDotsSql(12)},
+        eb AS (SELECT vec_id, v,
+                      list_reduce(list_prepend(0::BIGINT,
+                        list_transform(range(0, 12), h ->
+                          CASE WHEN dot[h+1] >= 0 THEN (1::BIGINT << h)
+                               ELSE 0::BIGINT END)),
+                        (acc, x) -> acc + x) bucket
+               FROM dots),
+        q AS (SELECT vec_id query_id, v qv, bucket qbucket FROM eb WHERE vec_id < 5),
+        -- multi-probe: candidates within Hamming distance r of the
+        -- query's 12-bit signature; r per AnnPolicy.lshRadius —
+        -- smallest r in [3, 6] whose expected candidate pool reaches
+        -- 250 (integer threshold compares, mirroring the Spark side's
+        -- CASE over the corpus count).
+        rad AS (SELECT ${AnnPolicy.lshRadiusSql("count(1)")} r FROM eb),
+        scored AS (SELECT q.query_id, eb.vec_id,
+                          list_dot_product(eb.v, q.qv) /
+                          (sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
+                   FROM eb JOIN q ON bit_count(xor(eb.bucket, q.qbucket)) <= (SELECT r FROM rad)
+                                 AND eb.vec_id != q.query_id),
+        ranked AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank""",
+
+
+      "q36_ann_ivf" -> s"""
+        WITH $cosFragment,
+        cents AS (SELECT vec_id cid, v ce FROM e WHERE vec_id % 125 = 0),
+        scoredc AS (SELECT e.vec_id, cents.cid,
+                           list_dot_product(e.v, cents.ce) /
+                           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.ce, cents.ce))) ccos
+                    FROM e CROSS JOIN cents),
+        rankedc AS (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY ccos DESC, cid) ar
+                    FROM scoredc),
+        assigned AS (SELECT vec_id, cid FROM rankedc WHERE ar = 1),
+        ea AS (SELECT e.vec_id, e.v, a.cid FROM e JOIN assigned a USING (vec_id)),
+        -- AnnPolicy.ivfNprobe: max(2, ceil(L/10)) over L inverted
+        -- lists — integer ceiling division, mirroring the Spark side's
+        -- (nl + 9) DIV 10 exactly.
+        np AS (SELECT ${
+          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.IvfScanDiv,
+            AnnPolicy.IvfNprobeFloor)
+        } np FROM cents),
+        q AS (SELECT r.vec_id query_id, e.v qv, r.cid qcid
+              FROM rankedc r JOIN e ON r.vec_id = e.vec_id
+              WHERE r.vec_id < 5 AND r.ar <= (SELECT np FROM np)),
+        scored AS (SELECT q.query_id, ea.vec_id,
+                          list_dot_product(ea.v, q.qv) /
+                          (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
+                   FROM ea JOIN q ON ea.cid = q.qcid AND ea.vec_id != q.query_id),
+        ranked AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank""",
+
+
+      // Trained-codebook IVF twin: assignment/probe/scoring are all the
+      // flat 64-term L2 fold (q72's d1 pattern ≡ the Spark side's
+      // l2_sq), the codebook is the shared trained chain, and every
+      // distance ordering carries NULLS FIRST (ADVICE r13 #3).
+      "q36b_ann_ivf_trained" -> s"""
+        WITH $trainedCbCtes,
+        sc AS (SELECT te.vec_id, c.cid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 65),
+                     i -> (te.v[i] - c.ce[i]) * (te.v[i] - c.ce[i]))),
+                   (x, y) -> x + y) d
+               FROM te CROSS JOIN tcb c),
+        asgd AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d NULLS FIRST, cid) rn
+                   FROM sc) WHERE rn = 1),
+        np AS (SELECT ${
+          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.IvfScanDiv,
+            AnnPolicy.IvfNprobeFloor)
+        } np FROM tcb),
+        qp AS (SELECT vec_id query_id, cid qcid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d NULLS FIRST, cid) rn
+                 FROM sc WHERE vec_id < 5)
+               WHERE rn <= (SELECT np FROM np)),
+        scored AS (SELECT q.query_id, a.vec_id,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range(1, 65),
+                         i -> (ev.v[i] - qv.v[i]) * (ev.v[i] - qv.v[i]))),
+                       (x, y) -> x + y) l2
+                   FROM asgd a
+                   JOIN qp q ON a.cid = q.qcid AND a.vec_id != q.query_id
+                   JOIN te ev ON a.vec_id = ev.vec_id
+                   JOIN te qv ON q.query_id = qv.vec_id),
+        ranked AS (SELECT query_id, vec_id, l2,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY l2 NULLS FIRST, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id,
+               floor(l2 * 10000 + 0.5) / 10000 AS l2
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank""",
+
+
+      // DuckDB's native ASOF JOIN is the oracle for our union-and-fill
+      // composition (orders deduped to one per (customer, date) so the
+      // match is deterministic in both engines).
+      // PQ ANN: identical deterministic codebook/encode/ADC pipeline;
+      // the subspace fold is index-ascending in both engines, and the
+      // per-candidate ADC total folds the 8 subspace distances in
+      // SUBSPACE ORDER (list(d ORDER BY s) ≡ the Spark sorted-struct
+      // fold), so the shortlist cut is bit-identical. The rerank L2 is
+      // the q72 fold (index-ascending) — also bit-identical.
+      "q60_ann_pq" -> s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        cents AS (SELECT vec_id cid, v cv FROM e
+                  WHERE vec_id % 25 = 0 AND vec_id < 2500),
+        pd AS (SELECT a.vec_id, c.cid, s.s,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, 9),
+                          j -> (a.v[s.s*8+j] - c.cv[s.s*8+j])
+                               * (a.v[s.s*8+j] - c.cv[s.s*8+j]))),
+                        (x, y) -> x + y) d
+               FROM e a CROSS JOIN cents c
+                    CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
+        codes AS (SELECT vec_id, s, cid AS code FROM (
+                    SELECT vec_id, s, cid,
+                           row_number() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d NULLS FIRST, cid) rn
+                    FROM pd) WHERE rn = 1),
+        lut AS (SELECT vec_id query_id, s, cid, d FROM pd WHERE vec_id < 5),
+        adc AS (SELECT l.query_id, c.vec_id,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                         list(l.d ORDER BY l.s)), (x, y) -> x + y) adc
+                FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.code
+                WHERE c.vec_id != l.query_id
+                GROUP BY 1, 2),
+        -- AnnPolicy.pqShortlist: max(100, ceil(n/20)) — integer
+        -- ceiling division, mirroring the Spark side's
+        -- (nv + 19) DIV 20.
+        sl AS (SELECT ${
+          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.PqScanDiv,
+            AnnPolicy.PqShortlistFloor)
+        } sl FROM e),
+        short AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY adc, vec_id) sr
+                    FROM adc) WHERE sr <= (SELECT sl FROM sl)),
+        rer AS (SELECT sh.query_id, sh.vec_id,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(range(1, 65),
+                           i -> (ev.v[i] - qv.v[i]) * (ev.v[i] - qv.v[i]))),
+                         (x, y) -> x + y) l2
+                FROM short sh
+                JOIN e ev ON sh.vec_id = ev.vec_id
+                JOIN e qv ON sh.query_id = qv.vec_id),
+        ranked AS (SELECT query_id, vec_id, l2,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY l2, vec_id) AS rank
+                   FROM rer)
+        SELECT query_id, rank, vec_id, floor(l2 * 10000 + 0.5) / 10000 AS l2
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""",
+
+
+      // Trained-codebook PQ twin: q60's encode→ADC→re-rank chain over
+      // the shared trained CTEs; subspace distances, the subspace-
+      // ordered ADC fold and the re-rank L2 keep q60's proven parity
+      // shapes, with NULLS FIRST orderings (ADVICE r13 #3).
+      "q60b_ann_pq_trained" -> s"""
+        WITH $trainedCbCtes,
+        pd AS (SELECT a.vec_id, c.cid, s.s,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, 9),
+                          j -> (a.v[s.s*8+j] - c.ce[s.s*8+j])
+                               * (a.v[s.s*8+j] - c.ce[s.s*8+j]))),
+                        (x, y) -> x + y) d
+               FROM te a CROSS JOIN tcb c
+                    CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
+        codes AS (SELECT vec_id, s, cid AS code FROM (
+                    SELECT vec_id, s, cid,
+                           row_number() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d NULLS FIRST, cid) rn
+                    FROM pd) WHERE rn = 1),
+        lut AS (SELECT vec_id query_id, s, cid, d FROM pd WHERE vec_id < 5),
+        adc AS (SELECT l.query_id, c.vec_id,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                         list(l.d ORDER BY l.s)), (x, y) -> x + y) adc
+                FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.code
+                WHERE c.vec_id != l.query_id
+                GROUP BY 1, 2),
+        sl AS (SELECT ${
+          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.PqScanDiv,
+            AnnPolicy.PqShortlistFloor)
+        } sl FROM te),
+        short AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY adc NULLS FIRST, vec_id) sr
+                    FROM adc) WHERE sr <= (SELECT sl FROM sl)),
+        rer AS (SELECT sh.query_id, sh.vec_id,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(range(1, 65),
+                           i -> (ev.v[i] - qv.v[i]) * (ev.v[i] - qv.v[i]))),
+                         (x, y) -> x + y) l2
+                FROM short sh
+                JOIN te ev ON sh.vec_id = ev.vec_id
+                JOIN te qv ON sh.query_id = qv.vec_id),
+        ranked AS (SELECT query_id, vec_id, l2,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY l2 NULLS FIRST, vec_id) AS rank
+                   FROM rer)
+        SELECT query_id, rank, vec_id, floor(l2 * 10000 + 0.5) / 10000 AS l2
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""",
+
+
+      // Assignment twin of q72's min_by(cid, (d, cid)): row_number
+      // ORDER BY d NULLS FIRST, cid. Distances fold left-to-right over doubles in
+      // both engines (l2_sq ≡ list_reduce), iteration-2 centroids are
+      // round(avg, 6) in both, so assignments match exactly.
+      "q72_kmeans_train" -> s"""
+        $kmeansOracleCtes
+        SELECT a1.vec_id, a1.cid AS cluster_init, a2.cid AS cluster
+        FROM a1 JOIN a2 USING (vec_id)
+        ORDER BY vec_id""",
+
+
+      // Purity twin over the SAME assignment CTEs: integer counting
+      // only after the join; majority tie broken by lowest label in
+      // both engines (ORDER BY n DESC, label ≡ min_by struct(-n, label)).
+      "q95_cluster_purity" -> s"""
+        $kmeansOracleCtes,
+        lbl AS (SELECT a2.vec_id, a2.cid AS cluster, emb.label
+                FROM a2 JOIN embeddings emb USING (vec_id)),
+        cl AS (SELECT cluster, label, CAST(count(1) AS BIGINT) n
+               FROM lbl GROUP BY 1, 2),
+        per AS (SELECT cluster, CAST(sum(n) AS BIGINT) n_vecs
+                FROM cl GROUP BY 1),
+        top AS (SELECT cluster, label top_label, n n_top FROM (
+                  SELECT cluster, label, n,
+                         row_number() OVER (PARTITION BY cluster
+                                            ORDER BY n DESC, label) rn
+                  FROM cl) WHERE rn = 1)
+        SELECT per.cluster AS cluster, n_vecs, top_label, n_top,
+               floor((n_top::DOUBLE / n_vecs) * 10000 + 0.5) / 10000 AS purity
+        FROM per JOIN top USING (cluster)
+        ORDER BY cluster""",
+
+
+      // Centroids follow q72's cm CTE (round(avg,6) per dim); the
+      // median is quantile_cont ≡ Spark's percentile — selection +
+      // one interpolation over bit-identical doubles, order-free.
+      "q99_label_cohesion" -> s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+        cm AS (SELECT label, t.dim,
+                      floor(avg(e.v[t.dim + 1]) * 1000000 + 0.5) / 1000000 m
+               FROM e CROSS JOIN (SELECT unnest(range(0, 64)) dim) t
+               GROUP BY 1, 2),
+        c AS (SELECT label, list(m ORDER BY dim) ce FROM cm GROUP BY label),
+        dm AS (SELECT e.label, list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, 65),
+                   i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))),
+                 (x, y) -> x + y) d
+               FROM e JOIN c USING (label)),
+        intra AS (SELECT label, CAST(count(1) AS BIGINT) n_vecs,
+                         quantile_cont(d, 0.5) med
+                  FROM dm GROUP BY 1),
+        cc AS (SELECT a.label la, b.label lb,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, 65),
+                          i -> (a.ce[i] - b.ce[i]) * (a.ce[i] - b.ce[i]))),
+                        (x, y) -> x + y) dc
+               FROM c a JOIN c b ON a.label != b.label),
+        near AS (SELECT la AS label, lb nearest_label, dc FROM (
+                   SELECT la, lb, dc,
+                          row_number() OVER (PARTITION BY la
+                                             ORDER BY dc, lb) rn
+                   FROM cc) WHERE rn = 1)
+        SELECT intra.label AS label, n_vecs,
+               floor(med * 10000 + 0.5) / 10000 AS intra_d2,
+               nearest_label,
+               floor(dc * 10000 + 0.5) / 10000 AS inter_d2,
+               floor((dc / med) * 10000 + 0.5) / 10000 AS separation
+        FROM intra JOIN near USING (label)
+        ORDER BY label""",
+
+
+      "q102_hard_negatives" -> s"""
+        WITH $cosFragment,
+        el AS (SELECT e.vec_id, emb.label, e.v
+               FROM e JOIN embeddings emb USING (vec_id)),
+        q AS (SELECT vec_id query_id, label qlabel, v qv
+              FROM el WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, el.vec_id, el.label,
+                          list_dot_product(el.v, q.qv) /
+                          (sqrt(list_dot_product(el.v, el.v)) *
+                           sqrt(list_dot_product(q.qv, q.qv))) cos
+                   FROM el CROSS JOIN q WHERE el.label != q.qlabel),
+        ranked AS (SELECT query_id, vec_id, label, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, label,
+               floor(cos * 10000 + 0.5) / 10000 AS cos
+        FROM ranked WHERE rk <= 3
+        ORDER BY query_id, rank""",
+
+
+      // DuckDB twin of q87: `list(x ORDER BY pos)` pins the per-dim
+      // stats arrays to index order (Spark: sort_array-of-structs), and
+      // both error folds run index-ordered, so codes AND sse are
+      // bit-identical.
+      "q87_embed_quantize" -> """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        d AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) pos FROM e),
+        vals AS (SELECT vec_id, pos, v[pos] x FROM d),
+        st AS (SELECT pos, min(x) mn, max(x) mx FROM vals GROUP BY 1),
+        arrs AS (SELECT list(mn ORDER BY pos) mns, list(mx ORDER BY pos) mxs
+                 FROM st),
+        q AS (SELECT vec_id, v, mns, mxs,
+                list_transform(range(1, len(v) + 1), i ->
+                  CASE WHEN mxs[i] > mns[i]
+                    THEN CAST(floor((v[i] - mns[i])
+                           * (255.0::DOUBLE / (mxs[i] - mns[i]))
+                           + 0.5::DOUBLE) AS INT)
+                    ELSE 0 END) codes
+              FROM e, arrs),
+        er AS (SELECT vec_id, codes,
+                 list_transform(range(1, len(v) + 1), i ->
+                   v[i] - (mns[i] + codes[i]::DOUBLE
+                           * ((mxs[i] - mns[i]) / 255.0::DOUBLE))) errs
+               FROM q)
+        SELECT vec_id,
+               CAST(list_reduce(list_prepend(0::BIGINT,
+                      list_transform(codes, c -> c::BIGINT)),
+                    (a, b) -> a + b) AS BIGINT) AS code_sum,
+               codes[1] AS c0, codes[2] AS c1,
+               floor(list_reduce(list_prepend(0.0::DOUBLE, errs),
+                       (a, b) -> a + b * b) * 1000000 + 0.5) / 1000000 AS sse
+        FROM er
+        ORDER BY vec_id""",
+
+
+      // Full-space cosine and projected-space cosine both fold in
+      // ascending element order (list_dot_product ≡ the Spark kernel /
+      // zip_with-aggregate fold); the mean distortion is the
+      // scaled-integer mean over the ROUNDED per-pair errors (q123's
+      // exact shape).
+      "q137_jl_projection" -> s"""
+        WITH $cosFragment,
+        ${hyperDotsSql(16)},
+        p AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
+                ${CrossRound.sql(
+                  "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))" +
+                    " * sqrt(list_dot_product(b.v, b.v)))", 6)} cos_full,
+                ${CrossRound.sql(
+                  "list_dot_product(a.dot, b.dot) / (sqrt(list_dot_product(a.dot, a.dot))" +
+                    " * sqrt(list_dot_product(b.dot, b.dot)))", 6)} cos_proj
+              FROM dots a JOIN dots b ON b.vec_id = a.vec_id + 1),
+        r AS (SELECT vec_a, vec_b, cos_full, cos_proj,
+                     ${CrossRound.sql("abs(cos_full - cos_proj)", 6)} err
+              FROM p),
+        thr AS (SELECT ${CrossRound.sql(
+                  "sum(CAST(floor(err * 1000000 + 0.5) AS BIGINT))" +
+                    " / (count(1) * 1000000.0)", 6)} mean_err
+                FROM r)
+        SELECT vec_a, vec_b, cos_full, cos_proj, err, mean_err
+        FROM r CROSS JOIN thr
+        ORDER BY vec_a""",
+
+
+      // Assignment is q36's deterministic coarse codebook; the cluster
+      // stat is quantile_cont (the q99-proven twin of Spark's exact
+      // interpolated percentile); keep compares d against 4*med — an
+      // exact IEEE product — so the verdict can never tie-split across
+      // engines.
+      "q140_embedding_outliers" -> s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        cents AS (SELECT vec_id cid, v cv FROM e WHERE vec_id % 125 = 0),
+        sc AS (SELECT e.vec_id, c.cid,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, 65),
+                          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+                        (x, y) -> x + y) d
+               FROM e CROSS JOIN cents c),
+        asg AS (SELECT vec_id, cid, d FROM (
+                  SELECT vec_id, cid, d,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d NULLS FIRST, cid) rn
+                  FROM sc) WHERE rn = 1),
+        st AS (SELECT cid, CAST(count(1) AS BIGINT) n_members,
+                      quantile_cont(d, 0.5) med
+               FROM asg GROUP BY 1)
+        SELECT a.vec_id, a.cid, n_members,
+               floor(a.d * 10000 + 0.5) / 10000 AS d2,
+               floor(med * 10000 + 0.5) / 10000 AS med_d2,
+               CASE WHEN med > 0
+                    THEN floor(a.d / med * 10000 + 0.5) / 10000 END AS ratio,
+               a.d <= 4 * med AS keep
+        FROM asg a JOIN st USING (cid)
+        ORDER BY a.vec_id""",
+  )
+}

@@ -1,0 +1,1446 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication / decontamination family: exact, bag-of-words,
+  * MinHash+LSH, SimHash, winnowing, containment, span/chunk/CDC dedup,
+  * connected components, the persisted-index delta path.
+  *
+  * Moved verbatim from `PipelineQueries` (round 14, VERDICT r13 #5 —
+  * a pure file split along the family seams; shared helpers, artifacts
+  * and oracle CTE fragments stay in [[PipelineQueries]] and arrive via
+  * the wildcard import). Registered through [[PipelineQueries.queries]]
+  * / [[PipelineQueries.oracleSql]], so the driver contract is unchanged.
+  */
+private[operators] object DedupQueries {
+  import PipelineQueries._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----- exact dedup: normalize → group → keep min doc_id -----
+    // Scale: one shuffle on the normalized text (at 100 TB: on its hash).
+    "q21_dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.documents
+        .withColumn("norm", regexp_replace(lower(trim($"text")), "\\s+", " "))
+        .groupBy($"norm")
+        .agg(min($"doc_id").as("doc_id"),
+             min_by($"source", $"doc_id").as("source"),
+             count(lit(1)).as("n_copies"))
+        .select($"doc_id", $"source", $"n_copies")
+        .orderBy($"doc_id")
+    },
+
+
+    // ----- fuzzy dedup: shingle → MinHash(16) → 4-band LSH → verify -----
+    // Shingle ids come from a portable polynomial hash of the shingle
+    // text (h = 131h + code mod P, both engines fold identically), so
+    // there is NO vocabulary sort, no zipWithIndex job, no driver-side
+    // collect, no broadcast. The signature stage is MAP-ONLY (native
+    // poly_hash_array → minhash_sigs kernels per doc row — zero shuffle
+    // before the band join); banded LSH join generates candidates (never
+    // all-pairs) via [[saltedBandPairs]], so a boilerplate-dominated hot
+    // band triangle-splits instead of funneling one reducer; exact
+    // shingle-Jaccard verifies only candidates via
+    // per-pair array_intersect. 16 integer minhashes from
+    // h_s(x) = (37s+7)·sid + 101s+3 mod P. (The sorted-dictionary id
+    // variant lives OUTSIDE the driver contract as
+    // [[minhashDictVariant]] — its vocabulary broadcast is not a 100 TB
+    // plan; `MinhashDictWitnessSpec` keeps it honest against this one.)
+    "q22b_minhash_nodict" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      minhashLshVerifyArr(docSidArrays(t.documents).cache())
+    },
+
+
+    // ----- n-gram Jaccard near-dup: doc-frequency-capped candidates -----
+    // Candidates/intersections run only over shingle ids in ≤ 50 docs:
+    // a ubiquitous shingle (a stopword trigram in millions of docs)
+    // would contribute O(df²) pairs — the quadratic blowup that kills
+    // shared-key shapes at scale — so the cap bounds per-shingle fanout
+    // at 50². `n_shared`/Jaccard therefore count shared RARE shingles
+    // over full set sizes (a tight lower bound; a pair can only be
+    // under-scored by shingles common to >50 docs). The oracle applies
+    // the identical cap. Machinery is [[rareSharedSidPairs]] (shared
+    // with q71): map-side pair generation from bounded per-sid doc
+    // lists, with the rare-set intersection counted as the pair's
+    // multiplicity in that stream (one pre-counted aggregate — no
+    // array_intersect re-verify, no post-count size joins) — 8-byte
+    // longs on the wire, never shingle strings, no two-sided self-join.
+    // Round 11: the pair stream is the shared [[rareSidPairsArtifact]]
+    // (q23/q71 consume the identical relation — machinery paid once per
+    // session, the dedup-label-artifact precedent).
+    "q23_ngram_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      rareSidPairsArtifact(s, dir)
+        .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
+        .filter($"jaccard" >= 0.6)
+        .select($"doc_a", $"doc_b", $"i".as("n_shared"),
+          CrossRound.r($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+
+    // ----- SimHash dedup: 32-bit weighted simhash, hi-16-bit buckets -----
+    // Candidate pairs share the 16-bit prefix (the LSH blocking step);
+    // verified by full Hamming distance <= 3 via bit_count(xor).
+    // The signature is MAP-ONLY: one native poly_hash_array → simhash32
+    // kernel chain per doc row (the sign of each bit depends only on the
+    // token, so summing ±1 per OCCURRENCE equals the oracle's
+    // per-distinct-token ±count — bit-identical). Zero shuffle before
+    // the prefix self-join; the earlier formulation needed a
+    // (doc, token) count agg plus a 32-column sign agg — two shuffles of
+    // token-sized data — just to reach the same 8 bytes per doc.
+    "q24_simhash" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val sh = t.documents
+        .repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id", graft.functions.GraftFunctions.simhash32(
+          graft.functions.GraftFunctions.polyHashArray($"toks")).as("simhash"))
+
+      sh.as("a").join(sh.as("b"),
+          expr("a.simhash DIV 65536") === expr("b.simhash DIV 65536") &&
+          $"a.doc_id" < $"b.doc_id")
+        .withColumn("hd", expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)"))
+        .filter($"hd" <= 3)
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"hd")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+
+    // ----- winnowing document fingerprints -----
+    // Shingle-id stream per doc; sliding window of 4; min per window;
+    // distinct mins = fingerprint set (Schleimer et al. winnowing shape).
+    // Fully MAP-ONLY: shingles3 → poly_hash_array → sliding_min native
+    // kernels per doc row, then array_distinct/min/max — a document
+    // never leaves its partition (the earlier formulation shuffled the
+    // exploded shingle stream into a doc_id-partitioned window sort plus
+    // a distinct aggregation: two shingle-sized shuffles for a per-doc
+    // computation). Docs with < 4 shingles have no full window — the
+    // empty-wmins filter drops them, as the window+filter form did.
+    "q29_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.documents
+        .repartition($"doc_id")
+        .select($"doc_id", graft.functions.GraftFunctions.slidingMin(
+          graft.functions.GraftFunctions.polyHashArray(shinglesCol()), 4)
+          .as("wmins"))
+        .filter(size($"wmins") > 0)
+        .select($"doc_id",
+          size(array_distinct($"wmins")).cast("long").as("n_fp"),
+          array_min($"wmins").as("min_fp"),
+          array_max($"wmins").as("max_fp"))
+        .orderBy($"doc_id")
+    },
+
+
+    // ----- near-dup GROUP resolution: connected components over pairs -----
+    // The dedup "ending" the pair queries (q22b/q23/q24/q33) stop short
+    // of: verified MinHash pairs form an undirected graph; each connected
+    // component is one duplicate group; the canonical survivor is the
+    // min doc_id. Components come from iterative min-label propagation —
+    // per round one equality join (edges ⋈ labels) + one min-aggregation,
+    // converging in O(component diameter) rounds. Near-dup components are
+    // shallow (duplicates of one document cluster directly), so rounds
+    // stay in single digits at any corpus size; lineage is truncated
+    // per round (localCheckpoint) so plans don't grow with iterations.
+    // The driver-side loop reads ONE aggregate scalar per round (the
+    // change count) — never row data. The labels live in the shared
+    // per-(session, dir, fingerprint) artifact ([[dedupLabelsArtifact]])
+    // q67 also reads, so the propagation runs once per corpus, not once
+    // per consumer.
+    "q46_dedup_groups" -> { (s, dir) =>
+      import s.implicits._
+      dedupLabelsArtifact(s, dir)
+        .select($"lbl".as("group_id"), $"node".as("doc_id"),
+          ($"node" === $"lbl").as("is_canonical"))
+        .orderBy($"group_id", $"doc_id")
+    },
+
+
+    // ----- benchmark decontamination (n-gram overlap vs held-out set) -----
+    // The eval-leakage check every training corpus needs: count each
+    // corpus document's 3-gram shingles that also occur in a benchmark
+    // set (here: docs 0-9 stand in for the eval suite) and flag docs
+    // over an overlap-ratio threshold. The benchmark shingle-id set is
+    // SMALL by construction (eval suites are thousands of items, not
+    // corpora) — broadcast it as 8-byte hashed sids, so the corpus side
+    // is a map-side semi-join + one per-doc aggregation; nothing scales
+    // with corpus size but the one doc_id shuffle.
+    "q51_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val arrs = docSidArrays(t.documents).cache()
+      val bench = arrs.filter($"doc_id" < 10)
+        .select(explode($"sids").as("sid")).distinct()
+      val corpus = arrs.filter($"doc_id" >= 10)
+        .select($"doc_id", explode($"sids").as("sid"))
+      // Per-doc set size is map-only (the sid array is already distinct).
+      val sizes = arrs.filter($"doc_id" >= 10)
+        .select($"doc_id", size($"sids").cast("long").as("n_shingles"))
+      val overlap = corpus.join(broadcast(bench), "sid")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      val out = sizes.join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
+        .withColumn("overlap_ratio", CrossRound.r($"n_overlap" / $"n_shingles", 4))
+        .withColumn("contaminated", ($"n_overlap" / $"n_shingles") >= 0.5)
+        .select($"doc_id", $"n_shingles", $"n_overlap",
+          $"overlap_ratio", $"contaminated")
+        .orderBy($"doc_id")
+      out
+    },
+
+
+    // ----- containment dedup (asymmetric near-subset detection) -----
+    // Jaccard misses a small doc quoted inside a much larger one (the
+    // union term swamps the intersection); containment
+    // |A∩B| / min(|A|,|B|) catches exactly that. The contract counts
+    // shared RARE shingles (df ≤ 50 — a hot boilerplate shingle can't
+    // contribute O(df²) pairs), which makes the rare path COMPLETE for
+    // these semantics: a reported pair has i ≥ 0.8·min(n) ≥ 1 shared
+    // rare sid, so a MinHash-band candidate union (considered r5) could
+    // only add pairs that fail verification. Machinery is
+    // [[rareSharedSidPairs]] (shared with q23): map-side pair
+    // generation from bounded per-sid doc lists, intersections counted
+    // as pair multiplicity (sizes ride inside the lists — no verify or
+    // size joins). Reported with both metrics so the asymmetric catch
+    // (high c, low jaccard) is visible; `Round5OpsSpec` pins that case
+    // with an embedded-quote fixture the synthetic corpus lacks.
+    "q71_containment" -> { (s, dir) =>
+      import s.implicits._
+      rareSidPairsArtifact(s, dir)
+        .withColumn("containment", $"i".cast("double") / least($"na", $"nb"))
+        .filter($"containment" >= 0.8)
+        .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
+        .select($"doc_a", $"doc_b", $"i".as("n_shared"),
+          CrossRound.r($"containment", 4).as("containment"),
+          CrossRound.r($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+
+    // ----- cross-corpus near-dup: corpus A vs corpus B MinHash join -----
+    // The "is my new crawl already in the training set" shape: same
+    // MinHash(16)/4-band machinery as q22b, but candidates pair one doc
+    // from EACH side (sources src0-4 = A vs the rest = B) — a banded
+    // equality join between two corpora, never within one, so |A|·|B|
+    // all-pairs never materializes. Signature stage map-only (native
+    // kernels); verify = per-candidate array_intersect, as q22b.
+    "q54_crosscorpus_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val aSrcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val arrs = t.documents.repartition($"doc_id")
+        .select($"doc_id", $"source".isin(aSrcs: _*).as("in_a"),
+          array_distinct(graft.functions.GraftFunctions.polyHashArray(
+            shinglesCol())).as("sids"))
+        .cache()
+      val sigs = arrs.filter(size($"sids") > 0)
+        .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
+      val bands = sigs.select($"doc_id", $"in_a",
+        mhBandCols.as(Seq("band", "sig")))
+      val cand = bands.filter($"in_a").as("a")
+        .join(bands.filter(!$"in_a").as("b"),
+          $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+      val sets = arrs.select($"doc_id", $"sids", size($"sids").as("n"))
+      cand
+        .join(sets.as("x"), $"doc_a" === $"x.doc_id")
+        .join(sets.as("y"), $"doc_b" === $"y.doc_id")
+        .withColumn("i", size(array_intersect($"x.sids", $"y.sids")))
+        .withColumn("jaccard", $"i".cast("double") / ($"x.n" + $"y.n" - $"i"))
+        .filter($"jaccard" >= 0.6)
+        .select($"doc_a", $"doc_b", CrossRound.r($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+
+    // ----- bloom-prefiltered decontamination (the >broadcast-limit path) -----
+    // Same contract as q51, different physical shape for the regime
+    // where the benchmark shingle set is too big to broadcast exactly:
+    // ONE aggregation OR-merges fixed-size bitset buffers into a Bloom
+    // filter (16 KB here regardless of set size), the corpus stream
+    // drops non-members map-side against that broadcast filter, and the
+    // EXACT equality join — pinned shuffle-side with a hint, because at
+    // this regime the probe set cannot broadcast — runs only on the
+    // surviving ~overlap fraction, eliminating false positives. Results
+    // are therefore exactly q51's; the driver-side `head()` fetches one
+    // 16 KB scalar (the filter), never row data.
+    "q55_bloom_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val arrs = docSidArrays(t.documents).cache()
+      val benchSids = arrs.filter($"doc_id" < 10)
+        .select(explode($"sids").as("sid")).distinct()
+      val bloomBytes = benchSids.select($"sid".as[Long])
+        .select(new graft.functions.BloomAgg(1 << 17, 4).toColumn.name("bloom"))
+        .head()
+      val corpus = arrs.filter($"doc_id" >= 10)
+        .select($"doc_id", explode($"sids").as("sid"))
+      val sizes = arrs.filter($"doc_id" >= 10)
+        .select($"doc_id", size($"sids").cast("long").as("n_shingles"))
+      val survivors = corpus.filter(graft.functions.GraftFunctions
+        .bloomContains(lit(bloomBytes), $"sid", 4))
+      val overlap = survivors.join(benchSids.hint("shuffle_hash"), "sid")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      sizes.join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
+        .withColumn("overlap_ratio", CrossRound.r($"n_overlap" / $"n_shingles", 4))
+        .withColumn("contaminated", ($"n_overlap" / $"n_shingles") >= 0.5)
+        .select($"doc_id", $"n_shingles", $"n_overlap",
+          $"overlap_ratio", $"contaminated")
+        .orderBy($"doc_id")
+    },
+
+
+    // ----- incremental dedup: delta batch vs a PERSISTED signature index -----
+    // The CDC shape production dedup actually runs: the corpus's MinHash
+    // signatures live in a materialized index artifact, and a new batch
+    // dedups against that index WITHOUT ever re-reading corpus text.
+    // The index is the classic banded POSTING TABLE — one (band, sig,
+    // doc_id, mh) row per band — written as a catalog table BUCKETED on
+    // the join keys (band, sig), so the delta probe co-locates with ZERO
+    // index-side Exchange: Spark reads each bucket as one partition and
+    // only the (small) delta side shuffles to match. Duplicating the
+    // 16-int signature across its 4 band rows trades 4× index bytes
+    // (still ~constant per doc, text-size-independent) for a
+    // verify-join-free probe: signature agreement (matching minhash
+    // positions / 16 estimates Jaccard) reads the mh arrays already on
+    // the joined rows. The delta cost is O(new batch + bucket
+    // collisions), independent of corpus size. The corpus/delta split
+    // point is derived from the data (first 90% of the id space is
+    // "corpus", integer arithmetic so both engines cut identically) —
+    // one bounded driver scalar, like q78's hot-key list. Hot-band
+    // audit (the q131/q22b salting question): this probe is index ⋈
+    // DELTA, not a self-join — per-key fanout is delta_df·corpus_df,
+    // linear in the (small) batch even on a degenerate band, and an
+    // oversized index bucket is partition skew on the PROBE side,
+    // which AQE's skew-join split handles without breaking the
+    // bucketed zero-Exchange read; [[saltedBandPairs]]' triangle split
+    // is the self-join remedy and would cost the index its bucketing.
+    "q81_delta_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cut: Long =
+        (t.documents.agg(max($"doc_id")).first.getLong(0) + 1L) * 9L / 10L
+      val sigs = docSidArrays(t.documents).filter(size($"sids") > 0)
+        .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
+        .select($"doc_id", $"mh")
+      def bands(df: DataFrame): DataFrame =
+        df.select($"doc_id", $"mh", mhBandCols.as(Seq("band", "sig")))
+      // The "persisted" index: written ONCE per (session, dir,
+      // data-fingerprint) — the warm path (and any re-construction,
+      // e.g. plan capture) reads the existing artifact, so the measured
+      // delta cost excludes the amortized index build, as in production.
+      val idxKey = deltaIndexKey(s, dir)
+      materializeOnce(idxKey, deltaIndexPath(s, dir), Some(idxKey)) {
+        bands(sigs.filter($"doc_id" < cut))
+          .write.mode("overwrite")
+          .bucketBy(8, "band", "sig").sortBy("band", "sig")
+          .option("path", deltaIndexPath(s, dir))
+          .saveAsTable(idxKey)
+      }
+      val index = s.table(idxKey)
+      val delta = sigs.filter($"doc_id" >= cut)
+      val cand = bands(delta).as("a")
+        .join(index.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
+        .select($"a.doc_id".as("new_doc"), $"b.doc_id".as("corpus_doc"),
+          $"a.mh".as("amh"), $"b.mh".as("bmh"))
+        .distinct()
+      cand
+        .withColumn("n_match",
+          expr("size(filter(zip_with(amh, bmh, (x, y) -> x = y), z -> z))")
+            .cast("long"))
+        .filter($"n_match" >= 8)
+        .select($"new_doc", $"corpus_doc", $"n_match",
+          CrossRound.r($"n_match" / 16.0, 4).as("est_sim"))
+        .orderBy($"new_doc", $"corpus_doc")
+    },
+
+
+    // ----- duplicated-span detection (substring-level dedup contract) -----
+    // The span-level form of exact dedup (the suffix-array contract of
+    // "Deduplicating Training Data Makes Language Models Better"): find
+    // the token RANGES of each doc covered by 3-token shingles that also
+    // appear in some other document, merged into maximal spans. Shape:
+    // shingle-df on 8-byte sids (one shuffle, map-side combined), an
+    // equality join back (dup-sid set is corpus-sized — joined, never
+    // broadcast), then per-doc interval union via the classic sweep —
+    // running max(end) over start order marks span breaks (gap means
+    // start > max(end) + 1; adjacent intervals merge), a running sum
+    // numbers them. Per-doc windows only (doc-sized partitions — scale-
+    // safe). Integer span arithmetic; the one divide is CrossRound'd.
+    // Within-doc-only repeats are NOT flagged (cross-doc contract, like
+    // the rest of the dedup family); q52 measures intra-doc repetition.
+    // The span table itself persists once per (session, dir,
+    // fingerprint) as [[spanArtifact]], shared with q100's excision.
+    "q89_dup_spans" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val n = t.documents
+        .select($"doc_id", size(expr(toksExpr)).cast("long").as("n_tokens"))
+        .filter($"n_tokens" >= 3)
+      val spans = spanArtifact(s, dir)
+      val agg = spans.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum($"e" - $"s" + 1L).as("dup_tokens"),
+        max($"e" - $"s" + 1L).as("longest_span"))
+      n.join(agg, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+          coalesce($"longest_span", lit(0L)).as("longest_span"),
+          coalesce($"n_spans", lit(0L)).as("n_spans"),
+          CrossRound.r(
+            coalesce($"dup_tokens", lit(0L)).cast("double") / $"n_tokens", 4)
+            .as("dup_frac"))
+        .orderBy($"doc_id")
+    },
+
+
+    // ----- canonical-copy selection (duplicate retention policy) -----
+    // The "which copy do we keep" step after near-dup grouping: within
+    // every dedup group (q46's labels — third consumer of the shared
+    // persisted artifact) keep the highest-quality copy (longest, then
+    // lowest doc_id); singletons keep themselves. One left join against
+    // the label artifact + one rank window over groups (group-sized
+    // partitions — bounded by construction). Integer-only.
+    "q91_keep_list" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val labels = dedupLabelsArtifact(s, dir)
+      val g = t.documents.select($"doc_id", $"n_chars")
+        .join(labels.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce($"lbl", $"doc_id"))
+      val w = Window.partitionBy($"group_id").orderBy($"n_chars".desc, $"doc_id")
+      g.withColumn("rk", row_number().over(w))
+        .select($"doc_id", $"group_id", $"n_chars", ($"rk" === 1).as("keep"))
+        .orderBy($"doc_id")
+    },
+
+
+    // ----- duplicated-span EXCISION: rewrite text with dup spans cut -----
+    // q89's transformation side (the RefinedWeb/"Deduplicating Training
+    // Data" remedy, not just the diagnostic): every token position
+    // covered by a cross-doc duplicated span is dropped and the
+    // document re-joins as cleaned text. Reads the SAME persisted
+    // [[spanArtifact]] q89 reports from, so detection and excision can
+    // never disagree — physically, not just by shared code. The
+    // rewrite itself is MAP-ONLY after the span join: covered positions
+    // flatten from the per-doc merged-span list (bounded by the doc's
+    // own token count) and the keep filter is one pass over the token
+    // array — per-doc work is O(n_tokens × n_spans) worst case, bounded
+    // by doc size, independent of corpus size. Docs with no dup spans
+    // (or < 3 tokens) pass through whole. Token-joined output text is
+    // the normalized single-space form on BOTH engines by construction.
+    "q100_span_excise" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val toks = t.documents.repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("tk"))
+      val sp = spanArtifact(s, dir)
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"s", $"e"))).as("sp"))
+      toks.join(sp, Seq("doc_id"), "left")
+        .withColumn("cov", expr("flatten(transform(sp, p -> sequence(p.s, p.e)))"))
+        .withColumn("kept", when($"cov".isNull, $"tk").otherwise(expr(
+          "filter(tk, (x, i) -> NOT array_contains(cov, CAST(i + 1 AS BIGINT)))")))
+        .select($"doc_id",
+          size($"tk").cast("long").as("n_tokens"),
+          size($"kept").cast("long").as("kept_tokens"),
+          array_join($"kept", " ").as("text_clean"))
+        .orderBy($"doc_id")
+    },
+
+
+    // ----- soft dedup: per-doc sampling weight = 1 / dup-group size -----
+    // The down-weighting alternative to dropping duplicates (keep every
+    // copy, sample each at 1/|group| so a group contributes one
+    // document's worth of mass in expectation) — the fourth consumer of
+    // the shared dedup-label artifact, so the MinHash + label
+    // propagation cost is already paid. Singletons (docs in no verified
+    // pair) weight 1 by definition. Group sizes come from one
+    // group-keyed count; the only other shuffle is the size join back.
+    // The division is one correctly-rounded IEEE op per group —
+    // identical cross-engine — and nothing ever sums the weights, so no
+    // summation-order hazard exists.
+    "q101_soft_dedup_weight" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val g = t.documents.select($"doc_id", $"source")
+        .join(dedupLabelsArtifact(s, dir).withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce($"lbl", $"doc_id"))
+        .select($"doc_id", $"source", $"group_id")
+      val sizes = g.groupBy($"group_id").agg(count(lit(1)).as("group_size"))
+      g.join(sizes, "group_id")
+        .select($"doc_id", $"source", $"group_id", $"group_size",
+          CrossRound.r(lit(1.0) / $"group_size", 6).as("weight"))
+        .orderBy($"doc_id")
+    },
+
+
+    // ----- tf-weighted shingle cosine (sparse lexical similarity) -----
+    // The multiset sibling of q23's rare-shingle Jaccard: documents as
+    // sparse shingle-count vectors, pair similarity = cosine over
+    // shingles in ≤ 50 docs (the same df cap, and for the same reason —
+    // a ubiquitous shingle would emit O(df²) pairs; norms stay FULL
+    // per-doc so capped pairs are only ever under-scored, the q23
+    // contract). The pair stream is the q23/q71 machinery shape — per-
+    // sid bounded doc lists, map-side i<j emission with tf products and
+    // both docs' full squared norms riding INSIDE the structs, one
+    // pre-aggregated (doc_a, doc_b) sum — no post-count joins. Every
+    // quantity up to the final cosine is an INTEGER (tf products and
+    // squared norms), so summation order cannot matter; the cosine is
+    // then 3 correctly-rounded IEEE ops (sqrt, sqrt·sqrt... one
+    // multiply, one divide) — identical cross-engine, q84's argument.
+    // Round-11 reshape: the per-doc sparse tf vector AND its squared
+    // norm are built MAP-SIDE by the native [[graft.functions
+    // .RleTfStats]] kernel (sort + run-length + Σtf² in one compiled
+    // pass, n2 riding inside each struct so the consumer is HOF-free),
+    // replacing the (doc, sid) count shuffle AND the per-doc
+    // re-collection shuffle an earlier formulation paid (5 Exchanges →
+    // 3) — at corpus scale those two were posting-volume shuffles, the
+    // largest in the query. A SQL-HOF RLE was tried first and hit the
+    // CollapseProject lambda-inlining trap (hash chain re-evaluated per
+    // element — the shinglesCol lesson; see the kernel scaladoc).
+    // tf values and n2 are integer-identical to the aggregation form,
+    // so the oracle is unchanged.
+    "q103_shingle_cosine" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val perDoc = t.documents.repartition($"doc_id")
+        .select($"doc_id", explode(graft.functions.GraftFunctions.rleTfStats(
+          graft.functions.GraftFunctions.polyHashArray(shinglesCol())))
+          .as("x"))
+        .select($"doc_id", $"x.sid".as("sid"), $"x.tf".as("tf"),
+          $"x.n2".as("n2"))
+      perDoc.groupBy($"sid")
+        .agg(sort_array(collect_list(struct($"doc_id", $"tf", $"n2"))).as("docs"))
+        .filter(size($"docs") <= 50)
+        .select(explode(expr(
+          """flatten(transform(docs, (x, i) ->
+               transform(slice(docs, i + 2, size(docs)),
+                         y -> named_struct('doc_a', x.doc_id, 'na2', x.n2,
+                                           'doc_b', y.doc_id, 'nb2', y.n2,
+                                           'prod', x.tf * y.tf))))"""))
+          .as("p"))
+        .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"),
+          $"p.na2".as("na2"), $"p.nb2".as("nb2"))
+        .agg(sum($"p.prod").as("dot"), count(lit(1)).as("n_shared"))
+        .withColumn("cos", $"dot".cast("double") /
+          (sqrt($"na2".cast("double")) * sqrt($"nb2".cast("double"))))
+        .filter($"cos" >= 0.5)
+        .select($"doc_a", $"doc_b", $"n_shared", $"dot",
+          CrossRound.r($"cos", 4).as("cos"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+
+    // ----- chunk-level dedup: which RAG/training chunks repeat corpus-wide -----
+    // q64's chunker feeding q21's exact-dedup idea at chunk granularity:
+    // a chunk is duplicated if its exact text occurs ≥ 2 times anywhere
+    // in the corpus (including within one document); each doc reports
+    // its duplicated-chunk fraction and a keep verdict. Chunks are
+    // keyed by md5 of the chunk text — both engines produce the same
+    // lowercase hex, and only the 32-char digest ever shuffles, not
+    // chunk text (at 100 TB this is the difference between shuffling
+    // the corpus and shuffling 3% of it). Occurrence counts are one
+    // map-side-combinable digest agg; the join back is digest-keyed
+    // equality; the per-doc rollup is doc-keyed. No collect, no windows.
+    "q104_chunk_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val chunks = t.documents.repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id",
+          graft.functions.GraftFunctions.chunkTokens($"toks", 32, 24)
+            .as(Seq("chunk_idx", "chunk")))
+        .select($"doc_id", md5(concat_ws(" ", $"chunk")).as("hk"))
+        .cache()
+      val occ = chunks.groupBy($"hk").agg(count(lit(1)).as("n_occ"))
+      chunks.join(occ, "hk")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(when($"n_occ" >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          CrossRound.r($"n_dup".cast("double") / $"n_chunks", 4))
+        .select($"doc_id", $"n_chunks", $"n_dup", $"dup_frac",
+          ($"dup_frac" <= 0.5).as("keep"))
+        .orderBy($"doc_id")
+    },
+
+
+    // ----- bag-of-words dedup (word-order-insensitive exact) -----
+    // Canonical form = tokens sorted and re-joined; its polynomial hash
+    // is the bag signature (native [[graft.functions.PolyHashArray]]
+    // kernel — one fused pass, no interpreted per-char lambda). Catches
+    // everything q21's byte-exact dedup catches PLUS token
+    // permutations (shuffle-augmented or re-serialized copies). One
+    // map-only canonicalization + one signature-keyed agg + one
+    // signature-keyed join back: two shuffles on 8-byte keys, no
+    // string ever shuffles twice. keep = min-doc_id canonical, q21's
+    // convention.
+    "q118_bag_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val sig = t.documents.repartition($"doc_id")
+        .select($"doc_id",
+          element_at(graft.functions.GraftFunctions.polyHashArray(
+            array(concat_ws(" ", array_sort(expr(toksExpr))))), 1)
+            .as("bag_sig"))
+      val grp = sig.groupBy($"bag_sig")
+        .agg(count(lit(1)).as("n_bag"), min($"doc_id").as("canon_id"))
+      sig.join(grp, "bag_sig")
+        .select($"doc_id", $"bag_sig", $"n_bag",
+          ($"doc_id" === $"canon_id").as("keep"))
+        .orderBy($"doc_id")
+    },
+
+
+    // ----- prefix-filtered exact similarity join (AllPairs/PPJoin) -----
+    // The COMPLETE exact-Jaccard-≥-0.5 pair join — no df cap, no rare-
+    // shingle contract (q23's complement): order every doc's distinct
+    // 3-shingle sids by global (df asc, sid) rarity, emit only the
+    // first ⌊n/2⌋+1 sids as the probe prefix (prefix length
+    // n − ⌈t·n⌉ + 1 — any pair with J ≥ t MUST share a prefix token
+    // under a common global order; Bayardo et al. WWW'07, Vernica et
+    // al. SIGMOD'10's MapReduce form), self-join prefixes on sid,
+    // verify candidates exactly with one array_intersect over the two
+    // doc-bounded sid arrays. The filter is the exact integer form
+    // 2i ≥ na+nb−i (no float in the decision); jac is one division.
+    // Rarity ordering makes prefixes maximally selective: the most
+    // frequent sids never appear in any prefix. The ORACLE computes
+    // all-pairs J ≥ 0.5 directly from postings, so any candidate the
+    // prefix filter missed fails the row compare — the oracle IS the
+    // completeness check (plus the brute-force equality spec in
+    // Round10OpsSpec).
+    "q121_prefix_filter_join" -> { (s, dir) =>
+      import s.implicits._
+      prefixJaccardPairs(docSidArrays(Tables(s, dir).documents))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+
+    // ----- MinHash sketch fidelity vs exact Jaccard -----
+    // Evaluates the 16-hash MinHash sketch q22b/q81 band on against
+    // GROUND TRUTH: over the complete exact J ≥ 0.5 pair set
+    // ([[prefixJaccardPairs]] — q121's machinery, second consumer),
+    // est = (matching signature positions)/16, err = |est − jac|.
+    // est is exactly k/16 (a dyadic rational — no rounding needed);
+    // the corpus mean error uses the scaled-integer order-independent
+    // mean (q117's argument, at 10⁶ for the 6-dp err). The sids feed
+    // the identical native kernel the production dedup path uses, so
+    // this measures the REAL sketch, not a reimplementation — the
+    // recall@k analogue (AnnRecallSpec) for the dedup family, but
+    // oracle-checked end to end.
+    "q123_minhash_fidelity" -> { (s, dir) =>
+      import s.implicits._
+      val arrs = docSidArrays(Tables(s, dir).documents).cache()
+      val pairs = prefixJaccardPairs(arrs)
+      val sigs = arrs.select($"doc_id",
+        graft.functions.GraftFunctions.minhashSigs($"sids", 16).as("mh"))
+      val per = pairs
+        .join(sigs.select($"doc_id".as("doc_a"), $"mh".as("ma")), "doc_a")
+        .join(sigs.select($"doc_id".as("doc_b"), $"mh".as("mb")), "doc_b")
+        .withColumn("k", expr(
+          """aggregate(zip_with(ma, mb, (x, y) -> IF(x = y, 1, 0)),
+             CAST(0 AS BIGINT), (a, e) -> a + e)"""))
+        .withColumn("est", $"k" / 16.0)
+        .withColumn("err", CrossRound.r(abs($"est" - $"jac"), 6))
+        .select($"doc_a", $"doc_b", $"jac", $"k", $"est", $"err")
+        .cache()
+      val thr = per.agg(CrossRound.r(
+        sum(floor($"err" * 1000000 + 0.5)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          / (count(lit(1)) * 1000000.0), 6).as("mean_err"))
+      per.crossJoin(broadcast(thr))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+
+    // ----- winnowing-fingerprint near-dup screen (MOSS-style) -----
+    // The sublinear similarity SCREEN a plagiarism/dup pipeline runs
+    // before exact verification: per doc, the DISTINCT winnowing
+    // fingerprints (window-4 sliding min over 3-shingle sids — q29's
+    // exact parameters, so this screens on the production fingerprint,
+    // ~1/4 the posting volume of full shingles at corpus scale), then
+    // the df-capped map-side pair machinery shared with q23/q71
+    // ([[rareSharedSidPairs]], third consumer) with the ≥2-shared-
+    // fingerprint threshold; overlap = i/min(na,nb) is the containment
+    // screen score. Winnowing guarantees any sufficiently long shared
+    // run yields a shared fingerprint, so long-verbatim-overlap pairs
+    // cannot evade the screen.
+    "q125_winnow_neardup" -> { (s, dir) =>
+      import s.implicits._
+      winnowPairsArtifact(s, dir)
+        .filter($"i" >= 2)
+        .select($"doc_a", $"doc_b", $"i", $"na", $"nb",
+          CrossRound.r(
+            $"i".cast("double") / least($"na", $"nb"), 4).as("overlap"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+
+    // ----- edit-distance verification of screened candidates -----
+    // The two-stage dedup pattern end-to-end: q125's sublinear winnow
+    // SCREEN proposes candidates (containment ≥ 0.5 — the ≥2-fp rule's
+    // strict form), then exact char-level Levenshtein VERIFIES each
+    // one. Only screened pairs ever ship their texts (the verify join
+    // reads exactly 2 docs per candidate by doc_id equality); the
+    // O(n·m) distance runs on candidate pairs only, never the corpus.
+    // levenshtein() is the standard unit-cost DP in both engines —
+    // integer-exact cross-engine; sim = 1 − d/max_len is one division.
+    // is_dup at 0.8 is the Gyawali et al. (LREC'20) near-dup band.
+    "q127_editdist_verify" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cand = winnowPairsArtifact(s, dir)
+        .filter($"i" >= 2 && $"i" * 2 >= least($"na", $"nb"))
+        .select($"doc_a", $"doc_b")
+      // Explicit-width repartition of the TEXT side. The screened pair
+      // set is broadcast-small, so the planner builds a broadcast hash
+      // join around it and the join (and the Levenshtein projection
+      // above it — the one genuinely CPU-heavy stage here) runs at the
+      // STREAM side's parallelism: the raw documents scan, which at
+      // bench corpus sizes is a single parquet split. That serialized
+      // the verify stage onto one core (measured 19.5 s vs 0.8 s for
+      // the same rows spread wide at the 50k-doc witness). Explicit
+      // numPartitions so AQE's small-shuffle coalescing cannot fold
+      // the width back to one; at cluster scale the scan arrives as
+      // many splits and this exchange is one doc-keyed pass.
+      val texts = t.documents
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+        .select($"doc_id", $"text")
+      cand
+        .join(texts.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
+        .join(texts.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          levenshtein($"ta", $"tb").cast("long").as("edit_dist"),
+          greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
+        .withColumn("sim", CrossRound.r(
+          lit(1.0) - $"edit_dist".cast("double") / $"max_len", 4))
+        .withColumn("is_dup",
+          lit(1.0) - $"edit_dist".cast("double") / $"max_len" >= 0.8)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+
+    // ----- content-defined chunking (CDC) + chunk-level dedup -----
+    // The shift-resistant chunker q64/q104's FIXED windows can't be:
+    // boundaries come from the CONTENT (a 3-token rolling signature —
+    // the shingle sid — hitting sid % 16 == 0), so inserting one token
+    // at the front of a doc re-syncs every chunk after the next
+    // boundary instead of shifting all of them (the FastCDC/LBFS
+    // argument; re-sync property pinned in `Round11OpsSpec`). Everything
+    // up to the chunk signature is ONE map-only projection per doc:
+    // native token/shingle hashes, boundary positions, and the per-chunk
+    // polynomial signature all ride higher-order functions over long
+    // arrays (the kernels take the token array as one child, so
+    // CollapseProject can't re-evaluate split per element — the
+    // shinglesCol trap). Only 8-byte chunk signatures ever shuffle:
+    // one vocabulary-sized df aggregate + one join back, doc-keyed agg.
+    // At 100 TB the shape is q104's: chunk-granular dedup where the
+    // chunk table is content-addressed — CDC is what keeps that table
+    // stable under document edits.
+    "q129_cdc_chunks" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val chunks = t.documents.repartition($"doc_id")
+        .select($"doc_id", expr(toksExpr).as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id", size($"toks").cast("long").as("n_toks"),
+          graft.functions.GraftFunctions.polyHashArray($"toks").as("thash"),
+          graft.functions.GraftFunctions.polyHashArray(
+            graft.functions.GraftFunctions.shingles3($"toks")).as("sh"))
+        // 0-based shingle positions whose sid is a boundary; a boundary
+        // at position p ends its chunk after token p+2 (the window's
+        // last token), so the next chunk starts at token p+3.
+        .withColumn("bnds", expr(
+          """CASE WHEN size(sh) = 0 THEN array()
+             ELSE filter(sequence(0, size(sh) - 1),
+                         p -> element_at(sh, CAST(p + 1 AS INT)) % 16 = 0)
+             END"""))
+        .withColumn("starts",
+          expr("concat(array(0), transform(bnds, p -> CAST(p + 3 AS INT)))"))
+        .withColumn("ends", expr(
+          "concat(transform(bnds, p -> CAST(p + 3 AS INT)), array(size(thash)))"))
+        // Per-chunk signature = the polynomial fold over the chunk's
+        // TOKEN hashes (not its text — strings never leave the row);
+        // a boundary on the final shingle yields an empty tail segment,
+        // filtered here (the oracle's group-by-chunk never sees it).
+        .withColumn("sigs", expr(
+          """filter(zip_with(starts, ends, (st, en) -> IF(en > st,
+               named_struct(
+                 'sig', aggregate(slice(thash, st + 1, en - st),
+                   CAST(0 AS BIGINT), (h, x) -> (h * 131 + x) % 1000000007),
+                 'ntk', CAST(en - st AS BIGINT)),
+               NULL)), c -> c IS NOT NULL)"""))
+        .select($"doc_id", $"n_toks", explode($"sigs").as("c"))
+        .select($"doc_id", $"n_toks", $"c.sig".as("sig"), $"c.ntk".as("ntk"))
+        .cache() // read twice: the df aggregate and the join back
+      val df = chunks.groupBy($"sig").agg(count(lit(1)).as("df"))
+      chunks.join(df, "sig")
+        .groupBy($"doc_id")
+        .agg(min($"n_toks").as("n_toks"),
+          count(lit(1)).as("n_chunks"),
+          sum(when($"df" > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when($"df" > 1, $"ntk").otherwise(0L)).as("dup_toks"))
+        .withColumn("dup_frac",
+          CrossRound.r($"dup_toks".cast("double") / $"n_toks", 4))
+        .orderBy($"doc_id")
+    },
+
+
+    // ----- connected components by large-star/small-star contraction -----
+    // The same dedup-group contract as q46 (identical oracle SQL: the
+    // transitive closure over verified MinHash pairs), computed by the
+    // O(log n)-round star-contraction algorithm instead of
+    // O(diameter)-round min-label propagation — the algorithm a 100 TB
+    // component resolution wants when components are NOT clique-ish
+    // (chains of borderline near-dups: propagation pays the chain
+    // length, contraction halves it every round pair). See
+    // [[bigStarLabels]]; `Round13OpsSpec` pins algorithm-equality with
+    // q46's propagation on the fixture AND against brute-force
+    // union-find on random graphs.
+    "q136_cc_bigstar" -> { (s, dir) =>
+      import s.implicits._
+      // Labels come from the per-session star-contraction artifact
+      // ([[bigStarLabelsArtifact]]): the iterative job runs once per
+      // (session, dir, fingerprint) — q46's convention — and its pair
+      // input is the shared verified-pair artifact, so the MinHash
+      // pipeline is also paid once per session (round 11).
+      val labels = bigStarLabelsArtifact(s, dir)
+      labels
+        .select($"lbl".as("group_id"), $"node".as("doc_id"),
+          ($"node" === $"lbl").as("is_canonical"))
+        .orderBy($"group_id", $"doc_id")
+    },
+
+
+    // ----- sequential dedup cascade (exact → bag-of-words → near-dup) -----
+    // The end-to-end attrition rollup a curation run reports, with the
+    // SEQUENTIAL keep-the-minimum semantics a real cascade applies:
+    // stage 1 keeps the min doc_id per exact text (md5 — 16-byte keys
+    // shuffle, q21's convention), stage 2 keeps the min doc per
+    // bag-of-words signature AMONG stage-1 survivors (q118's canonical
+    // form — catches permuted copies), stage 3 keeps the survivors that
+    // are their near-dup group's canonical doc (group-min label from
+    // the SHARED persisted label artifact — its fifth consumer, so the
+    // MinHash + propagation cost is still paid once per session;
+    // singletons are canonical). Stage counts are monotone by
+    // construction (asserted in `Round13OpsSpec`); every stage is one
+    // key-equality aggregate + one join, no windows, no collects.
+    "q138_dedup_cascade" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val sig = t.documents.repartition($"doc_id")
+        .select($"doc_id", $"source", md5($"text").as("eh"),
+          element_at(graft.functions.GraftFunctions.polyHashArray(
+            array(concat_ws(" ", array_sort(expr(toksExpr))))), 1).as("bh"))
+      val s1 = sig.groupBy($"eh").agg(min($"doc_id").as("k1"))
+      val st1 = sig.join(s1, "eh").withColumn("in1", $"doc_id" === $"k1")
+      // Every bh value has ≥ 1 stage-1 survivor (the md5-group min has
+      // the same text, hence the same bag signature), so the stage-2
+      // join is inner on both sides.
+      val s2 = st1.filter($"in1").groupBy($"bh").agg(min($"doc_id").as("k2"))
+      val st2 = st1.join(s2, "bh")
+        .withColumn("in2", $"in1" && $"doc_id" === $"k2")
+      val labels = dedupLabelsArtifact(s, dir)
+      st2.join(labels.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+        .withColumn("in3", $"in2" && ($"lbl".isNull || $"lbl" === $"doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"in1".cast("long")).as("n_exact"),
+          sum($"in2".cast("long")).as("n_bow"),
+          sum($"in3".cast("long")).as("n_neardup"))
+        .select($"source", $"n_docs", $"n_exact", $"n_bow", $"n_neardup",
+          CrossRound.r($"n_neardup".cast("double") / $"n_docs", 6)
+            .as("keep_frac"))
+        .orderBy($"source")
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+      "q21_dedup_exact" -> """
+        SELECT min(doc_id) AS doc_id,
+               arg_min(source, doc_id) AS source,
+               count(1) AS n_copies
+        FROM documents
+        GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        ORDER BY doc_id""",
+
+
+      "q71_containment" -> s"""
+        WITH $dsh, $dsid,
+        rare AS (SELECT sid FROM dsid GROUP BY sid HAVING count(1) <= 50),
+        rdsh AS (SELECT d.* FROM dsid d JOIN rare USING (sid)),
+        sizes AS (SELECT doc_id, count(1) n FROM dsid GROUP BY 1),
+        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(1) i
+                  FROM rdsh a JOIN rdsh b
+                       ON a.sid = b.sid AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, i AS n_shared,
+               floor((i::DOUBLE / least(sa.n, sb.n)) * 10000 + 0.5) / 10000 AS containment,
+               floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i::DOUBLE / least(sa.n, sb.n) >= 0.8
+        ORDER BY doc_a, doc_b""",
+
+
+      "q22b_minhash_nodict" -> s"""
+        WITH $minhashChain
+        SELECT doc_a, doc_b, floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+        ORDER BY doc_a, doc_b""",
+
+
+      // q46: transitive closure of the q22b pairs (recursive CTE — the
+      // oracle-side analog of Spark's min-label propagation), then
+      // min-reachable-id per node = component label.
+      "q46_dedup_groups" -> ccSql,
+
+
+      // Identical result contract to q46 — the Spark side differs only
+      // in the ALGORITHM (large-star/small-star contraction vs min-label
+      // propagation), so the transitive-closure oracle checks both
+      // (the q25/q25b precedent applied to graph algorithms).
+      "q136_cc_bigstar" -> ccSql,
+
+
+      "q51_decontaminate" -> decontamSql,
+
+
+      // q55 is the bloom-prefiltered implementation of the SAME
+      // contract — false positives die in the exact verify join, so the
+      // oracle is identical (the q25/q25b precedent).
+      "q55_bloom_decontaminate" -> decontamSql,
+
+
+      "q54_crosscorpus_neardup" -> s"""
+        WITH $dsh, $dsid,
+        srcs AS (SELECT doc_id,
+                        source IN ('src0','src1','src2','src3','src4') in_a
+                 FROM documents),
+        mh AS (SELECT doc_id, s.s,
+                      min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
+               FROM dsid CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
+               GROUP BY 1, 2),
+        bands AS (SELECT doc_id, s // 4 band,
+                         concat_ws('-', min(CASE WHEN s % 4 = 0 THEN mh END),
+                                        min(CASE WHEN s % 4 = 1 THEN mh END),
+                                        min(CASE WHEN s % 4 = 2 THEN mh END),
+                                        min(CASE WHEN s % 4 = 3 THEN mh END)) sig
+                  FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+                 FROM bands a JOIN srcs sa ON a.doc_id = sa.doc_id AND sa.in_a
+                      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                      JOIN srcs sb ON b.doc_id = sb.doc_id AND NOT sb.in_a),
+        sizes AS (SELECT doc_id, count(1) n FROM dsid GROUP BY 1),
+        inter AS (SELECT doc_a, doc_b, count(1) i
+                  FROM cand JOIN dsid x ON doc_a = x.doc_id
+                            JOIN dsid y ON doc_b = y.doc_id AND x.sid = y.sid
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+        ORDER BY doc_a, doc_b""",
+
+
+      "q23_ngram_jaccard" -> s"""
+        WITH $dsh, $dsid,
+        rare AS (SELECT sid FROM dsid GROUP BY sid
+                 HAVING count(1) <= 50),
+        rdsh AS (SELECT doc_id, sid FROM dsid JOIN rare USING (sid)),
+        sizes AS (SELECT doc_id, count(1) n FROM dsid GROUP BY 1),
+        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(1) i
+                  FROM rdsh a JOIN rdsh b
+                    ON a.sid = b.sid AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, i AS n_shared,
+               floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+        ORDER BY doc_a, doc_b""",
+
+
+      "q24_simhash" -> s"""
+        WITH tokx AS (SELECT doc_id, unnest($toks) tk FROM documents),
+        cnt AS (SELECT doc_id, tk, count(1) w FROM tokx GROUP BY 1, 2),
+        wt AS (SELECT doc_id, ${oraclePolyHash("tk")} tid, w FROM cnt),
+        bits AS (SELECT doc_id, b.bi,
+                        sum(CASE WHEN (((tid*2654435761) % 4294967296)
+                                       // (1::BIGINT << b.bi)) % 2 = 1
+                                 THEN w ELSE -w END) sgn
+                 FROM wt CROSS JOIN (SELECT unnest(generate_series(0, 31)) bi) b
+                 GROUP BY 1, 2),
+        sh AS (SELECT doc_id,
+                      sum(CASE WHEN sgn > 0 THEN 1::BIGINT << bi ELSE 0 END)::BIGINT simhash
+               FROM bits GROUP BY 1)
+        SELECT a.doc_id doc_a, b.doc_id doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
+        FROM sh a JOIN sh b
+          ON a.simhash // 65536 = b.simhash // 65536 AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b""",
+
+
+      "q29_fingerprint" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        pos_sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle,
+                     generate_subscripts(range(1, len(tk) - 1), 1) - 1 pos
+                   FROM toks),
+        sids AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid
+                 FROM pos_sh),
+        mx AS (SELECT doc_id, max(pos) max_pos FROM sids GROUP BY 1),
+        wins AS (SELECT s.doc_id, pos,
+                        min(sid) OVER (PARTITION BY s.doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wmin,
+                        max_pos
+                 FROM sids s JOIN mx ON s.doc_id = mx.doc_id)
+        SELECT doc_id, count(DISTINCT wmin) AS n_fp,
+               min(wmin) AS min_fp, max(wmin) AS max_fp
+        FROM wins WHERE pos <= max_pos - 3
+        GROUP BY doc_id
+        ORDER BY doc_id""",
+
+
+      // Span CTEs are q89's verbatim; the excision is list_filter with
+      // DuckDB's 1-based lambda index against the flattened covered-
+      // position list (Spark's 0-based index is shifted by 1), and the
+      // rebuilt text is the token join — identical strings by
+      // construction.
+      "q100_span_excise" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        sh0 AS (SELECT doc_id, unnest(range(1, len(tk) - 1)) pos,
+                       unnest(list_transform(range(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
+                FROM toks WHERE len(tk) >= 3),
+        sh AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid FROM sh0),
+        dup AS (SELECT sid FROM (
+                  SELECT sid, count(DISTINCT doc_id) nd FROM sh GROUP BY 1)
+                WHERE nd >= 2),
+        iv AS (SELECT doc_id, pos s, pos + 2 e FROM sh JOIN dup USING (sid)),
+        m AS (SELECT doc_id, s, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pme
+              FROM iv),
+        g AS (SELECT doc_id, s, e,
+                sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) grp
+              FROM m),
+        sp AS (SELECT doc_id, grp, min(s) s, max(e) e FROM g GROUP BY 1, 2),
+        cov AS (SELECT doc_id, flatten(list(range(s, e + 1) ORDER BY s)) cv
+                FROM sp GROUP BY 1),
+        cut AS (SELECT t.doc_id, tk,
+                  CASE WHEN cv IS NULL THEN tk
+                       ELSE list_filter(tk, (x, i) ->
+                              NOT list_contains(cv, CAST(i AS BIGINT))) END kept
+                FROM toks t LEFT JOIN cov USING (doc_id))
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(kept) AS BIGINT) AS kept_tokens,
+               coalesce(array_to_string(kept, ' '), '') AS text_clean
+        FROM cut
+        ORDER BY doc_id""",
+
+
+      // Same transitive closure as q46; singletons label themselves, a
+      // group-sized count supplies 1/|group|.
+      "q101_soft_dedup_weight" -> s"""
+        WITH RECURSIVE $minhashChain,
+        pairs AS MATERIALIZED (SELECT doc_a, doc_b
+                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                             JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
+        edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT src AS node, src AS lbl FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM reach r
+                  JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
+                 FROM reach GROUP BY node),
+        g AS (SELECT d.doc_id, d.source,
+                     coalesce(c.group_id, d.doc_id) AS group_id
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        gs AS (SELECT group_id, count(1) AS group_size FROM g GROUP BY 1)
+        SELECT g.doc_id, g.source, g.group_id,
+               CAST(gs.group_size AS BIGINT) AS group_size,
+               floor((1.0 / gs.group_size) * 1000000 + 0.5) / 1000000 AS weight
+        FROM g JOIN gs USING (group_id)
+        ORDER BY g.doc_id""",
+
+
+      // Non-distinct shingle stream (multiplicity matters); sid hash,
+      // df cap, and the integer dot/norm algebra mirror the Spark side.
+      "q103_shingle_cosine" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        shm AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
+                FROM toks),
+        msid AS (SELECT doc_id, ${oraclePolyHash("shingle")} sid FROM shm),
+        tf AS (SELECT doc_id, sid, count(1)::BIGINT tf FROM msid GROUP BY 1, 2),
+        n2 AS (SELECT doc_id, sum(tf * tf)::BIGINT n2 FROM tf GROUP BY 1),
+        dfreq AS (SELECT sid, count(1) df FROM tf GROUP BY 1),
+        rare AS (SELECT tf.doc_id, tf.sid, tf.tf
+                 FROM tf JOIN dfreq USING (sid) WHERE df <= 50),
+        dots AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+                        sum(a.tf * b.tf)::BIGINT dot,
+                        count(1)::BIGINT n_shared
+                 FROM rare a JOIN rare b
+                   ON a.sid = b.sid AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+        scored AS (SELECT doc_a, doc_b, n_shared, dot,
+                          dot::DOUBLE / (sqrt(na.n2::DOUBLE) *
+                                         sqrt(nb.n2::DOUBLE)) cos
+                   FROM dots JOIN n2 na ON doc_a = na.doc_id
+                             JOIN n2 nb ON doc_b = nb.doc_id)
+        SELECT doc_a, doc_b, n_shared, dot,
+               floor(cos * 10000 + 0.5) / 10000 AS cos
+        FROM scored WHERE cos >= 0.5
+        ORDER BY doc_a, doc_b""",
+
+
+      // Chunk slicing is q64's oracle twin verbatim; dedup keys on
+      // md5(chunk_text) exactly like the Spark side.
+      "q104_chunk_dedup" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        c AS (SELECT doc_id,
+                     unnest(range(0, (len(tk) - 1) // 24 + 1)) AS chunk_idx,
+                     tk
+              FROM toks WHERE len(tk) > 0),
+        sliced AS (SELECT doc_id,
+                          array_to_string(
+                            tk[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')
+                            AS chunk_text
+                   FROM c
+                   WHERE chunk_idx = 0
+                      OR (chunk_idx - 1) * 24 + 32 < len(tk)),
+        h AS (SELECT doc_id, md5(chunk_text) hk FROM sliced),
+        occ AS (SELECT hk, count(1) n_occ FROM h GROUP BY 1),
+        per AS (SELECT doc_id, count(1) n_chunks,
+                       sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) n_dup
+                FROM h JOIN occ USING (hk) GROUP BY 1)
+        SELECT doc_id,
+               CAST(n_chunks AS BIGINT) AS n_chunks,
+               CAST(n_dup AS BIGINT) AS n_dup,
+               floor((n_dup::DOUBLE / n_chunks) * 10000 + 0.5) / 10000
+                 AS dup_frac,
+               floor((n_dup::DOUBLE / n_chunks) * 10000 + 0.5) / 10000 <= 0.5
+                 AS keep
+        FROM per
+        ORDER BY doc_id""",
+
+
+      "q81_delta_dedup" -> s"""
+        WITH $dsh, $dsid,$mhBandsSql,
+        cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents),
+        cand AS (SELECT DISTINCT a.doc_id new_doc, b.doc_id corpus_doc
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig
+                 WHERE a.doc_id >= (SELECT c FROM cut)
+                   AND b.doc_id < (SELECT c FROM cut)),
+        agree AS (SELECT c.new_doc, c.corpus_doc,
+                         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) nm
+                  FROM cand c
+                  JOIN mh x ON x.doc_id = c.new_doc
+                  JOIN mh y ON y.doc_id = c.corpus_doc AND y.s = x.s
+                  GROUP BY 1, 2)
+        SELECT new_doc, corpus_doc, CAST(nm AS BIGINT) AS n_match,
+               floor((nm / 16.0) * 10000 + 0.5) / 10000 AS est_sim
+        FROM agree WHERE nm >= 8
+        ORDER BY new_doc, corpus_doc""",
+
+
+      // DuckDB twin of q89's interval-union sweep: identical window
+      // frames, so span boundaries agree exactly.
+      "q89_dup_spans" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) n_tokens FROM toks
+              WHERE len(tk) >= 3),
+        sh0 AS (SELECT doc_id, unnest(range(1, len(tk) - 1)) pos,
+                       unnest(list_transform(range(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
+                FROM toks),
+        sh AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid FROM sh0),
+        dup AS (SELECT sid FROM (
+                  SELECT sid, count(DISTINCT doc_id) nd FROM sh GROUP BY 1)
+                WHERE nd >= 2),
+        iv AS (SELECT doc_id, pos s, pos + 2 e FROM sh JOIN dup USING (sid)),
+        m AS (SELECT doc_id, s, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pme
+              FROM iv),
+        g AS (SELECT doc_id, s, e,
+                sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) grp
+              FROM m),
+        sp AS (SELECT doc_id, grp, min(s) s, max(e) e FROM g GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(count(1) AS BIGINT) n_spans,
+                       CAST(sum(e - s + 1) AS BIGINT) dup_tokens,
+                       CAST(max(e - s + 1) AS BIGINT) longest_span
+                FROM sp GROUP BY 1)
+        SELECT n.doc_id, n.n_tokens,
+               coalesce(agg.dup_tokens, 0::BIGINT) AS dup_tokens,
+               coalesce(agg.longest_span, 0::BIGINT) AS longest_span,
+               coalesce(agg.n_spans, 0::BIGINT) AS n_spans,
+               floor(coalesce(agg.dup_tokens, 0)::DOUBLE / n.n_tokens
+                     * 10000 + 0.5) / 10000 AS dup_frac
+        FROM n LEFT JOIN agg USING (doc_id)
+        ORDER BY doc_id""",
+
+
+      // q91: q46's component labels (same recursive-CTE twin), then the
+      // keep flag is a rank-1 test within each group under the identical
+      // (n_chars DESC, doc_id) retention order. Singletons (no label row)
+      // group under their own doc_id via coalesce, as in Spark.
+      "q91_keep_list" -> s"""
+        WITH RECURSIVE $minhashChain,
+        pairs AS MATERIALIZED (SELECT doc_a, doc_b
+                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                             JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
+        edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT src AS node, src AS lbl FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM reach r
+                  JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
+                 FROM reach GROUP BY node)
+        SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id,
+               d.n_chars,
+               row_number() OVER (
+                 PARTITION BY coalesce(c.group_id, d.doc_id)
+                 ORDER BY d.n_chars DESC, d.doc_id) = 1 AS keep
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+        ORDER BY d.doc_id""",
+
+
+      "q118_bag_dedup" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        canon AS (SELECT doc_id, array_to_string(list_sort(tk), ' ') cw
+                  FROM toks),
+        sig AS (SELECT doc_id, ${oraclePolyHash("cw")} bag_sig FROM canon),
+        grp AS (SELECT bag_sig, CAST(count(1) AS BIGINT) n_bag,
+                       min(doc_id) canon_id
+                FROM sig GROUP BY 1)
+        SELECT s.doc_id, s.bag_sig, g.n_bag,
+               s.doc_id = g.canon_id AS keep
+        FROM sig s JOIN grp g USING (bag_sig) ORDER BY s.doc_id""",
+
+
+      // All-pairs J >= 0.5 computed DIRECTLY from postings (no prefix
+      // logic) — so a candidate the Spark-side prefix filter missed
+      // fails the row compare: the oracle doubles as the completeness
+      // proof on every corpus it runs on.
+      "q121_prefix_filter_join" -> s"""
+        WITH $dsh, $dsid,
+        sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) n
+               FROM dsid GROUP BY 1),
+        pairs AS (SELECT a.doc_id da, b.doc_id db,
+                         CAST(count(1) AS BIGINT) i
+                  FROM dsid a JOIN dsid b
+                    ON a.sid = b.sid AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT da AS doc_a, db AS doc_b, i, sa.n AS na, sb.n AS nb,
+               ${CrossRound.sql("i::DOUBLE / (sa.n + sb.n - i)", 6)} AS jac
+        FROM pairs JOIN sz sa ON da = sa.doc_id
+                   JOIN sz sb ON db = sb.doc_id
+        WHERE i * 2 >= sa.n + sb.n - i
+        ORDER BY doc_a, doc_b""",
+
+
+      // Ground-truth pairs computed all-pairs from postings (q121's
+      // oracle), signatures from the SAME hash family as mhBandsSql —
+      // so the fidelity numbers grade the production sketch exactly.
+      "q123_minhash_fidelity" -> s"""
+        WITH $dsh, $dsid,
+        sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) n
+               FROM dsid GROUP BY 1),
+        pairs AS (SELECT a.doc_id da, b.doc_id db,
+                         CAST(count(1) AS BIGINT) i
+                  FROM dsid a JOIN dsid b
+                    ON a.sid = b.sid AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        cand AS (SELECT da doc_a, db doc_b,
+                        ${CrossRound.sql(
+                          "i::DOUBLE / (sa.n + sb.n - i)", 6)} jac
+                 FROM pairs JOIN sz sa ON da = sa.doc_id
+                            JOIN sz sb ON db = sb.doc_id
+                 WHERE i * 2 >= sa.n + sb.n - i),
+        mh AS (SELECT doc_id, s.s,
+                      min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
+               FROM dsid CROSS JOIN
+                 (SELECT unnest(generate_series(0, 15)) s) s
+               GROUP BY 1, 2),
+        est AS (SELECT c.doc_a, c.doc_b, c.jac,
+                       CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                            AS BIGINT) k
+                FROM cand c JOIN mh a ON a.doc_id = c.doc_a
+                            JOIN mh b ON b.doc_id = c.doc_b AND a.s = b.s
+                GROUP BY 1, 2, 3),
+        r AS (SELECT doc_a, doc_b, jac, k, k / 16.0 est,
+                     ${CrossRound.sql("abs(k / 16.0 - jac)", 6)} err
+              FROM est),
+        thr AS (SELECT ${CrossRound.sql(
+                  "sum(CAST(floor(err * 1000000 + 0.5) AS BIGINT))" +
+                    " / (count(1) * 1000000.0)", 6)} mean_err
+                FROM r)
+        SELECT doc_a, doc_b, jac, k, est, err, thr.mean_err
+        FROM r, thr ORDER BY doc_a, doc_b""",
+
+
+      "q125_winnow_neardup" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        pos_sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle,
+                     generate_subscripts(range(1, len(tk) - 1), 1) - 1 pos
+                   FROM toks),
+        sids AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid
+                 FROM pos_sh),
+        mx AS (SELECT doc_id, max(pos) max_pos FROM sids GROUP BY 1),
+        wins AS (SELECT s.doc_id, pos,
+                        min(sid) OVER (PARTITION BY s.doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                          wmin,
+                        max_pos
+                 FROM sids s JOIN mx ON s.doc_id = mx.doc_id),
+        fps AS (SELECT DISTINCT doc_id, wmin fp FROM wins
+                WHERE pos <= max_pos - 3),
+        sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) n FROM fps GROUP BY 1),
+        rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(1) <= 50),
+        rfps AS (SELECT f.* FROM fps f JOIN rare USING (fp)),
+        pairs AS (SELECT a.doc_id da, b.doc_id db, CAST(count(1) AS BIGINT) i
+                  FROM rfps a JOIN rfps b
+                    ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2 HAVING count(1) >= 2)
+        SELECT da AS doc_a, db AS doc_b, i, sa.n AS na, sb.n AS nb,
+               ${CrossRound.sql("i::DOUBLE / least(sa.n, sb.n)", 4)} AS overlap
+        FROM pairs JOIN sz sa ON da = sa.doc_id
+                   JOIN sz sb ON db = sb.doc_id
+        ORDER BY doc_a, doc_b""",
+
+
+      "q127_editdist_verify" -> s"""
+        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
+        pos_sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle,
+                     generate_subscripts(range(1, len(tk) - 1), 1) - 1 pos
+                   FROM toks),
+        sids AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid
+                 FROM pos_sh),
+        mx AS (SELECT doc_id, max(pos) max_pos FROM sids GROUP BY 1),
+        wins AS (SELECT s.doc_id, pos,
+                        min(sid) OVER (PARTITION BY s.doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                          wmin,
+                        max_pos
+                 FROM sids s JOIN mx ON s.doc_id = mx.doc_id),
+        fps AS (SELECT DISTINCT doc_id, wmin fp FROM wins
+                WHERE pos <= max_pos - 3),
+        sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) n FROM fps GROUP BY 1),
+        rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(1) <= 50),
+        rfps AS (SELECT f.* FROM fps f JOIN rare USING (fp)),
+        pairs AS (SELECT a.doc_id da, b.doc_id db, CAST(count(1) AS BIGINT) i
+                  FROM rfps a JOIN rfps b
+                    ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2 HAVING count(1) >= 2),
+        cand AS (SELECT da doc_a, db doc_b FROM pairs
+                 JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                 WHERE i * 2 >= least(sa.n, sb.n)),
+        v AS (SELECT c.doc_a, c.doc_b,
+                     CAST(levenshtein(ta.text, tb.text) AS BIGINT) edit_dist,
+                     CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT)
+                       max_len
+              FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
+                          JOIN documents tb ON tb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, edit_dist, max_len,
+               ${CrossRound.sql("1.0 - edit_dist::DOUBLE / max_len", 4)}
+                 AS sim,
+               1.0 - edit_dist::DOUBLE / max_len >= 0.8 AS is_dup
+        FROM v ORDER BY doc_a, doc_b""",
+
+
+      // Relational CDC twin: a token's chunk index is the count of
+      // boundaries at positions p with p+3 <= its position — computed
+      // as a running sum of chunk-START flags, never a range join; the
+      // per-chunk signature folds token hashes in position order, the
+      // same left fold as the Spark side's aggregate().
+      "q129_cdc_chunks" -> s"""
+        WITH $cdcChunksOracleCtes,
+        df AS (SELECT sig, count(1) df FROM chunks GROUP BY 1),
+        agg AS (SELECT c.doc_id, min(c.n_toks) n_toks,
+                       CAST(count(1) AS BIGINT) n_chunks,
+                       CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) n_dup_chunks,
+                       CAST(sum(CASE WHEN df.df > 1 THEN c.ntk ELSE 0 END)
+                         AS BIGINT) dup_toks
+                FROM chunks c JOIN df USING (sig) GROUP BY c.doc_id)
+        SELECT doc_id, n_toks, n_chunks, n_dup_chunks, dup_toks,
+               ${CrossRound.sql("dup_toks::DOUBLE / n_toks", 4)} AS dup_frac
+        FROM agg ORDER BY doc_id""",
+
+
+      // Sequential survivor semantics: min-per-md5, then min-per-bag
+      // among stage-1 survivors (inner join is safe — the md5-group min
+      // shares the exact text and hence the bag signature), then
+      // group-canonical (comp's min label; docs absent from comp are
+      // singletons and canonical).
+      "q138_dedup_cascade" -> s"""
+        WITH RECURSIVE $minhashChain,
+        prs AS MATERIALIZED (SELECT doc_a, doc_b
+                FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
+        edges AS (SELECT doc_a src, doc_b dst FROM prs
+                  UNION ALL SELECT doc_b, doc_a FROM prs),
+        reach AS (SELECT src AS node, src AS lbl FROM edges
+                  UNION
+                  SELECT e.dst, r.lbl FROM reach r
+                  JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
+                 FROM reach GROUP BY node),
+        canon AS (SELECT d.doc_id, d.source, md5(d.text) eh,
+                         array_to_string(list_sort($toks), ' ') cw
+                  FROM documents d),
+        sg AS (SELECT doc_id, source, eh, ${oraclePolyHash("cw")} bh
+               FROM canon),
+        s1 AS (SELECT eh, min(doc_id) k1 FROM sg GROUP BY 1),
+        f1 AS (SELECT sg.*, sg.doc_id = s1.k1 AS in1
+               FROM sg JOIN s1 USING (eh)),
+        s2 AS (SELECT bh, min(doc_id) k2 FROM f1 WHERE in1 GROUP BY 1),
+        f2 AS (SELECT f1.*, f1.in1 AND f1.doc_id = s2.k2 AS in2
+               FROM f1 JOIN s2 USING (bh)),
+        f3 AS (SELECT f2.*,
+                      f2.in2 AND (c.group_id IS NULL
+                                  OR c.group_id = f2.doc_id) AS in3
+               FROM f2 LEFT JOIN comp c ON f2.doc_id = c.doc_id)
+        SELECT source, CAST(count(1) AS BIGINT) n_docs,
+               CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) n_exact,
+               CAST(sum(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) n_bow,
+               CAST(sum(CASE WHEN in3 THEN 1 ELSE 0 END) AS BIGINT) n_neardup,
+               ${CrossRound.sql(
+                 "sum(CASE WHEN in3 THEN 1 ELSE 0 END)::DOUBLE / count(1)", 6)}
+                 AS keep_frac
+        FROM f3
+        GROUP BY source
+        ORDER BY source""",
+  )
+}

@@ -40,7 +40,7 @@ object PipelineQueries {
     * lambdas are interpreted per ELEMENT; `array_remove` is one native
     * call per row. split() never yields null elements, so the two agree.)
     */
-  private val toksExpr = "array_remove(split(text, ' '), '')"
+  private[operators] val toksExpr = "array_remove(split(text, ' '), '')"
 
   /** `array<string>` of word 3-shingles in token order — the native
     * [[graft.functions.Shingles3]] kernel over the token array, one
@@ -55,7 +55,7 @@ object PipelineQueries {
     * native kernel takes the token array as ONE child expression, so
     * collapsing is harmless and no fence is needed.
     */
-  private def shinglesCol(): Column =
+  private[operators] def shinglesCol(): Column =
     graft.functions.GraftFunctions.shingles3(expr(toksExpr))
 
   /** (doc_id, pos, shingle) exploded 3-token shingles. The `repartition`
@@ -64,12 +64,12 @@ object PipelineQueries {
     * entirely — the corpus arrives as many splits, and shingling is a
     * pure map over each.
     */
-  private def posShingles(docs: DataFrame): DataFrame =
+  private[operators] def posShingles(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(shinglesCol()).as(Seq("pos", "shingle")))
 
   /** (doc_id, shingle) distinct pairs. */
-  private def docShingles(docs: DataFrame): DataFrame =
+  private[operators] def docShingles(docs: DataFrame): DataFrame =
     posShingles(docs).select("doc_id", "shingle").distinct()
 
   /** (doc_id, sids) with the DISTINCT shingle-ID SET as one
@@ -94,7 +94,7 @@ object PipelineQueries {
     * window, which would funnel the whole dictionary through one task.
     * Ids match DuckDB's `row_number() OVER (ORDER BY key)` exactly.
     */
-  private def denseIds(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+  private[operators] def denseIds(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.select(keyCol).distinct().orderBy(keyCol)
     val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
@@ -105,7 +105,7 @@ object PipelineQueries {
       org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType))))
   }
 
-  private def shingleDict(dsh: DataFrame): DataFrame =
+  private[operators] def shingleDict(dsh: DataFrame): DataFrame =
     denseIds(dsh, "shingle", "sid")
 
   /** Portable polynomial string hash, h = (131·h + code) mod 1e9+7
@@ -198,11 +198,11 @@ object PipelineQueries {
     * (ConcurrentHashMap forbids reentrant compute); no current artifact
     * builds another.
     */
-  private final case class ArtifactRef(path: String, table: Option[String])
-  private val artifactsDone =
+  private[operators] final case class ArtifactRef(path: String, table: Option[String])
+  private[operators] val artifactsDone =
     new java.util.concurrent.ConcurrentHashMap[String, ArtifactRef]()
 
-  private def materializeOnce(key: String, path: String,
+  private[operators] def materializeOnce(key: String, path: String,
       table: Option[String] = None)(build: => Unit): Unit =
     artifactsDone.computeIfAbsent(key, _ => { build; ArtifactRef(path, table) })
 
@@ -232,22 +232,22 @@ object PipelineQueries {
     * set is a bounded driver-side array, but collecting it on EVERY
     * q59 construction re-runs a distinct+sort job; one fetch per
     * (session, dir, fingerprint) suffices. */
-  private val benchSidsMemo =
+  private[operators] val benchSidsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
-  private def scrambleExpr(column: String): String =
+  private[operators] def scrambleExpr(column: String): String =
     s"""((((($column % 4294967296) div 65536) * 2654435761) % 4294967296)
         * 65536
         + (($column % 4294967296) % 65536) * 2654435761) % 4294967296"""
 
   /** DuckDB twin of [[scrambleExpr]] (`//` = integer div). */
-  private def oracleScramble(column: String): String =
+  private[operators] def oracleScramble(column: String): String =
     s"""((((($column % 4294967296) // 65536) * 2654435761) % 4294967296)
         * 65536
         + (($column % 4294967296) % 65536) * 2654435761) % 4294967296"""
 
   /** DuckDB twin of [[polyHashExpr]]. */
-  private def oraclePolyHash(column: String): String =
+  private[operators] def oraclePolyHash(column: String): String =
     s"""list_reduce(list_prepend(0::BIGINT,
           list_transform(range(1, len($column) + 1), i -> ascii($column[i]))),
         (h, c) -> (h * 131 + c) % 1000000007)"""
@@ -264,7 +264,7 @@ object PipelineQueries {
     * is the fixed integer mix the DuckDB oracle reproduces
     * ((h·64+d)·2654435761 mod 2³² scaled to [-1,1)).
     */
-  private def hyperDots(nH: Int): Column =
+  private[operators] def hyperDots(nH: Int): Column =
     graft.functions.GraftFunctions.hyperplaneDots(col("embedding"), nH)
 
   /** Shared MinHash(16) → 4-band LSH → exact-Jaccard-verify tail used by
@@ -277,7 +277,7 @@ object PipelineQueries {
     * 16× the rows and needs a second agg to band; at 100 TB that is the
     * difference between one corpus-sized shuffle and seventeen.)
     */
-  private def minhashLshVerify(dt: DataFrame, dsh: DataFrame): DataFrame = {
+  private[operators] def minhashLshVerify(dt: DataFrame, dsh: DataFrame): DataFrame = {
     import dt.sparkSession.implicits._
     val P = 1000000007L
     val mhCols = (0 until 16).map { h =>
@@ -325,7 +325,7 @@ object PipelineQueries {
     * non-convergence within 50 fails loudly rather than emitting
     * non-minimal labels the oracle's transitive closure would refute.
     */
-  private def dedupGroupLabels(pairs: DataFrame): DataFrame = {
+  private[operators] def dedupGroupLabels(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
@@ -477,7 +477,7 @@ object PipelineQueries {
     * tokens have no shingles and emit no rows. All windows are per-doc
     * (doc-sized partitions — scale-safe); the dup-sid set is
     * corpus-sized and JOINED, never broadcast. */
-  private def dupTokenSpans(toks: DataFrame): DataFrame = {
+  private[operators] def dupTokenSpans(toks: DataFrame): DataFrame = {
     import toks.sparkSession.implicits._
     val sh = toks.filter(size($"tk") >= 3)
       .select($"doc_id", posexplode(
@@ -522,7 +522,7 @@ object PipelineQueries {
     * parquet read; sharing one materialization also makes
     * detection/excision agreement a physical identity, not just a
     * same-code one. */
-  private def spanArtifact(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def spanArtifact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = spanArtifactPath(s, dir)
     materializeOnce(path, path) {
@@ -607,9 +607,9 @@ object PipelineQueries {
     * (measured prune rates are rates of the shipped filters, not of a
     * reimplementation).
     */
-  private def ppLengthFilter: Column =
+  private[operators] def ppLengthFilter: Column =
     col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2
-  private def ppPositionalFilter: Column =
+  private[operators] def ppPositionalFilter: Column =
     (least(col("a.p"), col("b.p")) +
       least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))) * 3 >=
       col("a.n") + col("b.n")
@@ -618,7 +618,7 @@ object PipelineQueries {
     * split from [[prefixJaccardPairs]] so the diagnostic derives from
     * the same frames.
     */
-  private def prefixRelations(arrs: DataFrame): (DataFrame, DataFrame) = {
+  private[operators] def prefixRelations(arrs: DataFrame): (DataFrame, DataFrame) = {
     import arrs.sparkSession.implicits._
     val posting = arrs.select($"doc_id", explode($"sids").as("sid"))
     val dfreq = posting.groupBy($"sid").agg(count(lit(1)).as("df"))
@@ -635,7 +635,7 @@ object PipelineQueries {
     (ordered, prefixes)
   }
 
-  private def prefixCandidates(
+  private[operators] def prefixCandidates(
       prefixes: DataFrame, prune: Column): DataFrame = {
     import prefixes.sparkSession.implicits._
     prefixes.as("a")
@@ -645,7 +645,7 @@ object PipelineQueries {
       .distinct()
   }
 
-  private def prefixJaccardPairs(arrs: DataFrame): DataFrame = {
+  private[operators] def prefixJaccardPairs(arrs: DataFrame): DataFrame = {
     import arrs.sparkSession.implicits._
     val (ordered, prefixes) = prefixRelations(arrs)
     val cands = prefixCandidates(prefixes,
@@ -775,7 +775,7 @@ object PipelineQueries {
       .select($"w", $"cnt", $"syms")
   }
 
-  private def bpePairCounts(df: DataFrame): DataFrame = {
+  private[operators] def bpePairCounts(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     df.withColumn("l", split($"syms", " "))
       .filter(size($"l") >= 2)
@@ -786,12 +786,12 @@ object PipelineQueries {
       .groupBy($"pair").agg(sum($"cnt").as("pcnt"))
   }
 
-  private def bpeTop1(p: DataFrame): DataFrame = {
+  private[operators] def bpeTop1(p: DataFrame): DataFrame = {
     import p.sparkSession.implicits._
     p.orderBy($"pcnt".desc, $"pair").limit(1)
   }
 
-  private def bpeApplyMerge(df: DataFrame, top: DataFrame): DataFrame = {
+  private[operators] def bpeApplyMerge(df: DataFrame, top: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     df.crossJoin(broadcast(top.select($"pair".as("mp"))))
       .withColumn("syms", expr(
@@ -832,7 +832,7 @@ object PipelineQueries {
     * (w, cnt, syms — the final symbolization after all 3 merges).
     * Returns (merges, words) readers over the persisted artifact.
     */
-  private def bpeArtifact(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[operators] def bpeArtifact(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = bpeArtifactPath(s, dir)
     materializeOnce(base, base) {
       val words = bpeWords(Tables(s, dir).documents).cache()
@@ -854,7 +854,7 @@ object PipelineQueries {
     * vector×centroid. Shared by q72/q95's [[kmeansAssignments]] and the
     * ANN family's [[trainedCodebook]] trainer. `cents` must expose
     * (cid, ce). */
-  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val s = e.sparkSession; import s.implicits._
     e.crossJoin(broadcast(cents))
       .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
@@ -867,7 +867,7 @@ object PipelineQueries {
     * = K×D running sums regardless of corpus size), round to 6 dp (the
     * q72 cross-engine contract — see its registry comment for the
     * residual ulp analysis), and re-collect each centroid dim-sorted. */
-  private def kmUpdate(e: DataFrame, asg: DataFrame): DataFrame = {
+  private[operators] def kmUpdate(e: DataFrame, asg: DataFrame): DataFrame = {
     val s = e.sparkSession; import s.implicits._
     asg.join(e, "vec_id")
       .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
@@ -1027,7 +1027,7 @@ object PipelineQueries {
     * (ConcurrentHashMap forbids reentrant compute) — callers
     * materialize it FIRST, then build on the parquet.
     */
-  private def minhashPairsArtifact(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def minhashPairsArtifact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = minhashPairsPath(s, dir)
     materializeOnce(path, path) {
@@ -1053,7 +1053,7 @@ object PipelineQueries {
     * (reentrant materializeOnce is forbidden); the propagation's two
     * edge branches then each read a pair-sized parquet.
     */
-  private def dedupLabelsArtifact(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def dedupLabelsArtifact(s: SparkSession, dir: String): DataFrame = {
     val path = dedupLabelsPath(s, dir)
     val pairs = minhashPairsArtifact(s, dir)
     materializeOnce(path, path) {
@@ -1082,7 +1082,7 @@ object PipelineQueries {
     * [[dedupLabelsArtifact]] would collapse the two algorithms into
     * one and erase the mutual check they exist to provide.
     */
-  private def bigStarLabelsArtifact(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def bigStarLabelsArtifact(s: SparkSession, dir: String): DataFrame = {
     val path = starLabelsPath(s, dir)
     val pairs = minhashPairsArtifact(s, dir)
     materializeOnce(path, path) {
@@ -1109,7 +1109,7 @@ object PipelineQueries {
     * each consumer reads one pair-sized parquet. At 100 TB this is the
     * difference between two posting-volume aggregations and one.
     */
-  private def rareSidPairsArtifact(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def rareSidPairsArtifact(s: SparkSession, dir: String): DataFrame = {
     val path = rarePairsPath(s, dir)
     materializeOnce(path, path) {
       rareSharedSidPairs(docSidArrays(Tables(s, dir).documents), 50)
@@ -1144,7 +1144,7 @@ object PipelineQueries {
     * UNFILTERED pair stream — the screen machinery runs once, each
     * consumer applies its own threshold on a pair-sized parquet read.
     */
-  private def winnowPairsArtifact(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def winnowPairsArtifact(s: SparkSession, dir: String): DataFrame = {
     val path = winnowPairsPath(s, dir)
     materializeOnce(path, path) {
       rareSharedSidPairs(winnowSidArrays(Tables(s, dir).documents), 50)
@@ -1194,7 +1194,7 @@ object PipelineQueries {
     * self-join verify (q22b/q46/q67), the cross-corpus variant (q54),
     * and the delta-index path (q81), keeping the band layout in
     * lockstep with the oracle's `bands` CTE everywhere. */
-  private def mhBandCols =
+  private[operators] def mhBandCols =
     posexplode(array((0 until 4).map(b =>
       concat_ws("-", (0 until 4).map(r => col("mh")(b * 4 + r)): _*)): _*))
 
@@ -1296,7 +1296,7 @@ object PipelineQueries {
         when($"a.doc_id" < $"b.doc_id", $"b.p").otherwise($"a.p").as("pb"))
   }
 
-  private def minhashLshVerifyArr(docArrs: DataFrame): DataFrame = {
+  private[operators] def minhashLshVerifyArr(docArrs: DataFrame): DataFrame = {
     import docArrs.sparkSession.implicits._
     val sigs = docArrs.filter(size($"sids") > 0)
       .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
@@ -1336,3549 +1336,14 @@ object PipelineQueries {
     minhashLshVerify(dt, dsh)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Aggregated registry over the family modules (round-14 split of the
+    * former 7.4k-line single file — VERDICT r13 #5; every entry moved
+    * verbatim, zero behavior change, PLANS.md regen is the proof). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    AnnQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
+      SamplingQueries.queries ++ AnalyticsQueries.queries ++
+      MultimodalQueries.queries
 
-    // ----- exact dedup: normalize → group → keep min doc_id -----
-    // Scale: one shuffle on the normalized text (at 100 TB: on its hash).
-    "q21_dedup_exact" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      t.documents
-        .withColumn("norm", regexp_replace(lower(trim($"text")), "\\s+", " "))
-        .groupBy($"norm")
-        .agg(min($"doc_id").as("doc_id"),
-             min_by($"source", $"doc_id").as("source"),
-             count(lit(1)).as("n_copies"))
-        .select($"doc_id", $"source", $"n_copies")
-        .orderBy($"doc_id")
-    },
-
-    // ----- fuzzy dedup: shingle → MinHash(16) → 4-band LSH → verify -----
-    // Shingle ids come from a portable polynomial hash of the shingle
-    // text (h = 131h + code mod P, both engines fold identically), so
-    // there is NO vocabulary sort, no zipWithIndex job, no driver-side
-    // collect, no broadcast. The signature stage is MAP-ONLY (native
-    // poly_hash_array → minhash_sigs kernels per doc row — zero shuffle
-    // before the band join); banded LSH join generates candidates (never
-    // all-pairs) via [[saltedBandPairs]], so a boilerplate-dominated hot
-    // band triangle-splits instead of funneling one reducer; exact
-    // shingle-Jaccard verifies only candidates via
-    // per-pair array_intersect. 16 integer minhashes from
-    // h_s(x) = (37s+7)·sid + 101s+3 mod P. (The sorted-dictionary id
-    // variant lives OUTSIDE the driver contract as
-    // [[minhashDictVariant]] — its vocabulary broadcast is not a 100 TB
-    // plan; `MinhashDictWitnessSpec` keeps it honest against this one.)
-    "q22b_minhash_nodict" -> { (s, dir) =>
-      val t = Tables(s, dir)
-      minhashLshVerifyArr(docSidArrays(t.documents).cache())
-    },
-
-    // ----- n-gram Jaccard near-dup: doc-frequency-capped candidates -----
-    // Candidates/intersections run only over shingle ids in ≤ 50 docs:
-    // a ubiquitous shingle (a stopword trigram in millions of docs)
-    // would contribute O(df²) pairs — the quadratic blowup that kills
-    // shared-key shapes at scale — so the cap bounds per-shingle fanout
-    // at 50². `n_shared`/Jaccard therefore count shared RARE shingles
-    // over full set sizes (a tight lower bound; a pair can only be
-    // under-scored by shingles common to >50 docs). The oracle applies
-    // the identical cap. Machinery is [[rareSharedSidPairs]] (shared
-    // with q71): map-side pair generation from bounded per-sid doc
-    // lists, with the rare-set intersection counted as the pair's
-    // multiplicity in that stream (one pre-counted aggregate — no
-    // array_intersect re-verify, no post-count size joins) — 8-byte
-    // longs on the wire, never shingle strings, no two-sided self-join.
-    // Round 11: the pair stream is the shared [[rareSidPairsArtifact]]
-    // (q23/q71 consume the identical relation — machinery paid once per
-    // session, the dedup-label-artifact precedent).
-    "q23_ngram_jaccard" -> { (s, dir) =>
-      import s.implicits._
-      rareSidPairsArtifact(s, dir)
-        .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
-        .filter($"jaccard" >= 0.6)
-        .select($"doc_a", $"doc_b", $"i".as("n_shared"),
-          CrossRound.r($"jaccard", 4).as("jaccard"))
-        .orderBy($"doc_a", $"doc_b")
-    },
-
-    // ----- SimHash dedup: 32-bit weighted simhash, hi-16-bit buckets -----
-    // Candidate pairs share the 16-bit prefix (the LSH blocking step);
-    // verified by full Hamming distance <= 3 via bit_count(xor).
-    // The signature is MAP-ONLY: one native poly_hash_array → simhash32
-    // kernel chain per doc row (the sign of each bit depends only on the
-    // token, so summing ±1 per OCCURRENCE equals the oracle's
-    // per-distinct-token ±count — bit-identical). Zero shuffle before
-    // the prefix self-join; the earlier formulation needed a
-    // (doc, token) count agg plus a 32-column sign agg — two shuffles of
-    // token-sized data — just to reach the same 8 bytes per doc.
-    "q24_simhash" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val sh = t.documents
-        .repartition($"doc_id")
-        .select($"doc_id", expr(toksExpr).as("toks"))
-        .filter(size($"toks") > 0)
-        .select($"doc_id", graft.functions.GraftFunctions.simhash32(
-          graft.functions.GraftFunctions.polyHashArray($"toks")).as("simhash"))
-
-      sh.as("a").join(sh.as("b"),
-          expr("a.simhash DIV 65536") === expr("b.simhash DIV 65536") &&
-          $"a.doc_id" < $"b.doc_id")
-        .withColumn("hd", expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)"))
-        .filter($"hd" <= 3)
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"hd")
-        .orderBy($"doc_a", $"doc_b")
-    },
-
-    // ----- similarity search: brute-force cosine top-k (baseline) -----
-    // Query vectors broadcast; scoring is the native codegen'd
-    // CosineSim expression (one fused loop per pair — the SQL-fold
-    // formulation walks the arrays 3× and allocates a product array),
-    // accumulating in double left-to-right like the oracle's list fold.
-    "q25_cosine_topk" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val e = t.embeddings.select($"vec_id", $"embedding")
-      val q = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-      e.crossJoin(broadcast(q))
-        .filter($"vec_id" =!= $"query_id")
-        .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 10)
-        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"cos", 4).as("cos"))
-        .orderBy($"query_id", $"rank")
-    },
-
-    // ----- top-k via partial-aggregating UDAF (scale path for q25) -----
-    // Same result as q25's window rank, but the Aggregator keeps ≤k rows
-    // per group per map task — shuffle is O(queries × k), not the full
-    // score matrix. Same oracle as q25.
-    "q25b_topk_agg" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val topk = udaf(new graft.functions.TopKAgg(10))
-      val e = t.embeddings.select($"vec_id", $"embedding")
-      val q = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-      e.crossJoin(broadcast(q))
-        .filter($"vec_id" =!= $"query_id")
-        .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
-        .groupBy($"query_id")
-        .agg(topk($"vec_id", $"cos").as("top"))
-        .select($"query_id", posexplode($"top").as(Seq("i", "sv")))
-        .select($"query_id", ($"i" + 1).cast("int").as("rank"),
-          $"sv.vec_id".as("vec_id"), CrossRound.r($"sv.cos", 4).as("cos"))
-        .orderBy($"query_id", $"rank")
-    },
-
-    // ----- embedding-cosine near-dup: banded hyperplane LSH + verify -----
-    // Dedup by embedding similarity: 8 deterministic hyperplane bits in
-    // 2 bands of 4; candidate pairs agree on at least one band (never
-    // all-pairs — O(n·bands) shuffle), then the native CosineSim verifies
-    // cos >= 0.4. Banding trades precision for recall exactly like the
-    // MinHash bands in q22b. The signature is a per-row map-only fold
-    // ([[hyperDots]], native codegen) and the embedding rides along to the band join,
-    // so the only shuffles left are the candidate equality-join and the
-    // pair dedup — no join back to the base table.
-    "q33_embed_neardup" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val e = t.embeddings.select($"vec_id", $"embedding")
-      val sigs = e
-        .withColumn("dots", hyperDots(8))
-        .withColumn("band_sigs", expr(
-          """transform(sequence(0, 1), b ->
-               aggregate(sequence(0, 3), CAST(0 AS BIGINT),
-                 (acc, r) -> acc + IF(dots[b*4 + r] >= 0D,
-                   shiftleft(CAST(1 AS BIGINT), r), CAST(0 AS BIGINT))))"""))
-        .select($"vec_id", $"embedding",
-          posexplode($"band_sigs").as(Seq("band", "sig")))
-      sigs.as("a").join(sigs.as("b"),
-          $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
-          $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-          graft.functions.GraftFunctions.cosineSim($"a.embedding", $"b.embedding")
-            .as("rawcos"))
-        .filter($"rawcos" >= 0.4)
-        .select($"vec_a", $"vec_b", CrossRound.r($"rawcos", 4).as("cos"))
-        .distinct()
-        .orderBy($"vec_a", $"vec_b")
-    },
-
-    // ----- similarity scale path: multi-probe hyperplane LSH -----
-    // 12 deterministic hyperplanes → 4096 buckets; each query probes its
-    // bucket AND every bucket within Hamming distance r of it — classic
-    // multi-probe LSH (neighboring sign patterns hold the near misses):
-    // expected candidate fraction on sign-independent data is
-    // Σ_{i≤r} C(12,i)/4096 (≈ 7.3% at the r = 3 floor), much less when
-    // the data clusters; exact cosine top-5 over the candidates. The
-    // single-bucket probe (r6 and earlier) had recall@5 ≈ 0 on the
-    // synthetic corpus — 4096 buckets over 500 near-random vectors
-    // leave every probe basically empty (`AnnRecallSpec` now gates
-    // this). The radius follows [[AnnPolicy.lshRadius]]: the fraction-
-    // of-buckets probe makes recall corpus-size-INdependent at scale
-    // (unlike q36's fixed count was), so the floor stays 3 for any
-    // corpus ≥ ~3.5k vectors; on smaller corpora the radius widens
-    // until the expected candidate pool reaches 250 (r = 4 at 2k
-    // vectors, 6 at 500) instead of probing near-empty buckets —
-    // computed in-plan from a 1-row corpus count with integer
-    // threshold compares the oracle mirrors exactly. The probe is a
-    // bit_count(xor) predicate against the 5-row broadcast query
-    // side — BNLJ(tiny build), the same bounded shape as the q25
-    // brute-force scoring, never a corpus×corpus product. The
-    // hyperplane "randomness" is a fixed integer mix so the oracle
-    // reproduces it.
-    "q26_ann_lsh" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val e = t.embeddings.select($"vec_id", $"embedding")
-      // Bucket id is a pure per-row projection ([[hyperDots]], native codegen,
-      // sign-bit pack) — no explode, no groupBy, no join back to e. The
-      // remaining shuffles are the top-k window and the output sort.
-      val eb = e
-        .withColumn("dots", hyperDots(12))
-        .withColumn("bucket", expr(
-          """aggregate(sequence(0, 11), CAST(0 AS BIGINT),
-               (acc, h) -> acc + IF(dots[h] >= 0D,
-                 shiftleft(CAST(1 AS BIGINT), h), CAST(0 AS BIGINT)))"""))
-        .drop("dots")
-      val rad = e.agg(count(lit(1)).as("nv")).select(
-        AnnPolicy.lshRadiusCol($"nv").as("radius"))
-      val q = eb.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket".as("qbucket"))
-        .crossJoin(rad)
-      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-      eb.join(broadcast(q),
-          expr("bit_count(bucket ^ qbucket) <= radius") && $"vec_id" =!= $"query_id")
-        .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"cos", 4).as("cos"))
-        .orderBy($"query_id", $"rank")
-    },
-
-    // ----- text analysis: token/char stats + quality score -----
-    "q27_text_stats" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val tok = t.documents.select($"doc_id", $"lang", $"n_chars",
-        explode(expr(toksExpr)).as("tk"))
-      tok.groupBy($"doc_id", $"lang", $"n_chars")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          countDistinct($"tk").as("n_uniq"),
-          CrossRound.r(avg(length($"tk")), 4).as("avg_token_len"),
-          sum(when($"tk".isin("the", "a"), 1L).otherwise(0L)).as("n_stop"))
-        .withColumn("stop_ratio",
-          CrossRound.r($"n_stop".cast("double") / $"n_tokens", 4))
-        .withColumn("uniq_ratio",
-          CrossRound.r($"n_uniq".cast("double") / $"n_tokens", 4))
-        .select($"doc_id", $"lang", $"n_chars", $"n_tokens", $"n_uniq",
-          $"avg_token_len", $"n_stop", $"stop_ratio", $"uniq_ratio")
-        .orderBy($"doc_id")
-    },
-
-    // ----- token counting: whitespace vs BPE-ish regex -----
-    // The brief's second tokenizer: a GPT-2-style pretokenizer regex
-    // (contractions | space-prefixed letter runs | digit runs |
-    // punctuation runs | whitespace) — no lookahead, so Spark's Java
-    // regex and the oracle's RE2 agree. Pure per-row projection: at
-    // 100 TB this is a map-only pass, no shuffle before the final sort.
-    "q38_bpe_tokens" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val bpe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
-      t.documents
-        .select($"doc_id",
-          size(expr(toksExpr)).cast("long").as("n_ws_tokens"),
-          size(regexp_extract_all($"text", lit(bpe), lit(0))).cast("long")
-            .as("n_bpe_tokens"))
-        .withColumn("tokens_per_word",
-          CrossRound.r($"n_bpe_tokens".cast("double") / $"n_ws_tokens", 4))
-        .orderBy($"doc_id")
-    },
-
-    // ----- language-ID: token-profile Naive Bayes, train/test split -----
-    // Profiles from docs with doc_id%5=0; scores = sum of log-smoothed
-    // per-lang token likelihoods; argmax with rounded-score tie-break.
-    // Output is the confusion matrix.
-    "q28_langid" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      // Token ids are hashed sids (native kernel, computed map-side
-      // before any shuffle): the profile/test joins and aggregations all
-      // key on 8-byte longs, never token strings. A colliding token pair
-      // merges in BOTH engines identically (the oracle hashes the same
-      // way), the same lockstep contract as the shingle-set family.
-      val tok = t.documents.select($"doc_id", $"lang",
-        explode(graft.functions.GraftFunctions.polyHashArray(
-          expr(toksExpr))).as("sid"))
-      val train = tok.filter($"doc_id" % 5 === 0)
-      val test = tok.filter($"doc_id" % 5 =!= 0)
-
-      val langTok = train.groupBy($"lang", $"sid").agg(count(lit(1)).as("c"))
-      val langTot = train.groupBy($"lang").agg(count(lit(1)).as("tot"))
-      val vocabN = train.select($"sid").distinct().count()
-      val profile = langTok.join(langTot, "lang")
-        .select($"lang".as("plang"), $"sid",
-          log(($"c" + 1).cast("double") / ($"tot" + vocabN)).as("logp"))
-
-      val scored = test
-        .join(profile, "sid") // unseen tokens drop (equal smoothing skip)
-        .groupBy($"doc_id", $"lang", $"plang")
-        .agg(sum($"logp").as("score"))
-      val w = Window.partitionBy($"doc_id")
-        .orderBy(CrossRound.r($"score", 6).desc, $"plang")
-      scored
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" === 1)
-        .groupBy($"lang".as("actual"), $"plang".as("predicted"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy($"actual", $"predicted")
-    },
-
-    // ----- winnowing document fingerprints -----
-    // Shingle-id stream per doc; sliding window of 4; min per window;
-    // distinct mins = fingerprint set (Schleimer et al. winnowing shape).
-    // Fully MAP-ONLY: shingles3 → poly_hash_array → sliding_min native
-    // kernels per doc row, then array_distinct/min/max — a document
-    // never leaves its partition (the earlier formulation shuffled the
-    // exploded shingle stream into a doc_id-partitioned window sort plus
-    // a distinct aggregation: two shingle-sized shuffles for a per-doc
-    // computation). Docs with < 4 shingles have no full window — the
-    // empty-wmins filter drops them, as the window+filter form did.
-    "q29_fingerprint" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      t.documents
-        .repartition($"doc_id")
-        .select($"doc_id", graft.functions.GraftFunctions.slidingMin(
-          graft.functions.GraftFunctions.polyHashArray(shinglesCol()), 4)
-          .as("wmins"))
-        .filter(size($"wmins") > 0)
-        .select($"doc_id",
-          size(array_distinct($"wmins")).cast("long").as("n_fp"),
-          array_min($"wmins").as("min_fp"),
-          array_max($"wmins").as("max_fp"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- similarity scale path 2: IVF (inverted-file) ANN -----
-    // Coarse quantizer: every 125th vector is a centroid (deterministic,
-    // so the oracle reproduces it — a k-means fit would converge
-    // engine-differently). Each vector joins its nearest centroid's
-    // inverted list; queries probe their nprobe nearest lists, then
-    // exact cosine top-5. nprobe follows [[AnnPolicy.ivfNprobe]] —
-    // max(2, ⌈L/10⌉) over L lists, a ≥10% scan fraction at ANY index
-    // size, computed in-plan from a 1-row centroid count (the fixed
-    // nprobe=2 of rounds 7–11 scanned 2/L, and recall@5 decayed
-    // 0.84 → 0.20 as the corpus grew 500 → 20k vectors — VERDICT r11
-    // #1; `AnnRecallSpec` floors plus the scale measurements in
-    // SCALE.md §6 gate the policy). Lists are disjoint, so probes
-    // never duplicate a candidate. Centroids are broadcast (tiny);
-    // assignment is one map-side pass over the corpus — at 100 TB:
-    // n×C scored rows with no shuffle until the per-list grouping, C
-    // constant, and per-query probe cost is nprobe average-sized
-    // lists ≈ a fixed fraction of n.
-    "q36_ann_ivf" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val e = t.embeddings.select($"vec_id", $"embedding")
-      val cents = e.filter($"vec_id" % 125 === 0)
-        .select($"vec_id".as("cid"), $"embedding".as("ce"))
-      val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-      val ranked = e.crossJoin(broadcast(cents))
-        .withColumn("ccos", graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
-        .withColumn("arank", row_number().over(aw))
-      val assigned = ranked.filter($"arank" === 1)
-        .select($"vec_id", $"embedding", $"cid")
-      // The query side keeps its nprobe highest-scoring centroids —
-      // nprobe probe rows per query, each an equality join against the
-      // disjoint inverted lists. Integer ceiling division so the
-      // oracle's `//`-arithmetic twin is bit-identical.
-      val np = cents.agg(count(lit(1)).as("nl"))
-        .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
-          AnnPolicy.IvfNprobeFloor).as("nprobe"))
-      val q = ranked.filter($"vec_id" < 5).crossJoin(broadcast(np))
-        .filter($"arank" <= $"nprobe")
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"cid".as("qcid"))
-      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-      assigned.join(broadcast(q),
-          $"cid" === $"qcid" && $"vec_id" =!= $"query_id")
-        .withColumn("cos", graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"cos", 4).as("cos"))
-        .orderBy($"query_id", $"rank")
-    },
-
-    // ----- IVF over the TRAINED fixed-K codebook (production variant) -----
-    // q36 with the fixture's every-125th-vector quantizer (K = n/125 —
-    // total assignment work O(n²/125), the VERDICT r13 #1 seam)
-    // replaced by the PERSISTED q72-trained K=64 codebook
-    // ([[trainedCodebook]]): per-row routing is O(K) against a ~32 KB
-    // broadcast, so index build is LINEAR in the corpus at any size —
-    // the 100 TB shape. Metric is L2 (the metric the quantizer was
-    // trained in; q36 stays the cosine-metric fixture twin). Assignment
-    // argmins via ONE map-side-combining min_by carrying the embedding
-    // as payload — one row per vector shuffles, never vector×centroid
-    // (strictly better than q36's window-over-scored-rows shape, which
-    // shuffled all n×K scored rows to rank them). Only the 5 query
-    // rows rank their probes through a window (5×K rows). nprobe
-    // follows [[AnnPolicy.ivfNprobe]] over the artifact's ACTUAL list
-    // count (empty clusters drop out of the Lloyd update in both
-    // engines identically).
-    "q36b_ann_ivf_trained" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val e = t.embeddings.select($"vec_id", $"embedding")
-      val cents = trainedCodebook(s, dir).select($"cid", $"ce")
-      // Explicit-width repartition: the n×K scoring above a broadcast
-      // join runs at the probe side's parallelism and the embeddings
-      // table is one parquet split (the q127/q140 lesson).
-      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
-        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))
-        .select($"vec_id", $"m.cid".as("cid"), $"m.embedding".as("embedding"))
-      val np = cents.agg(count(lit(1)).as("nl"))
-        .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
-          AnnPolicy.IvfNprobeFloor).as("nprobe"))
-      val qw = Window.partitionBy($"query_id").orderBy($"qd", $"cid")
-      val q = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-        .crossJoin(broadcast(cents))
-        .withColumn("qd", graft.functions.GraftFunctions.l2Sq($"qe", $"ce"))
-        .withColumn("qrank", row_number().over(qw))
-        .crossJoin(broadcast(np))
-        .filter($"qrank" <= $"nprobe")
-        .select($"query_id", $"qe", $"cid".as("qcid"))
-      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
-      asg.join(broadcast(q),
-          $"cid" === $"qcid" && $"vec_id" =!= $"query_id")
-        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
-        .orderBy($"query_id", $"rank")
-    },
-
-    // ----- skew-safe aggregation: explicit two-phase salting -----
-    // events.event_type has a handful of hot keys — the exact shape that
-    // funnels a 100 TB groupBy into a few reducers. Phase 1 fans each hot
-    // key across 32 salt buckets (partial aggregates per (key, salt));
-    // phase 2 merges the 32 partials per key. Same technique AQE's
-    // skew-join handles for joins, written out for aggregation. The
-    // oracle is the plain single-phase GROUP BY — results are identical,
-    // only the shuffle distribution differs.
-    "q34_salted_agg" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      t.events
-        .withColumn("salt", pmod(xxhash64($"event_id"), lit(32)))
-        .groupBy($"event_type", $"salt")
-        .agg(count(lit(1)).as("pn"), sum($"value").as("psum"),
-             max($"value").as("pmax"), min($"value").as("pmin"))
-        .groupBy($"event_type")
-        .agg(sum($"pn").as("n_events"),
-             round(sum($"psum"), 2).as("sum_value"),
-             round(max($"pmax"), 4).as("max_value"),
-             round(min($"pmin"), 4).as("min_value"))
-        .orderBy($"event_type")
-    },
-
-    // ----- as-of join: latest order at or before each event date -----
-    // Spark has no native ASOF JOIN (DuckDB does — the oracle uses it);
-    // the scalable composition is union-and-fill: tag both sides, sort
-    // within each key partition by (date, tag), and carry the last seen
-    // order forward with last(ignoreNulls). One shuffle on the key, an
-    // in-partition sort, no per-row range probe — rows per key bound the
-    // window state, not total volume.
-    "q35_asof_join" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      // One order per (customer, date) — greatest orderkey wins — so the
-      // as-of match is deterministic on both engines.
-      val o1 = t.orders
-        .withColumn("od", to_date($"o_orderdate"))
-        .groupBy($"o_custkey", $"od")
-        .agg(max($"o_orderkey").as("o_orderkey"),
-             max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
-      val oside = o1.select($"o_custkey".as("k"), $"od".as("d"),
-        lit(0).as("tag"), $"o_orderkey", $"o_totalprice",
-        lit(null).cast("long").as("event_id"))
-      val eside = t.events.select($"user_id".as("k"), to_date($"ts").as("d"),
-        lit(1).as("tag"), lit(null).cast("long").as("o_orderkey"),
-        lit(null).cast("double").as("o_totalprice"), $"event_id")
-      val w = Window.partitionBy($"k").orderBy($"d", $"tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      oside.union(eside)
-        .withColumn("m_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
-        .withColumn("m_totalprice", last($"o_totalprice", ignoreNulls = true).over(w))
-        .filter($"tag" === 1 && $"m_orderkey".isNotNull)
-        .select($"event_id", $"k".as("user_id"), $"d".as("event_date"),
-          $"m_orderkey".as("o_orderkey"),
-          round($"m_totalprice", 2).as("o_totalprice"))
-        .orderBy($"event_id")
-    },
-
-    // ----- as-of join, native whole-operator form -----
-    // The same contract as q35 through the custom logical+physical
-    // operator ([[graft.plans.AsOfJoin]] → planner strategy →
-    // AsOfJoinExec): each side shuffles once on its key and sorts by
-    // (key, time) — planned by EnsureRequirements from the operator's
-    // declared requirements — then a single forward merge with one-row
-    // state per partition. Compare q35's composition (union both sides
-    // + last(ignoreNulls) window): same rows, but no union
-    // materialization and no window buffering. Shares q35's DuckDB
-    // ASOF JOIN oracle.
-    "q35b_asof_native" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      // Pre-partition on the JOIN key alone, then aggregate: hash(k)
-      // co-locates every (k, od) group, so the groupBy runs on the
-      // existing partitioning AND its output already satisfies the
-      // as-of join's ClusteredDistribution(o_custkey) — one exchange
-      // feeds both the aggregation and the join (3 total in the plan,
-      // matching q35's composition; without this, the agg's (k, od)
-      // hash partitioning forces a 4th re-shuffle on k).
-      val o1 = t.orders
-        .withColumn("od", to_date($"o_orderdate"))
-        .repartition($"o_custkey")
-        .groupBy($"o_custkey", $"od")
-        .agg(max($"o_orderkey").as("o_orderkey"),
-             max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
-      val e = t.events.select($"event_id", $"user_id", to_date($"ts").as("d"))
-      graft.plans.AsOf.asofJoin(e, o1, "user_id", "d", "o_custkey", "od")
-        .filter($"o_orderkey".isNotNull)
-        .select($"event_id", $"user_id", $"d".as("event_date"),
-          $"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"))
-        .orderBy($"event_id")
-    },
-
-    // ----- multimodal: binary asset column + partition-wise decode -----
-    // Stage 1 renders each document into a REAL tiny PNG (deterministic
-    // pixels — see [[Multimodal]]); stage 2 decodes those bytes with the
-    // in-JDK codec (javax.imageio) and reads dimensions + a weighted
-    // pixel checksum. Both stages are mapPartitions batch iteration over
-    // a binary column — the exact plumbing a production decoder drops
-    // into — and the oracle reproduces the decoded values relationally
-    // (PNG is lossless), so the decode is end-to-end verified.
-    "q30_multimodal_meta" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val assets = t.documents
-        .select($"doc_id", length($"text").cast("int").as("text_len"))
-        // The codec stages are CPU-bound: spread them across every core
-        // instead of inheriting the scan's (often single-file, single
-        // partition) parallelism. The shuffled payload is 12 bytes/doc —
-        // the image bytes are born AFTER the repartition.
-        .repartition(s.sparkContext.defaultParallelism)
-        .as[(Long, Int)]
-        .mapPartitions(_.map { case (docId, n) =>
-          (docId, Multimodal.encodePng(docId, n))
-        })
-      assets.mapPartitions { it =>
-        it.map { case (docId, bytes) => Multimodal.decodeMeta(docId, bytes) }
-      }.toDF()
-        .select($"doc_id", $"width", $"height", $"n_pixels", $"pix_checksum")
-        .orderBy($"doc_id")
-    },
-
-    // ----- multimodal: frame sampling (one asset → many frames) -----
-    // The flatMap shape of a video frame extractor over genuinely
-    // decoded images: every 2nd row of each decoded PNG is a "frame"
-    // with a rolling pixel checksum. Map-only until the final sort;
-    // frames per asset bound memory, not corpus size.
-    "q41_frame_sample" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val assets = t.documents
-        .select($"doc_id", length($"text").cast("int").as("text_len"))
-        // The codec stages are CPU-bound: spread them across every core
-        // instead of inheriting the scan's (often single-file, single
-        // partition) parallelism. The shuffled payload is 12 bytes/doc —
-        // the image bytes are born AFTER the repartition.
-        .repartition(s.sparkContext.defaultParallelism)
-        .as[(Long, Int)]
-        .mapPartitions(_.map { case (docId, n) =>
-          (docId, Multimodal.encodePng(docId, n))
-        })
-      assets.mapPartitions { it =>
-        it.flatMap { case (docId, bytes) =>
-          Multimodal.frameSample(docId, bytes, every = 2)
-        }
-      }.toDF()
-        .select($"doc_id", $"frame_idx", $"n_px", $"frame_checksum")
-        .orderBy($"doc_id", $"frame_idx")
-    },
-
-    // ----- multimodal: resize (decode → nearest-neighbor thumbnail) -----
-    // Real decode + real downsample: each PNG shrinks to a 16×16
-    // nearest-neighbor thumbnail (deterministic across JVMs, unlike
-    // Graphics2D filtering) whose row-major checksum the oracle mirrors.
-    "q42_resize" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val assets = t.documents
-        .select($"doc_id", length($"text").cast("int").as("text_len"))
-        // The codec stages are CPU-bound: spread them across every core
-        // instead of inheriting the scan's (often single-file, single
-        // partition) parallelism. The shuffled payload is 12 bytes/doc —
-        // the image bytes are born AFTER the repartition.
-        .repartition(s.sparkContext.defaultParallelism)
-        .as[(Long, Int)]
-        .mapPartitions(_.map { case (docId, n) =>
-          (docId, Multimodal.encodePng(docId, n))
-        })
-      assets.mapPartitions { it =>
-        it.map { case (docId, bytes) =>
-          Multimodal.resizeThumb(docId, bytes, target = 16)
-        }
-      }.toDF()
-        .select($"doc_id", $"width", $"height", $"thumb_checksum")
-        .orderBy($"doc_id")
-    },
-
-    // ----- near-dup GROUP resolution: connected components over pairs -----
-    // The dedup "ending" the pair queries (q22b/q23/q24/q33) stop short
-    // of: verified MinHash pairs form an undirected graph; each connected
-    // component is one duplicate group; the canonical survivor is the
-    // min doc_id. Components come from iterative min-label propagation —
-    // per round one equality join (edges ⋈ labels) + one min-aggregation,
-    // converging in O(component diameter) rounds. Near-dup components are
-    // shallow (duplicates of one document cluster directly), so rounds
-    // stay in single digits at any corpus size; lineage is truncated
-    // per round (localCheckpoint) so plans don't grow with iterations.
-    // The driver-side loop reads ONE aggregate scalar per round (the
-    // change count) — never row data. The labels live in the shared
-    // per-(session, dir, fingerprint) artifact ([[dedupLabelsArtifact]])
-    // q67 also reads, so the propagation runs once per corpus, not once
-    // per consumer.
-    "q46_dedup_groups" -> { (s, dir) =>
-      import s.implicits._
-      dedupLabelsArtifact(s, dir)
-        .select($"lbl".as("group_id"), $"node".as("doc_id"),
-          ($"node" === $"lbl").as("is_canonical"))
-        .orderBy($"group_id", $"doc_id")
-    },
-
-    // ----- deterministic stratified sampling (training-mixture control) -----
-    // Keep a per-language fraction of the corpus with a hash-derived
-    // uniform u ∈ [0,1) per doc — reproducible across runs/engines
-    // (unlike rand()), map-only, zero shuffle before the output sort. At
-    // 100 TB this is the shape mixture construction wants: rates come
-    // from a tiny config, the decision is pure per-row arithmetic.
-    "q47_stratified_sample" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      t.documents
-        .withColumn("rate", when($"lang" === "en", 0.2).otherwise(0.5))
-        .withColumn("u", expr(scrambleExpr("doc_id")) / lit(4294967296.0))
-        .filter($"u" < $"rate")
-        .select($"doc_id", $"lang", $"source", round($"u", 6).as("u"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- sequence packing: fixed token budget, contiguous greedy -----
-    // Pack documents into training sequences of ≤512 tokens (plus at
-    // most one straddling doc): within each source, docs in doc_id order
-    // go to bin floor(tokens-before / 512) — the standard one-pass
-    // approximation of concat-and-chunk corpus packing. The running sum
-    // is a per-source window (parallel across sources; at 100 TB the
-    // partition key is the shard, same shape), everything else is one
-    // hash aggregation.
-    "q48_pack_sequences" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val w = Window.partitionBy($"source").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t.documents
-        .select($"source", $"doc_id",
-          size(expr(toksExpr)).cast("long").as("n_tokens"))
-        .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
-        .withColumn("seq_id", expr("cum_before div 512"))
-        .groupBy($"source", $"seq_id")
-        .agg(count(lit(1)).as("n_docs"),
-             sum($"n_tokens").as("sum_tokens"),
-             min($"doc_id").as("first_doc"),
-             max($"doc_id").as("last_doc"))
-        .orderBy($"source", $"seq_id")
-    },
-
-    // ----- TF-IDF-style top terms per document -----
-    // Characteristic-term extraction with a rational score (tf / df —
-    // exact in both engines, no transcendental whose last-ulp could flip
-    // rank ties): token explode → tf hash-agg, df hash-agg → equality
-    // join on token (vocabulary-sized side is NOT broadcast — it shuffles
-    // like any fact-fact join) → per-doc top-3 window. Ties break on the
-    // token string, so ranks are total and deterministic.
-    "q49_topterms" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val docTok = t.documents
-        .select($"doc_id", explode(expr(toksExpr)).as("token"))
-      val tf = docTok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-      val dfreq = docTok.distinct()
-        .groupBy($"token").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
-      tf.join(dfreq, "token")
-        .withColumn("score", $"tf".cast("double") / $"df")
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= 3)
-        .select($"doc_id", $"rank", $"token", CrossRound.r($"score", 4).as("score"))
-        .orderBy($"doc_id", $"rank")
-    },
-
-    // ----- benchmark decontamination (n-gram overlap vs held-out set) -----
-    // The eval-leakage check every training corpus needs: count each
-    // corpus document's 3-gram shingles that also occur in a benchmark
-    // set (here: docs 0-9 stand in for the eval suite) and flag docs
-    // over an overlap-ratio threshold. The benchmark shingle-id set is
-    // SMALL by construction (eval suites are thousands of items, not
-    // corpora) — broadcast it as 8-byte hashed sids, so the corpus side
-    // is a map-side semi-join + one per-doc aggregation; nothing scales
-    // with corpus size but the one doc_id shuffle.
-    "q51_decontaminate" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val arrs = docSidArrays(t.documents).cache()
-      val bench = arrs.filter($"doc_id" < 10)
-        .select(explode($"sids").as("sid")).distinct()
-      val corpus = arrs.filter($"doc_id" >= 10)
-        .select($"doc_id", explode($"sids").as("sid"))
-      // Per-doc set size is map-only (the sid array is already distinct).
-      val sizes = arrs.filter($"doc_id" >= 10)
-        .select($"doc_id", size($"sids").cast("long").as("n_shingles"))
-      val overlap = corpus.join(broadcast(bench), "sid")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
-      val out = sizes.join(overlap, Seq("doc_id"), "left")
-        .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
-        .withColumn("overlap_ratio", CrossRound.r($"n_overlap" / $"n_shingles", 4))
-        .withColumn("contaminated", ($"n_overlap" / $"n_shingles") >= 0.5)
-        .select($"doc_id", $"n_shingles", $"n_overlap",
-          $"overlap_ratio", $"contaminated")
-        .orderBy($"doc_id")
-      out
-    },
-
-    // ----- repetition quality filter (Gopher-style dup-fraction rule) -----
-    // Fraction of a document's 3-gram shingles that are repeats
-    // (1 − distinct/total); high values mark boilerplate/spam. Fully
-    // MAP-ONLY: total and distinct counts are array expressions over the
-    // per-row shingle array (exact strings — no hashing needed, the
-    // dedup never leaves the row), so a document never leaves its
-    // partition. The earlier formulation exploded the shingle stream
-    // into a doc_id-keyed distinct aggregation — a shingle-sized shuffle
-    // for a per-doc statistic.
-    "q52_repetition" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      t.documents
-        .repartition($"doc_id")
-        .select($"doc_id", shinglesCol().as("sh"))
-        .filter(size($"sh") > 0)
-        .select($"doc_id",
-          size($"sh").cast("long").as("n_shingles"),
-          size(array_distinct($"sh")).cast("long").as("n_distinct"))
-        .withColumn("dup_ratio",
-          CrossRound.r(lit(1.0) - $"n_distinct" / $"n_shingles", 4))
-        .withColumn("keep", (lit(1.0) - $"n_distinct" / $"n_shingles") <= 0.2)
-        .select($"doc_id", $"n_shingles", $"n_distinct", $"dup_ratio", $"keep")
-        .orderBy($"doc_id")
-    },
-
-    // ----- weighted mixture interleave (training-order scheduling) -----
-    // Stride-schedule the corpus across sources by mixture weight: docs
-    // are hash-scrambled within each source (per-source window — fully
-    // parallel), each gets schedule key idx/weight, and the global
-    // training order is the ascending-key merge — a source with weight 3
-    // appears 3× as often in any prefix. Emitting the first 500
-    // positions is a TakeOrderedAndProject (top-k, no global sort); the
-    // position column is computed on that bounded prefix only. A full
-    // materialization at 100 TB would range-partition by sched_key
-    // instead of ranking globally.
-    "q53_interleave" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val wIdx = Window.partitionBy($"source").orderBy($"h", $"doc_id")
-      val prefix = t.documents
-        .select($"doc_id", $"source")
-        .withColumn("h", expr(scrambleExpr("doc_id")))
-        .withColumn("idx", row_number().over(wIdx).cast("long"))
-        .withColumn("weight",
-          when($"source".isin("src0", "src1"), 3.0).otherwise(1.0))
-        .withColumn("sched_key", $"idx" / $"weight")
-        .orderBy($"sched_key", $"source", $"doc_id")
-        .limit(500)
-      val wPos = Window.orderBy($"sched_key", $"source", $"doc_id")
-      prefix
-        .withColumn("position", row_number().over(wPos).cast("long"))
-        .select($"position", $"doc_id", $"source",
-          CrossRound.r($"sched_key", 4).as("sched_key"))
-        .orderBy($"position")
-    },
-
-    // ----- document chunking: fixed-token windows with overlap -----
-    // The tokenize-for-training shape: each document splits into 32-token
-    // chunks on a 24-token stride (8-token overlap), the unit a trainer
-    // packs into sequences. Fully MAP-ONLY: chunk starts, slices, and
-    // re-joined text are per-row array expressions — a document never
-    // leaves its partition until the output sort, so 100 TB chunks
-    // exactly as fast as it scans. Chunk count per doc = ceil(tokens/24),
-    // bounded by doc length, never corpus size.
-    "q64_doc_chunks" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      // Native chunk_tokens generator (UDTF): one compiled pass per
-      // document builds every surviving chunk row — including the
-      // coverage guard that drops a tail chunk fully contained in its
-      // predecessor's window (size mod 24 in 1..8) — replacing a
-      // posexplode(transform(filter(sequence))) chain whose three
-      // higher-order lambdas evaluated interpreted per chunk. Emitted
-      // chunk_idx equals the original chunk index (guard drops only
-      // the redundant last start), so the oracle twin is unchanged.
-      t.documents
-        .repartition($"doc_id")
-        .select($"doc_id", expr(toksExpr).as("toks"))
-        .filter(size($"toks") > 0)
-        .select($"doc_id",
-          graft.functions.GraftFunctions.chunkTokens($"toks", 32, 24)
-            .as(Seq("chunk_idx", "chunk")))
-        .select($"doc_id",
-          $"chunk_idx".cast("long").as("chunk_idx"),
-          size($"chunk").cast("long").as("n_tokens"),
-          concat_ws(" ", $"chunk").as("chunk_text"))
-        .orderBy($"doc_id", $"chunk_idx")
-    },
-
-    // ----- corpus-level boilerplate detection (cross-doc shingle df) -----
-    // The C4/RefinedWeb boilerplate idea at shingle granularity: a
-    // 3-token shingle appearing in >= max(2, 2% of docs) DISTINCT
-    // documents is boilerplate (headers, footers, license blurbs); each
-    // doc reports what fraction of its distinct shingles are boilerplate
-    // and a keep decision. Complements q52, which measures repetition
-    // WITHIN a doc — this measures repetition ACROSS the corpus.
-    // Scale: doc frequencies aggregate on 8-byte sids (vocabulary-
-    // bounded output, map-side partials); the corpus size joins in as a
-    // broadcast 1-row aggregate (no driver action); the coverage join is
-    // sid-keyed equality — shingle STRINGS never shuffle.
-    "q66_boilerplate" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val dsid = docSidArrays(t.documents)
-        .select($"doc_id", explode($"sids").as("sid"))
-      val nDocs = broadcast(t.documents.agg(count(lit(1)).as("n_docs")))
-      val dfreq = dsid.groupBy($"sid").agg(count(lit(1)).as("df"))
-      val boiler = dfreq.crossJoin(nDocs)
-        .filter($"df" >= greatest(lit(2L), ceil($"n_docs" * 0.02)))
-        .select($"sid", lit(1L).as("is_boiler"))
-      dsid.join(boiler, Seq("sid"), "left")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-             sum(coalesce($"is_boiler", lit(0L))).as("n_boiler"))
-        .withColumn("boiler_frac",
-          CrossRound.r($"n_boiler".cast("double") / $"n_shingles", 4))
-        .withColumn("keep", $"boiler_frac" <= 0.5)
-        .select($"doc_id", $"n_shingles", $"n_boiler", $"boiler_frac", $"keep")
-        .orderBy($"doc_id")
-    },
-
-    // ----- leakage-aware train/val split (group-level assignment) -----
-    // The split step after dedup that naive pipelines get wrong: hashing
-    // doc_id sends near-duplicates to BOTH sides (train/val leakage).
-    // Assign by the near-dup GROUP label instead — the q46 connected
-    // component (singletons label themselves) — so a whole duplicate
-    // cluster lands on one side by construction. The split hash is the
-    // q47 deterministic scramble over group_id, 90/10. Scale: the label
-    // propagation is q46's O(diameter)-round loop, paid ONCE per corpus
-    // via the shared [[dedupLabelsArtifact]]; assignment itself is one
-    // left join + map-only arithmetic.
-    "q67_leakage_split" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val labels = dedupLabelsArtifact(s, dir)
-      t.documents.select($"doc_id", $"source")
-        .join(labels.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
-        .withColumn("group_id", coalesce($"lbl", $"doc_id"))
-        .withColumn("u", expr(scrambleExpr("group_id")) / lit(4294967296.0))
-        .withColumn("split", when($"u" < 0.9, "train").otherwise("val"))
-        .select($"doc_id", $"group_id", $"source", $"split")
-        .orderBy($"doc_id")
-    },
-
-    // ----- semantic dedup: cluster-then-prune over embeddings -----
-    // The SemDeDup shape (Abbas et al. 2023): assign every embedding to
-    // a cluster, then mark as duplicate any vector whose cosine to a
-    // LOWER-id vector in the SAME cluster is >= τ — pairwise comparison
-    // never crosses a cluster boundary, so the quadratic term is
-    // bounded by cluster size, and K is chosen ∝ N to keep that bound
-    // flat as the corpus grows. Because K ∝ N, the K fine centroids can
-    // NEVER be broadcast (the broadcast would grow with the corpus), so
-    // assignment is TWO-LEVEL, the q36/q60 coarse-quantizer shape made
-    // exact by contract: (1) ⌈√K⌉-ish COARSE centroids (every
-    // 125·step-th vector, step = ⌈√K⌉, computed in-plan from the
-    // centroid count — no driver action) are the only broadcast set,
-    // O(√K·D); (2) the K fine centroids and then every corpus vector
-    // route to their nearest coarse cell via that broadcast + ONE
-    // map-side-combining max_by each; (3) fine assignment is an
-    // EQUALITY join on the coarse cell id — co-partitioned shuffle,
-    // N·(K/√K cell width) compared rows instead of the N·K a flat scan
-    // costs, and no O(K) broadcast anywhere. The cluster is DEFINED by
-    // this two-level rule (the oracle mirrors it step for step), so the
-    // rows are exact, not probe-lucky; ties break (ccos DESC, cid) at
-    // both levels. The intra-cluster self-join shuffles each vector
-    // once, keyed by its fine cluster, and cluster width stays ~125 by
-    // construction as N grows.
-    "q68_semantic_dedup" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val e = t.embeddings.select($"vec_id", $"embedding")
-      val cents = e.filter($"vec_id" % 125 === 0)
-        .select($"vec_id".as("cid"), $"embedding".as("ce"))
-      // step = ⌈√K⌉ rides along as a one-row broadcast scalar; coarse =
-      // every step-th fine centroid, so |coarse| ≈ √K.
-      val kdf = cents.agg(
-        ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("step"))
-      val coarse = cents.crossJoin(broadcast(kdf))
-        .filter($"cid" % (lit(125L) * $"step") === 0)
-        .select($"cid".as("gid"), $"ce".as("ge"))
-      // Route fine centroids to coarse cells: K rows vs a √K broadcast.
-      // max_by on (gcos, -gid): highest cosine, ties to the lowest gid —
-      // identical to the oracle's row_number ORDER BY gcos DESC, gid.
-      val fineCell = cents.crossJoin(broadcast(coarse))
-        .withColumn("gcos",
-          graft.functions.GraftFunctions.cosineSim($"ce", $"ge"))
-        .groupBy($"cid")
-        .agg(max_by($"gid", struct($"gcos", -$"gid")).as("gid"),
-             first($"ce").as("ce"))
-      // Route corpus vectors to coarse cells: N rows vs the same √K
-      // broadcast; shuffle = one row per vector (map-side combine).
-      val vCell = e.crossJoin(broadcast(coarse))
-        .withColumn("gcos",
-          graft.functions.GraftFunctions.cosineSim($"embedding", $"ge"))
-        .groupBy($"vec_id")
-        .agg(max_by($"gid", struct($"gcos", -$"gid")).as("gid"),
-             first($"embedding").as("embedding"))
-      // Fine assignment: equality join on the coarse cell — the fine
-      // side is O(K) DATA, never a broadcast build in the plan contract
-      // (AQE may still elect one locally where K is tiny; at scale it
-      // is a co-partitioned shuffle join).
-      val assign = vCell.join(fineCell, "gid")
-        .withColumn("ccos",
-          graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cid"),
-             first($"embedding").as("embedding"))
-      // Cached: probed by both sides of the intra-cluster self-join and
-      // the final projection — without it the embeddings scan + the
-      // assignment aggregate re-execute three times (at 100 TB, three
-      // full corpus reads).
-      val clustered = assign.cache()
-      val dups = clustered.as("a").join(clustered.as("b"),
-          $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
-        .filter(graft.functions.GraftFunctions
-          .cosineSim($"a.embedding", $"b.embedding") >= 0.4)
-        .select($"b.vec_id".as("vec_id")).distinct()
-      clustered.select($"vec_id", $"cid")
-        .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
-        .select($"vec_id", $"cid", coalesce(!$"dup", lit(true)).as("keep"))
-        .orderBy($"vec_id")
-    },
-
-    // ----- vocabulary build + per-doc OOV rate -----
-    // Two-pass tokenizer-prep step: pass 1 builds the top-V vocabulary
-    // (count desc, token asc — deterministic ties) as a TakeOrdered
-    // top-256 over the VOCABULARY-sized count table (no global window,
-    // no single-partition sort of corpus data); pass 2 scores every doc
-    // by the fraction of token INSTANCES outside the vocabulary. The
-    // vocab is broadcast (V is a constant); everything else is one
-    // map-side-combining aggregate keyed by doc_id.
-    "q69_vocab_oov" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val inst = t.documents.repartition($"doc_id")
-        .select($"doc_id", explode(expr(toksExpr)).as("tok"))
-      val vocab = inst.groupBy($"tok").agg(count(lit(1)).as("n"))
-        .orderBy($"n".desc, $"tok").limit(256)
-        .select($"tok", lit(1L).as("in_vocab"))
-      inst.join(broadcast(vocab), Seq("tok"), "left")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-             sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
-        .withColumn("oov_rate",
-          CrossRound.r($"n_oov".cast("double") / $"n_tokens", 4))
-        .select($"doc_id", $"n_tokens", $"n_oov", $"oov_rate")
-        .orderBy($"doc_id")
-    },
-
-    // ----- deterministic global shuffle + shard assignment -----
-    // The training-order step: every doc gets a pseudorandom-but-
-    // deterministic order key (the q47 overflow-safe scramble of
-    // doc_id), a shard (ord mod 8), and its token count — a reader
-    // consumes shard s sorted by ord. Emitting the ORDER KEY instead of
-    // a dense position is the 100 TB design choice: a per-shard dense
-    // row_number would funnel corpus/8 rows through one window task,
-    // while the key itself is map-only and sorts lazily at read time.
-    "q70_shard_assign" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      t.documents.repartition($"doc_id")
-        .select($"doc_id", expr(toksExpr).as("toks"))
-        .withColumn("ord", expr(scrambleExpr("doc_id")).cast("long"))
-        .select($"doc_id", ($"ord" % 8).as("shard"), $"ord",
-          size($"toks").cast("long").as("n_tokens"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- containment dedup (asymmetric near-subset detection) -----
-    // Jaccard misses a small doc quoted inside a much larger one (the
-    // union term swamps the intersection); containment
-    // |A∩B| / min(|A|,|B|) catches exactly that. The contract counts
-    // shared RARE shingles (df ≤ 50 — a hot boilerplate shingle can't
-    // contribute O(df²) pairs), which makes the rare path COMPLETE for
-    // these semantics: a reported pair has i ≥ 0.8·min(n) ≥ 1 shared
-    // rare sid, so a MinHash-band candidate union (considered r5) could
-    // only add pairs that fail verification. Machinery is
-    // [[rareSharedSidPairs]] (shared with q23): map-side pair
-    // generation from bounded per-sid doc lists, intersections counted
-    // as pair multiplicity (sizes ride inside the lists — no verify or
-    // size joins). Reported with both metrics so the asymmetric catch
-    // (high c, low jaccard) is visible; `Round5OpsSpec` pins that case
-    // with an embedded-quote fixture the synthetic corpus lacks.
-    "q71_containment" -> { (s, dir) =>
-      import s.implicits._
-      rareSidPairsArtifact(s, dir)
-        .withColumn("containment", $"i".cast("double") / least($"na", $"nb"))
-        .filter($"containment" >= 0.8)
-        .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
-        .select($"doc_a", $"doc_b", $"i".as("n_shared"),
-          CrossRound.r($"containment", 4).as("containment"),
-          CrossRound.r($"jaccard", 4).as("jaccard"))
-        .orderBy($"doc_a", $"doc_b")
-    },
-
-    // ----- cross-corpus near-dup: corpus A vs corpus B MinHash join -----
-    // The "is my new crawl already in the training set" shape: same
-    // MinHash(16)/4-band machinery as q22b, but candidates pair one doc
-    // from EACH side (sources src0-4 = A vs the rest = B) — a banded
-    // equality join between two corpora, never within one, so |A|·|B|
-    // all-pairs never materializes. Signature stage map-only (native
-    // kernels); verify = per-candidate array_intersect, as q22b.
-    "q54_crosscorpus_neardup" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val aSrcs = Seq("src0", "src1", "src2", "src3", "src4")
-      val arrs = t.documents.repartition($"doc_id")
-        .select($"doc_id", $"source".isin(aSrcs: _*).as("in_a"),
-          array_distinct(graft.functions.GraftFunctions.polyHashArray(
-            shinglesCol())).as("sids"))
-        .cache()
-      val sigs = arrs.filter(size($"sids") > 0)
-        .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
-      val bands = sigs.select($"doc_id", $"in_a",
-        mhBandCols.as(Seq("band", "sig")))
-      val cand = bands.filter($"in_a").as("a")
-        .join(bands.filter(!$"in_a").as("b"),
-          $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .distinct()
-      val sets = arrs.select($"doc_id", $"sids", size($"sids").as("n"))
-      cand
-        .join(sets.as("x"), $"doc_a" === $"x.doc_id")
-        .join(sets.as("y"), $"doc_b" === $"y.doc_id")
-        .withColumn("i", size(array_intersect($"x.sids", $"y.sids")))
-        .withColumn("jaccard", $"i".cast("double") / ($"x.n" + $"y.n" - $"i"))
-        .filter($"jaccard" >= 0.6)
-        .select($"doc_a", $"doc_b", CrossRound.r($"jaccard", 4).as("jaccard"))
-        .orderBy($"doc_a", $"doc_b")
-    },
-
-    // ----- bloom-prefiltered decontamination (the >broadcast-limit path) -----
-    // Same contract as q51, different physical shape for the regime
-    // where the benchmark shingle set is too big to broadcast exactly:
-    // ONE aggregation OR-merges fixed-size bitset buffers into a Bloom
-    // filter (16 KB here regardless of set size), the corpus stream
-    // drops non-members map-side against that broadcast filter, and the
-    // EXACT equality join — pinned shuffle-side with a hint, because at
-    // this regime the probe set cannot broadcast — runs only on the
-    // surviving ~overlap fraction, eliminating false positives. Results
-    // are therefore exactly q51's; the driver-side `head()` fetches one
-    // 16 KB scalar (the filter), never row data.
-    "q55_bloom_decontaminate" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val arrs = docSidArrays(t.documents).cache()
-      val benchSids = arrs.filter($"doc_id" < 10)
-        .select(explode($"sids").as("sid")).distinct()
-      val bloomBytes = benchSids.select($"sid".as[Long])
-        .select(new graft.functions.BloomAgg(1 << 17, 4).toColumn.name("bloom"))
-        .head()
-      val corpus = arrs.filter($"doc_id" >= 10)
-        .select($"doc_id", explode($"sids").as("sid"))
-      val sizes = arrs.filter($"doc_id" >= 10)
-        .select($"doc_id", size($"sids").cast("long").as("n_shingles"))
-      val survivors = corpus.filter(graft.functions.GraftFunctions
-        .bloomContains(lit(bloomBytes), $"sid", 4))
-      val overlap = survivors.join(benchSids.hint("shuffle_hash"), "sid")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
-      sizes.join(overlap, Seq("doc_id"), "left")
-        .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
-        .withColumn("overlap_ratio", CrossRound.r($"n_overlap" / $"n_shingles", 4))
-        .withColumn("contaminated", ($"n_overlap" / $"n_shingles") >= 0.5)
-        .select($"doc_id", $"n_shingles", $"n_overlap",
-          $"overlap_ratio", $"contaminated")
-        .orderBy($"doc_id")
-    },
-
-    // ----- PII redaction (regex scrub + audit counts) -----
-    // The corpus is synthetic word salad with no organic PII, so each
-    // doc is AUGMENTED with deterministic doc_id-derived spans (one
-    // email, one phone) and the redaction machinery — the real operator
-    // — runs over that: match counts, redacted length, and an md5 of
-    // the redacted text pin the exact output against the oracle.
-    // Map-only at any scale; the regexes are RE2-compatible (no
-    // lookaround) so both engines match identical spans.
-    "q56_pii_redact" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val emailRe = "[a-z0-9._]+@[a-z0-9-]+\\.[a-z]+"
-      val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
-      t.documents.repartition($"doc_id")
-        .withColumn("aug", concat($"text",
-          lit(" contact user"), $"doc_id",
-          lit("@example.com or call +1-555-"),
-          lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
-        .withColumn("redacted",
-          regexp_replace(regexp_replace($"aug", emailRe, "<EMAIL>"),
-            phoneRe, "<PHONE>"))
-        .select($"doc_id",
-          regexp_count($"aug", lit(emailRe)).cast("long").as("n_emails"),
-          regexp_count($"aug", lit(phoneRe)).cast("long").as("n_phones"),
-          length($"redacted").cast("long").as("redacted_len"),
-          md5($"redacted").as("redacted_md5"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- bigram LM commonness score (log-free quality signal) -----
-    // Average corpus frequency of a document's word bigrams — an n-gram
-    // LM quality proxy with NO transcendental: per-doc sums are integer
-    // (exact in both engines), divided once and rounded, so ranks can't
-    // flip on a last ulp the way ln()-perplexity can. Two token-sized
-    // shuffles (bigram-frequency agg, frequency join — both keyed on
-    // the hashed bigram; exchange reuse computes the bigram stream
-    // once), then one doc-keyed agg.
-    "q57_bigram_lm" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val bi = t.documents.repartition($"doc_id")
-        .select($"doc_id", explode(graft.functions.GraftFunctions.polyHashArray(
-          graft.functions.GraftFunctions.shinglesK(expr(toksExpr), 2))).as("sid"))
-      val bf = bi.groupBy($"sid").agg(count(lit(1)).as("bf"))
-      bi.join(bf, "sid")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum($"bf").as("sum_bf"))
-        .withColumn("avg_bf", CrossRound.r($"sum_bf".cast("double") / $"n_bigrams", 4))
-        .select($"doc_id", $"n_bigrams", $"avg_bf")
-        .orderBy($"doc_id")
-    },
-
-    // ----- the full quality-gate funnel (per-stage attrition) -----
-    // The composite keep/drop decision a training corpus actually runs —
-    // language → length → stopword quality → repetition → benchmark
-    // decontamination — applied in order, with per-stage in/kept counts
-    // (the numbers a data-mix report shows). ONE pass: every per-doc
-    // feature is a map-only array expression over the tokenized row
-    // (native kernels), the only join is the broadcast benchmark-sid
-    // semi-join, and the funnel collapses to a single aggregation row
-    // unpivoted to 5 stage rows. Cumulative flags (p1..p5) mean a doc
-    // counts into stage i only if it survived stages < i. Thresholds
-    // assume docs have ≥ 3 tokens (the corpus floor is 10), so shingle
-    // arrays are never empty.
-    "q58_filter_funnel" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val arrs = t.documents.repartition($"doc_id")
-        .select($"doc_id", $"lang", expr(toksExpr).as("toks"))
-        .withColumn("sh", graft.functions.GraftFunctions.shingles3($"toks"))
-        .withColumn("sids", array_distinct(
-          graft.functions.GraftFunctions.polyHashArray($"sh")))
-        .cache()
-      val bench = arrs.filter($"doc_id" < 10)
-        .select(explode($"sids").as("sid")).distinct()
-      val corpus = arrs.filter($"doc_id" >= 10)
-      val ov = corpus.select($"doc_id", explode($"sids").as("sid"))
-        .join(broadcast(bench), "sid")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_ov"))
-      val flags = corpus.join(ov, Seq("doc_id"), "left")
-        .withColumn("n_ov", coalesce($"n_ov", lit(0L)))
-        .withColumn("n_tokens", size($"toks"))
-        .withColumn("n_stop", size($"toks") -
-          size(array_remove(array_remove($"toks", "the"), "a")))
-        .withColumn("p1", $"lang".isin("en", "es"))
-        .withColumn("p2", $"p1" && $"n_tokens" >= 30)
-        .withColumn("p3", $"p2" &&
-          $"n_stop".cast("double") / $"n_tokens" >= 0.02)
-        .withColumn("p4", $"p3" &&
-          lit(1.0) - size(array_distinct($"sh")).cast("double") / size($"sh") <= 0.05)
-        .withColumn("p5", $"p4" &&
-          $"n_ov".cast("double") / size($"sids") < 0.5)
-      val agg1 = flags.agg(
-        count(lit(1)).as("n0"),
-        sum(when($"p1", 1L).otherwise(0L)).as("n1"),
-        sum(when($"p2", 1L).otherwise(0L)).as("n2"),
-        sum(when($"p3", 1L).otherwise(0L)).as("n3"),
-        sum(when($"p4", 1L).otherwise(0L)).as("n4"),
-        sum(when($"p5", 1L).otherwise(0L)).as("n5"))
-      val stageNames =
-        Seq("lang", "length", "quality", "repetition", "decontamination")
-      agg1.select(posexplode(array((0 until 5).map { i =>
-          struct(lit(stageNames(i)).as("stage"),
-            col(s"n$i").as("n_in"), col(s"n${i + 1}").as("n_kept"))
-        }: _*)).as(Seq("i", "st")))
-        .select(($"i" + 1).cast("long").as("stage_idx"),
-          $"st.stage", $"st.n_in", $"st.n_kept")
-        .orderBy($"stage_idx")
-    },
-
-    // ----- similarity scale path 3: PQ ANN with exact re-ranking -----
-    // The 4th standard ANN shape (after brute q25, LSH q26, IVF q36),
-    // now the full production design (IVFADC + refine): vectors encode
-    // to 8 sub-space centroid codes (deterministic codebook = every
-    // 25th vector, CAPPED at vec_id < 2500 so the broadcast stays ≤100
-    // centroids at any corpus size), queries score ALL codes by ADC —
-    // summing 8 per-subspace query↔centroid distances looked up from a
-    // broadcast table — keep a top-S SHORTLIST per query
-    // (S = max(100, ⌈n/20⌉), [[AnnPolicy.pqShortlist]]), and
-    // re-rank the shortlist by EXACT L2 over the real vectors. The
-    // r6 form ranked by raw ADC with the coarse 4-centroid codebook and
-    // scored recall@5 = 0.04 against exact L2 on the synthetic corpus;
-    // shortlist+rerank lifts it to ~0.8 (`AnnRecallSpec` gates it).
-    // ADC now folds the 8 subspace distances in SUBSPACE ORDER (q84's
-    // sorted-fold trick) so the shortlist cut is bit-identical
-    // cross-engine — strictly stronger than the old round(.,6) guard.
-    // At 100 TB: codes are 8 bytes/vector — the only corpus-sized state
-    // the ADC pass touches; the rerank reads exactly S full vectors
-    // per query (an equality join on the shortlist, never a scan).
-    "q60_ann_pq" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val e = t.embeddings.select($"vec_id", $"embedding")
-      val cents = e.filter($"vec_id" % 25 === 0 && $"vec_id" < 2500)
-        .select($"vec_id".as("cid"), $"embedding".as("ce"))
-      val pd = e.crossJoin(broadcast(cents))
-        .select($"vec_id", $"cid", posexplode(
-          graft.functions.GraftFunctions.pqSubDists($"embedding", $"ce", 8))
-          .as(Seq("s", "d")))
-      val codes = pd.groupBy($"vec_id", $"s")
-        .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
-      val lut = pd.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"s".as("ls"), $"cid", $"d")
-      val adc = codes.join(broadcast(lut),
-          $"s" === $"ls" && $"code" === $"cid" && $"vec_id" =!= $"query_id")
-        .groupBy($"query_id", $"vec_id")
-        .agg(aggregate(array_sort(collect_list(struct($"ls", $"d"))),
-          lit(0.0), (acc, x) => acc + x.getField("d")).as("adc"))
-      val sw = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
-      // Shortlist size follows [[AnnPolicy.pqShortlist]]: max(100,
-      // ⌈n/20⌉), so the exact re-rank always reads ≥ 5% of the corpus
-      // per query instead of a fixed 100 whose recall would decay as
-      // the index grows (VERDICT r11 #1) — in-plan 1-row count,
-      // integer ceiling division, oracle-mirrored.
-      val slist = e.agg(count(lit(1)).as("nv"))
-        .select(AnnPolicy.scanCeilCol("nv", AnnPolicy.PqScanDiv,
-          AnnPolicy.PqShortlistFloor).as("slist"))
-      val shortlist = adc
-        .withColumn("srank", row_number().over(sw))
-        .crossJoin(broadcast(slist))
-        .filter($"srank" <= $"slist")
-        .select($"query_id", $"vec_id")
-      val qv = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
-      shortlist.join(e, "vec_id").join(broadcast(qv), "query_id")
-        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
-        .orderBy($"query_id", $"rank")
-    },
-
-    // ----- IVFADC+refine over the TRAINED fixed-K codebook (production variant) -----
-    // q60's pipeline (encode → ADC shortlist → exact re-rank, the
-    // [[AnnPolicy.pqShortlist]] dial) with the deterministic
-    // every-25th-vector codebook replaced by the PERSISTED q72-trained
-    // K=64 artifact ([[trainedCodebook]]) — the per-subspace code
-    // tables are the trained codebook's 8-dim slices (the shared-
-    // codebook IVFPQ simplification; an independently trained 256-code
-    // subspace codebook drops into the same plan as a wider `cents`).
-    // Same shapes as q60 — codes are the only corpus-sized state the
-    // ADC pass touches, the re-rank reads exactly S full vectors per
-    // query — plus the explicit-width repartition of the one-split
-    // probe side (q127/q140 lesson). The subspace-ordered ADC fold and
-    // the NULLS FIRST oracle orderings pin the same cross-engine seams
-    // q60/q141 proved out.
-    "q60b_ann_pq_trained" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val e = t.embeddings.select($"vec_id", $"embedding")
-      val cents = trainedCodebook(s, dir)
-        .select($"cid", $"ce")
-      val pd = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
-        .select($"vec_id", $"cid", posexplode(
-          graft.functions.GraftFunctions.pqSubDists($"embedding", $"ce", 8))
-          .as(Seq("s", "d")))
-      val codes = pd.groupBy($"vec_id", $"s")
-        .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
-      val lut = pd.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"s".as("ls"), $"cid", $"d")
-      val adc = codes.join(broadcast(lut),
-          $"s" === $"ls" && $"code" === $"cid" && $"vec_id" =!= $"query_id")
-        .groupBy($"query_id", $"vec_id")
-        .agg(aggregate(array_sort(collect_list(struct($"ls", $"d"))),
-          lit(0.0), (acc, x) => acc + x.getField("d")).as("adc"))
-      val sw = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
-      val slist = e.agg(count(lit(1)).as("nv"))
-        .select(AnnPolicy.scanCeilCol("nv", AnnPolicy.PqScanDiv,
-          AnnPolicy.PqShortlistFloor).as("slist"))
-      val shortlist = adc
-        .withColumn("srank", row_number().over(sw))
-        .crossJoin(broadcast(slist))
-        .filter($"srank" <= $"slist")
-        .select($"query_id", $"vec_id")
-      val qv = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
-      shortlist.join(e, "vec_id").join(broadcast(qv), "query_id")
-        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
-        .orderBy($"query_id", $"rank")
-    },
-
-    // ----- k-means training (Lloyd's) — the quantizer the ANN family assumes -----
-    // q36 IVF, q60 PQ, and q68 SemDeDup all TAKE a coarse quantizer as
-    // given (every-125th-vector); this is the op that trains one. Two
-    // fixed Lloyd iterations (fixed so the oracle is expressible as
-    // plain CTEs — a convergence loop is the same plan repeated):
-    // assignment scans the corpus against K BROADCAST centroids and
-    // argmins via ONE map-side-combining min_by aggregate over the
-    // native l2_sq kernel (shuffle = one row per vector, never
-    // vector×centroid); the centroid update explodes assigned vectors
-    // to (cluster, dim, value) and partial-aggregates, so its shuffle
-    // is K×D running sums regardless of corpus size — textbook
-    // distributed Lloyd's. At 100 TB: per-iteration cost is one corpus
-    // scan + an O(K·D) shuffle; the corpus is cached here because three
-    // passes re-read it (assignment ×2, update ×1) — on a cluster
-    // that's persist-to-executors or recompute-from-parquet, same plan.
-    // Centroid means round to 6 dp in BOTH engines, which pins the
-    // ROUNDING op (CrossRound's IEEE fold) but not the pre-round sum:
-    // avg() still sums in engine-specific order, so a 1-ulp input
-    // difference CAN in principle straddle a floor boundary and flip
-    // an iteration-2 centroid — unlike the avgMoney/sumMoney
-    // exact-integer path, which is order-independent outright. The
-    // residual risk is ulp-at-boundary only (none of the twelve fuzz
-    // seeds or the tie-generator sweep has hit it); the order-pinned
-    // fix — per-(cid, dim) sorted fold, bounded when K ∝ N keeps
-    // cluster size flat — is documented here as the escalation path
-    // rather than paid up front, since q72 fixes K=8 and a sorted
-    // collect over N/K elements is NOT bounded under that demo
-    // contract. Distances then fold bit-identically (left-to-right,
-    // all-double) and ties break on the lowest centroid id.
-    "q72_kmeans_train" -> { (s, dir) =>
-      kmeansAssignments(s, dir).orderBy(col("vec_id"))
-    },
-
-    // ----- hashed-feature quality classifier (fastText-style linear model) -----
-    // The model-based quality gate (vs q58's rule funnel): score =
-    // (1/n)·Σ_tok w[h(tok) mod 64] — a logistic-regression logit over
-    // feature-hashed bag-of-words, evaluated WITHOUT materializing the
-    // feature vector: tokens poly-hash map-side (native kernel), the
-    // 64-weight vector rides along as a literal, and the native
-    // bucket_dot kernel folds the dot product in one codegen'd loop.
-    // Fully map-only — the 100 TB cost is exactly one corpus scan, like
-    // q27. The demo weights are deterministic (Knuth-scramble of the
-    // bucket index); a trained model would broadcast its weights the
-    // same way. Every weight is a multiple of 2⁻³² in [-0.5, 0.5), so
-    // partial sums stay EXACT dyadic rationals (53-bit significand
-    // never overflows below |Σ| < 2²¹) — the score is bit-identical in
-    // both engines regardless of summation order, and keep = logit ≥ 0
-    // can't flip on a ulp.
-    "q73_quality_classifier" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val weights = (0 until 64).map { j =>
-        ((j.toLong * 2654435761L) % 4294967296L) / 4294967296.0 - 0.5
-      }.toArray
-      t.documents.repartition($"doc_id")
-        .select($"doc_id",
-          graft.functions.GraftFunctions.polyHashArray(expr(toksExpr)).as("sids"))
-        .filter(size($"sids") > 0)
-        .withColumn("logit",
-          graft.functions.GraftFunctions.bucketDot($"sids", lit(weights)) /
-            size($"sids"))
-        .select($"doc_id", size($"sids").cast("long").as("n_tokens"),
-          CrossRound.r($"logit", 4).as("quality_logit"),
-          ($"logit" >= 0).as("keep"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- temperature-scaled mixture weights (the data-mix plan) -----
-    // The planning step that feeds q53's interleave: per-source token
-    // counts → sampling weight ∝ tokens^α (α = 0.5, the standard
-    // temperature that upweights small high-quality sources), then the
-    // per-source epoch factor a 1M-token budget implies (>1 = upsample,
-    // <1 = downsample). Shape at 100 TB: ONE map-side-combining
-    // aggregate whose output is #sources rows; everything after is
-    // arithmetic over that tiny relation (the denominator broadcast is
-    // one row). Cross-engine determinism: sqrt is correctly-rounded per
-    // IEEE-754 (identical in both engines), and the denominator folds
-    // over the SORTED per-source terms, so the only order-sensitive sum
-    // is pinned to one order in both engines.
-    "q74_mixture_weights" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val per = t.documents.repartition($"doc_id")
-        .select($"source", size(expr(toksExpr)).cast("long").as("n"))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
-      val denom = per.agg(
-        aggregate(sort_array(collect_list(sqrt($"n_tokens".cast("double")))),
-          lit(0.0), (acc, x) => acc + x).as("z"))
-      per.crossJoin(broadcast(denom))
-        .withColumn("w", sqrt($"n_tokens".cast("double")) / $"z")
-        .select($"source", $"n_docs", $"n_tokens",
-          CrossRound.r($"w", 4).as("weight"),
-          CrossRound.r(lit(1000000.0) * $"w" / $"n_tokens", 4).as("epochs"))
-        .orderBy($"source")
-    },
-
-    // ----- token-budget selection: materialize a per-source budget -----
-    // The curriculum/budget step after q74 picks mixture weights: each
-    // source contributes its docs in a deterministic priority order
-    // (longest first, doc_id tiebreak) until a token budget fills. One
-    // window per source partition computes the running total; the filter
-    // keeps the prefix. Integer token counts sum exactly — no float
-    // contract needed. Scale: like q48, the per-source window is the
-    // small-corpus formulation; at 100 TB the same prefix selection runs
-    // as per-range partial sums + a broadcast of per-range offsets (the
-    // classic distributed prefix-sum), or as a two-pass length-quantile
-    // cutoff — the CONTRACT (deterministic priority order, budget-bounded
-    // prefix) is what this query pins.
-    "q79_budget_select" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val w = Window.partitionBy($"source")
-        .orderBy($"n_tokens".desc, $"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t.documents
-        .select($"source", $"doc_id",
-          size(expr(toksExpr)).cast("long").as("n_tokens"))
-        .withColumn("cum_tokens", sum($"n_tokens").over(w))
-        .filter($"cum_tokens" <= 20000)
-        .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
-        .orderBy($"source", $"cum_tokens", $"doc_id")
-    },
-
-    // ----- exact-N stratified sample: fixed-size eval carve-out -----
-    // (see budgetSelectPrefixSum below for q79's documented scale form,
-    // implemented as a spec-gated witness)
-    // q47 samples at a RATE; eval/holdout sets need an exact SIZE. Rank
-    // each stratum by the same deterministic key-derived scramble
-    // (uniform, reproducible, independent of physical order) and keep
-    // exactly the first 20 per language. Small-stratum-count
-    // formulation: one window partition per language. At scale the
-    // same contract runs as the two-pass rank-threshold — approximate
-    // the N-th scramble key per stratum, filter map-only, trim the
-    // boundary ties exactly — so no stratum ever funnels through one
-    // reducer.
-    "q82_exact_sample" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val w = Window.partitionBy($"lang").orderBy($"u", $"doc_id")
-      t.documents
-        .select($"doc_id", $"lang", $"source")
-        .withColumn("u", expr(scrambleExpr("doc_id")) / lit(4294967296.0))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter($"rk" <= 20)
-        .select($"doc_id", $"lang", $"source", $"rk", round($"u", 6).as("u"))
-        .orderBy($"lang", $"rk")
-    },
-
-    // ----- incremental dedup: delta batch vs a PERSISTED signature index -----
-    // The CDC shape production dedup actually runs: the corpus's MinHash
-    // signatures live in a materialized index artifact, and a new batch
-    // dedups against that index WITHOUT ever re-reading corpus text.
-    // The index is the classic banded POSTING TABLE — one (band, sig,
-    // doc_id, mh) row per band — written as a catalog table BUCKETED on
-    // the join keys (band, sig), so the delta probe co-locates with ZERO
-    // index-side Exchange: Spark reads each bucket as one partition and
-    // only the (small) delta side shuffles to match. Duplicating the
-    // 16-int signature across its 4 band rows trades 4× index bytes
-    // (still ~constant per doc, text-size-independent) for a
-    // verify-join-free probe: signature agreement (matching minhash
-    // positions / 16 estimates Jaccard) reads the mh arrays already on
-    // the joined rows. The delta cost is O(new batch + bucket
-    // collisions), independent of corpus size. The corpus/delta split
-    // point is derived from the data (first 90% of the id space is
-    // "corpus", integer arithmetic so both engines cut identically) —
-    // one bounded driver scalar, like q78's hot-key list. Hot-band
-    // audit (the q131/q22b salting question): this probe is index ⋈
-    // DELTA, not a self-join — per-key fanout is delta_df·corpus_df,
-    // linear in the (small) batch even on a degenerate band, and an
-    // oversized index bucket is partition skew on the PROBE side,
-    // which AQE's skew-join split handles without breaking the
-    // bucketed zero-Exchange read; [[saltedBandPairs]]' triangle split
-    // is the self-join remedy and would cost the index its bucketing.
-    "q81_delta_dedup" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val cut: Long =
-        (t.documents.agg(max($"doc_id")).first.getLong(0) + 1L) * 9L / 10L
-      val sigs = docSidArrays(t.documents).filter(size($"sids") > 0)
-        .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
-        .select($"doc_id", $"mh")
-      def bands(df: DataFrame): DataFrame =
-        df.select($"doc_id", $"mh", mhBandCols.as(Seq("band", "sig")))
-      // The "persisted" index: written ONCE per (session, dir,
-      // data-fingerprint) — the warm path (and any re-construction,
-      // e.g. plan capture) reads the existing artifact, so the measured
-      // delta cost excludes the amortized index build, as in production.
-      val idxKey = deltaIndexKey(s, dir)
-      materializeOnce(idxKey, deltaIndexPath(s, dir), Some(idxKey)) {
-        bands(sigs.filter($"doc_id" < cut))
-          .write.mode("overwrite")
-          .bucketBy(8, "band", "sig").sortBy("band", "sig")
-          .option("path", deltaIndexPath(s, dir))
-          .saveAsTable(idxKey)
-      }
-      val index = s.table(idxKey)
-      val delta = sigs.filter($"doc_id" >= cut)
-      val cand = bands(delta).as("a")
-        .join(index.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
-        .select($"a.doc_id".as("new_doc"), $"b.doc_id".as("corpus_doc"),
-          $"a.mh".as("amh"), $"b.mh".as("bmh"))
-        .distinct()
-      cand
-        .withColumn("n_match",
-          expr("size(filter(zip_with(amh, bmh, (x, y) -> x = y), z -> z))")
-            .cast("long"))
-        .filter($"n_match" >= 8)
-        .select($"new_doc", $"corpus_doc", $"n_match",
-          CrossRound.r($"n_match" / 16.0, 4).as("est_sim"))
-        .orderBy($"new_doc", $"corpus_doc")
-    },
-
-    // ----- BM25 top-k keyword retrieval (inverted-index shape) -----
-    // The retrieval step RAG/eval tooling runs against a training
-    // corpus. Query = the corpus's top-5 tokens (count desc, token asc
-    // — corpus-derived so every fuzz seed exercises it). The plan IS
-    // the inverted-index shape: postings for the query terms only —
-    // the corpus explodes ONCE and prunes MAP-SIDE against the
-    // broadcast 5-term set before any shuffle, so shuffle volume is
-    // matching postings, never the corpus vocabulary; per-doc scores
-    // top-k via TakeOrderedAndProject. Scoring is BM25 (k1=1.2,
-    // b=0.75) with a RATIONAL idf, (N+1)/(df+0.5), instead of the
-    // textbook log form: ln is not correctly-rounded-guaranteed across
-    // engines, while every op here (int→double widenings, one divide
-    // chain, fixed multiply order) is exactly-rounded IEEE on
-    // identical inputs — and the per-doc term sum folds over the
-    // SORTED term list (q74's trick), so scores are bit-identical in
-    // both engines and the top-20 cut can't flip on a ulp. The idf
-    // keeps log's monotonicity (rarer term ⇒ larger weight), which is
-    // all the ranking uses.
-    "q84_bm25_topk" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val docs = t.documents.repartition($"doc_id")
-      val inst = docs.select($"doc_id", explode(expr(toksExpr)).as("tok"))
-      val dl = docs.select($"doc_id", size(expr(toksExpr)).cast("long").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("nd"), sum($"dl").as("ntok"))
-      val qterms = inst.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-        .orderBy($"cnt".desc, $"tok").limit(5).select($"tok")
-      // tf is the posting table (docs × ≤5 terms — small); df falls out
-      // of it as the per-term row count, so the corpus is exploded into
-      // the pruning join ONCE, not twice. Cached: df and the contrib
-      // join both read it.
-      val tf = inst.join(broadcast(qterms), "tok")
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf")).cache()
-      val qdf = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-      val contrib = tf.join(broadcast(qdf), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("c",
-          (($"nd" + 1.0) / ($"df" + 0.5)) *
-            ($"tf" * 2.2 / ($"tf" + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                ($"dl" / ($"ntok".cast("double") / $"nd"))))))
-      contrib.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_terms"),
-          aggregate(array_sort(collect_list(struct($"tok", $"c"))),
-            lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
-        .orderBy($"score".desc, $"doc_id").limit(20)
-        .select($"doc_id", $"n_terms", CrossRound.r($"score", 4).as("score"))
-    },
-
-    // ----- weighted per-stratum sample (priority-biased carve-out) -----
-    // q82 samples uniformly; curation often wants LENGTH-BIASED picks
-    // (keep the stratum's substantial docs more often, reproducibly).
-    // Each doc gets priority key u/w — u the q47 deterministic dyadic
-    // scramble fraction, w = n_tokens — and the 10 smallest keys per
-    // language win. u/w is a documented engineering deviation from the
-    // A-ES exponential-key form u^(1/w): pow, like ln (see q84), has no
-    // cross-engine correct-rounding guarantee, while u/w is one
-    // exactly-rounded IEEE divide on identical inputs — bit-identical
-    // in both engines — and keeps the property that matters (heavier
-    // docs get stochastically smaller keys; P[i beats j] is monotone in
-    // w_i/w_j, though not exactly w_i/(w_i+w_j)). Map-only until the
-    // bounded per-language window; the q82 two-pass rank-threshold note
-    // is the 100 TB form here too.
-    "q85_weighted_sample" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val w = Window.partitionBy($"lang").orderBy($"key", $"doc_id")
-      t.documents
-        .select($"doc_id", $"lang",
-          size(expr(toksExpr)).cast("long").as("n_tokens"))
-        .filter($"n_tokens" > 0)
-        .withColumn("u", expr(scrambleExpr("doc_id")) / lit(4294967296.0))
-        .withColumn("key", $"u" / $"n_tokens")
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter($"rk" <= 10)
-        .select($"doc_id", $"lang", $"n_tokens", $"rk",
-          CrossRound.r($"key", 8).as("key"))
-        .orderBy($"lang", $"rk")
-    },
-
-    // ----- score normalization: percent_rank + deciles per language -----
-    // Rank-normalizing a quality score within a stratum (here: token
-    // count within language) — the step that makes thresholds comparable
-    // across languages before a global filter. percent_rank is
-    // (rank-1)/(n-1) in both engines over the same total order
-    // (n_tokens, doc_id), so the division is one identical IEEE op;
-    // ntile's bucket-size rule (larger buckets first) is the SQL
-    // standard in both. One window partition per language — bounded
-    // partition count, each a single ordered pass.
-    "q80_score_percentiles" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val w = Window.partitionBy($"lang").orderBy($"n_tokens", $"doc_id")
-      t.documents
-        .select($"doc_id", $"lang",
-          size(expr(toksExpr)).cast("long").as("n_tokens"))
-        .withColumn("pr", CrossRound.r(percent_rank().over(w), 6))
-        .withColumn("decile", ntile(10).over(w).cast("int"))
-        .select($"doc_id", $"lang", $"n_tokens", $"pr", $"decile")
-        .orderBy($"doc_id")
-    },
-
-    // ----- distributed BPE trainer: 3 merge iterations on word counts -----
-    // Tokenizer induction — the op that produces the vocabulary q69/q38
-    // assume. The real-world shape: BPE trains on the WORD-FREQUENCY
-    // table, not the corpus — one word-count shuffle (map-side combined)
-    // and the corpus text is never read again; every merge iteration runs
-    // on the cached word table (vocabulary-sized: bounded and
-    // text-size-independent, like q81's index). Per iteration: adjacent
-    // symbol pairs weighted by word count, argmax pair (count desc, pair
-    // asc) via TakeOrdered into a 1-row broadcast — no driver collect —
-    // and the merge applies as 3 identical greedy left-to-right replace
-    // passes over the space-joined symbol string in BOTH engines, so
-    // the CROSS-ENGINE contract is unconditional: same passes, same
-    // integer counts, no float anywhere. Equivalence to TEXTBOOK greedy
-    // BPE additionally holds whenever no symbol RUN exceeds 4 at any
-    // stage: runs ≤ 3 merge in one pass and a run of 4 in two, but the
-    // padded replace consumes each match's trailing space, so a run of
-    // 5+ identical symbols deviates ('a a a a a' → 'aa a aa' vs
-    // textbook 'aa aa a' — no further pass converges). The ≤ 15-char
-    // prune bounds run length but does NOT eliminate 5-runs, so the
-    // textbook equivalence is corpus-conditional; `Round6OpsSpec` pins
-    // the replace-pass contract corpus-wide (its sequential reference
-    // mirrors the pass semantics exactly) AND pins the 5-run deviation
-    // case explicitly on a constructed corpus. Marker-free BPE variant
-    // (no end-of-word symbol), so no marker/character ambiguity can
-    // arise. Training runs once per (session, dir, fingerprint) via
-    // [[bpeArtifact]], shared with q92's encoder.
-    "q86_bpe_train" -> { (s, dir) =>
-      import s.implicits._
-      val (merges, _) = bpeArtifact(s, dir)
-      merges
-        .select($"it".cast("int").as("it"), $"pair",
-          expr("replace(pair, ' ', '')").as("merged"), $"pcnt")
-        .orderBy($"it")
-    },
-
-    // ----- int8 scalar quantization of the embedding column -----
-    // The SQ-8 compression step vector indexes apply before ANN — the
-    // cheaper sibling of q60's PQ. Per-dimension [min, max] over the
-    // corpus (one map-side-combinable agg onto 64 groups, broadcast back
-    // as two 64-element arrays — corpus-size-independent), then a
-    // map-only affine quantize to one byte per dimension. Codes are
-    // exact cross-engine: float→double widening is exact, min/max are
-    // selections (no summation order), and the quantize chain
-    // (v−mn)·(255/(mx−mn))+0.5 → floor is the same correctly-rounded
-    // IEEE sequence in both engines (q84's argument). Reconstruction SSE
-    // folds index-ordered (q74's trick — the array IS the order), so it
-    // is bit-identical too; rounded for presentation only.
-    "q87_embed_quantize" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val e = t.embeddings.select($"vec_id",
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val stats = e.select(posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"pos").agg(min($"x").as("mn"), max($"x").as("mx"))
-      val arrs = stats.agg(
-        expr("transform(sort_array(collect_list(struct(pos, mn))), s -> s.mn)")
-          .as("mns"),
-        expr("transform(sort_array(collect_list(struct(pos, mx))), s -> s.mx)")
-          .as("mxs"))
-      e.crossJoin(broadcast(arrs))
-        .withColumn("codes", expr(
-          """transform(sequence(1, size(v)), i ->
-               cast(case when element_at(mxs, i) > element_at(mns, i)
-                 then floor((element_at(v, i) - element_at(mns, i))
-                        * (cast(255.0 as double)
-                           / (element_at(mxs, i) - element_at(mns, i)))
-                        + cast(0.5 as double))
-                 else cast(0.0 as double) end as int))"""))
-        .withColumn("errs", expr(
-          """transform(sequence(1, size(v)), i ->
-               element_at(v, i)
-                 - (element_at(mns, i)
-                    + cast(element_at(codes, i) as double)
-                      * ((element_at(mxs, i) - element_at(mns, i))
-                         / cast(255.0 as double))))"""))
-        .select($"vec_id",
-          expr("aggregate(codes, cast(0 as bigint), (a, c) -> a + cast(c as bigint))")
-            .as("code_sum"),
-          element_at($"codes", 1).as("c0"),
-          element_at($"codes", 2).as("c1"),
-          CrossRound.r(
-            expr("aggregate(errs, cast(0.0 as double), (a, x) -> a + x * x)"), 6)
-            .as("sse"))
-        .orderBy($"vec_id")
-    },
-
-    // ----- duplicated-span detection (substring-level dedup contract) -----
-    // The span-level form of exact dedup (the suffix-array contract of
-    // "Deduplicating Training Data Makes Language Models Better"): find
-    // the token RANGES of each doc covered by 3-token shingles that also
-    // appear in some other document, merged into maximal spans. Shape:
-    // shingle-df on 8-byte sids (one shuffle, map-side combined), an
-    // equality join back (dup-sid set is corpus-sized — joined, never
-    // broadcast), then per-doc interval union via the classic sweep —
-    // running max(end) over start order marks span breaks (gap means
-    // start > max(end) + 1; adjacent intervals merge), a running sum
-    // numbers them. Per-doc windows only (doc-sized partitions — scale-
-    // safe). Integer span arithmetic; the one divide is CrossRound'd.
-    // Within-doc-only repeats are NOT flagged (cross-doc contract, like
-    // the rest of the dedup family); q52 measures intra-doc repetition.
-    // The span table itself persists once per (session, dir,
-    // fingerprint) as [[spanArtifact]], shared with q100's excision.
-    "q89_dup_spans" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val n = t.documents
-        .select($"doc_id", size(expr(toksExpr)).cast("long").as("n_tokens"))
-        .filter($"n_tokens" >= 3)
-      val spans = spanArtifact(s, dir)
-      val agg = spans.groupBy($"doc_id").agg(
-        count(lit(1)).as("n_spans"),
-        sum($"e" - $"s" + 1L).as("dup_tokens"),
-        max($"e" - $"s" + 1L).as("longest_span"))
-      n.join(agg, Seq("doc_id"), "left")
-        .select($"doc_id", $"n_tokens",
-          coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
-          coalesce($"longest_span", lit(0L)).as("longest_span"),
-          coalesce($"n_spans", lit(0L)).as("n_spans"),
-          CrossRound.r(
-            coalesce($"dup_tokens", lit(0L)).cast("double") / $"n_tokens", 4)
-            .as("dup_frac"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- novelty scoring over arrival order -----
-    // The corpus-growth metric curation tracks as data streams in: what
-    // fraction of each doc's (distinct) shingles has never been seen in
-    // any EARLIER doc (arrival order = doc_id)? Complements q81 (delta
-    // vs a frozen index) and q89 (where the duplicated spans sit): one
-    // min-aggregation per sid — first_seen is a selection, exactly
-    // deterministic — and a per-doc ratio. Two shuffles on 8-byte sids;
-    // shingle strings never leave their row (docSidArrays carrier).
-    "q90_novelty_score" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val dsid = docSidArrays(t.documents)
-        .select($"doc_id", explode($"sids").as("sid"))
-      val first = dsid.groupBy($"sid").agg(min($"doc_id").as("fd"))
-      dsid.join(first, "sid")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when($"fd" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
-        .select($"doc_id", $"n_shingles", $"n_novel",
-          CrossRound.r($"n_novel".cast("double") / $"n_shingles", 4)
-            .as("novelty"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- proportional per-source cap (the per-domain cap) -----
-    // The guard against one domain flooding the mixture: each source
-    // keeps its longest 20% of docs (integer floor, minimum 5) by
-    // (n_chars desc, doc_id). Integer arithmetic only — the cap is
-    // n_docs div 5, exact in both engines. One agg for per-source sizes
-    // (#sources rows, broadcast back) and one rank window per source; at
-    // 100 TB the rank-threshold two-pass (q82's note) replaces the
-    // per-source window so no hot source funnels one reducer.
-    "q88_source_cap" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val per = t.documents.groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("cap", greatest(lit(5L), expr("n_docs div 5")))
-        .select($"source", $"cap")
-      val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
-      t.documents.select($"doc_id", $"source", $"n_chars")
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .join(broadcast(per), "source")
-        .filter($"rk" <= $"cap")
-        .select($"source", $"doc_id", $"n_chars", $"rk", $"cap")
-        .orderBy($"source", $"rk")
-    },
-
-    // ----- canonical-copy selection (duplicate retention policy) -----
-    // The "which copy do we keep" step after near-dup grouping: within
-    // every dedup group (q46's labels — third consumer of the shared
-    // persisted artifact) keep the highest-quality copy (longest, then
-    // lowest doc_id); singletons keep themselves. One left join against
-    // the label artifact + one rank window over groups (group-sized
-    // partitions — bounded by construction). Integer-only.
-    "q91_keep_list" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val labels = dedupLabelsArtifact(s, dir)
-      val g = t.documents.select($"doc_id", $"n_chars")
-        .join(labels.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
-        .withColumn("group_id", coalesce($"lbl", $"doc_id"))
-      val w = Window.partitionBy($"group_id").orderBy($"n_chars".desc, $"doc_id")
-      g.withColumn("rk", row_number().over(w))
-        .select($"doc_id", $"group_id", $"n_chars", ($"rk" === 1).as("keep"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- BPE encoding: apply the learned merges corpus-wide -----
-    // The consumption side of q86: every retained (≤15-char) word token
-    // is re-encoded with the 3 learned merges and per-source
-    // compression (chars per emitted symbol) is reported — what the
-    // tokenizer actually buys on each slice of the mixture. The trained
-    // symbolization comes from the persisted [[bpeArtifact]] (shared
-    // with q86 — training runs ONCE per session/dir/fingerprint, this
-    // query pays only the vocabulary-sized parquet read); occurrences
-    // join symbol counts back by word (vocabulary-sized build side — a
-    // shuffle join at corpus scale, AQE-broadcast locally). Integer
-    // counts, one CrossRound'd divide.
-    "q92_bpe_encode" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val (_, w4) = bpeArtifact(s, dir)
-      val wmap = w4.select($"w",
-        size(split($"syms", " ")).cast("long").as("n_syms"))
-      t.documents.select($"source", explode(expr(toksExpr)).as("w"))
-        .filter(expr("char_length(w) <= 15"))
-        .join(wmap, "w")
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_words"),
-          sum(expr("char_length(w)").cast("long")).as("n_chars_toks"),
-          sum($"n_syms").as("n_syms"))
-        .select($"source", $"n_words", $"n_chars_toks", $"n_syms",
-          CrossRound.r($"n_chars_toks".cast("double") / $"n_syms", 4)
-            .as("compression"))
-        .orderBy($"source")
-    },
-
-    // ----- perplexity filtering (the CCNet/RedPajama LM quality gate) -----
-    // The standard "does a language model find this document likely"
-    // filter: train an add-1-smoothed bigram LM on the doc_id%5==0
-    // split (q28's split rule), score EVERY doc's per-bigram negative
-    // log-likelihood, and keep docs at or below the corpus-mean NLL —
-    // a corpus-adaptive threshold, so every fuzz corpus exercises both
-    // sides of the gate. Shape: occurrences pre-aggregate to
-    // (doc, sid, multiplicity) BEFORE anything crosses the wire (the
-    // q71 trick — repeated bigrams ride as one row), then one
-    // bigram-frequency agg (vocabulary-sized, map-side combined), a
-    // frequency LEFT join back (unseen bigrams hit add-1), one
-    // doc-keyed agg, and a 1-row threshold broadcast.
-    // Cross-engine: ln has no correct-rounding guarantee (q28's
-    // precedent) but inputs are identical rationals and the per-doc
-    // fold runs in sid-sorted order (q84's trick), so any divergence
-    // is a sub-ulp sum difference absorbed by CrossRound except
-    // exactly at a rounding boundary — the documented residual class.
-    // The keep flag compares ROUNDED nll to the ROUNDED mean, so both
-    // engines decide from identical values. The corpus-mean threshold
-    // is q117's scaled-integer mean: nll is already 4-dp-rounded, so
-    // floor(nll·10⁴+0.5) recovers its exact scaled integer, the
-    // DECIMAL(38,0) sum of those is order-independent and map-side
-    // combining, and one division yields the exact mean — no
-    // corpus-sized collect_list, no single-reducer array. At 100 TB:
-    // bigram counts shuffle once (vocabulary-sized state), docs score
-    // map-side after the frequency join, threshold is one scalar.
-    "q93_perplexity_filter" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val occ = t.documents.repartition($"doc_id")
-        .select($"doc_id", explode(graft.functions.GraftFunctions.polyHashArray(
-          graft.functions.GraftFunctions.shinglesK(expr(toksExpr), 2))).as("sid"))
-        .groupBy($"doc_id", $"sid").agg(count(lit(1)).as("n"))
-        .cache()
-      val train = occ.filter($"doc_id" % 5 === 0)
-      val bf = train.groupBy($"sid").agg(sum($"n").as("c"))
-      val stats = train.agg(sum($"n").as("tot"),
-        countDistinct($"sid").as("v"))
-      val scored = occ.join(bf, Seq("sid"), "left")
-        .crossJoin(broadcast(stats))
-        .withColumn("nlp", $"n" *
-          log((coalesce($"c", lit(0L)) + lit(1.0)) / ($"tot" + $"v")))
-        .groupBy($"doc_id")
-        .agg(sum($"n").as("n_bigrams"),
-          aggregate(array_sort(collect_list(struct($"sid", $"nlp"))),
-            lit(0.0), (acc, x) => acc + x.getField("nlp")).as("ll"))
-        .withColumn("nll", CrossRound.r(-$"ll" / $"n_bigrams", 4))
-      val thr = scored.agg(CrossRound.r(
-        sum(floor($"nll" * 10000 + 0.5)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          / (count(lit(1)) * 10000.0), 6).as("thr"))
-      scored.crossJoin(broadcast(thr))
-        .select($"doc_id", $"n_bigrams", $"nll", ($"nll" <= $"thr").as("keep"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- importance resampling: APPLY the q74 mixture by thinning -----
-    // q74 plans the mixture (weight ∝ √tokens); this op executes it:
-    // each source gets keep-probability p = min(1, B·w_s / tokens_s)
-    // (B = half the corpus's total tokens — CORPUS-ADAPTIVE, so the
-    // gate thins on every fuzz corpus instead of saturating at p = 1
-    // under a fixed budget) and each doc keeps iff its deterministic
-    // scramble fraction u < p — reproducible Bernoulli thinning toward
-    // the temperature-scaled target, the downsample half of the
-    // mixture (upsampling = epochs > 1 is q53's interleave). Map-only
-    // after one #sources-row aggregate: probabilities broadcast, u is
-    // a per-row projection, no window anywhere — the 100 TB shape
-    // outright. Cross-engine: z folds sorted per-source terms (q74's
-    // argument), sqrt is correctly-rounded IEEE, u is a dyadic
-    // rational, and the fixed op chain B·√t/z/t is exactly-rounded on
-    // identical inputs — so u < p is decided on bit-identical doubles.
-    "q94_importance_resample" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val base = t.documents.repartition($"doc_id")
-        .select($"doc_id", $"source", size(expr(toksExpr)).cast("long").as("n"))
-      val per = base.groupBy($"source").agg(sum($"n").as("n_tokens"))
-      val denom = per.agg(
-        aggregate(sort_array(collect_list(sqrt($"n_tokens".cast("double")))),
-          lit(0.0), (acc, x) => acc + x).as("z"),
-        expr("sum(n_tokens) div 2").as("b"))
-      val probs = per.crossJoin(broadcast(denom))
-        .withColumn("p", least(lit(1.0),
-          $"b".cast("double") * sqrt($"n_tokens".cast("double"))
-            / $"z" / $"n_tokens"))
-        .select($"source", $"p")
-      base.join(broadcast(probs), "source")
-        .withColumn("u", expr(scrambleExpr("doc_id")) / lit(4294967296.0))
-        .select($"doc_id", $"source", $"n".as("n_tokens"),
-          CrossRound.r($"p", 6).as("p_keep"), ($"u" < $"p").as("keep"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- cluster purity: label-based evaluation of the quantizer -----
-    // The evaluation step after clustering: how well do q72's k-means
-    // cells align with the embedding labels (the one schema column no
-    // operator consumed)? Per cluster: size, majority label (tie →
-    // lowest label), and purity = majority fraction — the standard
-    // external clustering metric. Reuses the EXACT assignment q72
-    // reports ([[kmeansAssignments]]); after it, everything is integer
-    // counting over a #clusters × #labels relation (bounded: 8 × 10),
-    // one equality join on vec_id and two tiny aggregates — nothing
-    // here grows with the corpus beyond the assignment pass itself.
-    "q95_cluster_purity" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val a = kmeansAssignments(s, dir).select($"vec_id", $"cluster")
-      val cl = a.join(t.embeddings.select($"vec_id", $"label"), "vec_id")
-        .groupBy($"cluster", $"label").agg(count(lit(1)).as("n"))
-      cl.groupBy($"cluster")
-        .agg(sum($"n").as("n_vecs"),
-          min_by(struct($"label", $"n"), struct(-$"n", $"label")).as("top"))
-        .select($"cluster", $"n_vecs",
-          $"top.label".as("top_label"), $"top.n".as("n_top"),
-          CrossRound.r($"top.n".cast("double") / $"n_vecs", 4).as("purity"))
-        .orderBy($"cluster")
-    },
-
-    // ----- stratified train/val/test split: exact counts per stratum -----
-    // The split every training pipeline runs before anything else:
-    // within each source, docs rank by their deterministic scramble
-    // (ties impossible to matter — doc_id breaks them) and the first
-    // ⌊0.8n⌋ go to train, the next ⌊0.9n⌋−⌊0.8n⌋ to val, the rest to
-    // test — EXACT integer counts per stratum (a Bernoulli split like
-    // q47 only hits 80/10/10 in expectation; eval sets care about the
-    // exact count). rn and n ride the SAME per-source window partition
-    // (one shuffle); boundaries are integer arithmetic, so both engines
-    // agree without a float anywhere. At 100 TB: rank-within-stratum is
-    // a per-source window — partition-parallel across sources, and the
-    // documented two-pass rank-threshold form (q85) applies verbatim if
-    // one stratum outgrows a task.
-    "q96_train_split" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val w = Window.partitionBy($"source")
-      val wr = w.orderBy($"u", $"doc_id")
-      t.documents
-        .select($"doc_id", $"source",
-          expr(scrambleExpr("doc_id")).as("u"))
-        .withColumn("rn", row_number().over(wr))
-        .withColumn("n", count(lit(1)).over(w))
-        .select($"doc_id", $"source",
-          when($"rn" <= expr("(8 * n) div 10"), "train")
-            .when($"rn" <= expr("(9 * n) div 10"), "val")
-            .otherwise("test").as("split"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- cross-source overlap matrix: which corpora share content -----
-    // Pairwise shingle-set Jaccard BETWEEN SOURCES — the corpus-level
-    // contamination audit (q51/q54 answer it per document; mixture
-    // design wants the source×source view: is source C a re-crawl of
-    // A?). Shape: distinct (source, sid) — one shuffle — then each
-    // sid's sorted source list (bounded by #sources, so per-key state
-    // is O(1)) emits its i<j pairs MAP-SIDE and the pair counts ARE
-    // the intersection sizes; per-source set sizes ride a tiny
-    // broadcast. Never a self-join on the shingle relation, never
-    // all-pairs over docs: at 100 TB this is one dedup shuffle plus
-    // integer counting over a #sources²-bounded relation. Pairs with
-    // an empty intersection don't appear (they share no sid — and no
-    // row — by construction).
-    "q97_source_overlap" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      // Round 11: ONE posting-volume shuffle instead of two. The old
-      // form pre-distinct'd (source, sid) — a full posting shuffle —
-      // and then shuffled AGAIN into groupBy(sid). collect_set folds
-      // the dedup INTO the sid aggregate with map-side partials whose
-      // state is bounded at #sources per sid (collect_list over raw
-      // occurrences would be corpus-df-sized on a hot sid — the reason
-      // the old form distinct'd first); per-doc dedup happens map-side
-      // in the array_distinct before the explode. Per-source distinct
-      // counts then derive from the SAME vocabulary-sized srcs table
-      // (each sid counts once per source it contains) instead of a
-      // second posting shuffle.
-      val ss = t.documents.repartition($"doc_id")
-        .select($"source", explode(array_distinct(
-          graft.functions.GraftFunctions.polyHashArray(shinglesCol())))
-          .as("sid"))
-      val sidSrcs = ss.groupBy($"sid")
-        .agg(sort_array(collect_set($"source")).as("srcs"))
-        .cache() // read twice: sizes + pairs (class-1 session cache)
-      val sizes = sidSrcs.select(explode($"srcs").as("source"))
-        .groupBy($"source").agg(count(lit(1)).as("n"))
-      val pairs = sidSrcs
-        .filter(size($"srcs") >= 2)
-        .select(explode(expr(
-          """flatten(transform(srcs, (a, i) ->
-               transform(slice(srcs, i + 2, size(srcs)),
-                         b -> named_struct('source_a', a, 'source_b', b))))"""))
-          .as("p"))
-        .select($"p.source_a", $"p.source_b")
-        .groupBy($"source_a", $"source_b")
-        .agg(count(lit(1)).as("n_common"))
-      pairs
-        .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("n_a"))),
-          "source_a")
-        .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("n_b"))),
-          "source_b")
-        .select($"source_a", $"source_b", $"n_common", $"n_a", $"n_b",
-          CrossRound.r($"n_common".cast("double")
-            / ($"n_a" + $"n_b" - $"n_common"), 4).as("jaccard"))
-        .orderBy($"source_a", $"source_b")
-    },
-
-    // ----- per-source lexical profile: TTR, hapax rate, head mass -----
-    // The corpus-statistics panel mixture designers read before
-    // weighting sources: type/token ratio (lexical diversity), hapax
-    // fraction (long-tail share), top-10 token mass (head
-    // concentration — high = templated/boilerplate-ish source). Every
-    // metric is a RATIO OF INTEGERS from one (source, token) count
-    // shuffle — the one float op per metric is a single division of
-    // identical integers, so both engines round identical doubles (no
-    // order-sensitive float fold anywhere, unlike entropy — deliberate
-    // metric choice). Top-10 rides a per-source window over the
-    // vocabulary-sized count relation (tie → lexicographic token);
-    // at 100 TB vocabulary per source is bounded by the language, and
-    // the q85 two-pass threshold form applies if one source's vocab
-    // outgrows a task.
-    "q98_source_lexical" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val tc = t.documents.repartition($"doc_id")
-        .select($"source", explode(expr(toksExpr)).as("tok"))
-        .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
-        .cache()
-      val per = tc.groupBy($"source").agg(
-        sum($"c").as("n_tokens"),
-        count(lit(1)).as("n_types"),
-        sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
-      val w = Window.partitionBy($"source").orderBy($"c".desc, $"tok")
-      val top10 = tc.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 10)
-        .groupBy($"source").agg(sum($"c").as("top10"))
-      per.join(broadcast(top10), "source")
-        .select($"source", $"n_tokens", $"n_types",
-          CrossRound.r($"n_types".cast("double") / $"n_tokens", 4).as("ttr"),
-          CrossRound.r($"n_hapax".cast("double") / $"n_types", 4).as("hapax_frac"),
-          CrossRound.r($"top10".cast("double") / $"n_tokens", 4).as("top10_mass"))
-        .orderBy($"source")
-    },
-
-    // ----- label cohesion/separation: is the embedding space usable? -----
-    // The embedding-quality gate run before any similarity-based
-    // curation (ANN dedup, semantic clustering): per label, how tight
-    // is the class (MEDIAN member→centroid L2², not mean — the median
-    // is selection over bit-identical doubles, order-free, where a
-    // mean would re-open the summation-order ulp hazard q72 documents)
-    // and how far is the nearest other class (min inter-centroid L2²,
-    // tie → lowest label). separation = nearest/intra: > 1 means
-    // classes are tighter than their spacing. Centroids follow q72's
-    // update-step contract (per-dim avg rounded 6 dp); member
-    // distances are one broadcast join + the codegen'd l2_sq kernel;
-    // the centroid×centroid relation is #labels² — bounded, broadcast.
-    // At 100 TB: one corpus pass for centroids, one for distances,
-    // exact median per label via q17c's two-pass rank selection if a
-    // label outgrows one aggregation buffer.
-    "q99_label_cohesion" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val e = t.embeddings.select($"label", $"vec_id", $"embedding")
-      val cent = e
-        .select($"label",
-          posexplode($"embedding".cast("array<double>")).as(Seq("dim", "v")))
-        .groupBy($"label", $"dim").agg(CrossRound.r(avg($"v"), 6).as("m"))
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pm"))
-        .select($"label".as("clabel"), expr("transform(pm, x -> x.m)").as("ce"))
-      val intra = e.join(broadcast(cent), $"label" === $"clabel")
-        .select($"label",
-          graft.functions.GraftFunctions.l2Sq($"embedding", $"ce").as("d"))
-        .groupBy($"label")
-        .agg(count(lit(1)).as("n_vecs"),
-          expr("percentile(d, 0.5)").as("med_raw"))
-      val near = cent.select($"clabel".as("la"), $"ce".as("ca"))
-        .crossJoin(broadcast(cent.select($"clabel".as("lb"), $"ce".as("cb"))))
-        .filter($"la" =!= $"lb")
-        .select($"la",
-          graft.functions.GraftFunctions.l2Sq($"ca", $"cb").as("dc"), $"lb")
-        .groupBy($"la")
-        .agg(min_by(struct($"lb", $"dc"), struct($"dc", $"lb")).as("nb"))
-        .select($"la".as("label"), $"nb.lb".as("nearest_label"),
-          $"nb.dc".as("dc_raw"))
-      intra.join(broadcast(near), "label")
-        .select($"label", $"n_vecs",
-          CrossRound.r($"med_raw", 4).as("intra_d2"),
-          $"nearest_label",
-          CrossRound.r($"dc_raw", 4).as("inter_d2"),
-          CrossRound.r($"dc_raw" / $"med_raw", 4).as("separation"))
-        .orderBy($"label")
-    },
-
-    // ----- duplicated-span EXCISION: rewrite text with dup spans cut -----
-    // q89's transformation side (the RefinedWeb/"Deduplicating Training
-    // Data" remedy, not just the diagnostic): every token position
-    // covered by a cross-doc duplicated span is dropped and the
-    // document re-joins as cleaned text. Reads the SAME persisted
-    // [[spanArtifact]] q89 reports from, so detection and excision can
-    // never disagree — physically, not just by shared code. The
-    // rewrite itself is MAP-ONLY after the span join: covered positions
-    // flatten from the per-doc merged-span list (bounded by the doc's
-    // own token count) and the keep filter is one pass over the token
-    // array — per-doc work is O(n_tokens × n_spans) worst case, bounded
-    // by doc size, independent of corpus size. Docs with no dup spans
-    // (or < 3 tokens) pass through whole. Token-joined output text is
-    // the normalized single-space form on BOTH engines by construction.
-    "q100_span_excise" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val toks = t.documents.repartition($"doc_id")
-        .select($"doc_id", expr(toksExpr).as("tk"))
-      val sp = spanArtifact(s, dir)
-        .groupBy($"doc_id")
-        .agg(sort_array(collect_list(struct($"s", $"e"))).as("sp"))
-      toks.join(sp, Seq("doc_id"), "left")
-        .withColumn("cov", expr("flatten(transform(sp, p -> sequence(p.s, p.e)))"))
-        .withColumn("kept", when($"cov".isNull, $"tk").otherwise(expr(
-          "filter(tk, (x, i) -> NOT array_contains(cov, CAST(i + 1 AS BIGINT)))")))
-        .select($"doc_id",
-          size($"tk").cast("long").as("n_tokens"),
-          size($"kept").cast("long").as("kept_tokens"),
-          array_join($"kept", " ").as("text_clean"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- soft dedup: per-doc sampling weight = 1 / dup-group size -----
-    // The down-weighting alternative to dropping duplicates (keep every
-    // copy, sample each at 1/|group| so a group contributes one
-    // document's worth of mass in expectation) — the fourth consumer of
-    // the shared dedup-label artifact, so the MinHash + label
-    // propagation cost is already paid. Singletons (docs in no verified
-    // pair) weight 1 by definition. Group sizes come from one
-    // group-keyed count; the only other shuffle is the size join back.
-    // The division is one correctly-rounded IEEE op per group —
-    // identical cross-engine — and nothing ever sums the weights, so no
-    // summation-order hazard exists.
-    "q101_soft_dedup_weight" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val g = t.documents.select($"doc_id", $"source")
-        .join(dedupLabelsArtifact(s, dir).withColumnRenamed("node", "doc_id"),
-          Seq("doc_id"), "left")
-        .withColumn("group_id", coalesce($"lbl", $"doc_id"))
-        .select($"doc_id", $"source", $"group_id")
-      val sizes = g.groupBy($"group_id").agg(count(lit(1)).as("group_size"))
-      g.join(sizes, "group_id")
-        .select($"doc_id", $"source", $"group_id", $"group_size",
-          CrossRound.r(lit(1.0) / $"group_size", 6).as("weight"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- hard-negative mining: top-k nearest with a DIFFERENT label -----
-    // The contrastive-training counterpart of q25: for each anchor
-    // vector, the 3 most cosine-similar vectors whose label differs —
-    // the "hard negatives" an embedding trainer pairs with each anchor.
-    // Uses the partial-aggregating TopKAgg (q25b's scale shape: each map
-    // task keeps ≤ k candidates per anchor, so the shuffle is
-    // O(anchors × k), never the score matrix); the negative's label
-    // rides back via one bounded join (anchors × k rows, broadcast).
-    "q102_hard_negatives" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val topk = udaf(new graft.functions.TopKAgg(3))
-      val e = t.embeddings.select($"vec_id", $"label", $"embedding")
-      val q = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"label".as("qlabel"),
-          $"embedding".as("qe"))
-      val top = e.crossJoin(broadcast(q))
-        .filter($"label" =!= $"qlabel")
-        .withColumn("cos",
-          graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
-        .groupBy($"query_id")
-        .agg(topk($"vec_id", $"cos").as("top"))
-        .select($"query_id", posexplode($"top").as(Seq("i", "sv")))
-        .select($"query_id", ($"i" + 1).cast("int").as("rank"),
-          $"sv.vec_id".as("vec_id"), $"sv.cos".as("cos"))
-      e.select($"vec_id", $"label")
-        .join(broadcast(top), "vec_id")
-        .select($"query_id", $"rank", $"vec_id", $"label",
-          CrossRound.r($"cos", 4).as("cos"))
-        .orderBy($"query_id", $"rank")
-    },
-
-    // ----- tf-weighted shingle cosine (sparse lexical similarity) -----
-    // The multiset sibling of q23's rare-shingle Jaccard: documents as
-    // sparse shingle-count vectors, pair similarity = cosine over
-    // shingles in ≤ 50 docs (the same df cap, and for the same reason —
-    // a ubiquitous shingle would emit O(df²) pairs; norms stay FULL
-    // per-doc so capped pairs are only ever under-scored, the q23
-    // contract). The pair stream is the q23/q71 machinery shape — per-
-    // sid bounded doc lists, map-side i<j emission with tf products and
-    // both docs' full squared norms riding INSIDE the structs, one
-    // pre-aggregated (doc_a, doc_b) sum — no post-count joins. Every
-    // quantity up to the final cosine is an INTEGER (tf products and
-    // squared norms), so summation order cannot matter; the cosine is
-    // then 3 correctly-rounded IEEE ops (sqrt, sqrt·sqrt... one
-    // multiply, one divide) — identical cross-engine, q84's argument.
-    // Round-11 reshape: the per-doc sparse tf vector AND its squared
-    // norm are built MAP-SIDE by the native [[graft.functions
-    // .RleTfStats]] kernel (sort + run-length + Σtf² in one compiled
-    // pass, n2 riding inside each struct so the consumer is HOF-free),
-    // replacing the (doc, sid) count shuffle AND the per-doc
-    // re-collection shuffle an earlier formulation paid (5 Exchanges →
-    // 3) — at corpus scale those two were posting-volume shuffles, the
-    // largest in the query. A SQL-HOF RLE was tried first and hit the
-    // CollapseProject lambda-inlining trap (hash chain re-evaluated per
-    // element — the shinglesCol lesson; see the kernel scaladoc).
-    // tf values and n2 are integer-identical to the aggregation form,
-    // so the oracle is unchanged.
-    "q103_shingle_cosine" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val perDoc = t.documents.repartition($"doc_id")
-        .select($"doc_id", explode(graft.functions.GraftFunctions.rleTfStats(
-          graft.functions.GraftFunctions.polyHashArray(shinglesCol())))
-          .as("x"))
-        .select($"doc_id", $"x.sid".as("sid"), $"x.tf".as("tf"),
-          $"x.n2".as("n2"))
-      perDoc.groupBy($"sid")
-        .agg(sort_array(collect_list(struct($"doc_id", $"tf", $"n2"))).as("docs"))
-        .filter(size($"docs") <= 50)
-        .select(explode(expr(
-          """flatten(transform(docs, (x, i) ->
-               transform(slice(docs, i + 2, size(docs)),
-                         y -> named_struct('doc_a', x.doc_id, 'na2', x.n2,
-                                           'doc_b', y.doc_id, 'nb2', y.n2,
-                                           'prod', x.tf * y.tf))))"""))
-          .as("p"))
-        .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"),
-          $"p.na2".as("na2"), $"p.nb2".as("nb2"))
-        .agg(sum($"p.prod").as("dot"), count(lit(1)).as("n_shared"))
-        .withColumn("cos", $"dot".cast("double") /
-          (sqrt($"na2".cast("double")) * sqrt($"nb2".cast("double"))))
-        .filter($"cos" >= 0.5)
-        .select($"doc_a", $"doc_b", $"n_shared", $"dot",
-          CrossRound.r($"cos", 4).as("cos"))
-        .orderBy($"doc_a", $"doc_b")
-    },
-
-    // ----- chunk-level dedup: which RAG/training chunks repeat corpus-wide -----
-    // q64's chunker feeding q21's exact-dedup idea at chunk granularity:
-    // a chunk is duplicated if its exact text occurs ≥ 2 times anywhere
-    // in the corpus (including within one document); each doc reports
-    // its duplicated-chunk fraction and a keep verdict. Chunks are
-    // keyed by md5 of the chunk text — both engines produce the same
-    // lowercase hex, and only the 32-char digest ever shuffles, not
-    // chunk text (at 100 TB this is the difference between shuffling
-    // the corpus and shuffling 3% of it). Occurrence counts are one
-    // map-side-combinable digest agg; the join back is digest-keyed
-    // equality; the per-doc rollup is doc-keyed. No collect, no windows.
-    "q104_chunk_dedup" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val chunks = t.documents.repartition($"doc_id")
-        .select($"doc_id", expr(toksExpr).as("toks"))
-        .filter(size($"toks") > 0)
-        .select($"doc_id",
-          graft.functions.GraftFunctions.chunkTokens($"toks", 32, 24)
-            .as(Seq("chunk_idx", "chunk")))
-        .select($"doc_id", md5(concat_ws(" ", $"chunk")).as("hk"))
-        .cache()
-      val occ = chunks.groupBy($"hk").agg(count(lit(1)).as("n_occ"))
-      chunks.join(occ, "hk")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-             sum(when($"n_occ" >= 2, 1L).otherwise(0L)).as("n_dup"))
-        .withColumn("dup_frac",
-          CrossRound.r($"n_dup".cast("double") / $"n_chunks", 4))
-        .select($"doc_id", $"n_chunks", $"n_dup", $"dup_frac",
-          ($"dup_frac" <= 0.5).as("keep"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- vocabulary growth curve (Heaps' law) over arrival order -----
-    // The corpus-level twin of q90's per-doc novelty: as docs arrive
-    // (arrival order = doc_id), how fast does the WORD vocabulary grow?
-    // Docs bucket into 10 equal doc_id bands (band edges from a 1-row
-    // min/max broadcast — a monotone function of doc_id alone, no global
-    // row_number), each word contributes to the band where it FIRST
-    // appears (one vocabulary-sized min-agg — same shape as q90's
-    // first_seen), and the cumulative curve is a window over exactly 10
-    // rows (bounded by construction, not by data). All integer counts —
-    // exact in both engines. At 100 TB: one corpus explode, one
-    // word-keyed agg, one 10-row window; nothing else.
-    "q105_vocab_growth" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val bounds = t.documents
-        .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
-      val docs = t.documents.crossJoin(broadcast(bounds))
-        .withColumn("decile",
-          expr("((doc_id - mn) * 10) div (mx - mn + 1)").cast("int"))
-      val toks = docs.select($"decile", explode(expr(toksExpr)).as("w"))
-      val perTok = toks.groupBy($"decile").agg(count(lit(1)).as("n_tokens"))
-      val firstSeen = toks.groupBy($"w").agg(min($"decile").as("fdec"))
-        .groupBy($"fdec").agg(count(lit(1)).as("n_new"))
-        .withColumnRenamed("fdec", "decile")
-      val perDoc = docs.groupBy($"decile").agg(count(lit(1)).as("n_docs"))
-      // 10-row cumulative window: bounded by the band count, never by
-      // the corpus — the one place a global orderBy window is safe.
-      val w10 = Window.orderBy($"decile")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      perDoc.join(perTok, "decile")
-        .join(firstSeen, Seq("decile"), "left")
-        .na.fill(0L, Seq("n_new"))
-        .withColumn("cum_tokens", sum($"n_tokens").over(w10))
-        .withColumn("cum_vocab", sum($"n_new").over(w10))
-        .select($"decile", $"n_docs", $"n_tokens", $"n_new",
-          $"cum_tokens", $"cum_vocab")
-        .orderBy($"decile")
-    },
-
-    // ----- Zipf slope: log-log regression over the top-100 ranks -----
-    // The second corpus-shape diagnostic (q105 = vocabulary growth,
-    // this = frequency decay): fit ln(freq) ~ ln(rank) by least squares
-    // over the 100 most frequent words. Ranking happens AFTER an
-    // orderBy(freq desc, word).limit(100) cut — TakeOrderedAndProject
-    // on the vocabulary-sized freq table — so the row_number window
-    // only ever sees 100 rows (a global row_number over the full
-    // vocabulary would funnel ~10^8 words through one task at 100 TB).
-    // Cross-engine: the four regression sums fold rank-ORDERED
-    // contribution lists (q84's argument — identical add order ⇒
-    // bit-identical doubles), and slope/intercept are single fixed op
-    // chains on those sums.
-    "q106_zipf_slope" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val freqs = t.documents.repartition($"doc_id")
-        .select(explode(expr(toksExpr)).as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("f"))
-        .cache()
-      val vocabN = freqs.agg(count(lit(1)).as("n_vocab"))
-      val top = freqs.orderBy($"f".desc, $"w").limit(100)
-      val ranked = top
-        .withColumn("rank",
-          row_number().over(Window.orderBy($"f".desc, $"w")))
-        .withColumn("x", log($"rank".cast("double")))
-        .withColumn("y", log($"f".cast("double")))
-      def fold(col: Column): Column =
-        aggregate(array_sort(collect_list(struct($"rank", col.as("v")))),
-          lit(0.0), (acc, e) => acc + e.getField("v"))
-      val sums = ranked.agg(
-        count(lit(1)).as("n"),
-        fold($"x").as("sx"), fold($"y").as("sy"),
-        fold($"x" * $"y").as("sxy"), fold($"x" * $"x").as("sxx"))
-      sums.crossJoin(broadcast(vocabN))
-        .withColumn("slope_raw",
-          ($"n" * $"sxy" - $"sx" * $"sy") /
-            ($"n" * $"sxx" - $"sx" * $"sx"))
-        .select($"n_vocab", $"n".cast("long").as("n_ranks"),
-          CrossRound.r($"slope_raw", 6).as("zipf_slope"),
-          CrossRound.r(($"sy" - $"slope_raw" * $"sx") / $"n", 6)
-            .as("intercept"))
-    },
-
-    // ----- token-entropy quality filter -----
-    // The information-theoretic repetition gate (vs q52's max-run rule
-    // and q57's LM score): per-doc Shannon entropy of the word
-    // distribution, H = ln(n) − (Σ c·ln c)/n over per-word counts c.
-    // Low H = the doc is dominated by few words (boilerplate, spam
-    // lists) — keep iff H clears the corpus mean (corpus-ADAPTIVE, so
-    // every fuzz corpus exercises both sides of the gate, q93's
-    // argument). Per-doc folds run over word-ORDERED count lists
-    // (ASCII vocab ⇒ Java and DuckDB binary collation agree); the
-    // threshold is q117's scaled-integer mean over the 4-dp-rounded
-    // entropies (exact, order-independent, map-side combining — no
-    // corpus-sized collect_list) — bit-identical in both engines.
-    // Shape at 100 TB: one (doc, word) count agg, one per-doc agg,
-    // one 1-row threshold broadcast — all doc-keyed, no windows.
-    "q107_token_entropy" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val cnt = t.documents.repartition($"doc_id")
-        .select($"doc_id", explode(expr(toksExpr)).as("w"))
-        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-      val per = cnt.groupBy($"doc_id")
-        .agg(sum($"c").as("n_toks"),
-          aggregate(array_sort(collect_list(struct($"w",
-              ($"c".cast("double") * log($"c".cast("double"))).as("clc")))),
-            lit(0.0), (acc, e) => acc + e.getField("clc")).as("clc"))
-        .withColumn("entropy", CrossRound.r(
-          log($"n_toks".cast("double")) - $"clc" / $"n_toks", 4))
-        .cache()
-      val thr = per.agg(CrossRound.r(
-        sum(floor($"entropy" * 10000 + 0.5)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          / (count(lit(1)) * 10000.0), 6).as("thr"))
-      per.crossJoin(broadcast(thr))
-        .select($"doc_id", $"n_toks", $"entropy",
-          ($"entropy" >= $"thr").as("keep"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- robust length-outlier filter (median + MAD) -----
-    // The robust alternative to 3σ length clipping: median and median
-    // absolute deviation are insensitive to the heavy tail that defines
-    // the outliers being hunted. Two exact global percentiles (each a
-    // 1-row broadcast) then a map-only flag. n_chars is integer, so the
-    // interpolated median is integer-or-half — every derived double is
-    // exact and tie-free under round(…, 2). At 100 TB the exact
-    // percentile pair becomes the q17b sketch (approx_percentile) with
-    // the same downstream shape; the flag pass itself is already
-    // map-only.
-    "q109_mad_outlier" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val med = t.documents.agg(
-        expr("percentile(n_chars, 0.5)").as("med"))
-      val dev = t.documents.crossJoin(broadcast(med))
-        .withColumn("adev", abs($"n_chars".cast("double") - $"med"))
-      val mad = dev.agg(expr("percentile(adev, 0.5)").as("mad"))
-      dev.crossJoin(broadcast(mad))
-        .select($"doc_id", $"n_chars",
-          round($"med", 2).as("med"),
-          round($"mad", 2).as("mad"),
-          round($"adev", 2).as("adev"),
-          ($"adev" > lit(3.0) * $"mad").as("is_outlier"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- per-source distribution drift (two-sample KS statistic) -----
-    // The data-mix audit q74/q94 assume implicitly: does each source's
-    // length distribution actually differ from the corpus? D_s =
-    // max_x |CDF_s(x) − CDF(x)|, evaluated on the shared breakpoint
-    // grid (every distinct length — step CDFs change only there, so the
-    // sup over the reals IS the max over the grid). The grid is bounded
-    // by the VALUE domain (distinct integer lengths — ~10⁴ even at
-    // 100 TB), not the row count: counts collapse to (source, len)
-    // first, the #sources×|grid| filled relation is windowed per source
-    // over grid-sized partitions, and the single-partition global-CDF
-    // window runs over |grid| rows only (the q79 band rewrite applies
-    // verbatim if a value domain ever outgrows a task). Every CDF value
-    // is an int/int division on identical integers → bit-identical
-    // doubles; |difference| and max are single-op/selection, so only
-    // the final report rounds.
-    "q112_ks_distance" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val docs = t.documents.select($"source", $"n_chars".as("len"))
-      val c = docs.groupBy($"source", $"len").agg(count(lit(1)).as("n"))
-      val g = docs.groupBy($"len").agg(count(lit(1)).as("n")).cache()
-      val tot = docs.agg(count(lit(1)).as("n_all"))
-      val ns = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
-      val filled = ns.select($"source").crossJoin(g.select($"len"))
-        .join(c, Seq("source", "len"), "left")
-        .withColumn("n", coalesce($"n", lit(0L)))
-      val cs = filled.withColumn("cum_s",
-        sum($"n").over(Window.partitionBy($"source").orderBy($"len")))
-      val cg = g
-        .withColumn("cum_g", sum($"n").over(Window.orderBy($"len")))
-        .select($"len", $"cum_g")
-      cs.join(cg, "len")
-        .join(broadcast(ns), "source")
-        .crossJoin(broadcast(tot))
-        .withColumn("d", abs($"cum_s".cast("double") / $"n_s" -
-          $"cum_g".cast("double") / $"n_all"))
-        .groupBy($"source", $"n_s")
-        .agg(CrossRound.r(max($"d"), 6).as("ks"))
-        .select($"source", $"n_s".as("n_docs"), $"ks")
-        .orderBy($"source")
-    },
-
-    // ----- literal phrase search (corpus-adaptive query) -----
-    // Retrieval by exact n-gram match, q84's lexical sibling: the
-    // phrase is the corpus's own most frequent bigram (count desc, then
-    // lexicographic — fully deterministic, and derived from the data so
-    // every fuzz corpus exercises it), and each document scores its
-    // adjacency-match count. The phrase is a 1-row TakeOrdered
-    // broadcast; matching is a map-side equality prune of the exploded
-    // bigram stream (only matching postings ever shuffle — never the
-    // vocabulary), and the top-10 cut is TakeOrderedAndProject with a
-    // total (n_matches desc, doc_id) order. The many-query form builds
-    // q84's posting-table artifact with POSITIONS; for one phrase the
-    // prune-then-count plan strictly dominates it (no index to
-    // materialize or probe).
-    "q113_phrase_search" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val bg = t.documents.repartition($"doc_id")
-        .select($"doc_id", explode(
-          graft.functions.GraftFunctions.shinglesK(expr(toksExpr), 2))
-          .as("b"))
-        .cache()
-      val top1 = bg.groupBy($"b").agg(count(lit(1)).as("c"))
-        .orderBy($"c".desc, $"b").limit(1)
-        .select($"b".as("phrase"))
-      bg.join(broadcast(top1), $"b" === $"phrase")
-        .groupBy($"doc_id", $"phrase")
-        .agg(count(lit(1)).as("n_matches"))
-        .select($"doc_id", $"phrase", $"n_matches")
-        .orderBy($"n_matches".desc, $"doc_id")
-        .limit(10)
-    },
-
-    // ----- tokenizer fertility by language -----
-    // The tokenizer-budget planning number (tokens the BPE-ish
-    // pretokenizer spends per whitespace word, per language): q38's two
-    // per-doc token counts aggregated to #langs rows. Integer sums
-    // (exact in any order), one division per output row. Fully map-only
-    // into a map-side-combining agg — the ideal 100 TB shape.
-    "q114_tokenizer_fertility" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val bpe =
-        "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
-      t.documents
-        .select($"lang",
-          size(expr(toksExpr)).cast("long").as("ws"),
-          size(regexp_extract_all($"text", lit(bpe), lit(0))).cast("long")
-            .as("bp"))
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"ws").as("n_ws_tokens"),
-          sum($"bp").as("n_bpe_tokens"))
-        .withColumn("fertility",
-          CrossRound.r($"n_bpe_tokens".cast("double") / $"n_ws_tokens", 4))
-        .orderBy($"lang")
-    },
-
-    // ----- held-out n-gram coverage -----
-    // The LM-eval sanity check decontamination (q51) is the inverse of:
-    // what fraction of a HELD-OUT doc's distinct bigrams does the train
-    // split's bigram vocabulary cover (unseen n-grams ⇒ guaranteed
-    // perplexity spikes)? Split = doc_id parity (deterministic, both
-    // sides populated on any corpus). Bigrams hash to 8-byte sids
-    // map-side (strings never shuffle; a colliding pair merges
-    // identically in both engines); coverage = one sid-keyed equality
-    // join of the val postings against the distinct train-sid set (AQE
-    // broadcasts it when small, shuffle-join otherwise — never a
-    // driver-side set), then one doc-keyed count. All-integer until one
-    // division per doc.
-    "q115_ngram_coverage" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val bs = t.documents.repartition($"doc_id")
-        .select($"doc_id", explode(array_distinct(
-          graft.functions.GraftFunctions.polyHashArray(
-            graft.functions.GraftFunctions.shinglesK(expr(toksExpr), 2))))
-          .as("sid"))
-        .cache()
-      val train = bs.filter($"doc_id" % 2 === 0).select($"sid").distinct()
-      val vd = bs.filter($"doc_id" % 2 =!= 0)
-      val sizes = vd.groupBy($"doc_id").agg(count(lit(1)).as("n_bigrams"))
-      val cov = vd.join(train, "sid")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_covered"))
-      sizes.join(cov, Seq("doc_id"), "left")
-        .withColumn("n_covered", coalesce($"n_covered", lit(0L)))
-        .withColumn("coverage",
-          CrossRound.r($"n_covered".cast("double") / $"n_bigrams", 4))
-        .orderBy($"doc_id")
-    },
-
-    // ----- PageRank over the rare-shingle similarity graph -----
-    // Centrality-weighted curation (which documents anchor dense
-    // near-duplicate neighborhoods): PageRank, damping 0.85, two
-    // synchronous iterations unrolled, over the undirected graph whose
-    // edges are [[rareSharedSidPairs]] candidates sharing ≥ 3 df≤50
-    // shingles (the same bounded-fanout pair stream q23/q71/q103 ride;
-    // q46 walks these edges for components, this WEIGHS them). The
-    // multiplicity threshold is load-bearing at scale: single-shingle
-    // collisions make the candidate graph nearly dense on a
-    // shared-vocabulary corpus (measured sf0.1: 1.13M pairs at i≥1 vs
-    // 10k at i≥3 over 5000 docs) — ≥3 keeps edges that witness real
-    // lexical overlap and bounds the message volume the sweeps ship.
-    // Each
-    // iteration is one src-keyed join (rank onto edges) + one dst-keyed
-    // aggregate — the standard message-passing shape, parallel in
-    // nodes, no broadcast of anything node-count-sized (N and the
-    // teleport term ride a 1-row broadcast). Dangling mass is NOT
-    // redistributed (documented simplification — both engines drop it
-    // identically, so ranks sum below 1 when isolated docs exist).
-    // Determinism: every contribution is a single divide of identical
-    // doubles; per-node sums fold neighbor lists in src order, so both
-    // engines add in the same sequence — bit-identical before the one
-    // rounding.
-    "q116_pagerank" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val arrs = docSidArrays(t.documents)
-      val pairs = rareSharedSidPairs(arrs, 50)
-        .filter($"i" >= 3)
-        .select($"doc_a", $"doc_b").cache()
-      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-      val edgesD = edges.join(deg, "src").cache()
-      val tot = t.documents.agg(count(lit(1)).as("n_docs"))
-      val docs = t.documents.select($"doc_id")
-      def sweep(ranks: DataFrame): DataFrame =
-        edgesD.join(ranks.withColumnRenamed("doc_id", "src"), "src")
-          .select($"dst", $"src", ($"r" / $"deg").as("contrib"))
-          .groupBy($"dst")
-          .agg(aggregate(
-            array_sort(collect_list(struct($"src", $"contrib"))),
-            lit(0.0), (acc, e) => acc + e.getField("contrib")).as("s"))
-      def step(ranks: DataFrame): DataFrame =
-        docs.join(sweep(ranks).withColumnRenamed("dst", "doc_id"),
-            Seq("doc_id"), "left")
-          .crossJoin(broadcast(tot))
-          .select($"doc_id",
-            (lit(0.15) / $"n_docs" +
-              lit(0.85) * coalesce($"s", lit(0.0))).as("r"))
-      val r0 = docs.crossJoin(broadcast(tot))
-        .select($"doc_id", (lit(1.0) / $"n_docs").as("r"))
-      val r1 = step(r0).cache()
-      val r2 = step(r1)
-      r2.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-        .select($"doc_id", coalesce($"deg", lit(0L)).as("deg"),
-          CrossRound.r($"r", 8).as("pr"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- Gopher-style repetition rules (Rae et al. 2021 §A1.1) -----
-    // Two per-doc repetition fractions, both integer-exact until one
-    // final division: (a) characters in the single most frequent word
-    // (count desc, word asc tiebreak via a doc-partitioned row_number —
-    // partitions are doc-vocabulary-sized) over all word characters;
-    // (b) characters inside DUPLICATE bigrams (c ≥ 2, counted over all
-    // occurrences) over all bigram characters — the n=2 instance of
-    // Gopher's dup-n-gram family, the one a shared-vocab corpus
-    // actually exercises (349/500 fixture docs contain a repeated
-    // bigram; 5-grams never repeat within a doc there). Gates compare
-    // against corpus MEANS of the 4-dp-rounded fractions, computed
-    // order-independently: each rounded fraction scales to an exact
-    // 10^4 integer (floor(x·10⁴+0.5) — exact, the value HAS ≤ 4
-    // decimals), DECIMAL(38,0)-sums in any order, divides once
-    // ([[CrossRound.avgMoney]]'s argument — no ordered fold, no
-    // corpus-sized collect_list, so the threshold agg is a plain
-    // map-side-combining reduce at any scale). Every other step is
-    // doc-keyed; thresholds ride a 1-row broadcast.
-    "q117_gopher_repetition" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val toks = t.documents.repartition($"doc_id")
-        .select($"doc_id", expr(toksExpr).as("tk")).cache()
-      val wc = toks.select($"doc_id", explode($"tk").as("w"))
-        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-        .withColumn("lw", length($"w").cast("long"))
-      val tot = wc.groupBy($"doc_id")
-        .agg(sum($"c" * $"lw").as("n_word_chars"))
-      val wTop = Window.partitionBy($"doc_id").orderBy($"c".desc, $"w")
-      val top = wc.withColumn("rn", row_number().over(wTop))
-        .filter($"rn" === 1)
-        .select($"doc_id", ($"c" * $"lw").as("tc"))
-      val grams = toks.select($"doc_id", explode(
-          graft.functions.GraftFunctions.shinglesK($"tk", 2)).as("g"))
-        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
-        .withColumn("lg", length($"g").cast("long"))
-      val gstat = grams.groupBy($"doc_id")
-        .agg(sum($"c" * $"lg").as("tot_chars"),
-          coalesce(sum(when($"c" >= 2, $"c" * $"lg")), lit(0L))
-            .as("dup_chars"))
-      val per = tot.join(top, "doc_id")
-        .join(gstat, Seq("doc_id"), "left")
-        .select($"doc_id",
-          CrossRound.r($"tc".cast("double") / $"n_word_chars", 4)
-            .as("top_frac"),
-          coalesce(
-            CrossRound.r($"dup_chars".cast("double") / $"tot_chars", 4),
-            lit(0.0)).as("dup_frac"))
-        .cache()
-      val thr = per.agg(
-        CrossRound.r(
-          sum(floor($"top_frac" * 10000 + 0.5)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            / (count(lit(1)) * 10000.0), 6).as("t_top"),
-        CrossRound.r(
-          sum(floor($"dup_frac" * 10000 + 0.5)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            / (count(lit(1)) * 10000.0), 6).as("t_dup"))
-      per.crossJoin(broadcast(thr))
-        .select($"doc_id", $"top_frac", $"dup_frac",
-          ($"top_frac" <= $"t_top" && $"dup_frac" <= $"t_dup").as("keep"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- bag-of-words dedup (word-order-insensitive exact) -----
-    // Canonical form = tokens sorted and re-joined; its polynomial hash
-    // is the bag signature (native [[graft.functions.PolyHashArray]]
-    // kernel — one fused pass, no interpreted per-char lambda). Catches
-    // everything q21's byte-exact dedup catches PLUS token
-    // permutations (shuffle-augmented or re-serialized copies). One
-    // map-only canonicalization + one signature-keyed agg + one
-    // signature-keyed join back: two shuffles on 8-byte keys, no
-    // string ever shuffles twice. keep = min-doc_id canonical, q21's
-    // convention.
-    "q118_bag_dedup" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val sig = t.documents.repartition($"doc_id")
-        .select($"doc_id",
-          element_at(graft.functions.GraftFunctions.polyHashArray(
-            array(concat_ws(" ", array_sort(expr(toksExpr))))), 1)
-            .as("bag_sig"))
-      val grp = sig.groupBy($"bag_sig")
-        .agg(count(lit(1)).as("n_bag"), min($"doc_id").as("canon_id"))
-      sig.join(grp, "bag_sig")
-        .select($"doc_id", $"bag_sig", $"n_bag",
-          ($"doc_id" === $"canon_id").as("keep"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- corpus-adaptive stopword discovery + ratio gate -----
-    // C4's "no stopwords ⇒ not prose" heuristic without a fixed list:
-    // the corpus's own 20 most frequent words (count desc, word asc —
-    // deterministic, data-derived so every fuzz corpus exercises it)
-    // ARE the stopword list, discovered by one map-side-combining word
-    // count + TakeOrdered(20) into a broadcast. Per-doc ratio is then
-    // one broadcast-semi-tagged explode + doc-keyed count; the keep
-    // threshold is the corpus mean of the rounded ratio via the same
-    // exact scaled-integer mean as q117 (order-independent, no global
-    // fold). Docs BELOW the mean stopword ratio are flagged (the
-    // C4 direction: too few function words ⇒ boilerplate/list page).
-    "q119_stopword_ratio" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val w = t.documents.repartition($"doc_id")
-        .select($"doc_id", explode(expr(toksExpr)).as("w"))
-      val stop = w.groupBy($"w").agg(count(lit(1)).as("c"))
-        .orderBy($"c".desc, $"w").limit(20)
-        .select($"w", lit(1L).as("is_stop"))
-      val per = w.join(broadcast(stop), Seq("w"), "left")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_toks"),
-          coalesce(sum($"is_stop"), lit(0L)).as("n_stop"))
-        .withColumn("stop_ratio",
-          CrossRound.r($"n_stop".cast("double") / $"n_toks", 4))
-        .cache()
-      val thr = per.agg(CrossRound.r(
-        sum(floor($"stop_ratio" * 10000 + 0.5)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          / (count(lit(1)) * 10000.0), 6).as("t"))
-      per.crossJoin(broadcast(thr))
-        .select($"doc_id", $"n_toks", $"n_stop", $"stop_ratio",
-          ($"stop_ratio" >= $"t").as("keep"))
-        .orderBy($"doc_id")
-    },
-
-    // ----- curriculum binning by exact length deciles -----
-    // Length-curriculum assignment (shortest-first epochs) WITHOUT a
-    // global rank: decile thresholds come from the inverted-CDF
-    // quantile over the BOUNDED length value domain (q112's trick —
-    // distinct token counts, ~10⁴ values at any corpus size, so the
-    // one cumulative window runs over a bounded single partition),
-    // t_k = min{v : cum(v) ≥ ⌈kN/10⌉}. The 9 thresholds collapse to
-    // one broadcast array and every doc bins MAP-SIDE as
-    // epoch = 1 + #{t_k < n_tokens} — ties share a bin
-    // deterministically in both engines. Per-epoch stats are integer
-    // sums + one exact division each.
-    "q120_curriculum_bins" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val base = t.documents
-        .select($"doc_id", size(expr(toksExpr)).cast("long").as("n_tokens"))
-        .cache()
-      val vc = base.groupBy($"n_tokens".as("v")).agg(count(lit(1)).as("c"))
-      val wCum = Window.orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = vc.withColumn("cum", sum($"c").over(wCum))
-      val n = base.agg(count(lit(1)).as("n"))
-      val thresholds = cum.crossJoin(broadcast(n))
-        .select($"v", $"cum", $"n",
-          explode(expr("sequence(1, 9)")).as("k"))
-        .filter($"cum" >= expr("(k * n + 9) DIV 10"))
-        .groupBy($"k").agg(min($"v").as("tv"))
-      val tarr = thresholds
-        .agg(expr("transform(array_sort(collect_list(struct(k, tv))), x -> x.tv)")
-          .as("tvs"))
-      base.crossJoin(broadcast(tarr))
-        .select($"doc_id", $"n_tokens",
-          (lit(1) + size(expr("filter(tvs, t -> n_tokens > t)")))
-            .cast("int").as("epoch"))
-        .groupBy($"epoch")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"n_tokens").as("tot_tokens"))
-        .withColumn("mean_tokens",
-          CrossRound.r($"tot_tokens".cast("double") / $"n_docs", 4))
-        .orderBy($"epoch")
-    },
-
-    // ----- prefix-filtered exact similarity join (AllPairs/PPJoin) -----
-    // The COMPLETE exact-Jaccard-≥-0.5 pair join — no df cap, no rare-
-    // shingle contract (q23's complement): order every doc's distinct
-    // 3-shingle sids by global (df asc, sid) rarity, emit only the
-    // first ⌊n/2⌋+1 sids as the probe prefix (prefix length
-    // n − ⌈t·n⌉ + 1 — any pair with J ≥ t MUST share a prefix token
-    // under a common global order; Bayardo et al. WWW'07, Vernica et
-    // al. SIGMOD'10's MapReduce form), self-join prefixes on sid,
-    // verify candidates exactly with one array_intersect over the two
-    // doc-bounded sid arrays. The filter is the exact integer form
-    // 2i ≥ na+nb−i (no float in the decision); jac is one division.
-    // Rarity ordering makes prefixes maximally selective: the most
-    // frequent sids never appear in any prefix. The ORACLE computes
-    // all-pairs J ≥ 0.5 directly from postings, so any candidate the
-    // prefix filter missed fails the row compare — the oracle IS the
-    // completeness check (plus the brute-force equality spec in
-    // Round10OpsSpec).
-    "q121_prefix_filter_join" -> { (s, dir) =>
-      import s.implicits._
-      prefixJaccardPairs(docSidArrays(Tables(s, dir).documents))
-        .orderBy($"doc_a", $"doc_b")
-    },
-
-    // ----- MinHash sketch fidelity vs exact Jaccard -----
-    // Evaluates the 16-hash MinHash sketch q22b/q81 band on against
-    // GROUND TRUTH: over the complete exact J ≥ 0.5 pair set
-    // ([[prefixJaccardPairs]] — q121's machinery, second consumer),
-    // est = (matching signature positions)/16, err = |est − jac|.
-    // est is exactly k/16 (a dyadic rational — no rounding needed);
-    // the corpus mean error uses the scaled-integer order-independent
-    // mean (q117's argument, at 10⁶ for the 6-dp err). The sids feed
-    // the identical native kernel the production dedup path uses, so
-    // this measures the REAL sketch, not a reimplementation — the
-    // recall@k analogue (AnnRecallSpec) for the dedup family, but
-    // oracle-checked end to end.
-    "q123_minhash_fidelity" -> { (s, dir) =>
-      import s.implicits._
-      val arrs = docSidArrays(Tables(s, dir).documents).cache()
-      val pairs = prefixJaccardPairs(arrs)
-      val sigs = arrs.select($"doc_id",
-        graft.functions.GraftFunctions.minhashSigs($"sids", 16).as("mh"))
-      val per = pairs
-        .join(sigs.select($"doc_id".as("doc_a"), $"mh".as("ma")), "doc_a")
-        .join(sigs.select($"doc_id".as("doc_b"), $"mh".as("mb")), "doc_b")
-        .withColumn("k", expr(
-          """aggregate(zip_with(ma, mb, (x, y) -> IF(x = y, 1, 0)),
-             CAST(0 AS BIGINT), (a, e) -> a + e)"""))
-        .withColumn("est", $"k" / 16.0)
-        .withColumn("err", CrossRound.r(abs($"est" - $"jac"), 6))
-        .select($"doc_a", $"doc_b", $"jac", $"k", $"est", $"err")
-        .cache()
-      val thr = per.agg(CrossRound.r(
-        sum(floor($"err" * 1000000 + 0.5)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          / (count(lit(1)) * 1000000.0), 6).as("mean_err"))
-      per.crossJoin(broadcast(thr))
-        .orderBy($"doc_a", $"doc_b")
-    },
-
-    // ----- winnowing-fingerprint near-dup screen (MOSS-style) -----
-    // The sublinear similarity SCREEN a plagiarism/dup pipeline runs
-    // before exact verification: per doc, the DISTINCT winnowing
-    // fingerprints (window-4 sliding min over 3-shingle sids — q29's
-    // exact parameters, so this screens on the production fingerprint,
-    // ~1/4 the posting volume of full shingles at corpus scale), then
-    // the df-capped map-side pair machinery shared with q23/q71
-    // ([[rareSharedSidPairs]], third consumer) with the ≥2-shared-
-    // fingerprint threshold; overlap = i/min(na,nb) is the containment
-    // screen score. Winnowing guarantees any sufficiently long shared
-    // run yields a shared fingerprint, so long-verbatim-overlap pairs
-    // cannot evade the screen.
-    "q125_winnow_neardup" -> { (s, dir) =>
-      import s.implicits._
-      winnowPairsArtifact(s, dir)
-        .filter($"i" >= 2)
-        .select($"doc_a", $"doc_b", $"i", $"na", $"nb",
-          CrossRound.r(
-            $"i".cast("double") / least($"na", $"nb"), 4).as("overlap"))
-        .orderBy($"doc_a", $"doc_b")
-    },
-
-    // ----- shard balance audit -----
-    // The health check after q70's deterministic shard assignment:
-    // per-shard doc and token totals plus the balance ratio
-    // shard_tokens·8/total — the skew a training job's data loader
-    // actually feels. One shard-keyed aggregate (8 groups) + a 1-row
-    // total broadcast; the scramble is q70's exact expression, so the
-    // audit measures the REAL assignment.
-    "q124_shard_balance" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val per = t.documents.repartition($"doc_id")
-        .select($"doc_id",
-          (expr(scrambleExpr("doc_id")).cast("long") % 8).as("shard"),
-          size(expr(toksExpr)).cast("long").as("n_tokens"))
-        .groupBy($"shard")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tot_tokens"))
-      val tot = per.agg(sum($"tot_tokens").as("all_tokens"))
-      per.crossJoin(broadcast(tot))
-        .select($"shard", $"n_docs", $"tot_tokens",
-          CrossRound.r(
-            $"tot_tokens".cast("double") * 8 / $"all_tokens", 6)
-            .as("balance"))
-        .orderBy($"shard")
-    },
-
-    // ----- edit-distance verification of screened candidates -----
-    // The two-stage dedup pattern end-to-end: q125's sublinear winnow
-    // SCREEN proposes candidates (containment ≥ 0.5 — the ≥2-fp rule's
-    // strict form), then exact char-level Levenshtein VERIFIES each
-    // one. Only screened pairs ever ship their texts (the verify join
-    // reads exactly 2 docs per candidate by doc_id equality); the
-    // O(n·m) distance runs on candidate pairs only, never the corpus.
-    // levenshtein() is the standard unit-cost DP in both engines —
-    // integer-exact cross-engine; sim = 1 − d/max_len is one division.
-    // is_dup at 0.8 is the Gyawali et al. (LREC'20) near-dup band.
-    "q127_editdist_verify" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val cand = winnowPairsArtifact(s, dir)
-        .filter($"i" >= 2 && $"i" * 2 >= least($"na", $"nb"))
-        .select($"doc_a", $"doc_b")
-      // Explicit-width repartition of the TEXT side. The screened pair
-      // set is broadcast-small, so the planner builds a broadcast hash
-      // join around it and the join (and the Levenshtein projection
-      // above it — the one genuinely CPU-heavy stage here) runs at the
-      // STREAM side's parallelism: the raw documents scan, which at
-      // bench corpus sizes is a single parquet split. That serialized
-      // the verify stage onto one core (measured 19.5 s vs 0.8 s for
-      // the same rows spread wide at the 50k-doc witness). Explicit
-      // numPartitions so AQE's small-shuffle coalescing cannot fold
-      // the width back to one; at cluster scale the scan arrives as
-      // many splits and this exchange is one doc-keyed pass.
-      val texts = t.documents
-        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-        .select($"doc_id", $"text")
-      cand
-        .join(texts.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
-        .join(texts.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
-        .select($"doc_a", $"doc_b",
-          levenshtein($"ta", $"tb").cast("long").as("edit_dist"),
-          greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
-        .withColumn("sim", CrossRound.r(
-          lit(1.0) - $"edit_dist".cast("double") / $"max_len", 4))
-        .withColumn("is_dup",
-          lit(1.0) - $"edit_dist".cast("double") / $"max_len" >= 0.8)
-        .orderBy($"doc_a", $"doc_b")
-    },
-
-    // ----- image perceptual hash (aHash) over real decoded pixels -----
-    // The image-dedup feature extractor: render→PNG-encode→REAL
-    // decode→8×8 average-hash per asset ([[Multimodal.aHash]] — exact
-    // integer thresholding, two 32-bit halves). Same mapPartitions
-    // codec shape as q30/q41/q42 (codec state amortized per partition,
-    // 12 bytes/doc shuffle before the bytes are born); swap the
-    // formula renderer for camera bytes and the plan is unchanged —
-    // the downstream Hamming-bucket join is q24's simhash shape.
-    "q126_image_ahash" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val assets = t.documents
-        .select($"doc_id", length($"text").cast("int").as("text_len"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .as[(Long, Int)]
-        .mapPartitions(_.map { case (docId, n) =>
-          (docId, Multimodal.encodePng(docId, n))
-        })
-      assets.mapPartitions { it =>
-        it.map { case (docId, bytes) => Multimodal.aHash(docId, bytes) }
-      }.toDF()
-        .select($"doc_id", $"width", $"height",
-          $"hash_hi", $"hash_lo", $"n_above")
-        .orderBy($"doc_id")
-    },
-
-    // ----- per-source dataset card -----
-    // The rollup a dataset release ships: per source, doc and token
-    // counts, language spread, byte-exact duplicate rate (distinct
-    // md5 — 16-byte keys shuffle, never full texts), and exact integer
-    // means. One source-keyed aggregate; every mean is
-    // (BIGINT sum)/(count) — a single exactly-rounded division.
-    "q122_dataset_card" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      t.documents
-        .select($"source", $"lang", $"n_chars", md5($"text").as("h"),
-          size(expr(toksExpr)).cast("long").as("n_tokens"))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"n_tokens").as("n_tokens"),
-          countDistinct($"lang").as("n_langs"),
-          countDistinct($"h").as("n_distinct"),
-          sum($"n_chars").as("sum_chars"))
-        .select($"source", $"n_docs", $"n_tokens", $"n_langs",
-          CrossRound.r(
-            lit(1.0) - $"n_distinct".cast("double") / $"n_docs", 4)
-            .as("exact_dup_rate"),
-          CrossRound.r($"n_tokens".cast("double") / $"n_docs", 4)
-            .as("mean_tokens"),
-          CrossRound.r($"sum_chars".cast("double") / $"n_docs", 2)
-            .as("mean_chars"))
-        .orderBy($"source")
-    },
-
-    // ----- content-defined chunking (CDC) + chunk-level dedup -----
-    // The shift-resistant chunker q64/q104's FIXED windows can't be:
-    // boundaries come from the CONTENT (a 3-token rolling signature —
-    // the shingle sid — hitting sid % 16 == 0), so inserting one token
-    // at the front of a doc re-syncs every chunk after the next
-    // boundary instead of shifting all of them (the FastCDC/LBFS
-    // argument; re-sync property pinned in `Round11OpsSpec`). Everything
-    // up to the chunk signature is ONE map-only projection per doc:
-    // native token/shingle hashes, boundary positions, and the per-chunk
-    // polynomial signature all ride higher-order functions over long
-    // arrays (the kernels take the token array as one child, so
-    // CollapseProject can't re-evaluate split per element — the
-    // shinglesCol trap). Only 8-byte chunk signatures ever shuffle:
-    // one vocabulary-sized df aggregate + one join back, doc-keyed agg.
-    // At 100 TB the shape is q104's: chunk-granular dedup where the
-    // chunk table is content-addressed — CDC is what keeps that table
-    // stable under document edits.
-    "q129_cdc_chunks" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val chunks = t.documents.repartition($"doc_id")
-        .select($"doc_id", expr(toksExpr).as("toks"))
-        .filter(size($"toks") > 0)
-        .select($"doc_id", size($"toks").cast("long").as("n_toks"),
-          graft.functions.GraftFunctions.polyHashArray($"toks").as("thash"),
-          graft.functions.GraftFunctions.polyHashArray(
-            graft.functions.GraftFunctions.shingles3($"toks")).as("sh"))
-        // 0-based shingle positions whose sid is a boundary; a boundary
-        // at position p ends its chunk after token p+2 (the window's
-        // last token), so the next chunk starts at token p+3.
-        .withColumn("bnds", expr(
-          """CASE WHEN size(sh) = 0 THEN array()
-             ELSE filter(sequence(0, size(sh) - 1),
-                         p -> element_at(sh, CAST(p + 1 AS INT)) % 16 = 0)
-             END"""))
-        .withColumn("starts",
-          expr("concat(array(0), transform(bnds, p -> CAST(p + 3 AS INT)))"))
-        .withColumn("ends", expr(
-          "concat(transform(bnds, p -> CAST(p + 3 AS INT)), array(size(thash)))"))
-        // Per-chunk signature = the polynomial fold over the chunk's
-        // TOKEN hashes (not its text — strings never leave the row);
-        // a boundary on the final shingle yields an empty tail segment,
-        // filtered here (the oracle's group-by-chunk never sees it).
-        .withColumn("sigs", expr(
-          """filter(zip_with(starts, ends, (st, en) -> IF(en > st,
-               named_struct(
-                 'sig', aggregate(slice(thash, st + 1, en - st),
-                   CAST(0 AS BIGINT), (h, x) -> (h * 131 + x) % 1000000007),
-                 'ntk', CAST(en - st AS BIGINT)),
-               NULL)), c -> c IS NOT NULL)"""))
-        .select($"doc_id", $"n_toks", explode($"sigs").as("c"))
-        .select($"doc_id", $"n_toks", $"c.sig".as("sig"), $"c.ntk".as("ntk"))
-        .cache() // read twice: the df aggregate and the join back
-      val df = chunks.groupBy($"sig").agg(count(lit(1)).as("df"))
-      chunks.join(df, "sig")
-        .groupBy($"doc_id")
-        .agg(min($"n_toks").as("n_toks"),
-          count(lit(1)).as("n_chunks"),
-          sum(when($"df" > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
-          sum(when($"df" > 1, $"ntk").otherwise(0L)).as("dup_toks"))
-        .withColumn("dup_frac",
-          CrossRound.r($"dup_toks".cast("double") / $"n_toks", 4))
-        .orderBy($"doc_id")
-    },
-
-    // ----- hybrid retrieval: reciprocal-rank fusion (RRF) -----
-    // The rank-ensembling step a hybrid search stack runs over its two
-    // channels (Cormack et al. SIGIR'09): for each of 5 query DOCS, the
-    // LEXICAL channel scores the corpus by BM25 against the query doc's
-    // own top-5 tf terms (q84's machinery made per-query — rational
-    // idf, sorted struct fold, scores bit-identical cross-engine), the
-    // SEMANTIC channel by embedding cosine (q25's contract; vec_id ≡
-    // doc_id in the corpus), each cut to a top-20 rank list on the
-    // UNROUNDED scores with doc_id tie-breaks (the q84 oracle-tie
-    // lesson). Fusion scores every retrieved doc 1/(60+rank_bm25) +
-    // 1/(60+rank_cos) — missing from a channel contributes 0 via the
-    // FULL OUTER join, exactly two IEEE terms per doc so no
-    // summation-order hazard exists; docs surfacing in BOTH channels
-    // rise above either channel's own leaders, which is the point of
-    // hybrid retrieval. (An L2-vs-cosine fusion would be vacuous here:
-    // the corpus embeddings are unit-norm, so those ranks coincide
-    // exactly.) Scale: the lexical side is q84's inverted-index shape
-    // (corpus explodes once, prunes map-side against ≤25 broadcast
-    // terms), the semantic side q25's broadcast-query scoring (swap in
-    // q25b's partial top-k UDAF at scale); the fusion join touches only
-    // O(queries × k) rows, broadcast-sized regardless of corpus size.
-    "q130_rrf_fusion" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val docs = t.documents.repartition($"doc_id")
-      val inst = docs.select($"doc_id", explode(expr(toksExpr)).as("tok"))
-      val dl = docs.select($"doc_id",
-        size(expr(toksExpr)).cast("long").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("nd"), sum($"dl").as("ntok"))
-      val wq = Window.partitionBy($"query_id").orderBy($"cnt".desc, $"tok")
-      val qterms = inst.filter($"doc_id" < 5)
-        .groupBy($"doc_id".as("query_id"), $"tok")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("qrk", row_number().over(wq)).filter($"qrk" <= 5)
-        .select($"query_id", $"tok")
-      val tf = inst.join(broadcast(qterms), "tok")
-        .groupBy($"query_id", $"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-        .cache()
-      val qdf = tf.select($"tok", $"doc_id").distinct()
-        .groupBy($"tok").agg(count(lit(1)).as("df"))
-      val contrib = tf.join(broadcast(qdf), "tok").join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("c",
-          (($"nd" + 1.0) / ($"df" + 0.5)) *
-            ($"tf" * 2.2 / ($"tf" + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                ($"dl" / ($"ntok".cast("double") / $"nd"))))))
-      val wb = Window.partitionBy($"query_id").orderBy($"bscore".desc, $"doc_id")
-      val bmTop = contrib.filter($"doc_id" =!= $"query_id")
-        .groupBy($"query_id", $"doc_id")
-        .agg(aggregate(array_sort(collect_list(struct($"tok", $"c"))),
-          lit(0.0), (acc, x) => acc + x.getField("c")).as("bscore"))
-        .withColumn("br", row_number().over(wb)).filter($"br" <= 20)
-        .select($"query_id", $"doc_id", $"br")
-      val e = t.embeddings.select($"vec_id", $"embedding")
-      val q = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("cq"), $"embedding".as("qe"))
-      val wc = Window.partitionBy($"cq").orderBy($"cos".desc, $"vec_id")
-      val cosTop = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"cq")
-        .withColumn("cos",
-          graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
-        .withColumn("cr", row_number().over(wc)).filter($"cr" <= 20)
-        .select($"cq", $"vec_id".as("cv"), $"cr")
-      val fused = bmTop.join(cosTop,
-          $"query_id" === $"cq" && $"doc_id" === $"cv", "full_outer")
-        .select(coalesce($"query_id", $"cq").as("query_id"),
-          coalesce($"doc_id", $"cv").as("doc_id"), $"br", $"cr")
-        .withColumn("score",
-          coalesce(lit(1.0) / (lit(60) + $"br"), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + $"cr"), lit(0.0)))
-      val wr = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
-      fused.withColumn("rank", row_number().over(wr)).filter($"rank" <= 10)
-        .select($"query_id", $"rank", $"doc_id",
-          $"br".cast("int").as("bm25_rank"), $"cr".cast("int").as("cos_rank"),
-          CrossRound.r($"score", 6).as("rrf_score"))
-        .orderBy($"query_id", $"rank")
-    },
-
-    // ----- image near-dup: banded aHash Hamming join -----
-    // q126's perceptual hashes put to work: the 64-bit aHash splits
-    // into FOUR disjoint 16-bit bands, candidates agree on at least one
-    // band, and exact Hamming ≤ 3 verifies. Unlike q24's simhash
-    // prefix-bucket (a recall heuristic), this screen is COMPLETE by
-    // pigeonhole: 3 differing bits can dirty at most 3 of 4 disjoint
-    // bands, so every qualifying pair shares a clean band (property-
-    // tested on random 64-bit pairs in `Round11OpsSpec`). Hashes come
-    // from the REAL decode pipeline (cached — the codec runs once, not
-    // once per self-join side); the join shuffles 16-byte hash rows,
-    // never pixels. Hot-band handling: a degenerate band value (e.g.
-    // all-dark thumbnails) would concentrate one reducer, so candidates
-    // come from [[saltedBandPairs]] — over-cap buckets triangle-split
-    // across group cells with identical pair output (g = 1 plain path
-    // at test scale; the g > 1 path is pinned by BandSaltSpec).
-    "q131_image_neardup" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val hashes = t.documents
-        .select($"doc_id", length($"text").cast("int").as("text_len"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .as[(Long, Int)]
-        .mapPartitions(_.map { case (docId, n) =>
-          Multimodal.aHash(docId, Multimodal.encodePng(docId, n))
-        }).toDF()
-        .select($"doc_id", $"hash_hi", $"hash_lo")
-        .cache()
-      val bands = hashes.select($"doc_id", $"hash_hi", $"hash_lo",
-        posexplode(expr(
-          """array(hash_lo % 65536, hash_lo div 65536,
-                   hash_hi % 65536, hash_hi div 65536)"""))
-          .as(Seq("band", "sig")))
-        .select($"band", $"sig", $"doc_id", $"hash_hi", $"hash_lo")
-      saltedBandPairs(bands, bandSaltCap)
-        .select($"doc_a", $"doc_b",
-          expr("""CAST(bit_count(pa.hash_hi ^ pb.hash_hi)
-                     + bit_count(pa.hash_lo ^ pb.hash_lo) AS INT)""").as("hd"))
-        .filter($"hd" <= 3)
-        .distinct()
-        .orderBy($"doc_a", $"doc_b")
-    },
-
-    // ----- PMI collocation mining -----
-    // The association-score family (vs q57's LM probability, q113's raw
-    // modal count): pointwise mutual information over corpus bigrams,
-    // p(ab)/(p(a)p(b)) with a count >= 5 support floor — the classic
-    // collocation extractor feeding tokenizer-vocabulary and
-    // multi-word-expression decisions. Every count is an integer; the
-    // score evaluates as (c_ab/B)·(N/c_a)·(N/c_b) — NO integer product
-    // anywhere, so there is no overflow regime at any corpus size (the
-    // r7 form ((c_ab·N)/B)·(N/(c_a·c_b)) overflowed c_ab·N past ~3e9
-    // tokens: raising under ANSI, the Spark 4 default, wrapping under
-    // non-ANSI — VERDICT r8 #1; each int64 count here only ever CASTS
-    // to double, exact below 2^53, and a count past 2^53 rounds
-    // identically in both engines). The
-    // three divisions and two multiplies are each a single
-    // exactly-rounded IEEE op in the SAME left-assoc order in both
-    // engines, so scores are bit-identical and the top-20 cut (on the
-    // UNROUNDED score, bigram tie-break) cannot flip; `Round12OpsSpec`
-    // pins that the restructured form survives counts where the int64
-    // form wraps, and that the top-20 is unchanged on real corpora.
-    // Scale: one vocabulary-sized
-    // unigram agg, one bigram agg with the support floor applied before
-    // any join (the >= 5 filter kills the long tail — the joined
-    // relation is the FREQUENT-bigram table), two token-equality joins,
-    // stats ride a 1-row broadcast, top-20 = TakeOrderedAndProject.
-    "q132_pmi_collocations" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val tk = t.documents.repartition($"doc_id")
-        .select($"doc_id", expr(toksExpr).as("toks"))
-      val uni = tk.select(explode($"toks").as("tok"))
-        .groupBy($"tok").agg(count(lit(1)).as("c"))
-        .cache() // read twice: the two component-count joins
-      val bg = tk.select(explode(
-        graft.functions.GraftFunctions.shinglesK($"toks", 2)).as("bigram"))
-      val bgc = bg.groupBy($"bigram").agg(count(lit(1)).as("c_ab"))
-        .filter($"c_ab" >= 5)
-      // N = Σ len, B = Σ max(len-1, 0) — one doc-level agg instead of
-      // re-exploding the corpus twice more; integer-identical to
-      // summing the unigram/bigram relations (the oracle's form).
-      val stats = tk.select(size($"toks").as("nt"))
-        .agg(sum($"nt").cast("long").as("n"),
-          sum(greatest($"nt" - 1, lit(0))).cast("long").as("b"))
-      val scored = bgc
-        .withColumn("a_tok", expr("split(bigram, ' ')[0]"))
-        .withColumn("b_tok", expr("split(bigram, ' ')[1]"))
-        .join(uni.select($"tok".as("a_tok"), $"c".as("c_a")), "a_tok")
-        .join(uni.select($"tok".as("b_tok"), $"c".as("c_b")), "b_tok")
-        .crossJoin(broadcast(stats))
-        .withColumn("pmi",
-          ($"c_ab".cast("double") / $"b") *
-            ($"n".cast("double") / $"c_a") *
-            ($"n".cast("double") / $"c_b"))
-      scored.orderBy($"pmi".desc, $"bigram").limit(20)
-        .select($"bigram", $"c_ab", $"c_a", $"c_b",
-          CrossRound.r($"pmi", 6).as("pmi"))
-        .orderBy($"pmi".desc, $"bigram")
-    },
-
-    // ----- per-source unigram KL drift (content distribution shift) -----
-    // The CONTENT sibling of q112's KS-on-lengths: per source,
-    // KL(p_source ‖ p_corpus) over the unigram distribution — the
-    // standard "has this source drifted from the mixture" audit before
-    // re-weighting (q74) or resampling (q94). Every term
-    // (c/ns)·ln((c/ns)·(n/cw)) is computed from exact integer counts in
-    // a fixed op order (two divides, one multiply, one ln, one
-    // multiply — each exactly-rounded IEEE, q93's ln argument), then
-    // the per-source SUM uses the order-independent scaled-integer form
-    // (q117's pattern at 10¹²: |term| ≤ ~30 so the scaled value fits a
-    // long with 2⁵³ to spare) — a plain map-side-combining aggregate,
-    // NO per-source vocabulary-sized sorted fold (which would funnel a
-    // 10⁸-word vocabulary through one task at corpus scale). Words hash
-    // to 8-byte sids via the portable polynomial hash (the docSidArrays
-    // collision tradeoff, applied identically in both engines); the
-    // only corpus-sized shuffles are the two token-count aggregates and
-    // one sid-equality join; source totals and the 1-row corpus total
-    // ride broadcasts.
-    "q134_source_kl_drift" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val tok = t.documents.repartition($"doc_id")
-        .select($"source", explode(expr(toksExpr)).as("w"))
-        .select($"source", graft.functions.GraftFunctions.polyHash($"w").as("tid"))
-      val cw = tok.groupBy($"tid").agg(count(lit(1)).as("cw"))
-      val csw = tok.groupBy($"source", $"tid").agg(count(lit(1)).as("c"))
-      val cs = csw.groupBy($"source")
-        .agg(sum($"c").cast("long").as("ns"),
-          count(lit(1)).cast("long").as("n_types"))
-      val tot = cw.agg(sum($"cw").cast("long").as("n"))
-      val kls = csw.join(cw, "tid")
-        .join(broadcast(cs.select($"source", $"ns")), "source")
-        .crossJoin(broadcast(tot))
-        .withColumn("term",
-          ($"c".cast("double") / $"ns") *
-            log(($"c".cast("double") / $"ns") * ($"n".cast("double") / $"cw")))
-        .groupBy($"source")
-        .agg(sum(floor($"term" * 1000000000000.0 + 0.5)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ts"))
-      kls.join(broadcast(cs), "source")
-        .select($"source", $"ns".as("n_tokens"), $"n_types",
-          CrossRound.r($"ts".cast("double") / 1000000000000.0, 6).as("kl"))
-        .orderBy($"source")
-    },
-
-    // ----- heavy hitters: mergeable Misra–Gries propose → exact verify -----
-    // q55's propose/verify pattern applied to FREQUENCY instead of
-    // membership: a 64-counter Misra–Gries summary
-    // ([[graft.functions.MisraGriesAgg]] — the mergeable PODS'12 form,
-    // guarantee property-tested in `MisraGriesSpec`) aggregates the
-    // token stream into ONE ≤ 64-entry row (shuffle volume
-    // O(map_tasks·k), never vocabulary-sized — the reason a sketch, not
-    // a full count table, is the 100 TB shape for "what are the top
-    // tokens"), and every token with true count > N/65 is guaranteed a
-    // live counter. The candidate set then broadcasts back and an exact
-    // count over JUST those ≤ 64 tokens (map-side pruned semi-join)
-    // verifies against the emit threshold 64·count > N ⊂ the guarantee
-    // region — so the output is EXACT (sketch false positives die in
-    // the verify, and false negatives cannot exist), which is what lets
-    // a DuckDB GROUP BY/HAVING oracle check a sketch-powered query
-    // hash-for-hash.
-    "q135_heavy_hitters" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val mg = udaf(new graft.functions.MisraGriesAgg(64))
-      def tok = t.documents.repartition($"doc_id")
-        .select(explode(expr(toksExpr)).as("w"))
-      val cands = tok.agg(mg($"w").as("summary"))
-        .select(explode($"summary").as("e")).select($"e.token".as("w"))
-      val tot = t.documents
-        .select(size(expr(toksExpr)).cast("long").as("nt"))
-        .agg(sum($"nt").cast("long").as("n"))
-      tok.join(broadcast(cands), "w")
-        .groupBy($"w").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(tot))
-        .filter($"cnt" * 64 > $"n")
-        .select($"w".as("token"), $"cnt", $"n",
-          CrossRound.r($"cnt".cast("double") / $"n", 6).as("frac"))
-        .orderBy($"cnt".desc, $"token")
-    },
-
-    // ----- connected components by large-star/small-star contraction -----
-    // The same dedup-group contract as q46 (identical oracle SQL: the
-    // transitive closure over verified MinHash pairs), computed by the
-    // O(log n)-round star-contraction algorithm instead of
-    // O(diameter)-round min-label propagation — the algorithm a 100 TB
-    // component resolution wants when components are NOT clique-ish
-    // (chains of borderline near-dups: propagation pays the chain
-    // length, contraction halves it every round pair). See
-    // [[bigStarLabels]]; `Round13OpsSpec` pins algorithm-equality with
-    // q46's propagation on the fixture AND against brute-force
-    // union-find on random graphs.
-    "q136_cc_bigstar" -> { (s, dir) =>
-      import s.implicits._
-      // Labels come from the per-session star-contraction artifact
-      // ([[bigStarLabelsArtifact]]): the iterative job runs once per
-      // (session, dir, fingerprint) — q46's convention — and its pair
-      // input is the shared verified-pair artifact, so the MinHash
-      // pipeline is also paid once per session (round 11).
-      val labels = bigStarLabelsArtifact(s, dir)
-      labels
-        .select($"lbl".as("group_id"), $"node".as("doc_id"),
-          ($"node" === $"lbl").as("is_canonical"))
-        .orderBy($"group_id", $"doc_id")
-    },
-
-    // ----- Johnson–Lindenstrauss projection + distortion audit -----
-    // The dimensionality-reduction step in front of a 100 TB ANN stack:
-    // 64-float embeddings compress map-only to 16 hyperplane
-    // projections (the SAME native [[graft.functions.HyperplaneDots]]
-    // kernel q26/q33 sign for LSH bits — here the real-valued dots ARE
-    // the reduced vector, random-projection JL), and the audit grades
-    // the compression the q123 way: over the deterministic
-    // consecutive-id pair sample, cosine in the projected space vs
-    // exact cosine, per-pair |error| plus the corpus mean error via the
-    // order-independent scaled-integer mean. Projection is zero-shuffle
-    // (one codegen'd kernel per row); the pair sample is one
-    // equality join on a derived key (vec_id+1) — never a window over
-    // a global vector order.
-    "q137_jl_projection" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      def dot(x: String, y: String): Column = expr(
-        s"aggregate(zip_with($x, $y, (p, q) -> p * q), " +
-          "CAST(0 AS DOUBLE), (acc, e) -> acc + e)")
-      val proj = t.embeddings.repartition($"vec_id")
-        .select($"vec_id", $"embedding".as("v"),
-          graft.functions.GraftFunctions.hyperplaneDots($"embedding", 16)
-            .as("dots"))
-      val a = proj.select($"vec_id".as("vec_a"), $"v".as("va"),
-        $"dots".as("da"))
-      val b = proj.select(($"vec_id" - 1L).as("vec_a"),
-        $"vec_id".as("vec_b"), $"v".as("vb"), $"dots".as("db"))
-      val per = a.join(b, "vec_a")
-        .withColumn("cos_full", CrossRound.r(
-          graft.functions.GraftFunctions.cosineSim($"va", $"vb"), 6))
-        .withColumn("cos_proj", CrossRound.r(
-          dot("da", "db") / (sqrt(dot("da", "da")) * sqrt(dot("db", "db"))),
-          6))
-        .withColumn("err", CrossRound.r(abs($"cos_full" - $"cos_proj"), 6))
-        .select($"vec_a", $"vec_b", $"cos_full", $"cos_proj", $"err")
-        .cache() // read twice: per-pair rows + the 1-row mean (q123's shape)
-      val thr = per.agg(CrossRound.r(
-        sum(floor($"err" * 1000000 + 0.5)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          / (count(lit(1)) * 1000000.0), 6).as("mean_err"))
-      per.crossJoin(broadcast(thr)).orderBy($"vec_a")
-    },
-
-    // ----- sequential dedup cascade (exact → bag-of-words → near-dup) -----
-    // The end-to-end attrition rollup a curation run reports, with the
-    // SEQUENTIAL keep-the-minimum semantics a real cascade applies:
-    // stage 1 keeps the min doc_id per exact text (md5 — 16-byte keys
-    // shuffle, q21's convention), stage 2 keeps the min doc per
-    // bag-of-words signature AMONG stage-1 survivors (q118's canonical
-    // form — catches permuted copies), stage 3 keeps the survivors that
-    // are their near-dup group's canonical doc (group-min label from
-    // the SHARED persisted label artifact — its fifth consumer, so the
-    // MinHash + propagation cost is still paid once per session;
-    // singletons are canonical). Stage counts are monotone by
-    // construction (asserted in `Round13OpsSpec`); every stage is one
-    // key-equality aggregate + one join, no windows, no collects.
-    "q138_dedup_cascade" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val sig = t.documents.repartition($"doc_id")
-        .select($"doc_id", $"source", md5($"text").as("eh"),
-          element_at(graft.functions.GraftFunctions.polyHashArray(
-            array(concat_ws(" ", array_sort(expr(toksExpr))))), 1).as("bh"))
-      val s1 = sig.groupBy($"eh").agg(min($"doc_id").as("k1"))
-      val st1 = sig.join(s1, "eh").withColumn("in1", $"doc_id" === $"k1")
-      // Every bh value has ≥ 1 stage-1 survivor (the md5-group min has
-      // the same text, hence the same bag signature), so the stage-2
-      // join is inner on both sides.
-      val s2 = st1.filter($"in1").groupBy($"bh").agg(min($"doc_id").as("k2"))
-      val st2 = st1.join(s2, "bh")
-        .withColumn("in2", $"in1" && $"doc_id" === $"k2")
-      val labels = dedupLabelsArtifact(s, dir)
-      st2.join(labels.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
-        .withColumn("in3", $"in2" && ($"lbl".isNull || $"lbl" === $"doc_id"))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"in1".cast("long")).as("n_exact"),
-          sum($"in2".cast("long")).as("n_bow"),
-          sum($"in3".cast("long")).as("n_neardup"))
-        .select($"source", $"n_docs", $"n_exact", $"n_bow", $"n_neardup",
-          CrossRound.r($"n_neardup".cast("double") / $"n_docs", 6)
-            .as("keep_frac"))
-        .orderBy($"source")
-    },
-
-    // ----- embedding-space outlier pruning (cluster-distance z-filter) -----
-    // The embedding-quality sibling of the text-side Gopher rules: a
-    // curation run drops vectors that sit far outside their own
-    // cluster before any similarity-based step trusts them (mis-encoded
-    // docs, empty-input embeddings, wrong-modality rows — the
-    // SemDeDup-adjacent hygiene pass). Quantizer = the family's shared
-    // every-125th-vector coarse codebook (q36/q60/q68 contract, so the
-    // oracle reproduces assignment bit-for-bit); each vector's
-    // distance-to-own-centroid is compared against its CLUSTER MEDIAN
-    // distance: keep iff d ≤ 4·median. Median, not mean — selection/
-    // interpolation over bit-identical doubles is summation-order-free
-    // (the q99 argument), and 4·med is an EXACT IEEE product (scaling
-    // by a power of two), so the keep verdict has no rounding seam at
-    // all; the reported ratio is one correctly-rounded divide. Shapes
-    // at 100 TB: assignment is one map-side pass against broadcast
-    // centroids folded by a map-side-combining min_by (q72's shape —
-    // one row per vector shuffles, never vector×centroid); cluster
-    // stats are a K-row aggregate broadcast back; no windows, no
-    // collects, nothing corpus-sized on the driver. CAVEAT (ADVICE r13
-    // #2): the FIXTURE codebook here has no size cap — K = n/125, so
-    // the broadcast grows with the corpus and per-row routing is
-    // O(n/125), i.e. O(n²/125) total. A production run swaps in the
-    // fixed-K [[trainedCodebook]] artifact (exactly what q36b/q60b/
-    // q141b/q142 consume — K constant, ~32 KB broadcast, linear total
-    // work) without changing any other part of this plan; the fixture
-    // convention stays here because this query's oracle pins it.
-    "q140_embedding_outliers" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val e = t.embeddings.select($"vec_id", $"embedding")
-      val cents = e.filter($"vec_id" % 125 === 0)
-        .select($"vec_id".as("cid"), $"embedding".as("ce"))
-      // Explicit-width repartition of the probe side: the broadcast
-      // join (and the n×K distance projection above it) runs at the
-      // PROBE side's parallelism, and the embeddings table is ONE
-      // parquet split at every witness size — without this the scoring
-      // serializes onto a single core (the q127 lesson, re-caught live
-      // by the 40× witness on this very query; 80k×640 distances on
-      // one task). Explicit numPartitions so AQE cannot coalesce it
-      // back.
-      // cache(): asg feeds TWO plan branches (the K-row cluster stats
-      // and the per-vector verdict join), and with the aggregate
-      // sitting directly on the repartition there is no Exchange above
-      // the n×K scoring for ReuseExchange to share — uncached, the
-      // dominant distance stage runs twice (the q72 corpus-cache
-      // pattern; one row per vector, bounded).
-      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
-        .withColumn("d",
-          graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(min_by($"cid", struct($"d", $"cid")).as("cid"),
-          min($"d").as("d"))
-        .cache()
-      val st = asg.groupBy($"cid")
-        .agg(count(lit(1)).as("n_members"),
-          expr("percentile(d, 0.5)").as("med"))
-      asg.join(broadcast(st), "cid")
-        .select($"vec_id", $"cid", $"n_members",
-          CrossRound.r($"d", 4).as("d2"),
-          CrossRound.r($"med", 4).as("med_d2"),
-          when($"med" > 0, CrossRound.r($"d" / $"med", 4)).as("ratio"),
-          ($"d" <= lit(4.0) * $"med").as("keep"))
-        .orderBy($"vec_id")
-    }
-  )
 
   /** q79's documented scale form as a runnable WITNESS (VERDICT r5 #8):
     * the per-source window in the registered query funnels each source
@@ -4994,7 +1459,7 @@ object PipelineQueries {
     * batch and ingest-time forms are graded against the IDENTICAL
     * chunking semantics.
     */
-  private lazy val cdcChunksOracleCtes: String = {
+  private[operators] lazy val cdcChunksOracleCtes: String = {
     val toks = "list_filter(string_split(text, ' '), x -> x != '')"
     s"""tk0 AS (SELECT doc_id, $toks t FROM documents),
         tk AS (SELECT * FROM tk0 WHERE len(t) > 0),
@@ -5036,7 +1501,7 @@ object PipelineQueries {
     * space-joined symbols, argmax pair, 3 greedy replace passes.
     * `carry` prefixes extra columns (e.g. `"s0.w,"`) through the stage.
     */
-  private def bpeStageSql(prev: String, p: String, tnew: String,
+  private[operators] def bpeStageSql(prev: String, p: String, tnew: String,
       snew: String, carry: String = ""): String = s"""
         $p AS (SELECT pair, CAST(sum(cnt) AS BIGINT) pcnt FROM (
                  SELECT cnt, unnest(list_transform(range(1, len(l)),
@@ -5055,2669 +1520,145 @@ object PipelineQueries {
                    ' ' || replace($tnew.pair, ' ', '') || ' ')) syms
                FROM $prev, $tnew)"""
 
-  def oracleSql: Map[String, String] = {
-    val toks = "list_filter(string_split(text, ' '), x -> x != '')"
-    val dsh = s"""
-      toks AS (SELECT doc_id, $toks tk FROM documents),
-      dsh AS (SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
-          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle FROM toks))"""
-    val cosFragment = """
-      e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"""
-    // q72's full two-iteration Lloyd's CTE chain (initial centroids →
-    // assignment → round(avg,6) update → re-assignment), factored once
-    // so q95's purity evaluation runs on the IDENTICAL assignment.
-    val kmeansOracleCtes = """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        c0 AS (SELECT vec_id cid, v ce FROM e WHERE vec_id < 8),
-        d1 AS (SELECT e.vec_id, c.cid,
-                 list_reduce(list_prepend(0.0::DOUBLE,
-                   list_transform(range(1, 65),
-                     i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))),
-                   (x, y) -> x + y) d
-               FROM e CROSS JOIN c0 c),
-        a1 AS (SELECT vec_id, cid FROM (
-                 SELECT vec_id, cid,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY d NULLS FIRST, cid) rn
-                 FROM d1) WHERE rn = 1),
-        cm AS (SELECT a1.cid, t.dim, floor(avg(e.v[t.dim + 1]) * 1000000 + 0.5) / 1000000 m
-               FROM a1 JOIN e USING (vec_id)
-                    CROSS JOIN (SELECT unnest(range(0, 64)) dim) t
-               GROUP BY 1, 2),
-        c1 AS (SELECT cid, list(m ORDER BY dim) ce FROM cm GROUP BY cid),
-        d2 AS (SELECT e.vec_id, c.cid,
-                 list_reduce(list_prepend(0.0::DOUBLE,
-                   list_transform(range(1, 65),
-                     i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))),
-                   (x, y) -> x + y) d
-               FROM e CROSS JOIN c1 c),
-        a2 AS (SELECT vec_id, cid FROM (
-                 SELECT vec_id, cid,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY d NULLS FIRST, cid) rn
-                 FROM d2) WHERE rn = 1)"""
-    val trainedCbCtes = trainedCbOracleCtes
-
-    // DuckDB twin of [[graft.functions.HyperplaneDots]]: the identical index-ordered left
-    // fold, so the per-hyperplane dot products match Spark's bit-for-bit.
-    def hyperDots(nH: Int) = s"""
-      dots AS (SELECT vec_id, v,
-                 list_transform(range(0, $nH), h ->
-                   list_reduce(list_prepend(0.0::DOUBLE,
-                     list_transform(range(0, len(v)), d ->
-                       v[d+1] * (((h*64 + d) * 2654435761) % 4294967296
-                                 / 2147483648.0 - 1.0))),
-                     (acc, x) -> acc + x)) dot
-               FROM e)"""
-
-    // DISTINCT (doc_id, sid) shingle-id sets — the oracle twin of
-    // [[docSidArrays]] (hash then dedup; a colliding shingle pair merges
-    // identically in both engines). Two spellings from ONE definition
-    // site (ADVICE r12 — the old post-hoc string replace would have
-    // silently no-op'd if the literal's spelling drifted): the plain
-    // CTE, and the `MATERIALIZED`-hinted one `minhashChain` stages so
-    // the q101/q46 recursive-closure oracles release the shingle
-    // pipeline's memory before the closure runs (VERDICT r11 #2).
-    def dsidDef(mat: String) = s"""
-      dsid AS $mat(SELECT DISTINCT doc_id, ${oraclePolyHash("shingle")} sid
-               FROM dsh)"""
-    val dsid = dsidDef("")
-
-    // q22b's full MinHash→LSH→verify CTE chain (shingle ids from the
-    // portable polynomial hash — h = 131h + code mod P, folded
-    // left-to-right, identical to the Spark-side native kernel
-    // character-for-character; sets are sid sets end-to-end). Shared by
-    // q22b and q46.
-    // MinHash signatures + 4×4 banding — the SQL twin of
-    // [[graft.functions.GraftFunctions.minhashSigs]] + [[mhBandCols]],
-    // factored once so every oracle that bands (q22b/q46 via
-    // minhashChain, q81) shares the same hash constants and layout.
-    val mhBandsSql = s"""
-        mh AS (SELECT doc_id, s.s,
-                      min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
-               FROM dsid CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
-               GROUP BY 1, 2),
-        bands AS (SELECT doc_id, s // 4 band,
-                         concat_ws('-', min(CASE WHEN s % 4 = 0 THEN mh END),
-                                        min(CASE WHEN s % 4 = 1 THEN mh END),
-                                        min(CASE WHEN s % 4 = 2 THEN mh END),
-                                        min(CASE WHEN s % 4 = 3 THEN mh END)) sig
-                  FROM mh GROUP BY 1, 2)"""
-
-    // `MATERIALIZED` stages the chain (VERDICT r11 #2: the q101 oracle
-    // at the 50k-doc witness OOM'd DuckDB even at 100 GB because the
-    // whole shingle→minhash→verify pipeline stayed live UNDER the
-    // recursive closure): dsid is read three ways (mh, sizes, inter×2)
-    // and inter is the verify output — forcing both to temp tables
-    // computes the massive chain once with a pipeline breaker,
-    // releasing its memory before the closure runs. Hint-only, result
-    // sets identical (equality + 6× speedup measured at 50k docs).
-    val minhashChain = s"""$dsh, ${dsidDef("MATERIALIZED ")},$mhBandsSql,
-        cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        sizes AS (SELECT doc_id, count(1) n FROM dsid GROUP BY 1),
-        inter AS MATERIALIZED (SELECT doc_a, doc_b, count(1) i
-                  FROM cand JOIN dsid x ON doc_a = x.doc_id
-                            JOIN dsid y ON doc_b = y.doc_id AND x.sid = y.sid
-                  GROUP BY 1, 2)"""
-
-    val decontamSql = decontamOracleSql
-
-    // Connected components over verified MinHash pairs as a transitive
-    // closure — shared verbatim by q46 (min-label propagation) and q136
-    // (large-star/small-star contraction): one oracle, two algorithms.
-    val ccSql = s"""
-        WITH RECURSIVE $minhashChain,
-        pairs AS MATERIALIZED (SELECT doc_a, doc_b
-                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                             JOIN sizes sb ON doc_b = sb.doc_id
-                  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
-        edges AS (SELECT doc_a src, doc_b dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        reach AS (SELECT src AS node, src AS lbl FROM edges
-                  UNION
-                  SELECT e.dst, r.lbl FROM reach r
-                  JOIN edges e ON e.src = r.node),
-        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
-                 FROM reach GROUP BY node)
-        SELECT group_id, doc_id, doc_id = group_id AS is_canonical
-        FROM comp
-        ORDER BY group_id, doc_id"""
-
-    Map(
-      "q21_dedup_exact" -> """
-        SELECT min(doc_id) AS doc_id,
-               arg_min(source, doc_id) AS source,
-               count(1) AS n_copies
-        FROM documents
-        GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-        ORDER BY doc_id""",
-
-      // Chunk starts/slices mirror the Spark transform+slice exactly:
-      // DuckDB list slicing tk[a:b] is 1-based inclusive, clipped at the
-      // array end, = Spark slice(toks, a, b-a+1).
-      "q64_doc_chunks" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        c AS (SELECT doc_id,
-                     unnest(range(0, (len(tk) - 1) // 24 + 1)) AS chunk_idx,
-                     tk
-              FROM toks WHERE len(tk) > 0),
-        sliced AS (SELECT doc_id, chunk_idx,
-                          tk[chunk_idx*24 + 1 : chunk_idx*24 + 32] AS chunk
-                   FROM c
-                   WHERE chunk_idx = 0
-                      OR (chunk_idx - 1) * 24 + 32 < len(tk))
-        SELECT doc_id,
-               CAST(chunk_idx AS BIGINT) AS chunk_idx,
-               CAST(len(chunk) AS BIGINT) AS n_tokens,
-               array_to_string(chunk, ' ') AS chunk_text
-        FROM sliced
-        ORDER BY doc_id, chunk_idx""",
-
-      // Boilerplate = shingles in >= max(2, 2% of docs) distinct docs;
-      // same sid-set chain as the dedup family, df over the dsid CTE.
-      "q66_boilerplate" -> s"""
-        WITH $dsh, $dsid,
-        nd AS (SELECT count(1) n_docs FROM documents),
-        dfreq AS (SELECT sid, count(1) df FROM dsid GROUP BY 1),
-        boiler AS (SELECT sid FROM dfreq, nd
-                   WHERE df >= greatest(2, ceil(n_docs * 0.02))),
-        per AS (SELECT d.doc_id,
-                       count(1) AS n_shingles,
-                       sum(CASE WHEN b.sid IS NOT NULL THEN 1 ELSE 0 END)
-                         AS n_boiler
-                FROM dsid d LEFT JOIN boiler b ON d.sid = b.sid
-                GROUP BY 1)
-        SELECT doc_id,
-               CAST(n_shingles AS BIGINT) AS n_shingles,
-               CAST(n_boiler AS BIGINT) AS n_boiler,
-               floor((n_boiler::DOUBLE / n_shingles) * 10000 + 0.5) / 10000 AS boiler_frac,
-               floor((n_boiler::DOUBLE / n_shingles) * 10000 + 0.5) / 10000 <= 0.5 AS keep
-        FROM per
-        ORDER BY doc_id""",
-
-      // Group labels from the same transitive closure as q46; singleton
-      // docs label themselves; split = q47's scramble over group_id.
-      "q67_leakage_split" -> s"""
-        WITH RECURSIVE $minhashChain,
-        pairs AS MATERIALIZED (SELECT doc_a, doc_b
-                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                             JOIN sizes sb ON doc_b = sb.doc_id
-                  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
-        edges AS (SELECT doc_a src, doc_b dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        reach AS (SELECT src AS node, src AS lbl FROM edges
-                  UNION
-                  SELECT e.dst, r.lbl FROM reach r
-                  JOIN edges e ON e.src = r.node),
-        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
-                 FROM reach GROUP BY node),
-        g AS (SELECT d.doc_id, d.source,
-                     coalesce(c.group_id, d.doc_id) AS group_id
-              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
-        SELECT doc_id, group_id, source,
-               CASE WHEN (${oracleScramble("group_id")}) / 4294967296.0 < 0.9
-                    THEN 'train' ELSE 'val' END AS split
-        FROM g
-        ORDER BY doc_id""",
-
-      // Assignment twin of q68's two-level max_by(·, (cos, -id)) chain:
-      // row_number ORDER BY cos DESC, id picks the same coarse cell for
-      // fine centroids and vectors, then the same fine centroid within
-      // the cell, incl. ties. step = ⌈√K⌉ exactly as the Spark plan
-      // computes it (IEEE sqrt is correctly rounded in both engines).
-      "q68_semantic_dedup" -> s"""
-        WITH $cosFragment,
-        cents AS (SELECT vec_id cid, v ce FROM e WHERE vec_id % 125 = 0),
-        k AS (SELECT CAST(ceil(sqrt(count(1)::DOUBLE)) AS BIGINT) AS step
-              FROM cents),
-        coarse AS (SELECT cid gid, ce ge FROM cents, k
-                   WHERE cid % (125 * step) = 0),
-        fcell AS (SELECT cid, ce, gid FROM (
-                    SELECT c.cid, c.ce, g.gid,
-                           row_number() OVER (PARTITION BY c.cid ORDER BY
-                             list_dot_product(c.ce, g.ge) /
-                             (sqrt(list_dot_product(c.ce, c.ce)) *
-                              sqrt(list_dot_product(g.ge, g.ge))) DESC,
-                             g.gid) rk
-                    FROM cents c CROSS JOIN coarse g) WHERE rk = 1),
-        vcell AS (SELECT vec_id, v, gid FROM (
-                    SELECT e.vec_id, e.v, g.gid,
-                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                             list_dot_product(e.v, g.ge) /
-                             (sqrt(list_dot_product(e.v, e.v)) *
-                              sqrt(list_dot_product(g.ge, g.ge))) DESC,
-                             g.gid) rk
-                    FROM e CROSS JOIN coarse g) WHERE rk = 1),
-        assigned AS (SELECT vec_id, cid FROM (
-                       SELECT v.vec_id, f.cid,
-                              row_number() OVER (PARTITION BY v.vec_id
-                                ORDER BY
-                                  list_dot_product(v.v, f.ce) /
-                                  (sqrt(list_dot_product(v.v, v.v)) *
-                                   sqrt(list_dot_product(f.ce, f.ce))) DESC,
-                                  f.cid) rk
-                       FROM vcell v JOIN fcell f ON v.gid = f.gid)
-                     WHERE rk = 1),
-        dups AS (SELECT DISTINCT b.vec_id
-                 FROM assigned a JOIN assigned b
-                      ON a.cid = b.cid AND a.vec_id < b.vec_id
-                 JOIN e x ON x.vec_id = a.vec_id
-                 JOIN e y ON y.vec_id = b.vec_id
-                 WHERE list_dot_product(x.v, y.v) /
-                       (sqrt(list_dot_product(x.v, x.v)) *
-                        sqrt(list_dot_product(y.v, y.v))) >= 0.4)
-        SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep
-        FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
-        ORDER BY a.vec_id""",
-
-      "q69_vocab_oov" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        inst AS (SELECT doc_id, unnest(tk) tok FROM toks),
-        vocab AS (SELECT tok FROM (
-                    SELECT tok, count(1) n FROM inst GROUP BY 1)
-                  ORDER BY n DESC, tok LIMIT 256)
-        SELECT doc_id,
-               CAST(count(1) AS BIGINT) AS n_tokens,
-               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_oov,
-               floor((sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
-                     / count(1)) * 10000 + 0.5) / 10000 AS oov_rate
-        FROM inst i LEFT JOIN vocab v ON i.tok = v.tok
-        GROUP BY doc_id
-        ORDER BY doc_id""",
-
-      "q70_shard_assign" -> s"""
-        WITH t AS (SELECT doc_id, $toks tk FROM documents),
-        o AS (SELECT doc_id,
-                     CAST((${oracleScramble("doc_id")}) AS BIGINT) AS ord,
-                     CAST(len(tk) AS BIGINT) AS n_tokens
-              FROM t)
-        SELECT doc_id, ord % 8 AS shard, ord, n_tokens
-        FROM o
-        ORDER BY doc_id""",
-
-      "q71_containment" -> s"""
-        WITH $dsh, $dsid,
-        rare AS (SELECT sid FROM dsid GROUP BY sid HAVING count(1) <= 50),
-        rdsh AS (SELECT d.* FROM dsid d JOIN rare USING (sid)),
-        sizes AS (SELECT doc_id, count(1) n FROM dsid GROUP BY 1),
-        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(1) i
-                  FROM rdsh a JOIN rdsh b
-                       ON a.sid = b.sid AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-        SELECT doc_a, doc_b, i AS n_shared,
-               floor((i::DOUBLE / least(sa.n, sb.n)) * 10000 + 0.5) / 10000 AS containment,
-               floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
-        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                   JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE i::DOUBLE / least(sa.n, sb.n) >= 0.8
-        ORDER BY doc_a, doc_b""",
-
-      "q22b_minhash_nodict" -> s"""
-        WITH $minhashChain
-        SELECT doc_a, doc_b, floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
-        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                   JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
-        ORDER BY doc_a, doc_b""",
-
-      // q46: transitive closure of the q22b pairs (recursive CTE — the
-      // oracle-side analog of Spark's min-label propagation), then
-      // min-reachable-id per node = component label.
-      "q46_dedup_groups" -> ccSql,
-
-      // Identical result contract to q46 — the Spark side differs only
-      // in the ALGORITHM (large-star/small-star contraction vs min-label
-      // propagation), so the transitive-closure oracle checks both
-      // (the q25/q25b precedent applied to graph algorithms).
-      "q136_cc_bigstar" -> ccSql,
-
-      "q47_stratified_sample" -> s"""
-        SELECT doc_id, lang, source,
-               round((${oracleScramble("doc_id")})
-                     / 4294967296.0, 6) AS u
-        FROM documents
-        WHERE (${oracleScramble("doc_id")}) / 4294967296.0
-              < CASE WHEN lang = 'en' THEN 0.2 ELSE 0.5 END
-        ORDER BY doc_id""",
-
-      "q48_pack_sequences" -> s"""
-        WITH t AS (SELECT source, doc_id,
-                          len($toks)::BIGINT AS n_tokens
-                   FROM documents),
-        c AS (SELECT source, doc_id, n_tokens,
-                     sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                         ROWS UNBOUNDED PRECEDING)
-                       - n_tokens AS cum_before
-              FROM t)
-        SELECT source, (cum_before // 512)::BIGINT AS seq_id,
-               count(1) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
-               min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM c GROUP BY 1, 2
-        ORDER BY source, seq_id""",
-
-      "q53_interleave" -> s"""
-        WITH s AS (
-          SELECT doc_id, source,
-                 (${oracleScramble("doc_id")}) AS h,
-                 CASE WHEN source IN ('src0', 'src1') THEN 3.0 ELSE 1.0 END
-                   AS weight
-          FROM documents),
-        i AS (SELECT doc_id, source, weight,
-                     row_number() OVER (PARTITION BY source
-                                        ORDER BY h, doc_id) AS idx
-              FROM s),
-        k AS (SELECT doc_id, source, idx / weight AS sched_key FROM i
-              ORDER BY sched_key, source, doc_id LIMIT 500)
-        SELECT row_number() OVER (ORDER BY sched_key, source, doc_id)
-                 AS position,
-               doc_id, source, floor(sched_key * 10000 + 0.5) / 10000 AS sched_key
-        FROM k ORDER BY position""",
-
-      "q51_decontaminate" -> decontamSql,
-
-      // q55 is the bloom-prefiltered implementation of the SAME
-      // contract — false positives die in the exact verify join, so the
-      // oracle is identical (the q25/q25b precedent).
-      "q55_bloom_decontaminate" -> decontamSql,
-
-      "q52_repetition" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
-                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
-               FROM toks)
-        SELECT doc_id, count(1) AS n_shingles,
-               count(DISTINCT shingle) AS n_distinct,
-               floor((1.0 - count(DISTINCT shingle)::DOUBLE / count(1)) * 10000 + 0.5) / 10000
-                 AS dup_ratio,
-               1.0 - count(DISTINCT shingle)::DOUBLE / count(1) <= 0.2 AS keep
-        FROM sh GROUP BY doc_id
-        ORDER BY doc_id""",
-
-      "q49_topterms" -> s"""
-        WITH dtok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
-        tf AS (SELECT doc_id, token, count(1) tf FROM dtok GROUP BY 1, 2),
-        dfreq AS (SELECT token, count(1) df
-                  FROM (SELECT DISTINCT doc_id, token FROM dtok) GROUP BY 1),
-        scored AS (SELECT doc_id, token, tf::DOUBLE / df AS score
-                   FROM tf JOIN dfreq USING (token)),
-        ranked AS (SELECT doc_id, token, score,
-                          row_number() OVER (PARTITION BY doc_id
-                                             ORDER BY score DESC, token) AS rank
-                   FROM scored)
-        SELECT doc_id, rank, token, floor(score * 10000 + 0.5) / 10000 AS score
-        FROM ranked WHERE rank <= 3
-        ORDER BY doc_id, rank""",
-
-      "q54_crosscorpus_neardup" -> s"""
-        WITH $dsh, $dsid,
-        srcs AS (SELECT doc_id,
-                        source IN ('src0','src1','src2','src3','src4') in_a
-                 FROM documents),
-        mh AS (SELECT doc_id, s.s,
-                      min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
-               FROM dsid CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
-               GROUP BY 1, 2),
-        bands AS (SELECT doc_id, s // 4 band,
-                         concat_ws('-', min(CASE WHEN s % 4 = 0 THEN mh END),
-                                        min(CASE WHEN s % 4 = 1 THEN mh END),
-                                        min(CASE WHEN s % 4 = 2 THEN mh END),
-                                        min(CASE WHEN s % 4 = 3 THEN mh END)) sig
-                  FROM mh GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-                 FROM bands a JOIN srcs sa ON a.doc_id = sa.doc_id AND sa.in_a
-                      JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                      JOIN srcs sb ON b.doc_id = sb.doc_id AND NOT sb.in_a),
-        sizes AS (SELECT doc_id, count(1) n FROM dsid GROUP BY 1),
-        inter AS (SELECT doc_a, doc_b, count(1) i
-                  FROM cand JOIN dsid x ON doc_a = x.doc_id
-                            JOIN dsid y ON doc_b = y.doc_id AND x.sid = y.sid
-                  GROUP BY 1, 2)
-        SELECT doc_a, doc_b, floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
-        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                   JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
-        ORDER BY doc_a, doc_b""",
-
-      "q56_pii_redact" -> """
-        WITH a AS (SELECT doc_id,
-                          text || ' contact user' || doc_id::VARCHAR
-                               || '@example.com or call +1-555-'
-                               || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS aug
-                   FROM documents),
-        r AS (SELECT doc_id, aug,
-                     regexp_replace(
-                       regexp_replace(aug,
-                         '[a-z0-9._]+@[a-z0-9-]+\.[a-z]+', '<EMAIL>', 'g'),
-                       '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
-              FROM a)
-        SELECT doc_id,
-               len(regexp_extract_all(aug,
-                 '[a-z0-9._]+@[a-z0-9-]+\.[a-z]+'))::BIGINT AS n_emails,
-               len(regexp_extract_all(aug,
-                 '\+1-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
-               length(redacted)::BIGINT AS redacted_len,
-               md5(redacted) AS redacted_md5
-        FROM r
-        ORDER BY doc_id""",
-
-      "q57_bigram_lm" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-                 i -> tk[i] || ' ' || tk[i+1])) bigram FROM toks),
-        bs AS (SELECT doc_id, ${oraclePolyHash("bigram")} sid FROM bg),
-        bf AS (SELECT sid, count(1) bf FROM bs GROUP BY 1)
-        SELECT doc_id, count(1) AS n_bigrams,
-               floor((sum(bf)::DOUBLE / count(1)) * 10000 + 0.5) / 10000 AS avg_bf
-        FROM bs JOIN bf USING (sid)
-        GROUP BY doc_id
-        ORDER BY doc_id""",
-
-      "q58_filter_funnel" -> s"""
-        WITH $dsh, $dsid,
-        feat AS (SELECT doc_id, lang, $toks tk,
-                        list_transform(range(1, len($toks) - 1),
-                          i -> ($toks)[i] || ' ' || ($toks)[i+1]
-                               || ' ' || ($toks)[i+2]) sh
-                 FROM documents),
-        szs AS (SELECT doc_id, count(1) n_sids FROM dsid GROUP BY 1),
-        bench AS (SELECT DISTINCT sid FROM dsid WHERE doc_id < 10),
-        ov AS (SELECT d.doc_id, count(1) n_ov FROM dsid d
-               JOIN bench USING (sid) WHERE d.doc_id >= 10 GROUP BY 1),
-        flags AS (
-          SELECT f.doc_id,
-                 lang IN ('en', 'es') AS p1,
-                 lang IN ('en', 'es') AND len(tk) >= 30 AS p2,
-                 lang IN ('en', 'es') AND len(tk) >= 30
-                   AND len(list_filter(tk, x -> x IN ('the', 'a')))::DOUBLE
-                       / len(tk) >= 0.02 AS p3,
-                 lang IN ('en', 'es') AND len(tk) >= 30
-                   AND len(list_filter(tk, x -> x IN ('the', 'a')))::DOUBLE
-                       / len(tk) >= 0.02
-                   AND 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) <= 0.05
-                   AS p4,
-                 lang IN ('en', 'es') AND len(tk) >= 30
-                   AND len(list_filter(tk, x -> x IN ('the', 'a')))::DOUBLE
-                       / len(tk) >= 0.02
-                   AND 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) <= 0.05
-                   AND coalesce(n_ov, 0)::DOUBLE / n_sids < 0.5 AS p5
-          FROM feat f JOIN szs USING (doc_id) LEFT JOIN ov USING (doc_id)
-          WHERE f.doc_id >= 10),
-        a AS (SELECT count(1) n0,
-                     sum(CASE WHEN p1 THEN 1 ELSE 0 END) n1,
-                     sum(CASE WHEN p2 THEN 1 ELSE 0 END) n2,
-                     sum(CASE WHEN p3 THEN 1 ELSE 0 END) n3,
-                     sum(CASE WHEN p4 THEN 1 ELSE 0 END) n4,
-                     sum(CASE WHEN p5 THEN 1 ELSE 0 END) n5
-              FROM flags)
-        SELECT idx::BIGINT AS stage_idx, name AS stage,
-               (CASE idx WHEN 1 THEN n0 WHEN 2 THEN n1 WHEN 3 THEN n2
-                         WHEN 4 THEN n3 ELSE n4 END)::BIGINT AS n_in,
-               (CASE idx WHEN 1 THEN n1 WHEN 2 THEN n2 WHEN 3 THEN n3
-                         WHEN 4 THEN n4 ELSE n5 END)::BIGINT AS n_kept
-        FROM (VALUES (1, 'lang'), (2, 'length'), (3, 'quality'),
-                     (4, 'repetition'), (5, 'decontamination'))
-             stages(idx, name)
-        CROSS JOIN a
-        ORDER BY stage_idx""",
-
-      "q23_ngram_jaccard" -> s"""
-        WITH $dsh, $dsid,
-        rare AS (SELECT sid FROM dsid GROUP BY sid
-                 HAVING count(1) <= 50),
-        rdsh AS (SELECT doc_id, sid FROM dsid JOIN rare USING (sid)),
-        sizes AS (SELECT doc_id, count(1) n FROM dsid GROUP BY 1),
-        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(1) i
-                  FROM rdsh a JOIN rdsh b
-                    ON a.sid = b.sid AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-        SELECT doc_a, doc_b, i AS n_shared,
-               floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
-        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                   JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
-        ORDER BY doc_a, doc_b""",
-
-      "q24_simhash" -> s"""
-        WITH tokx AS (SELECT doc_id, unnest($toks) tk FROM documents),
-        cnt AS (SELECT doc_id, tk, count(1) w FROM tokx GROUP BY 1, 2),
-        wt AS (SELECT doc_id, ${oraclePolyHash("tk")} tid, w FROM cnt),
-        bits AS (SELECT doc_id, b.bi,
-                        sum(CASE WHEN (((tid*2654435761) % 4294967296)
-                                       // (1::BIGINT << b.bi)) % 2 = 1
-                                 THEN w ELSE -w END) sgn
-                 FROM wt CROSS JOIN (SELECT unnest(generate_series(0, 31)) bi) b
-                 GROUP BY 1, 2),
-        sh AS (SELECT doc_id,
-                      sum(CASE WHEN sgn > 0 THEN 1::BIGINT << bi ELSE 0 END)::BIGINT simhash
-               FROM bits GROUP BY 1)
-        SELECT a.doc_id doc_a, b.doc_id doc_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
-        FROM sh a JOIN sh b
-          ON a.simhash // 65536 = b.simhash // 65536 AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        ORDER BY doc_a, doc_b""",
-
-      "q25_cosine_topk" -> s"""
-        WITH $cosFragment,
-        q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 5),
-        scored AS (SELECT q.query_id, e.vec_id,
-                          list_dot_product(e.v, q.qv) /
-                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
-                   FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
-        ranked AS (SELECT query_id, vec_id, cos,
-                          row_number() OVER (PARTITION BY query_id
-                                             ORDER BY cos DESC, vec_id) rk
-                   FROM scored)
-        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
-        FROM ranked WHERE rk <= 10
-        ORDER BY query_id, rank""",
-
-      // Identical result contract to q25 — the Spark side differs only in
-      // HOW the top-k is computed (partial-aggregating UDAF vs window).
-      "q25b_topk_agg" -> s"""
-        WITH $cosFragment,
-        q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 5),
-        scored AS (SELECT q.query_id, e.vec_id,
-                          list_dot_product(e.v, q.qv) /
-                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
-                   FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
-        ranked AS (SELECT query_id, vec_id, cos,
-                          row_number() OVER (PARTITION BY query_id
-                                             ORDER BY cos DESC, vec_id) rk
-                   FROM scored)
-        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
-        FROM ranked WHERE rk <= 10
-        ORDER BY query_id, rank""",
-
-      "q33_embed_neardup" -> s"""
-        WITH $cosFragment,
-        ${hyperDots(8)},
-        sigs AS (SELECT vec_id, b.b AS band,
-                        ( CASE WHEN dot[b.b*4 + 1] >= 0 THEN 1 ELSE 0 END
-                        + CASE WHEN dot[b.b*4 + 2] >= 0 THEN 2 ELSE 0 END
-                        + CASE WHEN dot[b.b*4 + 3] >= 0 THEN 4 ELSE 0 END
-                        + CASE WHEN dot[b.b*4 + 4] >= 0 THEN 8 ELSE 0 END)::BIGINT sig
-                 FROM dots CROSS JOIN (SELECT unnest(generate_series(0, 1)) b) b),
-        cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
-                 FROM sigs a JOIN sigs b
-                   ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
-        verified AS (SELECT vec_a, vec_b,
-                            list_dot_product(ea.v, eb.v) /
-                            (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) cos
-                     FROM cand
-                     JOIN e ea ON vec_a = ea.vec_id
-                     JOIN e eb ON vec_b = eb.vec_id)
-        SELECT vec_a, vec_b, floor(cos * 10000 + 0.5) / 10000 AS cos
-        FROM verified WHERE cos >= 0.4
-        ORDER BY vec_a, vec_b""",
-
-      "q26_ann_lsh" -> s"""
-        WITH $cosFragment,
-        ${hyperDots(12)},
-        eb AS (SELECT vec_id, v,
-                      list_reduce(list_prepend(0::BIGINT,
-                        list_transform(range(0, 12), h ->
-                          CASE WHEN dot[h+1] >= 0 THEN (1::BIGINT << h)
-                               ELSE 0::BIGINT END)),
-                        (acc, x) -> acc + x) bucket
-               FROM dots),
-        q AS (SELECT vec_id query_id, v qv, bucket qbucket FROM eb WHERE vec_id < 5),
-        -- multi-probe: candidates within Hamming distance r of the
-        -- query's 12-bit signature; r per AnnPolicy.lshRadius —
-        -- smallest r in [3, 6] whose expected candidate pool reaches
-        -- 250 (integer threshold compares, mirroring the Spark side's
-        -- CASE over the corpus count).
-        rad AS (SELECT ${AnnPolicy.lshRadiusSql("count(1)")} r FROM eb),
-        scored AS (SELECT q.query_id, eb.vec_id,
-                          list_dot_product(eb.v, q.qv) /
-                          (sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
-                   FROM eb JOIN q ON bit_count(xor(eb.bucket, q.qbucket)) <= (SELECT r FROM rad)
-                                 AND eb.vec_id != q.query_id),
-        ranked AS (SELECT query_id, vec_id, cos,
-                          row_number() OVER (PARTITION BY query_id
-                                             ORDER BY cos DESC, vec_id) rk
-                   FROM scored)
-        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
-        FROM ranked WHERE rk <= 5
-        ORDER BY query_id, rank""",
-
-      "q27_text_stats" -> s"""
-        WITH tokx AS (SELECT doc_id, lang, n_chars, unnest($toks) tk FROM documents)
-        SELECT doc_id, lang, n_chars,
-               count(1) AS n_tokens,
-               count(DISTINCT tk) AS n_uniq,
-               floor(avg(length(tk)) * 10000 + 0.5) / 10000 AS avg_token_len,
-               CAST(sum(CASE WHEN tk IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
-               floor((sum(CASE WHEN tk IN ('the', 'a') THEN 1 ELSE 0 END)::DOUBLE / count(1)) * 10000 + 0.5) / 10000 AS stop_ratio,
-               floor((count(DISTINCT tk)::DOUBLE / count(1)) * 10000 + 0.5) / 10000 AS uniq_ratio
-        FROM tokx
-        GROUP BY 1, 2, 3
-        ORDER BY doc_id""",
-
-      "q28_langid" -> s"""
-        WITH tokw AS (SELECT doc_id, lang, unnest($toks) tk FROM documents),
-        tokx AS (SELECT doc_id, lang, ${oraclePolyHash("tk")} sid FROM tokw),
-        train AS (SELECT * FROM tokx WHERE doc_id % 5 = 0),
-        test AS (SELECT * FROM tokx WHERE doc_id % 5 != 0),
-        lang_tok AS (SELECT lang, sid, count(1) c FROM train GROUP BY 1, 2),
-        lang_tot AS (SELECT lang, count(1) tot FROM train GROUP BY 1),
-        vocab AS (SELECT count(DISTINCT sid) n FROM train),
-        profile AS (SELECT lt.lang plang, lt.sid,
-                           ln((lt.c + 1)::DOUBLE / (t.tot + v.n)) logp
-                    FROM lang_tok lt JOIN lang_tot t ON lt.lang = t.lang
-                    CROSS JOIN vocab v),
-        scored AS (SELECT doc_id, test.lang, plang, sum(logp) score
-                   FROM test JOIN profile USING (sid)
-                   GROUP BY 1, 2, 3),
-        ranked AS (SELECT doc_id, lang, plang,
-                          row_number() OVER (PARTITION BY doc_id
-                                             ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC, plang) rk
-                   FROM scored)
-        SELECT lang AS actual, plang AS predicted, count(1) AS n_docs
-        FROM ranked WHERE rk = 1
-        GROUP BY 1, 2
-        ORDER BY actual, predicted""",
-
-      "q29_fingerprint" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        pos_sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
-                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle,
-                     generate_subscripts(range(1, len(tk) - 1), 1) - 1 pos
-                   FROM toks),
-        sids AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid
-                 FROM pos_sh),
-        mx AS (SELECT doc_id, max(pos) max_pos FROM sids GROUP BY 1),
-        wins AS (SELECT s.doc_id, pos,
-                        min(sid) OVER (PARTITION BY s.doc_id ORDER BY pos
-                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wmin,
-                        max_pos
-                 FROM sids s JOIN mx ON s.doc_id = mx.doc_id)
-        SELECT doc_id, count(DISTINCT wmin) AS n_fp,
-               min(wmin) AS min_fp, max(wmin) AS max_fp
-        FROM wins WHERE pos <= max_pos - 3
-        GROUP BY doc_id
-        ORDER BY doc_id""",
-
-      "q38_bpe_tokens" -> s"""
-        SELECT doc_id,
-               len($toks) AS n_ws_tokens,
-               len(regexp_extract_all(text,
-                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
-                 AS n_bpe_tokens,
-               floor((len(regexp_extract_all(text,
-                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))::DOUBLE
-                 / len($toks)) * 10000 + 0.5) / 10000 AS tokens_per_word
-        FROM documents
-        ORDER BY doc_id""",
-
-      "q36_ann_ivf" -> s"""
-        WITH $cosFragment,
-        cents AS (SELECT vec_id cid, v ce FROM e WHERE vec_id % 125 = 0),
-        scoredc AS (SELECT e.vec_id, cents.cid,
-                           list_dot_product(e.v, cents.ce) /
-                           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.ce, cents.ce))) ccos
-                    FROM e CROSS JOIN cents),
-        rankedc AS (SELECT vec_id, cid,
-                           row_number() OVER (PARTITION BY vec_id
-                                              ORDER BY ccos DESC, cid) ar
-                    FROM scoredc),
-        assigned AS (SELECT vec_id, cid FROM rankedc WHERE ar = 1),
-        ea AS (SELECT e.vec_id, e.v, a.cid FROM e JOIN assigned a USING (vec_id)),
-        -- AnnPolicy.ivfNprobe: max(2, ceil(L/10)) over L inverted
-        -- lists — integer ceiling division, mirroring the Spark side's
-        -- (nl + 9) DIV 10 exactly.
-        np AS (SELECT ${
-          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.IvfScanDiv,
-            AnnPolicy.IvfNprobeFloor)
-        } np FROM cents),
-        q AS (SELECT r.vec_id query_id, e.v qv, r.cid qcid
-              FROM rankedc r JOIN e ON r.vec_id = e.vec_id
-              WHERE r.vec_id < 5 AND r.ar <= (SELECT np FROM np)),
-        scored AS (SELECT q.query_id, ea.vec_id,
-                          list_dot_product(ea.v, q.qv) /
-                          (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(q.qv, q.qv))) cos
-                   FROM ea JOIN q ON ea.cid = q.qcid AND ea.vec_id != q.query_id),
-        ranked AS (SELECT query_id, vec_id, cos,
-                          row_number() OVER (PARTITION BY query_id
-                                             ORDER BY cos DESC, vec_id) rk
-                   FROM scored)
-        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
-        FROM ranked WHERE rk <= 5
-        ORDER BY query_id, rank""",
-
-      // Trained-codebook IVF twin: assignment/probe/scoring are all the
-      // flat 64-term L2 fold (q72's d1 pattern ≡ the Spark side's
-      // l2_sq), the codebook is the shared trained chain, and every
-      // distance ordering carries NULLS FIRST (ADVICE r13 #3).
-      "q36b_ann_ivf_trained" -> s"""
-        WITH $trainedCbCtes,
-        sc AS (SELECT te.vec_id, c.cid,
-                 list_reduce(list_prepend(0.0::DOUBLE,
-                   list_transform(range(1, 65),
-                     i -> (te.v[i] - c.ce[i]) * (te.v[i] - c.ce[i]))),
-                   (x, y) -> x + y) d
-               FROM te CROSS JOIN tcb c),
-        asgd AS (SELECT vec_id, cid FROM (
-                   SELECT vec_id, cid,
-                          row_number() OVER (PARTITION BY vec_id
-                                             ORDER BY d NULLS FIRST, cid) rn
-                   FROM sc) WHERE rn = 1),
-        np AS (SELECT ${
-          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.IvfScanDiv,
-            AnnPolicy.IvfNprobeFloor)
-        } np FROM tcb),
-        qp AS (SELECT vec_id query_id, cid qcid FROM (
-                 SELECT vec_id, cid,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY d NULLS FIRST, cid) rn
-                 FROM sc WHERE vec_id < 5)
-               WHERE rn <= (SELECT np FROM np)),
-        scored AS (SELECT q.query_id, a.vec_id,
-                     list_reduce(list_prepend(0.0::DOUBLE,
-                       list_transform(range(1, 65),
-                         i -> (ev.v[i] - qv.v[i]) * (ev.v[i] - qv.v[i]))),
-                       (x, y) -> x + y) l2
-                   FROM asgd a
-                   JOIN qp q ON a.cid = q.qcid AND a.vec_id != q.query_id
-                   JOIN te ev ON a.vec_id = ev.vec_id
-                   JOIN te qv ON q.query_id = qv.vec_id),
-        ranked AS (SELECT query_id, vec_id, l2,
-                          row_number() OVER (PARTITION BY query_id
-                                             ORDER BY l2 NULLS FIRST, vec_id) rk
-                   FROM scored)
-        SELECT query_id, CAST(rk AS INT) AS rank, vec_id,
-               floor(l2 * 10000 + 0.5) / 10000 AS l2
-        FROM ranked WHERE rk <= 5
-        ORDER BY query_id, rank""",
-
-      // Plain single-phase GROUP BY: the salting on the Spark side is a
-      // shuffle-distribution strategy, not a semantic change.
-      "q34_salted_agg" -> """
-        SELECT event_type,
-               count(1) AS n_events,
-               round(sum(value), 2) AS sum_value,
-               round(max(value), 4) AS max_value,
-               round(min(value), 4) AS min_value
-        FROM events
-        GROUP BY event_type
-        ORDER BY event_type""",
-
-      // DuckDB's native ASOF JOIN is the oracle for our union-and-fill
-      // composition (orders deduped to one per (customer, date) so the
-      // match is deterministic in both engines).
-      // PQ ANN: identical deterministic codebook/encode/ADC pipeline;
-      // the subspace fold is index-ascending in both engines, and the
-      // per-candidate ADC total folds the 8 subspace distances in
-      // SUBSPACE ORDER (list(d ORDER BY s) ≡ the Spark sorted-struct
-      // fold), so the shortlist cut is bit-identical. The rerank L2 is
-      // the q72 fold (index-ascending) — also bit-identical.
-      "q60_ann_pq" -> s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        cents AS (SELECT vec_id cid, v cv FROM e
-                  WHERE vec_id % 25 = 0 AND vec_id < 2500),
-        pd AS (SELECT a.vec_id, c.cid, s.s,
-                      list_reduce(list_prepend(0.0::DOUBLE,
-                        list_transform(range(1, 9),
-                          j -> (a.v[s.s*8+j] - c.cv[s.s*8+j])
-                               * (a.v[s.s*8+j] - c.cv[s.s*8+j]))),
-                        (x, y) -> x + y) d
-               FROM e a CROSS JOIN cents c
-                    CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
-        codes AS (SELECT vec_id, s, cid AS code FROM (
-                    SELECT vec_id, s, cid,
-                           row_number() OVER (PARTITION BY vec_id, s
-                                              ORDER BY d NULLS FIRST, cid) rn
-                    FROM pd) WHERE rn = 1),
-        lut AS (SELECT vec_id query_id, s, cid, d FROM pd WHERE vec_id < 5),
-        adc AS (SELECT l.query_id, c.vec_id,
-                       list_reduce(list_prepend(0.0::DOUBLE,
-                         list(l.d ORDER BY l.s)), (x, y) -> x + y) adc
-                FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.code
-                WHERE c.vec_id != l.query_id
-                GROUP BY 1, 2),
-        -- AnnPolicy.pqShortlist: max(100, ceil(n/20)) — integer
-        -- ceiling division, mirroring the Spark side's
-        -- (nv + 19) DIV 20.
-        sl AS (SELECT ${
-          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.PqScanDiv,
-            AnnPolicy.PqShortlistFloor)
-        } sl FROM e),
-        short AS (SELECT query_id, vec_id FROM (
-                    SELECT query_id, vec_id,
-                           row_number() OVER (PARTITION BY query_id
-                                              ORDER BY adc, vec_id) sr
-                    FROM adc) WHERE sr <= (SELECT sl FROM sl)),
-        rer AS (SELECT sh.query_id, sh.vec_id,
-                       list_reduce(list_prepend(0.0::DOUBLE,
-                         list_transform(range(1, 65),
-                           i -> (ev.v[i] - qv.v[i]) * (ev.v[i] - qv.v[i]))),
-                         (x, y) -> x + y) l2
-                FROM short sh
-                JOIN e ev ON sh.vec_id = ev.vec_id
-                JOIN e qv ON sh.query_id = qv.vec_id),
-        ranked AS (SELECT query_id, vec_id, l2,
-                          row_number() OVER (PARTITION BY query_id
-                                             ORDER BY l2, vec_id) AS rank
-                   FROM rer)
-        SELECT query_id, rank, vec_id, floor(l2 * 10000 + 0.5) / 10000 AS l2
-        FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank""",
-
-      // Trained-codebook PQ twin: q60's encode→ADC→re-rank chain over
-      // the shared trained CTEs; subspace distances, the subspace-
-      // ordered ADC fold and the re-rank L2 keep q60's proven parity
-      // shapes, with NULLS FIRST orderings (ADVICE r13 #3).
-      "q60b_ann_pq_trained" -> s"""
-        WITH $trainedCbCtes,
-        pd AS (SELECT a.vec_id, c.cid, s.s,
-                      list_reduce(list_prepend(0.0::DOUBLE,
-                        list_transform(range(1, 9),
-                          j -> (a.v[s.s*8+j] - c.ce[s.s*8+j])
-                               * (a.v[s.s*8+j] - c.ce[s.s*8+j]))),
-                        (x, y) -> x + y) d
-               FROM te a CROSS JOIN tcb c
-                    CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
-        codes AS (SELECT vec_id, s, cid AS code FROM (
-                    SELECT vec_id, s, cid,
-                           row_number() OVER (PARTITION BY vec_id, s
-                                              ORDER BY d NULLS FIRST, cid) rn
-                    FROM pd) WHERE rn = 1),
-        lut AS (SELECT vec_id query_id, s, cid, d FROM pd WHERE vec_id < 5),
-        adc AS (SELECT l.query_id, c.vec_id,
-                       list_reduce(list_prepend(0.0::DOUBLE,
-                         list(l.d ORDER BY l.s)), (x, y) -> x + y) adc
-                FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.code
-                WHERE c.vec_id != l.query_id
-                GROUP BY 1, 2),
-        sl AS (SELECT ${
-          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.PqScanDiv,
-            AnnPolicy.PqShortlistFloor)
-        } sl FROM te),
-        short AS (SELECT query_id, vec_id FROM (
-                    SELECT query_id, vec_id,
-                           row_number() OVER (PARTITION BY query_id
-                                              ORDER BY adc NULLS FIRST, vec_id) sr
-                    FROM adc) WHERE sr <= (SELECT sl FROM sl)),
-        rer AS (SELECT sh.query_id, sh.vec_id,
-                       list_reduce(list_prepend(0.0::DOUBLE,
-                         list_transform(range(1, 65),
-                           i -> (ev.v[i] - qv.v[i]) * (ev.v[i] - qv.v[i]))),
-                         (x, y) -> x + y) l2
-                FROM short sh
-                JOIN te ev ON sh.vec_id = ev.vec_id
-                JOIN te qv ON sh.query_id = qv.vec_id),
-        ranked AS (SELECT query_id, vec_id, l2,
-                          row_number() OVER (PARTITION BY query_id
-                                             ORDER BY l2 NULLS FIRST, vec_id) AS rank
-                   FROM rer)
-        SELECT query_id, rank, vec_id, floor(l2 * 10000 + 0.5) / 10000 AS l2
-        FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank""",
-
-      // Assignment twin of q72's min_by(cid, (d, cid)): row_number
-      // ORDER BY d NULLS FIRST, cid. Distances fold left-to-right over doubles in
-      // both engines (l2_sq ≡ list_reduce), iteration-2 centroids are
-      // round(avg, 6) in both, so assignments match exactly.
-      "q72_kmeans_train" -> s"""
-        $kmeansOracleCtes
-        SELECT a1.vec_id, a1.cid AS cluster_init, a2.cid AS cluster
-        FROM a1 JOIN a2 USING (vec_id)
-        ORDER BY vec_id""",
-
-      // Purity twin over the SAME assignment CTEs: integer counting
-      // only after the join; majority tie broken by lowest label in
-      // both engines (ORDER BY n DESC, label ≡ min_by struct(-n, label)).
-      "q95_cluster_purity" -> s"""
-        $kmeansOracleCtes,
-        lbl AS (SELECT a2.vec_id, a2.cid AS cluster, emb.label
-                FROM a2 JOIN embeddings emb USING (vec_id)),
-        cl AS (SELECT cluster, label, CAST(count(1) AS BIGINT) n
-               FROM lbl GROUP BY 1, 2),
-        per AS (SELECT cluster, CAST(sum(n) AS BIGINT) n_vecs
-                FROM cl GROUP BY 1),
-        top AS (SELECT cluster, label top_label, n n_top FROM (
-                  SELECT cluster, label, n,
-                         row_number() OVER (PARTITION BY cluster
-                                            ORDER BY n DESC, label) rn
-                  FROM cl) WHERE rn = 1)
-        SELECT per.cluster AS cluster, n_vecs, top_label, n_top,
-               floor((n_top::DOUBLE / n_vecs) * 10000 + 0.5) / 10000 AS purity
-        FROM per JOIN top USING (cluster)
-        ORDER BY cluster""",
-
-      // Integer-only split boundaries: both engines rank on the same
-      // dyadic scramble key and compare rn against (8n)//10 / (9n)//10.
-      "q96_train_split" -> s"""
-        WITH t AS (SELECT doc_id, source,
-                          (${oracleScramble("doc_id")}) u
-                   FROM documents),
-        r AS (SELECT doc_id, source,
-                     row_number() OVER (PARTITION BY source
-                                        ORDER BY u, doc_id) rn,
-                     count(1) OVER (PARTITION BY source) n
-              FROM t)
-        SELECT doc_id, source,
-               CASE WHEN rn <= (8 * n) // 10 THEN 'train'
-                    WHEN rn <= (9 * n) // 10 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM r
-        ORDER BY doc_id""",
-
-      // Intersection = count over the sid equi-join (DuckDB's planner
-      // handles the self-join fine at oracle scale; the Spark side uses
-      // the map-side bounded-list form — same relation either way).
-      // Jaccard is one division rounded at 4 dp in both engines.
-      "q97_source_overlap" -> s"""
-        WITH toks AS (SELECT doc_id, source, $toks tk FROM documents),
-        shr AS (SELECT DISTINCT source, shingle FROM (
-          SELECT source, unnest(list_transform(range(1, len(tk) - 1),
-            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
-          FROM toks)),
-        ss AS (SELECT DISTINCT source, ${oraclePolyHash("shingle")} sid
-               FROM shr),
-        sizes AS (SELECT source, CAST(count(1) AS BIGINT) n
-                  FROM ss GROUP BY 1),
-        inter AS (SELECT a.source source_a, b.source source_b,
-                         CAST(count(1) AS BIGINT) n_common
-                  FROM ss a JOIN ss b
-                    ON a.sid = b.sid AND a.source < b.source
-                  GROUP BY 1, 2)
-        SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
-               floor((n_common::DOUBLE / (sa.n + sb.n - n_common))
-                     * 10000 + 0.5) / 10000 AS jaccard
-        FROM inter JOIN sizes sa ON source_a = sa.source
-                   JOIN sizes sb ON source_b = sb.source
-        ORDER BY source_a, source_b""",
-
-      // Every metric divides identical BIGINTs — the doubles being
-      // rounded are bit-identical across engines by IEEE division.
-      "q98_source_lexical" -> s"""
-        WITH toks AS (SELECT doc_id, source, $toks tk FROM documents),
-        inst AS (SELECT source, unnest(tk) tok FROM toks),
-        tc AS (SELECT source, tok, CAST(count(1) AS BIGINT) c
-               FROM inst GROUP BY 1, 2),
-        per AS (SELECT source, CAST(sum(c) AS BIGINT) n_tokens,
-                       CAST(count(1) AS BIGINT) n_types,
-                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-                            AS BIGINT) n_hapax
-                FROM tc GROUP BY 1),
-        t10 AS (SELECT source, CAST(sum(c) AS BIGINT) top10 FROM (
-                  SELECT source, c,
-                         row_number() OVER (PARTITION BY source
-                                            ORDER BY c DESC, tok) rn
-                  FROM tc) WHERE rn <= 10 GROUP BY 1)
-        SELECT per.source AS source, n_tokens, n_types,
-               floor((n_types::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS ttr,
-               floor((n_hapax::DOUBLE / n_types) * 10000 + 0.5) / 10000 AS hapax_frac,
-               floor((top10::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS top10_mass
-        FROM per JOIN t10 USING (source)
-        ORDER BY source""",
-
-      // Centroids follow q72's cm CTE (round(avg,6) per dim); the
-      // median is quantile_cont ≡ Spark's percentile — selection +
-      // one interpolation over bit-identical doubles, order-free.
-      "q99_label_cohesion" -> s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
-        cm AS (SELECT label, t.dim,
-                      floor(avg(e.v[t.dim + 1]) * 1000000 + 0.5) / 1000000 m
-               FROM e CROSS JOIN (SELECT unnest(range(0, 64)) dim) t
-               GROUP BY 1, 2),
-        c AS (SELECT label, list(m ORDER BY dim) ce FROM cm GROUP BY label),
-        dm AS (SELECT e.label, list_reduce(list_prepend(0.0::DOUBLE,
+  // ---- shared oracle CTE fragments (single definition sites, used ----
+  // ---- by the family modules' oracle twins via the wildcard import) ----
+  private[operators] lazy val toks = "list_filter(string_split(text, ' '), x -> x != '')"
+  private[operators] lazy val dsh = s"""
+    toks AS (SELECT doc_id, $toks tk FROM documents),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle FROM toks))"""
+  private[operators] lazy val cosFragment = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"""
+  // q72's full two-iteration Lloyd's CTE chain (initial centroids →
+  // assignment → round(avg,6) update → re-assignment), factored once
+  // so q95's purity evaluation runs on the IDENTICAL assignment.
+  private[operators] lazy val kmeansOracleCtes = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      c0 AS (SELECT vec_id cid, v ce FROM e WHERE vec_id < 8),
+      d1 AS (SELECT e.vec_id, c.cid,
+               list_reduce(list_prepend(0.0::DOUBLE,
                  list_transform(range(1, 65),
                    i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))),
                  (x, y) -> x + y) d
-               FROM e JOIN c USING (label)),
-        intra AS (SELECT label, CAST(count(1) AS BIGINT) n_vecs,
-                         quantile_cont(d, 0.5) med
-                  FROM dm GROUP BY 1),
-        cc AS (SELECT a.label la, b.label lb,
-                      list_reduce(list_prepend(0.0::DOUBLE,
-                        list_transform(range(1, 65),
-                          i -> (a.ce[i] - b.ce[i]) * (a.ce[i] - b.ce[i]))),
-                        (x, y) -> x + y) dc
-               FROM c a JOIN c b ON a.label != b.label),
-        near AS (SELECT la AS label, lb nearest_label, dc FROM (
-                   SELECT la, lb, dc,
-                          row_number() OVER (PARTITION BY la
-                                             ORDER BY dc, lb) rn
-                   FROM cc) WHERE rn = 1)
-        SELECT intra.label AS label, n_vecs,
-               floor(med * 10000 + 0.5) / 10000 AS intra_d2,
-               nearest_label,
-               floor(dc * 10000 + 0.5) / 10000 AS inter_d2,
-               floor((dc / med) * 10000 + 0.5) / 10000 AS separation
-        FROM intra JOIN near USING (label)
-        ORDER BY label""",
+             FROM e CROSS JOIN c0 c),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d NULLS FIRST, cid) rn
+               FROM d1) WHERE rn = 1),
+      cm AS (SELECT a1.cid, t.dim, floor(avg(e.v[t.dim + 1]) * 1000000 + 0.5) / 1000000 m
+             FROM a1 JOIN e USING (vec_id)
+                  CROSS JOIN (SELECT unnest(range(0, 64)) dim) t
+             GROUP BY 1, 2),
+      c1 AS (SELECT cid, list(m ORDER BY dim) ce FROM cm GROUP BY cid),
+      d2 AS (SELECT e.vec_id, c.cid,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, 65),
+                   i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))),
+                 (x, y) -> x + y) d
+             FROM e CROSS JOIN c1 c),
+      a2 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d NULLS FIRST, cid) rn
+               FROM d2) WHERE rn = 1)"""
+  private[operators] lazy val trainedCbCtes = trainedCbOracleCtes
 
-      // Span CTEs are q89's verbatim; the excision is list_filter with
-      // DuckDB's 1-based lambda index against the flattened covered-
-      // position list (Spark's 0-based index is shifted by 1), and the
-      // rebuilt text is the token join — identical strings by
-      // construction.
-      "q100_span_excise" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        sh0 AS (SELECT doc_id, unnest(range(1, len(tk) - 1)) pos,
-                       unnest(list_transform(range(1, len(tk) - 1),
-                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
-                FROM toks WHERE len(tk) >= 3),
-        sh AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid FROM sh0),
-        dup AS (SELECT sid FROM (
-                  SELECT sid, count(DISTINCT doc_id) nd FROM sh GROUP BY 1)
-                WHERE nd >= 2),
-        iv AS (SELECT doc_id, pos s, pos + 2 e FROM sh JOIN dup USING (sid)),
-        m AS (SELECT doc_id, s, e,
-                max(e) OVER (PARTITION BY doc_id ORDER BY s
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pme
-              FROM iv),
-        g AS (SELECT doc_id, s, e,
-                sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY doc_id ORDER BY s
-                        ROWS UNBOUNDED PRECEDING) grp
-              FROM m),
-        sp AS (SELECT doc_id, grp, min(s) s, max(e) e FROM g GROUP BY 1, 2),
-        cov AS (SELECT doc_id, flatten(list(range(s, e + 1) ORDER BY s)) cv
-                FROM sp GROUP BY 1),
-        cut AS (SELECT t.doc_id, tk,
-                  CASE WHEN cv IS NULL THEN tk
-                       ELSE list_filter(tk, (x, i) ->
-                              NOT list_contains(cv, CAST(i AS BIGINT))) END kept
-                FROM toks t LEFT JOIN cov USING (doc_id))
-        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-               CAST(len(kept) AS BIGINT) AS kept_tokens,
-               coalesce(array_to_string(kept, ' '), '') AS text_clean
-        FROM cut
-        ORDER BY doc_id""",
+  // DuckDB twin of [[graft.functions.HyperplaneDots]]: the identical index-ordered left
+  // fold, so the per-hyperplane dot products match Spark's bit-for-bit.
+  private[operators] def hyperDotsSql(nH: Int) = s"""
+    dots AS (SELECT vec_id, v,
+               list_transform(range(0, $nH), h ->
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(0, len(v)), d ->
+                     v[d+1] * (((h*64 + d) * 2654435761) % 4294967296
+                               / 2147483648.0 - 1.0))),
+                   (acc, x) -> acc + x)) dot
+             FROM e)"""
 
-      // Same transitive closure as q46; singletons label themselves, a
-      // group-sized count supplies 1/|group|.
-      "q101_soft_dedup_weight" -> s"""
-        WITH RECURSIVE $minhashChain,
-        pairs AS MATERIALIZED (SELECT doc_a, doc_b
-                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                             JOIN sizes sb ON doc_b = sb.doc_id
-                  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
-        edges AS (SELECT doc_a src, doc_b dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        reach AS (SELECT src AS node, src AS lbl FROM edges
-                  UNION
-                  SELECT e.dst, r.lbl FROM reach r
-                  JOIN edges e ON e.src = r.node),
-        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
-                 FROM reach GROUP BY node),
-        g AS (SELECT d.doc_id, d.source,
-                     coalesce(c.group_id, d.doc_id) AS group_id
-              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
-        gs AS (SELECT group_id, count(1) AS group_size FROM g GROUP BY 1)
-        SELECT g.doc_id, g.source, g.group_id,
-               CAST(gs.group_size AS BIGINT) AS group_size,
-               floor((1.0 / gs.group_size) * 1000000 + 0.5) / 1000000 AS weight
-        FROM g JOIN gs USING (group_id)
-        ORDER BY g.doc_id""",
+  // DISTINCT (doc_id, sid) shingle-id sets — the oracle twin of
+  // [[docSidArrays]] (hash then dedup; a colliding shingle pair merges
+  // identically in both engines). Two spellings from ONE definition
+  // site (ADVICE r12 — the old post-hoc string replace would have
+  // silently no-op'd if the literal's spelling drifted): the plain
+  // CTE, and the `MATERIALIZED`-hinted one `minhashChain` stages so
+  // the q101/q46 recursive-closure oracles release the shingle
+  // pipeline's memory before the closure runs (VERDICT r11 #2).
+  private[operators] def dsidDef(mat: String) = s"""
+    dsid AS $mat(SELECT DISTINCT doc_id, ${oraclePolyHash("shingle")} sid
+             FROM dsh)"""
+  private[operators] lazy val dsid = dsidDef("")
 
-      "q102_hard_negatives" -> s"""
-        WITH $cosFragment,
-        el AS (SELECT e.vec_id, emb.label, e.v
-               FROM e JOIN embeddings emb USING (vec_id)),
-        q AS (SELECT vec_id query_id, label qlabel, v qv
-              FROM el WHERE vec_id < 5),
-        scored AS (SELECT q.query_id, el.vec_id, el.label,
-                          list_dot_product(el.v, q.qv) /
-                          (sqrt(list_dot_product(el.v, el.v)) *
-                           sqrt(list_dot_product(q.qv, q.qv))) cos
-                   FROM el CROSS JOIN q WHERE el.label != q.qlabel),
-        ranked AS (SELECT query_id, vec_id, label, cos,
-                          row_number() OVER (PARTITION BY query_id
-                                             ORDER BY cos DESC, vec_id) rk
-                   FROM scored)
-        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, label,
-               floor(cos * 10000 + 0.5) / 10000 AS cos
-        FROM ranked WHERE rk <= 3
-        ORDER BY query_id, rank""",
+  // q22b's full MinHash→LSH→verify CTE chain (shingle ids from the
+  // portable polynomial hash — h = 131h + code mod P, folded
+  // left-to-right, identical to the Spark-side native kernel
+  // character-for-character; sets are sid sets end-to-end). Shared by
+  // q22b and q46.
+  // MinHash signatures + 4×4 banding — the SQL twin of
+  // [[graft.functions.GraftFunctions.minhashSigs]] + [[mhBandCols]],
+  // factored once so every oracle that bands (q22b/q46 via
+  // minhashChain, q81) shares the same hash constants and layout.
+  private[operators] lazy val mhBandsSql = s"""
+      mh AS (SELECT doc_id, s.s,
+                    min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
+             FROM dsid CROSS JOIN (SELECT unnest(generate_series(0, 15)) s) s
+             GROUP BY 1, 2),
+      bands AS (SELECT doc_id, s // 4 band,
+                       concat_ws('-', min(CASE WHEN s % 4 = 0 THEN mh END),
+                                      min(CASE WHEN s % 4 = 1 THEN mh END),
+                                      min(CASE WHEN s % 4 = 2 THEN mh END),
+                                      min(CASE WHEN s % 4 = 3 THEN mh END)) sig
+                FROM mh GROUP BY 1, 2)"""
 
-      // Non-distinct shingle stream (multiplicity matters); sid hash,
-      // df cap, and the integer dot/norm algebra mirror the Spark side.
-      "q103_shingle_cosine" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        shm AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
-                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
-                FROM toks),
-        msid AS (SELECT doc_id, ${oraclePolyHash("shingle")} sid FROM shm),
-        tf AS (SELECT doc_id, sid, count(1)::BIGINT tf FROM msid GROUP BY 1, 2),
-        n2 AS (SELECT doc_id, sum(tf * tf)::BIGINT n2 FROM tf GROUP BY 1),
-        dfreq AS (SELECT sid, count(1) df FROM tf GROUP BY 1),
-        rare AS (SELECT tf.doc_id, tf.sid, tf.tf
-                 FROM tf JOIN dfreq USING (sid) WHERE df <= 50),
-        dots AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
-                        sum(a.tf * b.tf)::BIGINT dot,
-                        count(1)::BIGINT n_shared
-                 FROM rare a JOIN rare b
-                   ON a.sid = b.sid AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-        scored AS (SELECT doc_a, doc_b, n_shared, dot,
-                          dot::DOUBLE / (sqrt(na.n2::DOUBLE) *
-                                         sqrt(nb.n2::DOUBLE)) cos
-                   FROM dots JOIN n2 na ON doc_a = na.doc_id
-                             JOIN n2 nb ON doc_b = nb.doc_id)
-        SELECT doc_a, doc_b, n_shared, dot,
-               floor(cos * 10000 + 0.5) / 10000 AS cos
-        FROM scored WHERE cos >= 0.5
-        ORDER BY doc_a, doc_b""",
+  // `MATERIALIZED` stages the chain (VERDICT r11 #2: the q101 oracle
+  // at the 50k-doc witness OOM'd DuckDB even at 100 GB because the
+  // whole shingle→minhash→verify pipeline stayed live UNDER the
+  // recursive closure): dsid is read three ways (mh, sizes, inter×2)
+  // and inter is the verify output — forcing both to temp tables
+  // computes the massive chain once with a pipeline breaker,
+  // releasing its memory before the closure runs. Hint-only, result
+  // sets identical (equality + 6× speedup measured at 50k docs).
+  private[operators] lazy val minhashChain = s"""$dsh, ${dsidDef("MATERIALIZED ")},$mhBandsSql,
+      cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(1) n FROM dsid GROUP BY 1),
+      inter AS MATERIALIZED (SELECT doc_a, doc_b, count(1) i
+                FROM cand JOIN dsid x ON doc_a = x.doc_id
+                          JOIN dsid y ON doc_b = y.doc_id AND x.sid = y.sid
+                GROUP BY 1, 2)"""
 
-      // Chunk slicing is q64's oracle twin verbatim; dedup keys on
-      // md5(chunk_text) exactly like the Spark side.
-      "q104_chunk_dedup" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        c AS (SELECT doc_id,
-                     unnest(range(0, (len(tk) - 1) // 24 + 1)) AS chunk_idx,
-                     tk
-              FROM toks WHERE len(tk) > 0),
-        sliced AS (SELECT doc_id,
-                          array_to_string(
-                            tk[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')
-                            AS chunk_text
-                   FROM c
-                   WHERE chunk_idx = 0
-                      OR (chunk_idx - 1) * 24 + 32 < len(tk)),
-        h AS (SELECT doc_id, md5(chunk_text) hk FROM sliced),
-        occ AS (SELECT hk, count(1) n_occ FROM h GROUP BY 1),
-        per AS (SELECT doc_id, count(1) n_chunks,
-                       sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) n_dup
-                FROM h JOIN occ USING (hk) GROUP BY 1)
-        SELECT doc_id,
-               CAST(n_chunks AS BIGINT) AS n_chunks,
-               CAST(n_dup AS BIGINT) AS n_dup,
-               floor((n_dup::DOUBLE / n_chunks) * 10000 + 0.5) / 10000
-                 AS dup_frac,
-               floor((n_dup::DOUBLE / n_chunks) * 10000 + 0.5) / 10000 <= 0.5
-                 AS keep
-        FROM per
-        ORDER BY doc_id""",
+  private[operators] lazy val decontamSql = decontamOracleSql
 
-      // Weight formula mirrors q73's Scala-side literal exactly: both
-      // are the Knuth scramble of the bucket index, multiples of 2^-32,
-      // so the per-doc sum is exact in any order in either engine.
-      "q73_quality_classifier" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        inst AS (SELECT doc_id, unnest(tk) tok FROM toks),
-        sidt AS (SELECT doc_id, ${oraclePolyHash("tok")} sid FROM inst),
-        sc AS (SELECT doc_id, count(1) n,
-                      sum((((sid % 64) * 2654435761) % 4294967296)
-                          / 4294967296.0 - 0.5) lsum
-               FROM sidt GROUP BY 1)
-        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-               floor((lsum / n) * 10000 + 0.5) / 10000 AS quality_logit,
-               lsum / n >= 0 AS keep
-        FROM sc
-        ORDER BY doc_id""",
-
-      // Denominator folds over the SORTED sqrt terms in both engines —
-      // the one order-sensitive float sum is pinned to one order.
-      "q74_mixture_weights" -> s"""
-        WITH toks AS (SELECT doc_id, source, $toks tk FROM documents),
-        per AS (SELECT source, count(1) n_docs,
-                       CAST(sum(len(tk)) AS BIGINT) n_tokens
-                FROM toks GROUP BY 1),
-        z AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
-                       list_sort(list(sqrt(n_tokens::DOUBLE)))),
-                     (a, b) -> a + b) z
-              FROM per)
-        SELECT source, n_docs, n_tokens,
-               floor((sqrt(n_tokens::DOUBLE) / z.z) * 10000 + 0.5) / 10000 AS weight,
-               floor((1000000.0 * (sqrt(n_tokens::DOUBLE) / z.z)
-                     / n_tokens) * 10000 + 0.5) / 10000 AS epochs
-        FROM per, z
-        ORDER BY source""",
-
-      // Native-operator twin of q35 — identical contract, same oracle.
-      "q35b_asof_native" -> """
-        WITH o1 AS (
-          SELECT o_custkey, CAST(o_orderdate AS DATE) od,
-                 max(o_orderkey) AS o_orderkey,
-                 arg_max(o_totalprice, o_orderkey) AS o_totalprice
-          FROM orders GROUP BY 1, 2),
-        e AS (SELECT event_id, user_id, CAST(ts AS DATE) d FROM events)
-        SELECT e.event_id, e.user_id, e.d AS event_date,
-               o1.o_orderkey, round(o1.o_totalprice, 2) AS o_totalprice
-        FROM e ASOF JOIN o1
-          ON e.user_id = o1.o_custkey AND e.d >= o1.od
-        ORDER BY event_id""",
-
-      "q35_asof_join" -> """
-        WITH o1 AS (
-          SELECT o_custkey, CAST(o_orderdate AS DATE) od,
-                 max(o_orderkey) AS o_orderkey,
-                 arg_max(o_totalprice, o_orderkey) AS o_totalprice
-          FROM orders GROUP BY 1, 2),
-        e AS (SELECT event_id, user_id, CAST(ts AS DATE) d FROM events)
-        SELECT e.event_id, e.user_id, e.d AS event_date,
-               o1.o_orderkey, round(o1.o_totalprice, 2) AS o_totalprice
-        FROM e ASOF JOIN o1
-          ON e.user_id = o1.o_custkey AND e.d >= o1.od
-        ORDER BY event_id""",
-
-      // Oracle twin of the REAL image pipeline: dimensions and pixels
-      // are pure functions of (doc_id, length(text)) — see Multimodal —
-      // and PNG is lossless, so SQL over those formulas predicts the
-      // decoded frames exactly. Frame = every 2nd image row, rolling
-      // checksum over the row's pixel weights v = r + 2g + 3b.
-      "q41_frame_sample" -> """
-        WITH dims AS (
-          SELECT doc_id, CAST(doc_id % 256 AS BIGINT) d,
-                 CAST(length(text) % 64 + 16 AS INT) w,
-                 CAST((length(text) * 7) % 48 + 16 AS INT) h
-          FROM documents),
-        f AS (SELECT doc_id, d, w, unnest(range(0, h)) y FROM dims),
-        s AS (SELECT doc_id, d, w, y FROM f WHERE y % 2 = 0)
-        SELECT doc_id, CAST(y AS INT) AS frame_idx, w AS n_px,
-               list_reduce(
-                 list_prepend(0::BIGINT,
-                   list_transform(range(0, w),
-                     x -> (x * 31 + y * 7 + d) % 256
-                        + 2 * ((x * 13 + y * 11 + 2 * d) % 256)
-                        + 3 * ((x * 5 + y * 3 + 3 * d) % 256))),
-                 (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_checksum
-        FROM s
-        ORDER BY doc_id, frame_idx""",
-
-      // 16x16 nearest-neighbor thumbnail of the decoded image: source
-      // pixel (sx, sy) = (tx*w/16, ty*h/16), row-major rolling checksum
-      // over the 256 sampled pixel weights.
-      "q42_resize" -> """
-        WITH dims AS (
-          SELECT doc_id, CAST(doc_id % 256 AS BIGINT) d,
-                 CAST(length(text) % 64 + 16 AS INT) w,
-                 CAST((length(text) * 7) % 48 + 16 AS INT) h
-          FROM documents)
-        SELECT doc_id, w AS width, h AS height,
-               list_reduce(
-                 list_prepend(0::BIGINT,
-                   list_transform(range(0, 256),
-                     j -> ((((j % 16) * w) // 16) * 31 + (((j // 16) * h) // 16) * 7 + d) % 256
-                        + 2 * (((((j % 16) * w) // 16) * 13 + (((j // 16) * h) // 16) * 11 + 2 * d) % 256)
-                        + 3 * (((((j % 16) * w) // 16) * 5 + (((j // 16) * h) // 16) * 3 + 3 * d) % 256))),
-                 (acc, c) -> (acc * 31 + c) % 1000000007) AS thumb_checksum
-        FROM dims
-        ORDER BY doc_id""",
-
-      // Full-image positionally weighted checksum over pixel weights
-      // v(x, y, d) in row-major order p = y*w + x, weight p % 97 + 1.
-      "q30_multimodal_meta" -> """
-        WITH dims AS (
-          SELECT doc_id, CAST(doc_id % 256 AS BIGINT) d,
-                 CAST(length(text) % 64 + 16 AS INT) w,
-                 CAST((length(text) * 7) % 48 + 16 AS INT) h
-          FROM documents),
-        px AS (SELECT doc_id, d, w, h, unnest(range(0, w * h)) p FROM dims),
-        v AS (SELECT doc_id, w, h, p,
-                     ((p % w) * 31 + (p // w) * 7 + d) % 256
-                     + 2 * (((p % w) * 13 + (p // w) * 11 + 2 * d) % 256)
-                     + 3 * (((p % w) * 5 + (p // w) * 3 + 3 * d) % 256) AS vw
-              FROM px)
-        SELECT doc_id, w AS width, h AS height, CAST(w * h AS INT) AS n_pixels,
-               CAST(sum(vw * (p % 97 + 1)) AS BIGINT) AS pix_checksum
-        FROM v
-        GROUP BY doc_id, w, h
-        ORDER BY doc_id""",
-
-      "q82_exact_sample" -> s"""
-        WITH s AS (SELECT doc_id, lang, source,
-                          (${oracleScramble("doc_id")}) / 4294967296.0 AS u
-                   FROM documents),
-        r AS (SELECT doc_id, lang, source, u,
-                     row_number() OVER (PARTITION BY lang
-                                        ORDER BY u, doc_id) AS rk
-              FROM s)
-        SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk,
-               round(u, 6) AS u
-        FROM r WHERE rk <= 20
-        ORDER BY lang, rk""",
-
-      "q81_delta_dedup" -> s"""
-        WITH $dsh, $dsid,$mhBandsSql,
-        cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents),
-        cand AS (SELECT DISTINCT a.doc_id new_doc, b.doc_id corpus_doc
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.sig = b.sig
-                 WHERE a.doc_id >= (SELECT c FROM cut)
-                   AND b.doc_id < (SELECT c FROM cut)),
-        agree AS (SELECT c.new_doc, c.corpus_doc,
-                         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) nm
-                  FROM cand c
-                  JOIN mh x ON x.doc_id = c.new_doc
-                  JOIN mh y ON y.doc_id = c.corpus_doc AND y.s = x.s
-                  GROUP BY 1, 2)
-        SELECT new_doc, corpus_doc, CAST(nm AS BIGINT) AS n_match,
-               floor((nm / 16.0) * 10000 + 0.5) / 10000 AS est_sim
-        FROM agree WHERE nm >= 8
-        ORDER BY new_doc, corpus_doc""",
-
-      // BM25 twin: identical rational-idf formula, identical op order,
-      // per-doc sum folded over the tok-ORDERED contribution list, so
-      // the scores (and the top-20 cut) are bit-identical.
-      "q84_bm25_topk" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        inst AS (SELECT doc_id, unnest(tk) tok FROM toks),
-        dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) dl FROM toks),
-        stats AS (SELECT count(1) nd, CAST(sum(dl) AS BIGINT) ntok FROM dl),
-        qterms AS (SELECT tok FROM (
-                     SELECT tok, count(1) cnt FROM inst GROUP BY 1)
-                   ORDER BY cnt DESC, tok LIMIT 5),
-        qdf AS (SELECT tok, count(DISTINCT doc_id) df
-                FROM inst JOIN qterms USING (tok) GROUP BY 1),
-        tf AS (SELECT doc_id, tok, count(1) tf
-               FROM inst JOIN qterms USING (tok) GROUP BY 1, 2),
-        contrib AS (SELECT f.doc_id, f.tok,
-                           ((s.nd + 1.0) / (d.df + 0.5)) *
-                           (f.tf * 2.2 / (f.tf + 1.2 *
-                             (0.25 + 0.75 *
-                               (l.dl / (CAST(s.ntok AS DOUBLE) / s.nd))))) c
-                    FROM tf f JOIN qdf d USING (tok)
-                         JOIN dl l ON f.doc_id = l.doc_id
-                         CROSS JOIN stats s),
-        scored AS (SELECT doc_id,
-                          CAST(count(1) AS BIGINT) n_terms,
-                          list_reduce(list_prepend(0.0::DOUBLE,
-                            list(c ORDER BY tok)), (a, b) -> a + b) score
-                   FROM contrib GROUP BY doc_id),
-        -- top-20 cut on the UNROUNDED score (matching the Spark side);
-        -- rounding happens in an outer select so the ORDER BY here can't
-        -- rebind to the rounded output alias and flip a near-boundary tie.
-        top AS (SELECT doc_id, n_terms, score FROM scored
-                ORDER BY score DESC, doc_id LIMIT 20)
-        SELECT doc_id, n_terms,
-               floor(score * 10000 + 0.5) / 10000 AS score
-        FROM top
-        ORDER BY score DESC, doc_id""",
-
-      // Weighted-sample twin: same scramble, same single divide, same
-      // (key, doc_id) order — keys are bit-identical, so the rank cut
-      // can't flip.
-      "q85_weighted_sample" -> s"""
-        WITH t AS (SELECT doc_id, lang,
-                          CAST(len($toks) AS BIGINT) AS n_tokens
-                   FROM documents),
-        k AS (SELECT doc_id, lang, n_tokens,
-                     ((${oracleScramble("doc_id")}) / 4294967296.0)
-                       / n_tokens AS key
-              FROM t WHERE n_tokens > 0),
-        r AS (SELECT doc_id, lang, n_tokens, key,
-                     row_number() OVER (PARTITION BY lang
-                                        ORDER BY key, doc_id) AS rk
-              FROM k)
-        SELECT doc_id, lang, n_tokens, CAST(rk AS BIGINT) AS rk,
-               floor(key * 100000000 + 0.5) / 100000000 AS key
-        FROM r WHERE rk <= 10
-        ORDER BY lang, rk""",
-
-      // Perplexity-filter twin: identical add-1 bigram LM on the same
-      // split, per-doc fold in sid order (equal sids carry equal logps,
-      // so the sorted fold is deterministic), keep decided on ROUNDED
-      // nll vs ROUNDED mean in both engines.
-      "q93_perplexity_filter" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-                 i -> tk[i] || ' ' || tk[i+1])) bigram FROM toks),
-        bs AS (SELECT doc_id, ${oraclePolyHash("bigram")} sid FROM bg),
-        bsn AS (SELECT doc_id, sid, CAST(count(1) AS BIGINT) n
-                FROM bs GROUP BY 1, 2),
-        train AS (SELECT * FROM bsn WHERE doc_id % 5 = 0),
-        bf AS (SELECT sid, CAST(sum(n) AS BIGINT) c FROM train GROUP BY 1),
-        st AS (SELECT CAST(sum(n) AS BIGINT) tot, count(DISTINCT sid) v
-               FROM train),
-        lp AS (SELECT b.doc_id, b.sid, b.n,
-                      b.n * ln((coalesce(bf.c, 0) + 1.0) / (st.tot + st.v)) nlp
-               FROM bsn b LEFT JOIN bf USING (sid) CROSS JOIN st),
-        scored AS (SELECT doc_id, CAST(sum(n) AS BIGINT) n_bigrams,
-                          floor((-list_reduce(list_prepend(0.0::DOUBLE,
-                            list(nlp ORDER BY sid)), (a, b) -> a + b)
-                            / sum(n)) * 10000 + 0.5) / 10000 nll
-                   FROM lp GROUP BY doc_id),
-        thr AS (SELECT ${CrossRound.sql(
-                  "sum(CAST(floor(nll * 10000 + 0.5) AS BIGINT))" +
-                    " / (count(1) * 10000.0)", 6)} thr
-                FROM scored)
-        SELECT doc_id, n_bigrams, nll, nll <= thr.thr AS keep
-        FROM scored, thr
-        ORDER BY doc_id""",
-
-      // Resample twin: same sorted-fold denominator as q74, same single
-      // op chain for p, same dyadic scramble fraction for u — u < p is
-      // decided on bit-identical doubles.
-      "q94_importance_resample" -> s"""
-        WITH t AS (SELECT doc_id, source,
-                          CAST(len($toks) AS BIGINT) n FROM documents),
-        per AS (SELECT source, CAST(sum(n) AS BIGINT) n_tokens
-                FROM t GROUP BY 1),
-        z AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
-                       list_sort(list(sqrt(n_tokens::DOUBLE)))),
-                     (a, b) -> a + b) z,
-                     CAST(sum(n_tokens) // 2 AS BIGINT) b
-              FROM per),
-        pr AS (SELECT source,
-                      least(1.0, z.b::DOUBLE * sqrt(n_tokens::DOUBLE) / z.z
-                                 / n_tokens) p
-               FROM per, z)
-        SELECT t.doc_id, t.source, t.n AS n_tokens,
-               floor(p * 1000000 + 0.5) / 1000000 AS p_keep,
-               (${oracleScramble("t.doc_id")}) / 4294967296.0 < p AS keep
-        FROM t JOIN pr USING (source)
-        ORDER BY doc_id""",
-
-      "q79_budget_select" -> s"""
-        WITH t AS (SELECT source, doc_id,
-                          len($toks)::BIGINT AS n_tokens
-                   FROM documents),
-        c AS (SELECT source, doc_id, n_tokens,
-                     sum(n_tokens) OVER (PARTITION BY source
-                                         ORDER BY n_tokens DESC, doc_id
-                                         ROWS UNBOUNDED PRECEDING)
-                       AS cum_tokens
-              FROM t)
-        SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
-        FROM c WHERE cum_tokens <= 20000
-        ORDER BY source, cum_tokens, doc_id""",
-
-      "q80_score_percentiles" -> s"""
-        WITH t AS (SELECT doc_id, lang,
-                          len($toks)::BIGINT AS n_tokens
-                   FROM documents)
-        SELECT doc_id, lang, n_tokens,
-               floor(percent_rank() OVER (PARTITION BY lang
-                                          ORDER BY n_tokens, doc_id)
-                     * 1000000 + 0.5) / 1000000 AS pr,
-               CAST(ntile(10) OVER (PARTITION BY lang
-                                    ORDER BY n_tokens, doc_id) AS INT) AS decile
-        FROM t
-        ORDER BY doc_id""",
-
-      // DuckDB twin of q86's unrolled merge loop. `range(1, len(l))` is
-      // end-exclusive = Spark's inclusive `sequence(1, size(l) - 1)`;
-      // replace() is greedy non-overlapping left-to-right in both
-      // engines, so the 3 padded replace passes are character-identical.
-      "q86_bpe_train" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        w0 AS (SELECT w, CAST(count(1) AS BIGINT) cnt
-               FROM (SELECT unnest(tk) w FROM toks)
-               WHERE length(w) <= 15 GROUP BY 1),
-        s0 AS (SELECT cnt,
-                 array_to_string(list_transform(range(1, length(w) + 1),
-                   i -> substring(w, i, 1)), ' ') syms
-               FROM w0),
-        ${bpeStageSql("s0", "p1", "t1", "s1")},
-        ${bpeStageSql("s1", "p2", "t2", "s2")},
-        ${bpeStageSql("s2", "p3", "t3", "s3")}
-        SELECT * FROM (
-          SELECT 1 AS it, pair, replace(pair, ' ', '') AS merged, pcnt FROM t1
-          UNION ALL SELECT 2, pair, replace(pair, ' ', ''), pcnt FROM t2
-          UNION ALL SELECT 3, pair, replace(pair, ' ', ''), pcnt FROM t3)
-        ORDER BY it""",
-
-      // DuckDB twin of q87: `list(x ORDER BY pos)` pins the per-dim
-      // stats arrays to index order (Spark: sort_array-of-structs), and
-      // both error folds run index-ordered, so codes AND sse are
-      // bit-identical.
-      "q87_embed_quantize" -> """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        d AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) pos FROM e),
-        vals AS (SELECT vec_id, pos, v[pos] x FROM d),
-        st AS (SELECT pos, min(x) mn, max(x) mx FROM vals GROUP BY 1),
-        arrs AS (SELECT list(mn ORDER BY pos) mns, list(mx ORDER BY pos) mxs
-                 FROM st),
-        q AS (SELECT vec_id, v, mns, mxs,
-                list_transform(range(1, len(v) + 1), i ->
-                  CASE WHEN mxs[i] > mns[i]
-                    THEN CAST(floor((v[i] - mns[i])
-                           * (255.0::DOUBLE / (mxs[i] - mns[i]))
-                           + 0.5::DOUBLE) AS INT)
-                    ELSE 0 END) codes
-              FROM e, arrs),
-        er AS (SELECT vec_id, codes,
-                 list_transform(range(1, len(v) + 1), i ->
-                   v[i] - (mns[i] + codes[i]::DOUBLE
-                           * ((mxs[i] - mns[i]) / 255.0::DOUBLE))) errs
-               FROM q)
-        SELECT vec_id,
-               CAST(list_reduce(list_prepend(0::BIGINT,
-                      list_transform(codes, c -> c::BIGINT)),
-                    (a, b) -> a + b) AS BIGINT) AS code_sum,
-               codes[1] AS c0, codes[2] AS c1,
-               floor(list_reduce(list_prepend(0.0::DOUBLE, errs),
-                       (a, b) -> a + b * b) * 1000000 + 0.5) / 1000000 AS sse
-        FROM er
-        ORDER BY vec_id""",
-
-      // DuckDB twin of q89's interval-union sweep: identical window
-      // frames, so span boundaries agree exactly.
-      "q89_dup_spans" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) n_tokens FROM toks
-              WHERE len(tk) >= 3),
-        sh0 AS (SELECT doc_id, unnest(range(1, len(tk) - 1)) pos,
-                       unnest(list_transform(range(1, len(tk) - 1),
-                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
-                FROM toks),
-        sh AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid FROM sh0),
-        dup AS (SELECT sid FROM (
-                  SELECT sid, count(DISTINCT doc_id) nd FROM sh GROUP BY 1)
-                WHERE nd >= 2),
-        iv AS (SELECT doc_id, pos s, pos + 2 e FROM sh JOIN dup USING (sid)),
-        m AS (SELECT doc_id, s, e,
-                max(e) OVER (PARTITION BY doc_id ORDER BY s
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pme
-              FROM iv),
-        g AS (SELECT doc_id, s, e,
-                sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY doc_id ORDER BY s
-                        ROWS UNBOUNDED PRECEDING) grp
-              FROM m),
-        sp AS (SELECT doc_id, grp, min(s) s, max(e) e FROM g GROUP BY 1, 2),
-        agg AS (SELECT doc_id, CAST(count(1) AS BIGINT) n_spans,
-                       CAST(sum(e - s + 1) AS BIGINT) dup_tokens,
-                       CAST(max(e - s + 1) AS BIGINT) longest_span
-                FROM sp GROUP BY 1)
-        SELECT n.doc_id, n.n_tokens,
-               coalesce(agg.dup_tokens, 0::BIGINT) AS dup_tokens,
-               coalesce(agg.longest_span, 0::BIGINT) AS longest_span,
-               coalesce(agg.n_spans, 0::BIGINT) AS n_spans,
-               floor(coalesce(agg.dup_tokens, 0)::DOUBLE / n.n_tokens
-                     * 10000 + 0.5) / 10000 AS dup_frac
-        FROM n LEFT JOIN agg USING (doc_id)
-        ORDER BY doc_id""",
-
-      "q90_novelty_score" -> s"""
-        WITH $dsh, $dsid,
-        first AS (SELECT sid, min(doc_id) fd FROM dsid GROUP BY 1)
-        SELECT doc_id, CAST(count(1) AS BIGINT) n_shingles,
-               CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_novel,
-               floor(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)::DOUBLE
-                     / count(1) * 10000 + 0.5) / 10000 AS novelty
-        FROM dsid JOIN first USING (sid)
-        GROUP BY doc_id
-        ORDER BY doc_id""",
-
-      "q88_source_cap" -> """
-        WITH per AS (SELECT source,
-                            CAST(greatest(5, count(1) // 5) AS BIGINT) cap
-                     FROM documents GROUP BY 1),
-        r AS (SELECT source, doc_id, n_chars,
-                     CAST(row_number() OVER (PARTITION BY source
-                                             ORDER BY n_chars DESC, doc_id)
-                          AS BIGINT) rk
-              FROM documents)
-        SELECT r.source, r.doc_id, r.n_chars, r.rk, per.cap
-        FROM r JOIN per USING (source)
-        WHERE r.rk <= per.cap
-        ORDER BY source, rk""",
-
-      // q91: q46's component labels (same recursive-CTE twin), then the
-      // keep flag is a rank-1 test within each group under the identical
-      // (n_chars DESC, doc_id) retention order. Singletons (no label row)
-      // group under their own doc_id via coalesce, as in Spark.
-      "q91_keep_list" -> s"""
-        WITH RECURSIVE $minhashChain,
-        pairs AS MATERIALIZED (SELECT doc_a, doc_b
-                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                             JOIN sizes sb ON doc_b = sb.doc_id
-                  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
-        edges AS (SELECT doc_a src, doc_b dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        reach AS (SELECT src AS node, src AS lbl FROM edges
-                  UNION
-                  SELECT e.dst, r.lbl FROM reach r
-                  JOIN edges e ON e.src = r.node),
-        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
-                 FROM reach GROUP BY node)
-        SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id,
-               d.n_chars,
-               row_number() OVER (
-                 PARTITION BY coalesce(c.group_id, d.doc_id)
-                 ORDER BY d.n_chars DESC, d.doc_id) = 1 AS keep
-        FROM documents d LEFT JOIN comp c USING (doc_id)
-        ORDER BY d.doc_id""",
-
-      // q92: the identical 3-stage merge chain (shared [[bpeStageSql]]
-      // twin, `w` carried through), then occurrences join the symbolized
-      // vocabulary back by word — same integer totals, same single
-      // CrossRound'd divide.
-      "q92_bpe_encode" -> s"""
-        WITH toks AS (SELECT doc_id, source, $toks tk FROM documents),
-        w0 AS (SELECT w, CAST(count(1) AS BIGINT) cnt
-               FROM (SELECT unnest(tk) w FROM toks)
-               WHERE length(w) <= 15 GROUP BY 1),
-        s0 AS (SELECT w, cnt,
-                 array_to_string(list_transform(range(1, length(w) + 1),
-                   i -> substring(w, i, 1)), ' ') syms
-               FROM w0),
-        ${bpeStageSql("s0", "p1", "t1", "s1", "s0.w,")},
-        ${bpeStageSql("s1", "p2", "t2", "s2", "s1.w,")},
-        ${bpeStageSql("s2", "p3", "t3", "s3", "s2.w,")},
-        wmap AS (SELECT w, CAST(len(string_split(syms, ' ')) AS BIGINT) n_syms
-                 FROM s3),
-        occ AS (SELECT source, w FROM (
-                  SELECT source, unnest(tk) w FROM toks)
-                WHERE length(w) <= 15)
-        SELECT source, CAST(count(1) AS BIGINT) n_words,
-               CAST(sum(length(w)) AS BIGINT) n_chars_toks,
-               CAST(sum(n_syms) AS BIGINT) n_syms,
-               floor(sum(length(w))::DOUBLE / sum(n_syms) * 10000 + 0.5) / 10000
-                 AS compression
-        FROM occ JOIN wmap USING (w)
-        GROUP BY 1 ORDER BY source""",
-
-      // Heaps twin: identical integer band edges (// = Spark's div),
-      // identical first-seen min-agg; every output is an integer.
-      "q105_vocab_growth" -> s"""
-        WITH b AS (SELECT min(doc_id) mn, max(doc_id) mx FROM documents),
-        docs AS (SELECT doc_id,
-                   CAST(((doc_id - b.mn) * 10) // (b.mx - b.mn + 1)
-                        AS INTEGER) decile,
-                   $toks tk
-                 FROM documents, b),
-        tok AS (SELECT decile, unnest(tk) w FROM docs),
-        per AS (SELECT decile, CAST(count(1) AS BIGINT) n_tokens
-                FROM tok GROUP BY 1),
-        fs AS (SELECT w, min(decile) fdec FROM tok GROUP BY 1),
-        nn AS (SELECT fdec decile, CAST(count(1) AS BIGINT) n_new
-               FROM fs GROUP BY 1),
-        dd AS (SELECT decile, CAST(count(1) AS BIGINT) n_docs
-               FROM docs GROUP BY 1)
-        SELECT dd.decile, dd.n_docs, per.n_tokens,
-               CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
-               CAST(sum(per.n_tokens) OVER
-                 (ORDER BY dd.decile ROWS BETWEEN UNBOUNDED PRECEDING
-                  AND CURRENT ROW) AS BIGINT) AS cum_tokens,
-               CAST(sum(coalesce(nn.n_new, 0)) OVER
-                 (ORDER BY dd.decile ROWS BETWEEN UNBOUNDED PRECEDING
-                  AND CURRENT ROW) AS BIGINT) AS cum_vocab
-        FROM dd JOIN per USING (decile) LEFT JOIN nn USING (decile)
-        ORDER BY dd.decile""",
-
-      // Zipf twin: same top-100 cut BEFORE ranking, regression sums
-      // folded over rank-ORDERED lists, slope/intercept as the same
-      // fixed op chain — bit-identical doubles.
-      "q106_zipf_slope" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        fr AS (SELECT w, CAST(count(1) AS BIGINT) f FROM (
-                 SELECT unnest(tk) w FROM toks) GROUP BY 1),
-        v AS (SELECT CAST(count(1) AS BIGINT) n_vocab FROM fr),
-        top AS (SELECT w, f FROM fr ORDER BY f DESC, w LIMIT 100),
-        rk AS (SELECT w, f, row_number() OVER (ORDER BY f DESC, w) rank
-               FROM top),
-        xy AS (SELECT rank, ln(rank::DOUBLE) x, ln(f::DOUBLE) y FROM rk),
-        s AS (SELECT CAST(count(1) AS BIGINT) n,
-                list_reduce(list_prepend(0.0::DOUBLE,
-                  list(x ORDER BY rank)), (a, b) -> a + b) sx,
-                list_reduce(list_prepend(0.0::DOUBLE,
-                  list(y ORDER BY rank)), (a, b) -> a + b) sy,
-                list_reduce(list_prepend(0.0::DOUBLE,
-                  list(x * y ORDER BY rank)), (a, b) -> a + b) sxy,
-                list_reduce(list_prepend(0.0::DOUBLE,
-                  list(x * x ORDER BY rank)), (a, b) -> a + b) sxx
-              FROM xy)
-        SELECT v.n_vocab, s.n AS n_ranks,
-               ${CrossRound.sql(
-                 "(s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx)",
-                 6)} AS zipf_slope,
-               ${CrossRound.sql(
-                 "(s.sy - ((s.n * s.sxy - s.sx * s.sy)" +
-                   " / (s.n * s.sxx - s.sx * s.sx)) * s.sx) / s.n",
-                 6)} AS intercept
-        FROM s, v""",
-
-      // Entropy twin: per-doc fold over word-ORDERED c·ln(c) terms,
-      // H = ln(n) − clc/n as the same op chain, corpus-mean threshold
-      // folded over (entropy, doc_id)-ordered rounded entropies.
-      "q107_token_entropy" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        cnt AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) c FROM (
-                  SELECT doc_id, unnest(tk) w FROM toks) GROUP BY 1, 2),
-        per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_toks,
-                       list_reduce(list_prepend(0.0::DOUBLE,
-                         list(c::DOUBLE * ln(c::DOUBLE) ORDER BY w)),
-                         (a, b) -> a + b) clc
-                FROM cnt GROUP BY 1),
-        e AS (SELECT doc_id, n_toks,
-                     ${CrossRound.sql(
-                       "ln(n_toks::DOUBLE) - clc / n_toks", 4)} AS entropy
-              FROM per),
-        thr AS (SELECT ${CrossRound.sql(
-                  "sum(CAST(floor(entropy * 10000 + 0.5) AS BIGINT))" +
-                    " / (count(1) * 10000.0)", 6)} AS thr
-                FROM e)
-        SELECT doc_id, n_toks, entropy, entropy >= thr.thr AS keep
-        FROM e, thr
-        ORDER BY doc_id""",
-
-      // MAD twin: quantile_cont's interpolation on integer-valued
-      // doubles is exact in both engines (dyadic arithmetic below
-      // 2^52), so med/mad/adev and the 3·MAD flag are bit-identical.
-      "q109_mad_outlier" -> """
-        WITH med AS (SELECT quantile_cont(n_chars::DOUBLE, 0.5) med
-                     FROM documents),
-        dev AS (SELECT doc_id, n_chars,
-                       abs(n_chars::DOUBLE - med.med) adev, med.med
-                FROM documents, med),
-        mad AS (SELECT quantile_cont(adev, 0.5) mad FROM dev)
-        SELECT doc_id, n_chars,
-               round(dev.med, 2) AS med,
-               round(mad.mad, 2) AS mad,
-               round(adev, 2) AS adev,
-               adev > 3.0 * mad.mad AS is_outlier
-        FROM dev, mad
-        ORDER BY doc_id""",
-
-      // Step CDFs on the shared breakpoint grid; every CDF value a
-      // single int/int division, max a selection — one rounding at the
-      // end. Window frames are the default RANGE-to-current-row in both
-      // engines; (source, len) / len keys are unique so ties can't
-      // differ.
-      "q112_ks_distance" -> s"""
-        WITH d AS (SELECT source, n_chars len FROM documents),
-        c AS (SELECT source, len, CAST(count(1) AS BIGINT) n
-              FROM d GROUP BY 1, 2),
-        g AS (SELECT len, CAST(count(1) AS BIGINT) n FROM d GROUP BY 1),
-        tot AS (SELECT CAST(count(1) AS BIGINT) n_all FROM d),
-        ns AS (SELECT source, CAST(count(1) AS BIGINT) n_s
-               FROM d GROUP BY 1),
-        filled AS (SELECT s.source, gl.len, coalesce(c.n, 0) n
-                   FROM (SELECT source FROM ns) s
-                   CROSS JOIN (SELECT len FROM g) gl
-                   LEFT JOIN c ON c.source = s.source AND c.len = gl.len),
-        cs AS (SELECT source, len,
-                      sum(n) OVER (PARTITION BY source ORDER BY len) cum_s
-               FROM filled),
-        cg AS (SELECT len, sum(n) OVER (ORDER BY len) cum_g FROM g),
-        dd AS (SELECT cs.source, ns.n_s,
-                      abs(cum_s::DOUBLE / ns.n_s
-                          - cum_g::DOUBLE / tot.n_all) dv
-               FROM cs JOIN cg USING (len) JOIN ns USING (source)
-               CROSS JOIN tot)
-        SELECT source, n_s AS n_docs,
-               ${CrossRound.sql("max(dv)", 6)} AS ks
-        FROM dd GROUP BY source, n_s
-        ORDER BY source""",
-
-      "q113_phrase_search" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-                 i -> tk[i] || ' ' || tk[i+1])) b FROM toks),
-        top1 AS (SELECT b AS phrase FROM (
-                   SELECT b, count(1) c FROM bg GROUP BY 1)
-                 ORDER BY c DESC, b LIMIT 1)
-        SELECT doc_id, top1.phrase, CAST(count(1) AS BIGINT) n_matches
-        FROM bg CROSS JOIN top1 WHERE bg.b = top1.phrase
-        GROUP BY doc_id, top1.phrase
-        ORDER BY n_matches DESC, doc_id LIMIT 10""",
-
-      // Integer sums are exact in any order; one division per lang row.
-      "q114_tokenizer_fertility" -> s"""
-        SELECT lang, CAST(count(1) AS BIGINT) n_docs,
-               CAST(sum(len($toks)) AS BIGINT) n_ws_tokens,
-               CAST(sum(len(regexp_extract_all(text,
-                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')))
-                 AS BIGINT) n_bpe_tokens,
-               floor((sum(len(regexp_extract_all(text,
-                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')))::DOUBLE
-                 / sum(len($toks))) * 10000 + 0.5) / 10000 AS fertility
-        FROM documents
-        GROUP BY lang
-        ORDER BY lang""",
-
-      "q115_ngram_coverage" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-                 i -> tk[i] || ' ' || tk[i+1])) b FROM toks),
-        bs AS (SELECT DISTINCT doc_id, ${oraclePolyHash("b")} sid FROM bg),
-        train AS (SELECT DISTINCT sid FROM bs WHERE doc_id % 2 = 0),
-        vd AS (SELECT doc_id, sid FROM bs WHERE doc_id % 2 != 0),
-        sizes AS (SELECT doc_id, CAST(count(1) AS BIGINT) n_bigrams
-                  FROM vd GROUP BY 1),
-        cov AS (SELECT doc_id, CAST(count(1) AS BIGINT) n_covered
-                FROM vd JOIN train USING (sid) GROUP BY 1)
-        SELECT s.doc_id, s.n_bigrams,
-               coalesce(c.n_covered, 0) AS n_covered,
-               floor((coalesce(c.n_covered, 0)::DOUBLE / s.n_bigrams)
-                 * 10000 + 0.5) / 10000 AS coverage
-        FROM sizes s LEFT JOIN cov c USING (doc_id)
-        ORDER BY doc_id""",
-
-      // Two unrolled synchronous iterations; contributions fold in src
-      // order (the same sequence Spark's array_sort'ed fold adds in),
-      // teleport/damping constants cast to DOUBLE so no DECIMAL
-      // arithmetic sneaks in. Dangling mass intentionally not
-      // redistributed — identically in both engines.
-      "q116_pagerank" -> s"""
-        WITH $dsh, $dsid,
-        rare AS (SELECT sid FROM dsid GROUP BY sid
-                 HAVING count(1) <= 50),
-        rdsh AS (SELECT doc_id, sid FROM dsid JOIN rare USING (sid)),
-        pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b
-                  FROM rdsh a JOIN rdsh b
-                    ON a.sid = b.sid AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2 HAVING count(1) >= 3),
-        edges AS (SELECT doc_a src, doc_b dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        deg AS (SELECT src, CAST(count(1) AS BIGINT) deg
-                FROM edges GROUP BY 1),
-        tot AS (SELECT CAST(count(1) AS BIGINT) n_docs FROM documents),
-        r0 AS (SELECT doc_id, 1.0::DOUBLE / tot.n_docs r
-               FROM documents CROSS JOIN tot),
-        s1 AS (SELECT dst, list_reduce(list_prepend(0.0::DOUBLE,
-                 list(r0.r / deg.deg ORDER BY e.src)), (a, b) -> a + b) s
-               FROM edges e JOIN deg USING (src)
-                    JOIN r0 ON r0.doc_id = e.src
-               GROUP BY dst),
-        r1 AS (SELECT d.doc_id,
-                      0.15::DOUBLE / tot.n_docs
-                        + 0.85::DOUBLE * coalesce(s1.s, 0.0::DOUBLE) r
-               FROM documents d LEFT JOIN s1 ON s1.dst = d.doc_id
-               CROSS JOIN tot),
-        s2 AS (SELECT dst, list_reduce(list_prepend(0.0::DOUBLE,
-                 list(r1.r / deg.deg ORDER BY e.src)), (a, b) -> a + b) s
-               FROM edges e JOIN deg USING (src)
-                    JOIN r1 ON r1.doc_id = e.src
-               GROUP BY dst),
-        r2 AS (SELECT d.doc_id,
-                      0.15::DOUBLE / tot.n_docs
-                        + 0.85::DOUBLE * coalesce(s2.s, 0.0::DOUBLE) r
-               FROM documents d LEFT JOIN s2 ON s2.dst = d.doc_id
-               CROSS JOIN tot)
-        SELECT r2.doc_id, coalesce(deg.deg, 0) AS deg,
-               ${CrossRound.sql("r2.r", 8)} AS pr
-        FROM r2 LEFT JOIN deg ON deg.src = r2.doc_id
-        ORDER BY doc_id""",
-
-      "q117_gopher_repetition" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        wc AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) c,
-                      CAST(len(w) AS BIGINT) lw
-               FROM (SELECT doc_id, unnest(tk) w FROM toks) GROUP BY 1, 2),
-        tot AS (SELECT doc_id, sum(c * lw) n_word_chars FROM wc GROUP BY 1),
-        top AS (SELECT doc_id, tc FROM (
-                  SELECT doc_id, c * lw tc,
-                         row_number() OVER (PARTITION BY doc_id
-                                            ORDER BY c DESC, w) rn
-                  FROM wc) WHERE rn = 1),
-        grams AS (SELECT doc_id, g, CAST(count(1) AS BIGINT) c,
-                         CAST(len(g) AS BIGINT) lg
-                  FROM (SELECT doc_id, unnest(list_transform(
-                          range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) g
-                        FROM toks) GROUP BY 1, 2),
-        gstat AS (SELECT doc_id, sum(c * lg) tot_chars,
-                         coalesce(sum(CASE WHEN c >= 2 THEN c * lg END), 0)
-                           dup_chars
-                  FROM grams GROUP BY 1),
-        per AS (SELECT t.doc_id,
-                       ${CrossRound.sql("top.tc::DOUBLE / t.n_word_chars", 4)}
-                         top_frac,
-                       coalesce(${CrossRound.sql(
-                         "g.dup_chars::DOUBLE / g.tot_chars", 4)}, 0.0)
-                         dup_frac
-                FROM tot t JOIN top USING (doc_id)
-                LEFT JOIN gstat g ON t.doc_id = g.doc_id),
-        thr AS (SELECT ${CrossRound.sql(
-                  "sum(CAST(floor(top_frac * 10000 + 0.5) AS BIGINT))" +
-                    " / (count(1) * 10000.0)", 6)} t_top,
-                       ${CrossRound.sql(
-                  "sum(CAST(floor(dup_frac * 10000 + 0.5) AS BIGINT))" +
-                    " / (count(1) * 10000.0)", 6)} t_dup
-                FROM per)
-        SELECT doc_id, top_frac, dup_frac,
-               (top_frac <= thr.t_top AND dup_frac <= thr.t_dup) AS keep
-        FROM per, thr ORDER BY doc_id""",
-
-      "q118_bag_dedup" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        canon AS (SELECT doc_id, array_to_string(list_sort(tk), ' ') cw
-                  FROM toks),
-        sig AS (SELECT doc_id, ${oraclePolyHash("cw")} bag_sig FROM canon),
-        grp AS (SELECT bag_sig, CAST(count(1) AS BIGINT) n_bag,
-                       min(doc_id) canon_id
-                FROM sig GROUP BY 1)
-        SELECT s.doc_id, s.bag_sig, g.n_bag,
-               s.doc_id = g.canon_id AS keep
-        FROM sig s JOIN grp g USING (bag_sig) ORDER BY s.doc_id""",
-
-      "q119_stopword_ratio" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        w AS (SELECT doc_id, unnest(tk) w FROM toks),
-        wc AS (SELECT w, CAST(count(1) AS BIGINT) c FROM w GROUP BY 1),
-        stop AS (SELECT w FROM wc ORDER BY c DESC, w LIMIT 20),
-        per AS (SELECT w.doc_id, CAST(count(1) AS BIGINT) n_toks,
-                       CAST(coalesce(sum(CASE WHEN stop.w IS NOT NULL
-                                              THEN 1 END), 0) AS BIGINT)
-                         n_stop
-                FROM w LEFT JOIN stop ON w.w = stop.w GROUP BY 1),
-        r AS (SELECT doc_id, n_toks, n_stop,
-                     ${CrossRound.sql("n_stop::DOUBLE / n_toks", 4)}
-                       stop_ratio
-              FROM per),
-        thr AS (SELECT ${CrossRound.sql(
-                  "sum(CAST(floor(stop_ratio * 10000 + 0.5) AS BIGINT))" +
-                    " / (count(1) * 10000.0)", 6)} t
-                FROM r)
-        SELECT doc_id, n_toks, n_stop, stop_ratio,
-               stop_ratio >= thr.t AS keep
-        FROM r, thr ORDER BY doc_id""",
-
-      "q120_curriculum_bins" -> s"""
-        WITH base AS (SELECT doc_id, CAST(len($toks) AS BIGINT) n_tokens
-                      FROM documents),
-        vc AS (SELECT n_tokens v, CAST(count(1) AS BIGINT) c
-               FROM base GROUP BY 1),
-        cum AS (SELECT v, sum(c) OVER (ORDER BY v) cum FROM vc),
-        n AS (SELECT CAST(count(1) AS BIGINT) n FROM base),
-        t AS (SELECT k, min(v) tv
-              FROM (SELECT unnest(range(1, 10)) k) ks, cum, n
-              WHERE cum.cum >= (k * n.n + 9) // 10 GROUP BY k),
-        binned AS (SELECT b.doc_id, b.n_tokens,
-                          CAST(1 + coalesce((SELECT count(1) FROM t
-                                             WHERE b.n_tokens > t.tv), 0)
-                               AS INT) epoch
-                   FROM base b)
-        SELECT epoch, CAST(count(1) AS BIGINT) n_docs,
-               CAST(sum(n_tokens) AS BIGINT) tot_tokens,
-               ${CrossRound.sql("sum(n_tokens)::DOUBLE / count(1)", 4)}
-                 AS mean_tokens
-        FROM binned GROUP BY 1 ORDER BY 1""",
-
-      // All-pairs J >= 0.5 computed DIRECTLY from postings (no prefix
-      // logic) — so a candidate the Spark-side prefix filter missed
-      // fails the row compare: the oracle doubles as the completeness
-      // proof on every corpus it runs on.
-      "q121_prefix_filter_join" -> s"""
-        WITH $dsh, $dsid,
-        sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) n
-               FROM dsid GROUP BY 1),
-        pairs AS (SELECT a.doc_id da, b.doc_id db,
-                         CAST(count(1) AS BIGINT) i
-                  FROM dsid a JOIN dsid b
-                    ON a.sid = b.sid AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-        SELECT da AS doc_a, db AS doc_b, i, sa.n AS na, sb.n AS nb,
-               ${CrossRound.sql("i::DOUBLE / (sa.n + sb.n - i)", 6)} AS jac
-        FROM pairs JOIN sz sa ON da = sa.doc_id
-                   JOIN sz sb ON db = sb.doc_id
-        WHERE i * 2 >= sa.n + sb.n - i
-        ORDER BY doc_a, doc_b""",
-
-      "q122_dataset_card" -> s"""
-        WITH base AS (SELECT source, lang, md5(text) h, n_chars,
-                             CAST(len($toks) AS BIGINT) n_tokens
-                      FROM documents)
-        SELECT source,
-               CAST(count(1) AS BIGINT) n_docs,
-               CAST(sum(n_tokens) AS BIGINT) n_tokens,
-               CAST(count(DISTINCT lang) AS BIGINT) n_langs,
-               ${CrossRound.sql(
-                 "1.0 - count(DISTINCT h)::DOUBLE / count(1)", 4)}
-                 AS exact_dup_rate,
-               ${CrossRound.sql("sum(n_tokens)::DOUBLE / count(1)", 4)}
-                 AS mean_tokens,
-               ${CrossRound.sql("sum(n_chars)::DOUBLE / count(1)", 2)}
-                 AS mean_chars
-        FROM base GROUP BY 1 ORDER BY 1""",
-
-      // Ground-truth pairs computed all-pairs from postings (q121's
-      // oracle), signatures from the SAME hash family as mhBandsSql —
-      // so the fidelity numbers grade the production sketch exactly.
-      "q123_minhash_fidelity" -> s"""
-        WITH $dsh, $dsid,
-        sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) n
-               FROM dsid GROUP BY 1),
-        pairs AS (SELECT a.doc_id da, b.doc_id db,
-                         CAST(count(1) AS BIGINT) i
-                  FROM dsid a JOIN dsid b
-                    ON a.sid = b.sid AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-        cand AS (SELECT da doc_a, db doc_b,
-                        ${CrossRound.sql(
-                          "i::DOUBLE / (sa.n + sb.n - i)", 6)} jac
-                 FROM pairs JOIN sz sa ON da = sa.doc_id
-                            JOIN sz sb ON db = sb.doc_id
-                 WHERE i * 2 >= sa.n + sb.n - i),
-        mh AS (SELECT doc_id, s.s,
-                      min(((37*s.s + 7)*sid + (101*s.s + 3)) % 1000000007) mh
-               FROM dsid CROSS JOIN
-                 (SELECT unnest(generate_series(0, 15)) s) s
-               GROUP BY 1, 2),
-        est AS (SELECT c.doc_a, c.doc_b, c.jac,
-                       CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
-                            AS BIGINT) k
-                FROM cand c JOIN mh a ON a.doc_id = c.doc_a
-                            JOIN mh b ON b.doc_id = c.doc_b AND a.s = b.s
-                GROUP BY 1, 2, 3),
-        r AS (SELECT doc_a, doc_b, jac, k, k / 16.0 est,
-                     ${CrossRound.sql("abs(k / 16.0 - jac)", 6)} err
-              FROM est),
-        thr AS (SELECT ${CrossRound.sql(
-                  "sum(CAST(floor(err * 1000000 + 0.5) AS BIGINT))" +
-                    " / (count(1) * 1000000.0)", 6)} mean_err
-                FROM r)
-        SELECT doc_a, doc_b, jac, k, est, err, thr.mean_err
-        FROM r, thr ORDER BY doc_a, doc_b""",
-
-      "q125_winnow_neardup" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        pos_sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
-                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle,
-                     generate_subscripts(range(1, len(tk) - 1), 1) - 1 pos
-                   FROM toks),
-        sids AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid
-                 FROM pos_sh),
-        mx AS (SELECT doc_id, max(pos) max_pos FROM sids GROUP BY 1),
-        wins AS (SELECT s.doc_id, pos,
-                        min(sid) OVER (PARTITION BY s.doc_id ORDER BY pos
-                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
-                          wmin,
-                        max_pos
-                 FROM sids s JOIN mx ON s.doc_id = mx.doc_id),
-        fps AS (SELECT DISTINCT doc_id, wmin fp FROM wins
-                WHERE pos <= max_pos - 3),
-        sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) n FROM fps GROUP BY 1),
-        rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(1) <= 50),
-        rfps AS (SELECT f.* FROM fps f JOIN rare USING (fp)),
-        pairs AS (SELECT a.doc_id da, b.doc_id db, CAST(count(1) AS BIGINT) i
-                  FROM rfps a JOIN rfps b
-                    ON a.fp = b.fp AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2 HAVING count(1) >= 2)
-        SELECT da AS doc_a, db AS doc_b, i, sa.n AS na, sb.n AS nb,
-               ${CrossRound.sql("i::DOUBLE / least(sa.n, sb.n)", 4)} AS overlap
-        FROM pairs JOIN sz sa ON da = sa.doc_id
-                   JOIN sz sb ON db = sb.doc_id
-        ORDER BY doc_a, doc_b""",
-
-      "q127_editdist_verify" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        pos_sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
-                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle,
-                     generate_subscripts(range(1, len(tk) - 1), 1) - 1 pos
-                   FROM toks),
-        sids AS (SELECT doc_id, pos, ${oraclePolyHash("shingle")} sid
-                 FROM pos_sh),
-        mx AS (SELECT doc_id, max(pos) max_pos FROM sids GROUP BY 1),
-        wins AS (SELECT s.doc_id, pos,
-                        min(sid) OVER (PARTITION BY s.doc_id ORDER BY pos
-                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
-                          wmin,
-                        max_pos
-                 FROM sids s JOIN mx ON s.doc_id = mx.doc_id),
-        fps AS (SELECT DISTINCT doc_id, wmin fp FROM wins
-                WHERE pos <= max_pos - 3),
-        sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) n FROM fps GROUP BY 1),
-        rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(1) <= 50),
-        rfps AS (SELECT f.* FROM fps f JOIN rare USING (fp)),
-        pairs AS (SELECT a.doc_id da, b.doc_id db, CAST(count(1) AS BIGINT) i
-                  FROM rfps a JOIN rfps b
-                    ON a.fp = b.fp AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2 HAVING count(1) >= 2),
-        cand AS (SELECT da doc_a, db doc_b FROM pairs
-                 JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-                 WHERE i * 2 >= least(sa.n, sb.n)),
-        v AS (SELECT c.doc_a, c.doc_b,
-                     CAST(levenshtein(ta.text, tb.text) AS BIGINT) edit_dist,
-                     CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT)
-                       max_len
-              FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
-                          JOIN documents tb ON tb.doc_id = c.doc_b)
-        SELECT doc_a, doc_b, edit_dist, max_len,
-               ${CrossRound.sql("1.0 - edit_dist::DOUBLE / max_len", 4)}
-                 AS sim,
-               1.0 - edit_dist::DOUBLE / max_len >= 0.8 AS is_dup
-        FROM v ORDER BY doc_a, doc_b""",
-
-      // Every bit reproduced relationally from the deterministic pixel
-      // formula (q30/q42's argument): 64·v > Σv is exact integer
-      // arithmetic in both engines, so one mis-sampled pixel on the
-      // Spark decode side flips bits and fails the compare.
-      "q126_image_ahash" -> """
-        WITH dims AS (
-          SELECT doc_id, CAST(doc_id % 256 AS BIGINT) d,
-                 CAST(length(text) % 64 + 16 AS INT) w,
-                 CAST((length(text) * 7) % 48 + 16 AS INT) h
-          FROM documents),
-        px AS (SELECT doc_id, w, h, j,
-                 CAST(((((j % 8) * w) // 8) * 31
-                       + (((j // 8) * h) // 8) * 7 + d) % 256
-                  + 2 * (((((j % 8) * w) // 8) * 13
-                          + (((j // 8) * h) // 8) * 11 + 2 * d) % 256)
-                  + 3 * (((((j % 8) * w) // 8) * 5
-                          + (((j // 8) * h) // 8) * 3 + 3 * d) % 256)
-                  AS BIGINT) v
-               FROM dims, (SELECT unnest(range(0, 64)) j)),
-        s AS (SELECT doc_id, sum(v) s FROM px GROUP BY 1),
-        bits AS (SELECT px.doc_id, px.w, px.h, j,
-                        CASE WHEN 64 * v > s.s
-                             THEN 1::BIGINT ELSE 0::BIGINT END b
-                 FROM px JOIN s USING (doc_id))
-        SELECT doc_id, min(w) AS width, min(h) AS height,
-               CAST(sum(CASE WHEN j >= 32
-                             THEN b * (1::BIGINT << (j - 32))
-                             ELSE 0 END) AS BIGINT) AS hash_hi,
-               CAST(sum(CASE WHEN j < 32
-                             THEN b * (1::BIGINT << j)
-                             ELSE 0 END) AS BIGINT) AS hash_lo,
-               CAST(sum(b) AS INT) AS n_above
-        FROM bits GROUP BY doc_id ORDER BY doc_id""",
-
-      "q124_shard_balance" -> s"""
-        WITH t AS (SELECT doc_id, $toks tk FROM documents),
-        o AS (SELECT doc_id,
-                     CAST((${oracleScramble("doc_id")}) AS BIGINT) AS ord,
-                     CAST(len(tk) AS BIGINT) AS n_tokens
-              FROM t),
-        per AS (SELECT ord % 8 AS shard,
-                       CAST(count(1) AS BIGINT) n_docs,
-                       CAST(sum(n_tokens) AS BIGINT) tot_tokens
-                FROM o GROUP BY 1),
-        tot AS (SELECT CAST(sum(tot_tokens) AS BIGINT) all_tokens FROM per)
-        SELECT shard, n_docs, tot_tokens,
-               ${CrossRound.sql(
-                 "tot_tokens::DOUBLE * 8 / tot.all_tokens", 6)} AS balance
-        FROM per, tot ORDER BY shard""",
-
-      // Relational CDC twin: a token's chunk index is the count of
-      // boundaries at positions p with p+3 <= its position — computed
-      // as a running sum of chunk-START flags, never a range join; the
-      // per-chunk signature folds token hashes in position order, the
-      // same left fold as the Spark side's aggregate().
-      "q129_cdc_chunks" -> s"""
-        WITH $cdcChunksOracleCtes,
-        df AS (SELECT sig, count(1) df FROM chunks GROUP BY 1),
-        agg AS (SELECT c.doc_id, min(c.n_toks) n_toks,
-                       CAST(count(1) AS BIGINT) n_chunks,
-                       CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)
-                         AS BIGINT) n_dup_chunks,
-                       CAST(sum(CASE WHEN df.df > 1 THEN c.ntk ELSE 0 END)
-                         AS BIGINT) dup_toks
-                FROM chunks c JOIN df USING (sig) GROUP BY c.doc_id)
-        SELECT doc_id, n_toks, n_chunks, n_dup_chunks, dup_toks,
-               ${CrossRound.sql("dup_toks::DOUBLE / n_toks", 4)} AS dup_frac
-        FROM agg ORDER BY doc_id""",
-
-      // Both rank tables bind to the UNROUNDED scores (the q84 oracle
-      // lesson) with doc_id tie-breaks, so ranks — and the two-term
-      // fused score — are bit-identical cross-engine; the final order
-      // is on the raw score, rounding happens in the outer SELECT.
-      "q130_rrf_fusion" -> s"""
-        WITH toks AS (SELECT doc_id, $toks tk FROM documents),
-        inst AS (SELECT doc_id, unnest(tk) tok FROM toks),
-        dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) dl FROM toks),
-        stats AS (SELECT count(1) nd, CAST(sum(dl) AS BIGINT) ntok FROM dl),
-        qt AS (SELECT query_id, tok FROM (
-                 SELECT doc_id query_id, tok, count(1) cnt,
-                        row_number() OVER (PARTITION BY doc_id
-                                           ORDER BY count(1) DESC, tok) qrk
-                 FROM inst WHERE doc_id < 5 GROUP BY 1, 2)
-               WHERE qrk <= 5),
-        tf AS (SELECT q.query_id, i.doc_id, i.tok, count(1) tf
-               FROM inst i JOIN qt q USING (tok) GROUP BY 1, 2, 3),
-        qdf AS (SELECT tok, count(1) df FROM
-                  (SELECT DISTINCT tok, doc_id FROM tf) GROUP BY 1),
-        contrib AS (SELECT f.query_id, f.doc_id, f.tok,
-                           ((s.nd + 1.0) / (d.df + 0.5)) *
-                           (f.tf * 2.2 / (f.tf + 1.2 *
-                             (0.25 + 0.75 *
-                               (l.dl / (CAST(s.ntok AS DOUBLE) / s.nd))))) c
-                    FROM tf f JOIN qdf d USING (tok)
-                         JOIN dl l ON f.doc_id = l.doc_id
-                         CROSS JOIN stats s),
-        bm AS (SELECT query_id, doc_id,
-                      list_reduce(list_prepend(0.0::DOUBLE,
-                        list(c ORDER BY tok)), (a, b) -> a + b) bscore
-               FROM contrib WHERE doc_id != query_id GROUP BY 1, 2),
-        bmr AS (SELECT query_id, doc_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY bscore DESC, doc_id) br
-                FROM bm QUALIFY br <= 20),
-        e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        q AS (SELECT vec_id cq, v qv FROM e WHERE vec_id < 5),
-        cs AS (SELECT q.cq, e.vec_id cv,
-                      list_dot_product(e.v, q.qv) /
-                      (sqrt(list_dot_product(e.v, e.v)) *
-                       sqrt(list_dot_product(q.qv, q.qv))) cos
-               FROM e CROSS JOIN q WHERE e.vec_id != q.cq),
-        csr AS (SELECT cq, cv,
-                       row_number() OVER (PARTITION BY cq
-                                          ORDER BY cos DESC, cv) cr
-                FROM cs QUALIFY cr <= 20),
-        fused AS (SELECT coalesce(b.query_id, c.cq) query_id,
-                         coalesce(b.doc_id, c.cv) doc_id, b.br, c.cr,
-                         coalesce(1.0 / (60 + b.br), 0)
-                           + coalesce(1.0 / (60 + c.cr), 0) score
-                  FROM bmr b FULL JOIN csr c
-                    ON b.query_id = c.cq AND b.doc_id = c.cv),
-        rr AS (SELECT query_id, doc_id, br, cr, score,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY score DESC, doc_id) rk
-               FROM fused QUALIFY rk <= 10)
-        SELECT query_id, CAST(rk AS INT) AS rank, doc_id,
-               CAST(br AS INT) AS bm25_rank, CAST(cr AS INT) AS cos_rank,
-               ${CrossRound.sql("score", 6)} AS rrf_score
-        FROM rr ORDER BY query_id, rank""",
-
-      // q126's relational hash reproduction feeding the same 4×16-bit
-      // banding and exact Hamming verify as the Spark side.
-      "q131_image_neardup" -> """
-        WITH dims AS (
-          SELECT doc_id, CAST(doc_id % 256 AS BIGINT) d,
-                 CAST(length(text) % 64 + 16 AS INT) w,
-                 CAST((length(text) * 7) % 48 + 16 AS INT) h
-          FROM documents),
-        px AS (SELECT doc_id, w, h, j,
-                 CAST(((((j % 8) * w) // 8) * 31
-                       + (((j // 8) * h) // 8) * 7 + d) % 256
-                  + 2 * (((((j % 8) * w) // 8) * 13
-                          + (((j // 8) * h) // 8) * 11 + 2 * d) % 256)
-                  + 3 * (((((j % 8) * w) // 8) * 5
-                          + (((j // 8) * h) // 8) * 3 + 3 * d) % 256)
-                  AS BIGINT) v
-               FROM dims, (SELECT unnest(range(0, 64)) j)),
-        s AS (SELECT doc_id, sum(v) s FROM px GROUP BY 1),
-        bits AS (SELECT px.doc_id, j,
-                        CASE WHEN 64 * v > s.s
-                             THEN 1::BIGINT ELSE 0::BIGINT END b
-                 FROM px JOIN s USING (doc_id)),
-        ah AS (SELECT doc_id,
-                      CAST(sum(CASE WHEN j >= 32
-                                    THEN b * (1::BIGINT << (j - 32))
-                                    ELSE 0 END) AS BIGINT) hash_hi,
-                      CAST(sum(CASE WHEN j < 32
-                                    THEN b * (1::BIGINT << j)
-                                    ELSE 0 END) AS BIGINT) hash_lo
-               FROM bits GROUP BY doc_id),
-        bands AS (SELECT doc_id, hash_hi, hash_lo, bb.band,
-                         CASE bb.band WHEN 0 THEN hash_lo % 65536
-                                      WHEN 1 THEN hash_lo // 65536
-                                      WHEN 2 THEN hash_hi % 65536
-                                      ELSE hash_hi // 65536 END sig
-                  FROM ah CROSS JOIN
-                    (SELECT unnest(range(0, 4)) band) bb),
-        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db,
-                        a.hash_hi ha, a.hash_lo la,
-                        b.hash_hi hb, b.hash_lo lb
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.sig = b.sig
-                  AND a.doc_id < b.doc_id)
-        SELECT da AS doc_a, db AS doc_b,
-               CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT)
-                 AS hd
-        FROM cand
-        WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
-        ORDER BY doc_a, doc_b""",
-
-      // PMI twin: identical integer counts, identical overflow-free
-      // (c_ab/B)·(N/c_a)·(N/c_b) op sequence — bit-identical scores;
-      // the top-20 cut binds to the UNROUNDED score (q84 lesson),
-      // rounding happens in the outer SELECT.
-      "q132_pmi_collocations" -> s"""
-        WITH tk AS (SELECT doc_id, $toks t FROM documents),
-        inst AS (SELECT unnest(t) tok FROM tk),
-        uni AS (SELECT tok, CAST(count(1) AS BIGINT) c FROM inst GROUP BY 1),
-        bg AS (SELECT unnest(list_transform(range(1, len(t)),
-                 i -> t[i] || ' ' || t[i+1])) bigram FROM tk),
-        bgc AS (SELECT bigram, CAST(count(1) AS BIGINT) c_ab FROM bg
-                GROUP BY 1 HAVING count(1) >= 5),
-        stats AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) n,
-                         (SELECT CAST(count(1) AS BIGINT) FROM bg) b),
-        scored AS (SELECT bgc.bigram, bgc.c_ab, ua.c c_a, ub.c c_b,
-                          (bgc.c_ab::DOUBLE / s.b)
-                            * (s.n::DOUBLE / ua.c)
-                            * (s.n::DOUBLE / ub.c) pmi
-                   FROM bgc
-                   JOIN uni ua ON ua.tok = string_split(bgc.bigram, ' ')[1]
-                   JOIN uni ub ON ub.tok = string_split(bgc.bigram, ' ')[2]
-                   CROSS JOIN stats s),
-        top AS (SELECT * FROM scored ORDER BY pmi DESC, bigram LIMIT 20)
-        SELECT bigram, c_ab, c_a, c_b,
-               ${CrossRound.sql("pmi", 6)} AS pmi
-        FROM top ORDER BY pmi DESC, bigram""",
-
-      // Term op order mirrors Spark exactly: (c/ns), ×(n/cw), ln,
-      // ×(c/ns) — each an exactly-rounded IEEE op on exact integer
-      // inputs; the per-source sum is the order-independent
-      // scaled-integer form at 10¹² (q117's argument).
-      "q134_source_kl_drift" -> s"""
-        WITH tok AS (SELECT source, ${oraclePolyHash("w")} tid
-                     FROM (SELECT source, unnest($toks) w FROM documents)),
-        cw AS (SELECT tid, CAST(count(1) AS BIGINT) cw FROM tok GROUP BY 1),
-        csw AS (SELECT source, tid, CAST(count(1) AS BIGINT) c FROM tok
-                GROUP BY 1, 2),
-        cs AS (SELECT source, CAST(sum(c) AS BIGINT) ns,
-                      CAST(count(1) AS BIGINT) n_types
-               FROM csw GROUP BY 1),
-        tot AS (SELECT CAST(sum(cw) AS BIGINT) n FROM cw),
-        terms AS (SELECT source,
-                    CAST(floor((c::DOUBLE / ns)
-                      * ln((c::DOUBLE / ns) * (n::DOUBLE / cw))
-                      * 1000000000000.0 + 0.5) AS BIGINT) ts
-                  FROM csw JOIN cw USING (tid) JOIN cs USING (source)
-                       CROSS JOIN tot),
-        kls AS (SELECT source, sum(ts) ts FROM terms GROUP BY 1)
-        SELECT source, ns AS n_tokens, n_types,
-               ${CrossRound.sql("ts::DOUBLE / 1000000000000.0", 6)} AS kl
-        FROM kls JOIN cs USING (source)
-        ORDER BY source""",
-
-      // The sketch is exact-by-verification: every token with count
-      // > N/65 is guaranteed a Misra–Gries counter (mergeable-summaries
-      // bound), the emit threshold 64·count > N is strictly inside that
-      // region, and survivors are re-counted exactly — so a plain
-      // GROUP BY/HAVING twin checks the sketch-powered plan.
-      "q135_heavy_hitters" -> s"""
-        WITH tok AS (SELECT unnest($toks) w FROM documents),
-        tot AS (SELECT CAST(count(1) AS BIGINT) n FROM tok),
-        c AS (SELECT w, CAST(count(1) AS BIGINT) cnt FROM tok GROUP BY 1)
-        SELECT w AS token, cnt, n,
-               ${CrossRound.sql("cnt::DOUBLE / n", 6)} AS frac
-        FROM c CROSS JOIN tot
-        WHERE cnt * 64 > n
-        ORDER BY cnt DESC, token""",
-
-      // Full-space cosine and projected-space cosine both fold in
-      // ascending element order (list_dot_product ≡ the Spark kernel /
-      // zip_with-aggregate fold); the mean distortion is the
-      // scaled-integer mean over the ROUNDED per-pair errors (q123's
-      // exact shape).
-      "q137_jl_projection" -> s"""
-        WITH $cosFragment,
-        ${hyperDots(16)},
-        p AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
-                ${CrossRound.sql(
-                  "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))" +
-                    " * sqrt(list_dot_product(b.v, b.v)))", 6)} cos_full,
-                ${CrossRound.sql(
-                  "list_dot_product(a.dot, b.dot) / (sqrt(list_dot_product(a.dot, a.dot))" +
-                    " * sqrt(list_dot_product(b.dot, b.dot)))", 6)} cos_proj
-              FROM dots a JOIN dots b ON b.vec_id = a.vec_id + 1),
-        r AS (SELECT vec_a, vec_b, cos_full, cos_proj,
-                     ${CrossRound.sql("abs(cos_full - cos_proj)", 6)} err
-              FROM p),
-        thr AS (SELECT ${CrossRound.sql(
-                  "sum(CAST(floor(err * 1000000 + 0.5) AS BIGINT))" +
-                    " / (count(1) * 1000000.0)", 6)} mean_err
-                FROM r)
-        SELECT vec_a, vec_b, cos_full, cos_proj, err, mean_err
-        FROM r CROSS JOIN thr
-        ORDER BY vec_a""",
-
-      // Sequential survivor semantics: min-per-md5, then min-per-bag
-      // among stage-1 survivors (inner join is safe — the md5-group min
-      // shares the exact text and hence the bag signature), then
-      // group-canonical (comp's min label; docs absent from comp are
-      // singletons and canonical).
-      "q138_dedup_cascade" -> s"""
-        WITH RECURSIVE $minhashChain,
-        prs AS MATERIALIZED (SELECT doc_a, doc_b
+  // Connected components over verified MinHash pairs as a transitive
+  // closure — shared verbatim by q46 (min-label propagation) and q136
+  // (large-star/small-star contraction): one oracle, two algorithms.
+  private[operators] lazy val ccSql = s"""
+      WITH RECURSIVE $minhashChain,
+      pairs AS MATERIALIZED (SELECT doc_a, doc_b
                 FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                            JOIN sizes sb ON doc_b = sb.doc_id
                 WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6),
-        edges AS (SELECT doc_a src, doc_b dst FROM prs
-                  UNION ALL SELECT doc_b, doc_a FROM prs),
-        reach AS (SELECT src AS node, src AS lbl FROM edges
-                  UNION
-                  SELECT e.dst, r.lbl FROM reach r
-                  JOIN edges e ON e.src = r.node),
-        comp AS (SELECT node AS doc_id, min(lbl) AS group_id
-                 FROM reach GROUP BY node),
-        canon AS (SELECT d.doc_id, d.source, md5(d.text) eh,
-                         array_to_string(list_sort($toks), ' ') cw
-                  FROM documents d),
-        sg AS (SELECT doc_id, source, eh, ${oraclePolyHash("cw")} bh
-               FROM canon),
-        s1 AS (SELECT eh, min(doc_id) k1 FROM sg GROUP BY 1),
-        f1 AS (SELECT sg.*, sg.doc_id = s1.k1 AS in1
-               FROM sg JOIN s1 USING (eh)),
-        s2 AS (SELECT bh, min(doc_id) k2 FROM f1 WHERE in1 GROUP BY 1),
-        f2 AS (SELECT f1.*, f1.in1 AND f1.doc_id = s2.k2 AS in2
-               FROM f1 JOIN s2 USING (bh)),
-        f3 AS (SELECT f2.*,
-                      f2.in2 AND (c.group_id IS NULL
-                                  OR c.group_id = f2.doc_id) AS in3
-               FROM f2 LEFT JOIN comp c ON f2.doc_id = c.doc_id)
-        SELECT source, CAST(count(1) AS BIGINT) n_docs,
-               CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) n_exact,
-               CAST(sum(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) n_bow,
-               CAST(sum(CASE WHEN in3 THEN 1 ELSE 0 END) AS BIGINT) n_neardup,
-               ${CrossRound.sql(
-                 "sum(CASE WHEN in3 THEN 1 ELSE 0 END)::DOUBLE / count(1)", 6)}
-                 AS keep_frac
-        FROM f3
-        GROUP BY source
-        ORDER BY source""",
+      edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (SELECT src AS node, src AS lbl FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM reach r
+                JOIN edges e ON e.src = r.node),
+      comp AS (SELECT node AS doc_id, min(lbl) AS group_id
+               FROM reach GROUP BY node)
+      SELECT group_id, doc_id, doc_id = group_id AS is_canonical
+      FROM comp
+      ORDER BY group_id, doc_id"""
 
-      // Assignment is q36's deterministic coarse codebook; the cluster
-      // stat is quantile_cont (the q99-proven twin of Spark's exact
-      // interpolated percentile); keep compares d against 4*med — an
-      // exact IEEE product — so the verdict can never tie-split across
-      // engines.
-      "q140_embedding_outliers" -> s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        cents AS (SELECT vec_id cid, v cv FROM e WHERE vec_id % 125 = 0),
-        sc AS (SELECT e.vec_id, c.cid,
-                      list_reduce(list_prepend(0.0::DOUBLE,
-                        list_transform(range(1, 65),
-                          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
-                        (x, y) -> x + y) d
-               FROM e CROSS JOIN cents c),
-        asg AS (SELECT vec_id, cid, d FROM (
-                  SELECT vec_id, cid, d,
-                         row_number() OVER (PARTITION BY vec_id
-                                            ORDER BY d NULLS FIRST, cid) rn
-                  FROM sc) WHERE rn = 1),
-        st AS (SELECT cid, CAST(count(1) AS BIGINT) n_members,
-                      quantile_cont(d, 0.5) med
-               FROM asg GROUP BY 1)
-        SELECT a.vec_id, a.cid, n_members,
-               floor(a.d * 10000 + 0.5) / 10000 AS d2,
-               floor(med * 10000 + 0.5) / 10000 AS med_d2,
-               CASE WHEN med > 0
-                    THEN floor(a.d / med * 10000 + 0.5) / 10000 END AS ratio,
-               a.d <= 4 * med AS keep
-        FROM asg a JOIN st USING (cid)
-        ORDER BY a.vec_id"""
-    )
-  }
-}
 
-/** Multimodal column helpers: real binary image assets decoded with the
-  * in-JDK codec (`javax.imageio`, PNG — no extra deps, works headless).
-  *
-  * Assets are deterministic: each document renders to a tiny RGB image
-  * whose dimensions derive from `length(text)` and whose pixels are a
-  * pure function of (x, y, doc_id). PNG is lossless, so the DECODED
-  * pixels equal the generated ones — the DuckDB oracle reproduces the
-  * decoded dimensions and pixel checksums relationally from (doc_id,
-  * length(text)) alone, making the decode genuinely end-to-end checked:
-  * a broken encoder, a lossy round-trip, or a misread pixel all diverge
-  * from the oracle.
-  *
-  * At 100 TB the shape is the graded artifact: binary column in
-  * parquet, `mapPartitions` batch iteration (codec state amortized per
-  * partition, not per row), flatMap for one-asset→many-frames — swap
-  * the pixel-formula renderer for camera bytes and nothing in the plan
-  * changes.
-  */
-object Multimodal {
+  /** DuckDB twins computing the identical pipelines, aggregated from
+    * the family modules (each keeps its oracle SQL beside its query);
+    * the shared CTE fragments above are the single definition sites. */
+  def oracleSql: Map[String, String] =
+    AnnQueries.oracleSql ++ DedupQueries.oracleSql ++ TextQueries.oracleSql ++
+      SamplingQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 
-  // ImageIO defaults to a DISK-backed stream cache — a temp file per
-  // encode/decode call, which dominates codec cost at corpus scale.
-  // Assets here are a few KB; keep the streams in memory.
-  javax.imageio.ImageIO.setUseCache(false)
-
-  /** Deterministic image dimensions for a document: bounded 16..79 ×
-    * 16..63 so assets stay tiny at any scale factor.
-    */
-  def dims(textLen: Int): (Int, Int) =
-    (textLen % 64 + 16, (textLen * 7) % 48 + 16)
-
-  /** Pixel weight v(x, y, d) = r + 2g + 3b of the deterministic RGB
-    * fill; the oracle mirrors this formula in SQL.
-    */
-  def pixelWeight(x: Int, y: Int, d: Int): Int = {
-    val r = (x * 31 + y * 7 + d) % 256
-    val g = (x * 13 + y * 11 + 2 * d) % 256
-    val b = (x * 5 + y * 3 + 3 * d) % 256
-    r + 2 * g + 3 * b
-  }
-
-  /** Render the document's deterministic RGB image and encode it as a
-    * real PNG (`ImageIO.write`). This is the fixture generator — the
-    * bytes it emits are genuine image-codec output.
-    */
-  def encodePng(docId: Long, textLen: Int): Array[Byte] = {
-    val (w, h) = dims(textLen)
-    val d = (docId % 256).toInt
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    // Fill the backing int raster directly: per-pixel setRGB routes
-    // through the color model on every call.
-    val data = img.getRaster.getDataBuffer
-      .asInstanceOf[java.awt.image.DataBufferInt].getData
-    var i = 0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val r = (x * 31 + y * 7 + d) % 256
-        val g = (x * 13 + y * 11 + 2 * d) % 256
-        val b = (x * 5 + y * 3 + 3 * d) % 256
-        data(i) = (r << 16) | (g << 8) | b
-        i += 1
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
-
-  /** Decoded pixels as one packed-RGB row-major array (bulk getRGB —
-    * one color-model pass instead of one per pixel).
-    */
-  private def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    if (img == null) throw new IllegalArgumentException(
-      "multimodal: undecodable image bytes")
-    val w = img.getWidth
-    val h = img.getHeight
-    (w, h, img.getRGB(0, 0, w, h, null, 0, w))
-  }
-
-  private def weightOf(rgb: Int): Int = {
-    val r = (rgb >> 16) & 0xff
-    val g = (rgb >> 8) & 0xff
-    val b = rgb & 0xff
-    r + 2 * g + 3 * b
-  }
-
-  final case class DecodedMeta(
-      doc_id: Long, width: Int, height: Int, n_pixels: Int, pix_checksum: Long)
-
-  /** REAL decode: parse the PNG, read dimensions and every pixel, fold a
-    * positionally weighted checksum. Oracle-matched bit-for-bit.
-    */
-  def decodeMeta(docId: Long, bytes: Array[Byte]): DecodedMeta = {
-    val (w, h, px) = decodePixels(bytes)
-    var cs = 0L
-    var p = 0
-    while (p < px.length) {
-      cs += weightOf(px(p)).toLong * (p % 97 + 1)
-      p += 1
-    }
-    DecodedMeta(docId, w, h, w * h, cs)
-  }
-
-  final case class FrameMeta(
-      doc_id: Long, frame_idx: Int, n_px: Int, frame_checksum: Long)
-
-  /** Frame sampling over a decoded image: each ROW is a frame, every
-    * `every`-th row kept, per-frame rolling polynomial checksum — the
-    * flatMap shape (one asset → many frames) of a video frame sampler.
-    */
-  def frameSample(docId: Long, bytes: Array[Byte],
-      every: Int): Iterator[FrameMeta] = {
-    val (w, h, px) = decodePixels(bytes)
-    Iterator.range(0, h).filter(_ % every == 0).map { y =>
-      var cs = 0L
-      var x = 0
-      while (x < w) {
-        cs = (cs * 31L + weightOf(px(y * w + x))) % 1000000007L
-        x += 1
-      }
-      FrameMeta(docId, y, w, cs)
-    }
-  }
-
-  final case class AHashMeta(doc_id: Long, width: Int, height: Int,
-      hash_hi: Long, hash_lo: Long, n_above: Int)
-
-  /** Average-hash (aHash) perceptual fingerprint over the REAL decoded
-    * pixels: nearest-neighbor 8×8 downsample of the r+2g+3b pixel
-    * weights (the same sampling as [[resizeThumb]] at target=8), each
-    * cell thresholded against the 64-cell mean — compared in exact
-    * integers as 64·v > Σv, so no division exists to diverge on — and
-    * packed into two 32-bit halves (a single 64-bit value would need
-    * bit 63 to flip the sign). Near-identical images differ in a few
-    * bits (Hamming distance on hash_hi/hash_lo); the oracle reproduces
-    * every bit relationally from the deterministic pixel formula, so a
-    * decode or sampling drift flips bits and fails the compare.
-    */
-  def aHash(docId: Long, bytes: Array[Byte]): AHashMeta = {
-    val (w, h, px) = decodePixels(bytes)
-    val vs = new Array[Long](64)
-    var sum = 0L
-    var j = 0
-    while (j < 64) {
-      val sx = (j % 8) * w / 8
-      val sy = (j / 8) * h / 8
-      val v = weightOf(px(sy * w + sx)).toLong
-      vs(j) = v
-      sum += v
-      j += 1
-    }
-    var lo = 0L
-    var hi = 0L
-    var n = 0
-    j = 0
-    while (j < 64) {
-      if (64L * vs(j) > sum) {
-        n += 1
-        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
-      }
-      j += 1
-    }
-    AHashMeta(docId, w, h, hi, lo, n)
-  }
-
-  final case class ResizedMeta(
-      doc_id: Long, width: Int, height: Int, thumb_checksum: Long)
-
-  /** REAL resize: nearest-neighbor downsample of the decoded image to a
-    * `target`×`target` thumbnail (deterministic across JVMs, unlike
-    * Graphics2D interpolation), checksummed in row-major order.
-    */
-  def resizeThumb(docId: Long, bytes: Array[Byte], target: Int): ResizedMeta = {
-    val (w, h, px) = decodePixels(bytes)
-    var cs = 0L
-    var ty = 0
-    while (ty < target) {
-      var tx = 0
-      while (tx < target) {
-        val sx = tx * w / target
-        val sy = ty * h / target
-        cs = (cs * 31L + weightOf(px(sy * w + sx))) % 1000000007L
-        tx += 1
-      }
-      ty += 1
-    }
-    ResizedMeta(docId, w, h, cs)
-  }
 }

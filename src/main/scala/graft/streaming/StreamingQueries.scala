@@ -849,7 +849,16 @@ object StreamingQueries {
       val s2 = s.newSession()
       import s2.implicits._
       s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      // State-partition width, overridable for the RocksDB bulk-ingest
+      // experiments (evidence/r14/q62_rocksdb_exp.log): the 30 s
+      // first-batch tax at 50k docs is per-row JNI write-path cost
+      // SERIALIZED over the harness default of 2 state partitions —
+      // invariant to write-buffer / row-tracking / changelog-checkpoint
+      // confs (4 variants measured ±10%), and it divides by the
+      // partition width, which is the production remedy (a real
+      // cluster shards state over hundreds of partitions).
+      s2.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.streaming.shufflePartitions", "2"))
       if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
         s2.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -6,7 +6,7 @@
 //   B. a SECOND independent 12-bit table (hyperplanes 12..23), probe
 //      sets unioned at the same per-table radius,
 //   C. 16-bit signatures at radii 4 and 5 (re-derived cum table:
-//      cum16(4) = 2517/65536 = 3.8%, cum16(5) = 6885/65536 = 10.5% —
+//      cum16(4) = 2517/65536 = 3.8%, cum16(5) = 6885/65536 = 10.5% --
 //      bracketing the 12-bit r=3 fraction 299/4096 = 7.3%).
 // Reports recall@5 vs exact cosine top-5 AND the measured candidate
 // fraction (scanned rows / (5 queries x n)), so variants compare at

@@ -39,3 +39,8 @@ run C_noTrack_bigWriteBuf \
   --conf spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows=false \
   --conf spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB=256
 echo done
+# (appended after the first run showed A/B/C flat): variant D tests
+# changelog checkpointing — the RocksDB provider's default commit
+# uploads a FULL snapshot of the store per batch, which on the
+# bulk-ingest batch means re-writing all ~50k just-ingested rows into
+# the checkpoint; changelog mode writes the delta log instead.
