@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native cosine similarity over two `ARRAY<FLOAT>` embedding columns.
+/** Native cosine similarity over two embedding columns.
   *
   * The engine-extension ops (SURVEY §2.2 north star) score embeddings in
   * their hot loops; the SQL-function formulation
@@ -16,6 +16,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `doGenCode` > UDF): one fused loop, no allocation, and it lives
   * inside whole-stage codegen, so the surrounding filter/project stays
   * in one generated function.
+  *
+  * Like [[L2Sq]]/[[PqSubDists]] it accepts `ARRAY<FLOAT>` or
+  * `ARRAY<DOUBLE>` on EITHER side independently: corpus vectors arrive
+  * as float32 parquet, while TRAINED codebook centroids (the q72 Lloyd
+  * artifact the production ANN variants route against) are double
+  * averages — forcing a cast of the corpus side would materialize a
+  * doubled copy of every vector.
   *
   * Semantics (bit-parity with the DuckDB oracle's
   * `list_dot_product(a,b) / (sqrt(list_dot_product(a,a)) *
@@ -29,32 +36,43 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   // Not ExpectsInputTypes (its signature type is private[sql] in Spark
-  // 4); embeddings arrive as ARRAY<FLOAT> so no implicit casts needed —
-  // just validate.
+  // 4); embeddings arrive as ARRAY<FLOAT|DOUBLE> so no implicit casts
+  // needed — just validate.
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects (ARRAY<FLOAT>, ARRAY<FLOAT>), got ($l, $r)")
-    }
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects ARRAY<FLOAT|DOUBLE> on both sides, got " +
+        s"(${left.dataType}, ${right.dataType})")
 
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "cosine_sim"
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val af = isFloat(left)
+    val bf = isFloat(right)
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
       na += x * x
       nb += y * y
@@ -72,12 +90,16 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val getA =
+        if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB =
+        if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
         |final int $n = Math.min($a.numElements(), $b.numElements());
         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
-        |  final double $x = (double) $a.getFloat($i);
-        |  final double $y = (double) $b.getFloat($i);
+        |  final double $x = $getA;
+        |  final double $y = $getB;
         |  $dot += $x * $y;
         |  $na += $x * $x;
         |  $nb += $y * $y;

@@ -64,6 +64,22 @@ object AnnPolicy {
     * its corpus (√n-ish) without touching any plan here. */
   val TrainedK = 64L
 
+  /** Cell-size target for PARTITION-style codebook consumers (q68b's
+    * SemDeDup): the verify stage's cost is Σ cell_size²/2, so unlike the
+    * ROUTING-style consumers (IVF/PQ/outliers — fixed K, O(K) per row)
+    * the codebook here must grow with the corpus to keep cells bounded:
+    * K = max(TrainedK, ⌈n/CellTarget⌉). The round-14 witness measured
+    * the alternative: a fixed K=64 at 80k vectors put ~1,250 vectors in
+    * each cell and the intra-cell verify read 20.4 s vs 2.2 s at the
+    * n/125 cell bound (evidence/r14/bench_scale_40x_q140b_q68b.json,
+    * pre-fix run). Training cost is one n×K assignment pass, amortized
+    * by the per-session artifact. */
+  val CellTarget = 125L
+
+  /** Codebook size for cell-size-bounded consumers at corpus size n. */
+  def cellBoundedK(n: Long): Long =
+    math.max(TrainedK, (n + CellTarget - 1) / CellTarget)
+
   /** PQ target scan fraction, as a ceiling division by 20 (= 5%): the
     * shortlist's exact re-rank at 5% already measures recall@5 = 0.96
     * at 20k vectors (SCALE.md §6) — ADC does the candidate ranking, so

@@ -757,6 +757,99 @@ private[operators] object AnnQueries {
           ($"d" <= lit(4.0) * $"med").as("keep"))
         .orderBy($"vec_id")
     },
+
+    // ----- embedding-outlier pruning over the TRAINED codebook -----
+    // q140's cluster-median rule with its unbounded fixture quantizer
+    // (the ADVICE r13 #2 caveat: K = n/125, O(n²/125) total routing)
+    // replaced by the persisted K=64 [[PipelineQueries.trainedCodebook]]
+    // — the last fixture-codebook consumer without a trained twin, so
+    // every member of the q36/q60/q68/q140/q141 seam family now has
+    // one. Same shapes: one map-side assignment pass against a ~32 KB
+    // broadcast folded by min_by, a K-row median aggregate broadcast
+    // back, the exact-IEEE 4·median verdict. Trained centroids are
+    // cluster CENTERS rather than arbitrary member vectors, so the
+    // median distances this verdict compares against are the honest
+    // within-cluster spread (a fixture "centroid" is itself a member
+    // at d = 0, which inflates its own cluster's tail ratio).
+    "q140b_outliers_trained" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = trainedCodebook(s, dir).select($"cid", $"ce")
+      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
+        .withColumn("d",
+          graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
+        .groupBy($"vec_id")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("cid"),
+          min($"d").as("d"))
+        .cache()
+      val st = asg.groupBy($"cid")
+        .agg(count(lit(1)).as("n_members"),
+          expr("percentile(d, 0.5)").as("med"))
+      asg.join(broadcast(st), "cid")
+        .select($"vec_id", $"cid", $"n_members",
+          CrossRound.r($"d", 4).as("d2"),
+          CrossRound.r($"med", 4).as("med_d2"),
+          when($"med" > 0, CrossRound.r($"d" / $"med", 4)).as("ratio"),
+          ($"d" <= lit(4.0) * $"med").as("keep"))
+        .orderBy($"vec_id")
+    },
+
+    // ----- SemDeDup over the TRAINED (cell-size-bounded) codebook -----
+    // q68's two-level ⌈√K⌉ cosine routing with the fixture quantizer
+    // replaced by a TRAINED codebook — but NOT the fixed-K one the
+    // routing-style consumers (q36b/q60b/q140b/q141b/q142) share:
+    // SemDeDup's verify stage costs Σ cell_size²/2, so a codebook that
+    // stays at K=64 while the corpus grows makes the verify quadratic
+    // (the round-14 40× witness MEASURED it: 20.4 s at 80k vectors vs
+    // 2.2 s for the fixture's n/125 cells — caught pre-ship, the
+    // q140/q141 discipline). The partition-style dial is
+    // [[AnnPolicy.cellBoundedK]]: K = max(64, ⌈n/125⌉) trained
+    // centroids ([[PipelineQueries.trainedCodebookCellBounded]]), so
+    // cells stay ~125 vectors and the verify stays linear; coarse =
+    // every step-th trained centroid (cid % step = 0 over the dense
+    // 0..K-1 seed ids). Same 100 TB shapes as q68 (two bounded
+    // broadcasts, one equality join on the coarse cell, the verify
+    // self-join inside bounded fine cells).
+    "q68b_semantic_dedup_trained" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = trainedCodebookCellBounded(s, dir).select($"cid", $"ce")
+      val kdf = cents.agg(
+        ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("step"))
+      val coarse = cents.crossJoin(broadcast(kdf))
+        .filter($"cid" % $"step" === 0)
+        .select($"cid".as("gid"), $"ce".as("ge"))
+      val fineCell = cents.crossJoin(broadcast(coarse))
+        .withColumn("gcos",
+          graft.functions.GraftFunctions.cosineSim($"ce", $"ge"))
+        .groupBy($"cid")
+        .agg(max_by($"gid", struct($"gcos", -$"gid")).as("gid"),
+             first($"ce").as("ce"))
+      val vCell = e.repartition(32, $"vec_id").crossJoin(broadcast(coarse))
+        .withColumn("gcos",
+          graft.functions.GraftFunctions.cosineSim($"embedding", $"ge"))
+        .groupBy($"vec_id")
+        .agg(max_by($"gid", struct($"gcos", -$"gid")).as("gid"),
+             first($"embedding").as("embedding"))
+      val assign = vCell.join(fineCell, "gid")
+        .withColumn("ccos",
+          graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cid"),
+             first($"embedding").as("embedding"))
+      val clustered = assign.cache()
+      val dups = clustered.as("a").join(clustered.as("b"),
+          $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+        .filter(graft.functions.GraftFunctions
+          .cosineSim($"a.embedding", $"b.embedding") >= 0.4)
+        .select($"b.vec_id".as("vec_id")).distinct()
+      clustered.select($"vec_id", $"cid")
+        .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cid", coalesce(!$"dup", lit(true)).as("keep"))
+        .orderBy($"vec_id")
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -809,6 +902,83 @@ private[operators] object AnnQueries {
                         sqrt(list_dot_product(y.v, y.v))) >= 0.4)
         SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep
         FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id""",
+
+      // q68's chain over the trained-codebook CTEs at the CELL-BOUNDED
+      // K = greatest(64, ⌈n/125⌉) (integer arithmetic identical to the
+      // Spark side's driver scalar); coarse = every step-th trained
+      // centroid over the dense 0..K-1 cids.
+      "q68b_semantic_dedup_trained" -> s"""
+        WITH ${PipelineQueries.trainedCbOracleCtesFor(
+          "(SELECT " + AnnPolicy.scanCeilSql("count(1)",
+            AnnPolicy.CellTarget, AnnPolicy.TrainedK) + " FROM te)")},
+        k AS (SELECT CAST(ceil(sqrt(count(1)::DOUBLE)) AS BIGINT) AS step
+              FROM tcb),
+        coarse AS (SELECT cid gid, ce ge FROM tcb, k
+                   WHERE cid % step = 0),
+        fcell AS (SELECT cid, ce, gid FROM (
+                    SELECT c.cid, c.ce, g.gid,
+                           row_number() OVER (PARTITION BY c.cid ORDER BY
+                             list_dot_product(c.ce, g.ge) /
+                             (sqrt(list_dot_product(c.ce, c.ce)) *
+                              sqrt(list_dot_product(g.ge, g.ge))) DESC,
+                             g.gid) rk
+                    FROM tcb c CROSS JOIN coarse g) WHERE rk = 1),
+        vcell AS (SELECT vec_id, v, gid FROM (
+                    SELECT te.vec_id, te.v, g.gid,
+                           row_number() OVER (PARTITION BY te.vec_id ORDER BY
+                             list_dot_product(te.v, g.ge) /
+                             (sqrt(list_dot_product(te.v, te.v)) *
+                              sqrt(list_dot_product(g.ge, g.ge))) DESC,
+                             g.gid) rk
+                    FROM te CROSS JOIN coarse g) WHERE rk = 1),
+        assigned AS (SELECT vec_id, cid FROM (
+                       SELECT v.vec_id, f.cid,
+                              row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY
+                                  list_dot_product(v.v, f.ce) /
+                                  (sqrt(list_dot_product(v.v, v.v)) *
+                                   sqrt(list_dot_product(f.ce, f.ce))) DESC,
+                                  f.cid) rk
+                       FROM vcell v JOIN fcell f ON v.gid = f.gid)
+                     WHERE rk = 1),
+        dups AS (SELECT DISTINCT b.vec_id
+                 FROM assigned a JOIN assigned b
+                      ON a.cid = b.cid AND a.vec_id < b.vec_id
+                 JOIN te x ON x.vec_id = a.vec_id
+                 JOIN te y ON y.vec_id = b.vec_id
+                 WHERE list_dot_product(x.v, y.v) /
+                       (sqrt(list_dot_product(x.v, x.v)) *
+                        sqrt(list_dot_product(y.v, y.v))) >= 0.4)
+        SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep
+        FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id""",
+
+      // q140's cluster-median rule over the shared trained-codebook
+      // CTEs (NULLS FIRST per the family convention).
+      "q140b_outliers_trained" -> s"""
+        WITH $trainedCbCtes,
+        sc AS (SELECT te.vec_id, c.cid,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, 65),
+                          i -> (te.v[i] - c.ce[i]) * (te.v[i] - c.ce[i]))),
+                        (x, y) -> x + y) d
+               FROM te CROSS JOIN tcb c),
+        asg AS (SELECT vec_id, cid, d FROM (
+                  SELECT vec_id, cid, d,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d NULLS FIRST, cid) rn
+                  FROM sc) WHERE rn = 1),
+        st AS (SELECT cid, CAST(count(1) AS BIGINT) n_members,
+                      quantile_cont(d, 0.5) med
+               FROM asg GROUP BY 1)
+        SELECT a.vec_id, a.cid, n_members,
+               floor(a.d * 10000 + 0.5) / 10000 AS d2,
+               floor(med * 10000 + 0.5) / 10000 AS med_d2,
+               CASE WHEN med > 0
+                    THEN floor(a.d / med * 10000 + 0.5) / 10000 END AS ratio,
+               a.d <= 4 * med AS keep
+        FROM asg a JOIN st USING (cid)
         ORDER BY a.vec_id""",
 
 

@@ -934,12 +934,28 @@ object PipelineQueries {
     * list counts always use the artifact's actual rows. Returns
     * (cid, ce: array<double>). Oracle twin: [[trainedCbCtes]].
     */
-  private[graft] def trainedCodebook(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def trainedCodebook(s: SparkSession, dir: String): DataFrame =
+    trainedCbAt(s, dir, AnnPolicy.TrainedK, trainedCbPath(s, dir))
+
+  /** Cell-size-bounded sibling for PARTITION-style consumers (q68b):
+    * K = [[AnnPolicy.cellBoundedK]](n), so cells stay ~CellTarget
+    * vectors and the intra-cell verify stage stays linear in the
+    * corpus — the round-14 witness measured fixed-K SemDeDup at 20.4 s
+    * vs 2.2 s at 80k vectors (see AnnPolicy.CellTarget). Same trainer,
+    * K derived from one bounded count (the q81-cut driver-scalar
+    * precedent; the oracle's integer-arithmetic twin computes the
+    * identical K). */
+  private[graft] def trainedCodebookCellBounded(s: SparkSession, dir: String): DataFrame = {
+    val k = AnnPolicy.cellBoundedK(embGlob(s, dir).count())
+    trainedCbAt(s, dir, k, trainedCbPath(s, dir) + s"_cell$k")
+  }
+
+  private def trainedCbAt(s: SparkSession, dir: String,
+      k: Long, path: String): DataFrame = {
     import s.implicits._
-    val path = trainedCbPath(s, dir)
     materializeOnce(path, path) {
       val e = embGlob(s, dir)
-      val c0 = e.filter($"vec_id" < AnnPolicy.TrainedK)
+      val c0 = e.filter($"vec_id" < k)
         .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("ce"))
       kmUpdate(e, kmAssign(e, c0))
         .coalesce(1).write.mode("overwrite").parquet(path)
@@ -1399,10 +1415,18 @@ object PipelineQueries {
     * Spark's struct-ordering convention (ADVICE r13 #3). Shared by the
     * q36b/q60b oracles here and the q141b/q142 streaming oracles.
     */
-  private[graft] lazy val trainedCbOracleCtes: String = s"""
+  private[graft] lazy val trainedCbOracleCtes: String =
+    trainedCbOracleCtesFor(AnnPolicy.TrainedK.toString)
+
+  /** The same chain with the codebook size K as a caller-supplied SQL
+    * scalar — the cell-size-bounded twin interpolates
+    * `greatest(TrainedK, ⌈count/CellTarget⌉)` over te (q68b), the fixed
+    * consumers interpolate the literal. */
+  private[graft] def trainedCbOracleCtesFor(kSql: String): String = s"""
         te AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        tk AS (SELECT $kSql AS k),
         tc0 AS (SELECT vec_id cid, v ce FROM te
-                WHERE vec_id < ${AnnPolicy.TrainedK}),
+                WHERE vec_id < (SELECT k FROM tk)),
         td1 AS (SELECT te.vec_id, c.cid,
                   list_reduce(list_prepend(0.0::DOUBLE,
                     list_transform(range(1, 65),

@@ -165,6 +165,60 @@ class Round15OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q140b: total assignment into trained cells, median property, 4x rule") {
+    val rows = PipelineQueries.queries("q140b_outliers_trained")(spark, dir)
+      .collect()
+    val nVec = PipelineQueries.embGlob(spark, dir).count()
+    assert(rows.length == nVec, "one verdict per vector, no drops/dups")
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    val cids = PipelineQueries.trainedCodebook(spark, dir)
+      .select("cid").as[Long].collect().toSet
+    assert(rows.map(_.getAs[Long]("cid")).forall(cids),
+      "every assignment target is a trained centroid")
+    // Median property + the exact-IEEE 4x-median verdict (q140's pins).
+    rows.groupBy(_.getAs[Long]("cid")).foreach { case (cid, members) =>
+      val atOrBelow = members.count { r =>
+        val ratio = r.getAs[java.lang.Double]("ratio")
+        ratio == null || ratio <= 1.0001
+      }
+      assert(atOrBelow * 2 >= members.length,
+        s"cluster $cid: only $atOrBelow/${members.length} at/below median")
+    }
+    rows.foreach { r =>
+      val ratio = r.getAs[java.lang.Double]("ratio")
+      if (ratio != null) {
+        if (ratio <= 3.999) assert(r.getAs[Boolean]("keep"))
+        if (ratio >= 4.001) assert(!r.getAs[Boolean]("keep"))
+      }
+    }
+  }
+
+  test("q68b: total assignment into cell-bounded trained cells; " +
+      "dup targets are kept-or-dup partitioned") {
+    // The partition-style dial: K = max(64, ceil(n/125)) — 64 at the
+    // 500-vector fixture, 160/640 at the 20k/80k witnesses where the
+    // fixed-K alternative measured a 10x verify blow-up (SCALE.md §9).
+    assert(AnnPolicy.cellBoundedK(500L) == 64L)
+    assert(AnnPolicy.cellBoundedK(20000L) == 160L)
+    assert(AnnPolicy.cellBoundedK(80000L) == 640L)
+    val rows = PipelineQueries.queries("q68b_semantic_dedup_trained")(spark, dir)
+      .collect()
+    val nVec = PipelineQueries.embGlob(spark, dir).count()
+    assert(rows.length == nVec)
+    val cids = PipelineQueries.trainedCodebookCellBounded(spark, dir)
+      .select("cid").as[Long].collect().toSet
+    assert(rows.map(_.getAs[Long]("cid")).forall(cids))
+    // Every dropped vector has a KEPT earlier same-cell representative:
+    // the SemDeDup contract (dup = some earlier vec in the cell within
+    // cosine 0.4 — and the earliest vec of any cell is always kept).
+    val byCell = rows.groupBy(_.getAs[Long]("cid"))
+    byCell.foreach { case (cid, members) =>
+      val first = members.minBy(_.getAs[Long]("vec_id"))
+      assert(first.getAs[Boolean]("keep"),
+        s"cell $cid: earliest member ${first.getAs[Long]("vec_id")} dropped")
+    }
+  }
+
   // ---- 4. hermetic 5k gate: trained quantizer off every floor ----------
 
   test("trained-quantizer recall at the hermetic 5k corpus beats the " +
