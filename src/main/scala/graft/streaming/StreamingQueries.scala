@@ -730,7 +730,13 @@ object StreamingQueries {
         .option("pathGlobFilter", "embeddings*.parquet")
       s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
         .foreach(n => reader.option("maxFilesPerTrigger", n))
-      val queryStream = reader.parquet(dir).filter($"vec_id" < 5)
+      // Query set = vec_id < bound; 5 is the family's oracle-pinned
+      // contract (Verify/the checker never override it). The bound is a
+      // harness knob for the SERVING-THROUGHPUT witness only
+      // (SCALE.md §9.7 runs 200 concurrent queries at 80k vectors) —
+      // the q62 shufflePartitions / maxFilesPerTrigger precedent.
+      val qBound = s.conf.get("spark.graft.streaming.annQueryBound", "5").toInt
+      val queryStream = reader.parquet(dir).filter($"vec_id" < qBound)
 
       val tf = org.apache.spark.sql.functions.transform(_: Column, _: Column => Column)
       val probes = queryStream
@@ -780,7 +786,7 @@ object StreamingQueries {
       // Exact re-rank over the shortlist: a BOUNDED batch join
       // (queries × S rows against the base vectors), top-5 by exact L2.
       val e = ops.embGlob(s2, dir)
-      val qv = e.filter($"vec_id" < 5)
+      val qv = e.filter($"vec_id" < qBound)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"query_id").orderBy($"l2", $"vec_id")
