@@ -795,6 +795,47 @@ private[operators] object AnnQueries {
         .orderBy($"vec_id")
     },
 
+    // ----- incremental IVFPQ index maintenance (CDC delta merge) -----
+    // The index LIFECYCLE piece the ANN family was missing: build
+    // (ivfpqIndex), ingest (q141b), query (q142) — and now MAINTAIN.
+    // q81's CDC shape applied to vectors: the corpus partition
+    // (first 90% of the id space, integer-cut like q81) has a PERSISTED
+    // index built under a codebook trained BEFORE the delta existed
+    // (the frozen-codebook contract — training on data that includes
+    // the delta would silently re-route existing cells, which is
+    // exactly the bug ADVICE r13 #1 flagged for q141's live codebook
+    // read); the delta batch routes through that same frozen codebook
+    // — one O(K)-per-row map-side pass over ONLY the new vectors, no
+    // index-side rebuild, no corpus re-read — and merges into the cell
+    // ledger. Output = one row per occupied cell with corpus/delta
+    // provenance counts, so the oracle checks both that delta routing
+    // matches a from-scratch routing AND that no corpus cell moved.
+    // At 100 TB: maintenance cost is O(delta × K); the index partition
+    // is untouched bytes on disk (a real deployment appends the delta
+    // rows to the codes table).
+    "q143_index_delta_maintain" -> { (s, dir) =>
+      import s.implicits._
+      val e = embGlob(s, dir)
+      val cut = (e.agg(max($"vec_id")).first.getLong(0) + 1L) * 9L / 10L
+      val idx = ivfpqIndexBefore(s, dir, cut)
+      val cb = trainedCodebookBefore(s, dir, cut)
+        .agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
+      val delta = pqRoute(e.filter($"vec_id" >= cut)
+          .repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+        .select($"vec_id", $"cid",
+          split($"pcode", "-").cast("array<long>").as("codes"))
+      idx.withColumn("src", lit(0))
+        .unionByName(delta.withColumn("src", lit(1)))
+        .groupBy($"cid", $"codes")
+        .agg(sum(when($"src" === 0, 1L).otherwise(0L)).as("n_corpus"),
+             sum(when($"src" === 1, 1L).otherwise(0L)).as("n_delta"),
+             min($"vec_id").as("canonical_vec"))
+        .select($"cid",
+          array_join($"codes".cast("array<string>"), "-").as("pcode"),
+          $"n_corpus", $"n_delta", $"canonical_vec")
+        .orderBy($"cid", $"pcode")
+    },
+
     // ----- SemDeDup over the TRAINED (cell-size-bounded) codebook -----
     // q68's two-level ⌈√K⌉ cosine routing with the fixture quantizer
     // replaced by a TRAINED codebook — but NOT the fixed-K one the
@@ -953,6 +994,52 @@ private[operators] object AnnQueries {
         SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep
         FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
         ORDER BY a.vec_id""",
+
+      // Delta-maintenance twin: codebook trained on the pre-cut
+      // partition ONLY (trainSrc = tt), every vector routed through it
+      // with the q141-proven subspace chain, cells counted with
+      // corpus/delta provenance. The cut is the same integer arithmetic
+      // as the Spark side's driver scalar (q81's precedent).
+      "q143_index_delta_maintain" -> s"""
+        WITH ${PipelineQueries.trainedCbOracleCtesTrainOn(
+          graft.operators.AnnPolicy.TrainedK.toString,
+          """
+        tcut AS (SELECT (max(vec_id) + 1) * 9 // 10 c FROM te),
+        tt AS (SELECT * FROM te WHERE vec_id < (SELECT c FROM tcut)),""",
+          "tt")},
+        pd AS (SELECT te.vec_id, c.cid, s.s,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, 9),
+                          j -> (te.v[s.s*8+j] - c.ce[s.s*8+j])
+                               * (te.v[s.s*8+j] - c.ce[s.s*8+j]))),
+                        (x, y) -> x + y) d
+               FROM te CROSS JOIN tcb c
+                    CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
+        fd AS (SELECT vec_id, cid,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list(d ORDER BY s)), (x, y) -> x + y) d
+               FROM pd GROUP BY vec_id, cid),
+        asg AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d NULLS FIRST, cid) rn
+                  FROM fd) WHERE rn = 1),
+        codes AS (SELECT vec_id, s, cid code FROM (
+                    SELECT vec_id, s, cid,
+                           row_number() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d NULLS FIRST, cid) rn
+                    FROM pd) WHERE rn = 1),
+        pc AS (SELECT vec_id, string_agg(code::VARCHAR, '-' ORDER BY s) pcode
+               FROM codes GROUP BY 1)
+        SELECT a.cid, p.pcode,
+               CAST(sum(CASE WHEN a.vec_id < (SELECT c FROM tcut)
+                             THEN 1 ELSE 0 END) AS BIGINT) n_corpus,
+               CAST(sum(CASE WHEN a.vec_id >= (SELECT c FROM tcut)
+                             THEN 1 ELSE 0 END) AS BIGINT) n_delta,
+               min(a.vec_id) canonical_vec
+        FROM asg a JOIN pc p USING (vec_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2""",
 
       // q140's cluster-median rule over the shared trained-codebook
       // CTEs (NULLS FIRST per the family convention).

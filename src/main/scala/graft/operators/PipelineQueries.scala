@@ -950,11 +950,14 @@ object PipelineQueries {
     trainedCbAt(s, dir, k, trainedCbPath(s, dir) + s"_cell$k")
   }
 
+  /** `trainCut`: when set, the Lloyd pass trains ONLY on vec_id <
+    * trainCut — the CDC contract q143 needs (the codebook was frozen
+    * before the delta batch existed; q81's cut precedent). */
   private def trainedCbAt(s: SparkSession, dir: String,
-      k: Long, path: String): DataFrame = {
+      k: Long, path: String, trainCut: Option[Long] = None): DataFrame = {
     import s.implicits._
     materializeOnce(path, path) {
-      val e = embGlob(s, dir)
+      val e = trainCut.foldLeft(embGlob(s, dir))((d, c) => d.filter($"vec_id" < c))
       val c0 = e.filter($"vec_id" < k)
         .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("ce"))
       kmUpdate(e, kmAssign(e, c0))
@@ -962,6 +965,13 @@ object PipelineQueries {
     }
     s.read.parquet(path)
   }
+
+  /** The q143 codebook: trained on the CORPUS partition only (vec_id <
+    * cut), keyed by the cut so a corpus regen rebuilds it. */
+  private[graft] def trainedCodebookBefore(s: SparkSession, dir: String,
+      cut: Long): DataFrame =
+    trainedCbAt(s, dir, AnnPolicy.TrainedK,
+      trainedCbPath(s, dir) + s"_cut$cut", Some(cut))
 
   private[graft] def ivfpqIndexPath(s: SparkSession, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_" +
@@ -996,6 +1006,26 @@ object PipelineQueries {
             element_at(x.getField("ds"), (sb + 1).cast("int")).as("d"),
             x.getField("cid").as("cid")))).getField("cid").cast("string")),
         "-"))
+  }
+
+  /** q143's persisted CORPUS index: the pre-delta partition (vec_id <
+    * cut) routed through the cut-trained codebook — the artifact a real
+    * deployment MAINTAINS rather than rebuilds when a delta arrives.
+    * Keyed by the cut like [[trainedCodebookBefore]]. */
+  private[graft] def ivfpqIndexBefore(s: SparkSession, dir: String,
+      cut: Long): DataFrame = {
+    import s.implicits._
+    val path = ivfpqIndexPath(s, dir) + s"_cut$cut"
+    val cbDf = trainedCodebookBefore(s, dir, cut) // materialized first
+    materializeOnce(path, path) {
+      val cb = cbDf.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
+      val e = embGlob(s, dir).filter($"vec_id" < cut)
+      pqRoute(e.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+        .select($"vec_id", $"cid",
+          split($"pcode", "-").cast("array<long>").as("codes"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
   }
 
   /** The static IVFPQ INDEX the streaming ANN query path (q142) probes:
@@ -1422,25 +1452,33 @@ object PipelineQueries {
     * scalar — the cell-size-bounded twin interpolates
     * `greatest(TrainedK, ⌈count/CellTarget⌉)` over te (q68b), the fixed
     * consumers interpolate the literal. */
-  private[graft] def trainedCbOracleCtesFor(kSql: String): String = s"""
-        te AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+  private[graft] def trainedCbOracleCtesFor(kSql: String): String =
+    trainedCbOracleCtesTrainOn(kSql, "", "te")
+
+  /** Fully parameterized twin: `extraCtes` (e.g. a cut scalar + the
+    * corpus-partition view) splice in right after `te`, and the Lloyd
+    * pass trains on `trainSrc` (q143 trains on the pre-delta partition
+    * only — the frozen-codebook CDC contract). */
+  private[graft] def trainedCbOracleCtesTrainOn(kSql: String,
+      extraCtes: String, trainSrc: String): String = s"""
+        te AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),$extraCtes
         tk AS (SELECT $kSql AS k),
-        tc0 AS (SELECT vec_id cid, v ce FROM te
+        tc0 AS (SELECT vec_id cid, v ce FROM $trainSrc
                 WHERE vec_id < (SELECT k FROM tk)),
-        td1 AS (SELECT te.vec_id, c.cid,
+        td1 AS (SELECT tr.vec_id, c.cid,
                   list_reduce(list_prepend(0.0::DOUBLE,
                     list_transform(range(1, 65),
-                      i -> (te.v[i] - c.ce[i]) * (te.v[i] - c.ce[i]))),
+                      i -> (tr.v[i] - c.ce[i]) * (tr.v[i] - c.ce[i]))),
                     (x, y) -> x + y) d
-                FROM te CROSS JOIN tc0 c),
+                FROM $trainSrc tr CROSS JOIN tc0 c),
         ta1 AS (SELECT vec_id, cid FROM (
                   SELECT vec_id, cid,
                          row_number() OVER (PARTITION BY vec_id
                                             ORDER BY d NULLS FIRST, cid) rn
                   FROM td1) WHERE rn = 1),
         tcm AS (SELECT ta1.cid, t.dim,
-                       floor(avg(te.v[t.dim + 1]) * 1000000 + 0.5) / 1000000 m
-                FROM ta1 JOIN te USING (vec_id)
+                       floor(avg(tr.v[t.dim + 1]) * 1000000 + 0.5) / 1000000 m
+                FROM ta1 JOIN $trainSrc tr USING (vec_id)
                      CROSS JOIN (SELECT unnest(range(0, 64)) dim) t
                 GROUP BY 1, 2),
         tcb AS (SELECT cid, list(m ORDER BY dim) ce FROM tcm GROUP BY cid)"""

@@ -805,7 +805,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q94_importance_resample" -> "folds per-source rows (#sources)",
       "q87_embed_quantize" -> "folds per-dimension stats (embedding dim)",
       "q106_zipf_slope" -> "folds the top-100 rank cut (<= 100 rows)",
-      "q120_curriculum_bins" -> "folds the 9 decile edges")
+      "q120_curriculum_bins" -> "folds the 9 decile edges",
+      "q143_index_delta_maintain" ->
+        ("folds the trained codebook (<= AnnPolicy.TrainedK = 64 rows) " +
+          "into the one-row broadcast the delta routes against"))
     def offenders(name: String): Seq[String] = planNodes(name).collect {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty &&
           a.aggregateExpressions.exists(

@@ -219,6 +219,31 @@ class Round15OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q143: delta merge accounts for both partitions and never moves a corpus cell") {
+    val rows = PipelineQueries.queries("q143_index_delta_maintain")(spark, dir)
+      .collect()
+    val e = PipelineQueries.embGlob(spark, dir)
+    val cut = (e.agg(max($"vec_id")).first.getLong(0) + 1L) * 9L / 10L
+    val corpusN = e.filter($"vec_id" < cut).count()
+    val deltaN = e.filter($"vec_id" >= cut).count()
+    assert(rows.map(_.getAs[Long]("n_corpus")).sum == corpusN,
+      "every corpus vector lands in exactly one cell")
+    assert(rows.map(_.getAs[Long]("n_delta")).sum == deltaN,
+      "every delta vector lands in exactly one cell")
+    // The frozen-codebook contract: the persisted corpus index's cell
+    // set is EXACTLY the output's corpus-occupied cells — merging the
+    // delta moved nothing.
+    val idxCells = PipelineQueries.ivfpqIndexBefore(spark, dir, cut)
+      .groupBy($"cid", $"codes").count().collect()
+      .map(r => (r.getAs[Long]("cid"),
+        r.getSeq[Long](1).mkString("-"), r.getAs[Long]("count"))).toSet
+    val outCorpusCells = rows.filter(_.getAs[Long]("n_corpus") > 0)
+      .map(r => (r.getAs[Long]("cid"), r.getAs[String]("pcode"),
+        r.getAs[Long]("n_corpus"))).toSet
+    assert(idxCells == outCorpusCells,
+      "corpus cells in the merged ledger differ from the persisted index")
+  }
+
   // ---- 4. hermetic 5k gate: trained quantizer off every floor ----------
 
   test("trained-quantizer recall at the hermetic 5k corpus beats the " +
