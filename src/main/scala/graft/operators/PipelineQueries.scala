@@ -127,16 +127,25 @@ object PipelineQueries {
     * every row through `u < rate` in Spark while DuckDB errors on the
     * same input. Identical in both engines for all non-negative ids.
     */
-  /** Cheap driver-side fingerprint of the corpus files under
-    * `dir/documents.parquet` (paths + lengths + mtimes): part of q81's
-    * index key, so regenerating the data in place within one long-lived
-    * application invalidates the artifact instead of silently deduping
-    * against stale signatures (ADVICE r5). */
-  private[graft] def dataFingerprint(dir: String): String = {
+  /** Cheap driver-side fingerprint of the corpus files whose names
+    * start with `stem` under `dir` (paths + lengths + mtimes): part of
+    * every persisted-artifact key, so regenerating the data in place
+    * within one long-lived application invalidates the artifact instead
+    * of silently serving stale state (ADVICE r5). Text-derived
+    * artifacts stamp the documents table (the default); the ANN
+    * family's codebook/index artifacts stamp the EMBEDDINGS files —
+    * before round 14 they rode the documents stamp, which would have
+    * served a stale codebook across an embeddings-only in-place
+    * rewrite. The stem match covers both the flat `embeddings.parquet`
+    * layout and the staged `embeddings_N.parquet` multi-file feeds. */
+  private[graft] def dataFingerprint(dir: String,
+      stem: String = "documents"): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else Seq(f)
-    val stamp = walk(new java.io.File(dir, "documents.parquet"))
+    val roots = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith(stem))
+    val stamp = roots.flatMap(walk)
       .sortBy(_.getPath)
       .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
     java.lang.Integer.toHexString(
@@ -917,7 +926,8 @@ object PipelineQueries {
   private[graft] def trainedCbPath(s: SparkSession, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_trained_cb_" +
       s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dataFingerprint(dir)
+      "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + dataFingerprint(dir, "embeddings")
 
   /** The TRAINED fixed-K coarse codebook (VERDICT r13 #1): K =
     * [[AnnPolicy.TrainedK]] centroids from one Lloyd step over the
@@ -976,7 +986,8 @@ object PipelineQueries {
   private[graft] def ivfpqIndexPath(s: SparkSession, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_" +
       s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dataFingerprint(dir)
+      "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + dataFingerprint(dir, "embeddings")
 
   /** Per-row IVFPQ routing against a ONE-ROW collected codebook column
     * `cb` (array<struct<cid, ce>>, cid-sorted): adds `dsub` (per-centroid
@@ -984,7 +995,7 @@ object PipelineQueries {
     * .PqSubDists]] kernel — one fused 64-dim loop per (row, centroid)),
     * `cid` (full-dim argmin = ordered fold of the 8 subspace sums; the
     * q141-proven parity shape) and `pcode` (per-subspace argmin codes,
-    * '-'-joined). Shared by q141/q141b's streaming ingest and the q142
+    * '-'-joined). Shared by q141b's streaming ingest and the q142
     * index build, so the stored index and the ingest ledger can never
     * disagree on routing. Input must already be at real parallelism —
     * callers repartition BEFORE calling (the broadcast-probe-width
