@@ -89,6 +89,12 @@ object AnnRecall {
       f""","recall5_ivf_trained":$rIvfT%.4f,"recall5_pq_trained":$rPqT%.4f""" +
       f""","recall5_q142_stream":$rQ142%.4f}"""
     if (args.length > 1) Files.writeString(Paths.get(args(1)), json + "\n")
+    // The trained-codebook / IVFPQ-index runs above materialized
+    // session-keyed artifacts under java.io.tmpdir; drop them like
+    // Bench's epilogue does — no later session can reuse another
+    // application id's trees, so leaving them is a pure leak (ADVICE
+    // r14 #1).
+    graft.operators.PipelineQueries.cleanupArtifacts(spark)
     spark.stop()
     println(json)
   }

@@ -7,7 +7,9 @@ import org.apache.spark.sql.expressions.Aggregator
 final case class ScoredVec(vec_id: Long, cos: Double)
 
 /** Top-k aggregation buffer: a compacted sorted prefix (≤ k, by
-  * (cos desc, vec_id asc)) plus an UNSORTED accepted tail (≤ k). The
+  * (cos desc, vec_id asc)) plus an UNSORTED accepted tail (≤ k-1 —
+  * `reduce` compacts the moment the tail reaches k, so the maintained
+  * buffer bound is 2k-1 rows; `TopKAggSpec` asserts tail < k). The
   * two-part layout is what makes per-row cost amortized O(log k)
   * instead of O(k): accepted rows APPEND (O(1) on Vector) and the
   * buffer re-sorts only once per k acceptances — the round-14 q142

@@ -145,6 +145,15 @@ object PipelineQueries {
       else Seq(f)
     val roots = Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(_.getName.startsWith(stem))
+    // A stem that matches nothing would hash the empty string — a
+    // CONSTANT key that can never invalidate an artifact across an
+    // in-place data rewrite, the exact staleness this fingerprint
+    // exists to prevent. Fail fast so a layout mismatch (e.g. the
+    // table staged under a nested subdirectory) surfaces at the call
+    // site instead of silently producing a non-invalidating key
+    // (ADVICE r14 #2).
+    require(roots.nonEmpty,
+      s"dataFingerprint: no top-level entry of $dir starts with '$stem'")
     val stamp = roots.flatMap(walk)
       .sortBy(_.getPath)
       .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
