@@ -127,6 +127,60 @@ object AnnPolicy {
   def scanCeilSql(n: String, div: Long, floor: Long): String =
     s"greatest($floor, ($n + ${div - 1}) // $div)"
 
+  /** Drift-gate sensitivity factor (q145): the retrain gate fires when
+    * the delta's cell-occupancy KL against the corpus exceeds
+    * `DriftGateFactor · (K-1)/(2·n_delta)` — the chi-square asymptotic
+    * noise floor of an n_delta-row sample over K cells under the
+    * no-drift hypothesis (2·n·KL →d χ²_{K-1}, mean K-1), times a
+    * safety factor so same-distribution sampling noise never fires it.
+    * The threshold ADAPTS to the delta size: at 100 TB deltas the
+    * floor → 0 and the gate detects ever-smaller real shifts, while
+    * tiny deltas (where a 64-cell histogram is mostly noise) get a
+    * proportionally wider band. Factor set ON DATA (evidence/r15):
+    * same-distribution deltas across the fuzz seeds measure KL well
+    * under 2× the floor; the shifted-delta witness measures >> 4×.
+    * Both gate inputs are exact integers and the compare runs on
+    * 6-dp-rounded doubles computed with the identical op order in both
+    * engines, so the boolean has no rounding seam. */
+  val DriftGateFactor = 4L
+
+  /** Broadcast-route bound on the trained-codebook size: past this K
+    * the flat O(K)-per-row routing scan (and the K×D-double broadcast)
+    * stops being the right shape and consumers switch to the two-level
+    * ⌈√K⌉ coarse routing q68b already implements (route to one of √K
+    * coarse cells, then among that cell's √K fine centroids — per-row
+    * work O(√K), broadcasts stay bounded). 4096 centroids × 64 dims ×
+    * 8 B = 2 MiB — the conventional Spark autoBroadcastJoinThreshold
+    * neighborhood — and √4096 = 64 keeps each coarse level at
+    * TrainedK-sized work. */
+  val CoarseRouteBound = 4096L
+
+  /** Exact integer ⌈√n⌉ (float sqrt nudged then fixed up, so the
+    * boundary cases n = k² land exactly — no engine seam). */
+  def ceilSqrt(n: Long): Long = {
+    var r = math.sqrt(n.toDouble).toLong
+    while (r > 0 && (r - 1) * (r - 1) >= n) r -= 1
+    while (r * r < n) r += 1
+    r
+  }
+
+  /** Grow-K policy (VERDICT r14 #4): the TRAINED codebook size a
+    * ROUTING-style consumer should use at corpus size n. K = 64 is
+    * right for the witness corpora but recall saturation at a fixed K
+    * does not survive unbounded growth — with K lists and a fixed
+    * ⌈K/10⌉-list probe the probed VOLUME per query is ~n/10 rows, so
+    * the per-query scan grows linearly with the corpus unless K grows
+    * too. K ∝ ⌈√n⌉ balances the two costs a query pays (route O(K) +
+    * scan O(n·nprobe/K) ≈ O(n/10·√n/n)… i.e. both terms grow as √n),
+    * floored at TrainedK (the calibrated small-corpus behavior) and
+    * capped at [[CoarseRouteBound]] — past the cap K keeps growing but
+    * routing must switch to the two-level coarse shape (the q68b
+    * machinery), which is a plan change, not a dial change. Measured
+    * at 320k vectors in evidence/r15/ann_320k.json (Round15OpsSpec
+    * pins the dial values). */
+  def grownK(n: Long): Long =
+    math.min(CoarseRouteBound, math.max(TrainedK, ceilSqrt(n)))
+
   /** Expected-candidate target for the LSH probe set. */
   val LshCandidateTarget = 250L
 

@@ -836,6 +836,117 @@ private[operators] object AnnQueries {
         .orderBy($"cid", $"pcode")
     },
 
+    // ----- CDC deletes + compaction (the other half of q143) -----
+    // q143 merges INSERTS only; a real index ledger also takes delete
+    // tombstones, or state grows forever (VERDICT r14 #1 — the same
+    // gap q81→q143 closed for inserts). CDC shape: the delta batch
+    // carries op ∈ {upsert, delete} — upserts are the new ids
+    // (vec_id ≥ cut, q143's partition), tombstones target EXISTING
+    // corpus rows (the deterministic vec_id % 13 = 5 stripe, so the
+    // oracle reproduces the op assignment and the deletes land across
+    // cells rather than in one). Tombstones are resolved to their
+    // (cid, pcode) by routing the tombstoned vectors through the SAME
+    // frozen codebook that built the index — routing is deterministic
+    // under a frozen codebook (q143's contract), so the computed cell
+    // equals the stored cell without touching a single index byte:
+    // delete-merge cost is O(|tombstones| × K), insert-merge is
+    // O(|upserts| × K), i.e. O(delta) total, never O(index).
+    // Tombstone counts subtract from the per-cell ledger, emptied
+    // cells drop out (COMPACTION — the n_live > 0 filter), and cells
+    // born by the delta appear via the full-outer merge. q143's
+    // canonical_vec is deliberately ABSENT here: a min-witness cannot
+    // be maintained from cell-level aggregates when the minimum itself
+    // is tombstoned — recovering it needs the per-row codes table
+    // (which a real deployment has; the COUNT ledger is what maintains
+    // in O(delta)). Oracle = from-scratch routing of the SURVIVING set
+    // grouped to the same ledger — the maintained state must equal the
+    // rebuilt state exactly.
+    "q144_index_delete_compact" -> { (s, dir) =>
+      import s.implicits._
+      val e = embGlob(s, dir)
+      val cut = (e.agg(max($"vec_id")).first.getLong(0) + 1L) * 9L / 10L
+      val idx = ivfpqIndexBefore(s, dir, cut)
+      val cb = trainedCodebookBefore(s, dir, cut)
+        .agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
+      def routed(part: DataFrame): DataFrame =
+        pqRoute(part.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+          .select($"cid", split($"pcode", "-").cast("array<long>").as("codes"))
+      val dels = routed(e.filter($"vec_id" < cut && $"vec_id" % 13 === 5))
+        .groupBy($"cid", $"codes").agg(count(lit(1)).as("n_del"))
+      val ins = routed(e.filter($"vec_id" >= cut))
+        .groupBy($"cid", $"codes").agg(count(lit(1)).as("n_ins"))
+      idx.groupBy($"cid", $"codes").agg(count(lit(1)).as("n0"))
+        .join(dels, Seq("cid", "codes"), "left")
+        .na.fill(0L, Seq("n_del"))
+        .withColumn("n_corpus", $"n0" - $"n_del")
+        .select($"cid", $"codes", $"n_corpus")
+        .join(ins, Seq("cid", "codes"), "full_outer")
+        .na.fill(0L, Seq("n_corpus", "n_ins"))
+        .withColumn("n_live", $"n_corpus" + $"n_ins")
+        .filter($"n_live" > 0)
+        .select($"cid",
+          array_join($"codes".cast("array<string>"), "-").as("pcode"),
+          $"n_corpus", $"n_ins".as("n_delta"), $"n_live")
+        .orderBy($"cid", $"pcode")
+    },
+
+    // ----- drift-triggered retrain gate (frozen-codebook rot alarm) -----
+    // The frozen-codebook contract (q143/q144) is correct for one
+    // delta but rots under distribution shift — a shifted delta routes
+    // into cells whose centroids no longer describe it and recall
+    // decays silently (VERDICT r14 #2). The standard audit is q134's
+    // KL machinery applied to the CELL-OCCUPANCY histogram: the delta
+    // batch's routing distribution against the corpus ledger's, with
+    // add-one smoothing on the corpus side over the K trained cells
+    // (the delta can land in cells the corpus left empty; without
+    // smoothing one such cell makes the KL infinite). Every term
+    // (c_d/n_d)·ln((c_d/n_d)·((n_c+K)/(c_c+1))) is exact-integer-fed
+    // with a fixed op order (two divides, one multiply, one ln, one
+    // multiply — q134's argument) and the sum is the order-independent
+    // scaled-integer form at 10¹² (q117's pattern). The GATE threshold
+    // is not a magic constant: 2·n·KL is asymptotically χ²_{K-1} under
+    // no-drift, so the noise floor is (K-1)/(2·n_d) and the gate fires
+    // at [[AnnPolicy.DriftGateFactor]]× that — it ADAPTS to the delta
+    // size (tiny deltas get a wide band, 100 TB deltas a tight one).
+    // Both sides of the compare are 6-dp rounded with identical op
+    // order, so the boolean crosses engines exactly. Inputs: one
+    // O(delta×K) routing pass + two cell-count aggregates (K-row and
+    // delta-cell-row frames) — nothing corpus-sized moves.
+    "q145_index_drift_gate" -> { (s, dir) =>
+      import s.implicits._
+      val e = embGlob(s, dir)
+      val cut = (e.agg(max($"vec_id")).first.getLong(0) + 1L) * 9L / 10L
+      val idx = ivfpqIndexBefore(s, dir, cut)
+      val cbDf = trainedCodebookBefore(s, dir, cut)
+      val cb = cbDf.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
+      val cd = pqRoute(e.filter($"vec_id" >= cut)
+          .repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+        .groupBy($"cid").agg(count(lit(1)).as("c_d"))
+        .cache()
+      val cc = idx.groupBy($"cid").agg(count(lit(1)).as("c_c"))
+      val scal = idx.agg(count(lit(1)).as("n_c"))
+        .crossJoin(cbDf.agg(count(lit(1)).as("k")))
+        .crossJoin(cd.agg(sum($"c_d").cast("long").as("n_d"),
+          count(lit(1)).as("n_cells_delta")))
+      cd.join(cc, Seq("cid"), "left")
+        .na.fill(0L, Seq("c_c"))
+        .crossJoin(broadcast(scal))
+        .withColumn("a", $"c_d".cast("double") / $"n_d".cast("double"))
+        .withColumn("b", ($"n_c" + $"k").cast("double") /
+          ($"c_c" + lit(1L)).cast("double"))
+        .withColumn("term", $"a" * log($"a" * $"b"))
+        .groupBy($"n_c", $"n_d", $"k", $"n_cells_delta")
+        .agg(sum(floor($"term" * 1000000000000.0 + 0.5)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ts"))
+        .select($"n_c".as("n_corpus"), $"n_d".as("n_delta"), $"k",
+          $"n_cells_delta",
+          CrossRound.r($"ts".cast("double") / 1000000000000.0, 6).as("kl"),
+          CrossRound.r(
+            (lit(AnnPolicy.DriftGateFactor) * ($"k" - 1L)).cast("double") /
+              (lit(2L) * $"n_d").cast("double"), 6).as("noise_floor"))
+        .withColumn("retrain", $"kl" > $"noise_floor")
+    },
+
     // ----- SemDeDup over the TRAINED (cell-size-bounded) codebook -----
     // q68's two-level ⌈√K⌉ cosine routing with the fixture quantizer
     // replaced by a TRAINED codebook — but NOT the fixed-K one the
@@ -1040,6 +1151,113 @@ private[operators] object AnnQueries {
         FROM asg a JOIN pc p USING (vec_id)
         GROUP BY 1, 2
         ORDER BY 1, 2""",
+
+      // Delete+compaction twin: from-scratch routing of the SURVIVING
+      // set (corpus minus the vec_id % 13 = 5 tombstone stripe, plus
+      // the delta) through the q143 cut-trained chain — the maintained
+      // ledger must equal this rebuilt ledger cell-for-cell, and
+      // emptied cells must be ABSENT (the survivors join performs the
+      // compaction implicitly: a cell with no surviving member has no
+      // row to group).
+      "q144_index_delete_compact" -> s"""
+        WITH ${PipelineQueries.trainedCbOracleCtesTrainOn(
+          graft.operators.AnnPolicy.TrainedK.toString,
+          """
+        tcut AS (SELECT (max(vec_id) + 1) * 9 // 10 c FROM te),
+        tt AS (SELECT * FROM te WHERE vec_id < (SELECT c FROM tcut)),""",
+          "tt")},
+        pd AS (SELECT te.vec_id, c.cid, s.s,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, 9),
+                          j -> (te.v[s.s*8+j] - c.ce[s.s*8+j])
+                               * (te.v[s.s*8+j] - c.ce[s.s*8+j]))),
+                        (x, y) -> x + y) d
+               FROM te CROSS JOIN tcb c
+                    CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
+        fd AS (SELECT vec_id, cid,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list(d ORDER BY s)), (x, y) -> x + y) d
+               FROM pd GROUP BY vec_id, cid),
+        asg AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d NULLS FIRST, cid) rn
+                  FROM fd) WHERE rn = 1),
+        codes AS (SELECT vec_id, s, cid code FROM (
+                    SELECT vec_id, s, cid,
+                           row_number() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d NULLS FIRST, cid) rn
+                    FROM pd) WHERE rn = 1),
+        pc AS (SELECT vec_id, string_agg(code::VARCHAR, '-' ORDER BY s) pcode
+               FROM codes GROUP BY 1),
+        surv AS (SELECT vec_id FROM te
+                 WHERE vec_id >= (SELECT c FROM tcut) OR vec_id % 13 <> 5)
+        SELECT a.cid, p.pcode,
+               CAST(sum(CASE WHEN a.vec_id < (SELECT c FROM tcut)
+                             THEN 1 ELSE 0 END) AS BIGINT) n_corpus,
+               CAST(sum(CASE WHEN a.vec_id >= (SELECT c FROM tcut)
+                             THEN 1 ELSE 0 END) AS BIGINT) n_delta,
+               CAST(count(1) AS BIGINT) n_live
+        FROM asg a JOIN pc p USING (vec_id) JOIN surv USING (vec_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2""",
+
+      // Drift-gate twin: corpus/delta cell occupancies from the same
+      // cut-trained assignment chain, the q134 KL term op order
+      // (divide, divide, multiply, ln, multiply — each exactly-rounded
+      // IEEE on exact integer inputs), the scaled-integer sum at 10¹²,
+      // and the χ²-floor threshold as one integer-fed divide. The
+      // retrain boolean compares the two 6-dp-rounded doubles — DuckDB
+      // lateral alias references keep it on the identical values.
+      "q145_index_drift_gate" -> s"""
+        WITH ${PipelineQueries.trainedCbOracleCtesTrainOn(
+          graft.operators.AnnPolicy.TrainedK.toString,
+          """
+        tcut AS (SELECT (max(vec_id) + 1) * 9 // 10 c FROM te),
+        tt AS (SELECT * FROM te WHERE vec_id < (SELECT c FROM tcut)),""",
+          "tt")},
+        pd AS (SELECT te.vec_id, c.cid, s.s,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, 9),
+                          j -> (te.v[s.s*8+j] - c.ce[s.s*8+j])
+                               * (te.v[s.s*8+j] - c.ce[s.s*8+j]))),
+                        (x, y) -> x + y) d
+               FROM te CROSS JOIN tcb c
+                    CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
+        fd AS (SELECT vec_id, cid,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list(d ORDER BY s)), (x, y) -> x + y) d
+               FROM pd GROUP BY vec_id, cid),
+        asg AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d NULLS FIRST, cid) rn
+                  FROM fd) WHERE rn = 1),
+        cc AS (SELECT cid, CAST(count(1) AS BIGINT) c_c FROM asg
+               WHERE vec_id < (SELECT c FROM tcut) GROUP BY 1),
+        cdt AS (SELECT cid, CAST(count(1) AS BIGINT) c_d FROM asg
+                WHERE vec_id >= (SELECT c FROM tcut) GROUP BY 1),
+        scal AS (SELECT
+          (SELECT CAST(count(1) AS BIGINT) FROM te
+           WHERE vec_id < (SELECT c FROM tcut)) n_c,
+          (SELECT CAST(count(1) AS BIGINT) FROM tcb) k,
+          (SELECT CAST(count(1) AS BIGINT) FROM te
+           WHERE vec_id >= (SELECT c FROM tcut)) n_d,
+          (SELECT CAST(count(1) AS BIGINT) FROM cdt) n_cells_delta),
+        terms AS (SELECT (d.c_d::DOUBLE / s.n_d::DOUBLE) a,
+                         ((s.n_c + s.k)::DOUBLE
+                          / (coalesce(c.c_c, 0) + 1)::DOUBLE) b
+                  FROM cdt d LEFT JOIN cc c USING (cid) CROSS JOIN scal s),
+        agg AS (SELECT sum(CAST(floor(a * ln(a * b)
+                  * 1000000000000.0 + 0.5) AS BIGINT)) ts FROM terms)
+        SELECT s.n_c AS n_corpus, s.n_d AS n_delta, s.k AS k,
+               s.n_cells_delta AS n_cells_delta,
+               ${CrossRound.sql("ts::DOUBLE / 1000000000000.0", 6)} AS kl,
+               ${CrossRound.sql(
+                 s"(${graft.operators.AnnPolicy.DriftGateFactor} * (s.k - 1))::DOUBLE" +
+                   " / (2 * s.n_d)::DOUBLE", 6)} AS noise_floor,
+               kl > noise_floor AS retrain
+        FROM agg CROSS JOIN scal s""",
 
       // q140's cluster-median rule over the shared trained-codebook
       // CTEs (NULLS FIRST per the family convention).

@@ -872,7 +872,7 @@ object PipelineQueries {
     * vector×centroid. Shared by q72/q95's [[kmeansAssignments]] and the
     * ANN family's [[trainedCodebook]] trainer. `cents` must expose
     * (cid, ce). */
-  private[operators] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val s = e.sparkSession; import s.implicits._
     e.crossJoin(broadcast(cents))
       .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
@@ -885,7 +885,7 @@ object PipelineQueries {
     * = K×D running sums regardless of corpus size), round to 6 dp (the
     * q72 cross-engine contract — see its registry comment for the
     * residual ulp analysis), and re-collect each centroid dim-sorted. */
-  private[operators] def kmUpdate(e: DataFrame, asg: DataFrame): DataFrame = {
+  private[graft] def kmUpdate(e: DataFrame, asg: DataFrame): DataFrame = {
     val s = e.sparkSession; import s.implicits._
     asg.join(e, "vec_id")
       .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
@@ -984,6 +984,15 @@ object PipelineQueries {
     }
     s.read.parquet(path)
   }
+
+  /** Grow-K measurement accessor (the [[AnnPolicy.grownK]] witness,
+    * graft.GrowK): the same trainer at an EXPLICIT K, keyed by it. The
+    * ORACLE contract stays fixed at [[AnnPolicy.TrainedK]] — this path
+    * exists to measure what a deployment retuning K to its corpus
+    * (√n-ish, the TrainedK scaladoc's note) buys at a 160× corpus. */
+  private[graft] def trainedCodebookK(s: SparkSession, dir: String,
+      k: Long): DataFrame =
+    trainedCbAt(s, dir, k, trainedCbPath(s, dir) + s"_k$k")
 
   /** The q143 codebook: trained on the CORPUS partition only (vec_id <
     * cut), keyed by the cut so a corpus regen rebuilds it. */

@@ -78,6 +78,16 @@ object StreamingQueries {
   val batchDurationsMs =
     scala.collection.concurrent.TrieMap[String, Seq[Long]]()
 
+  /** State-store rows remaining after the final micro-batch of the most
+    * recent run of each streaming query (from the last progress event's
+    * state operators). The WATERMARK-BOUNDED serving variants exist to
+    * keep this number from growing with stream age — q142's complete
+    * mode holds every query ever seen, q142b's append mode must evict
+    * each emitted window — so Round15OpsSpec pins it at 0 for q142b.
+    * Public for the same reason as [[executedPlans]]. */
+  val stateRowsAfter =
+    scala.collection.concurrent.TrieMap[String, Long]()
+
   /** Captures `q.explain()`'s output (the public surface over
     * `lastExecution.executedPlan`) without touching private[sql] API,
     * plus the run's per-batch durations from the progress log. */
@@ -802,6 +812,221 @@ object StreamingQueries {
         .orderBy($"query_id", $"rank")
     },
 
+    // ----- streaming ANN query, APPEND-mode serving variant -----
+    // q142's complete mode re-emits the FULL result set every
+    // micro-batch and its state holds every query ever seen — fine for
+    // the oracle, wrong shape for serving (VERDICT r14 #3). This
+    // variant is the serving shape: queries arrive on their OWN staged
+    // stream (production queries are not carved out of the corpus
+    // feed), each carrying an event time (vec_id seconds — the staged
+    // feeds' arrival proxy); the aggregation groups by a 10 s
+    // event-time window under a 5 s watermark, and APPEND mode emits
+    // each window once — finalized — then EVICTS it from the state
+    // store (complete mode's state never shrinks). A far-future
+    // SENTINEL row rides the staged feed to advance the watermark past
+    // every real window on a bounded run — the later-queries-keep-
+    // arriving property a live serving stream has for free — so
+    // [[stateRowsAfter]] pins exactly 1 surviving state row (the
+    // sentinel's own never-closed window). Deriving the watermark from
+    // a filter over the corpus feed does NOT work: a deterministic
+    // query-set filter pushes below the EventTimeWatermark node, so
+    // the watermark only ever sees the filtered rows (measured — the
+    // windows never flush). Probe/ADC/shortlist/re-rank are q142's
+    // exact chain (same policy dials, same TopKAgg shortlist), so the
+    // oracle is the SAME statement — per-window finalized results
+    // equal the complete-mode final state on a bounded feed.
+    "q142b_stream_ann_append" -> { (s, dir) =>
+      val ops = graft.operators.PipelineQueries
+      ops.trainedCodebook(s, dir)
+      ops.ivfpqIndex(s, dir)
+      val cbPath = ops.trainedCbPath(s, dir)
+      val idxPath = ops.ivfpqIndexPath(s, dir)
+      val nVecs = ops.embGlob(s, dir).count()
+      val nLists = s.read.parquet(cbPath).count()
+      val nprobe = graft.operators.AnnPolicy.ivfNprobe(nLists).toInt
+      val shortS = graft.operators.AnnPolicy.pqShortlist(nVecs).toInt
+
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      val cb = s2.read.parquet(cbPath)
+        .agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
+      val idx = s2.read.parquet(idxPath)
+
+      val qBound = s.conf.get("spark.graft.streaming.annQueryBound", "5").toInt
+
+      // Stage the query stream: one file of query vectors, one of the
+      // watermark sentinel (vec_id = 10⁶, et ≈ 11 days — far past any
+      // real window at any qBound the witnesses use). Two files so a
+      // maxFilesPerTrigger=1 harness run exercises the multi-batch
+      // path: queries land, the sentinel batch advances the watermark,
+      // the no-data batch flushes and evicts.
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_q142b_" +
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${sinkCounter.incrementAndGet()}"
+      val eBatch = ops.embGlob(s, dir)
+      def stageFile(df: DataFrame, name: String): Unit = {
+        val tmp = s"$stage/_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$stage/$name.parquet"))
+      }
+      stageFile(eBatch.filter(col("vec_id") < qBound), "embeddings_0")
+      stageFile(eBatch.filter(col("vec_id") === 0)
+        .select(lit(1000000L).as("vec_id"), col("embedding")), "embeddings_1")
+
+      val reader = s2.readStream
+        .schema(embStreamSchema)
+        .option("pathGlobFilter", "embeddings_*.parquet")
+      s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+        .foreach(n => reader.option("maxFilesPerTrigger", n))
+      val queryStream = reader.parquet(stage)
+        .withColumn("et", timestamp_seconds($"vec_id"))
+        .withWatermark("et", "5 seconds")
+
+      val tf = org.apache.spark.sql.functions.transform(_: Column, _: Column => Column)
+      val probes = queryStream
+        .repartition(32, $"vec_id")
+        .crossJoin(broadcast(cb))
+        .withColumn("dsub", tf($"cb", c => struct(
+          c.getField("cid").as("cid"),
+          graft.functions.GraftFunctions
+            .pqSubDists($"embedding", c.getField("ce"), 8).as("ds"))))
+        .withColumn("dmap", map_from_entries(tf($"dsub", x =>
+          struct(x.getField("cid"), x.getField("ds")))))
+        .withColumn("plists", slice(array_sort(tf($"dsub", x => struct(
+          aggregate(x.getField("ds"), lit(0.0d), (a, b) => a + b).as("d"),
+          x.getField("cid").as("cid")))), 1, nprobe))
+        .select($"vec_id".as("query_id"), $"et", $"dmap",
+          explode($"plists".getField("cid")).as("qcid"))
+
+      val cand = probes.join(idx,
+          probes("qcid") === idx("cid") &&
+            idx("vec_id") =!= probes("query_id"))
+        .withColumn("adc", aggregate(sequence(lit(0), lit(7)), lit(0.0d),
+          (acc, sb) => acc + element_at(
+            element_at($"dmap", element_at($"codes", (sb + 1).cast("int"))),
+            (sb + 1).cast("int"))))
+
+      val topS = udaf(new graft.functions.TopKAgg(shortS))
+      val short = cand
+        .groupBy(window($"et", "10 seconds"), $"query_id")
+        .agg(topS($"vec_id", -$"adc").as("top"))
+        .select($"query_id", $"top")
+
+      val sink = s"q142b_sink_${sinkCounter.incrementAndGet()}"
+      val q = short.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      capturePlan("q142b_stream_ann_append", q)
+      Option(q.lastProgress).foreach(p =>
+        stateRowsAfter("q142b_stream_ann_append") =
+          p.stateOperators.map(_.numRowsTotal).sum)
+      // The returned frame reads the memory sink + the original dir —
+      // the staged query feed is dead once the stream terminates.
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(stage))
+
+      val e = ops.embGlob(s2, dir)
+      val qv = e.filter($"vec_id" < qBound)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"l2", $"vec_id")
+      s2.table(sink)
+        .select($"query_id", explode($"top").as("sv"))
+        .select($"query_id", $"sv.vec_id".as("vec_id"))
+        .join(e, "vec_id").join(broadcast(qv), "query_id")
+        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id",
+          CrossRound.r($"l2", 4).as("l2"))
+        .orderBy($"query_id", $"rank")
+    },
+
+    // ----- streaming CDC index maintenance (q143's streaming twin) -----
+    // q141b ingests into a fresh ledger per run; q143 merges a batch
+    // delta into a PERSISTED corpus index. This unifies the two
+    // (VERDICT r14 #6): the delta partition (vec_id ≥ cut) arrives as
+    // a STREAM, routes per micro-batch through the broadcast
+    // cut-FROZEN codebook (the q143 contract — the artifact parquet,
+    // never the live feed, so no micro-batch can shift existing
+    // routing), accumulates the delta ledger as streaming state
+    // (bounded by occupied cells, q141b's argument), and the final
+    // state merges with the untouched corpus index in one bounded
+    // batch join. Output = q143's ledger EXACTLY (same oracle
+    // statement), including the provenance counts and the min-witness
+    // — maintainable here because both sides of the merge carry their
+    // own per-cell minima (Spark's least() skips the NULL side of the
+    // full-outer merge). Staged multi-batch equivalence and both
+    // state-store providers are pinned in Round15OpsSpec.
+    "q146_stream_index_maintain" -> { (s, dir) =>
+      val ops = graft.operators.PipelineQueries
+      val eB = ops.embGlob(s, dir)
+      val cut = (eB.agg(max(col("vec_id"))).head().getLong(0) + 1L) * 9L / 10L
+      ops.ivfpqIndexBefore(s, dir, cut)
+      val cbPath = ops.trainedCbPath(s, dir) + s"_cut$cut"
+      val idxPath = ops.ivfpqIndexPath(s, dir) + s"_cut$cut"
+
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      val cb = s2.read.parquet(cbPath)
+        .agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
+
+      val reader = s2.readStream
+        .schema(embStreamSchema)
+        .option("pathGlobFilter", "embeddings*.parquet")
+      s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+        .foreach(n => reader.option("maxFilesPerTrigger", n))
+      val stream = reader.parquet(dir).filter($"vec_id" >= cut)
+
+      val routed = ops.pqRoute(
+        stream.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+      val ledger = routed
+        .groupBy($"cid", $"pcode")
+        .agg(count(lit(1)).as("n_delta"), min($"vec_id").as("min_delta"))
+
+      val sink = s"q146_sink_${sinkCounter.incrementAndGet()}"
+      val q = ledger.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      capturePlan("q146_stream_index_maintain", q)
+
+      val corpus = s2.read.parquet(idxPath)
+        .select($"vec_id", $"cid",
+          array_join($"codes".cast("array<string>"), "-").as("pcode"))
+        .groupBy($"cid", $"pcode")
+        .agg(count(lit(1)).as("n_corpus"), min($"vec_id").as("min_corpus"))
+      s2.table(sink)
+        .join(corpus, Seq("cid", "pcode"), "full_outer")
+        .na.fill(0L, Seq("n_corpus", "n_delta"))
+        .select($"cid", $"pcode", $"n_corpus", $"n_delta",
+          least($"min_corpus", $"min_delta").as("canonical_vec"))
+        .orderBy($"cid", $"pcode")
+    },
+
     // ----- streaming SLIDING-window aggregation -----
     // Overlapping 1-hour windows every 15 minutes — each event lands in
     // 4 windows (the rate-monitoring shape tumbling q31 can't express).
@@ -1077,7 +1302,23 @@ object StreamingQueries {
     // lists, the subspace-ordered ADC fold, both policy dials
     // (integer-arithmetic twins of the Spark side's driver scalars)
     // and the shortlist/re-rank cuts are all bit-pinned.
-    "q142_stream_ann_query" -> s"""
+    "q142_stream_ann_query" -> q142AnnOracle,
+
+    // The append-mode serving variant (q142b) emits each query's
+    // window once, finalized — on a bounded feed those rows equal the
+    // complete-mode final state, so both are graded against the SAME
+    // statement and can never drift apart.
+    "q142b_stream_ann_append" -> q142AnnOracle,
+
+    // The streaming CDC maintenance run must equal the batch q143
+    // merge exactly — same frozen codebook, same delta, same ledger —
+    // so it shares q143's oracle statement verbatim.
+    "q146_stream_index_maintain" ->
+      graft.operators.PipelineQueries.oracleSql("q143_index_delta_maintain"),
+  ) ++ oracleSqlTail
+
+  /** q142/q142b shared oracle (see the q142b map entry). */
+  private lazy val q142AnnOracle: String = s"""
       WITH ${graft.operators.PipelineQueries.trainedCbOracleCtes},
       pd AS (SELECT te.vec_id, c.cid, s.s,
                     list_reduce(list_prepend(0.0::DOUBLE,
@@ -1143,7 +1384,11 @@ object StreamingQueries {
                  FROM rer)
       SELECT query_id, rank, vec_id, floor(l2 * 10000 + 0.5) / 10000 AS l2
       FROM ranked WHERE rank <= 5
-      ORDER BY query_id, rank""",
+      ORDER BY query_id, rank"""
+
+  /** The rest of the streaming oracles (split from the main literal so
+    * [[q142AnnOracle]] can sit between map sections). */
+  private lazy val oracleSqlTail: Map[String, String] = Map(
 
     "q31_stream_window" -> """
       SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,

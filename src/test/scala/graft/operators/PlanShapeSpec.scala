@@ -808,7 +808,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "q120_curriculum_bins" -> "folds the 9 decile edges",
       "q143_index_delta_maintain" ->
         ("folds the trained codebook (<= AnnPolicy.TrainedK = 64 rows) " +
-          "into the one-row broadcast the delta routes against"))
+          "into the one-row broadcast the delta routes against"),
+      "q144_index_delete_compact" ->
+        ("folds the trained codebook (<= 64 rows) into the one-row " +
+          "broadcast both the tombstones and the upserts route against"),
+      "q145_index_drift_gate" ->
+        ("folds the trained codebook (<= 64 rows) into the one-row " +
+          "broadcast the delta routes against; the KL sum itself is a " +
+          "plain scaled-integer aggregate, not a collect"))
     def offenders(name: String): Seq[String] = planNodes(name).collect {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty &&
           a.aggregateExpressions.exists(
