@@ -75,6 +75,8 @@ object AnnRecall {
     val rIvfT = recall(gtL2, run("q36b_ann_ivf_trained"))
     val rPqT = recall(gtL2, run("q60b_ann_pq_trained"))
     val rQ142 = recall(gtL2, run("q142_stream_ann_query"))
+    // Round-15 two-level-coarse variant (grown codebook, O(√K) routing).
+    val rIvfC = recall(gtL2, run("q36c_ann_ivf_coarse"))
     val numListsTrained =
       graft.operators.PipelineQueries.trainedCodebook(spark, dir).count()
 
@@ -87,7 +89,8 @@ object AnnRecall {
       f""","pq_shortlist":${pol.pqShortlist(n)}""" +
       f""","recall5_lsh":$rLsh%.4f,"recall5_ivf":$rIvf%.4f,"recall5_pq":$rPq%.4f""" +
       f""","recall5_ivf_trained":$rIvfT%.4f,"recall5_pq_trained":$rPqT%.4f""" +
-      f""","recall5_q142_stream":$rQ142%.4f}"""
+      f""","recall5_q142_stream":$rQ142%.4f""" +
+      f""","k_grown":${pol.grownK(n)},"recall5_ivf_coarse":$rIvfC%.4f}"""
     if (args.length > 1) Files.writeString(Paths.get(args(1)), json + "\n")
     // The trained-codebook / IVFPQ-index runs above materialized
     // session-keyed artifacts under java.io.tmpdir; drop them like

@@ -183,6 +183,35 @@ object AnnPolicy {
   def grownK(n: Long): Long =
     math.min(CoarseRouteBound, math.max(TrainedK, ceilSqrt(n)))
 
+  /** DuckDB scalar-subquery twin of [[grownK]] over the oracle's `te`
+    * view. The ⌈√n⌉ forms agree exactly: IEEE sqrt is correctly
+    * rounded, so sqrt(m²) = m exactly and sqrt(m²−1) < m whenever the
+    * relative gap 1/(2m²) exceeds an ulp (true for every n below
+    * ~4.5·10¹⁵ — far past any witness corpus), hence ceil lands on the
+    * same integer as the fixed-up integer loop in [[ceilSqrt]]. */
+  def grownKSql: String =
+    s"(SELECT least($CoarseRouteBound, greatest($TrainedK, " +
+      "CAST(ceil(sqrt(count(1)::DOUBLE)) AS BIGINT))) FROM te)"
+
+  /** Coarse-level probe width for the two-level routing plan (q36c):
+    * of the C ≈ ⌈√K⌉ coarse cells, probe max(2, ⌈C/2⌉). Set ON DATA
+    * (the family rule) against the hierarchy's two loss sources at
+    * 20k/80k vectors: with single-coarse index assignment recall read
+    * 0.72/0.72 and widening this dial did NOT help (0.72/0.76 at ⌈C/2⌉)
+    * — the loss was index-side divergence, fixed by the TOP-2
+    * multi-assignment in q36c's vCell (0.80/0.76 at ⌈C/3⌉); on the
+    * multi-assigned index the wider probe then pays off symmetrically
+    * (0.80/0.80 at ⌈C/2⌉, flat across the 4× step). The fine-cell pool
+    * (pc·√K ≈ K/2) always covers the [[ivfNprobe]] = ⌈K/10⌉ fine lists
+    * the scan policy wants, and per-QUERY routing work is
+    * O(√K + K/2) — half the flat scan — while the corpus-side routing
+    * (the 100 TB cost) is O(√K) per row regardless of this dial. Same
+    * [[scanCeil]] arithmetic as the other dials, so the Column/SQL
+    * twins are generated, not hand-copied. */
+  val CoarseProbeDiv = 2L
+  val CoarseProbeFloor = 2L
+  def coarseProbe(c: Long): Long = scanCeil(c, CoarseProbeDiv, CoarseProbeFloor)
+
   /** Expected-candidate target for the LSH probe set. */
   val LshCandidateTarget = 250L
 

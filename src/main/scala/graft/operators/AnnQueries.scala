@@ -254,6 +254,103 @@ private[operators] object AnnQueries {
         .orderBy($"query_id", $"rank")
     },
 
+    // ----- IVF with TWO-LEVEL coarse routing (the past-the-cap plan) -----
+    // [[AnnPolicy.CoarseRouteBound]] documents that once grownK(n)
+    // crosses the broadcast bound, flat O(K)-per-row routing must give
+    // way to a two-level shape — this query IS that plan, implemented
+    // and oracle-checked rather than left as a scaladoc promise. The
+    // codebook is the grown one (K = grownK(n), the q36c/GrowK dial);
+    // routing is q68b's two-level chain in the L2 metric: ⌈√K⌉ COARSE
+    // cells (every step-th trained centroid) are the only broadcast a
+    // corpus row scans — O(√K) — then fine assignment is an EQUALITY
+    // join on the coarse cell (each row compares against the fine
+    // centroids of its TOP-2 coarse cells — see the multi-assignment
+    // note at vCell). The index this defines is
+    // exact BY CONTRACT (the oracle mirrors the two-level rule step
+    // for step, ties (d, cid) NULLS FIRST — the family convention), so
+    // the rows are graded exactly, not probe-lucky. The QUERY side
+    // probes [[AnnPolicy.coarseProbe]](⌈√K⌉) coarse cells, ranks the
+    // pooled fine centroids (pool ≈ K/2 ≥ the nprobe the scan policy
+    // wants), and probes the [[AnnPolicy.ivfNprobe]](K) nearest fine
+    // lists — per-query routing work O(√K + K/2) instead of O(K),
+    // which at the 4096-centroid cap is 64 + ~2k vs 4096 comparisons
+    // and, more importantly, a 16 KB coarse broadcast instead of a
+    // 2 MB flat one on every executor. All three dials are the shared
+    // scanCeil arithmetic; K itself crosses engines via grownKSql's
+    // exact-⌈√n⌉ argument.
+    "q36c_ann_ivf_coarse" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val k = AnnPolicy.grownK(e.count())
+      val cents = trainedCodebookK(s, dir, k).select($"cid", $"ce")
+      val kdf = cents.agg(
+        ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("step"))
+      val coarse = cents.crossJoin(broadcast(kdf))
+        .filter($"cid" % $"step" === 0)
+        .select($"cid".as("gid"), $"ce".as("ge"))
+      val fineCell = cents.crossJoin(broadcast(coarse))
+        .withColumn("gd", graft.functions.GraftFunctions.l2Sq($"ce", $"ge"))
+        .groupBy($"cid")
+        .agg(min_by($"gid", struct($"gd", $"gid")).as("gid"),
+          first($"ce").as("ce"))
+      // Corpus-side MULTI-ASSIGNMENT (the hierarchical-IVF recall fix,
+      // measured: single-coarse assignment read recall 0.72 at 20k/80k
+      // and widening the QUERY probe did not buy it back — the loss is
+      // index-side divergence, a vector's flat-best fine cell living
+      // under its second-nearest coarse cell): each vector considers
+      // the fine cells of its TOP-2 coarse cells before the fine
+      // argmin. Per-row work stays O(√K) (coarse scan + ~2·√K fine
+      // compares), and the top-2 cut is a per-row array_sort over the
+      // broadcast coarse ARRAY (the pqRoute pattern) — no n×√K shuffle,
+      // still exactly one ledger row per vector after the argmin.
+      val tfc = org.apache.spark.sql.functions.transform(_: Column, _: Column => Column)
+      val coarseArr = coarse
+        .agg(array_sort(collect_list(struct($"gid", $"ge"))).as("ca"))
+      val vCell = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
+        .withColumn("g2", slice(array_sort(tfc($"ca", c => struct(
+          graft.functions.GraftFunctions.l2Sq($"embedding", c.getField("ge"))
+            .as("gd"),
+          c.getField("gid").as("gid")))), 1, 2))
+        .select($"vec_id", $"embedding",
+          explode($"g2.gid").as("gid"))
+      val asg = vCell.join(broadcast(fineCell), "gid")
+        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))
+        .select($"vec_id", $"m.cid".as("cid"), $"m.embedding".as("embedding"))
+      val np = cents.agg(count(lit(1)).as("nl"))
+        .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
+          AnnPolicy.IvfNprobeFloor).as("nprobe"))
+      val pcDf = kdf.select(AnnPolicy.scanCeilCol("step",
+        AnnPolicy.CoarseProbeDiv, AnnPolicy.CoarseProbeFloor).as("pc"))
+      val gw = Window.partitionBy($"query_id").orderBy($"gd", $"gid")
+      val qCoarse = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+        .crossJoin(broadcast(coarse))
+        .withColumn("gd", graft.functions.GraftFunctions.l2Sq($"qe", $"ge"))
+        .withColumn("grk", row_number().over(gw))
+        .crossJoin(broadcast(pcDf))
+        .filter($"grk" <= $"pc")
+        .select($"query_id", $"qe", $"gid")
+      val qw = Window.partitionBy($"query_id").orderBy($"qd", $"cid")
+      val qFine = qCoarse
+        .join(broadcast(fineCell.select($"gid", $"cid", $"ce")), "gid")
+        .withColumn("qd", graft.functions.GraftFunctions.l2Sq($"qe", $"ce"))
+        .withColumn("qrank", row_number().over(qw))
+        .crossJoin(broadcast(np))
+        .filter($"qrank" <= $"nprobe")
+        .select($"query_id", $"qe", $"cid".as("qcid"))
+      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+      asg.join(broadcast(qFine),
+          $"cid" === $"qcid" && $"vec_id" =!= $"query_id")
+        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
+        .orderBy($"query_id", $"rank")
+    },
+
 
     // ----- semantic dedup: cluster-then-prune over embeddings -----
     // The SemDeDup shape (Abbas et al. 2023): assign every embedding to
@@ -1456,6 +1553,67 @@ private[operators] object AnnQueries {
         FROM ranked WHERE rk <= 5
         ORDER BY query_id, rank""",
 
+
+      // Two-level-coarse twin: the q68b routing chain in L2 over the
+      // GROWN codebook (grownKSql's exact-⌈√n⌉ scalar feeds the shared
+      // Lloyd CTEs), then coarse-probe → pooled-fine-probe → the q36b
+      // candidate/rank tail. Every distance is the flat 64-term fold
+      // (the native l2_sq kernel's order), every tie (d, id) NULLS
+      // FIRST, every dial a generated scanCeil form.
+      "q36c_ann_ivf_coarse" -> {
+        def f(a: String, b: String) =
+          s"""list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 65),
+                     i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+                   (x, y) -> x + y)"""
+        s"""
+        WITH ${PipelineQueries.trainedCbOracleCtesFor(AnnPolicy.grownKSql)},
+        k2 AS (SELECT CAST(ceil(sqrt(count(1)::DOUBLE)) AS BIGINT) step
+               FROM tcb),
+        coarse AS (SELECT cid gid, ce ge FROM tcb, k2 WHERE cid % step = 0),
+        fcell AS (SELECT cid, ce, gid FROM (
+                    SELECT c.cid, c.ce, g.gid,
+                           row_number() OVER (PARTITION BY c.cid ORDER BY
+                             ${f("c.ce", "g.ge")} NULLS FIRST, g.gid) rk
+                    FROM tcb c CROSS JOIN coarse g) WHERE rk = 1),
+        vcell AS (SELECT vec_id, v, gid FROM (
+                    SELECT te.vec_id, te.v, g.gid,
+                           row_number() OVER (PARTITION BY te.vec_id ORDER BY
+                             ${f("te.v", "g.ge")} NULLS FIRST, g.gid) rk
+                    FROM te CROSS JOIN coarse g) WHERE rk <= 2),
+        asg AS (SELECT vec_id, v, cid FROM (
+                  SELECT v.vec_id, v.v, f.cid,
+                         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                           ${f("v.v", "f.ce")} NULLS FIRST, f.cid) rk
+                  FROM vcell v JOIN fcell f ON v.gid = f.gid) WHERE rk = 1),
+        pcp AS (SELECT ${AnnPolicy.scanCeilSql("step",
+          AnnPolicy.CoarseProbeDiv, AnnPolicy.CoarseProbeFloor)} pc FROM k2),
+        np AS (SELECT ${AnnPolicy.scanCeilSql("count(1)",
+          AnnPolicy.IvfScanDiv, AnnPolicy.IvfNprobeFloor)} np FROM tcb),
+        qc AS (SELECT query_id, qv, gid FROM (
+                 SELECT te.vec_id query_id, te.v qv, g.gid,
+                        row_number() OVER (PARTITION BY te.vec_id ORDER BY
+                          ${f("te.v", "g.ge")} NULLS FIRST, g.gid) rk
+                 FROM te CROSS JOIN coarse g WHERE te.vec_id < 5)
+               WHERE rk <= (SELECT pc FROM pcp)),
+        qf AS (SELECT query_id, qv, qcid FROM (
+                 SELECT q.query_id, q.qv, f.cid qcid,
+                        row_number() OVER (PARTITION BY q.query_id ORDER BY
+                          ${f("q.qv", "f.ce")} NULLS FIRST, f.cid) rk
+                 FROM qc q JOIN fcell f ON q.gid = f.gid)
+               WHERE rk <= (SELECT np FROM np)),
+        ranked AS (SELECT query_id, vec_id, l2,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY l2 NULLS FIRST, vec_id) rk
+                   FROM (SELECT q.query_id, a.vec_id,
+                                ${f("a.v", "q.qv")} l2
+                         FROM asg a JOIN qf q
+                           ON a.cid = q.qcid AND a.vec_id != q.query_id))
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id,
+               floor(l2 * 10000 + 0.5) / 10000 AS l2
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank"""
+      },
 
       // DuckDB's native ASOF JOIN is the oracle for our union-and-fill
       // composition (orders deduped to one per (customer, date) so the

@@ -815,7 +815,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "q145_index_drift_gate" ->
         ("folds the trained codebook (<= 64 rows) into the one-row " +
           "broadcast the delta routes against; the KL sum itself is a " +
-          "plain scaled-integer aggregate, not a collect"))
+          "plain scaled-integer aggregate, not a collect"),
+      "q36c_ann_ivf_coarse" ->
+        ("folds the COARSE cells (<= ceil(sqrt(K)) <= 64 rows at the " +
+          "CoarseRouteBound cap) into the one-row array the per-row " +
+          "top-2 multi-assignment sorts — bounded by the policy's own " +
+          "cap, never corpus- or even K-sized"))
     def offenders(name: String): Seq[String] = planNodes(name).collect {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty &&
           a.aggregateExpressions.exists(

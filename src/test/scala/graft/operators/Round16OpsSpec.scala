@@ -57,6 +57,50 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(AnnPolicy.ivfNprobe(566L) == 57L)
   }
 
+  test("q36c: two-level coarse routing — dials, oracle shape, recall floor") {
+    // Coarse-probe dial (set on data — see AnnPolicy.CoarseProbeDiv's
+    // measurement history: single-assign 0.72/0.72, +multi-assign
+    // 0.80/0.76, +⌈C/2⌉ probe 0.80/0.80 at 20k/80k).
+    assert(AnnPolicy.CoarseProbeDiv == 2L)
+    assert(AnnPolicy.coarseProbe(8L) == 4L)   // sf0.01: K=64, step=8
+    assert(AnnPolicy.coarseProbe(12L) == 6L)  // K=142 (20k vectors)
+    assert(AnnPolicy.coarseProbe(24L) == 12L) // K=566 (320k vectors)
+    assert(AnnPolicy.coarseProbe(64L) == 32L) // K=4096 (the cap)
+    assert(AnnPolicy.coarseProbe(2L) == 2L, "floor")
+    // The oracle's K scalar carries both policy constants.
+    assert(AnnPolicy.grownKSql.contains(AnnPolicy.CoarseRouteBound.toString))
+    assert(AnnPolicy.grownKSql.contains(AnnPolicy.TrainedK.toString))
+
+    val rows = PipelineQueries.queries("q36c_ann_ivf_coarse")(spark, dir)
+      .collect()
+    assert(rows.length == 25, "5 queries x top-5")
+    // Recall floor vs exact L2. The two-level hierarchy pays a recall
+    // toll vs the flat scan (0.80 vs ~1.0 at 20k/80k; lower still in
+    // the 500-vector noise regime where every probe decision is a
+    // coin toss between near-equidistant cells) — the floor documents
+    // the measured value with margin, and the scale numbers live in
+    // SCALE.md §10.7 / evidence/r15.
+    val e = PipelineQueries.embGlob(spark, dir)
+    val qv = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"l2", $"vec_id")
+    val gt = e.crossJoin(broadcast(qv)).filter($"vec_id" =!= $"query_id")
+      .withColumn("l2",
+        graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = rows.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("vec_id"))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val rec = gt.keys.toSeq.map(q =>
+      (gt(q) & got.getOrElse(q, Set.empty)).size.toDouble / gt(q).size)
+      .sum / gt.size
+    info(f"q36c sf0.01 recall@5 = $rec%.2f")
+    assert(rec >= 0.4, f"q36c recall $rec%.2f below floor")
+  }
+
   test("drift gate: χ²-floor threshold arithmetic") {
     assert(AnnPolicy.DriftGateFactor == 4L)
     // sf0.01 shape: K = 64 actual cells, delta = 50 rows
