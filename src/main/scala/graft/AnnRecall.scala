@@ -80,6 +80,24 @@ object AnnRecall {
     val numListsTrained =
       graft.operators.PipelineQueries.trainedCodebook(spark, dir).count()
 
+    // Round-15 filtered ANN (q147): truth is the exact label-filtered
+    // L2 scan — the quantity the FilteredMatchTarget policy is supposed
+    // to hold up as the predicate gets selective. The 10-row label
+    // histogram also resolves the probe-width band the policy picked.
+    val el = graft.operators.Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding", $"label")
+    val qvl = el.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"label".as("ql"))
+    val gtFil = topSets(el.crossJoin(broadcast(qvl))
+      .filter($"label" === $"ql" && $"vec_id" =!= $"query_id")
+      .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect())
+    val rFil = recall(gtFil, run("q147_ann_filtered"))
+    val labelCounts = el.groupBy($"label").count()
+      .as[(Int, Long)].collect().map(_._2) // 10 rows — bounded
+
     val pol = graft.operators.AnnPolicy
     val json = f"""{"dir":"${dir.replace("\\", "\\\\").replace("\"", "\\\"")}"""" +
       f""","n_vectors":$n,"num_lists":$numLists""" +
@@ -90,7 +108,10 @@ object AnnRecall {
       f""","recall5_lsh":$rLsh%.4f,"recall5_ivf":$rIvf%.4f,"recall5_pq":$rPq%.4f""" +
       f""","recall5_ivf_trained":$rIvfT%.4f,"recall5_pq_trained":$rPqT%.4f""" +
       f""","recall5_q142_stream":$rQ142%.4f""" +
-      f""","k_grown":${pol.grownK(n)},"recall5_ivf_coarse":$rIvfC%.4f}"""
+      f""","k_grown":${pol.grownK(n)},"recall5_ivf_coarse":$rIvfC%.4f""" +
+      f""","recall5_ann_filtered":$rFil%.4f""" +
+      f""","filtered_np_min":${labelCounts.map(pol.filteredNprobe(numListsTrained, _)).min}""" +
+      f""","filtered_np_max":${labelCounts.map(pol.filteredNprobe(numListsTrained, _)).max}}"""
     if (args.length > 1) Files.writeString(Paths.get(args(1)), json + "\n")
     // The trained-codebook / IVFPQ-index runs above materialized
     // session-keyed artifacts under java.io.tmpdir; drop them like

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{expr, greatest, lit, when}
+import org.apache.spark.sql.functions.{expr, greatest, least, lit, when}
 
 /** Scale policy for the ANN family's recall/latency dials (VERDICT r11
   * #1): a dial that is FIXED while the index grows silently ships
@@ -146,6 +146,18 @@ object AnnPolicy {
     * engines, so the boolean has no rounding seam. */
   val DriftGateFactor = 4L
 
+  /** Giant-cell flag threshold (q148): a cell holding ≥ this factor ×
+    * the mean occupancy (n/L) is the §10.2 pathology in the making —
+    * the unimodal-drift witness measured one frozen cell absorbing a
+    * whole shifted delta and the per-query scan fraction ballooning
+    * from ~10.5% to 19.3% (+84% serving cost) while recall still read
+    * 0.99+. Compared in integer form (n_live·L ≥ factor·n) so the
+    * boolean crosses engines exactly. 4× mirrors the robust-outlier
+    * convention the family already uses (q140's 4·median keep rule):
+    * balanced trained cells sit well under 2× in every measured
+    * corpus, so 4× flags only genuine collapse, not training noise. */
+  val GiantCellFactor = 4L
+
   /** Broadcast-route bound on the trained-codebook size: past this K
     * the flat O(K)-per-row routing scan (and the K×D-double broadcast)
     * stops being the right shape and consumers switch to the two-level
@@ -211,6 +223,44 @@ object AnnPolicy {
   val CoarseProbeDiv = 2L
   val CoarseProbeFloor = 2L
   def coarseProbe(c: Long): Long = scanCeil(c, CoarseProbeDiv, CoarseProbeFloor)
+
+  /** Matching-candidate target for PREDICATE-FILTERED search (q147):
+    * a filtered query's recall tracks the number of FILTER-MATCHING
+    * rows its probe reaches, not the raw probed volume — with m
+    * matching rows spread across L lists, a w-list probe reaches
+    * ~w·m/L of them, so the base [[ivfNprobe]] width that is right for
+    * unfiltered search starves under a selective predicate (the
+    * classic filtered-ANN failure: top-k of 7 probed lists' worth of a
+    * 1%-selective label is a handful of rows). 100 matching candidates
+    * = 20× k (top-5), the same safety ratio [[PqShortlistFloor]] uses. */
+  val FilteredMatchTarget = 100L
+
+  /** Probe width for a query filtered to m matching rows over an
+    * L-list index: the base [[ivfNprobe]](L) widened until the
+    * expected matching candidates probed (w/L · m) reach
+    * [[FilteredMatchTarget]] — i.e. w ≥ ⌈L·T/m⌉ — and CAPPED at L.
+    * The cap IS the exact-search switch: probing every list is a full
+    * scan of the m matching rows (cheap, because m is small exactly
+    * when the cap engages — the Qdrant/pgvector "low-cardinality
+    * filter → brute-force the matches" plan choice, here as integer
+    * arithmetic the oracle reproduces bit-for-bit). Selectivity
+    * arrives as exact integer counts (L, m) from 1-row/a K-row
+    * aggregate — no float seam. */
+  def filteredNprobe(numLists: Long, nMatch: Long): Long =
+    math.min(numLists, math.max(ivfNprobe(numLists),
+      (numLists * FilteredMatchTarget + nMatch - 1) / nMatch))
+
+  /** In-plan twin of [[filteredNprobe]] over count columns `nl`
+    * (lists) and `m` (filter-matching rows). */
+  def filteredNprobeCol(nl: String, m: String): Column =
+    least(expr(nl),
+      greatest(scanCeilCol(nl, IvfScanDiv, IvfNprobeFloor),
+        expr(s"($nl * $FilteredMatchTarget + $m - 1) DIV $m")))
+
+  /** DuckDB-SQL twin of [[filteredNprobe]]. */
+  def filteredNprobeSql(nl: String, m: String): String =
+    s"least($nl, greatest(${scanCeilSql(nl, IvfScanDiv, IvfNprobeFloor)}, " +
+      s"($nl * $FilteredMatchTarget + $m - 1) // $m))"
 
   /** Expected-candidate target for the LSH probe set. */
   val LshCandidateTarget = 250L

@@ -1099,6 +1099,101 @@ private[operators] object AnnQueries {
         .select($"vec_id", $"cid", coalesce(!$"dup", lit(true)).as("keep"))
         .orderBy($"vec_id")
     },
+
+    // ----- PREDICATE-FILTERED ANN (constrained search, q36b + filter) -----
+    // "Nearest neighbors of q AMONG rows WHERE label = q.label" — the
+    // serving shape every production vector store has to solve (RAG
+    // with a tenant/source/language predicate). The naive plans both
+    // fail: post-filtering a fixed-width probe starves under a
+    // selective predicate (k survivors of ~nprobe/L·m matching
+    // candidates), and always pre-filtering forfeits the index. This
+    // query is the policy plan: the filter is applied INSIDE the
+    // probed inverted lists (the index prunes, the predicate prunes,
+    // same scan), and the probe WIDTH adapts to the predicate's
+    // cardinality via [[AnnPolicy.filteredNprobe]] — integer counts
+    // in, integer width out, capped at L where it degenerates to an
+    // exact full scan of the matching rows (the low-cardinality
+    // brute-force switch). Cardinalities come from a 10-row label
+    // histogram (broadcast), never a driver collect; the label rides
+    // the routing ledger so the candidate join needs no base-table
+    // lookup. At sf0.01 (m≈50, L=64) every query sits past the cap —
+    // the oracle grades the EXACT branch; at sf0.1 (m≈200) the widened
+    // 32-list probe; at the 20k witness (m≈2000) the base 7-list probe
+    // — all three policy regimes are oracle- or witness-covered.
+    "q147_ann_filtered" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding", $"label")
+      val cents = trainedCodebook(s, dir).select($"cid", $"ce")
+      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
+        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"cid", $"embedding", $"label"),
+          struct($"d", $"cid")).as("m"))
+        .select($"vec_id", $"m.cid".as("cid"),
+          $"m.embedding".as("embedding"), $"m.label".as("label"))
+      val hist = e.groupBy($"label").agg(count(lit(1)).as("nm"))
+      val nl = cents.agg(count(lit(1)).as("nl"))
+      val qw = Window.partitionBy($"query_id").orderBy($"qd", $"cid")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+          $"label".as("ql"))
+        .join(broadcast(hist), $"ql" === hist("label")).drop("label")
+        .crossJoin(broadcast(nl))
+        .withColumn("np", AnnPolicy.filteredNprobeCol("nl", "nm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qd", graft.functions.GraftFunctions.l2Sq($"qe", $"ce"))
+        .withColumn("qrank", row_number().over(qw))
+        .filter($"qrank" <= $"np")
+        .select($"query_id", $"qe", $"ql", $"cid".as("qcid"))
+      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+      asg.join(broadcast(q),
+          $"cid" === $"qcid" && $"label" === $"ql" &&
+          $"vec_id" =!= $"query_id")
+        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id",
+          CrossRound.r($"l2", 4).as("l2"))
+        .orderBy($"query_id", $"rank")
+    },
+
+    // ----- ANN index health stats (the maintainer's dashboard) -----
+    // The operational readout the lifecycle family acts on: per-cell
+    // live counts of the trained-codebook routing, each cell's share
+    // of the corpus and its imbalance vs the uniform ideal, and a
+    // GIANT-CELL flag — the §10.2 drift witness measured exactly this
+    // pathology (a shifted delta collapsing into one frozen cell
+    // balloons the per-query scan fraction from ~10.5% to 19.3%), and
+    // a maintainer runs this after every q143/q144 merge and before
+    // trusting a q145 no-fire verdict. The flag's threshold is
+    // [[AnnPolicy.GiantCellFactor]]× the mean occupancy, compared in
+    // INTEGER form (n_live·L vs factor·n) so the boolean crosses
+    // engines with no float seam; the ratios are display columns
+    // rounded the family's 4dp. Scale: one O(K)-per-row routing pass
+    // (linear, the q36b shape) and a K-row aggregate — nothing
+    // corpus-sized past the groupBy.
+    "q148_ivf_index_stats" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = trainedCodebook(s, dir).select($"cid", $"ce")
+      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
+        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
+        .groupBy($"vec_id")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("cid"))
+      val cells = asg.groupBy($"cid").agg(count(lit(1)).as("n_live"))
+      val tot = cells.agg(sum($"n_live").as("n"),
+        count(lit(1)).as("nlists"))
+      cells.crossJoin(broadcast(tot))
+        .select($"cid", $"n_live",
+          CrossRound.r($"n_live".cast("double") / $"n", 4).as("frac"),
+          CrossRound.r($"n_live" * $"nlists" / $"n".cast("double"), 4)
+            .as("imbalance"),
+          ($"n_live" * $"nlists" >= lit(AnnPolicy.GiantCellFactor) * $"n")
+            .as("is_giant"))
+        .orderBy($"cid")
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1914,5 +2009,89 @@ private[operators] object AnnQueries {
                a.d <= 4 * med AS keep
         FROM asg a JOIN st USING (cid)
         ORDER BY a.vec_id""",
+
+
+      // Filtered-search twin: q36b's routing/probe/rank chain with (a)
+      // the label riding the ledger, (b) the per-query probe width the
+      // generated filteredNprobeSql form (exact integer counts from
+      // the 10-row label histogram and the artifact list count), (c)
+      // the label-equality predicate applied with the cid-equality in
+      // the candidate join. Ties and folds are the family convention
+      // (d NULLS FIRST then id; left-to-right 64-term fold).
+      "q147_ann_filtered" -> s"""
+        WITH $trainedCbCtes,
+        lab AS (SELECT vec_id, label FROM embeddings),
+        hist AS (SELECT label, CAST(count(1) AS BIGINT) nm
+                 FROM lab GROUP BY 1),
+        nlc AS (SELECT CAST(count(1) AS BIGINT) nl FROM tcb),
+        sc AS (SELECT te.vec_id, c.cid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 65),
+                     i -> (te.v[i] - c.ce[i]) * (te.v[i] - c.ce[i]))),
+                   (x, y) -> x + y) d
+               FROM te CROSS JOIN tcb c),
+        asgd AS (SELECT s.vec_id, s.cid, l.label FROM (
+                   SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d NULLS FIRST, cid) rn
+                   FROM sc) s JOIN lab l ON s.vec_id = l.vec_id
+                 WHERE s.rn = 1),
+        qr AS (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d NULLS FIRST, cid) rn
+               FROM sc WHERE vec_id < 5),
+        qp AS (SELECT qr.vec_id query_id, qr.cid qcid, l.label ql
+               FROM qr JOIN lab l ON qr.vec_id = l.vec_id
+                    JOIN hist h ON h.label = l.label
+                    CROSS JOIN nlc
+               WHERE qr.rn <= ${AnnPolicy.filteredNprobeSql("nlc.nl", "h.nm")}),
+        scored AS (SELECT q.query_id, a.vec_id,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range(1, 65),
+                         i -> (ev.v[i] - qv.v[i]) * (ev.v[i] - qv.v[i]))),
+                       (x, y) -> x + y) l2
+                   FROM asgd a
+                   JOIN qp q ON a.cid = q.qcid AND a.label = q.ql
+                            AND a.vec_id != q.query_id
+                   JOIN te ev ON a.vec_id = ev.vec_id
+                   JOIN te qv ON q.query_id = qv.vec_id),
+        ranked AS (SELECT query_id, vec_id, l2,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY l2 NULLS FIRST, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id,
+               floor(l2 * 10000 + 0.5) / 10000 AS l2
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank""",
+
+
+      // Index-health twin: the same trained routing, then K-row count
+      // arithmetic. The giant flag is the integer compare
+      // n_live·L ≥ factor·n (no float seam); frac/imbalance are 4dp
+      // display ratios computed int/double in both engines.
+      "q148_ivf_index_stats" -> s"""
+        WITH $trainedCbCtes,
+        sc AS (SELECT te.vec_id, c.cid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 65),
+                     i -> (te.v[i] - c.ce[i]) * (te.v[i] - c.ce[i]))),
+                   (x, y) -> x + y) d
+               FROM te CROSS JOIN tcb c),
+        asgd AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d NULLS FIRST, cid) rn
+                   FROM sc) WHERE rn = 1),
+        cells AS (SELECT cid, CAST(count(1) AS BIGINT) n_live
+                  FROM asgd GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_live) AS BIGINT) n,
+                       CAST(count(1) AS BIGINT) nlists FROM cells)
+        SELECT cid, n_live,
+               floor(n_live::DOUBLE / n * 10000 + 0.5) / 10000 AS frac,
+               floor(n_live * nlists / n::DOUBLE * 10000 + 0.5) / 10000
+                 AS imbalance,
+               n_live * nlists >= ${AnnPolicy.GiantCellFactor} * n AS is_giant
+        FROM cells CROSS JOIN tot
+        ORDER BY cid""",
   )
 }

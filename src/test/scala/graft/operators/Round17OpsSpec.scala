@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.gsheets.Fixtures
+
+/** Pins the round-15 filtered-ANN operator (q147) and its policy dial:
+  *
+  *  - [[AnnPolicy.filteredNprobe]] arithmetic at every regime edge
+  *    (base / widened / exact-switch cap), and the Column twin's
+  *    lockstep with the Scala form over a (nl, m) grid.
+  *  - q147 at sf0.01 sits past the cap (m ≈ 50 matching rows over a
+  *    64-list index → every list probed), so the query must EQUAL the
+  *    exact label-filtered brute-force top-5 — the strongest available
+  *    pin, mirroring the driver oracle's exact-branch grade.
+  *  - Candidate hygiene: every returned neighbor carries the query's
+  *    label, never the query itself, ranks dense 1..5.
+  */
+class Round17OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = Fixtures.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("AnnPolicy.filteredNprobe: base, widened, and exact-switch regimes") {
+    // Base regime: plentiful matches — the unfiltered ivfNprobe width.
+    // 20k vectors / 10 balanced labels: m = 2000, ⌈64·100/2000⌉ = 4 < 7.
+    assert(AnnPolicy.filteredNprobe(64L, 2000L) == AnnPolicy.ivfNprobe(64L))
+    assert(AnnPolicy.filteredNprobe(64L, 2000L) == 7L)
+    // Widened regime: sf0.1's m ≈ 200 → ⌈64·100/200⌉ = 32 of 64 lists.
+    assert(AnnPolicy.filteredNprobe(64L, 200L) == 32L)
+    assert(AnnPolicy.filteredNprobe(64L, 199L) == 33L, "ceiling division")
+    // Exact-switch cap: sf0.01's m ≈ 50 → ⌈64·100/50⌉ = 128, capped at
+    // the list count — probing every list IS the filtered full scan.
+    assert(AnnPolicy.filteredNprobe(64L, 50L) == 64L)
+    assert(AnnPolicy.filteredNprobe(64L, 1L) == 64L, "degenerate rare label")
+    // Exact boundary of the cap: m = 100 → ⌈6400/100⌉ = 64 = L.
+    assert(AnnPolicy.filteredNprobe(64L, 100L) == 64L)
+    assert(AnnPolicy.filteredNprobe(64L, 101L) == 64L,
+      "⌈6400/101⌉ = 64 still fills the cap exactly")
+    assert(AnnPolicy.filteredNprobe(64L, 107L) == 60L, "first width below L")
+    // Grown index: the dial composes with grownK's list counts. The
+    // base ⌈566/10⌉ = 57-list probe already reaches 100 matches down to
+    // m ≈ 993; below that the widening term takes over.
+    assert(AnnPolicy.filteredNprobe(566L, 32000L) == AnnPolicy.ivfNprobe(566L))
+    assert(AnnPolicy.filteredNprobe(566L, 3200L) == 57L, "base still dominates")
+    assert(AnnPolicy.filteredNprobe(566L, 500L) == 114L) // ⌈56600/500⌉
+  }
+
+  test("AnnPolicy.filteredNprobeCol stays in lockstep with the Scala form") {
+    val grid = for {
+      nl <- Seq(4L, 7L, 64L, 142L, 566L, 4096L)
+      m <- Seq(1L, 5L, 44L, 50L, 100L, 101L, 199L, 200L, 2000L, 32000L)
+    } yield (nl, m)
+    val rows = grid.toDF("nl", "nm")
+      .select($"nl", $"nm", AnnPolicy.filteredNprobeCol("nl", "nm").as("np"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == AnnPolicy.filteredNprobe(r.getLong(0), r.getLong(1)),
+        s"Column twin diverged at (nl=${r.getLong(0)}, m=${r.getLong(1)})")
+    }
+    // The SQL twin is generated from the same constants.
+    val sql = AnnPolicy.filteredNprobeSql("nl", "m")
+    assert(sql.contains(AnnPolicy.FilteredMatchTarget.toString))
+    assert(sql.contains(s"least(nl"))
+  }
+
+  test("q147: exact-branch equality with filtered brute force at sf0.01") {
+    val got = PipelineQueries.queries("q147_ann_filtered")(spark, dir)
+      .collect()
+    assert(got.length == 25, "5 queries x top-5 (every label has ≥ 5 rows)")
+
+    // Exact label-filtered brute force, same tie rule (l2, vec_id).
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"label".as("ql"))
+    val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+    val want = e.crossJoin(broadcast(q))
+      .filter($"label" === $"ql" && $"vec_id" =!= $"query_id")
+      .withColumn("l2",
+        graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id",
+        CrossRound.r($"l2", 4).as("l2"))
+      .orderBy($"query_id", $"rank")
+      .collect()
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq,
+      "past the cap the probe covers every list — the filtered IVF " +
+        "result must equal the exact filtered scan")
+  }
+
+  test("q148: index stats conserve the corpus; trained cells are not giant") {
+    val rows = PipelineQueries.queries("q148_ivf_index_stats")(spark, dir)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == 500L,
+      "per-cell live counts partition the corpus exactly")
+    assert(rows.forall(!_.getBoolean(4)),
+      "a freshly trained codebook on the fixture corpus has no 4x-mean cell")
+    // imbalance averages to ~1 by construction: Σ n_live·L/n = L.
+    val totImb = rows.map(r => r.getLong(1).toDouble * rows.length / 500.0).sum
+    assert(math.abs(totImb - rows.length) < 1e-9)
+    // The flag arithmetic itself, at its integer boundary (factor 4,
+    // 10 lists, 100 rows → mean 10): 39 live is not giant, 40 is.
+    assert(AnnPolicy.GiantCellFactor == 4L)
+    assert(39L * 10L < 4L * 100L && 40L * 10L >= 4L * 100L)
+  }
+
+  test("q147: every neighbor carries the query's label; self excluded") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"label")
+    val lab = e.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = PipelineQueries.queries("q147_ann_filtered")(spark, dir)
+      .collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5),
+        s"dense ranks for query $qid")
+      rs.foreach { r =>
+        val vid = r.getLong(2)
+        assert(vid != qid, "self never returned")
+        assert(lab(vid) == lab(qid),
+          s"neighbor $vid of query $qid must match the filter label")
+      }
+    }
+  }
+}
