@@ -1249,6 +1249,26 @@ object PipelineQueries {
         .as[Long].collect())
   }
 
+  /** Glob-aware twin of [[benchSortedSids]] for the STAGED streaming
+    * consumers (q149): a multi-file feed (documents_1.parquet, …) has
+    * no single documents.parquet for the batch-side bench computation,
+    * but the eval-suite set is a property of the whole corpus — read
+    * every documents*.parquet so the staged run pins the identical
+    * bench set its single-file twin does. */
+  private[graft] def benchSortedSidsGlob(s: SparkSession, dir: String): Array[Long] = {
+    import s.implicits._
+    val key = "graft_bench_sids_glob_" +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dataFingerprint(dir)
+    benchSidsMemo.computeIfAbsent(key, _ =>
+      docSidArrays(s.read.option("pathGlobFilter", "documents*.parquet")
+          .parquet(dir))
+        .filter($"doc_id" < 10)
+        .select(explode($"sids").as("sid")).distinct()
+        .orderBy($"sid")
+        .as[Long].collect())
+  }
+
   /** Map-only MinHash(16) → 4-band LSH → Jaccard verify over
     * (doc_id, sids) ARRAYS ([[docSidArrays]], cached by the caller —
     * probed by the signature pass and both verify joins).
@@ -1542,6 +1562,57 @@ object PipelineQueries {
                  AS contaminated
         FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
         ORDER BY s.doc_id"""
+  }
+
+  /** DuckDB oracle for the q149 streaming-curation composition — the
+    * BATCH TWIN of the ingest gate: quality (q73's dyadic-exact weight
+    * sum ≥ 0) ∧ decontamination (2·overlap < shingles, integer form;
+    * shingle-less docs vacuously clean) over the non-bench corpus,
+    * then exact dedup keeping min doc_id per content hash AMONG the
+    * gated docs. Every compare is integer or dyadic-exact, so the
+    * streamed composition must reproduce these rows bit-for-bit under
+    * any doc_id-ordered staging.
+    */
+  private[graft] lazy val streamCurateOracleSql: String = {
+    val toks = "list_filter(string_split(text, ' '), x -> x != '')"
+    s"""
+        WITH toks AS (SELECT doc_id, md5(text) eh, $toks tk FROM documents
+                      WHERE doc_id >= 10),
+        nz AS (SELECT doc_id, eh, tk FROM toks WHERE len(tk) > 0),
+        inst AS (SELECT doc_id, unnest(tk) tok FROM nz),
+        sidt AS (SELECT doc_id, ${oraclePolyHash("tok")} sid FROM inst),
+        qsc AS (SELECT doc_id, count(1) n,
+                       sum((((sid % 64) * 2654435761) % 4294967296)
+                           / 4294967296.0 - 0.5) lsum
+                FROM sidt GROUP BY 1),
+        shing AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
+                  FROM nz),
+        ssid AS (SELECT DISTINCT doc_id, ${oraclePolyHash("shingle")} sid
+                 FROM shing),
+        bench AS (SELECT DISTINCT ${oraclePolyHash("shingle")} sid FROM (
+                    SELECT unnest(list_transform(range(1, len(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
+                    FROM (SELECT $toks tk FROM documents WHERE doc_id < 10))),
+        sstat AS (SELECT s.doc_id, CAST(count(1) AS BIGINT) n_sh,
+                         CAST(sum(CASE WHEN b.sid IS NOT NULL
+                                       THEN 1 ELSE 0 END) AS BIGINT) n_ov
+                  FROM ssid s LEFT JOIN bench b ON s.sid = b.sid GROUP BY 1),
+        gated AS (SELECT z.doc_id, z.eh,
+                         floor((q.lsum / q.n) * 10000 + 0.5) / 10000
+                           quality_logit,
+                         CASE WHEN coalesce(st.n_sh, 0) > 0
+                              THEN floor(st.n_ov::DOUBLE / st.n_sh * 10000
+                                         + 0.5) / 10000
+                              ELSE 0.0 END overlap_ratio
+                  FROM nz z JOIN qsc q USING (doc_id)
+                       LEFT JOIN sstat st USING (doc_id)
+                  WHERE q.lsum >= 0
+                    AND (coalesce(st.n_sh, 0) = 0 OR 2 * st.n_ov < st.n_sh)),
+        firsts AS (SELECT min(doc_id) doc_id FROM gated GROUP BY eh)
+        SELECT g.doc_id, g.quality_logit, g.overlap_ratio
+        FROM gated g JOIN firsts f ON g.doc_id = f.doc_id
+        ORDER BY g.doc_id"""
   }
 
   /** The q129 chunker's oracle CTE chain, ending at

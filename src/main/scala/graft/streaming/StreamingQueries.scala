@@ -1194,6 +1194,101 @@ object StreamingQueries {
                 $"session_window.end".as("session_end"),
                 $"user_id", $"n_events", $"sum_value")
         .orderBy($"user_id", $"session_start")
+    },
+
+    // ----- streaming curation: the composed ingest gate -----
+    // The ComposedPipeline's streaming twin for the stages a real
+    // pipeline runs AT INGEST (SCALE.md §10.6 closed the batch DAG;
+    // this is the arrival-time half of that architecture — global
+    // passes like near-dup grouping, budget selection and packing stay
+    // periodic batch jobs over the curated store, exactly as deployed
+    // systems split them). One streaming query chains, per arriving
+    // document:
+    //   1. quality gate    — q75's map-only hashed-feature scorer
+    //   2. decontamination — q59's map-only sorted-set membership
+    //      (both gates BEFORE the dedup state, so rejected docs never
+    //      enter the store)
+    //   3. exact dedup vs everything-already-curated — one boolean of
+    //      state per distinct content hash (flatMapGroupsWithState;
+    //      the q133 chunk-store state class, so the RocksDB toggle
+    //      matters here too)
+    // Gate booleans are INTEGER/dyadic-exact compares (2·overlap <
+    // shingles; the dyadic weight sum ≥ 0), so batch and stream agree
+    // bit-for-bit and the DuckDB oracle — the batch twin: gated set,
+    // then min doc_id per hash — grades the composition end-to-end.
+    // Survivor rule is deterministic under ANY doc_id-ordered staging:
+    // within a micro-batch the min doc_id of the group wins, across
+    // batches the state makes the first batch win
+    // (StreamingQueriesSpec pins staged-vs-single-batch equality).
+    "q149_stream_curate" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      val bench: Array[Long] = graft.operators.PipelineQueries
+        .benchSortedSidsGlob(s2, dir)
+      val weights = (0 until 64).map { j =>
+        ((j.toLong * 2654435761L) % 4294967296L) / 4294967296.0 - 0.5
+      }.toArray
+
+      val reader = s2.readStream
+        .schema(docsStreamSchema)
+        .option("pathGlobFilter", "documents*.parquet")
+      s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+        .foreach(n => reader.option("maxFilesPerTrigger", n))
+      val stream = reader.parquet(dir)
+
+      val toksExpr = "array_remove(split(text, ' '), '')"
+      val gated = stream
+        .filter($"doc_id" >= 10) // the eval set never trains
+        .select($"doc_id", md5($"text").as("eh"), expr(toksExpr).as("toks"))
+        .filter(size($"toks") > 0)
+        .withColumn("sids",
+          graft.functions.GraftFunctions.polyHashArray($"toks"))
+        .withColumn("dot",
+          graft.functions.GraftFunctions.bucketDot($"sids", lit(weights)))
+        .withColumn("ssids", array_distinct(
+          graft.functions.GraftFunctions.polyHashArray(
+            graft.functions.GraftFunctions.shingles3($"toks"))))
+        .withColumn("n_sh", size($"ssids").cast("long"))
+        .withColumn("n_ov", graft.functions.GraftFunctions
+          .sortedCountIn($"ssids", lit(bench)).cast("long"))
+        .filter($"dot" >= 0 &&
+          ($"n_sh" === 0 || $"n_ov" * 2 < $"n_sh"))
+        .select($"doc_id", $"eh",
+          CrossRound.r($"dot" / size($"sids"), 4).as("quality_logit"),
+          when($"n_sh" === 0, lit(0.0))
+            .otherwise(CrossRound.r($"n_ov" / $"n_sh", 4)).as("overlap_ratio"))
+
+      val curated = gated
+        .as[(Long, String, Double, Double)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (_: String, rows: Iterator[(Long, String, Double, Double)],
+           state: GroupState[Boolean]) =>
+            if (state.exists) Iterator.empty
+            else {
+              state.update(true)
+              val r = rows.minBy(_._1)
+              Iterator((r._1, r._3, r._4))
+            }
+        }
+        .toDF("doc_id", "quality_logit", "overlap_ratio")
+
+      val sink = s"q149_sink_${sinkCounter.incrementAndGet()}"
+      val q = curated.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      capturePlan("q149_stream_curate", q)
+      s2.table(sink).orderBy($"doc_id")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -1202,6 +1297,12 @@ object StreamingQueries {
     // identical rows, so the shared oracle grades it.
     "q59_stream_decontaminate" ->
       graft.operators.PipelineQueries.decontamOracleSql,
+
+    // The composed ingest gate must emit exactly its batch twin:
+    // quality ∧ decontamination over the non-bench corpus, then min
+    // doc_id per content hash among the gated docs.
+    "q149_stream_curate" ->
+      graft.operators.PipelineQueries.streamCurateOracleSql,
 
     // The streaming quality gate must emit exactly the batch q73 rows.
     "q75_stream_quality" ->

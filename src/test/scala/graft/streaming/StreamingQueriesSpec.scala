@@ -344,6 +344,52 @@ class StreamingQueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
   }
 
+  test("q149 curate state holds across micro-batches; staged = single-batch") {
+    // Stage the corpus as two doc_id-RANGE files admitted one per
+    // micro-batch — the monotone-ingest arrival order the survivor
+    // rule (first batch wins, min doc_id within a batch) is defined
+    // over. The staged run must equal the single-batch run row for
+    // row, and no doc_id may appear twice (the curated store's
+    // write-once contract).
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("q149-multi").toString
+    val tmp = s"$staged/_tmp"
+    val docs = graft.operators.Tables(spark, dir).documents
+    val mid = docs.agg(org.apache.spark.sql.functions.expr(
+      "percentile_approx(doc_id, 0.5)")).first.getLong(0)
+    for (i <- 1 to 2) {
+      val slice = s"$tmp/$i"
+      (if (i == 1) docs.filter(col("doc_id") <= mid)
+       else docs.filter(col("doc_id") > mid)).coalesce(1)
+        .write.mode("overwrite").parquet(slice)
+      val part = new java.io.File(slice).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$staged/documents_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1000000L * i)
+    }
+    spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+    try {
+      val got = StreamingQueries.queries("q149_stream_curate")(spark, staged)
+      val dupes = got.groupBy("doc_id").count().filter(col("count") > 1)
+      assert(dupes.count() == 0, "a doc was re-emitted in a later batch")
+      val single = StreamingQueries.queries("q149_stream_curate")(spark, dir)
+      assert(got.exceptAll(single).isEmpty && single.exceptAll(got).isEmpty,
+        "doc_id-ordered staging must not change the curated set")
+    } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+  }
+
+  test("q149 curate is identical under the RocksDB state store") {
+    val dir = "/root/testdata/sf0.001"
+    val hdfs = StreamingQueries.queries("q149_stream_curate")(spark, dir)
+    assert(hdfs.count() > 0)
+    spark.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    try {
+      val rocks = StreamingQueries.queries("q149_stream_curate")(spark, dir)
+      assert(rocks.exceptAll(hdfs).isEmpty && hdfs.exceptAll(rocks).isEmpty)
+    } finally spark.conf.unset("spark.graft.streaming.stateStore")
+  }
+
   test("q50 streaming dedup equals batch DISTINCT, under both state stores") {
     val dir = "/root/testdata/sf0.001"
     val twin = graft.operators.Tables(spark, dir).events
