@@ -111,6 +111,27 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(39L * 10L < 4L * 100L && 40L * 10L >= 4L * 100L)
   }
 
+  test("q150: tuner picks the measured optima; the 4x4 trade is visible") {
+    val rows = PipelineQueries.queries("q150_lsh_tuner")(spark, dir).collect()
+    assert(rows.length == (16 + 128) * 5, "one row per (budget, t, r)")
+    val best = rows.filter(_.getBoolean(8))
+      .map(r => (r.getInt(0), r.getDouble(1)) -> (r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(best.size == 10, "exactly one winner per (budget, t)")
+    // The symmetric-objective optimum at the family's (H=16, t=0.5).
+    assert(best((16, 0.5)) == (5, 3))
+    // Monotonicity: a steeper threshold buys longer rows, fewer bands.
+    assert(best((16, 0.9))._2 > best((16, 0.5))._2)
+    assert(best((128, 0.9))._1 < best((128, 0.4))._1)
+    // The shipped 4x4's documented trade: ~2.9x lower FP area than the
+    // symmetric winner, paid in FN (the propose/verify cost model).
+    val at16t5 = rows.filter(r => r.getInt(0) == 16 && r.getDouble(1) == 0.5)
+    val r44 = at16t5.find(r => r.getInt(2) == 4 && r.getInt(3) == 4).get
+    val r53 = at16t5.find(r => r.getInt(2) == 5 && r.getInt(3) == 3).get
+    assert(r44.getDouble(5) < r53.getDouble(5) / 2.5, "4x4 FP advantage")
+    assert(r44.getDouble(6) > r53.getDouble(6), "paid in FN area")
+  }
+
   test("q147: every neighbor carries the query's label; self excluded") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id", $"label")
