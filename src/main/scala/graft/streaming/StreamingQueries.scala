@@ -184,6 +184,67 @@ object StreamingQueries {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  /** The q149 curation stream: quality ∧ decontamination gates (both
+    * map-only, integer/dyadic-exact booleans) BEFORE the dedup state,
+    * then exact dedup vs everything-already-curated — one boolean per
+    * distinct content hash in flatMapGroupsWithState. Shared between
+    * the registered q149 (memory sink) and the restart-recovery
+    * witness (checkpointed file sink), so both drive the IDENTICAL
+    * stateful pipeline. */
+  private[streaming] def curateStream(s2: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[String]): DataFrame = {
+    import s2.implicits._
+    val bench: Array[Long] = graft.operators.PipelineQueries
+      .benchSortedSidsGlob(s2, dir)
+    val weights = (0 until 64).map { j =>
+      ((j.toLong * 2654435761L) % 4294967296L) / 4294967296.0 - 0.5
+    }.toArray
+
+    val reader = s2.readStream
+      .schema(docsStreamSchema)
+      .option("pathGlobFilter", "documents*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(dir)
+
+    val toksExpr = "array_remove(split(text, ' '), '')"
+    val gated = stream
+      .filter($"doc_id" >= 10) // the eval set never trains
+      .select($"doc_id", md5($"text").as("eh"), expr(toksExpr).as("toks"))
+      .filter(size($"toks") > 0)
+      .withColumn("sids",
+        graft.functions.GraftFunctions.polyHashArray($"toks"))
+      .withColumn("dot",
+        graft.functions.GraftFunctions.bucketDot($"sids", lit(weights)))
+      .withColumn("ssids", array_distinct(
+        graft.functions.GraftFunctions.polyHashArray(
+          graft.functions.GraftFunctions.shingles3($"toks"))))
+      .withColumn("n_sh", size($"ssids").cast("long"))
+      .withColumn("n_ov", graft.functions.GraftFunctions
+        .sortedCountIn($"ssids", lit(bench)).cast("long"))
+      .filter($"dot" >= 0 &&
+        ($"n_sh" === 0 || $"n_ov" * 2 < $"n_sh"))
+      .select($"doc_id", $"eh",
+        CrossRound.r($"dot" / size($"sids"), 4).as("quality_logit"),
+        when($"n_sh" === 0, lit(0.0))
+          .otherwise(CrossRound.r($"n_ov" / $"n_sh", 4)).as("overlap_ratio"))
+
+    gated
+      .as[(Long, String, Double, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, String, Double, Double)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val r = rows.minBy(_._1)
+            Iterator((r._1, r._3, r._4))
+          }
+      }
+      .toDF("doc_id", "quality_logit", "overlap_ratio")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ----- streaming tumbling-window aggregation over the events feed -----
@@ -1228,56 +1289,8 @@ object StreamingQueries {
         s2.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-      val bench: Array[Long] = graft.operators.PipelineQueries
-        .benchSortedSidsGlob(s2, dir)
-      val weights = (0 until 64).map { j =>
-        ((j.toLong * 2654435761L) % 4294967296L) / 4294967296.0 - 0.5
-      }.toArray
-
-      val reader = s2.readStream
-        .schema(docsStreamSchema)
-        .option("pathGlobFilter", "documents*.parquet")
-      s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
-        .foreach(n => reader.option("maxFilesPerTrigger", n))
-      val stream = reader.parquet(dir)
-
-      val toksExpr = "array_remove(split(text, ' '), '')"
-      val gated = stream
-        .filter($"doc_id" >= 10) // the eval set never trains
-        .select($"doc_id", md5($"text").as("eh"), expr(toksExpr).as("toks"))
-        .filter(size($"toks") > 0)
-        .withColumn("sids",
-          graft.functions.GraftFunctions.polyHashArray($"toks"))
-        .withColumn("dot",
-          graft.functions.GraftFunctions.bucketDot($"sids", lit(weights)))
-        .withColumn("ssids", array_distinct(
-          graft.functions.GraftFunctions.polyHashArray(
-            graft.functions.GraftFunctions.shingles3($"toks"))))
-        .withColumn("n_sh", size($"ssids").cast("long"))
-        .withColumn("n_ov", graft.functions.GraftFunctions
-          .sortedCountIn($"ssids", lit(bench)).cast("long"))
-        .filter($"dot" >= 0 &&
-          ($"n_sh" === 0 || $"n_ov" * 2 < $"n_sh"))
-        .select($"doc_id", $"eh",
-          CrossRound.r($"dot" / size($"sids"), 4).as("quality_logit"),
-          when($"n_sh" === 0, lit(0.0))
-            .otherwise(CrossRound.r($"n_ov" / $"n_sh", 4)).as("overlap_ratio"))
-
-      val curated = gated
-        .as[(Long, String, Double, Double)]
-        .groupByKey(_._2)
-        .flatMapGroupsWithState(
-          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-          (_: String, rows: Iterator[(Long, String, Double, Double)],
-           state: GroupState[Boolean]) =>
-            if (state.exists) Iterator.empty
-            else {
-              state.update(true)
-              val r = rows.minBy(_._1)
-              Iterator((r._1, r._3, r._4))
-            }
-        }
-        .toDF("doc_id", "quality_logit", "overlap_ratio")
+      val curated = curateStream(s2, dir,
+        s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger"))
 
       val sink = s"q149_sink_${sinkCounter.incrementAndGet()}"
       val q = curated.writeStream

@@ -379,6 +379,55 @@ class StreamingQueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
   }
 
+  test("q149 survives a restart: checkpointed state, exactly-once output") {
+    // The production contract the memory-sink runs can't show: the
+    // curation stream stops (process death, deploy), new files arrive,
+    // and a NEW query instance resumes from the checkpoint — the file
+    // offsets skip everything already read, the recovered dedup state
+    // suppresses hashes curated before the restart, and the file sink
+    // ends up exactly-once.
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("q149-restart").toString
+    val ck = s"$staged/_ck"; val out = s"$staged/_out"; val tmp = s"$staged/_tmp"
+    val docs = graft.operators.Tables(spark, dir).documents
+    val mid = docs.agg(org.apache.spark.sql.functions.expr(
+      "percentile_approx(doc_id, 0.5)")).first.getLong(0)
+    def stage(i: Int): Unit = {
+      val slice = s"$tmp/$i"
+      (if (i == 1) docs.filter(col("doc_id") <= mid)
+       else docs.filter(col("doc_id") > mid)).coalesce(1)
+        .write.mode("overwrite").parquet(slice)
+      val part = new java.io.File(slice).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$staged/documents_$i.parquet").toPath)
+    }
+    def runOnce(): Unit = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      val q = StreamingQueries.curateStream(s2, staged, None)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stage(1); runOnce()       // first life: curates the first half
+    val afterRun1 = spark.read.parquet(out).count()
+    stage(2); runOnce()       // restart: only the new file is read
+    val got = spark.read.parquet(out)
+    assert(got.count() > afterRun1, "the second life emitted new docs")
+    assert(got.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "exactly-once across the restart")
+    // And the two lives together equal the single-run registered query
+    // over the same staged corpus (which in turn equals the DuckDB
+    // batch twin at the oracle gate).
+    val single = StreamingQueries.queries("q149_stream_curate")(spark, staged)
+    assert(got.exceptAll(single).isEmpty && single.exceptAll(got).isEmpty,
+      "restart recovery must not change the curated set")
+  }
+
   test("q149 curate is identical under the RocksDB state store") {
     val dir = "/root/testdata/sf0.001"
     val hdfs = StreamingQueries.queries("q149_stream_curate")(spark, dir)

@@ -10,7 +10,8 @@
 #
 # Expected per seed: "== N pass, 0 fail ==" where N is the current
 # oracle-checked registry size (154 at the r15 sweep: the r14 150 plus
-# q144/q145/q142b/q146, the round-15 lifecycle family; q17b/q44
+# q144/q145/q142b/q146, the round-15 lifecycle family; 159 at the
+# late-r15 re-sweep after q36c/q147/q148/q149/q150; q17b/q44
 # are spec-bounded approximations with no oracle entry, by design).
 set -u
 cd "$(dirname "$0")/../.."
