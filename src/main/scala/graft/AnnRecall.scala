@@ -77,6 +77,10 @@ object AnnRecall {
     val rQ142 = recall(gtL2, run("q142_stream_ann_query"))
     // Round-15 two-level-coarse variant (grown codebook, O(√K) routing).
     val rIvfC = recall(gtL2, run("q36c_ann_ivf_coarse"))
+    // Round-15 matryoshka variant (16-of-64-dim truncated routing, full
+    // rerank) — measures what prefix routing costs WITHOUT MRL-trained
+    // embeddings (truth = the exact full-dim ranking).
+    val rIvfM = recall(gtL2, run("q151_ann_matryoshka"))
     val numListsTrained =
       graft.operators.PipelineQueries.trainedCodebook(spark, dir).count()
 
@@ -109,6 +113,7 @@ object AnnRecall {
       f""","recall5_ivf_trained":$rIvfT%.4f,"recall5_pq_trained":$rPqT%.4f""" +
       f""","recall5_q142_stream":$rQ142%.4f""" +
       f""","k_grown":${pol.grownK(n)},"recall5_ivf_coarse":$rIvfC%.4f""" +
+      f""","recall5_ann_matryoshka":$rIvfM%.4f""" +
       f""","recall5_ann_filtered":$rFil%.4f""" +
       f""","filtered_np_min":${labelCounts.map(pol.filteredNprobe(numListsTrained, _)).min}""" +
       f""","filtered_np_max":${labelCounts.map(pol.filteredNprobe(numListsTrained, _)).max}}"""

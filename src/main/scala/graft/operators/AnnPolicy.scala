@@ -262,6 +262,26 @@ object AnnPolicy {
     s"least($nl, greatest(${scanCeilSql(nl, IvfScanDiv, IvfNprobeFloor)}, " +
       s"($nl * $FilteredMatchTarget + $m - 1) // $m))"
 
+  /** Query-probe widening for truncated-prefix (matryoshka) routing
+    * (q151): prefix routing is NOISIER than full-dim routing — on
+    * unstructured embeddings a 16-of-64-dim route holds only ~1/4 of
+    * the distance signal and recall@5 reads 0.52 at the base ⌈L/10⌉
+    * probe (20k AND 80k, scale-stable — evidence/r15/
+    * ann_recall_*_r15c.json) — so the query probes boost× more lists,
+    * capped at L. Set ON DATA (the family rule; measured at 20k/80k,
+    * evidence/r15/matryoshka_boost_exp.log): boost 2 reads 0.64/0.64,
+    * 4 reads 0.84/0.88, 8 reads 1.00/1.00 — 4 is the knee (the 0.84+
+    * band the two-level hierarchy ships at HALF the flat routing cost,
+    * while this plan QUARTERS the per-row routing cost at 4× the
+    * query-side scan; which dial wins depends on whether the workload
+    * is build- or query-bound — and on MRL-trained embeddings, whose
+    * prefixes carry the signal by construction, the boost retunes
+    * toward 1). Boost applies to the QUERY side only — the corpus-side
+    * O(n·16) routing saving is the point — and the conf knob
+    * `spark.graft.ann.matryoshkaBoost` overrides for experiments; the
+    * oracle pins the default. */
+  val MatryoshkaProbeBoost = 4L
+
   /** Expected-candidate target for the LSH probe set. */
   val LshCandidateTarget = 250L
 

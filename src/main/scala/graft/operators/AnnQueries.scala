@@ -1158,6 +1158,62 @@ private[operators] object AnnQueries {
         .orderBy($"query_id", $"rank")
     },
 
+    // ----- Matryoshka (truncated-prefix) routing IVF -----
+    // The routing-cost dial real vector stores ship (MRL embeddings):
+    // ROUTE in the first 16 of 64 dims — 4× less per-row routing
+    // arithmetic and a 4× smaller routing broadcast, the costs that
+    // dominate index build at 100 TB — then RERANK candidates in full
+    // dimension, so the final ranking quality is bounded only by which
+    // lists the truncated route picks. Assignment, probe and policy
+    // are q36b's exactly, with every routing distance a 16-term
+    // prefix fold (`slice` before the native kernel; the oracle's
+    // range(1, 17) twin folds identically); the candidate rank is the
+    // full 64-term fold. On THESE unstructured synthetic embeddings
+    // the prefix carries only 1/4 of the variance, so the witness
+    // measures what truncation costs when the MRL training assumption
+    // is absent (recall vs exact full-dim truth, SCALE.md §10.10) —
+    // on real matryoshka-trained embeddings the prefix is constructed
+    // to carry the signal and the same plan keeps the 4× saving at
+    // full recall. The oracle grades the rows exactly either way (the
+    // index is exact BY CONTRACT given the truncated routing rule).
+    "q151_ann_matryoshka" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val boost = s.conf.getOption("spark.graft.ann.matryoshkaBoost")
+        .map(_.toLong).getOrElse(AnnPolicy.MatryoshkaProbeBoost)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = trainedCodebook(s, dir).select($"cid", $"ce")
+        .withColumn("ce16", slice($"ce", 1, 16))
+      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
+        .withColumn("d", graft.functions.GraftFunctions
+          .l2Sq(slice($"embedding", 1, 16), $"ce16"))
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))
+        .select($"vec_id", $"m.cid".as("cid"), $"m.embedding".as("embedding"))
+      val np = cents.agg(count(lit(1)).as("nl"))
+        .select(least($"nl",
+          AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
+            AnnPolicy.IvfNprobeFloor) * boost).as("nprobe"))
+      val qw = Window.partitionBy($"query_id").orderBy($"qd", $"cid")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qd", graft.functions.GraftFunctions
+          .l2Sq(slice($"qe", 1, 16), $"ce16"))
+        .withColumn("qrank", row_number().over(qw))
+        .crossJoin(broadcast(np))
+        .filter($"qrank" <= $"nprobe")
+        .select($"query_id", $"qe", $"cid".as("qcid"))
+      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+      asg.join(broadcast(q),
+          $"cid" === $"qcid" && $"vec_id" =!= $"query_id")
+        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
+        .orderBy($"query_id", $"rank")
+    },
+
     // ----- ANN index health stats (the maintainer's dashboard) -----
     // The operational readout the lifecycle family acts on: per-cell
     // live counts of the trained-codebook routing, each cell's share
@@ -2053,6 +2109,51 @@ private[operators] object AnnQueries {
                    FROM asgd a
                    JOIN qp q ON a.cid = q.qcid AND a.label = q.ql
                             AND a.vec_id != q.query_id
+                   JOIN te ev ON a.vec_id = ev.vec_id
+                   JOIN te qv ON q.query_id = qv.vec_id),
+        ranked AS (SELECT query_id, vec_id, l2,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY l2 NULLS FIRST, vec_id) rk
+                   FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id,
+               floor(l2 * 10000 + 0.5) / 10000 AS l2
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank""",
+
+
+      // Matryoshka twin: q36b's chain with every ROUTING distance a
+      // 16-term prefix fold (range(1, 17)) and the candidate rank the
+      // full 64-term fold — the same truncated rule, step for step.
+      "q151_ann_matryoshka" -> s"""
+        WITH $trainedCbCtes,
+        sc AS (SELECT te.vec_id, c.cid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 17),
+                     i -> (te.v[i] - c.ce[i]) * (te.v[i] - c.ce[i]))),
+                   (x, y) -> x + y) d
+               FROM te CROSS JOIN tcb c),
+        asgd AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d NULLS FIRST, cid) rn
+                   FROM sc) WHERE rn = 1),
+        np AS (SELECT least(count(1), ${
+          AnnPolicy.scanCeilSql("count(1)", AnnPolicy.IvfScanDiv,
+            AnnPolicy.IvfNprobeFloor)
+        } * ${AnnPolicy.MatryoshkaProbeBoost}) np FROM tcb),
+        qp AS (SELECT vec_id query_id, cid qcid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d NULLS FIRST, cid) rn
+                 FROM sc WHERE vec_id < 5)
+               WHERE rn <= (SELECT np FROM np)),
+        scored AS (SELECT q.query_id, a.vec_id,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range(1, 65),
+                         i -> (ev.v[i] - qv.v[i]) * (ev.v[i] - qv.v[i]))),
+                       (x, y) -> x + y) l2
+                   FROM asgd a
+                   JOIN qp q ON a.cid = q.qcid AND a.vec_id != q.query_id
                    JOIN te ev ON a.vec_id = ev.vec_id
                    JOIN te qv ON q.query_id = qv.vec_id),
         ranked AS (SELECT query_id, vec_id, l2,

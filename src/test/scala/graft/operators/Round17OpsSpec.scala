@@ -132,6 +132,39 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(r44.getDouble(6) > r53.getDouble(6), "paid in FN area")
   }
 
+  test("q151: matryoshka dial, and the boost cap degenerates to exact") {
+    // The shipped dial and its provenance (set on the 20k/80k curve:
+    // 0.52 → 0.64 → 0.84/0.88 → 1.00 at boost 1/2/4/8).
+    assert(AnnPolicy.MatryoshkaProbeBoost == 4L)
+    val rows = PipelineQueries.queries("q151_ann_matryoshka")(spark, dir)
+      .collect()
+    assert(rows.length == 25, "5 queries x top-5")
+    // Probing boost x more lists can only ADD candidates: at a huge
+    // boost the probe caps at L — every list scanned — and the result
+    // must equal the exact full-dim top-5 (the brute-force degenerate,
+    // same contract as q147's cap branch).
+    spark.conf.set("spark.graft.ann.matryoshkaBoost", "1000000")
+    try {
+      val capped = PipelineQueries.queries("q151_ann_matryoshka")(spark, dir)
+        .collect()
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+      val want = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"query_id")
+        .withColumn("l2",
+          graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id",
+          CrossRound.r($"l2", 4).as("l2"))
+        .orderBy($"query_id", $"rank").collect()
+      assert(capped.map(_.toString).toSeq == want.map(_.toString).toSeq)
+    } finally spark.conf.unset("spark.graft.ann.matryoshkaBoost")
+  }
+
   test("q147: every neighbor carries the query's label; self excluded") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id", $"label")
