@@ -366,6 +366,64 @@ private[operators] object DedupQueries {
     },
 
 
+    // ----- delete propagation in the CDC dedup index (forget) -----
+    // The dedup-store twin of q144's index deletes — the
+    // right-to-be-forgotten path: when corpus documents are deleted
+    // (the deterministic doc_id % 13 = 0 stripe, q144's convention),
+    // their MinHash POSTINGS must leave the persisted banded index, or
+    // every future delta keeps matching against ghosts. The maintained
+    // index is q81's persisted artifact MINUS the tombstoned doc_ids —
+    // declaratively a broadcast-able anti-join keyed on the posting
+    // store's own doc_id (a storage-level delete-by-key at 100 TB;
+    // O(|tombstones|) work against the bucketed table, zero signature
+    // recomputation), with the FROM-SCRATCH-EQUALITY contract: the
+    // q81 delta-pair query over the maintained index must equal the
+    // same query over an index rebuilt from the surviving documents —
+    // which is exactly what the oracle computes. At sf0.01 the stripe
+    // tombstones corpus doc 26, whose (455, 26) pair VANISHES from
+    // q81's four (Round17OpsSpec pins the forgotten pair, so the path
+    // is exercised, not just present).
+    "q152_dedup_forget" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cut: Long =
+        (t.documents.agg(max($"doc_id")).first.getLong(0) + 1L) * 9L / 10L
+      val sigs = docSidArrays(t.documents).filter(size($"sids") > 0)
+        .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
+        .select($"doc_id", $"mh")
+      def bands(df: DataFrame): DataFrame =
+        df.select($"doc_id", $"mh", mhBandCols.as(Seq("band", "sig")))
+      val idxKey = deltaIndexKey(s, dir)
+      materializeOnce(idxKey, deltaIndexPath(s, dir), Some(idxKey)) {
+        bands(sigs.filter($"doc_id" < cut))
+          .write.mode("overwrite")
+          .bucketBy(8, "band", "sig").sortBy("band", "sig")
+          .option("path", deltaIndexPath(s, dir))
+          .saveAsTable(idxKey)
+      }
+      // Delete-by-key against the posting store: the tombstone set is
+      // delta-sized, so it broadcasts; no signature is recomputed.
+      val maintained = s.table(idxKey)
+        .join(broadcast(t.documents.filter($"doc_id" < cut &&
+            $"doc_id" % 13 === 0).select($"doc_id")),
+          Seq("doc_id"), "left_anti")
+      val delta = sigs.filter($"doc_id" >= cut)
+      val cand = bands(delta).as("a")
+        .join(maintained.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
+        .select($"a.doc_id".as("new_doc"), $"b.doc_id".as("corpus_doc"),
+          $"a.mh".as("amh"), $"b.mh".as("bmh"))
+        .distinct()
+      cand
+        .withColumn("n_match",
+          expr("size(filter(zip_with(amh, bmh, (x, y) -> x = y), z -> z))")
+            .cast("long"))
+        .filter($"n_match" >= 8)
+        .select($"new_doc", $"corpus_doc", $"n_match",
+          CrossRound.r($"n_match" / 16.0, 4).as("est_sim"))
+        .orderBy($"new_doc", $"corpus_doc")
+    },
+
+
     // ----- duplicated-span detection (substring-level dedup contract) -----
     // The span-level form of exact dedup (the suffix-array contract of
     // "Deduplicating Training Data Makes Language Models Better"): find
@@ -1260,6 +1318,30 @@ private[operators] object DedupQueries {
                    ON a.band = b.band AND a.sig = b.sig
                  WHERE a.doc_id >= (SELECT c FROM cut)
                    AND b.doc_id < (SELECT c FROM cut)),
+        agree AS (SELECT c.new_doc, c.corpus_doc,
+                         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) nm
+                  FROM cand c
+                  JOIN mh x ON x.doc_id = c.new_doc
+                  JOIN mh y ON y.doc_id = c.corpus_doc AND y.s = x.s
+                  GROUP BY 1, 2)
+        SELECT new_doc, corpus_doc, CAST(nm AS BIGINT) AS n_match,
+               floor((nm / 16.0) * 10000 + 0.5) / 10000 AS est_sim
+        FROM agree WHERE nm >= 8
+        ORDER BY new_doc, corpus_doc""",
+
+
+      // Forget twin: q81's statement with the corpus side rebuilt from
+      // the SURVIVING documents only — the from-scratch-equality
+      // contract the maintained (anti-joined) index must meet.
+      "q152_dedup_forget" -> s"""
+        WITH $dsh, $dsid,$mhBandsSql,
+        cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents),
+        cand AS (SELECT DISTINCT a.doc_id new_doc, b.doc_id corpus_doc
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig
+                 WHERE a.doc_id >= (SELECT c FROM cut)
+                   AND b.doc_id < (SELECT c FROM cut)
+                   AND b.doc_id % 13 != 0),
         agree AS (SELECT c.new_doc, c.corpus_doc,
                          sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) nm
                   FROM cand c

@@ -165,6 +165,21 @@ class Round17OpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ann.matryoshkaBoost")
   }
 
+  test("q152: forgetting a corpus doc dissolves exactly its pairs") {
+    val before = PipelineQueries.queries("q81_delta_dedup")(spark, dir)
+      .select("new_doc", "corpus_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = PipelineQueries.queries("q152_dedup_forget")(spark, dir)
+      .select("new_doc", "corpus_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.contains((455L, 26L)),
+      "fixture precondition: doc 26 pairs with delta doc 455")
+    assert(after == before.filter(_._2 % 13 != 0),
+      "the maintained index must equal the survivor rebuild: only " +
+        "tombstoned corpus docs' pairs vanish, nothing else moves")
+    assert(!after.exists(_._2 % 13 == 0), "no ghost postings")
+  }
+
   test("q147: every neighbor carries the query's label; self excluded") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id", $"label")
