@@ -1184,9 +1184,16 @@ private[operators] object AnnQueries {
       val e = t.embeddings.select($"vec_id", $"embedding")
       val cents = trainedCodebook(s, dir).select($"cid", $"ce")
         .withColumn("ce16", slice($"ce", 1, 16))
-      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
-        .withColumn("d", graft.functions.GraftFunctions
-          .l2Sq(slice($"embedding", 1, 16), $"ce16"))
+      // Pre-slice the corpus prefix ONCE PER ROW before the n×K
+      // routing join — slicing inside the join projection would
+      // allocate the 16-element prefix once per (row, centroid) pair,
+      // K× redundant work on exactly the hot path this plan exists to
+      // cheapen (review finding, session 2; the centroid side was
+      // already pre-sliced).
+      val asg = e.repartition(32, $"vec_id")
+        .withColumn("e16", slice($"embedding", 1, 16))
+        .crossJoin(broadcast(cents))
+        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"e16", $"ce16"))
         .groupBy($"vec_id")
         .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))
         .select($"vec_id", $"m.cid".as("cid"), $"m.embedding".as("embedding"))
@@ -1196,10 +1203,11 @@ private[operators] object AnnQueries {
             AnnPolicy.IvfNprobeFloor) * boost).as("nprobe"))
       val qw = Window.partitionBy($"query_id").orderBy($"qd", $"cid")
       val q = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+          slice($"embedding", 1, 16).as("qe16"))
         .crossJoin(broadcast(cents))
         .withColumn("qd", graft.functions.GraftFunctions
-          .l2Sq(slice($"qe", 1, 16), $"ce16"))
+          .l2Sq($"qe16", $"ce16"))
         .withColumn("qrank", row_number().over(qw))
         .crossJoin(broadcast(np))
         .filter($"qrank" <= $"nprobe")
@@ -1238,7 +1246,16 @@ private[operators] object AnnQueries {
         .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
         .groupBy($"vec_id")
         .agg(min_by($"cid", struct($"d", $"cid")).as("cid"))
-      val cells = asg.groupBy($"cid").agg(count(lit(1)).as("n_live"))
+      // LEFT join from the trained codebook: a trained cell that lost
+      // every row (post-Lloyd re-assignment, CDC deletes, drift) must
+      // appear as an n_live = 0 dashboard row, and the mean in the
+      // giant-cell compare must divide by the TRAINED list count L —
+      // counting only surviving cells would hide dead lists and
+      // under-fire the flag exactly in the collapse scenario it exists
+      // to catch (review finding, session 2).
+      val cells = cents.select($"cid")
+        .join(asg.groupBy($"cid").agg(count(lit(1)).as("nl")), Seq("cid"), "left")
+        .select($"cid", coalesce($"nl", lit(0L)).as("n_live"))
       val tot = cells.agg(sum($"n_live").as("n"),
         count(lit(1)).as("nlists"))
       cells.crossJoin(broadcast(tot))
@@ -2183,8 +2200,10 @@ private[operators] object AnnQueries {
                           row_number() OVER (PARTITION BY vec_id
                                              ORDER BY d NULLS FIRST, cid) rn
                    FROM sc) WHERE rn = 1),
-        cells AS (SELECT cid, CAST(count(1) AS BIGINT) n_live
-                  FROM asgd GROUP BY 1),
+        lcnt AS (SELECT cid, CAST(count(1) AS BIGINT) nl
+                 FROM asgd GROUP BY 1),
+        cells AS (SELECT t.cid, CAST(coalesce(l.nl, 0) AS BIGINT) n_live
+                  FROM tcb t LEFT JOIN lcnt l ON t.cid = l.cid),
         tot AS (SELECT CAST(sum(n_live) AS BIGINT) n,
                        CAST(count(1) AS BIGINT) nlists FROM cells)
         SELECT cid, n_live,

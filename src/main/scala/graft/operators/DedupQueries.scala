@@ -326,44 +326,7 @@ private[operators] object DedupQueries {
     // which AQE's skew-join split handles without breaking the
     // bucketed zero-Exchange read; [[saltedBandPairs]]' triangle split
     // is the self-join remedy and would cost the index its bucketing.
-    "q81_delta_dedup" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val cut: Long =
-        (t.documents.agg(max($"doc_id")).first.getLong(0) + 1L) * 9L / 10L
-      val sigs = docSidArrays(t.documents).filter(size($"sids") > 0)
-        .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
-        .select($"doc_id", $"mh")
-      def bands(df: DataFrame): DataFrame =
-        df.select($"doc_id", $"mh", mhBandCols.as(Seq("band", "sig")))
-      // The "persisted" index: written ONCE per (session, dir,
-      // data-fingerprint) — the warm path (and any re-construction,
-      // e.g. plan capture) reads the existing artifact, so the measured
-      // delta cost excludes the amortized index build, as in production.
-      val idxKey = deltaIndexKey(s, dir)
-      materializeOnce(idxKey, deltaIndexPath(s, dir), Some(idxKey)) {
-        bands(sigs.filter($"doc_id" < cut))
-          .write.mode("overwrite")
-          .bucketBy(8, "band", "sig").sortBy("band", "sig")
-          .option("path", deltaIndexPath(s, dir))
-          .saveAsTable(idxKey)
-      }
-      val index = s.table(idxKey)
-      val delta = sigs.filter($"doc_id" >= cut)
-      val cand = bands(delta).as("a")
-        .join(index.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
-        .select($"a.doc_id".as("new_doc"), $"b.doc_id".as("corpus_doc"),
-          $"a.mh".as("amh"), $"b.mh".as("bmh"))
-        .distinct()
-      cand
-        .withColumn("n_match",
-          expr("size(filter(zip_with(amh, bmh, (x, y) -> x = y), z -> z))")
-            .cast("long"))
-        .filter($"n_match" >= 8)
-        .select($"new_doc", $"corpus_doc", $"n_match",
-          CrossRound.r($"n_match" / 16.0, 4).as("est_sim"))
-        .orderBy($"new_doc", $"corpus_doc")
-    },
+    "q81_delta_dedup" -> ((s, dir) => deltaPairs(s, dir, forget = false)),
 
 
     // ----- delete propagation in the CDC dedup index (forget) -----
@@ -373,55 +336,21 @@ private[operators] object DedupQueries {
     // their MinHash POSTINGS must leave the persisted banded index, or
     // every future delta keeps matching against ghosts. The maintained
     // index is q81's persisted artifact MINUS the tombstoned doc_ids —
-    // declaratively a broadcast-able anti-join keyed on the posting
-    // store's own doc_id (a storage-level delete-by-key at 100 TB;
-    // O(|tombstones|) work against the bucketed table, zero signature
-    // recomputation), with the FROM-SCRATCH-EQUALITY contract: the
+    // an UNHINTED anti-join keyed on the posting store's own doc_id
+    // (a storage-level delete-by-key at 100 TB; zero signature
+    // recomputation). No broadcast hint: the stripe is
+    // corpus-PROPORTIONAL (~1/13 of all docs — review finding,
+    // session 2), so the planner must stay free to pick a shuffle
+    // anti-join once the tombstone set outgrows the broadcast bound;
+    // at witness scale AQE broadcasts it on its own. The
+    // FROM-SCRATCH-EQUALITY contract grades it: the
     // q81 delta-pair query over the maintained index must equal the
     // same query over an index rebuilt from the surviving documents —
     // which is exactly what the oracle computes. At sf0.01 the stripe
     // tombstones corpus doc 26, whose (455, 26) pair VANISHES from
     // q81's four (Round17OpsSpec pins the forgotten pair, so the path
     // is exercised, not just present).
-    "q152_dedup_forget" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val cut: Long =
-        (t.documents.agg(max($"doc_id")).first.getLong(0) + 1L) * 9L / 10L
-      val sigs = docSidArrays(t.documents).filter(size($"sids") > 0)
-        .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
-        .select($"doc_id", $"mh")
-      def bands(df: DataFrame): DataFrame =
-        df.select($"doc_id", $"mh", mhBandCols.as(Seq("band", "sig")))
-      val idxKey = deltaIndexKey(s, dir)
-      materializeOnce(idxKey, deltaIndexPath(s, dir), Some(idxKey)) {
-        bands(sigs.filter($"doc_id" < cut))
-          .write.mode("overwrite")
-          .bucketBy(8, "band", "sig").sortBy("band", "sig")
-          .option("path", deltaIndexPath(s, dir))
-          .saveAsTable(idxKey)
-      }
-      // Delete-by-key against the posting store: the tombstone set is
-      // delta-sized, so it broadcasts; no signature is recomputed.
-      val maintained = s.table(idxKey)
-        .join(broadcast(t.documents.filter($"doc_id" < cut &&
-            $"doc_id" % 13 === 0).select($"doc_id")),
-          Seq("doc_id"), "left_anti")
-      val delta = sigs.filter($"doc_id" >= cut)
-      val cand = bands(delta).as("a")
-        .join(maintained.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
-        .select($"a.doc_id".as("new_doc"), $"b.doc_id".as("corpus_doc"),
-          $"a.mh".as("amh"), $"b.mh".as("bmh"))
-        .distinct()
-      cand
-        .withColumn("n_match",
-          expr("size(filter(zip_with(amh, bmh, (x, y) -> x = y), z -> z))")
-            .cast("long"))
-        .filter($"n_match" >= 8)
-        .select($"new_doc", $"corpus_doc", $"n_match",
-          CrossRound.r($"n_match" / 16.0, 4).as("est_sim"))
-        .orderBy($"new_doc", $"corpus_doc")
-    },
+    "q152_dedup_forget" -> ((s, dir) => deltaPairs(s, dir, forget = true)),
 
 
     // ----- duplicated-span detection (substring-level dedup contract) -----
@@ -986,6 +915,61 @@ private[operators] object DedupQueries {
         .orderBy($"budget", $"t", $"r")
     },
   )
+
+  /** q81/q152 shared machinery — ONE body for the persisted banded
+    * posting index (built once per (session, dir, fingerprint) over the
+    * corpus partition doc_id < cut, BUCKETED on the (band, sig) join
+    * keys) and the delta-pair probe against it, so the band layout,
+    * bucketing, n_match threshold and artifact key can never diverge
+    * between the build path and the forget path that maintains the same
+    * artifact (review finding, session 2). `forget` anti-joins the
+    * deterministic tombstone stripe (doc_id % 13 = 0) out of the index
+    * before probing — unhinted, see q152's entry comment. */
+  private def deltaPairs(s: SparkSession, dir: String,
+      forget: Boolean): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val cut: Long =
+      (t.documents.agg(max($"doc_id")).first.getLong(0) + 1L) * 9L / 10L
+    val sigs = docSidArrays(t.documents).filter(size($"sids") > 0)
+      .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
+      .select($"doc_id", $"mh")
+    def bands(df: DataFrame): DataFrame =
+      df.select($"doc_id", $"mh", mhBandCols.as(Seq("band", "sig")))
+    // The "persisted" index: written ONCE per (session, dir,
+    // data-fingerprint) — the warm path (and any re-construction,
+    // e.g. plan capture) reads the existing artifact, so the measured
+    // delta cost excludes the amortized index build, as in production.
+    val idxKey = deltaIndexKey(s, dir)
+    materializeOnce(idxKey, deltaIndexPath(s, dir), Some(idxKey)) {
+      bands(sigs.filter($"doc_id" < cut))
+        .write.mode("overwrite")
+        .bucketBy(8, "band", "sig").sortBy("band", "sig")
+        .option("path", deltaIndexPath(s, dir))
+        .saveAsTable(idxKey)
+    }
+    val index0 = s.table(idxKey)
+    val index =
+      if (forget)
+        index0.join(t.documents.filter($"doc_id" < cut &&
+            $"doc_id" % 13 === 0).select($"doc_id"),
+          Seq("doc_id"), "left_anti")
+      else index0
+    val delta = sigs.filter($"doc_id" >= cut)
+    val cand = bands(delta).as("a")
+      .join(index.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
+      .select($"a.doc_id".as("new_doc"), $"b.doc_id".as("corpus_doc"),
+        $"a.mh".as("amh"), $"b.mh".as("bmh"))
+      .distinct()
+    cand
+      .withColumn("n_match",
+        expr("size(filter(zip_with(amh, bmh, (x, y) -> x = y), z -> z))")
+          .cast("long"))
+      .filter($"n_match" >= 8)
+      .select($"new_doc", $"corpus_doc", $"n_match",
+        CrossRound.r($"n_match" / 16.0, 4).as("est_sim"))
+      .orderBy($"new_doc", $"corpus_doc")
+  }
 
   def oracleSql: Map[String, String] = Map(
 

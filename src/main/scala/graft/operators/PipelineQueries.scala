@@ -1236,25 +1236,16 @@ object PipelineQueries {
     * class as q55's 16 KB bloom; past literal-embedding size the bloom
     * + shuffle-verify shape (q55) takes over.
     */
-  private[graft] def benchSortedSids(s: SparkSession, dir: String): Array[Long] = {
-    import s.implicits._
-    val key = "graft_bench_sids_" +
-      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dataFingerprint(dir)
-    benchSidsMemo.computeIfAbsent(key, _ =>
-      docSidArrays(Tables(s, dir).documents)
-        .filter($"doc_id" < 10)
-        .select(explode($"sids").as("sid")).distinct()
-        .orderBy($"sid")
-        .as[Long].collect())
-  }
+  private[graft] def benchSortedSids(s: SparkSession, dir: String): Array[Long] =
+    benchSortedSidsGlob(s, dir)
 
-  /** Glob-aware twin of [[benchSortedSids]] for the STAGED streaming
-    * consumers (q149): a multi-file feed (documents_1.parquet, …) has
-    * no single documents.parquet for the batch-side bench computation,
-    * but the eval-suite set is a property of the whole corpus — read
-    * every documents*.parquet so the staged run pins the identical
-    * bench set its single-file twin does. */
+  /** The eval-suite sid set, glob-aware: read over every
+    * documents*.parquet so a STAGED multi-file feed (q149's
+    * documents_1.parquet, …) computes the identical bench set the
+    * single-file layout does — on the standard corpora the glob
+    * matches exactly documents.parquet, so [[benchSortedSids]] simply
+    * delegates here (one implementation, one memo namespace — review
+    * finding, session 2). */
   private[graft] def benchSortedSidsGlob(s: SparkSession, dir: String): Array[Long] = {
     import s.implicits._
     val key = "graft_bench_sids_glob_" +

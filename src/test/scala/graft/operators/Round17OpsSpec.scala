@@ -98,13 +98,21 @@ class Round17OpsSpec extends AnyFunSuite {
   test("q148: index stats conserve the corpus; trained cells are not giant") {
     val rows = PipelineQueries.queries("q148_ivf_index_stats")(spark, dir)
       .collect()
+    // One dashboard row per TRAINED cell — a cell that lost every row
+    // must still appear (n_live = 0), or dead lists are invisible and
+    // the giant-cell mean inflates (the session-2 review fix).
+    assert(rows.length ==
+      PipelineQueries.trainedCodebook(spark, dir).count(),
+      "one row per trained cell, empty cells included")
     assert(rows.map(_.getLong(1)).sum == 500L,
       "per-cell live counts partition the corpus exactly")
     assert(rows.forall(!_.getBoolean(4)),
       "a freshly trained codebook on the fixture corpus has no 4x-mean cell")
-    // imbalance averages to ~1 by construction: Σ n_live·L/n = L.
-    val totImb = rows.map(r => r.getLong(1).toDouble * rows.length / 500.0).sum
-    assert(math.abs(totImb - rows.length) < 1e-9)
+    // The emitted imbalance column itself averages to ~1: mean over
+    // cells of n_live·L/n is exactly 1 before rounding (Σ n_live = n).
+    val meanImb = rows.map(_.getDouble(3)).sum / rows.length
+    assert(math.abs(meanImb - 1.0) < 1e-3,
+      s"imbalance column mean was $meanImb")
     // The flag arithmetic itself, at its integer boundary (factor 4,
     // 10 lists, 100 rows → mean 10): 39 live is not giant, 40 is.
     assert(AnnPolicy.GiantCellFactor == 4L)
