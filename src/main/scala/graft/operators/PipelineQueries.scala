@@ -1251,13 +1251,24 @@ object PipelineQueries {
     val key = "graft_bench_sids_glob_" +
       s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + dataFingerprint(dir)
-    benchSidsMemo.computeIfAbsent(key, _ =>
-      docSidArrays(s.read.option("pathGlobFilter", "documents*.parquet")
-          .parquet(dir))
+    // Enumerate the matching stems OURSELVES rather than via
+    // `pathGlobFilter` (ADVICE r15): pathGlobFilter matches LEAF file
+    // names only, so a directory-layout `documents.parquet` (the shape
+    // `df.write.parquet` produces, e.g. a ComposedPipeline stage dir)
+    // would match zero files and the read would throw. Listing the
+    // top level and passing each match — file OR directory — as its
+    // own parquet path handles both layouts identically.
+    benchSidsMemo.computeIfAbsent(key, _ => {
+      val stems = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("documents") &&
+          f.getName.endsWith(".parquet"))
+        .map(_.getPath).sorted
+      docSidArrays(s.read.parquet(stems: _*))
         .filter($"doc_id" < 10)
         .select(explode($"sids").as("sid")).distinct()
         .orderBy($"sid")
-        .as[Long].collect())
+        .as[Long].collect()
+    })
   }
 
   /** Map-only MinHash(16) → 4-band LSH → Jaccard verify over

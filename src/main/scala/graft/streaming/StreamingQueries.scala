@@ -194,6 +194,37 @@ object StreamingQueries {
   private[streaming] def curateStream(s2: SparkSession, dir: String,
       maxFilesPerTrigger: Option[String]): DataFrame = {
     import s2.implicits._
+    // Monotone-arrival guard (ADVICE r15): the dedup state keeps ONE
+    // boolean per content hash, so the emitted survivor is the min
+    // doc_id of the FIRST micro-batch containing that hash — equal to
+    // the batch twin's global min ONLY when files arrive in doc_id
+    // order. FileStreamSource drains files in (modification time,
+    // path) order, so a multi-file staging whose doc_id ranges
+    // interleave across that order (e.g. mod-striped staging) would
+    // silently emit a non-min survivor. Refuse it up front: each
+    // file's doc_id range must sit strictly above its predecessor's.
+    // One (min, max) agg per staged file — footer-cheap, and skipped
+    // entirely on the standard single-file corpora.
+    val staged = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("documents") &&
+        f.getName.endsWith(".parquet"))
+      .sortBy(f => (f.lastModified(), f.getPath))
+    if (staged.length > 1) {
+      val ranges = staged.map { f =>
+        val r = s2.read.parquet(f.getPath)
+          .agg(min("doc_id"), max("doc_id")).head()
+        (f.getName, r.getLong(0), r.getLong(1))
+      }
+      ranges.sliding(2).foreach {
+        case Seq((pn, _, pMax), (cn, cMin, _)) =>
+          require(cMin > pMax,
+            s"q149 staging violates monotone doc_id arrival: $cn " +
+              s"(min doc_id $cMin) follows $pn (max doc_id $pMax); " +
+              "the first-batch survivor would not be the global min. " +
+              "Stage files so doc_id ranges increase in arrival order.")
+        case _ => ()
+      }
+    }
     val bench: Array[Long] = graft.operators.PipelineQueries
       .benchSortedSidsGlob(s2, dir)
     val weights = (0 until 64).map { j =>

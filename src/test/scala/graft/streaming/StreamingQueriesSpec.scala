@@ -379,6 +379,33 @@ class StreamingQueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
   }
 
+  test("q149 refuses non-monotone doc_id staging (arrival-order guard)") {
+    // ADVICE r15: with one boolean of state per content hash, the
+    // survivor is the min doc_id of the FIRST batch containing the
+    // hash — a staging whose doc_id ranges interleave across arrival
+    // order (here: mod-2 striping, the q133-style layout) would
+    // silently emit non-min survivors and break the batch twin. The
+    // reader-path guard must refuse it up front instead.
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("q149-oOo").toString
+    val tmp = s"$staged/_tmp"
+    val docs = graft.operators.Tables(spark, dir).documents
+    for (i <- 1 to 2) {
+      val slice = s"$tmp/$i"
+      docs.filter(col("doc_id") % 2 === (i - 1)).coalesce(1)
+        .write.mode("overwrite").parquet(slice)
+      val part = new java.io.File(slice).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$staged/documents_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1000000L * i)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      StreamingQueries.queries("q149_stream_curate")(spark, staged)
+    }
+    assert(ex.getMessage.contains("monotone doc_id arrival"))
+  }
+
   test("q149 survives a restart: checkpointed state, exactly-once output") {
     // The production contract the memory-sink runs can't show: the
     // curation stream stops (process death, deploy), new files arrive,
