@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnPolicy, PipelineQueries}
+
+/** Matryoshka-routing structure witness (VERDICT r15 #3): q151's r15
+  * record measured prefix routing only on UNSTRUCTURED embeddings
+  * (prefix carries 16/64 = 25% of the signal; boost=4 was the knee)
+  * and CLAIMED that on MRL-trained embeddings — whose prefixes carry
+  * the signal by construction — the boost retunes toward 1. This main
+  * measures that claim: it drives the REGISTERED q151 plan (via the
+  * `spark.graft.ann.matryoshkaBoost` and `spark.graft.ann.queryCount`
+  * conf knobs — the shipped chain, not a reimplementation) against
+  * exact full-dim L2 truth over 50 queries, at each boost in the
+  * sweep, on any corpus dir. Run it on a `tools/gen_mrl_corpus.py`
+  * fixture (85% of variance in the 16-dim prefix) and on the
+  * unstructured sibling for the side-by-side:
+  *
+  *   sbt -batch "runMain graft.MrlExp /tmp/mrl_40x [out.json] [boosts]"
+  */
+object MrlExp {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val out = if (args.length > 1) Some(args(1)) else None
+    val boosts: Seq[Long] =
+      if (args.length > 2) args(2).split(",").toSeq.map(_.toLong)
+      else Seq(1L, 2L, 4L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nq = 50L
+    val e = PipelineQueries.embGlob(spark, dir).cache()
+    val n = e.count()
+    val qv = e.filter($"vec_id" < nq)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe")).cache()
+    qv.count()
+    val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+    val gt = e.crossJoin(broadcast(qv))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("l2",
+        graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val nl = PipelineQueries.trainedCodebook(spark, dir).count()
+    spark.conf.set("spark.graft.ann.queryCount", nq.toString)
+    boosts.foreach { boost =>
+      spark.conf.set("spark.graft.ann.matryoshkaBoost", boost.toString)
+      val got = SparkEntry.queries("q151_ann_matryoshka")(spark, dir)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recs = gt.keys.toSeq.map(q =>
+        (gt(q) & got.getOrElse(q, Set.empty)).size.toDouble / gt(q).size)
+      val r = recs.sum / recs.size
+      val nprobe = math.min(nl,
+        AnnPolicy.ivfNprobe(nl) * boost)
+      val json =
+        f"""{"dir":"$dir","n_vectors":$n,"n_queries":$nq,"num_lists":$nl""" +
+          f""","boost":$boost,"nprobe":$nprobe""" +
+          f""","probe_frac":${nprobe.toDouble / nl}%.4f,"recall5":$r%.4f}"""
+      println(json)
+      out.foreach(o => Files.writeString(Paths.get(o), json + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND))
+    }
+    spark.conf.unset("spark.graft.ann.matryoshkaBoost")
+    spark.conf.unset("spark.graft.ann.queryCount")
+    PipelineQueries.cleanupArtifacts(spark)
+    spark.stop()
+  }
+}

@@ -352,6 +352,17 @@ private[operators] object DedupQueries {
     // is exercised, not just present).
     "q152_dedup_forget" -> ((s, dir) => deltaPairs(s, dir, forget = true)),
 
+    // ----- forget applied as a storage rewrite of the posting index -----
+    // q152's contract with the anti-join moved from query time to the
+    // persisted table itself: the rewritten bucketed index (minus the
+    // doc_id % 13 = 0 tombstone stripe) is what the delta probe reads,
+    // layout preserved so the probe plan stays q81's (see the rewrite
+    // note in [[deltaPairs]]). Output — and therefore oracle — is
+    // identical to q152's: the pairs a from-scratch index over the
+    // SURVIVORS produces.
+    "q154_forget_rewrite" -> ((s, dir) =>
+      deltaPairs(s, dir, forget = true, rewrite = true)),
+
 
     // ----- duplicated-span detection (substring-level dedup contract) -----
     // The span-level form of exact dedup (the suffix-array contract of
@@ -926,7 +937,7 @@ private[operators] object DedupQueries {
     * deterministic tombstone stripe (doc_id % 13 = 0) out of the index
     * before probing — unhinted, see q152's entry comment. */
   private def deltaPairs(s: SparkSession, dir: String,
-      forget: Boolean): DataFrame = {
+      forget: Boolean, rewrite: Boolean = false): DataFrame = {
     import s.implicits._
     val t = Tables(s, dir)
     val cut: Long =
@@ -949,11 +960,36 @@ private[operators] object DedupQueries {
         .saveAsTable(idxKey)
     }
     val index0 = s.table(idxKey)
+    val tombstones = t.documents.filter($"doc_id" < cut &&
+      $"doc_id" % 13 === 0).select($"doc_id")
+    // Storage-level forget (VERDICT r15 #4): instead of applying the
+    // anti-join as a query-time VIEW (q152), materialize the surviving
+    // postings as a REWRITTEN bucketed table — same bucketBy(8, band,
+    // sig) + sortBy layout, so the probe below keeps the zero-
+    // index-side-Exchange plan q81's artifact was designed for — and
+    // probe THAT. One rewrite per (session, dir, fingerprint); the
+    // from-scratch-equality oracle (q152's, shared by alias) now
+    // grades the bytes of the rewritten table, not a plan fragment.
+    // Unlike the ANN store (q153: cell-partitioned, tombstones touch
+    // only their cells), a doc's postings hash across ALL (band, sig)
+    // buckets, so a stripe delete necessarily rewrites every bucket —
+    // the honest cost of delete-by-doc_id on an index bucketed for
+    // PROBE locality; the layout choice buys zero-Exchange probes on
+    // every future delta at the price of full-bucket-set rewrites on
+    // forget, the right trade when probes outnumber forget batches.
+    val fgtKey = idxKey + "_fgt"
+    if (rewrite)
+      materializeOnce(fgtKey, deltaIndexPath(s, dir) + "_fgt", Some(fgtKey)) {
+        index0.join(tombstones, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite")
+          .bucketBy(8, "band", "sig").sortBy("band", "sig")
+          .option("path", deltaIndexPath(s, dir) + "_fgt")
+          .saveAsTable(fgtKey)
+      }
     val index =
-      if (forget)
-        index0.join(t.documents.filter($"doc_id" < cut &&
-            $"doc_id" % 13 === 0).select($"doc_id"),
-          Seq("doc_id"), "left_anti")
+      if (rewrite) s.table(fgtKey)
+      else if (forget)
+        index0.join(tombstones, Seq("doc_id"), "left_anti")
       else index0
     val delta = sigs.filter($"doc_id" >= cut)
     val cand = bands(delta).as("a")
@@ -971,7 +1007,13 @@ private[operators] object DedupQueries {
       .orderBy($"new_doc", $"corpus_doc")
   }
 
-  def oracleSql: Map[String, String] = Map(
+  // q154 probes the REWRITTEN posting table; its contract is exactly
+  // q152's from-scratch-over-survivors statement, so the oracle is
+  // shared by aliasing — the two strings cannot drift.
+  def oracleSql: Map[String, String] = oracleBase +
+    ("q154_forget_rewrite" -> oracleBase("q152_dedup_forget"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
 
       // Tuner twin: identical multiply/add fold ORDER for every power
       // and every grid integral (see the q150 scaladoc on why pow() is

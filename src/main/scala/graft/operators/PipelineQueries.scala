@@ -222,7 +222,21 @@ object PipelineQueries {
 
   private[operators] def materializeOnce(key: String, path: String,
       table: Option[String] = None)(build: => Unit): Unit =
-    artifactsDone.computeIfAbsent(key, _ => { build; ArtifactRef(path, table) })
+    artifactsDone.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
+      build
+      artifactBuildLog.add(key -> (System.nanoTime() - t0) / 1e9)
+      ArtifactRef(path, table)
+    })
+
+  /** Per-session ledger of (artifact key, build wall seconds), one
+    * entry per [[materializeOnce]] that actually BUILT (memo hits add
+    * nothing). Bench drains it after each query so per-query cold
+    * numbers can separate plan cost from artifact amortization — the
+    * r15 verdict's cold-attribution finding (q86 read 13.1 s cold /
+    * 0.18 s warm because the BPE train landed inside it). */
+  private[graft] val artifactBuildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
 
   /** Drops every artifact this session materialized — tmpdir parquet
     * trees recursively, the bucketed index's catalog entry (external
@@ -1078,6 +1092,38 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
+  }
+
+  /** CELL-PARTITIONED sibling of [[ivfpqIndexBefore]] — the storage
+    * layout a WRITABLE index needs (VERDICT r15 #4): the pre-delta
+    * corpus routed through the cut-trained frozen codebook, written
+    * `partitionBy("cid")` so each inverted list is its own partition
+    * directory. Deletes and upserts then rewrite ONLY the touched
+    * cells' partitions (dynamic partition overwrite — Spark's
+    * storage-level delete-by-key unit), and untouched lists' files are
+    * never opened, let alone rewritten: rewrite cost is O(touched
+    * buckets), not O(index). q153 mutates this artifact IN PLACE and
+    * serves from it; q144's non-partitioned sibling stays immutable
+    * for the ledger-view contract. */
+  private[graft] def ivfpqPartPath(s: SparkSession, dir: String,
+      cut: Long): String =
+    ivfpqIndexPath(s, dir) + s"_part_cut$cut"
+
+  private[graft] def ivfpqIndexPartBefore(s: SparkSession, dir: String,
+      cut: Long): DataFrame = {
+    import s.implicits._
+    val path = ivfpqPartPath(s, dir, cut)
+    val cbDf = trainedCodebookBefore(s, dir, cut) // materialized first
+    materializeOnce(path, path) {
+      val cb = cbDf.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
+      val e = embGlob(s, dir).filter($"vec_id" < cut)
+      pqRoute(e.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+        .select($"vec_id",
+          split($"pcode", "-").cast("array<long>").as("codes"), $"cid")
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+    }
+    s.read.parquet(path)
+      .select($"vec_id", $"codes", $"cid".cast("long").as("cid"))
   }
 
   private[graft] def dedupLabelsPath(s: SparkSession, dir: String): String =
