@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
   * the wildcard import). Registered through [[PipelineQueries.queries]]
   * / [[PipelineQueries.oracleSql]], so the driver contract is unchanged.
   */
-private[operators] object DedupQueries {
+private[graft] object DedupQueries {
   import PipelineQueries._
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -936,30 +936,47 @@ private[operators] object DedupQueries {
     * artifact (review finding, session 2). `forget` anti-joins the
     * deterministic tombstone stripe (doc_id % 13 = 0) out of the index
     * before probing — unhinted, see q152's entry comment. */
-  private def deltaPairs(s: SparkSession, dir: String,
-      forget: Boolean, rewrite: Boolean = false): DataFrame = {
+  /** The persisted banded posting index + the corpus/delta cut — the
+    * q81 artifact exposed for consumers beyond the batch body (q155's
+    * streaming ingest probe). Builds once per (session, dir,
+    * fingerprint) through the same materializeOnce key, so the batch
+    * and streaming probes read the SAME bucketed table. */
+  private[graft] def postingIndex(s: SparkSession,
+      dir: String): (DataFrame, Long) = {
     import s.implicits._
-    val t = Tables(s, dir)
+    val docs = docsGlob(s, dir)
     val cut: Long =
-      (t.documents.agg(max($"doc_id")).first.getLong(0) + 1L) * 9L / 10L
-    val sigs = docSidArrays(t.documents).filter(size($"sids") > 0)
+      (docs.agg(max($"doc_id")).first.getLong(0) + 1L) * 9L / 10L
+    val sigs = docSidArrays(docs).filter(size($"sids") > 0)
       .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
       .select($"doc_id", $"mh")
-    def bands(df: DataFrame): DataFrame =
-      df.select($"doc_id", $"mh", mhBandCols.as(Seq("band", "sig")))
     // The "persisted" index: written ONCE per (session, dir,
     // data-fingerprint) — the warm path (and any re-construction,
     // e.g. plan capture) reads the existing artifact, so the measured
     // delta cost excludes the amortized index build, as in production.
     val idxKey = deltaIndexKey(s, dir)
     materializeOnce(idxKey, deltaIndexPath(s, dir), Some(idxKey)) {
-      bands(sigs.filter($"doc_id" < cut))
+      sigs.filter($"doc_id" < cut)
+        .select($"doc_id", $"mh", mhBandCols.as(Seq("band", "sig")))
         .write.mode("overwrite")
         .bucketBy(8, "band", "sig").sortBy("band", "sig")
         .option("path", deltaIndexPath(s, dir))
         .saveAsTable(idxKey)
     }
-    val index0 = s.table(idxKey)
+    (s.table(idxKey), cut)
+  }
+
+  private def deltaPairs(s: SparkSession, dir: String,
+      forget: Boolean, rewrite: Boolean = false): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val sigs = docSidArrays(t.documents).filter(size($"sids") > 0)
+      .withColumn("mh", graft.functions.GraftFunctions.minhashSigs($"sids", 16))
+      .select($"doc_id", $"mh")
+    def bands(df: DataFrame): DataFrame =
+      df.select($"doc_id", $"mh", mhBandCols.as(Seq("band", "sig")))
+    val (index0, cut) = postingIndex(s, dir)
+    val idxKey = deltaIndexKey(s, dir)
     val tombstones = t.documents.filter($"doc_id" < cut &&
       $"doc_id" % 13 === 0).select($"doc_id")
     // Storage-level forget (VERDICT r15 #4): instead of applying the

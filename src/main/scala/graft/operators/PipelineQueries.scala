@@ -938,6 +938,24 @@ object PipelineQueries {
     * spelling that matches). Used by the trained-codebook / IVFPQ-index
     * artifacts and q142's re-rank so they accept every corpus layout
     * the streaming side does. */
+  /** Glob-aware documents read (the embGlob pattern): the single-file
+    * corpora read `documents.parquet` directly; a STAGED multi-file
+    * feed (q149/q155's documents_1.parquet, …) reads every stem —
+    * file or directory layout — so static-side consumers of a staged
+    * dir (q155's posting-index build) see the same corpus the stream
+    * drains. */
+  private[graft] def docsGlob(s: SparkSession, dir: String): DataFrame = {
+    val direct = new java.io.File(dir, "documents.parquet")
+    if (direct.exists()) s.read.parquet(direct.getPath)
+    else {
+      val stems = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("documents") &&
+          f.getName.endsWith(".parquet"))
+        .map(_.getPath).sorted
+      s.read.parquet(stems: _*)
+    }
+  }
+
   private[graft] def embGlob(s: SparkSession, dir: String): DataFrame = {
     val direct = new java.io.File(dir, "embeddings.parquet")
     val df =
@@ -1337,7 +1355,7 @@ object PipelineQueries {
     * self-join verify (q22b/q46/q67), the cross-corpus variant (q54),
     * and the delta-index path (q81), keeping the band layout in
     * lockstep with the oracle's `bands` CTE everywhere. */
-  private[operators] def mhBandCols =
+  private[graft] def mhBandCols =
     posexplode(array((0 until 4).map(b =>
       concat_ws("-", (0 until 4).map(r => col("mh")(b * 4 + r)): _*)): _*))
 
@@ -1661,6 +1679,63 @@ object PipelineQueries {
         SELECT g.doc_id, g.quality_logit, g.overlap_ratio
         FROM gated g JOIN firsts f ON g.doc_id = f.doc_id
         ORDER BY g.doc_id"""
+  }
+
+  /** Batch twin of the q155 near-dup ingest stream: q81's delta-pair
+    * statement with the NEW-doc side restricted to the q149 gate
+    * (quality ∧ decontamination — identical integer/dyadic-exact
+    * predicates, g-prefixed CTEs to keep clear of the shared dsh/dsid
+    * fragment names). The corpus/index side is ungated, exactly as the
+    * persisted posting index is built. */
+  private[graft] lazy val streamNeardupOracleSql: String = {
+    val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+    s"""
+        WITH $dsh, $dsid,$mhBandsSql,
+        cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents),
+        gtk AS (SELECT doc_id, $toksSql tk FROM documents
+                WHERE doc_id >= (SELECT c FROM cut)),
+        gnz AS (SELECT doc_id, tk FROM gtk WHERE len(tk) > 0),
+        gin AS (SELECT doc_id, unnest(tk) tok FROM gnz),
+        gsid AS (SELECT doc_id, ${oraclePolyHash("tok")} sid FROM gin),
+        gq AS (SELECT doc_id,
+                      sum((((sid % 64) * 2654435761) % 4294967296)
+                          / 4294967296.0 - 0.5) lsum
+               FROM gsid GROUP BY 1),
+        gsh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
+                FROM gnz),
+        gss AS (SELECT DISTINCT doc_id, ${oraclePolyHash("shingle")} sid
+                FROM gsh),
+        gbench AS (SELECT DISTINCT ${oraclePolyHash("shingle")} sid FROM (
+                     SELECT unnest(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shingle
+                     FROM (SELECT $toksSql tk FROM documents
+                           WHERE doc_id < 10))),
+        gst AS (SELECT s.doc_id, CAST(count(1) AS BIGINT) n_sh,
+                       CAST(sum(CASE WHEN b.sid IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) n_ov
+                FROM gss s LEFT JOIN gbench b ON s.sid = b.sid GROUP BY 1),
+        gate AS (SELECT z.doc_id
+                 FROM gnz z JOIN gq q USING (doc_id)
+                      LEFT JOIN gst st USING (doc_id)
+                 WHERE q.lsum >= 0
+                   AND (coalesce(st.n_sh, 0) = 0 OR 2 * st.n_ov < st.n_sh)),
+        cand AS (SELECT DISTINCT a.doc_id new_doc, b.doc_id corpus_doc
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig
+                 WHERE a.doc_id >= (SELECT c FROM cut)
+                   AND a.doc_id IN (SELECT doc_id FROM gate)
+                   AND b.doc_id < (SELECT c FROM cut)),
+        agree AS (SELECT c.new_doc, c.corpus_doc,
+                         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) nm
+                  FROM cand c
+                  JOIN mh x ON x.doc_id = c.new_doc
+                  JOIN mh y ON y.doc_id = c.corpus_doc AND y.s = x.s
+                  GROUP BY 1, 2)
+        SELECT new_doc, corpus_doc, CAST(nm AS BIGINT) AS n_match,
+               floor((nm / 16.0) * 10000 + 0.5) / 10000 AS est_sim
+        FROM agree WHERE nm >= 8
+        ORDER BY new_doc, corpus_doc"""
   }
 
   /** The q129 chunker's oracle CTE chain, ending at

@@ -276,6 +276,91 @@ object StreamingQueries {
       .toDF("doc_id", "quality_logit", "overlap_ratio")
   }
 
+  /** The q155 near-dup ingest stream (VERDICT r15 #6): the q149 gates
+    * (quality ∧ decontamination, both map-only, integer/dyadic-exact)
+    * applied to each ARRIVING delta document, then q81's MinHash
+    * banded probe against the PERSISTED corpus posting index — a
+    * stream-static equality join on the bucketed (band, sig) keys,
+    * STATELESS per micro-batch — then the n_match ≥ 8 signature
+    * verify inside a per-doc flatMapGroupsWithState whose state is ONE
+    * boolean per candidate-bearing delta doc (the q133/q141/q149
+    * state class: bounded by distinct arriving docs, never stream
+    * volume or index size). All of a doc's band rows arrive in its own
+    * micro-batch (a doc lives in exactly one staged file), so the
+    * per-doc group sees its complete candidate set; the state boolean
+    * only guards pathological re-delivery. */
+  private[streaming] def neardupIngestStream(s2: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[String]): DataFrame = {
+    import s2.implicits._
+    val bench: Array[Long] = graft.operators.PipelineQueries
+      .benchSortedSidsGlob(s2, dir)
+    val weights = (0 until 64).map { j =>
+      ((j.toLong * 2654435761L) % 4294967296L) / 4294967296.0 - 0.5
+    }.toArray
+    val (index, cut) = graft.operators.DedupQueries.postingIndex(s2, dir)
+    val idxSide = index.select($"band", $"sig",
+      $"doc_id".as("corpus_doc"), $"mh".as("bmh"))
+
+    val reader = s2.readStream
+      .schema(docsStreamSchema)
+      .option("pathGlobFilter", "documents*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(dir)
+
+    val toksExpr = "array_remove(split(text, ' '), '')"
+    val gated = stream
+      .filter($"doc_id" >= cut)
+      .select($"doc_id", expr(toksExpr).as("toks"))
+      .filter(size($"toks") > 0)
+      .withColumn("sids",
+        graft.functions.GraftFunctions.polyHashArray($"toks"))
+      .withColumn("dot",
+        graft.functions.GraftFunctions.bucketDot($"sids", lit(weights)))
+      .withColumn("ssids", array_distinct(
+        graft.functions.GraftFunctions.polyHashArray(
+          graft.functions.GraftFunctions.shingles3($"toks"))))
+      .withColumn("n_sh", size($"ssids").cast("long"))
+      .withColumn("n_ov", graft.functions.GraftFunctions
+        .sortedCountIn($"ssids", lit(bench)).cast("long"))
+      .filter($"dot" >= 0 &&
+        ($"n_sh" === 0 || $"n_ov" * 2 < $"n_sh"))
+      .filter(size($"ssids") > 0)
+      .withColumn("mh",
+        graft.functions.GraftFunctions.minhashSigs($"ssids", 16))
+      .select($"doc_id", $"mh")
+
+    gated
+      .select($"doc_id", $"mh",
+        graft.operators.PipelineQueries.mhBandCols.as(Seq("band", "sig")))
+      .join(idxSide, Seq("band", "sig"))
+      .select($"doc_id".as("new_doc"), $"mh".as("amh"),
+        $"corpus_doc", $"bmh")
+      .as[(Long, Seq[Long], Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (newDoc: Long, rows: Iterator[(Long, Seq[Long], Long, Seq[Long])],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val seen = scala.collection.mutable.Set[Long]()
+            rows.flatMap { case (_, amh, corpusDoc, bmh) =>
+              if (!seen.add(corpusDoc)) None
+              else {
+                val nm = amh.iterator.zip(bmh.iterator)
+                  .count { case (x, y) => x == y }.toLong
+                if (nm >= 8L)
+                  Some((newDoc, corpusDoc, nm,
+                    math.floor(nm / 16.0 * 10000 + 0.5) / 10000))
+                else None
+              }
+            }.toVector.sortBy(r => (r._1, r._2)).iterator
+          }
+      }
+      .toDF("new_doc", "corpus_doc", "n_match", "est_sim")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ----- streaming tumbling-window aggregation over the events feed -----
@@ -1333,6 +1418,37 @@ object StreamingQueries {
       q.awaitTermination()
       capturePlan("q149_stream_curate", q)
       s2.table(sink).orderBy($"doc_id")
+    },
+
+    // ----- near-dup probe AT INGEST (the q81 stage made streaming) -----
+    // q149 curates with quality/decontam/exact-dup; production ingest
+    // ALSO needs the fuzzy probe against the persisted posting index
+    // before a delta doc enters the corpus (VERDICT r15 #6). See
+    // [[neardupIngestStream]] for the shape; the batch twin — q81's
+    // delta-pair statement over the GATED delta set — grades the
+    // composition end-to-end.
+    "q155_stream_neardup_ingest" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+
+      val pairs = neardupIngestStream(s2, dir,
+        s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger"))
+
+      val sink = s"q155_sink_${sinkCounter.incrementAndGet()}"
+      val q = pairs.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      capturePlan("q155_stream_neardup_ingest", q)
+      s2.table(sink).orderBy($"new_doc", $"corpus_doc")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -1347,6 +1463,11 @@ object StreamingQueries {
     // doc_id per content hash among the gated docs.
     "q149_stream_curate" ->
       graft.operators.PipelineQueries.streamCurateOracleSql,
+
+    // The ingest-time near-dup probe must emit exactly q81's delta
+    // pairs restricted to the gated (quality ∧ decontam) delta set.
+    "q155_stream_neardup_ingest" ->
+      graft.operators.PipelineQueries.streamNeardupOracleSql,
 
     // The streaming quality gate must emit exactly the batch q73 rows.
     "q75_stream_quality" ->

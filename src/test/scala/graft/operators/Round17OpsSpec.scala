@@ -173,6 +173,64 @@ class Round17OpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ann.matryoshkaBoost")
   }
 
+  test("q151: on STRUCTURED (MRL-like) embeddings boost=1 recovers recall") {
+    // The boost-vs-structure trade, measured instead of claimed
+    // (VERDICT r15 #3): on unstructured embeddings the 16-dim prefix
+    // carries 25% of the signal and boost=1 loses half its neighbors;
+    // on a structured-prefix fixture (85% of variance in the prefix —
+    // tools/gen_mrl_corpus.py's transform, reproduced here: tail dims
+    // x beta = sqrt(16*0.15/(48*0.85))) the same plan at boost=1 is
+    // within noise of full-dim routing. Witness at 20k/80k reads
+    // 0.996/1.000 structured vs 0.52/0.52 unstructured
+    // (evidence/r16/mrl_exp.json); at this spec's 500-vector corpus
+    // the same gap is 0.85 vs 0.44 over 50 queries — pinned with wide
+    // margins below.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val beta = math.sqrt(16 * 0.15 / (48 * 0.85))
+    val iso = java.nio.file.Files.createTempDirectory("q151-mrl").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", expr(
+        s"transform(embedding, (v, i) -> " +
+          s"CAST(IF(i < 16, CAST(v AS DOUBLE), v * $beta) AS FLOAT))"))
+      .coalesce(1).write.parquet(s"$iso/embeddings.parquet")
+
+    def recallAtBoost1(corpus: String): Double = {
+      val e = PipelineQueries.embGlob(spark, corpus)
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+      val gt = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"query_id")
+        .withColumn("l2",
+          graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      spark.conf.set("spark.graft.ann.matryoshkaBoost", "1")
+      spark.conf.set("spark.graft.ann.queryCount", "50")
+      try {
+        val got = PipelineQueries.queries("q151_ann_matryoshka")(
+            spark, corpus)
+          .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val recs = gt.keys.toSeq.map(k =>
+          (gt(k) & got.getOrElse(k, Set.empty)).size.toDouble / gt(k).size)
+        recs.sum / recs.size
+      } finally {
+        spark.conf.unset("spark.graft.ann.matryoshkaBoost")
+        spark.conf.unset("spark.graft.ann.queryCount")
+      }
+    }
+    val structured = recallAtBoost1(iso)
+    val unstructured = recallAtBoost1(dir)
+    assert(structured >= 0.75,
+      s"structured prefix at boost=1 must route nearly full-dim, got " +
+        s"$structured")
+    assert(structured - unstructured >= 0.15,
+      s"the structure effect must be visible: structured $structured " +
+        s"vs unstructured $unstructured")
+  }
+
   test("q152: forgetting a corpus doc dissolves exactly its pairs") {
     val before = PipelineQueries.queries("q81_delta_dedup")(spark, dir)
       .select("new_doc", "corpus_doc").collect()

@@ -379,6 +379,41 @@ class StreamingQueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
   }
 
+  test("q155 near-dup ingest: staged two-batch = single-batch; no dup pairs") {
+    // The probe is stateless per batch (stream-static join against the
+    // persisted posting index) and each doc lives in exactly one staged
+    // file, so batching must not change the emitted pair set.
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("q155-multi").toString
+    val tmp = s"$staged/_tmp"
+    val docs = graft.operators.Tables(spark, dir).documents
+    val mid = docs.agg(org.apache.spark.sql.functions.expr(
+      "percentile_approx(doc_id, 0.5)")).first.getLong(0)
+    for (i <- 1 to 2) {
+      val slice = s"$tmp/$i"
+      (if (i == 1) docs.filter(col("doc_id") <= mid)
+       else docs.filter(col("doc_id") > mid)).coalesce(1)
+        .write.mode("overwrite").parquet(slice)
+      val part = new java.io.File(slice).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$staged/documents_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1000000L * i)
+    }
+    spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+    try {
+      val got = StreamingQueries
+        .queries("q155_stream_neardup_ingest")(spark, staged)
+      val dupes = got.groupBy("new_doc", "corpus_doc").count()
+        .filter(col("count") > 1)
+      assert(dupes.count() == 0, "a pair was re-emitted in a later batch")
+      val single = StreamingQueries
+        .queries("q155_stream_neardup_ingest")(spark, dir)
+      assert(got.exceptAll(single).isEmpty && single.exceptAll(got).isEmpty,
+        "staging must not change the ingest near-dup pair set")
+    } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+  }
+
   test("q149 refuses non-monotone doc_id staging (arrival-order guard)") {
     // ADVICE r15: with one boolean of state per content hash, the
     // survivor is the min doc_id of the FIRST batch containing the
