@@ -1376,6 +1376,88 @@ private[operators] object AnnQueries {
             .as("is_giant"))
         .orderBy($"cid")
     },
+
+    // ----- giant-cell LOCAL repair (q148 detects; this repairs) -----
+    // VERDICT r15 #7: a fired giant-cell flag (the §10.2 unimodal
+    // pathology — one frozen cell absorbing a whole drifted delta,
+    // per-query scan +84%) should trigger a LOCAL repair, not the full
+    // stratified retrain: re-seed and one-Lloyd-step ONLY the giant
+    // cell's members, splitting the cell into S = ⌈n_live·L/n⌉
+    // sub-cells (size over the uniform ideal n/L, integer ceiling
+    // division so S crosses engines exactly), while every other cell's
+    // routing — and therefore its ledger row — is untouched BY
+    // CONSTRUCTION: only giant-cell members are ever re-assigned, so
+    // the repair costs O(Σ giant sizes × S), never a corpus re-route.
+    // Seeds are the first S members by vec_id (the q72 init
+    // convention); the split chain is the q72-proven
+    // assign → round(avg,6) update → re-assign parity machinery scoped
+    // to the cell. Output: the repaired ledger — (cid, sub=0, n_live)
+    // for untouched cells, (cid, sub=1..S, n_live) for split cells
+    // (sub-cells emptied by the re-assignment drop out, as in the
+    // oracle). On undrifted corpora no flag fires and the output IS
+    // q148's live ledger at sub=0 — the detection arithmetic still
+    // crosses engines on every corpus; the split path is exercised by
+    // the RepairWitness drift run and a constructed-collapse spec.
+    "q156_cell_repair" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select($"vec_id", $"embedding")
+      val cents = trainedCodebook(s, dir).select($"cid", $"ce")
+      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
+        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))
+        .select($"vec_id", $"m.cid".as("cid"), $"m.embedding".as("embedding"))
+      val cells = cents.select($"cid")
+        .join(asg.groupBy($"cid").agg(count(lit(1)).as("nl")),
+          Seq("cid"), "left")
+        .select($"cid", coalesce($"nl", lit(0L)).as("n_live"))
+      val tot = cells.agg(sum($"n_live").as("n"), count(lit(1)).as("nlists"))
+      val flagged = cells.crossJoin(broadcast(tot))
+        .withColumn("is_giant",
+          $"n_live" * $"nlists" >= lit(AnnPolicy.GiantCellFactor) * $"n")
+        .withColumn("s_sub", expr("(n_live * nlists + n - 1) DIV n"))
+        .select($"cid", $"n_live", $"is_giant", $"s_sub")
+      // Members of flagged cells only, ranked by vec_id within the
+      // cell — the flagged frame is K rows (broadcast), so this join
+      // marks the giant membership without moving the corpus.
+      val wv = Window.partitionBy($"cid").orderBy($"vec_id")
+      val members = asg
+        .join(broadcast(flagged.filter($"is_giant")
+          .select($"cid", $"s_sub")), "cid")
+        .withColumn("rk", row_number().over(wv))
+      val seeds = members.filter($"rk" <= $"s_sub")
+        .select($"cid", $"rk".cast("long").as("sub"),
+          $"embedding".cast("array<double>").as("se"))
+      // One Lloyd step INSIDE each giant cell: assign to seeds, 6-dp
+      // rounded mean update (dim-sorted collect — kmUpdate's shape),
+      // re-assign for the final sub-ledger. Ties (d, sub) both times.
+      val a1 = members.join(seeds, "cid")
+        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"se"))
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"cid", $"sub", $"embedding"),
+          struct($"d", $"sub")).as("m"))
+        .select($"vec_id", $"m.cid".as("cid"), $"m.sub".as("sub"),
+          $"m.embedding".as("embedding"))
+      val subCents = a1
+        .select($"cid", $"sub", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"cid", $"sub", $"dim")
+        .agg(CrossRound.r(avg($"v"), 6).as("mm"))
+        .groupBy($"cid", $"sub")
+        .agg(array_sort(collect_list(struct($"dim", $"mm"))).as("pm"))
+        .select($"cid", $"sub", expr("transform(pm, x -> x.mm)").as("sce"))
+      val repaired = members.join(broadcast(subCents), "cid")
+        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"sce"))
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"cid", $"sub"), struct($"d", $"sub")).as("m"))
+        .select($"m.cid".as("cid"), $"m.sub".as("sub"))
+        .groupBy($"cid", $"sub")
+        .agg(count(lit(1)).as("n_live"))
+      flagged.filter(!$"is_giant")
+        .select($"cid", lit(0L).as("sub"), $"n_live")
+        .unionByName(repaired)
+        .orderBy($"cid", $"sub")
+    },
   )
 
   // q153 serves the ledger from the REWRITTEN storage; its contract is
@@ -2344,5 +2426,69 @@ private[operators] object AnnQueries {
                n_live * nlists >= ${AnnPolicy.GiantCellFactor} * n AS is_giant
         FROM cells CROSS JOIN tot
         ORDER BY cid""",
+
+      // Repair twin: q148's routing + flag arithmetic, then the q72
+      // Lloyd parity chain (assign → floor(avg·10⁶+0.5)/10⁶ update →
+      // re-assign) SCOPED to each giant cell's member set, seeds = the
+      // first S members by vec_id, S = the integer ceiling division
+      // (n_live·L + n − 1) // n. Ties (d, sub) both passes.
+      "q156_cell_repair" -> {
+        def f(a: String, b: String) =
+          s"""list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 65),
+                     i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+                   (x, y) -> x + y)"""
+        s"""
+        WITH $trainedCbCtes,
+        sc AS (SELECT te.vec_id, c.cid, ${f("te.v", "c.ce")} d
+               FROM te CROSS JOIN tcb c),
+        asgd AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d NULLS FIRST, cid) rn
+                   FROM sc) WHERE rn = 1),
+        lcnt AS (SELECT cid, CAST(count(1) AS BIGINT) nl
+                 FROM asgd GROUP BY 1),
+        cells AS (SELECT t.cid, CAST(coalesce(l.nl, 0) AS BIGINT) n_live
+                  FROM tcb t LEFT JOIN lcnt l ON t.cid = l.cid),
+        tot AS (SELECT CAST(sum(n_live) AS BIGINT) n,
+                       CAST(count(1) AS BIGINT) nlists FROM cells),
+        flg AS (SELECT cid, n_live,
+                       n_live * nlists >= ${AnnPolicy.GiantCellFactor} * n
+                         AS is_giant,
+                       (n_live * nlists + n - 1) // n s_sub
+                FROM cells CROSS JOIN tot),
+        mem AS (SELECT a.vec_id, a.cid, te.v, fl.s_sub,
+                       row_number() OVER (PARTITION BY a.cid
+                                          ORDER BY a.vec_id) rk
+                FROM asgd a JOIN te USING (vec_id)
+                     JOIN flg fl ON a.cid = fl.cid AND fl.is_giant),
+        seeds AS (SELECT cid, CAST(rk AS BIGINT) sub, v se FROM mem
+                  WHERE rk <= s_sub),
+        a1 AS (SELECT vec_id, cid, sub FROM (
+                 SELECT m.vec_id, m.cid, s.sub,
+                        row_number() OVER (PARTITION BY m.vec_id
+                          ORDER BY ${f("m.v", "s.se")} NULLS FIRST, s.sub) rn
+                 FROM mem m JOIN seeds s ON m.cid = s.cid) WHERE rn = 1),
+        scm AS (SELECT a.cid, a.sub, t.dim,
+                       floor(avg(m.v[t.dim + 1]) * 1000000 + 0.5)
+                         / 1000000 mm
+                FROM a1 a JOIN mem m USING (vec_id)
+                     CROSS JOIN (SELECT unnest(range(0, 64)) dim) t
+                GROUP BY 1, 2, 3),
+        sc1 AS (SELECT cid, sub, list(mm ORDER BY dim) sce
+                FROM scm GROUP BY 1, 2),
+        a2 AS (SELECT vec_id, cid, sub FROM (
+                 SELECT m.vec_id, m.cid, c.sub,
+                        row_number() OVER (PARTITION BY m.vec_id
+                          ORDER BY ${f("m.v", "c.sce")} NULLS FIRST, c.sub) rn
+                 FROM mem m JOIN sc1 c ON m.cid = c.cid) WHERE rn = 1),
+        subcnt AS (SELECT cid, sub, CAST(count(1) AS BIGINT) n_live
+                   FROM a2 GROUP BY 1, 2)
+        SELECT cid, CAST(0 AS BIGINT) sub, n_live FROM flg WHERE NOT is_giant
+        UNION ALL
+        SELECT cid, sub, n_live FROM subcnt
+        ORDER BY cid, sub"""
+      },
   )
 }

@@ -125,6 +125,49 @@ class Round18OpsSpec extends AnyFunSuite {
         "served ledger's cells (emptied cells' directories dropped)")
   }
 
+  test("q156: constructed collapse fires the split; repair is local") {
+    // Build a collapse corpus from sf0.01: the 9/10 tail shifted +5 on
+    // all dims (the SCALE.md 10.2 unimodal pathology at spec scale).
+    // The drifted tail routes into one frozen cell, the flag fires,
+    // and the split must (a) conserve membership, (b) leave every
+    // non-giant cell's ledger row identical to q148's, (c) remove the
+    // split cell's sub=0 row.
+    val iso = java.nio.file.Files.createTempDirectory("q156-iso").toString
+    val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cut = (e0.agg(max($"vec_id")).first.getLong(0) + 1L) * 9L / 10L
+    e0.withColumn("embedding", when($"vec_id" >= cut,
+        expr("transform(embedding, v -> CAST(v + 5.0 AS FLOAT))"))
+        .otherwise($"embedding"))
+      .coalesce(1).write.parquet(s"$iso/embeddings.parquet")
+
+    val repaired = PipelineQueries.queries("q156_cell_repair")(spark, iso)
+      .collect()
+    val stats = PipelineQueries.queries("q148_ivf_index_stats")(spark, iso)
+      .collect()
+    val giants = stats.filter(_.getAs[Boolean]("is_giant"))
+      .map(_.getLong(0)).toSet
+    assert(giants.nonEmpty, "the +5 unimodal tail must collapse a cell")
+
+    val split = repaired.filter(_.getLong(1) > 0)
+    assert(split.map(_.getLong(0)).toSet == giants,
+      "exactly the flagged cells are split")
+    assert(split.groupBy(_.getLong(0)).forall(_._2.length >= 2),
+      "a giant cell splits into at least 2 sub-cells")
+    assert(repaired.map(_.getLong(2)).sum ==
+      e0.count(),
+      "repair conserves membership — every vector in exactly one cell")
+    assert(repaired.filter(_.getLong(1) == 0)
+      .forall(r => !giants.contains(r.getLong(0))),
+      "a split cell must not keep a sub=0 row")
+    val untouchedWant = stats.filterNot(r => giants.contains(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val untouchedGot = repaired.filter(_.getLong(1) == 0)
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(untouchedGot == untouchedWant,
+      "untouched cells' ledger rows must equal q148's — the repair " +
+        "must be LOCAL to the giant cell")
+  }
+
   test("q154: probing the rewritten posting table emits exactly q152's rows") {
     val a = PipelineQueries.queries("q154_forget_rewrite")(spark, dir)
       .collect()

@@ -10,7 +10,11 @@ their unshifted dims, which is what actually breaks a frozen
 quantizer's probe. Only embeddings.parquet is written --
 q145/DriftWitness read nothing else.
 
-  python3 tools/gen_drift_corpus.py <srcDir> <dstDir> [shift=5.0]
+With modes=1 the shift is UNIMODAL — +shift on ALL dims for the whole
+delta (the SCALE.md 10.2 giant-cell pathology: the delta collapses
+into ONE frozen cell; the q156 repair witness runs on this shape).
+
+  python3 tools/gen_drift_corpus.py <srcDir> <dstDir> [shift=5.0] [modes=8]
 """
 import os
 import sys
@@ -19,7 +23,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def main(src: str, dst: str, shift: float) -> None:
+def main(src: str, dst: str, shift: float, modes: int = 8) -> None:
     t = pq.read_table(os.path.join(src, "embeddings.parquet"))
     ids = t.column("vec_id").to_pylist()
     embs = t.column("embedding").to_pylist()
@@ -28,11 +32,15 @@ def main(src: str, dst: str, shift: float) -> None:
     n_delta = sum(1 for i in ids if i >= cut)
 
     def mode(i: int) -> int:
-        return (i - cut) * 8 // n_delta
+        return (i - cut) * modes // n_delta
 
-    shifted = [[v + shift if 8 * mode(i) <= d < 8 * (mode(i) + 1) else v
-                for d, v in enumerate(e)] if i >= cut else e
-               for i, e in zip(ids, embs)]
+    if modes == 1:
+        shifted = [[v + shift for v in e] if i >= cut else e
+                   for i, e in zip(ids, embs)]
+    else:
+        shifted = [[v + shift if 8 * mode(i) <= d < 8 * (mode(i) + 1) else v
+                    for d, v in enumerate(e)] if i >= cut else e
+                   for i, e in zip(ids, embs)]
     os.makedirs(dst, exist_ok=True)
     out = pa.table(
         {"vec_id": ids, "embedding": shifted, "label": labels},
@@ -46,4 +54,5 @@ def main(src: str, dst: str, shift: float) -> None:
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2],
-         float(sys.argv[3]) if len(sys.argv) > 3 else 5.0)
+         float(sys.argv[3]) if len(sys.argv) > 3 else 5.0,
+         int(sys.argv[4]) if len(sys.argv) > 4 else 8)
