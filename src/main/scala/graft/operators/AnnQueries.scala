@@ -1041,51 +1041,7 @@ private[operators] object AnnQueries {
       import s.implicits._
       val e = embGlob(s, dir)
       val cut = (e.agg(max($"vec_id")).first.getLong(0) + 1L) * 9L / 10L
-      ivfpqIndexPartBefore(s, dir, cut) // ensure the storage exists
-      val base = ivfpqPartPath(s, dir, cut)
-      val cb = trainedCodebookBefore(s, dir, cut)
-        .agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
-      val staging = base + "_staging"
-      materializeOnce(base + "_rw", staging) {
-        def routed(part: DataFrame): DataFrame =
-          pqRoute(part.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
-            .select($"vec_id",
-              split($"pcode", "-").cast("array<long>").as("codes"), $"cid")
-        val stripe = e.filter($"vec_id" < cut && $"vec_id" % 13 === 5)
-        val delIds = stripe.select($"vec_id")
-        val ups = routed(e.filter($"vec_id" >= cut))
-        // Touched cells: ≤ K values — a bounded driver fetch (cell
-        // COUNT, not rows), the same class as q148's K-row readout.
-        val touched = routed(stripe).select($"cid")
-          .union(ups.select($"cid")).distinct().as[Long].collect().sorted
-        val stored = s.read.parquet(base)
-          .filter($"cid".cast("long").isin(touched: _*))
-          .select($"vec_id", $"codes", $"cid".cast("long").as("cid"))
-        // Stage the touched cells' new content first (a path cannot be
-        // read and overwritten in one job), then dynamic-overwrite
-        // exactly those partitions of the live table.
-        stored.join(delIds, Seq("vec_id"), "left_anti")
-          .unionByName(ups)
-          .write.mode("overwrite").parquet(staging)
-        val staged = s.read.parquet(staging)
-        val oldMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try staged.write.mode("overwrite").partitionBy("cid").parquet(base)
-        finally oldMode match {
-          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
-        val written = staged.select($"cid").distinct().as[Long].collect().toSet
-        (touched.toSet -- written).foreach { c =>
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-            f.delete(): Unit
-          }
-          rm(new java.io.File(s"$base/cid=$c"))
-        }
-      }
-      s.read.parquet(base)
-        .select($"vec_id", $"codes", $"cid".cast("long").as("cid"))
+      rewrittenPartIndex(s, dir, cut)
         .groupBy($"cid", $"codes")
         .agg(sum(when($"vec_id" < cut, 1L).otherwise(0L)).as("n_corpus"),
           sum(when($"vec_id" >= cut, 1L).otherwise(0L)).as("n_delta"),
@@ -1094,6 +1050,49 @@ private[operators] object AnnQueries {
           array_join($"codes".cast("array<string>"), "-").as("pcode"),
           $"n_corpus", $"n_delta", $"n_live")
         .orderBy($"cid", $"pcode")
+    },
+
+    // ----- ANN top-k SERVED from the rewritten storage -----
+    // The other half of VERDICT r15 #4's "serve the next query from
+    // the rewritten table": q153 proves the bytes equal the maintained
+    // ledger; q157 is the SERVING query a vector store actually runs
+    // over them — route each query through the frozen cut-trained
+    // codebook, probe the policy's ⌈K/10⌉ nearest lists of the
+    // REWRITTEN cell-partitioned table (the probed cells are the
+    // partition keys, so the scan prunes to the probed directories),
+    // exact-rerank the candidates' full vectors from the base table.
+    // Tombstoned rows can never surface (they are no longer in the
+    // bytes — deleted by the q153 rewrite, not filtered at query
+    // time), and upserts are servable immediately. The oracle mirrors:
+    // q144's from-scratch index chain restricted to survivors, the
+    // q36b-style query routing and (l2, vec_id) ranking.
+    "q157_ann_serve_rewritten" -> { (s, dir) =>
+      import s.implicits._
+      val e = embGlob(s, dir)
+      val cut = (e.agg(max($"vec_id")).first.getLong(0) + 1L) * 9L / 10L
+      val idx = rewrittenPartIndex(s, dir, cut).select($"vec_id", $"cid")
+      val cents = trainedCodebookBefore(s, dir, cut).select($"cid", $"ce")
+      val np = cents.agg(count(lit(1)).as("nl"))
+        .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
+          AnnPolicy.IvfNprobeFloor).as("nprobe"))
+      val qw = Window.partitionBy($"query_id").orderBy($"qd", $"cid")
+      val q = e.filter($"vec_id" < annNq(s))
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qd", graft.functions.GraftFunctions.l2Sq($"qe", $"ce"))
+        .withColumn("qrank", row_number().over(qw))
+        .crossJoin(broadcast(np))
+        .filter($"qrank" <= $"nprobe")
+        .select($"query_id", $"qe", $"cid")
+      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+      idx.join(broadcast(q), Seq("cid"))
+        .filter($"vec_id" =!= $"query_id")
+        .join(e, "vec_id")
+        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
+        .orderBy($"query_id", $"rank")
     },
 
     // ----- drift-triggered retrain gate (frozen-codebook rot alarm) -----
@@ -1460,6 +1459,65 @@ private[operators] object AnnQueries {
     },
   )
 
+  /** The REWRITTEN cell-partitioned index, shared by q153 (ledger
+    * serve) and q157 (ANN serve): builds [[PipelineQueries
+    * .ivfpqIndexPartBefore]] if needed, then applies the CDC batch
+    * (tombstones = the vec_id % 13 = 5 stripe, upserts = vec_id ≥ cut)
+    * IN PLACE as a dynamic-partition-overwrite rewrite of only the
+    * TOUCHED cells, dropping fully-emptied cells' directories
+    * (compaction). Once per (session, dir, cut); returns the
+    * post-rewrite table (vec_id, codes, cid). */
+  private def rewrittenPartIndex(s: SparkSession, dir: String,
+      cut: Long): DataFrame = {
+    import s.implicits._
+    val e = embGlob(s, dir)
+    ivfpqIndexPartBefore(s, dir, cut) // ensure the storage exists
+    val base = ivfpqPartPath(s, dir, cut)
+    val cb = trainedCodebookBefore(s, dir, cut)
+      .agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
+    val staging = base + "_staging"
+    materializeOnce(base + "_rw", staging) {
+      def routed(part: DataFrame): DataFrame =
+        pqRoute(part.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+          .select($"vec_id",
+            split($"pcode", "-").cast("array<long>").as("codes"), $"cid")
+      val stripe = e.filter($"vec_id" < cut && $"vec_id" % 13 === 5)
+      val delIds = stripe.select($"vec_id")
+      val ups = routed(e.filter($"vec_id" >= cut))
+      // Touched cells: ≤ K values — a bounded driver fetch (cell
+      // COUNT, not rows), the same class as q148's K-row readout.
+      val touched = routed(stripe).select($"cid")
+        .union(ups.select($"cid")).distinct().as[Long].collect().sorted
+      val stored = s.read.parquet(base)
+        .filter($"cid".cast("long").isin(touched: _*))
+        .select($"vec_id", $"codes", $"cid".cast("long").as("cid"))
+      // Stage the touched cells' new content first (a path cannot be
+      // read and overwritten in one job), then dynamic-overwrite
+      // exactly those partitions of the live table.
+      stored.join(delIds, Seq("vec_id"), "left_anti")
+        .unionByName(ups)
+        .write.mode("overwrite").parquet(staging)
+      val staged = s.read.parquet(staging)
+      val oldMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try staged.write.mode("overwrite").partitionBy("cid").parquet(base)
+      finally oldMode match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val written = staged.select($"cid").distinct().as[Long].collect().toSet
+      (touched.toSet -- written).foreach { c =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(s"$base/cid=$c"))
+      }
+    }
+    s.read.parquet(base)
+      .select($"vec_id", $"codes", $"cid".cast("long").as("cid"))
+  }
+
   // q153 serves the ledger from the REWRITTEN storage; its contract is
   // exactly q144's from-scratch twin (the bytes on disk must equal a
   // rebuild over the survivors), so the oracle is shared by aliasing —
@@ -1664,6 +1722,70 @@ private[operators] object AnnQueries {
         FROM asg a JOIN pc p USING (vec_id) JOIN surv USING (vec_id)
         GROUP BY 1, 2
         ORDER BY 1, 2""",
+
+      // Serving twin over the REWRITTEN store: q144's from-scratch
+      // index chain (cut-trained codebook, 8-subspace pqRoute-parity
+      // assignment) restricted to the SURVIVING set — exactly what the
+      // rewritten bytes hold — then q36b-style query routing (64-term
+      // fold vs the same codebook, ⌈K/10⌉ probe) and (l2, vec_id)
+      // exact rerank.
+      "q157_ann_serve_rewritten" -> {
+        def f64(a: String, b: String) =
+          s"""list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 65),
+                     i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+                   (x, y) -> x + y)"""
+        s"""
+        WITH ${PipelineQueries.trainedCbOracleCtesTrainOn(
+          graft.operators.AnnPolicy.TrainedK.toString,
+          """
+        tcut AS (SELECT (max(vec_id) + 1) * 9 // 10 c FROM te),
+        tt AS (SELECT * FROM te WHERE vec_id < (SELECT c FROM tcut)),""",
+          "tt")},
+        pd AS (SELECT te.vec_id, c.cid, s.s,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, 9),
+                          j -> (te.v[s.s*8+j] - c.ce[s.s*8+j])
+                               * (te.v[s.s*8+j] - c.ce[s.s*8+j]))),
+                        (x, y) -> x + y) d
+               FROM te CROSS JOIN tcb c
+                    CROSS JOIN (SELECT unnest(generate_series(0, 7)) s) s),
+        fd AS (SELECT vec_id, cid,
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list(d ORDER BY s)), (x, y) -> x + y) d
+               FROM pd GROUP BY vec_id, cid),
+        asg AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d NULLS FIRST, cid) rn
+                  FROM fd) WHERE rn = 1),
+        surv AS (SELECT vec_id FROM te
+                 WHERE vec_id >= (SELECT c FROM tcut) OR vec_id % 13 <> 5),
+        np AS (SELECT ${AnnPolicy.scanCeilSql("count(1)",
+          AnnPolicy.IvfScanDiv, AnnPolicy.IvfNprobeFloor)} np FROM tcb),
+        qc AS (SELECT query_id, qv, cid FROM (
+                 SELECT te.vec_id query_id, te.v qv, c.cid,
+                        row_number() OVER (PARTITION BY te.vec_id
+                          ORDER BY ${f64("te.v", "c.ce")} NULLS FIRST,
+                                   c.cid) qrank
+                 FROM te CROSS JOIN tcb c WHERE te.vec_id < 5)
+               WHERE qrank <= (SELECT np FROM np)),
+        ranked AS (SELECT query_id, vec_id, l2,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY l2 NULLS FIRST,
+                                                      vec_id) rk
+                   FROM (SELECT q.query_id, a.vec_id,
+                                ${f64("t.v", "q.qv")} l2
+                         FROM qc q
+                              JOIN asg a ON a.cid = q.cid
+                              JOIN surv s ON s.vec_id = a.vec_id
+                              JOIN te t ON t.vec_id = a.vec_id
+                         WHERE a.vec_id != q.query_id))
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id,
+               floor(l2 * 10000 + 0.5) / 10000 AS l2
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank"""
+      },
 
       // Drift-gate twin: corpus/delta cell occupancies from the same
       // cut-trained assignment chain, the q134 KL term op order

@@ -168,6 +168,24 @@ class Round18OpsSpec extends AnyFunSuite {
         "must be LOCAL to the giant cell")
   }
 
+  test("q157: serving from the rewritten store never surfaces a tombstone") {
+    val rows = PipelineQueries.queries("q157_ann_serve_rewritten")(spark, dir)
+      .collect()
+    assert(rows.length == 25, "5 queries x top-5")
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5),
+        s"query $q ranks must be dense 1..5")
+      assert(rs.forall(_.getLong(2) != q), s"query $q returned itself")
+    }
+    // Tombstoned rows were deleted from the bytes by the q153 rewrite,
+    // not filtered at query time — none may surface.
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cut = (e.agg(max($"vec_id")).first.getLong(0) + 1L) * 9L / 10L
+    assert(rows.forall(r =>
+      r.getLong(2) >= cut || r.getLong(2) % 13 != 5),
+      "a tombstoned vector surfaced from the rewritten storage")
+  }
+
   test("q154: probing the rewritten posting table emits exactly q152's rows") {
     val a = PipelineQueries.queries("q154_forget_rewrite")(spark, dir)
       .collect()
