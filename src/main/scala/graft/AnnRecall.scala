@@ -75,12 +75,22 @@ object AnnRecall {
     val rIvfT = recall(gtL2, run("q36b_ann_ivf_trained"))
     val rPqT = recall(gtL2, run("q60b_ann_pq_trained"))
     val rQ142 = recall(gtL2, run("q142_stream_ann_query"))
-    // Round-15 two-level-coarse variant (grown codebook, O(√K) routing).
-    val rIvfC = recall(gtL2, run("q36c_ann_ivf_coarse"))
-    // Round-15 matryoshka variant (16-of-64-dim truncated routing, full
-    // rerank) — measures what prefix routing costs WITHOUT MRL-trained
-    // embeddings (truth = the exact full-dim ranking).
-    val rIvfM = recall(gtL2, run("q151_ann_matryoshka"))
+    // Round-15 two-level-coarse and matryoshka variants — graded at
+    // 50-QUERY granularity via the spark.graft.ann.queryCount witness
+    // knob (VERDICT r15 #1: 5 queries resolve recall@5 only in 0.04
+    // steps — the r15 five-query 0.68 was actually 0.62). The other
+    // lines keep the oracle's 5 queries; their operators have no knob.
+    val qv50 = e.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val gtL2w = topSets(e.crossJoin(broadcast(qv50))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect())
+    spark.conf.set("spark.graft.ann.queryCount", "50")
+    val rIvfC = recall(gtL2w, run("q36c_ann_ivf_coarse"))
+    val rIvfM = recall(gtL2w, run("q151_ann_matryoshka"))
+    spark.conf.unset("spark.graft.ann.queryCount")
     val numListsTrained =
       graft.operators.PipelineQueries.trainedCodebook(spark, dir).count()
 
@@ -114,6 +124,7 @@ object AnnRecall {
       f""","recall5_q142_stream":$rQ142%.4f""" +
       f""","k_grown":${pol.grownK(n)},"recall5_ivf_coarse":$rIvfC%.4f""" +
       f""","recall5_ann_matryoshka":$rIvfM%.4f""" +
+      f""","nq_coarse_matryoshka":50""" +
       f""","recall5_ann_filtered":$rFil%.4f""" +
       f""","filtered_np_min":${labelCounts.map(pol.filteredNprobe(numListsTrained, _)).min}""" +
       f""","filtered_np_max":${labelCounts.map(pol.filteredNprobe(numListsTrained, _)).max}}"""

@@ -1402,11 +1402,17 @@ private[operators] object AnnQueries {
       val t = Tables(s, dir)
       val e = t.embeddings.select($"vec_id", $"embedding")
       val cents = trainedCodebook(s, dir).select($"cid", $"ce")
+      // Cached (class-1 construction cache): the O(n·K) routing pass
+      // feeds the cell counts AND every split-side branch (members →
+      // seeds, a1, sub-centroid update, re-assignment) — without the
+      // pin each branch re-runs the corpus routing, 5× the single most
+      // expensive stage at 100 TB.
       val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
         .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
         .groupBy($"vec_id")
         .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))
         .select($"vec_id", $"m.cid".as("cid"), $"m.embedding".as("embedding"))
+        .cache()
       val cells = cents.select($"cid")
         .join(asg.groupBy($"cid").agg(count(lit(1)).as("nl")),
           Seq("cid"), "left")
@@ -1419,12 +1425,14 @@ private[operators] object AnnQueries {
         .select($"cid", $"n_live", $"is_giant", $"s_sub")
       // Members of flagged cells only, ranked by vec_id within the
       // cell — the flagged frame is K rows (broadcast), so this join
-      // marks the giant membership without moving the corpus.
+      // marks the giant membership without moving the corpus. Cached:
+      // probed by seeds, both Lloyd passes, and the final count.
       val wv = Window.partitionBy($"cid").orderBy($"vec_id")
       val members = asg
         .join(broadcast(flagged.filter($"is_giant")
           .select($"cid", $"s_sub")), "cid")
         .withColumn("rk", row_number().over(wv))
+        .cache()
       val seeds = members.filter($"rk" <= $"s_sub")
         .select($"cid", $"rk".cast("long").as("sub"),
           $"embedding".cast("array<double>").as("se"))
