@@ -172,7 +172,16 @@ object Bench {
     // the stall-robust unbiased one). Reported alongside, never
     // replacing, the cold pass.
     val warmPasses = (1 to 3).map { p =>
-      val r = names.map(n => n -> runOnce(n)).toMap
+      val r = names.map { n =>
+        val t = runOnce(n)
+        // A build landing in a WARM pass means the cold run failed
+        // mid-build (its memo entry was never written) — drain it too,
+        // so the artifact report stays total and the distortion of
+        // that warm number is at least visible (review finding, r16).
+        drainArtifacts().foreach { case (k, s2) =>
+          artRows += ((artName(k), s"warm$p:$n", s2)) }
+        n -> t
+      }.toMap
       passEpilogue(s"after-warm-$p")
       r
     }

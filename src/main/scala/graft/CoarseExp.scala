@@ -176,6 +176,7 @@ object CoarseExp {
     println(jr)
     out.foreach(o => Files.writeString(Paths.get(o), jr + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND))
+    PipelineQueries.cleanupArtifacts(spark)
     spark.stop()
   }
 }

@@ -93,6 +93,13 @@ object RewriteWitness {
         f""","untouched_cells":${untouched.size}""" +
         f""","untouched_identical":$untouchedOk}"""
     if (args.length > 1) Files.writeString(Paths.get(args(1)), json + "\n")
+    // The manual staging tree is not materializeOnce-registered —
+    // drop it ourselves (review finding, r16).
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File(staging))
     PipelineQueries.cleanupArtifacts(spark)
     spark.stop()
     println(json)

@@ -26,8 +26,16 @@ private[operators] object AnnQueries {
     * graded rows are unchanged; AnnRecall/CoarseExp/MrlExp set 50 to
     * measure the REGISTERED plan rather than a reimplementation. */
   private[graft] def annNq(s: SparkSession): Long =
-    s.conf.getOption("spark.graft.ann.queryCount")
-      .map(_.toLong).getOrElse(5L)
+    s.conf.getOption("spark.graft.ann.queryCount").map { v =>
+      val nq = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.ann.queryCount must be a positive integer, got " +
+            s"'$v' — it is a WITNESS knob; the oracle gate runs at the " +
+            "default 5 and must never see it set")
+      }
+      require(nq > 0, s"spark.graft.ann.queryCount must be > 0, got $nq")
+      nq
+    }.getOrElse(5L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1491,7 +1499,11 @@ private[operators] object AnnQueries {
             split($"pcode", "-").cast("array<long>").as("codes"), $"cid")
       val stripe = e.filter($"vec_id" < cut && $"vec_id" % 13 === 5)
       val delIds = stripe.select($"vec_id")
-      val ups = routed(e.filter($"vec_id" >= cut))
+      // Cached: `ups` feeds both the touched-cell collect and the
+      // staging write — uncached, the delta×K routing pass (the
+      // rewrite's most expensive stage) ran twice (review finding,
+      // r16). Unpersisted after the staging write below.
+      val ups = routed(e.filter($"vec_id" >= cut)).cache()
       // Touched cells: ≤ K values — a bounded driver fetch (cell
       // COUNT, not rows), the same class as q148's K-row readout.
       val touched = routed(stripe).select($"cid")
@@ -1505,6 +1517,7 @@ private[operators] object AnnQueries {
       stored.join(delIds, Seq("vec_id"), "left_anti")
         .unionByName(ups)
         .write.mode("overwrite").parquet(staging)
+      ups.unpersist()
       val staged = s.read.parquet(staging)
       val oldMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

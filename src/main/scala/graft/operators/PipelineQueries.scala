@@ -944,16 +944,21 @@ object PipelineQueries {
     * file or directory layout — so static-side consumers of a staged
     * dir (q155's posting-index build) see the same corpus the stream
     * drains. */
+  /** Top-level `documents*.parquet` stems of a corpus dir — file OR
+    * directory layout. ONE definition for every consumer (docsGlob,
+    * the bench-sid set, q149's arrival-order guard), so a staged feed
+    * can never be enumerated differently by two readers (review
+    * finding, r16). */
+  private[graft] def docStems(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("documents") &&
+        f.getName.endsWith(".parquet"))
+      .sortBy(_.getPath)
+
   private[graft] def docsGlob(s: SparkSession, dir: String): DataFrame = {
     val direct = new java.io.File(dir, "documents.parquet")
     if (direct.exists()) s.read.parquet(direct.getPath)
-    else {
-      val stems = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .filter(f => f.getName.startsWith("documents") &&
-          f.getName.endsWith(".parquet"))
-        .map(_.getPath).sorted
-      s.read.parquet(stems: _*)
-    }
+    else s.read.parquet(docStems(dir).map(_.getPath): _*)
   }
 
   private[graft] def embGlob(s: SparkSession, dir: String): DataFrame = {
@@ -1323,11 +1328,7 @@ object PipelineQueries {
     // top level and passing each match — file OR directory — as its
     // own parquet path handles both layouts identically.
     benchSidsMemo.computeIfAbsent(key, _ => {
-      val stems = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .filter(f => f.getName.startsWith("documents") &&
-          f.getName.endsWith(".parquet"))
-        .map(_.getPath).sorted
-      docSidArrays(s.read.parquet(stems: _*))
+      docSidArrays(s.read.parquet(docStems(dir).map(_.getPath): _*))
         .filter($"doc_id" < 10)
         .select(explode($"sids").as("sid")).distinct()
         .orderBy($"sid")

@@ -205,15 +205,17 @@ object StreamingQueries {
     // file's doc_id range must sit strictly above its predecessor's.
     // One (min, max) agg per staged file — footer-cheap, and skipped
     // entirely on the standard single-file corpora.
-    val staged = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("documents") &&
-        f.getName.endsWith(".parquet"))
+    val staged = graft.operators.PipelineQueries.docStems(dir)
       .sortBy(f => (f.lastModified(), f.getPath))
     if (staged.length > 1) {
-      val ranges = staged.map { f =>
+      // flatMap: a zero-row staged file has NULL min/max — it carries
+      // no docs, so it cannot violate arrival order; skip it rather
+      // than NPE on the unboxing (review finding, r16).
+      val ranges = staged.flatMap { f =>
         val r = s2.read.parquet(f.getPath)
           .agg(min("doc_id"), max("doc_id")).head()
-        (f.getName, r.getLong(0), r.getLong(1))
+        if (r.isNullAt(0)) None
+        else Some((f.getName, r.getLong(0), r.getLong(1)))
       }
       ranges.sliding(2).foreach {
         case Seq((pn, _, pMax), (cn, cMin, _)) =>
