@@ -1739,6 +1739,34 @@ object PipelineQueries {
         ORDER BY new_doc, corpus_doc"""
   }
 
+  /** Batch twin of the q158 live LSH index: [[streamNeardupOracleSql]]
+    * with the candidate relation widened to delta×delta — the b side
+    * may be a corpus doc (b < cut) OR an earlier GATED delta doc
+    * (b < a), exactly the pairs the live posting-store state adds. */
+  private[graft] lazy val streamLshIndexOracleSql: String = {
+    val gateCtes = streamNeardupOracleSql
+      .split("cand AS").head // reuse the identical WITH chain verbatim
+    s"""$gateCtes
+        cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig
+                 WHERE a.doc_id >= (SELECT c FROM cut)
+                   AND a.doc_id IN (SELECT doc_id FROM gate)
+                   AND (b.doc_id < (SELECT c FROM cut)
+                        OR (b.doc_id IN (SELECT doc_id FROM gate)
+                            AND b.doc_id < a.doc_id))),
+        agree AS (SELECT c.doc_a, c.doc_b,
+                         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) nm
+                  FROM cand c
+                  JOIN mh x ON x.doc_id = c.doc_a
+                  JOIN mh y ON y.doc_id = c.doc_b AND y.s = x.s
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(nm AS BIGINT) AS n_match,
+               floor((nm / 16.0) * 10000 + 0.5) / 10000 AS est_sim
+        FROM agree WHERE nm >= 8
+        ORDER BY doc_a, doc_b"""
+  }
+
   /** The q129 chunker's oracle CTE chain, ending at
     * `chunks(doc_id, n_toks, chunk, sig, ntk)` — shared by q129's
     * per-doc dup stats and the streaming q133 chunk-store dedup, so the

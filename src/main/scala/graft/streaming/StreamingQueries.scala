@@ -291,8 +291,13 @@ object StreamingQueries {
     * micro-batch (a doc lives in exactly one staged file), so the
     * per-doc group sees its complete candidate set; the state boolean
     * only guards pathological re-delivery. */
-  private[streaming] def neardupIngestStream(s2: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[String]): DataFrame = {
+  /** The GATED delta-signature stream shared by q155 and q158: each
+    * arriving delta doc (doc_id ≥ cut) through the q149 quality ∧
+    * decontamination gates, then its MinHash(16) signature over the
+    * shingle-sid set. Returns (the (doc_id, mh) stream, the static
+    * posting-index side keyed (band, sig), the cut). */
+  private def gatedDeltaSigs(s2: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[String]): (DataFrame, DataFrame, Long) = {
     import s2.implicits._
     val bench: Array[Long] = graft.operators.PipelineQueries
       .benchSortedSidsGlob(s2, dir)
@@ -330,7 +335,13 @@ object StreamingQueries {
       .withColumn("mh",
         graft.functions.GraftFunctions.minhashSigs($"ssids", 16))
       .select($"doc_id", $"mh")
+    (gated, idxSide, cut)
+  }
 
+  private[streaming] def neardupIngestStream(s2: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[String]): DataFrame = {
+    import s2.implicits._
+    val (gated, idxSide, _) = gatedDeltaSigs(s2, dir, maxFilesPerTrigger)
     gated
       .select($"doc_id", $"mh",
         graft.operators.PipelineQueries.mhBandCols.as(Seq("band", "sig")))
@@ -361,6 +372,78 @@ object StreamingQueries {
           }
       }
       .toDF("new_doc", "corpus_doc", "n_match", "est_sim")
+  }
+
+  /** The q158 streaming LSH INDEX (SCALE.md §11.5's named next piece):
+    * q155 probes the static corpus index only, so near-dups WITHIN the
+    * arriving delta are invisible. q158 additionally MAINTAINS a live
+    * banded posting store as state — keyed by (band, sig), holding the
+    * arrived gated docs' (doc_id, mh) postings, the same bounded class
+    * as the persisted q81 index restricted to the delta — and matches
+    * each arrival against (a) the static corpus index (stream-static
+    * join, stateless) and (b) the live store (flatMapGroupsWithState
+    * per bucket: pair against stored + earlier-in-batch postings, then
+    * append self). Pair labels are (max, min) doc_id, so the emitted
+    * PAIR SET is arrival-order-INDEPENDENT (a pair emits when its
+    * second member arrives, whichever that is) — unlike q149 no
+    * monotone-staging contract is needed, and the spec pins equality
+    * under mod-striped staging. The n_match ≥ 8 verify runs where both
+    * signatures are in hand (a column expression on the corpus branch,
+    * in-state on the delta branch — same integer compare); duplicate
+    * candidates across bands collapse in a chained dropDuplicates
+    * whose state is one row per verified pair (bounded by the output,
+    * not the stream). Batch twin: q81's statement over the gated set
+    * with the candidate relation widened to delta×delta (b < a). */
+  private[streaming] def lshIndexStream(s2: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[String]): DataFrame = {
+    import s2.implicits._
+    val (gated, idxSide, _) = gatedDeltaSigs(s2, dir, maxFilesPerTrigger)
+    val banded = gated.select($"doc_id", $"mh",
+      graft.operators.PipelineQueries.mhBandCols.as(Seq("band", "sig")))
+
+    val nmExpr =
+      expr("size(filter(zip_with(amh, bmh, (x, y) -> x = y), z -> z))")
+        .cast("long")
+    val corpusPairs = banded
+      .join(idxSide, Seq("band", "sig"))
+      .select($"doc_id".as("doc_a"), $"corpus_doc".as("doc_b"),
+        $"mh".as("amh"), $"bmh")
+      .withColumn("n_match", nmExpr)
+      .filter($"n_match" >= 8)
+      .select($"doc_a", $"doc_b", $"n_match")
+
+    val intraPairs = banded
+      .select(concat($"band", lit("|"), $"sig").as("bk"), $"doc_id", $"mh")
+      .as[(String, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long, Seq[Long])],
+         state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val arrived = rows.map(r => (r._2, r._3)).toVector
+            .distinctBy(_._1).sortBy(_._1)
+          val out = Vector.newBuilder[(Long, Long, Long)]
+          arrived.foreach { case (d, mh) =>
+            seen.foreach { case (d2, mh2) =>
+              if (d2 != d) {
+                val nm = mh.iterator.zip(mh2.iterator)
+                  .count { case (x, y) => x == y }.toLong
+                if (nm >= 8L)
+                  out += ((math.max(d, d2), math.min(d, d2), nm))
+              }
+            }
+            seen = seen :+ ((d, mh))
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF("doc_a", "doc_b", "n_match")
+
+    corpusPairs.unionByName(intraPairs)
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_sim",
+        floor($"n_match" / 16.0 * 10000 + 0.5) / 10000)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1451,6 +1534,33 @@ object StreamingQueries {
       q.awaitTermination()
       capturePlan("q155_stream_neardup_ingest", q)
       s2.table(sink).orderBy($"new_doc", $"corpus_doc")
+    },
+
+    // ----- the LIVE LSH index: corpus probe + intra-delta matching -----
+    // See [[lshIndexStream]]. Registered output is the complete
+    // verified pair set (corpus ∪ intra-delta), ordered (doc_a, doc_b).
+    "q158_stream_lsh_index" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+
+      val pairs = lshIndexStream(s2, dir,
+        s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger"))
+
+      val sink = s"q158_sink_${sinkCounter.incrementAndGet()}"
+      val q = pairs.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      capturePlan("q158_stream_lsh_index", q)
+      s2.table(sink).orderBy($"doc_a", $"doc_b")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -1470,6 +1580,11 @@ object StreamingQueries {
     // pairs restricted to the gated (quality ∧ decontam) delta set.
     "q155_stream_neardup_ingest" ->
       graft.operators.PipelineQueries.streamNeardupOracleSql,
+
+    // The live LSH index must emit that set PLUS the intra-delta pairs
+    // its posting-store state makes visible.
+    "q158_stream_lsh_index" ->
+      graft.operators.PipelineQueries.streamLshIndexOracleSql,
 
     // The streaming quality gate must emit exactly the batch q73 rows.
     "q75_stream_quality" ->

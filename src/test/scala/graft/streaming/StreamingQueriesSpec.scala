@@ -414,6 +414,44 @@ class StreamingQueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
   }
 
+  test("q158 live LSH index: striped staging = single batch; intra pairs fire") {
+    // Unlike q149, the q158 pair set is arrival-order-INDEPENDENT by
+    // construction ((max, min) labels; a pair emits when its second
+    // member arrives, whichever that is) — so even a mod-2 STRIPED
+    // staging, which q149's guard must refuse, yields the identical
+    // output. That independence is the point of this pin.
+    val dir = "/root/testdata/sf0.1"
+    val staged = java.nio.file.Files.createTempDirectory("q158-stripe").toString
+    val tmp = s"$staged/_tmp"
+    val docs = graft.operators.Tables(spark, dir).documents
+    for (i <- 1 to 2) {
+      val slice = s"$tmp/$i"
+      docs.filter(col("doc_id") % 2 === (i - 1)).coalesce(1)
+        .write.mode("overwrite").parquet(slice)
+      val part = new java.io.File(slice).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$staged/documents_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1000000L * i)
+    }
+    spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+    try {
+      val got = StreamingQueries
+        .queries("q158_stream_lsh_index")(spark, staged)
+      val single = StreamingQueries
+        .queries("q158_stream_lsh_index")(spark, dir)
+      assert(got.exceptAll(single).isEmpty && single.exceptAll(got).isEmpty,
+        "striped staging must not change the live-index pair set")
+      // The state path is exercised, not just present: at sf0.1 the
+      // delta holds near-identical doc pairs, so intra-delta pairs
+      // (both endpoints >= cut) must appear.
+      val cut = (docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+        .first.getLong(0) + 1L) * 9L / 10L
+      assert(single.filter(col("doc_b") >= cut).count() > 0,
+        "no intra-delta pair surfaced — the live posting store is idle")
+    } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+  }
+
   test("q149 refuses non-monotone doc_id staging (arrival-order guard)") {
     // ADVICE r15: with one boolean of state per content hash, the
     // survivor is the min doc_id of the FIRST batch containing the
