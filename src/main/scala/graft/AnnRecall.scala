@@ -87,10 +87,11 @@ object AnnRecall {
       .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
       .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect())
-    spark.conf.set("spark.graft.ann.queryCount", "50")
-    val rIvfC = recall(gtL2w, run("q36c_ann_ivf_coarse"))
-    val rIvfM = recall(gtL2w, run("q151_ann_matryoshka"))
-    spark.conf.unset("spark.graft.ann.queryCount")
+    val (rIvfC, rIvfM) = try {
+      spark.conf.set("spark.graft.ann.queryCount", "50")
+      (recall(gtL2w, run("q36c_ann_ivf_coarse")),
+        recall(gtL2w, run("q151_ann_matryoshka")))
+    } finally spark.conf.unset("spark.graft.ann.queryCount")
     val numListsTrained =
       graft.operators.PipelineQueries.trainedCodebook(spark, dir).count()
 

@@ -81,8 +81,14 @@ object CoarseExp {
       .transform(_: Column, _: Column => Column)
 
     def variant(m: Int, pcDiv: Long,
-        trained: Boolean): (Double, Double, Double) = {
+        trained: Boolean): (Double, Double, Double, Long, Int) = {
       val coarse = if (trained) coarseTrained else coarseSub
+      // pc (and the reported n_coarse) must come from the cell count of
+      // the coarse level THIS variant routes through — trained coarse
+      // can have fewer cells than the subsample init (empty cells drop
+      // in kmUpdate), and the shipped q36c derives its probe width from
+      // the actual trained count.
+      val nc = coarse.count()
       val coarseArr = coarse
         .agg(array_sort(collect_list(struct($"gid", $"ge"))).as("ca"))
       val fineCell = cents.crossJoin(broadcast(coarse))
@@ -90,7 +96,7 @@ object CoarseExp {
         .groupBy($"cid")
         .agg(min_by($"gid", struct($"gd", $"gid")).as("gid"),
           first($"ce").as("ce"))
-      val pc = AnnPolicy.scanCeil(nCoarse, pcDiv, AnnPolicy.CoarseProbeFloor)
+      val pc = AnnPolicy.scanCeil(nc, pcDiv, AnnPolicy.CoarseProbeFloor)
         .toInt
       val t0 = System.nanoTime()
       val vCell = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
@@ -132,7 +138,7 @@ object CoarseExp {
       asg.unpersist()
       val recs = gt.keys.toSeq.map(q =>
         (gt(q) & got.getOrElse(q, Set.empty)).size.toDouble / gt(q).size)
-      (recs.sum / recs.size, nCand.toDouble / (nq * n), buildS)
+      (recs.sum / recs.size, nCand.toDouble / (nq * n), buildS, nc, pc)
     }
 
     val grid: Seq[(Int, Long, Boolean)] =
@@ -147,11 +153,10 @@ object CoarseExp {
         (6, 2L, false), (2, 1L, false), (4, 1L, false), (6, 1L, false))
 
     grid.foreach { case (m, pcDiv, trained) =>
-      val (r, sf, bs) = variant(m, pcDiv, trained)
-      val pc = AnnPolicy.scanCeil(nCoarse, pcDiv, AnnPolicy.CoarseProbeFloor)
+      val (r, sf, bs, ncV, pc) = variant(m, pcDiv, trained)
       val json =
         f"""{"dir":"$dir","n_vectors":$n,"n_queries":$nq,"k":$kActual""" +
-          f""","n_coarse":$nCoarse,"nprobe":$nprobe,"m":$m,"pc_div":$pcDiv""" +
+          f""","n_coarse":$ncV,"nprobe":$nprobe,"m":$m,"pc_div":$pcDiv""" +
           f""","pc":$pc,"trained_coarse":$trained,"recall5":$r%.4f""" +
           f""","scan_frac":$sf%.4f,"assign_wall_s":$bs%.2f}"""
       println(json)
@@ -163,11 +168,12 @@ object CoarseExp {
     // q36c at 50 queries (the spark.graft.ann.queryCount witness knob)
     // against the same exact-L2 truth. This line is the VERDICT r15 #1
     // acceptance number.
-    spark.conf.set("spark.graft.ann.queryCount", nq.toString)
-    val got = SparkEntry.queries("q36c_ann_ivf_coarse")(spark, dir)
-      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    spark.conf.unset("spark.graft.ann.queryCount")
+    val got = try {
+      spark.conf.set("spark.graft.ann.queryCount", nq.toString)
+      SparkEntry.queries("q36c_ann_ivf_coarse")(spark, dir)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    } finally spark.conf.unset("spark.graft.ann.queryCount")
     val regRecs = gt.keys.toSeq.map(q =>
       (gt(q) & got.getOrElse(q, Set.empty)).size.toDouble / gt(q).size)
     val rReg = regRecs.sum / regRecs.size

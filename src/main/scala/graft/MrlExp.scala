@@ -58,6 +58,7 @@ object MrlExp {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
     val nl = PipelineQueries.trainedCodebook(spark, dir).count()
+    try {
     spark.conf.set("spark.graft.ann.queryCount", nq.toString)
     boosts.foreach { boost =>
       spark.conf.set("spark.graft.ann.matryoshkaBoost", boost.toString)
@@ -77,8 +78,10 @@ object MrlExp {
       out.foreach(o => Files.writeString(Paths.get(o), json + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND))
     }
-    spark.conf.unset("spark.graft.ann.matryoshkaBoost")
-    spark.conf.unset("spark.graft.ann.queryCount")
+    } finally {
+      spark.conf.unset("spark.graft.ann.matryoshkaBoost")
+      spark.conf.unset("spark.graft.ann.queryCount")
+    }
     PipelineQueries.cleanupArtifacts(spark)
     spark.stop()
   }

@@ -1688,7 +1688,31 @@ object PipelineQueries {
     * predicates, g-prefixed CTEs to keep clear of the shared dsh/dsid
     * fragment names). The corpus/index side is ungated, exactly as the
     * persisted posting index is built. */
-  private[graft] lazy val streamNeardupOracleSql: String = {
+  private[graft] lazy val streamNeardupOracleSql: String =
+    s"""$neardupGateCtes
+        cand AS (SELECT DISTINCT a.doc_id new_doc, b.doc_id corpus_doc
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig
+                 WHERE a.doc_id >= (SELECT c FROM cut)
+                   AND a.doc_id IN (SELECT doc_id FROM gate)
+                   AND b.doc_id < (SELECT c FROM cut)),
+        agree AS (SELECT c.new_doc, c.corpus_doc,
+                         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) nm
+                  FROM cand c
+                  JOIN mh x ON x.doc_id = c.new_doc
+                  JOIN mh y ON y.doc_id = c.corpus_doc AND y.s = x.s
+                  GROUP BY 1, 2)
+        SELECT new_doc, corpus_doc, CAST(nm AS BIGINT) AS n_match,
+               floor((nm / 16.0) * 10000 + 0.5) / 10000 AS est_sim
+        FROM agree WHERE nm >= 8
+        ORDER BY new_doc, corpus_doc"""
+
+  /** The q149-gate WITH chain (quality ∧ decontamination over the delta,
+    * plus the shared shingle/minhash/band CTEs), ending at `gate` —
+    * interpolated verbatim by BOTH [[streamNeardupOracleSql]] (q155) and
+    * [[streamLshIndexOracleSql]] (q158) so their candidate relations are
+    * graded against the identical gating semantics. */
+  private[graft] lazy val neardupGateCtes: String = {
     val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
     s"""
         WITH $dsh, $dsid,$mhBandsSql,
@@ -1720,23 +1744,7 @@ object PipelineQueries {
                  FROM gnz z JOIN gq q USING (doc_id)
                       LEFT JOIN gst st USING (doc_id)
                  WHERE q.lsum >= 0
-                   AND (coalesce(st.n_sh, 0) = 0 OR 2 * st.n_ov < st.n_sh)),
-        cand AS (SELECT DISTINCT a.doc_id new_doc, b.doc_id corpus_doc
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.sig = b.sig
-                 WHERE a.doc_id >= (SELECT c FROM cut)
-                   AND a.doc_id IN (SELECT doc_id FROM gate)
-                   AND b.doc_id < (SELECT c FROM cut)),
-        agree AS (SELECT c.new_doc, c.corpus_doc,
-                         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) nm
-                  FROM cand c
-                  JOIN mh x ON x.doc_id = c.new_doc
-                  JOIN mh y ON y.doc_id = c.corpus_doc AND y.s = x.s
-                  GROUP BY 1, 2)
-        SELECT new_doc, corpus_doc, CAST(nm AS BIGINT) AS n_match,
-               floor((nm / 16.0) * 10000 + 0.5) / 10000 AS est_sim
-        FROM agree WHERE nm >= 8
-        ORDER BY new_doc, corpus_doc"""
+                   AND (coalesce(st.n_sh, 0) = 0 OR 2 * st.n_ov < st.n_sh)),"""
   }
 
   /** Batch twin of the q158 live LSH index: [[streamNeardupOracleSql]]
@@ -1744,9 +1752,7 @@ object PipelineQueries {
     * may be a corpus doc (b < cut) OR an earlier GATED delta doc
     * (b < a), exactly the pairs the live posting-store state adds. */
   private[graft] lazy val streamLshIndexOracleSql: String = {
-    val gateCtes = streamNeardupOracleSql
-      .split("cand AS").head // reuse the identical WITH chain verbatim
-    s"""$gateCtes
+    s"""$neardupGateCtes
         cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.sig = b.sig

@@ -421,8 +421,14 @@ object StreamingQueries {
         (_: String, rows: Iterator[(String, Long, Seq[Long])],
          state: GroupState[Seq[(Long, Seq[Long])]]) =>
           var seen = state.getOption.getOrElse(Seq.empty)
+          // Replay guard: a doc already in the store (batch re-delivery
+          // after checkpoint recovery) must not re-pair or re-append —
+          // output would survive the downstream dropDuplicates anyway,
+          // but state and per-arrival compare work would grow per replay.
+          val stored = seen.iterator.map(_._1).toSet
           val arrived = rows.map(r => (r._2, r._3)).toVector
             .distinctBy(_._1).sortBy(_._1)
+            .filterNot(r => stored.contains(r._1))
           val out = Vector.newBuilder[(Long, Long, Long)]
           arrived.foreach { case (d, mh) =>
             seen.foreach { case (d2, mh2) =>

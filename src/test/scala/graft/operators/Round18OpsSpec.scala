@@ -104,12 +104,16 @@ class Round18OpsSpec extends AnyFunSuite {
         "maintained view ledger (both are from-scratch-equal)")
 
     val after = dirState()
-    // Touched set = cells staged by the rewrite, plus compacted
-    // (vanished) directories.
-    val staged = spark.read.parquet(base + "_staging")
-      .select($"cid".cast("string")).distinct().as[String].collect()
-      .map("cid=" + _).toSet
+    // Touched set from the rewrite's audit log (the staging directory
+    // is deleted once the overwrite commits — VERDICT r16 #4 — so the
+    // on-disk source the old assertion read is gone by design).
+    assert(!new java.io.File(base + "_staging").exists(),
+      "the staging directory must be cleaned up after the overwrite commits")
+    val (touchedLog, writtenLog) = AnnQueries.rewriteTouchedLog.get(base)
+    val staged = writtenLog.map("cid=" + _)
     val vanished = before.keySet -- after.keySet
+    assert(vanished == (touchedLog -- writtenLog).map("cid=" + _),
+      "compacted directories must be exactly the touched-but-emptied cells")
     val untouched = before.keySet -- staged -- vanished
     assert(untouched.nonEmpty,
       "at spec scale some cells must be untouched, or the witness is vacuous")
