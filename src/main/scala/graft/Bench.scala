@@ -171,9 +171,21 @@ object Bench {
     // (min-of-2 was the round-4–7 estimator; VERDICT r7 #3 asked for
     // the stall-robust unbiased one). Reported alongside, never
     // replacing, the cold pass.
+    // Streaming steady-state, triage-grade (VERDICT r16 #8): the warm
+    // WALL time of a streaming query measures run lifecycle (planning,
+    // state-store init, offset/commit WALs) as much as plan — q59's
+    // warm read ABOVE its cold in r16. Snapshot each warm run's total
+    // triggerExecution ms right after the run (batchDurationsMs is
+    // overwritten per run), then report the per-query MEDIAN across
+    // the three warm passes as its own map so cross-round triage can
+    // diff the steady-state number instead of the lifecycle-noisy wall.
+    val warmBatchMs =
+      scala.collection.mutable.Map[String, List[Long]]().withDefaultValue(Nil)
     val warmPasses = (1 to 3).map { p =>
       val r = names.map { n =>
         val t = runOnce(n)
+        graft.streaming.StreamingQueries.batchDurationsMs.get(n)
+          .foreach(ds => warmBatchMs(n) = warmBatchMs(n) :+ ds.sum)
         // A build landing in a WARM pass means the cold run failed
         // mid-build (its memo entry was never written) — drain it too,
         // so the artifact report stays total and the distortion of
@@ -212,6 +224,12 @@ object Bench {
       .map { case (k, ds) =>
         "\"" + k + "\":" + ds.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    val batchMsWarm = warmBatchMs.toSeq.sortBy(_._1)
+      .map { case (k, sums) =>
+        val s2 = sums.sorted
+        val med = if (s2.isEmpty) -1L else s2(s2.size / 2)
+        "\"" + k + "\":" + med
+      }.mkString("{", ",", "}")
     val artJson = artRows.map { case (a, q, s2) =>
       f"""{"artifact":"$a","query":"$q","build_s":$s2%.3f}"""
     }.mkString("[", ",", "]")
@@ -229,6 +247,7 @@ object Bench {
         s""""artifact_build_s":$artJson,""" +
         s""""queries_cold_artifact_s":$coldArtJson,""" +
         s""""streaming_batch_ms":$batchMs,""" +
+        s""""streaming_batch_ms_warm_median":$batchMsWarm,""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""sf":"$sfDir"}"""
     // The driver's artifact capture keeps only the TAIL of stdout

@@ -60,6 +60,11 @@ object MrlExp {
     val nl = PipelineQueries.trainedCodebook(spark, dir).count()
     try {
     spark.conf.set("spark.graft.ann.queryCount", nq.toString)
+    // This harness measures the FORCED-prefix regime (what truncated
+    // routing costs as a function of boost and prefix structure); the
+    // shipped q151 gates that regime behind the structure guard, so
+    // pin the branch open for the sweep.
+    spark.conf.set("spark.graft.ann.mrlRoute", "prefix")
     boosts.foreach { boost =>
       spark.conf.set("spark.graft.ann.matryoshkaBoost", boost.toString)
       val got = SparkEntry.queries("q151_ann_matryoshka")(spark, dir)
@@ -80,6 +85,7 @@ object MrlExp {
     }
     } finally {
       spark.conf.unset("spark.graft.ann.matryoshkaBoost")
+      spark.conf.unset("spark.graft.ann.mrlRoute")
       spark.conf.unset("spark.graft.ann.queryCount")
     }
     PipelineQueries.cleanupArtifacts(spark)

@@ -310,8 +310,33 @@ object AnnPolicy {
     * toward 1). Boost applies to the QUERY side only — the corpus-side
     * O(n·16) routing saving is the point — and the conf knob
     * `spark.graft.ann.matryoshkaBoost` overrides for experiments; the
-    * oracle pins the default. */
+    * oracle pins the default. Under the structure guard below this is
+    * the documented knee for FORCED-prefix routing on unstructured
+    * embeddings (the MrlExp regime measurements); the shipped q151
+    * never runs that regime — the guard falls back to full-dim routing
+    * instead — so the default query-probe multiplier is 1. */
   val MatryoshkaProbeBoost = 4L
+
+  /** Matryoshka STRUCTURE GUARD (VERDICT r16 #2): prefix routing is
+    * only sound when the prefix carries the distance signal — measured
+    * (evidence/r16/mrl_exp.json, mrl_unstr.json): on an MRL-structured
+    * fixture (prefix variance share 0.85) boost=1 prefix routing reads
+    * recall@5 = 0.996–1.000 at 20k/80k, while on unstructured
+    * embeddings (share ≈ 0.25) it reads 0.44 — the silent-low-recall
+    * regime the guard exists to stop. q151 probes the per-dim
+    * variance share of the first [[MrlPrefixDims]] dims over a
+    * [[MrlGuardSampleRows]]-row sample (one 64-row aggregate) and
+    * routes the prefix only when the 4dp-rounded share ≥
+    * [[MrlPrefixShareMin]]; otherwise it falls back to full-dim
+    * (q36b) routing. 0.70 sits between the measured regimes (0.85
+    * good / 0.25 bad) with margin on both sides; the share is rounded
+    * to 4dp in BOTH engines before the compare, so the branch crosses
+    * engines unless the true share sits within an ulp of a 4dp
+    * boundary AND that boundary is exactly the threshold — the same
+    * residual tie class gen_fuzz_corpus.py documents. */
+  val MrlPrefixDims = 16
+  val MrlPrefixShareMin = 0.70
+  val MrlGuardSampleRows = 4096L
 
   /** Expected-candidate target for the LSH probe set. */
   val LshCandidateTarget = 250L

@@ -1295,11 +1295,39 @@ private[operators] object AnnQueries {
     "q151_ann_matryoshka" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
+      // Query-probe multiplier: EXPERIMENT knob only (MrlExp's dial
+      // sweeps; the cap-degenerates-to-exact spec). Default 1 under
+      // the structure guard — prefix routing only runs on corpora
+      // whose prefix carries the signal, where the measured boost
+      // knee is 1 (evidence/r16/mrl_exp.json: 0.996–1.000 at boost 1).
       val boost = s.conf.getOption("spark.graft.ann.matryoshkaBoost")
-        .map(_.toLong).getOrElse(AnnPolicy.MatryoshkaProbeBoost)
+        .map(_.toLong).getOrElse(1L)
       val e = t.embeddings.select($"vec_id", $"embedding")
+      val pfx = AnnPolicy.MrlPrefixDims
+      // STRUCTURE GUARD (VERDICT r16 #2): route the prefix only when
+      // it carries ≥ [[AnnPolicy.MrlPrefixShareMin]] of the per-dim
+      // variance on a bounded sample — otherwise fall back to q36b's
+      // full-dim routing instead of silently serving the measured
+      // 0.44-recall unstructured regime. One 64-row aggregate over ≤
+      // MrlGuardSampleRows rows (constant work at any corpus size);
+      // `spark.graft.ann.mrlRoute` ∈ {prefix, full} pins the branch
+      // for experiment harnesses (MrlExp measures the forced-prefix
+      // regime on unstructured corpora).
+      val guard = s.conf.getOption("spark.graft.ann.mrlRoute") match {
+        case Some("prefix") => s.range(1).select(lit(true).as("mrl"))
+        case Some("full") => s.range(1).select(lit(false).as("mrl"))
+        case _ => e.filter($"vec_id" < AnnPolicy.MrlGuardSampleRows)
+          .select(posexplode($"embedding").as(Seq("dim", "v")))
+          .groupBy($"dim").agg(var_pop($"v").as("vd"))
+          .agg((CrossRound.r(
+            sum(when($"dim" < pfx, $"vd").otherwise(lit(0.0))) / sum($"vd"),
+            4) >= AnnPolicy.MrlPrefixShareMin).as("mrl"))
+      }
       val cents = trainedCodebook(s, dir).select($"cid", $"ce")
-        .withColumn("ce16", slice($"ce", 1, 16))
+        .crossJoin(broadcast(guard))
+        .withColumn("ce16",
+          when($"mrl", slice($"ce", 1, pfx)).otherwise($"ce"))
+        .drop("mrl")
       // Pre-slice the corpus prefix ONCE PER ROW before the n×K
       // routing join — slicing inside the join projection would
       // allocate the 16-element prefix once per (row, centroid) pair,
@@ -1307,7 +1335,10 @@ private[operators] object AnnQueries {
       // cheapen (review finding, session 2; the centroid side was
       // already pre-sliced).
       val asg = e.repartition(32, $"vec_id")
-        .withColumn("e16", slice($"embedding", 1, 16))
+        .crossJoin(broadcast(guard))
+        .withColumn("e16",
+          when($"mrl", slice($"embedding", 1, pfx)).otherwise($"embedding"))
+        .drop("mrl")
         .crossJoin(broadcast(cents))
         .withColumn("d", graft.functions.GraftFunctions.l2Sq($"e16", $"ce16"))
         .groupBy($"vec_id")
@@ -1319,8 +1350,11 @@ private[operators] object AnnQueries {
             AnnPolicy.IvfNprobeFloor) * boost).as("nprobe"))
       val qw = Window.partitionBy($"query_id").orderBy($"qd", $"cid")
       val q = e.filter($"vec_id" < annNq(s))
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
-          slice($"embedding", 1, 16).as("qe16"))
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+        .crossJoin(broadcast(guard))
+        .withColumn("qe16",
+          when($"mrl", slice($"qe", 1, pfx)).otherwise($"qe"))
+        .drop("mrl")
         .crossJoin(broadcast(cents))
         .withColumn("qd", graft.functions.GraftFunctions
           .l2Sq($"qe16", $"ce16"))
@@ -2508,16 +2542,30 @@ private[operators] object AnnQueries {
 
 
       // Matryoshka twin: q36b's chain with every ROUTING distance a
-      // 16-term prefix fold (range(1, 17)) and the candidate rank the
-      // full 64-term fold — the same truncated rule, step for step.
+      // prefix fold GATED by the structure guard — the `mrlg` CTE is
+      // the same sampled per-dim variance-share probe as the Spark
+      // plan (4dp-rounded share ≥ threshold routes range(1, 17); below
+      // it every routing fold is the full 64-term q36b form), and the
+      // candidate rank is the full fold either way. Probe multiplier
+      // is the default 1 (the oracle pins defaults; the boost knob is
+      // experiment-only under the guard).
       "q151_ann_matryoshka" -> s"""
         WITH $trainedCbCtes,
+        vdim AS (SELECT dim, var_pop(x) vd FROM (
+                   SELECT unnest(v) x, generate_subscripts(v, 1) dim
+                   FROM te WHERE vec_id < ${AnnPolicy.MrlGuardSampleRows})
+                 GROUP BY 1),
+        mrlg AS (SELECT floor(sum(CASE WHEN dim <= ${AnnPolicy.MrlPrefixDims}
+                                       THEN vd ELSE 0 END) / sum(vd)
+                              * 10000 + 0.5) / 10000
+                        >= ${AnnPolicy.MrlPrefixShareMin} AS mrl FROM vdim),
         sc AS (SELECT te.vec_id, c.cid,
                  list_reduce(list_prepend(0.0::DOUBLE,
-                   list_transform(range(1, 17),
+                   list_transform(range(1, CASE WHEN g.mrl
+                       THEN ${AnnPolicy.MrlPrefixDims + 1} ELSE 65 END),
                      i -> (te.v[i] - c.ce[i]) * (te.v[i] - c.ce[i]))),
                    (x, y) -> x + y) d
-               FROM te CROSS JOIN tcb c),
+               FROM te CROSS JOIN tcb c CROSS JOIN mrlg g),
         asgd AS (SELECT vec_id, cid FROM (
                    SELECT vec_id, cid,
                           row_number() OVER (PARTITION BY vec_id
@@ -2526,7 +2574,7 @@ private[operators] object AnnQueries {
         np AS (SELECT least(count(1), ${
           AnnPolicy.scanCeilSql("count(1)", AnnPolicy.IvfScanDiv,
             AnnPolicy.IvfNprobeFloor)
-        } * ${AnnPolicy.MatryoshkaProbeBoost}) np FROM tcb),
+        }) np FROM tcb),
         qp AS (SELECT vec_id query_id, cid qcid FROM (
                  SELECT vec_id, cid,
                         row_number() OVER (PARTITION BY vec_id

@@ -141,9 +141,14 @@ class Round17OpsSpec extends AnyFunSuite {
   }
 
   test("q151: matryoshka dial, and the boost cap degenerates to exact") {
-    // The shipped dial and its provenance (set on the 20k/80k curve:
-    // 0.52 → 0.64 → 0.84/0.88 → 1.00 at boost 1/2/4/8).
+    // The documented forced-prefix dial and its provenance (set on the
+    // 20k/80k curve: 0.52 → 0.64 → 0.84/0.88 → 1.00 at boost 1/2/4/8).
+    // Under the structure guard the SHIPPED plan never runs that
+    // regime — unstructured corpora fall back to full-dim routing and
+    // the default probe multiplier is 1 (the measured structured knee).
     assert(AnnPolicy.MatryoshkaProbeBoost == 4L)
+    assert(AnnPolicy.MrlPrefixShareMin == 0.70)
+    assert(AnnPolicy.MrlPrefixDims == 16)
     val rows = PipelineQueries.queries("q151_ann_matryoshka")(spark, dir)
       .collect()
     assert(rows.length == 25, "5 queries x top-5")
@@ -208,6 +213,11 @@ class Round17OpsSpec extends AnyFunSuite {
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       spark.conf.set("spark.graft.ann.matryoshkaBoost", "1")
       spark.conf.set("spark.graft.ann.queryCount", "50")
+      // Force the prefix branch: this test measures the ROUTING
+      // REGIME (what prefix structure buys at boost=1), and the
+      // shipped guard would otherwise fall the unstructured corpus
+      // back to full-dim routing — hiding exactly the gap this pins.
+      spark.conf.set("spark.graft.ann.mrlRoute", "prefix")
       try {
         val got = PipelineQueries.queries("q151_ann_matryoshka")(
             spark, corpus)
@@ -218,6 +228,7 @@ class Round17OpsSpec extends AnyFunSuite {
         recs.sum / recs.size
       } finally {
         spark.conf.unset("spark.graft.ann.matryoshkaBoost")
+        spark.conf.unset("spark.graft.ann.mrlRoute")
         spark.conf.unset("spark.graft.ann.queryCount")
       }
     }
@@ -229,6 +240,45 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(structured - unstructured >= 0.15,
       s"the structure effect must be visible: structured $structured " +
         s"vs unstructured $unstructured")
+  }
+
+  test("q151: the structure guard picks the branch the corpus deserves") {
+    // VERDICT r16 #2: nothing used to stop a user from routing
+    // unstructured vectors through the prefix index and silently
+    // eating 0.44-recall serving. The guard probes the prefix
+    // variance share and picks the branch; this pins BOTH directions
+    // by equality against the forced branches:
+    //  - on the unstructured fixture (share ≈ 0.25 < 0.70) the
+    //    shipped q151 must equal forced FULL-dim routing (q36b's
+    //    rule), not forced prefix;
+    //  - on the MRL-structured fixture (share ≈ 0.85 ≥ 0.70) it must
+    //    equal forced PREFIX routing.
+    import org.apache.spark.sql.functions._
+    def run(corpus: String, route: Option[String]): Seq[String] = {
+      route.foreach(r => spark.conf.set("spark.graft.ann.mrlRoute", r))
+      try PipelineQueries.queries("q151_ann_matryoshka")(spark, corpus)
+        .collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.ann.mrlRoute")
+    }
+    val auto = run(dir, None)
+    assert(auto == run(dir, Some("full")),
+      "unstructured corpus must fall back to full-dim routing")
+
+    val beta = math.sqrt(16 * 0.15 / (48 * 0.85))
+    val iso = java.nio.file.Files.createTempDirectory("q151-guard").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", expr(
+        s"transform(embedding, (v, i) -> " +
+          s"CAST(IF(i < 16, CAST(v AS DOUBLE), v * $beta) AS FLOAT))"))
+      .coalesce(1).write.parquet(s"$iso/embeddings.parquet")
+    val autoIso = run(iso, None)
+    assert(autoIso == run(iso, Some("prefix")),
+      "MRL-structured corpus must route the prefix")
+    // The two branches genuinely differ on the unstructured corpus —
+    // otherwise the fall-back equality above is vacuous.
+    assert(auto != run(dir, Some("prefix")),
+      "forced prefix on the unstructured corpus must differ, or this " +
+        "test pins nothing")
   }
 
   test("q152: forgetting a corpus doc dissolves exactly its pairs") {
