@@ -966,6 +966,81 @@ private[graft] object DedupQueries {
     (s.table(idxKey), cut)
   }
 
+  /** The FORGET-REWRITTEN posting index (q154's storage artifact)
+    * exposed for consumers beyond the batch body — the streaming
+    * ingest probe q159 reads this table so a forget committed to
+    * storage is honored by every future delta window. Storage-level
+    * forget (VERDICT r15 #4): instead of applying the anti-join as a
+    * query-time VIEW (q152), materialize the surviving postings as a
+    * REWRITTEN bucketed table — same bucketBy(8, band, sig) + sortBy
+    * layout, so probes keep the zero-index-side-Exchange plan q81's
+    * artifact was designed for. One rewrite per (session, dir,
+    * fingerprint); the from-scratch-equality oracle (q152's, shared by
+    * alias) grades the bytes of the rewritten table, not a plan
+    * fragment. Unlike the ANN store (q153: cell-partitioned,
+    * tombstones touch only their cells), a doc's postings hash across
+    * ALL (band, sig) buckets, so a stripe delete necessarily rewrites
+    * every bucket — the honest cost of delete-by-doc_id on an index
+    * bucketed for PROBE locality; the layout choice buys zero-Exchange
+    * probes on every future delta at the price of full-bucket-set
+    * rewrites on forget, the right trade when probes outnumber forget
+    * batches. */
+  private[graft] def forgottenPostingIndex(s: SparkSession,
+      dir: String): (DataFrame, Long) = {
+    import s.implicits._
+    val (index0, cut) = postingIndex(s, dir)
+    val idxKey = deltaIndexKey(s, dir)
+    val tombstones = docsGlob(s, dir).filter($"doc_id" < cut &&
+      $"doc_id" % 13 === 0).select($"doc_id")
+    val fgtKey = idxKey + "_fgt"
+    materializeOnce(fgtKey, deltaIndexPath(s, dir) + "_fgt", Some(fgtKey)) {
+      index0.join(tombstones, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite")
+        .bucketBy(8, "band", "sig").sortBy("band", "sig")
+        .option("path", deltaIndexPath(s, dir) + "_fgt")
+        .saveAsTable(fgtKey)
+    }
+    (s.table(fgtKey), cut)
+  }
+
+  /** The ABSORBED posting index — the q160 flush target: the persisted
+    * q81 index PLUS the gated postings of a CLOSED delta window
+    * [lo, hi), rewritten with the same bucketBy(8, band, sig) + sortBy
+    * layout (q154's layout-preserving rewrite shape), so the next
+    * delta window's stream-static probe keeps the zero-index-side-
+    * Exchange plan AND sees the absorbed docs — which is what lets the
+    * live LSH stream's posting-store state be CLEARED at the window
+    * boundary instead of growing with every doc ever arrived (VERDICT
+    * r16 next-round #2). The window's gated postings are recomputed
+    * from storage through [[graft.streaming.StreamingQueries
+    * .gateAndSign]] — the SAME gate body the stream ran, so the fold
+    * is the deterministic twin of the state contents (the state holds
+    * exactly these (doc_id, mh) postings, grouped by band). Cost:
+    * O(index + window), once per closed window — the compaction cycle
+    * a production stream runs between delta campaigns. */
+  private[graft] def absorbedPostingIndex(s: SparkSession, dir: String,
+      lo: Long, hi: Long): DataFrame = {
+    import s.implicits._
+    val (index0, _) = postingIndex(s, dir)
+    val bench = PipelineQueries.benchSortedSidsGlob(s, dir)
+    val idxKey = deltaIndexKey(s, dir)
+    val absKey = idxKey + s"_abs$hi"
+    materializeOnce(absKey, deltaIndexPath(s, dir) + s"_abs$hi",
+        Some(absKey)) {
+      val windowPostings = graft.streaming.StreamingQueries
+        .gateAndSign(docsGlob(s, dir)
+          .filter($"doc_id" >= lo && $"doc_id" < hi), bench)
+        .select($"doc_id", $"mh", mhBandCols.as(Seq("band", "sig")))
+      index0.select($"doc_id", $"mh", $"band", $"sig")
+        .unionByName(windowPostings)
+        .write.mode("overwrite")
+        .bucketBy(8, "band", "sig").sortBy("band", "sig")
+        .option("path", deltaIndexPath(s, dir) + s"_abs$hi")
+        .saveAsTable(absKey)
+    }
+    s.table(absKey)
+  }
+
   private def deltaPairs(s: SparkSession, dir: String,
       forget: Boolean, rewrite: Boolean = false): DataFrame = {
     import s.implicits._
@@ -976,35 +1051,10 @@ private[graft] object DedupQueries {
     def bands(df: DataFrame): DataFrame =
       df.select($"doc_id", $"mh", mhBandCols.as(Seq("band", "sig")))
     val (index0, cut) = postingIndex(s, dir)
-    val idxKey = deltaIndexKey(s, dir)
     val tombstones = t.documents.filter($"doc_id" < cut &&
       $"doc_id" % 13 === 0).select($"doc_id")
-    // Storage-level forget (VERDICT r15 #4): instead of applying the
-    // anti-join as a query-time VIEW (q152), materialize the surviving
-    // postings as a REWRITTEN bucketed table — same bucketBy(8, band,
-    // sig) + sortBy layout, so the probe below keeps the zero-
-    // index-side-Exchange plan q81's artifact was designed for — and
-    // probe THAT. One rewrite per (session, dir, fingerprint); the
-    // from-scratch-equality oracle (q152's, shared by alias) now
-    // grades the bytes of the rewritten table, not a plan fragment.
-    // Unlike the ANN store (q153: cell-partitioned, tombstones touch
-    // only their cells), a doc's postings hash across ALL (band, sig)
-    // buckets, so a stripe delete necessarily rewrites every bucket —
-    // the honest cost of delete-by-doc_id on an index bucketed for
-    // PROBE locality; the layout choice buys zero-Exchange probes on
-    // every future delta at the price of full-bucket-set rewrites on
-    // forget, the right trade when probes outnumber forget batches.
-    val fgtKey = idxKey + "_fgt"
-    if (rewrite)
-      materializeOnce(fgtKey, deltaIndexPath(s, dir) + "_fgt", Some(fgtKey)) {
-        index0.join(tombstones, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite")
-          .bucketBy(8, "band", "sig").sortBy("band", "sig")
-          .option("path", deltaIndexPath(s, dir) + "_fgt")
-          .saveAsTable(fgtKey)
-      }
     val index =
-      if (rewrite) s.table(fgtKey)
+      if (rewrite) forgottenPostingIndex(s, dir)._1
       else if (forget)
         index0.join(tombstones, Seq("doc_id"), "left_anti")
       else index0

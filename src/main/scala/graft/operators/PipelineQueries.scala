@@ -1707,10 +1707,36 @@ object PipelineQueries {
         FROM agree WHERE nm >= 8
         ORDER BY new_doc, corpus_doc"""
 
+  /** Batch twin of the q159 rewritten-store ingest probe:
+    * [[streamNeardupOracleSql]] with the corpus side restricted to the
+    * SURVIVORS of the forget stripe (doc_id % 13 ≠ 0) — exactly the
+    * rows the q154-rewritten posting table holds, so the oracle grades
+    * the stream against the bytes the rewrite committed. */
+  private[graft] lazy val streamNeardupRewrittenOracleSql: String =
+    s"""$neardupGateCtes
+        cand AS (SELECT DISTINCT a.doc_id new_doc, b.doc_id corpus_doc
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig
+                 WHERE a.doc_id >= (SELECT c FROM cut)
+                   AND a.doc_id IN (SELECT doc_id FROM gate)
+                   AND b.doc_id < (SELECT c FROM cut)
+                   AND b.doc_id % 13 != 0),
+        agree AS (SELECT c.new_doc, c.corpus_doc,
+                         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) nm
+                  FROM cand c
+                  JOIN mh x ON x.doc_id = c.new_doc
+                  JOIN mh y ON y.doc_id = c.corpus_doc AND y.s = x.s
+                  GROUP BY 1, 2)
+        SELECT new_doc, corpus_doc, CAST(nm AS BIGINT) AS n_match,
+               floor((nm / 16.0) * 10000 + 0.5) / 10000 AS est_sim
+        FROM agree WHERE nm >= 8
+        ORDER BY new_doc, corpus_doc"""
+
   /** The q149-gate WITH chain (quality ∧ decontamination over the delta,
     * plus the shared shingle/minhash/band CTEs), ending at `gate` —
     * interpolated verbatim by BOTH [[streamNeardupOracleSql]] (q155) and
-    * [[streamLshIndexOracleSql]] (q158) so their candidate relations are
+    * [[streamLshIndexOracleSql]] (q158, and q160 by alias), plus the
+    * q159 survivor-restricted form, so their candidate relations are
     * graded against the identical gating semantics. */
   private[graft] lazy val neardupGateCtes: String = {
     val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"

@@ -296,27 +296,20 @@ object StreamingQueries {
     * decontamination gates, then its MinHash(16) signature over the
     * shingle-sid set. Returns (the (doc_id, mh) stream, the static
     * posting-index side keyed (band, sig), the cut). */
-  private def gatedDeltaSigs(s2: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[String]): (DataFrame, DataFrame, Long) = {
-    import s2.implicits._
-    val bench: Array[Long] = graft.operators.PipelineQueries
-      .benchSortedSidsGlob(s2, dir)
+  /** The q149 quality ∧ decontamination gates + MinHash(16) signature
+    * over any documents frame (streaming OR batch — the expressions
+    * are all map-only). ONE body for the live gate in [[gatedDeltaSigs]]
+    * and the q160 flush job's batch recomputation of a closed window's
+    * gated postings, so the absorbed index and the stream's state can
+    * never disagree on what passed the gate. Returns (doc_id, mh). */
+  private[graft] def gateAndSign(docs: DataFrame,
+      bench: Array[Long]): DataFrame = {
+    val s2 = docs.sparkSession; import s2.implicits._
     val weights = (0 until 64).map { j =>
       ((j.toLong * 2654435761L) % 4294967296L) / 4294967296.0 - 0.5
     }.toArray
-    val (index, cut) = graft.operators.DedupQueries.postingIndex(s2, dir)
-    val idxSide = index.select($"band", $"sig",
-      $"doc_id".as("corpus_doc"), $"mh".as("bmh"))
-
-    val reader = s2.readStream
-      .schema(docsStreamSchema)
-      .option("pathGlobFilter", "documents*.parquet")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val stream = reader.parquet(dir)
-
     val toksExpr = "array_remove(split(text, ' '), '')"
-    val gated = stream
-      .filter($"doc_id" >= cut)
+    docs
       .select($"doc_id", expr(toksExpr).as("toks"))
       .filter(size($"toks") > 0)
       .withColumn("sids",
@@ -335,13 +328,46 @@ object StreamingQueries {
       .withColumn("mh",
         graft.functions.GraftFunctions.minhashSigs($"ssids", 16))
       .select($"doc_id", $"mh")
-    (gated, idxSide, cut)
+  }
+
+  /** `probeIdx`: the static posting table the arrivals probe — default
+    * the live q81 artifact; q159 passes the forget-REWRITTEN table
+    * (q154's bytes), q160's window-2 incarnation the flush-absorbed
+    * one. `window`: half-open [lo, hi) arrival filter on doc_id — the
+    * q160 delta-window split; the gate/cut semantics are unchanged. */
+  private def gatedDeltaSigs(s2: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[String],
+      probeIdx: Option[DataFrame] = None,
+      window: Option[(Long, Long)] = None): (DataFrame, DataFrame, Long) = {
+    import s2.implicits._
+    val bench: Array[Long] = graft.operators.PipelineQueries
+      .benchSortedSidsGlob(s2, dir)
+    val (index, cut) = probeIdx match {
+      case Some(idx) =>
+        (idx, graft.operators.DedupQueries.postingIndex(s2, dir)._2)
+      case None => graft.operators.DedupQueries.postingIndex(s2, dir)
+    }
+    val idxSide = index.select($"band", $"sig",
+      $"doc_id".as("corpus_doc"), $"mh".as("bmh"))
+
+    val reader = s2.readStream
+      .schema(docsStreamSchema)
+      .option("pathGlobFilter", "documents*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(dir)
+
+    val arriving = window.foldLeft(stream.filter($"doc_id" >= cut)) {
+      case (df, (lo, hi)) => df.filter($"doc_id" >= lo && $"doc_id" < hi)
+    }
+    (gateAndSign(arriving, bench), idxSide, cut)
   }
 
   private[streaming] def neardupIngestStream(s2: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[String]): DataFrame = {
+      maxFilesPerTrigger: Option[String],
+      probeIdx: Option[DataFrame] = None): DataFrame = {
     import s2.implicits._
-    val (gated, idxSide, _) = gatedDeltaSigs(s2, dir, maxFilesPerTrigger)
+    val (gated, idxSide, _) =
+      gatedDeltaSigs(s2, dir, maxFilesPerTrigger, probeIdx)
     gated
       .select($"doc_id", $"mh",
         graft.operators.PipelineQueries.mhBandCols.as(Seq("band", "sig")))
@@ -395,9 +421,12 @@ object StreamingQueries {
     * not the stream). Batch twin: q81's statement over the gated set
     * with the candidate relation widened to delta×delta (b < a). */
   private[streaming] def lshIndexStream(s2: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[String]): DataFrame = {
+      maxFilesPerTrigger: Option[String],
+      probeIdx: Option[DataFrame] = None,
+      window: Option[(Long, Long)] = None): DataFrame = {
     import s2.implicits._
-    val (gated, idxSide, _) = gatedDeltaSigs(s2, dir, maxFilesPerTrigger)
+    val (gated, idxSide, _) =
+      gatedDeltaSigs(s2, dir, maxFilesPerTrigger, probeIdx, window)
     val banded = gated.select($"doc_id", $"mh",
       graft.operators.PipelineQueries.mhBandCols.as(Seq("band", "sig")))
 
@@ -1566,7 +1595,103 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
       capturePlan("q158_stream_lsh_index", q)
+      Option(q.lastProgress).foreach(p =>
+        stateRowsAfter("q158_stream_lsh_index") =
+          p.stateOperators.map(_.numRowsTotal).sum)
       s2.table(sink).orderBy($"doc_a", $"doc_b")
+    },
+
+    // ----- ingest probe against the FORGET-REWRITTEN posting store -----
+    // The q157 move applied to the dedup side (VERDICT r16 #7): q155
+    // probes the live q81 artifact, so a forget committed to storage
+    // (q154's rewrite) was invisible to the stream. q159 probes the
+    // REWRITTEN table's bytes — post-rewrite arrivals cannot match
+    // forgotten docs, because their postings are no longer in the
+    // bytes the stream-static join reads (not because a query-time
+    // filter hides them). Same bucketed layout, so the probe plan
+    // stays q81's zero-index-side-Exchange shape. Oracle: q155's
+    // statement with the corpus side restricted to the survivors.
+    "q159_stream_neardup_rewritten" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+
+      val (fgtIdx, _) =
+        graft.operators.DedupQueries.forgottenPostingIndex(s2, dir)
+      val pairs = neardupIngestStream(s2, dir,
+        s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger"),
+        Some(fgtIdx))
+
+      val sink = s"q159_sink_${sinkCounter.incrementAndGet()}"
+      val q = pairs.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      capturePlan("q159_stream_neardup_rewritten", q)
+      s2.table(sink).orderBy($"new_doc", $"corpus_doc")
+    },
+
+    // ----- the q158 flush lifecycle: close a window, absorb, continue -----
+    // VERDICT r16 next-round #2: q158's live posting store never
+    // flushed — state grew with every gated doc ever arrived. The
+    // compaction cycle, end to end: the delta is split into two
+    // windows at cut2 = ⌈19/20⌉ of the id space (integer arithmetic,
+    // the cut precedent); window 1 runs the live q158 stream (state =
+    // its gated postings); at the window boundary the store is FOLDED
+    // into the persisted q81 index as a layout-preserving bucketed
+    // rewrite ([[graft.operators.DedupQueries.absorbedPostingIndex]])
+    // and the continuation runs as a FRESH incarnation — empty state —
+    // probing the absorbed table, where (window-2 doc ⋈ window-1 doc)
+    // pairs now emerge from the stream-static corpus probe instead of
+    // state. Output contract: the union of the two windows equals the
+    // never-flushed q158 stream's output over the whole delta — the
+    // oracle is q158's by alias, so the two cannot drift. State is
+    // bounded by the OPEN window, not stream age; the spec pins the
+    // state-size drop and the cross-window pair.
+    "q160_stream_index_flush" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+      val mfpt = s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+      val maxId = graft.operators.PipelineQueries.docsGlob(s2, dir)
+        .agg(org.apache.spark.sql.functions.max($"doc_id"))
+        .first.getLong(0)
+      val cut2 = (maxId + 1L) * 19L / 20L
+
+      def runWindow(tag: String, probeIdx: Option[DataFrame],
+          window: (Long, Long)): DataFrame = {
+        val pairs = lshIndexStream(s2, dir, mfpt, probeIdx, Some(window))
+        val sink = s"q160_${tag}_${sinkCounter.incrementAndGet()}"
+        val q = pairs.writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        capturePlan("q160_stream_index_flush", q)
+        Option(q.lastProgress).foreach(p =>
+          stateRowsAfter(s"q160_stream_index_flush:$tag") =
+            p.stateOperators.map(_.numRowsTotal).sum)
+        s2.table(sink)
+      }
+      val w1 = runWindow("w1", None, (0L, cut2))
+      val cut = graft.operators.DedupQueries.postingIndex(s2, dir)._2
+      val absorbed = graft.operators.DedupQueries
+        .absorbedPostingIndex(s2, dir, cut, cut2)
+      val w2 = runWindow("w2", Some(absorbed), (cut2, Long.MaxValue))
+      w1.unionByName(w2).orderBy($"doc_a", $"doc_b")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -1590,6 +1715,19 @@ object StreamingQueries {
     // The live LSH index must emit that set PLUS the intra-delta pairs
     // its posting-store state makes visible.
     "q158_stream_lsh_index" ->
+      graft.operators.PipelineQueries.streamLshIndexOracleSql,
+
+    // The rewritten-store probe must emit q155's pairs restricted to
+    // the forget-stripe SURVIVORS — the rows the q154 rewrite left in
+    // the bytes.
+    "q159_stream_neardup_rewritten" ->
+      graft.operators.PipelineQueries.streamNeardupRewrittenOracleSql,
+
+    // The flush lifecycle's contract IS q158's output: closing the
+    // window, absorbing the store into the persisted index, and
+    // continuing with fresh state must not change the emitted pair
+    // set. Shared by alias so the two strings cannot drift.
+    "q160_stream_index_flush" ->
       graft.operators.PipelineQueries.streamLshIndexOracleSql,
 
     // The streaming quality gate must emit exactly the batch q73 rows.

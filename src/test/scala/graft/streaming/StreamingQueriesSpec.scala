@@ -452,6 +452,150 @@ class StreamingQueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
   }
 
+  test("q159: forget-rewrite MID-STREAM — post-rewrite batches cannot " +
+      "match forgotten docs") {
+    // The production sequence (VERDICT r16 #7): an ingest stream runs
+    // against the posting store, a right-to-be-forgotten batch commits
+    // q154's storage rewrite between micro-batch campaigns, and the
+    // stream RESUMES FROM ITS CHECKPOINT probing the rewritten bytes —
+    // arrivals after the rewrite must not match forgotten docs, and
+    // not because a query-time filter hides them: their postings are
+    // gone from the bytes the stream-static join reads.
+    //
+    // Fixture: sf0.01 with the texts of docs 429 and 435 SWAPPED, so
+    // the one gated near-dup pair (486 ⋈ 435 on the pristine fixture)
+    // becomes (486 ⋈ 429) — and 429 is on the forget stripe
+    // (429 = 33·13). File 1 carries every doc except 486 (including
+    // max id 499, so the 90% cut stays 450 across both lives); file 2
+    // carries only 486 and arrives after the rewrite.
+    val src = "/root/testdata/sf0.01"
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+    val t429 = docs0.filter(col("doc_id") === 429)
+      .select("text").first.getString(0)
+    val t435 = docs0.filter(col("doc_id") === 435)
+      .select("text").first.getString(0)
+    val swapped = docs0.withColumn("text",
+      when(col("doc_id") === 429, lit(t435))
+        .when(col("doc_id") === 435, lit(t429))
+        .otherwise(col("text")))
+
+    val outSchema = "new_doc LONG, corpus_doc LONG, n_match LONG, " +
+      "est_sim DOUBLE"
+    def stage(base: String, i: Int): Unit = {
+      val slice = s"$base/_tmp/$i"
+      (if (i == 1) swapped.filter(col("doc_id") =!= 486)
+       else swapped.filter(col("doc_id") === 486)).coalesce(1)
+        .write.mode("overwrite").parquet(slice)
+      val part = new java.io.File(slice).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$base/documents_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1000000L * i)
+    }
+    def life(base: String, rewritten: Boolean): Unit = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      val probe =
+        if (rewritten) Some(graft.operators.DedupQueries
+          .forgottenPostingIndex(s2, base)._1)
+        else None
+      val q = StreamingQueries.neardupIngestStream(s2, base, None, probe)
+        .writeStream.format("parquet")
+        .option("path", s"$base/_out")
+        .option("checkpointLocation", s"$base/_ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def outRows(base: String): Set[(Long, Long)] =
+      spark.read.schema(outSchema).parquet(s"$base/_out")
+        .select("new_doc", "corpus_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // The REWRITE run: life 1 against the live store, forget-rewrite,
+    // life 2 (checkpoint resume — only file 2 is read) against the
+    // rewritten bytes.
+    val rw = java.nio.file.Files.createTempDirectory("q159-rw").toString
+    stage(rw, 1); life(rw, rewritten = false)
+    stage(rw, 2); life(rw, rewritten = true)
+    val rwPairs = outRows(rw)
+    assert(!rwPairs.contains((486L, 429L)),
+      "a post-rewrite arrival matched a forgotten doc")
+    assert(rwPairs.forall(_._2 % 13 != 0),
+      "no pair may survive against a forget-stripe corpus doc")
+
+    // CONTROL — same staging, no rewrite: the (486, 429) pair IS
+    // there to find, so the suppression above is the rewrite's doing.
+    val ctl = java.nio.file.Files.createTempDirectory("q159-ctl").toString
+    stage(ctl, 1); life(ctl, rewritten = false)
+    stage(ctl, 2); life(ctl, rewritten = false)
+    assert(outRows(ctl).contains((486L, 429L)),
+      "control without the rewrite must match the (gated) forgotten " +
+        "pair, or this test pins nothing")
+
+    // And the two-life rewrite run equals the registered q159 (all
+    // batches against the rewritten store) over the same corpus — the
+    // mid-stream upgrade does not change the survivor pair set.
+    val reg = StreamingQueries
+      .queries("q159_stream_neardup_rewritten")(spark, rw)
+      .select("new_doc", "corpus_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rwPairs == reg,
+      "mid-stream rewrite adoption must converge to the registered " +
+        "rewritten-store probe")
+  }
+
+  test("q160 flush: absorbed probe finds cross-window pairs; state is " +
+      "bounded by the OPEN window") {
+    // VERDICT r16 next-round #2, the acceptance pins: (a) a pair whose
+    // members straddle the flush boundary is found by the CONTINUATION
+    // incarnation — whose state starts EMPTY — via the absorbed static
+    // index (in the never-flushed q158 it could only come from state);
+    // (b) output equals the never-flushed stream's (the oracle
+    // contract, asserted in-spec too); (c) the continuation's state is
+    // strictly smaller than the never-flushed stream's.
+    //
+    // Fixture: sf0.01 with doc 462's text REPLACED by doc 486's —
+    // identical text ⇒ identical gate verdict and signature, so
+    // (486, 462) is a guaranteed gated intra-delta pair straddling
+    // cut2 = 475 (462 ∈ window 1, 486 ∈ window 2).
+    val src = "/root/testdata/sf0.01"
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+    val t486 = docs0.filter(col("doc_id") === 486)
+      .select("text").first.getString(0)
+    val iso = java.nio.file.Files.createTempDirectory("q160-iso").toString
+    // A FLAT file, not a Spark directory: the streaming source's
+    // pathGlobFilter matches leaf-file names, and part-*.parquet
+    // inside a documents.parquet directory would yield an empty feed.
+    docs0.withColumn("text",
+        when(col("doc_id") === 462, lit(t486)).otherwise(col("text")))
+      .coalesce(1).write.parquet(s"$iso/_tmp")
+    java.nio.file.Files.move(
+      new java.io.File(s"$iso/_tmp").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+      new java.io.File(s"$iso/documents.parquet").toPath)
+
+    def pairs(name: String): Set[(Long, Long)] =
+      StreamingQueries.queries(name)(spark, iso)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flushed = pairs("q160_stream_index_flush")
+    val never = pairs("q158_stream_lsh_index")
+    assert(flushed == never,
+      "closing the window, absorbing, and continuing with fresh state " +
+        "must not change the emitted pair set")
+    assert(flushed.contains((486L, 462L)),
+      "the cross-window pair must be found — and window 2's state " +
+        "starts empty, so only the absorbed static probe can find it")
+    val w2Rows = StreamingQueries.stateRowsAfter("q160_stream_index_flush:w2")
+    val neverRows = StreamingQueries.stateRowsAfter("q158_stream_lsh_index")
+    assert(w2Rows < neverRows,
+      s"the continuation's state ($w2Rows rows) must be strictly " +
+        s"smaller than the never-flushed stream's ($neverRows rows) — " +
+        "that bound is the point of the flush")
+  }
+
   test("q149 refuses non-monotone doc_id staging (arrival-order guard)") {
     // ADVICE r15: with one boolean of state per content hash, the
     // survivor is the min doc_id of the FIRST batch containing the
