@@ -54,14 +54,21 @@ object CoarseExp {
       .select($"vec_id".as("query_id"), $"embedding".as("qe")).cache()
     qv.count()
 
-    val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
-    val gt = e.crossJoin(broadcast(qv))
+    // Exact top-5 via the partial-aggregating TopKAgg (score = −l2, so
+    // (cos desc, vec_id asc) ≡ (l2 asc, vec_id asc)) — the window form
+    // sorted + shuffled every scored row and at the 16.9M-vector cap
+    // corpus (845M ground-truth pairs) blew the disk; the aggregator
+    // keeps ≤ 2k rows per group per map task.
+    val topk = udaf(new graft.functions.TopKAgg(5))
+    def top5(scored: DataFrame): Map[Long, Set[Long]] = scored
+      .groupBy($"query_id").agg(topk($"vec_id", -$"l2").as("top"))
+      .select($"query_id", explode($"top.vec_id").as("vec_id"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val gt = top5(e.crossJoin(broadcast(qv))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("l2",
-        graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
-      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
-      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        graft.functions.GraftFunctions.l2Sq($"embedding", $"qe")))
 
     // The q36c chain, parameterized: coarse = every step-th fine
     // centroid (or, `trained` variants, ONE Lloyd step over the fine
@@ -99,17 +106,26 @@ object CoarseExp {
       val pc = AnnPolicy.scanCeil(nc, pcDiv, AnnPolicy.CoarseProbeFloor)
         .toInt
       val t0 = System.nanoTime()
-      val vCell = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
+      // In-row fine argmin over the broadcast fine-cell array filtered
+      // to the row's top-m coarse cells — the registered q36c's shape
+      // (map-only; the old explode → join → min_by chain sort-spilled
+      // the n·m·(K/C)-row stream at the cap corpus).
+      val faArr = fineCell
+        .agg(array_sort(collect_list(struct($"gid", $"cid", $"ce"))).as("fa"))
+      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
         .withColumn("g2", slice(array_sort(tfc($"ca", c => struct(
           graft.functions.GraftFunctions.l2Sq($"embedding", c.getField("ge"))
             .as("gd"),
           c.getField("gid").as("gid")))), 1, m))
-        .select($"vec_id", $"embedding", explode($"g2.gid").as("gid"))
-      val asg = vCell.join(broadcast(fineCell), "gid")
-        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))
-        .select($"vec_id", $"m.cid".as("cid"), $"m.embedding".as("embedding"))
+        .crossJoin(broadcast(faArr))
+        .withColumn("mm", array_min(tfc(
+          org.apache.spark.sql.functions.filter($"fa",
+            f => array_contains($"g2.gid", f.getField("gid"))),
+          f => struct(
+            graft.functions.GraftFunctions.l2Sq($"embedding", f.getField("ce"))
+              .as("d"),
+            f.getField("cid").as("cid")))))
+        .select($"vec_id", $"mm.cid".as("cid"), $"embedding")
         .cache()
       asg.count()
       val buildS = (System.nanoTime() - t0) / 1e9
@@ -130,11 +146,8 @@ object CoarseExp {
       val cand = asg.join(broadcast(qFine),
         $"cid" === $"qcid" && $"vec_id" =!= $"query_id")
       val nCand = cand.count()
-      val got = cand
-        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
-        .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
-        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = top5(cand
+        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe")))
       asg.unpersist()
       val recs = gt.keys.toSeq.map(q =>
         (gt(q) & got.getOrElse(q, Set.empty)).size.toDouble / gt(q).size)

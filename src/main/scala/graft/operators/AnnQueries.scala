@@ -343,18 +343,30 @@ private[operators] object AnnQueries {
         .agg(array_sort(collect_list(struct($"gid", $"ge"))).as("ca"),
           AnnPolicy.scanCeilCol("count(1)", AnnPolicy.CoarseAssignDiv,
             AnnPolicy.CoarseAssignFloor).cast("int").as("m"))
-      val vCell = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
+      // Fine argmin IN-ROW over the (≤ K ≤ 4096-row, ≤ 2 MB) fine-cell
+      // array restricted to the row's top-m coarse cells — the same
+      // candidate set the previous explode → equality-join →
+      // groupBy(vec_id).min_by chain scored, same (d, cid) ties, but
+      // MAP-ONLY: the join shape put n·m·(K/C) rows through a
+      // struct-buffered min_by, which plans as a sort-based aggregate
+      // and at the 16.9M-vector cap witness spilled the whole
+      // 2.4·10¹⁰-row stream to disk (round-17 cap run, first attempt).
+      val faArr = fineCell
+        .agg(array_sort(collect_list(struct($"gid", $"cid", $"ce"))).as("fa"))
+      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
         .withColumn("g2", slice(array_sort(tfc($"ca", c => struct(
           graft.functions.GraftFunctions.l2Sq($"embedding", c.getField("ge"))
             .as("gd"),
           c.getField("gid").as("gid")))), lit(1), $"m"))
-        .select($"vec_id", $"embedding",
-          explode($"g2.gid").as("gid"))
-      val asg = vCell.join(broadcast(fineCell), "gid")
-        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))
-        .select($"vec_id", $"m.cid".as("cid"), $"m.embedding".as("embedding"))
+        .crossJoin(broadcast(faArr))
+        .withColumn("mm", array_min(tfc(
+          org.apache.spark.sql.functions.filter($"fa",
+            f => array_contains($"g2.gid", f.getField("gid"))),
+          f => struct(
+            graft.functions.GraftFunctions.l2Sq($"embedding", f.getField("ce"))
+              .as("d"),
+            f.getField("cid").as("cid")))))
+        .select($"vec_id", $"mm.cid".as("cid"), $"embedding")
       val np = cents.agg(count(lit(1)).as("nl"))
         .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
           AnnPolicy.IvfNprobeFloor).as("nprobe"))

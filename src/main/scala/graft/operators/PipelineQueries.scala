@@ -880,18 +880,31 @@ object PipelineQueries {
     (s.read.parquet(s"$base/merges"), s.read.parquet(s"$base/words"))
   }
 
-  /** One Lloyd ASSIGNMENT pass: score every vector against K BROADCAST
-    * centroids with the native l2_sq kernel and argmin via one
-    * map-side-combining min_by — shuffle is one row per vector, never
-    * vector×centroid. Shared by q72/q95's [[kmeansAssignments]] and the
-    * ANN family's [[trainedCodebook]] trainer. `cents` must expose
-    * (cid, ce). */
+  /** One Lloyd ASSIGNMENT pass: fold the K centroids into a ONE-ROW
+    * broadcast array (the pqRoute pattern — the same K×D bytes the old
+    * row-wise broadcast shipped) and compute each vector's argmin
+    * IN-ROW via a native-l2_sq transform + array_min over
+    * struct(d, cid) — ties (d, cid), identical to the previous
+    * min_by(struct(d, cid)) semantics. MAP-ONLY: zero shuffle and zero
+    * aggregate. The previous crossJoin + groupBy(vec_id).min_by shape
+    * put n×K rows through the aggregate, and min_by's struct buffer
+    * plans as a SORT-based aggregate — at the 4096-cap witness
+    * (16.9M × 4096 = 6.9·10¹⁰ rows) the map-side sort spilled the
+    * whole stream and filled 75 GB of disk (round-17 cap run, first
+    * attempt); the in-row argmin does the same distance work with
+    * nothing materialized past one row per vector. Shared by
+    * q72/q95's [[kmeansAssignments]] and the ANN family's
+    * [[trainedCodebook]] trainer. `cents` must expose (cid, ce). */
   private[graft] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val s = e.sparkSession; import s.implicits._
-    e.crossJoin(broadcast(cents))
-      .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
-      .groupBy($"vec_id")
-      .agg(min_by($"cid", struct($"d", $"cid")).as("cid"))
+    val tfc = org.apache.spark.sql.functions
+      .transform(_: Column, _: Column => Column)
+    val cb = cents.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))
+    e.crossJoin(broadcast(cb))
+      .select($"vec_id", array_min(tfc($"kcb", c => struct(
+        graft.functions.GraftFunctions.l2Sq($"embedding", c.getField("ce"))
+          .as("d"),
+        c.getField("cid").as("cid")))).getField("cid").as("cid"))
   }
 
   /** One Lloyd CENTROID-UPDATE pass over an assignment: explode to

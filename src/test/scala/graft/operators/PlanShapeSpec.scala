@@ -819,8 +819,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "q36c_ann_ivf_coarse" ->
         ("folds the COARSE cells (<= ceil(sqrt(K)) <= 64 rows at the " +
           "CoarseRouteBound cap) into the one-row array the per-row " +
-          "top-2 multi-assignment sorts — bounded by the policy's own " +
-          "cap, never corpus- or even K-sized"))
+          "top-m multi-assignment sorts, and the FINE cells (<= K <= " +
+          "4096 rows = ~2 MB at the cap) into the one-row array the " +
+          "in-row fine argmin filters — both bounded by the policy's " +
+          "own cap, never corpus-sized; the in-row argmin replaced the " +
+          "explode-join-min_by chain whose sort-based aggregate " +
+          "spilled the n*m*(K/C)-row stream at the 16.9M cap witness"),
+      "q72_kmeans_train" ->
+        ("kmAssign folds the K = 8 fixture centroids into the one-row " +
+          "array each row's in-row argmin scans (the map-only Lloyd " +
+          "assignment — same K x D bytes the old row-broadcast shipped)"),
+      "q95_cluster_purity" ->
+        ("q72's kmAssign folds (K = 8 centroid rows), same bound"))
     def offenders(name: String): Seq[String] = planNodes(name).collect {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty &&
           a.aggregateExpressions.exists(
