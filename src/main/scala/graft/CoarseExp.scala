@@ -108,8 +108,9 @@ object CoarseExp {
       val t0 = System.nanoTime()
       // In-row fine argmin over the broadcast fine-cell array filtered
       // to the row's top-m coarse cells — the registered q36c's shape
-      // (map-only; the old explode → join → min_by chain sort-spilled
-      // the n·m·(K/C)-row stream at the cap corpus).
+      // (map-only via the native L2ArgMinCid kernel; the old explode →
+      // join → min_by chain sort-spilled the n·m·(K/C)-row stream at
+      // the cap corpus, and the HOF form ran interpreted — §8.5).
       val faArr = fineCell
         .agg(array_sort(collect_list(struct($"gid", $"cid", $"ce"))).as("fa"))
       val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
@@ -118,14 +119,9 @@ object CoarseExp {
             .as("gd"),
           c.getField("gid").as("gid")))), 1, m))
         .crossJoin(broadcast(faArr))
-        .withColumn("mm", array_min(tfc(
-          org.apache.spark.sql.functions.filter($"fa",
-            f => array_contains($"g2.gid", f.getField("gid"))),
-          f => struct(
-            graft.functions.GraftFunctions.l2Sq($"embedding", f.getField("ce"))
-              .as("d"),
-            f.getField("cid").as("cid")))))
-        .select($"vec_id", $"mm.cid".as("cid"), $"embedding")
+        .withColumn("cid", graft.functions.GraftFunctions
+          .l2ArgminCid($"embedding", $"fa", $"g2.gid"))
+        .select($"vec_id", $"cid", $"embedding")
         .cache()
       asg.count()
       val buildS = (System.nanoTime() - t0) / 1e9

@@ -164,6 +164,15 @@ object GraftFunctions {
   def l2Sq(a: Column, b: Column): Column =
     Bridge.column(L2Sq(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Map-only argmin-by-(l2, cid) over a broadcast centroid array; a
+    * NULL `gids` scans every entry, a non-NULL ARRAY<LONG> restricts
+    * to entries whose `gid` is in it (q36c's top-m cells). See
+    * [[L2ArgMinCid]] for why this is a kernel and not
+    * `array_min(transform(...))`. */
+  def l2ArgminCid(vec: Column, cents: Column, gids: Column): Column =
+    Bridge.column(L2ArgMinCid(Bridge.expression(vec),
+      Bridge.expression(cents), Bridge.expression(gids)))
+
   /** Typed column API: `bucketDot($"sids", lit(weights))`. */
   def bucketDot(ids: Column, weights: Column): Column =
     Bridge.column(BucketDot(Bridge.expression(ids), Bridge.expression(weights)))

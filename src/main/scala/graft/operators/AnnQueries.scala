@@ -347,10 +347,14 @@ private[operators] object AnnQueries {
       // array restricted to the row's top-m coarse cells — the same
       // candidate set the previous explode → equality-join →
       // groupBy(vec_id).min_by chain scored, same (d, cid) ties, but
-      // MAP-ONLY: the join shape put n·m·(K/C) rows through a
+      // MAP-ONLY via the native [[graft.functions.L2ArgMinCid]] kernel
+      // (one compiled scan per row: gid filter + distance fold +
+      // argmin). The join shape put n·m·(K/C) rows through a
       // struct-buffered min_by, which plans as a sort-based aggregate
       // and at the 16.9M-vector cap witness spilled the whole
-      // 2.4·10¹⁰-row stream to disk (round-17 cap run, first attempt).
+      // 2.4·10¹⁰-row stream to disk; the HOF
+      // array_min(transform(filter(...))) form re-hit the §8.5
+      // interpreted-lambda tax (both measured, round-17 cap runs).
       val faArr = fineCell
         .agg(array_sort(collect_list(struct($"gid", $"cid", $"ce"))).as("fa"))
       val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
@@ -359,14 +363,9 @@ private[operators] object AnnQueries {
             .as("gd"),
           c.getField("gid").as("gid")))), lit(1), $"m"))
         .crossJoin(broadcast(faArr))
-        .withColumn("mm", array_min(tfc(
-          org.apache.spark.sql.functions.filter($"fa",
-            f => array_contains($"g2.gid", f.getField("gid"))),
-          f => struct(
-            graft.functions.GraftFunctions.l2Sq($"embedding", f.getField("ce"))
-              .as("d"),
-            f.getField("cid").as("cid")))))
-        .select($"vec_id", $"mm.cid".as("cid"), $"embedding")
+        .withColumn("cid", graft.functions.GraftFunctions
+          .l2ArgminCid($"embedding", $"fa", $"g2.gid"))
+        .select($"vec_id", $"cid", $"embedding")
       val np = cents.agg(count(lit(1)).as("nl"))
         .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
           AnnPolicy.IvfNprobeFloor).as("nprobe"))

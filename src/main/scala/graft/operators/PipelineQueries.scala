@@ -897,14 +897,10 @@ object PipelineQueries {
     * [[trainedCodebook]] trainer. `cents` must expose (cid, ce). */
   private[graft] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val s = e.sparkSession; import s.implicits._
-    val tfc = org.apache.spark.sql.functions
-      .transform(_: Column, _: Column => Column)
     val cb = cents.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))
     e.crossJoin(broadcast(cb))
-      .select($"vec_id", array_min(tfc($"kcb", c => struct(
-        graft.functions.GraftFunctions.l2Sq($"embedding", c.getField("ce"))
-          .as("d"),
-        c.getField("cid").as("cid")))).getField("cid").as("cid"))
+      .select($"vec_id", graft.functions.GraftFunctions
+        .l2ArgminCid($"embedding", $"kcb", lit(null)).as("cid"))
   }
 
   /** One Lloyd CENTROID-UPDATE pass over an assignment: explode to
