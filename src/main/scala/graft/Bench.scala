@@ -184,8 +184,13 @@ object Bench {
     val warmPasses = (1 to 3).map { p =>
       val r = names.map { n =>
         val t = runOnce(n)
-        graft.streaming.StreamingQueries.batchDurationsMs.get(n)
-          .foreach(ds => warmBatchMs(n) = warmBatchMs(n) :+ ds.sum)
+        // Snapshot only on success: batchDurationsMs is overwritten
+        // per successful run, so after a failed run (t < 0) the map
+        // still holds the PREVIOUS run's durations — appending then
+        // would duplicate a stale value into the warm median.
+        if (t >= 0)
+          graft.streaming.StreamingQueries.batchDurationsMs.get(n)
+            .foreach(ds => warmBatchMs(n) = warmBatchMs(n) :+ ds.sum)
         // A build landing in a WARM pass means the cold run failed
         // mid-build (its memo entry was never written) — drain it too,
         // so the artifact report stays total and the distortion of

@@ -248,16 +248,22 @@ object PipelineQueries {
     */
   private[graft] def cleanupArtifacts(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(): Unit
-    }
+    // Deletes resolve the path's FileSystem the same way the rewrite
+    // paths do (q153/q154): the registry now holds real bucketed-table
+    // artifacts, and a java.io.File recursion is a silent no-op on
+    // HDFS/S3 — the exact seam class VERDICT r16 #1/#4 flagged.
+    val hconf = s.sparkContext.hadoopConfiguration
     artifactsDone.values.asScala.toVector.foreach { ref =>
       ref.table.foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
-      rm(new java.io.File(ref.path))
+      // A bare path resolves against fs.defaultFS — the same
+      // resolution the writer that produced the artifact used, so the
+      // delete lands on the bytes the write landed on.
+      val p = new org.apache.hadoop.fs.Path(ref.path)
+      p.getFileSystem(hconf).delete(p, true): Unit
     }
     artifactsDone.clear()
     benchSidsMemo.clear()
+    AnnQueries.mrlGuardMemo.clear()
   }
 
   /** Memo for [[benchSortedSids]] (VERDICT r6 #7): the eval-suite sid

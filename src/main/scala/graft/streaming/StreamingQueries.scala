@@ -92,16 +92,26 @@ object StreamingQueries {
     * `lastExecution.executedPlan`) without touching private[sql] API,
     * plus the run's per-batch durations from the progress log. */
   private def capturePlan(name: String,
-      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      accumulate: Boolean = false): Unit =
     try {
       val bos = new java.io.ByteArrayOutputStream()
       Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
         q.explain()
       }
       executedPlans(name) = bos.toString("UTF-8")
-      batchDurationsMs(name) = q.recentProgress.toSeq
+      val runMs = q.recentProgress.toSeq
         .flatMap(p => Option(p.durationMs.get("triggerExecution"))
           .map(_.longValue()))
+      // `accumulate` is for multi-incarnation lifecycles (q160 runs
+      // two streaming windows per invocation): the steady-state batch
+      // metric must cover BOTH incarnations' triggers, not just the
+      // last one's (ADVICE r17). Bench resets the map per run by
+      // query, so accumulation never crosses runs: the FIRST window of
+      // each invocation overwrites.
+      batchDurationsMs(name) =
+        (if (accumulate) batchDurationsMs.getOrElse(name, Nil) else Nil) ++
+          runMs
     } catch { case _: Throwable => () }
 
   /** The events feed as a streaming DataFrame with `ts` normalized to a
@@ -1680,7 +1690,9 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        capturePlan("q160_stream_index_flush", q)
+        // Window 1 overwrites (fresh invocation), window 2 accumulates
+        // — the steady-state batch metric covers the whole lifecycle.
+        capturePlan("q160_stream_index_flush", q, accumulate = tag != "w1")
         Option(q.lastProgress).foreach(p =>
           stateRowsAfter(s"q160_stream_index_flush:$tag") =
             p.stateOperators.map(_.numRowsTotal).sum)
