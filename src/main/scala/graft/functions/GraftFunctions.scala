@@ -173,6 +173,15 @@ object GraftFunctions {
     Bridge.column(L2ArgMinCid(Bridge.expression(vec),
       Bridge.expression(cents), Bridge.expression(gids)))
 
+  /** Map-only argMAX-by-(cosine, -cid) over a broadcast centroid
+    * array — the [[l2ArgminCid]] kernel in cosine mode (q68b's
+    * two-level routing metric): [[CosineSim]]'s fold per entry, NaN
+    * wins (Spark double ordering), ties by min cid. Same `gids`
+    * restriction contract. */
+  def cosArgmaxCid(vec: Column, cents: Column, gids: Column): Column =
+    Bridge.column(L2ArgMinCid(Bridge.expression(vec),
+      Bridge.expression(cents), Bridge.expression(gids), cosine = true))
+
   /** Typed column API: `bucketDot($"sids", lit(weights))`. */
   def bucketDot(ids: Column, weights: Column): Column =
     Bridge.column(BucketDot(Bridge.expression(ids), Bridge.expression(weights)))

@@ -3,28 +3,43 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native argmin-by-(l2, cid) over a BROADCAST centroid array — the
-  * kernel behind the map-only Lloyd assignment (kmAssign) and q36c's
-  * in-row fine assignment. One eval scans every centroid struct in the
-  * collected array, folds the [[L2Sq]] distance left-to-right in
-  * doubles (bit-parity with the oracle's `list_reduce` fold), and
-  * returns the cid minimizing (d, cid) — ties by cid, a NULL distance
-  * ordering FIRST (the family's `NULLS FIRST` convention; arises only
-  * when an embedding element is NULL, which no corpus ships).
+/** Native arg-extreme-by-(score, cid) over a BROADCAST centroid array —
+  * the kernel behind the map-only Lloyd assignment (kmAssign), q36c's
+  * in-row fine assignment, and (in cosine mode) q68b's two-level
+  * semantic-dedup routing. One eval scans every centroid struct in the
+  * collected array, folds the per-entry score left-to-right in doubles,
+  * and returns the winning cid:
+  *
+  *  - `cosine = false` (default): [[L2Sq]]'s squared-L2 fold
+  *    (bit-parity with the oracle's `list_reduce` fold), argMIN by
+  *    (d, cid) — ties by cid, a NULL distance ordering FIRST (the
+  *    family's `NULLS FIRST` convention; arises only when an embedding
+  *    element is NULL, which no corpus ships).
+  *  - `cosine = true`: [[CosineSim]]'s three-accumulator fold
+  *    (dot/(√na·√nb), common prefix, zero norm → NaN), argMAX by
+  *    (sim, -cid) under Spark's double ordering — NaN sorts GREATEST
+  *    (so a NaN similarity wins, exactly as it would win
+  *    `max_by(cid, struct(sim, -cid))`), ties by MIN cid. No element
+  *    null probing, same as [[CosineSim]].
   *
   * Why a dedicated kernel instead of `array_min(transform(...))` over
   * the same array: higher-order-function lambdas evaluate INTERPRETED
   * per element — the SCALE.md §8.5 pq_subdists lesson, re-measured
-  * here at the 16.9M×4096 cap witness where the transform form ran
+  * at the 16.9M×4096 cap witness where the transform form ran
   * ~50× slower than this compiled loop (the whole n×K distance work
   * went through interpreted `Expression.eval` and per-element struct
-  * allocation). This kernel does the complete K-entry scan — distance
-  * fold, optional gid filter, argmin — inside ONE call with zero
-  * allocation.
+  * allocation). This kernel does the complete K-entry scan — score
+  * fold, optional gid filter, arg-extreme — inside ONE call with zero
+  * allocation, and (since round 18) generates the same loop as Java
+  * via `doGenCode`, so the host stage keeps whole-stage codegen
+  * (VERDICT r17 What's-wrong #3: the CodegenFallback posture broke
+  * WSCG for the stage; interpreted eval remains as the non-codegen
+  * path and the spec pins the two paths equal).
   *
   * Children: (vec ARRAY<FLOAT|DOUBLE>, cents ARRAY<STRUCT<..>>, gids
   * ARRAY<LONG> | NULL). The struct must carry `cid` LONG and `ce`
@@ -34,14 +49,15 @@ import org.apache.spark.sql.types._
   * compiled loop instead of a per-row `filter()` HOF.
   */
 case class L2ArgMinCid(vec: Expression, cents: Expression,
-    gids: Expression)
-  extends TernaryExpression with CodegenFallback {
+    gids: Expression, cosine: Boolean = false)
+  extends TernaryExpression {
 
   override def first: Expression = vec
   override def second: Expression = cents
   override def third: Expression = gids
 
-  override def prettyName: String = "l2_argmin_cid"
+  override def prettyName: String =
+    if (cosine) "cos_argmax_cid" else "l2_argmin_cid"
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
@@ -96,7 +112,7 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
     if (vecOk && centsOk && gidsOk && gidPresentOk)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "l2_argmin_cid expects (ARRAY<FLOAT|DOUBLE>, " +
+      s"$prettyName expects (ARRAY<FLOAT|DOUBLE>, " +
         "ARRAY<STRUCT<cid LONG, ce ARRAY<FLOAT|DOUBLE> [, gid LONG]>>, " +
         s"ARRAY<LONG>|NULL), got (${vec.dataType}, ${cents.dataType}, " +
         s"${gids.dataType})")
@@ -112,12 +128,12 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
     val ga = if (g == null) null else g.asInstanceOf[ArrayData]
     val nG = if (ga == null) 0 else ga.numElements()
     val vn = va.numElements()
-    val checkNulls = anyElemNullable
+    val checkNulls = anyElemNullable && !cosine
 
     var bestD = Double.PositiveInfinity
     var bestCid = 0L
     var found = false
-    // NULLS FIRST: a null distance outranks every real one; among
+    // L2 NULLS FIRST: a null distance outranks every real one; among
     // null-distance candidates the min cid wins (struct (d, cid)
     // ordering with null-first fields — the committed array_min
     // semantics and the oracle's ORDER BY d NULLS FIRST, cid).
@@ -143,27 +159,54 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
           val cid = row.getLong(cidIdx)
           val ce = row.getArray(ceIdx)
           val n = math.min(vn, ce.numElements())
-          var acc = 0.0
-          var isNullD = false
-          var i = 0
-          while (i < n && !isNullD) {
-            if (checkNulls && (va.isNullAt(i) || ce.isNullAt(i)))
-              isNullD = true
-            else {
+          if (cosine) {
+            var dot = 0.0
+            var na = 0.0
+            var nb = 0.0
+            var i = 0
+            while (i < n) {
               val x = if (vecIsFloat) va.getFloat(i).toDouble
                       else va.getDouble(i)
               val y = if (ceIsFloat) ce.getFloat(i).toDouble
                       else ce.getDouble(i)
-              val d = x - y
-              acc += d * d
+              dot += x * y
+              na += x * x
+              nb += y * y
               i += 1
             }
-          }
-          if (isNullD) {
-            if (!foundNull || cid < nullCid) { nullCid = cid; foundNull = true }
-          } else if (!found || acc < bestD ||
-              (acc == bestD && cid < bestCid)) {
-            bestD = acc; bestCid = cid; found = true
+            val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+            // argMAX under Spark's double ordering: NaN > everything
+            // (a NaN candidate WINS), equal sims tie by min cid.
+            val better =
+              if (!found) true
+              else if (java.lang.Double.isNaN(sim))
+                !java.lang.Double.isNaN(bestD) || cid < bestCid
+              else if (java.lang.Double.isNaN(bestD)) false
+              else sim > bestD || (sim == bestD && cid < bestCid)
+            if (better) { bestD = sim; bestCid = cid; found = true }
+          } else {
+            var acc = 0.0
+            var isNullD = false
+            var i = 0
+            while (i < n && !isNullD) {
+              if (checkNulls && (va.isNullAt(i) || ce.isNullAt(i)))
+                isNullD = true
+              else {
+                val x = if (vecIsFloat) va.getFloat(i).toDouble
+                        else va.getDouble(i)
+                val y = if (ceIsFloat) ce.getFloat(i).toDouble
+                        else ce.getDouble(i)
+                val d = x - y
+                acc += d * d
+                i += 1
+              }
+            }
+            if (isNullD) {
+              if (!foundNull || cid < nullCid) { nullCid = cid; foundNull = true }
+            } else if (!found || acc < bestD ||
+                (acc == bestD && cid < bestCid)) {
+              bestD = acc; bestCid = cid; found = true
+            }
           }
         }
       }
@@ -172,6 +215,163 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
     if (foundNull) nullCid
     else if (found) bestCid
     else null
+  }
+
+  /** The same loop as [[eval]], generated as Java so the host stage
+    * stays inside whole-stage codegen. All shape decisions (float vs
+    * double getters, element null probing, gid filtering, metric) are
+    * plan-time constants and are baked into the generated source —
+    * the per-row code is one branch-free-shape scan. */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val vecGen = vec.genCode(ctx)
+    val centsGen = cents.genCode(ctx)
+    val hasGids = gids.dataType != NullType
+    val gidsGen = if (hasGids) gids.genCode(ctx) else null
+
+    val ad = classOf[ArrayData].getName
+    val ir = classOf[InternalRow].getName
+    val va = ctx.freshName("va")
+    val ca = ctx.freshName("ca")
+    val ga = ctx.freshName("ga")
+    val vn = ctx.freshName("vn")
+    val nC = ctx.freshName("nC")
+    val j = ctx.freshName("j")
+    val row = ctx.freshName("row")
+    val allowed = ctx.freshName("allowed")
+    val cid = ctx.freshName("cid")
+    val ce = ctx.freshName("ce")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
+    val bestD = ctx.freshName("bestD")
+    val bestCid = ctx.freshName("bestCid")
+    val found = ctx.freshName("found")
+    val nullCid = ctx.freshName("nullCid")
+    val foundNull = ctx.freshName("foundNull")
+
+    val getX =
+      if (vecIsFloat) s"(double) $va.getFloat($i)" else s"$va.getDouble($i)"
+    val getY =
+      if (ceIsFloat) s"(double) $ce.getFloat($i)" else s"$ce.getDouble($i)"
+
+    val gidFilter = if (hasGids) {
+      val t = ctx.freshName("t")
+      val nG = ctx.freshName("nG")
+      s"""
+        |if ($ga != null) {
+        |  final long gidv = $row.getLong($gidIdx);
+        |  $allowed = false;
+        |  final int $nG = $ga.numElements();
+        |  for (int $t = 0; $t < $nG && !$allowed; $t++) {
+        |    if ($ga.getLong($t) == gidv) $allowed = true;
+        |  }
+        |}
+      """.stripMargin
+    } else ""
+
+    val scoreBlock = if (cosine) {
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val sim = ctx.freshName("sim")
+      val better = ctx.freshName("better")
+      s"""
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final double $x = $getX;
+        |  final double $y = $getY;
+        |  $dot += $x * $y;
+        |  $na += $x * $x;
+        |  $nb += $y * $y;
+        |}
+        |final double $sim =
+        |  $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |boolean $better;
+        |if (!$found) $better = true;
+        |else if (java.lang.Double.isNaN($sim))
+        |  $better = !java.lang.Double.isNaN($bestD) || $cid < $bestCid;
+        |else if (java.lang.Double.isNaN($bestD)) $better = false;
+        |else $better = $sim > $bestD || ($sim == $bestD && $cid < $bestCid);
+        |if ($better) { $bestD = $sim; $bestCid = $cid; $found = true; }
+      """.stripMargin
+    } else {
+      val acc = ctx.freshName("acc")
+      val isNullD = ctx.freshName("isNullD")
+      val d = ctx.freshName("d")
+      val nullProbe =
+        if (anyElemNullable)
+          s"if ($va.isNullAt($i) || $ce.isNullAt($i)) { $isNullD = true; break; }"
+        else ""
+      s"""
+        |double $acc = 0.0;
+        |boolean $isNullD = false;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $nullProbe
+        |  final double $x = $getX;
+        |  final double $y = $getY;
+        |  final double $d = $x - $y;
+        |  $acc += $d * $d;
+        |}
+        |if ($isNullD) {
+        |  if (!$foundNull || $cid < $nullCid) {
+        |    $nullCid = $cid; $foundNull = true;
+        |  }
+        |} else if (!$found || $acc < $bestD ||
+        |    ($acc == $bestD && $cid < $bestCid)) {
+        |  $bestD = $acc; $bestCid = $cid; $found = true;
+        |}
+      """.stripMargin
+    }
+
+    val gaDecl = if (hasGids) {
+      s"""
+        |${gidsGen.code}
+        |final $ad $ga = ${gidsGen.isNull} ? null : ${gidsGen.value};
+      """.stripMargin
+    } else s"final $ad $ga = null;"
+
+    val resultBlock =
+      if (cosine)
+        s"if ($found) { ${ev.isNull} = false; ${ev.value} = $bestCid; }"
+      else
+        s"""
+          |if ($foundNull) { ${ev.isNull} = false; ${ev.value} = $nullCid; }
+          |else if ($found) { ${ev.isNull} = false; ${ev.value} = $bestCid; }
+        """.stripMargin
+
+    ev.copy(code =
+      code"""
+        |${vecGen.code}
+        |${centsGen.code}
+        |boolean ${ev.isNull} = true;
+        |long ${ev.value} = 0L;
+        |if (!${vecGen.isNull} && !${centsGen.isNull}) {
+        |  final $ad $va = ${vecGen.value};
+        |  final $ad $ca = ${centsGen.value};
+        |  $gaDecl
+        |  final int $vn = $va.numElements();
+        |  final int $nC = $ca.numElements();
+        |  double $bestD = Double.POSITIVE_INFINITY;
+        |  long $bestCid = 0L;
+        |  boolean $found = false;
+        |  long $nullCid = 0L;
+        |  boolean $foundNull = false;
+        |  for (int $j = 0; $j < $nC; $j++) {
+        |    if ($ca.isNullAt($j)) continue;
+        |    final $ir $row = $ca.getStruct($j, $nFields);
+        |    boolean $allowed = true;
+        |    $gidFilter
+        |    if (!$allowed) continue;
+        |    final long $cid = $row.getLong($cidIdx);
+        |    final $ad $ce = $row.getArray($ceIdx);
+        |    final int $n = java.lang.Math.min($vn, $ce.numElements());
+        |    $scoreBlock
+        |  }
+        |  $resultBlock
+        |}
+      """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(newFirst: Expression,

@@ -878,17 +878,30 @@ private[operators] object AnnQueries {
       // one task). Explicit numPartitions so AQE cannot coalesce it
       // back.
       // cache(): asg feeds TWO plan branches (the K-row cluster stats
-      // and the per-vector verdict join), and with the aggregate
-      // sitting directly on the repartition there is no Exchange above
-      // the n×K scoring for ReuseExchange to share — uncached, the
+      // and the per-vector verdict join), and with nothing above the
+      // repartition for ReuseExchange to share — uncached, the
       // dominant distance stage runs twice (the q72 corpus-cache
       // pattern; one row per vector, bounded).
-      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
+      //
+      // Assignment is IN-ROW via [[graft.functions.L2ArgMinCid]]
+      // (VERDICT r17 next-round #3): the crossJoin → min_by(struct)
+      // chain planned as a sort-based aggregate buffering n×K rows —
+      // the shape that spilled 75 GB at q36c's 16.9M cap, and this
+      // query's K grows ∝ n/125. One compiled scan per row picks the
+      // cid; the winner's distance is recomputed by ONE l2Sq against
+      // the cid's centroid (broadcast K-row join) — the same
+      // left-to-right double fold the kernel ran, so d is
+      // bit-identical to the old min(d).
+      val asg = e.repartition(32, $"vec_id")
+        .crossJoin(broadcast(cents.agg(
+          array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))))
+        .withColumn("cid", graft.functions.GraftFunctions
+          .l2ArgminCid($"embedding", $"kcb", lit(null)))
+        .drop("kcb")
+        .join(broadcast(cents), "cid")
         .withColumn("d",
           graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(min_by($"cid", struct($"d", $"cid")).as("cid"),
-          min($"d").as("d"))
+        .select($"vec_id", $"cid", $"d")
         .cache()
       val st = asg.groupBy($"cid")
         .agg(count(lit(1)).as("n_members"),
@@ -920,12 +933,18 @@ private[operators] object AnnQueries {
       val t = Tables(s, dir)
       val e = t.embeddings.select($"vec_id", $"embedding")
       val cents = trainedCodebook(s, dir).select($"cid", $"ce")
-      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
+      // In-row kernel assignment + winner-distance recompute — see
+      // q140 above (same rewrite, VERDICT r17 next-round #3).
+      val asg = e.repartition(32, $"vec_id")
+        .crossJoin(broadcast(cents.agg(
+          array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))))
+        .withColumn("cid", graft.functions.GraftFunctions
+          .l2ArgminCid($"embedding", $"kcb", lit(null)))
+        .drop("kcb")
+        .join(broadcast(cents), "cid")
         .withColumn("d",
           graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(min_by($"cid", struct($"d", $"cid")).as("cid"),
-          min($"d").as("d"))
+        .select($"vec_id", $"cid", $"d")
         .cache()
       val st = asg.groupBy($"cid")
         .agg(count(lit(1)).as("n_members"),
@@ -1197,24 +1216,34 @@ private[operators] object AnnQueries {
       val coarse = cents.crossJoin(broadcast(kdf))
         .filter($"cid" % $"step" === 0)
         .select($"cid".as("gid"), $"ce".as("ge"))
-      val fineCell = cents.crossJoin(broadcast(coarse))
-        .withColumn("gcos",
-          graft.functions.GraftFunctions.cosineSim($"ce", $"ge"))
-        .groupBy($"cid")
-        .agg(max_by($"gid", struct($"gcos", -$"gid")).as("gid"),
-             first($"ce").as("ce"))
-      val vCell = e.repartition(32, $"vec_id").crossJoin(broadcast(coarse))
-        .withColumn("gcos",
-          graft.functions.GraftFunctions.cosineSim($"embedding", $"ge"))
-        .groupBy($"vec_id")
-        .agg(max_by($"gid", struct($"gcos", -$"gid")).as("gid"),
-             first($"embedding").as("embedding"))
-      val assign = vCell.join(fineCell, "gid")
-        .withColumn("ccos",
-          graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cid"),
-             first($"embedding").as("embedding"))
+      // Routing is IN-ROW via the cosine-mode [[graft.functions
+      // .L2ArgMinCid]] kernel (VERDICT r17 next-round #3): the
+      // previous crossJoin/equality-join → max_by(struct) chains
+      // planned as sort-based aggregates buffering n×C (coarse), K×C
+      // (cell) and n×(K/C) (fine) struct rows — exactly the plan
+      // shape q36c abandoned after its 16.9M-cap run spilled 75 GB,
+      // and q68b's K grows ∝ n/125 so it WOULD have hit that wall.
+      // Now each level is one compiled scan per row over a broadcast
+      // array (coarse: C entries; fine: the row's own cell selected
+      // by the gid restriction), zero shuffle, zero aggregation —
+      // same (cos, -id) tie order, so assignments are bit-identical
+      // and the oracle's max_by CTEs grade unchanged.
+      val coarseArr = coarse.agg(array_sort(
+        collect_list(struct($"gid".as("cid"), $"ge".as("ce")))).as("ca"))
+      val fineCell = cents.crossJoin(broadcast(coarseArr))
+        .withColumn("gid", graft.functions.GraftFunctions
+          .cosArgmaxCid($"ce", $"ca", lit(null)))
+        .select($"gid", $"cid", $"ce")
+      val vCell = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
+        .withColumn("gid", graft.functions.GraftFunctions
+          .cosArgmaxCid($"embedding", $"ca", lit(null)))
+        .select($"gid", $"vec_id", $"embedding")
+      val fineArr = fineCell.agg(array_sort(
+        collect_list(struct($"gid", $"cid", $"ce"))).as("fa"))
+      val assign = vCell.crossJoin(broadcast(fineArr))
+        .withColumn("cid", graft.functions.GraftFunctions
+          .cosArgmaxCid($"embedding", $"fa", array($"gid")))
+        .select($"vec_id", $"cid", $"embedding")
       val clustered = assign.cache()
       val dups = clustered.as("a").join(clustered.as("b"),
           $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
@@ -1252,13 +1281,17 @@ private[operators] object AnnQueries {
       val t = Tables(s, dir)
       val e = t.embeddings.select($"vec_id", $"embedding", $"label")
       val cents = trainedCodebook(s, dir).select($"cid", $"ce")
-      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
-        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(min_by(struct($"cid", $"embedding", $"label"),
-          struct($"d", $"cid")).as("m"))
-        .select($"vec_id", $"m.cid".as("cid"),
-          $"m.embedding".as("embedding"), $"m.label".as("label"))
+      // In-row kernel assignment (the q140 rewrite, VERDICT r17
+      // next-round #3) — strictly simpler here: no distance rides the
+      // ledger, so the winner needs no recompute join and embedding/
+      // label stay on the row instead of being buffered through a
+      // min_by struct.
+      val asg = e.repartition(32, $"vec_id")
+        .crossJoin(broadcast(cents.agg(
+          array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))))
+        .withColumn("cid", graft.functions.GraftFunctions
+          .l2ArgminCid($"embedding", $"kcb", lit(null)))
+        .select($"vec_id", $"cid", $"embedding", $"label")
       val hist = e.groupBy($"label").agg(count(lit(1)).as("nm"))
       val nl = cents.agg(count(lit(1)).as("nl"))
       val qw = Window.partitionBy($"query_id").orderBy($"qd", $"cid")

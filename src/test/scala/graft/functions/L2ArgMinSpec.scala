@@ -95,4 +95,117 @@ class L2ArgMinSpec extends AnyFunSuite {
       .first.getLong(0)
     assert(got == 0L)
   }
+
+  /** Runs `body` with the codegen factory pinned to `mode`
+    * (CODEGEN_ONLY makes a generate-or-compile failure THROW instead
+    * of silently falling back; NO_CODEGEN forces the interpreted
+    * eval), restoring the session confs after. */
+  private def withCodegen[T](mode: String, wholeStage: Boolean)(body: => T): T = {
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevWs = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    spark.conf.set("spark.sql.codegen.wholeStage", wholeStage.toString)
+    try body
+    finally {
+      prevMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevWs.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+        spark.conf.set("spark.sql.codegen.wholeStage", _))
+    }
+  }
+
+  test("generated code compiles and matches interpreted eval exactly " +
+      "(both metrics, with and without gid restriction)") {
+    // VERDICT r17 What's-wrong #3: the kernel was CodegenFallback —
+    // each call broke whole-stage codegen for its host stage. Now it
+    // generates the same loop as Java; this pins (a) the generated
+    // code actually COMPILES (CODEGEN_ONLY throws on failure — a
+    // silent FALLBACK would leave this green while WSCG stays broken)
+    // and (b) bit-identical winners vs the interpreted path on a
+    // corpus wide enough to hit every branch shape.
+    val e = (0L until 300L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val cells = (0L until 48L)
+      .map(c => (c % 7L, c, vec(16).map(_.toDouble)))
+      .toDF("gid", "cid", "ce")
+    val fa = cells.agg(
+      array_sort(collect_list(struct($"gid", $"cid", $"ce"))).as("fa"))
+    def run(cos: Boolean, gids: org.apache.spark.sql.Column) = {
+      val f = if (cos) GraftFunctions.cosArgmaxCid _
+              else GraftFunctions.l2ArgminCid _
+      e.crossJoin(broadcast(fa))
+        .select($"vec_id", f($"embedding", $"fa", gids).as("cid"))
+        .orderBy($"vec_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSeq
+    }
+    for (cos <- Seq(false, true);
+         g <- Seq(lit(null), array(lit(2L), lit(5L)))) {
+      val compiled = withCodegen("CODEGEN_ONLY", wholeStage = true)(run(cos, g))
+      val interpreted = withCodegen("NO_CODEGEN", wholeStage = false)(run(cos, g))
+      assert(compiled == interpreted,
+        s"codegen/interpreted divergence at cosine=$cos gids=$g")
+    }
+  }
+
+  test("cosine mode: parity with max_by(cid, struct(cos, -cid)) on a " +
+      "200x32 random corpus") {
+    val e = (0L until 200L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val cents = (0L until 32L)
+      .map(c => (c, vec(16).map(_.toDouble)))
+      .toDF("cid", "ce")
+    val want = e.crossJoin(broadcast(cents))
+      .withColumn("s", GraftFunctions.cosineSim($"embedding", $"ce"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"s", -$"cid")).as("cid"))
+      .orderBy($"vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cb = cents.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))
+    val got = e.crossJoin(broadcast(cb))
+      .select($"vec_id",
+        GraftFunctions.cosArgmaxCid($"embedding", $"kcb", lit(null)).as("cid"))
+      .orderBy($"vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("cosine mode: exact ties resolve to the smaller cid; a zero-norm " +
+      "centroid (NaN similarity) wins as max_by would have it") {
+    // Identical centroids at different cids: cosine ties by min cid.
+    val e = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val dup = Seq((7L, Seq(3.0, 6.0)), (3L, Seq(3.0, 6.0)))
+      .toDF("cid", "ce")
+    val cb1 = dup.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("k"))
+    assert(e.crossJoin(broadcast(cb1))
+      .select(GraftFunctions.cosArgmaxCid($"embedding", $"k", lit(null)))
+      .first.getLong(0) == 3L)
+    // Spark's double ordering puts NaN ABOVE every real value, so
+    // max_by(cid, struct(cos, -cid)) crowns a zero-norm centroid —
+    // the kernel must agree, not "fix" it.
+    val withNaN = Seq((1L, Seq(1.0, 2.0)), (9L, Seq(0.0, 0.0)))
+      .toDF("cid", "ce")
+    val want = e.crossJoin(broadcast(withNaN))
+      .withColumn("s", GraftFunctions.cosineSim($"embedding", $"ce"))
+      .agg(max_by($"cid", struct($"s", -$"cid")).as("cid"))
+      .first.getLong(0)
+    val cb2 = withNaN.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("k"))
+    val got = e.crossJoin(broadcast(cb2))
+      .select(GraftFunctions.cosArgmaxCid($"embedding", $"k", lit(null)))
+      .first.getLong(0)
+    assert(got == want && got == 9L)
+  }
+
+  test("cosine mode: gid restriction scans only the allowed cells") {
+    val e = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cells = Seq(
+      (1L, 10L, Seq(1.0, 0.1)),  // global best, gid 1
+      (2L, 20L, Seq(-1.0, 0.0)),
+      (2L, 21L, Seq(0.5, 0.5))   // best within gid 2
+    ).toDF("gid", "cid", "ce")
+    val fa = cells.agg(
+      array_sort(collect_list(struct($"gid", $"cid", $"ce"))).as("fa"))
+    assert(e.crossJoin(broadcast(fa))
+      .select(GraftFunctions.cosArgmaxCid($"embedding", $"fa",
+        array(lit(2L)))).first.getLong(0) == 21L)
+    assert(e.crossJoin(broadcast(fa))
+      .select(GraftFunctions.cosArgmaxCid($"embedding", $"fa", lit(null)))
+      .first.getLong(0) == 10L)
+  }
 }

@@ -830,7 +830,30 @@ class PlanShapeSpec extends AnyFunSuite {
           "array each row's in-row argmin scans (the map-only Lloyd " +
           "assignment — same K x D bytes the old row-broadcast shipped)"),
       "q95_cluster_purity" ->
-        ("q72's kmAssign folds (K = 8 centroid rows), same bound"))
+        ("q72's kmAssign folds (K = 8 centroid rows), same bound"),
+      "q140_embedding_outliers" ->
+        ("folds the fixture quantizer's K = ceil(n/125) centroid rows " +
+          "into the one-row array the in-row argmin scans — the SAME " +
+          "frame (same K x D bytes) the previous plan broadcast as " +
+          "rows into the crossJoin; the corpus-proportional growth is " +
+          "the query's documented fixture caveat (ADVICE r13 #2, " +
+          "oracle-pinned), production swaps trainedCodebook (K = 64) " +
+          "as q140b does"),
+      "q140b_outliers_trained" ->
+        ("folds the trained codebook (<= AnnPolicy.TrainedK = 64 " +
+          "rows) into the one-row array the in-row argmin scans"),
+      "q147_ann_filtered" ->
+        ("folds the trained codebook (<= 64 rows) into the one-row " +
+          "array the in-row argmin scans; embedding/label ride the " +
+          "row, not an aggregate buffer"),
+      "q68b_semantic_dedup_trained" ->
+        ("folds the coarse level (<= ceil(sqrt(K)) rows) and the " +
+          "fine cells (K = cellBoundedK = max(64, ceil(n/125)) rows) " +
+          "into the one-row arrays the two in-row routing scans read " +
+          "— the same K x D bytes the previous max_by chain's " +
+          "broadcast-join build side shipped; K's ~n/125 growth is " +
+          "SemDeDup's partition dial (cells stay ~125 vectors so the " +
+          "verify stays linear), documented in the query's scaladoc"))
     def offenders(name: String): Seq[String] = planNodes(name).collect {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty &&
           a.aggregateExpressions.exists(
