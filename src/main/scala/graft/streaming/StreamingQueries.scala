@@ -88,6 +88,13 @@ object StreamingQueries {
   val stateRowsAfter =
     scala.collection.concurrent.TrieMap[String, Long]()
 
+  /** The doc_id boundary the most recent state-TRIGGERED flush (q161)
+    * committed at — spec-facing: the window close fires from observed
+    * state size inside the run, so the boundary is a runtime fact, not
+    * a harness input (VERDICT r17 next-round #2). */
+  val flushBoundary =
+    scala.collection.concurrent.TrieMap[String, Long]()
+
   /** Captures `q.explain()`'s output (the public surface over
     * `lastExecution.executedPlan`) without touching private[sql] API,
     * plus the run's per-batch durations from the progress log. */
@@ -340,25 +347,34 @@ object StreamingQueries {
       .select($"doc_id", $"mh")
   }
 
-  /** `probeIdx`: the static posting table the arrivals probe — default
-    * the live q81 artifact; q159 passes the forget-REWRITTEN table
-    * (q154's bytes), q160's window-2 incarnation the flush-absorbed
-    * one. `window`: half-open [lo, hi) arrival filter on doc_id — the
-    * q160 delta-window split; the gate/cut semantics are unchanged. */
+  /** `probeIdxs`: the static posting tables the arrivals probe — Nil
+    * means the live q81 artifact; q159 passes the forget-REWRITTEN
+    * table (q154's bytes), q160's window-2 incarnation the base index
+    * PLUS the O(window) flush table. Multiple tables are returned as
+    * SEPARATE frames, never unioned at the relation level: each keeps
+    * its bucketed zero-index-side-Exchange join plan (`UnionExec`
+    * reports no output partitioning, so a pre-join union would plan an
+    * Exchange over the whole index), and the caller unions the JOIN
+    * RESULTS — the tables are doc-disjoint, so so are the pair sets.
+    * `window`: half-open [lo, hi) arrival filter on doc_id — the q160
+    * delta-window split; the gate/cut semantics are unchanged. */
   private def gatedDeltaSigs(s2: SparkSession, dir: String,
       maxFilesPerTrigger: Option[String],
-      probeIdx: Option[DataFrame] = None,
-      window: Option[(Long, Long)] = None): (DataFrame, DataFrame, Long) = {
+      probeIdxs: Seq[DataFrame] = Nil,
+      window: Option[(Long, Long)] = None)
+      : (DataFrame, Seq[DataFrame], Long) = {
     import s2.implicits._
     val bench: Array[Long] = graft.operators.PipelineQueries
       .benchSortedSidsGlob(s2, dir)
-    val (index, cut) = probeIdx match {
-      case Some(idx) =>
-        (idx, graft.operators.DedupQueries.postingIndex(s2, dir)._2)
-      case None => graft.operators.DedupQueries.postingIndex(s2, dir)
-    }
-    val idxSide = index.select($"band", $"sig",
-      $"doc_id".as("corpus_doc"), $"mh".as("bmh"))
+    val (indexes, cut) =
+      if (probeIdxs.nonEmpty)
+        (probeIdxs, graft.operators.DedupQueries.postingIndex(s2, dir)._2)
+      else {
+        val (idx, c) = graft.operators.DedupQueries.postingIndex(s2, dir)
+        (Seq(idx), c)
+      }
+    val idxSides = indexes.map(_.select($"band", $"sig",
+      $"doc_id".as("corpus_doc"), $"mh".as("bmh")))
 
     val reader = s2.readStream
       .schema(docsStreamSchema)
@@ -369,19 +385,20 @@ object StreamingQueries {
     val arriving = window.foldLeft(stream.filter($"doc_id" >= cut)) {
       case (df, (lo, hi)) => df.filter($"doc_id" >= lo && $"doc_id" < hi)
     }
-    (gateAndSign(arriving, bench), idxSide, cut)
+    (gateAndSign(arriving, bench), idxSides, cut)
   }
 
   private[streaming] def neardupIngestStream(s2: SparkSession, dir: String,
       maxFilesPerTrigger: Option[String],
-      probeIdx: Option[DataFrame] = None): DataFrame = {
+      probeIdxs: Seq[DataFrame] = Nil): DataFrame = {
     import s2.implicits._
-    val (gated, idxSide, _) =
-      gatedDeltaSigs(s2, dir, maxFilesPerTrigger, probeIdx)
-    gated
+    val (gated, idxSides, _) =
+      gatedDeltaSigs(s2, dir, maxFilesPerTrigger, probeIdxs)
+    val banded = gated
       .select($"doc_id", $"mh",
         graft.operators.PipelineQueries.mhBandCols.as(Seq("band", "sig")))
-      .join(idxSide, Seq("band", "sig"))
+    idxSides.map(banded.join(_, Seq("band", "sig")))
+      .reduce(_.unionByName(_))
       .select($"doc_id".as("new_doc"), $"mh".as("amh"),
         $"corpus_doc", $"bmh")
       .as[(Long, Seq[Long], Long, Seq[Long])]
@@ -432,24 +449,26 @@ object StreamingQueries {
     * with the candidate relation widened to delta×delta (b < a). */
   private[streaming] def lshIndexStream(s2: SparkSession, dir: String,
       maxFilesPerTrigger: Option[String],
-      probeIdx: Option[DataFrame] = None,
+      probeIdxs: Seq[DataFrame] = Nil,
       window: Option[(Long, Long)] = None): DataFrame = {
     import s2.implicits._
-    val (gated, idxSide, _) =
-      gatedDeltaSigs(s2, dir, maxFilesPerTrigger, probeIdx, window)
+    val (gated, idxSides, _) =
+      gatedDeltaSigs(s2, dir, maxFilesPerTrigger, probeIdxs, window)
     val banded = gated.select($"doc_id", $"mh",
       graft.operators.PipelineQueries.mhBandCols.as(Seq("band", "sig")))
 
     val nmExpr =
       expr("size(filter(zip_with(amh, bmh, (x, y) -> x = y), z -> z))")
         .cast("long")
-    val corpusPairs = banded
-      .join(idxSide, Seq("band", "sig"))
-      .select($"doc_id".as("doc_a"), $"corpus_doc".as("doc_b"),
-        $"mh".as("amh"), $"bmh")
-      .withColumn("n_match", nmExpr)
-      .filter($"n_match" >= 8)
-      .select($"doc_a", $"doc_b", $"n_match")
+    val corpusPairs = idxSides.map { idxSide =>
+      banded
+        .join(idxSide, Seq("band", "sig"))
+        .select($"doc_id".as("doc_a"), $"corpus_doc".as("doc_b"),
+          $"mh".as("amh"), $"bmh")
+        .withColumn("n_match", nmExpr)
+        .filter($"n_match" >= 8)
+        .select($"doc_a", $"doc_b", $"n_match")
+    }.reduce(_.unionByName(_))
 
     val intraPairs = banded
       .select(concat($"band", lit("|"), $"sig").as("bk"), $"doc_id", $"mh")
@@ -1634,7 +1653,7 @@ object StreamingQueries {
         graft.operators.DedupQueries.forgottenPostingIndex(s2, dir)
       val pairs = neardupIngestStream(s2, dir,
         s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger"),
-        Some(fgtIdx))
+        Seq(fgtIdx))
 
       val sink = s"q159_sink_${sinkCounter.incrementAndGet()}"
       val q = pairs.writeStream
@@ -1648,23 +1667,29 @@ object StreamingQueries {
       s2.table(sink).orderBy($"new_doc", $"corpus_doc")
     },
 
-    // ----- the q158 flush lifecycle: close a window, absorb, continue -----
+    // ----- the q158 flush lifecycle: close a window, flush, continue -----
     // VERDICT r16 next-round #2: q158's live posting store never
     // flushed — state grew with every gated doc ever arrived. The
-    // compaction cycle, end to end: the delta is split into two
-    // windows at cut2 = ⌈19/20⌉ of the id space (integer arithmetic,
-    // the cut precedent); window 1 runs the live q158 stream (state =
-    // its gated postings); at the window boundary the store is FOLDED
-    // into the persisted q81 index as a layout-preserving bucketed
-    // rewrite ([[graft.operators.DedupQueries.absorbedPostingIndex]])
-    // and the continuation runs as a FRESH incarnation — empty state —
-    // probing the absorbed table, where (window-2 doc ⋈ window-1 doc)
-    // pairs now emerge from the stream-static corpus probe instead of
-    // state. Output contract: the union of the two windows equals the
+    // flush cycle, end to end: the delta is split into two windows at
+    // cut2 = ⌈19/20⌉ of the id space (integer arithmetic, the cut
+    // precedent); window 1 runs the live q158 stream (state = its
+    // gated postings); at the window boundary the store is flushed as
+    // its OWN O(window) bucketed table ([[graft.operators
+    // .DedupQueries.windowPostingTable]] — VERDICT r17 next-round #1:
+    // the previous absorb rewrote the ENTIRE persisted index per
+    // flush) and the continuation runs as a FRESH incarnation — empty
+    // state — probing base index AND window table (join results
+    // unioned; each join keeps its bucket-local plan), where
+    // (window-2 doc ⋈ window-1 doc) pairs now emerge from the
+    // stream-static probe instead of state. [[graft.operators
+    // .DedupQueries.absorbedPostingIndex]] remains as the
+    // slow-cadence compactor folding window tables back into base.
+    // Output contract: the union of the two windows equals the
     // never-flushed q158 stream's output over the whole delta — the
     // oracle is q158's by alias, so the two cannot drift. State is
     // bounded by the OPEN window, not stream age; the spec pins the
-    // state-size drop and the cross-window pair.
+    // state-size drop, the cross-window pair, and the file-level
+    // O(window) flush cost (base index bytes untouched).
     "q160_stream_index_flush" -> { (s, dir) =>
       val s2 = s.newSession()
       import s2.implicits._
@@ -1679,9 +1704,9 @@ object StreamingQueries {
         .first.getLong(0)
       val cut2 = (maxId + 1L) * 19L / 20L
 
-      def runWindow(tag: String, probeIdx: Option[DataFrame],
+      def runWindow(tag: String, probeIdxs: Seq[DataFrame],
           window: (Long, Long)): DataFrame = {
-        val pairs = lshIndexStream(s2, dir, mfpt, probeIdx, Some(window))
+        val pairs = lshIndexStream(s2, dir, mfpt, probeIdxs, Some(window))
         val sink = s"q160_${tag}_${sinkCounter.incrementAndGet()}"
         val q = pairs.writeStream
           .format("memory")
@@ -1698,12 +1723,138 @@ object StreamingQueries {
             p.stateOperators.map(_.numRowsTotal).sum)
         s2.table(sink)
       }
-      val w1 = runWindow("w1", None, (0L, cut2))
-      val cut = graft.operators.DedupQueries.postingIndex(s2, dir)._2
-      val absorbed = graft.operators.DedupQueries
-        .absorbedPostingIndex(s2, dir, cut, cut2)
-      val w2 = runWindow("w2", Some(absorbed), (cut2, Long.MaxValue))
+      val w1 = runWindow("w1", Nil, (0L, cut2))
+      val (baseIdx, cut) = graft.operators.DedupQueries.postingIndex(s2, dir)
+      val winTbl = graft.operators.DedupQueries
+        .windowPostingTable(s2, dir, cut, cut2)
+      val w2 = runWindow("w2", Seq(baseIdx, winTbl), (cut2, Long.MaxValue))
       w1.unionByName(w2).orderBy($"doc_a", $"doc_b")
+    },
+
+    // ----- state-TRIGGERED flush: the window closes itself -----
+    // VERDICT r17 next-round #2: q160's boundary cut2 is computed
+    // BEFORE the run — a harness input. Here the flush fires from
+    // OBSERVED state: the first incarnation runs with no upper window
+    // bound while the driver polls `lastProgress` between
+    // `awaitTermination` slices; when the state-row total crosses
+    // `spark.graft.streaming.flushStateRows` (default 4096) the query
+    // is stopped, and the committed boundary is recovered from the
+    // CHECKPOINT — the file-source metadata log of every batch the
+    // commit log marks done, i.e. the same source of truth a restarted
+    // production query would resume from, never the stop-time race.
+    // cut2 = 1 + max doc_id over those committed files (monotone
+    // staging required and VERIFIED: every doc below the boundary must
+    // live in a committed file, or the guard refuses — the q149
+    // arrival-order contract). The flush then writes the O(window)
+    // [[graft.operators.DedupQueries.windowPostingTable]] for
+    // [cut, cut2) and the continuation probes base + window with
+    // FRESH state, exactly q160's union-read. Output contract is
+    // STILL q158's pair set regardless of where the boundary lands —
+    // an interrupted batch's docs fall above cut2 and are simply
+    // re-processed by the continuation, with the union's
+    // dropDuplicates absorbing any pairs both incarnations emitted
+    // (pair rows are value-identical by construction). On a
+    // single-file corpus the stream drains before the poll can fire,
+    // the boundary degenerates to cut-or-end, and the output is the
+    // never-flushed q158's — which is why the shared oracle grades
+    // this entry at any staging.
+    "q161_stream_flush_threshold" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+      val mfpt = s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+      val threshold = s.conf
+        .getOption("spark.graft.streaming.flushStateRows")
+        .map(_.toLong).getOrElse(4096L)
+
+      val ck = java.nio.file.Files.createTempDirectory("q161_ck").toString
+      val sink1 = s"q161_w1_${sinkCounter.incrementAndGet()}"
+      val q1 = lshIndexStream(s2, dir, mfpt, Nil, None).writeStream
+        .format("memory").queryName(sink1).outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      var fired = false
+      while (q1.isActive) {
+        q1.awaitTermination(50)
+        if (!fired && q1.isActive) {
+          Option(q1.lastProgress).foreach { p =>
+            if (p.stateOperators.map(_.numRowsTotal).sum >= threshold) {
+              fired = true
+              q1.stop()
+            }
+          }
+        }
+      }
+      capturePlan("q161_stream_flush_threshold", q1)
+      Option(q1.lastProgress).foreach(p =>
+        stateRowsAfter("q161_stream_flush_threshold:w1") =
+          p.stateOperators.map(_.numRowsTotal).sum)
+      val w1 = s2.table(sink1)
+
+      val (baseIdx, cut) = graft.operators.DedupQueries.postingIndex(s2, dir)
+      // The committed boundary, from the checkpoint the stopped query
+      // left behind: commits/<b> marks batch b done; sources/0/<b>
+      // lists the files batch b read (FileStreamSource's v1 metadata
+      // log — one JSON entry per file).
+      val commits = Option(new java.io.File(s"$ck/commits").listFiles())
+        .toSeq.flatten.map(_.getName).filter(_.forall(_.isDigit))
+        .map(_.toLong)
+      val processed: Seq[String] =
+        if (commits.isEmpty) Nil
+        else (0L to commits.max).flatMap { b =>
+          val src = new java.io.File(s"$ck/sources/0/$b")
+          if (!src.exists) Nil
+          else {
+            val s0 = scala.io.Source.fromFile(src)
+            try s0.getLines().toList.flatMap { l =>
+              "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(l).map(_.group(1))
+            } finally s0.close()
+          }
+        }
+      val cut2: Long =
+        if (processed.isEmpty) cut
+        else math.max(cut, s2.read.parquet(processed: _*)
+          .agg(org.apache.spark.sql.functions.max($"doc_id"))
+          .first.getLong(0) + 1L)
+      if (cut2 > cut && processed.nonEmpty) {
+        // Monotone-arrival guard (the q149 contract, enforced on the
+        // COMMITTED set): every doc below the boundary must be in a
+        // committed file, or the continuation's >= cut2 filter would
+        // silently skip it.
+        val below = graft.operators.PipelineQueries.docsGlob(s2, dir)
+          .filter($"doc_id" < cut2).count()
+        val got = s2.read.parquet(processed: _*)
+          .filter($"doc_id" < cut2).count()
+        require(got == below,
+          s"q161 staging violates monotone doc_id arrival: committed " +
+            s"files hold $got of the $below docs below the flush " +
+            "boundary; stage files so doc_id ranges increase in " +
+            "arrival order.")
+      }
+      flushBoundary("q161_stream_flush_threshold") = cut2
+
+      val winTbl = graft.operators.DedupQueries
+        .windowPostingTable(s2, dir, cut, cut2)
+      val pairs2 = lshIndexStream(s2, dir, mfpt, Seq(baseIdx, winTbl),
+        Some((cut2, Long.MaxValue)))
+      val sink2 = s"q161_w2_${sinkCounter.incrementAndGet()}"
+      val q2 = pairs2.writeStream
+        .format("memory").queryName(sink2).outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      capturePlan("q161_stream_flush_threshold", q2, accumulate = true)
+      Option(q2.lastProgress).foreach(p =>
+        stateRowsAfter("q161_stream_flush_threshold:w2") =
+          p.stateOperators.map(_.numRowsTotal).sum)
+      w1.unionByName(s2.table(sink2))
+        .dropDuplicates("doc_a", "doc_b")
+        .orderBy($"doc_a", $"doc_b")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -1740,6 +1891,12 @@ object StreamingQueries {
     // continuing with fresh state must not change the emitted pair
     // set. Shared by alias so the two strings cannot drift.
     "q160_stream_index_flush" ->
+      graft.operators.PipelineQueries.streamLshIndexOracleSql,
+
+    // The state-triggered flush has the same contract: wherever the
+    // observed-state boundary lands, the union of the incarnations
+    // must equal the never-flushed q158 stream's pair set.
+    "q161_stream_flush_threshold" ->
       graft.operators.PipelineQueries.streamLshIndexOracleSql,
 
     // The streaming quality gate must emit exactly the batch q73 rows.
