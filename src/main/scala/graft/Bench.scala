@@ -235,6 +235,13 @@ object Bench {
         val med = if (s2.isEmpty) -1L else s2(s2.size / 2)
         "\"" + k + "\":" + med
       }.mkString("{", ",", "}")
+    // Final state-store rows per streaming query (and per lifecycle
+    // tag for multi-incarnation queries) from the most recent run —
+    // the state-bound numbers SCALE.md's streaming sections cite, so
+    // scale witnesses don't need a side-channel (VERDICT r17 #6).
+    val stateRows = graft.streaming.StreamingQueries.stateRowsAfter.toSeq
+      .sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val artJson = artRows.map { case (a, q, s2) =>
       f"""{"artifact":"$a","query":"$q","build_s":$s2%.3f}"""
     }.mkString("[", ",", "]")
@@ -253,6 +260,7 @@ object Bench {
         s""""queries_cold_artifact_s":$coldArtJson,""" +
         s""""streaming_batch_ms":$batchMs,""" +
         s""""streaming_batch_ms_warm_median":$batchMsWarm,""" +
+        s""""state_rows":$stateRows,""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""sf":"$sfDir"}"""
     // The driver's artifact capture keeps only the TAIL of stdout
