@@ -195,11 +195,20 @@ private[operators] object AnnQueries {
       val e = t.embeddings.select($"vec_id", $"embedding")
       val cents = e.filter($"vec_id" % 125 === 0)
         .select($"vec_id".as("cid"), $"embedding".as("ce"))
-      val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-      val ranked = e.crossJoin(broadcast(cents))
-        .withColumn("ccos", graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
-        .withColumn("arank", row_number().over(aw))
-      val assigned = ranked.filter($"arank" === 1)
+      // Corpus assignment is IN-ROW via the cosine-mode
+      // [[graft.functions.L2ArgMinCid]] kernel (the r18 sweep): the
+      // previous plan ranked ALL n×K scored rows through a
+      // row_number window — a full n×K shuffle + per-vector sort just
+      // to keep rank 1. Same (ccos DESC, cid) order (NaN-greatest,
+      // ties to min cid), so the oracle's row_number CTE grades
+      // unchanged. Only the 5 QUERY vectors still rank their probes
+      // through the window (5×K rows).
+      val centsArr = cents.agg(
+        array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))
+      val assigned = e.repartition(32, $"vec_id")
+        .crossJoin(broadcast(centsArr))
+        .withColumn("cid", graft.functions.GraftFunctions
+          .cosArgmaxCid($"embedding", $"kcb", lit(null)))
         .select($"vec_id", $"embedding", $"cid")
       // The query side keeps its nprobe highest-scoring centroids —
       // nprobe probe rows per query, each an equality join against the
@@ -208,7 +217,12 @@ private[operators] object AnnQueries {
       val np = cents.agg(count(lit(1)).as("nl"))
         .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
           AnnPolicy.IvfNprobeFloor).as("nprobe"))
-      val q = ranked.filter($"vec_id" < 5).crossJoin(broadcast(np))
+      val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      val q = e.filter($"vec_id" < 5).crossJoin(broadcast(cents))
+        .withColumn("ccos", graft.functions.GraftFunctions
+          .cosineSim($"embedding", $"ce"))
+        .withColumn("arank", row_number().over(aw))
+        .crossJoin(broadcast(np))
         .filter($"arank" <= $"nprobe")
         .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"cid".as("qcid"))
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
@@ -243,14 +257,20 @@ private[operators] object AnnQueries {
       val t = Tables(s, dir)
       val e = t.embeddings.select($"vec_id", $"embedding")
       val cents = trainedCodebook(s, dir).select($"cid", $"ce")
-      // Explicit-width repartition: the n×K scoring above a broadcast
-      // join runs at the probe side's parallelism and the embeddings
-      // table is one parquet split (the q127/q140 lesson).
-      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
-        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))
-        .select($"vec_id", $"m.cid".as("cid"), $"m.embedding".as("embedding"))
+      // Explicit-width repartition: the n×K scoring runs at the probe
+      // side's parallelism and the embeddings table is one parquet
+      // split (the q127/q140 lesson). Assignment is IN-ROW via
+      // [[graft.functions.L2ArgMinCid]] (the r18 sweep): the previous
+      // min_by(struct(cid, embedding)) buffered full vectors through a
+      // sort-based aggregate over n×K rows; the kernel scans the same
+      // 64-entry broadcast array once per row, map-only, and the
+      // embedding never leaves its row.
+      val asg = e.repartition(32, $"vec_id")
+        .crossJoin(broadcast(cents.agg(
+          array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))))
+        .withColumn("cid", graft.functions.GraftFunctions
+          .l2ArgminCid($"embedding", $"kcb", lit(null)))
+        .select($"vec_id", $"cid", $"embedding")
       val np = cents.agg(count(lit(1)).as("nl"))
         .select(AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
           AnnPolicy.IvfNprobeFloor).as("nprobe"))
@@ -321,11 +341,14 @@ private[operators] object AnnQueries {
       val coarse = kmUpdate(centsAsE, kmAssign(centsAsE,
           coarse0.select($"gid".as("cid"), $"ge".as("ce"))))
         .select($"cid".as("gid"), $"ce".as("ge"))
-      val fineCell = cents.crossJoin(broadcast(coarse))
-        .withColumn("gd", graft.functions.GraftFunctions.l2Sq($"ce", $"ge"))
-        .groupBy($"cid")
-        .agg(min_by($"gid", struct($"gd", $"gid")).as("gid"),
-          first($"ce").as("ce"))
+      // Fine→coarse routing in-row too (the r18 sweep): K rows × a
+      // ≤64-entry coarse array, same (gd, gid) ties as the min_by it
+      // replaces.
+      val fineCell = cents.crossJoin(broadcast(coarse.agg(array_sort(
+          collect_list(struct($"gid".as("cid"), $"ge".as("ce")))).as("gc"))))
+        .withColumn("gid", graft.functions.GraftFunctions
+          .l2ArgminCid($"ce", $"gc", lit(null)))
+        .select($"gid", $"cid", $"ce")
       // Corpus-side MULTI-ASSIGNMENT (the hierarchical-IVF recall fix):
       // each vector considers the fine cells of its TOP-m coarse cells
       // before the fine argmin, m = [[AnnPolicy.coarseAssignM]](C) —
@@ -435,33 +458,31 @@ private[operators] object AnnQueries {
       val coarse = cents.crossJoin(broadcast(kdf))
         .filter($"cid" % (lit(125L) * $"step") === 0)
         .select($"cid".as("gid"), $"ce".as("ge"))
-      // Route fine centroids to coarse cells: K rows vs a √K broadcast.
-      // max_by on (gcos, -gid): highest cosine, ties to the lowest gid —
-      // identical to the oracle's row_number ORDER BY gcos DESC, gid.
-      val fineCell = cents.crossJoin(broadcast(coarse))
-        .withColumn("gcos",
-          graft.functions.GraftFunctions.cosineSim($"ce", $"ge"))
-        .groupBy($"cid")
-        .agg(max_by($"gid", struct($"gcos", -$"gid")).as("gid"),
-             first($"ce").as("ce"))
-      // Route corpus vectors to coarse cells: N rows vs the same √K
-      // broadcast; shuffle = one row per vector (map-side combine).
-      val vCell = e.crossJoin(broadcast(coarse))
-        .withColumn("gcos",
-          graft.functions.GraftFunctions.cosineSim($"embedding", $"ge"))
-        .groupBy($"vec_id")
-        .agg(max_by($"gid", struct($"gcos", -$"gid")).as("gid"),
-             first($"embedding").as("embedding"))
-      // Fine assignment: equality join on the coarse cell — the fine
-      // side is O(K) DATA, never a broadcast build in the plan contract
-      // (AQE may still elect one locally where K is tiny; at scale it
-      // is a co-partitioned shuffle join).
-      val assign = vCell.join(fineCell, "gid")
-        .withColumn("ccos",
-          graft.functions.GraftFunctions.cosineSim($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cid"),
-             first($"embedding").as("embedding"))
+      // All three routing levels are IN-ROW via the cosine-mode
+      // [[graft.functions.L2ArgMinCid]] kernel — the q68b rewrite
+      // (VERDICT r17 next-round #3) applied to the fixture twin, whose
+      // K ∝ n/125 hits the same sort-agg wall: same (cos, -id) ties
+      // (gcos DESC, gid / ccos DESC, cid), so the oracle's row_number
+      // CTEs grade unchanged. The fine scan reads the row's own cell
+      // via the kernel's gid restriction over the one-row collected
+      // fine array — the SAME K×D bytes the old equality join's build
+      // side shipped, with zero n×(K/C) intermediate rows.
+      val coarseArr = coarse.agg(array_sort(
+        collect_list(struct($"gid".as("cid"), $"ge".as("ce")))).as("ca"))
+      val fineCell = cents.crossJoin(broadcast(coarseArr))
+        .withColumn("gid", graft.functions.GraftFunctions
+          .cosArgmaxCid($"ce", $"ca", lit(null)))
+        .select($"gid", $"cid", $"ce")
+      val vCell = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
+        .withColumn("gid", graft.functions.GraftFunctions
+          .cosArgmaxCid($"embedding", $"ca", lit(null)))
+        .select($"gid", $"vec_id", $"embedding")
+      val fineArr = fineCell.agg(array_sort(
+        collect_list(struct($"gid", $"cid", $"ce"))).as("fa"))
+      val assign = vCell.crossJoin(broadcast(fineArr))
+        .withColumn("cid", graft.functions.GraftFunctions
+          .cosArgmaxCid($"embedding", $"fa", array($"gid")))
+        .select($"vec_id", $"cid", $"embedding")
       // Cached: probed by both sides of the intra-cluster self-join and
       // the final projection — without it the embeddings scan + the
       // assignment aggregate re-execute three times (at 100 TB, three
@@ -1387,19 +1408,22 @@ private[operators] object AnnQueries {
       def pfxOf(c: Column): Column = if (mrl) slice(c, 1, pfx) else c
       val cents = trainedCodebook(s, dir).select($"cid", $"ce")
         .withColumn("ce16", pfxOf($"ce"))
-      // Pre-slice the corpus prefix ONCE PER ROW before the n×K
-      // routing join — slicing inside the join projection would
-      // allocate the 16-element prefix once per (row, centroid) pair,
-      // K× redundant work on exactly the hot path this plan exists to
-      // cheapen (review finding, session 2; the centroid side was
-      // already pre-sliced).
+      // Pre-slice the corpus prefix ONCE PER ROW before the routing
+      // scan — slicing inside the kernel's array would allocate the
+      // 16-element prefix once per (row, centroid) pair, K× redundant
+      // work on exactly the hot path this plan exists to cheapen
+      // (review finding, session 2; the centroid side was already
+      // pre-sliced). Routing is IN-ROW via [[graft.functions
+      // .L2ArgMinCid]] over the PREFIX-sliced centroid array (the r18
+      // sweep); the full-width embedding stays on the row instead of
+      // being buffered through a min_by struct.
       val asg = e.repartition(32, $"vec_id")
         .withColumn("e16", pfxOf($"embedding"))
-        .crossJoin(broadcast(cents))
-        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"e16", $"ce16"))
-        .groupBy($"vec_id")
-        .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))
-        .select($"vec_id", $"m.cid".as("cid"), $"m.embedding".as("embedding"))
+        .crossJoin(broadcast(cents.agg(array_sort(
+          collect_list(struct($"cid", $"ce16".as("ce")))).as("kcb"))))
+        .withColumn("cid", graft.functions.GraftFunctions
+          .l2ArgminCid($"e16", $"kcb", lit(null)))
+        .select($"vec_id", $"cid", $"embedding")
       val np = cents.agg(count(lit(1)).as("nl"))
         .select(least($"nl",
           AnnPolicy.scanCeilCol("nl", AnnPolicy.IvfScanDiv,
@@ -1445,10 +1469,14 @@ private[operators] object AnnQueries {
       val t = Tables(s, dir)
       val e = t.embeddings.select($"vec_id", $"embedding")
       val cents = trainedCodebook(s, dir).select($"cid", $"ce")
-      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
-        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(min_by($"cid", struct($"d", $"cid")).as("cid"))
+      // In-row kernel routing (the r18 sweep) — map-only, one 64-entry
+      // scan per row, no n×K aggregate buffer.
+      val asg = e.repartition(32, $"vec_id")
+        .crossJoin(broadcast(cents.agg(
+          array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))))
+        .withColumn("cid", graft.functions.GraftFunctions
+          .l2ArgminCid($"embedding", $"kcb", lit(null)))
+        .select($"vec_id", $"cid")
       // LEFT join from the trained codebook: a trained cell that lost
       // every row (post-Lloyd re-assignment, CDC deletes, drift) must
       // appear as an n_live = 0 dashboard row, and the mean in the
@@ -1502,11 +1530,12 @@ private[operators] object AnnQueries {
       // seeds, a1, sub-centroid update, re-assignment) — without the
       // pin each branch re-runs the corpus routing, 5× the single most
       // expensive stage at 100 TB.
-      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
-        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
-        .groupBy($"vec_id")
-        .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))
-        .select($"vec_id", $"m.cid".as("cid"), $"m.embedding".as("embedding"))
+      val asg = e.repartition(32, $"vec_id")
+        .crossJoin(broadcast(cents.agg(
+          array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))))
+        .withColumn("cid", graft.functions.GraftFunctions
+          .l2ArgminCid($"embedding", $"kcb", lit(null)))
+        .select($"vec_id", $"cid", $"embedding")
         .cache()
       val cells = cents.select($"cid")
         .join(asg.groupBy($"cid").agg(count(lit(1)).as("nl")),

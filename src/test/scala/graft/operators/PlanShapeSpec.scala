@@ -109,24 +109,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"q47 grew to $shuffles shuffles:\n$p")
   }
 
-  test("q68: assignment is two-level — no O(K) centroid broadcast") {
+  test("q68: assignment is two-level and IN-ROW — no per-pair exploration") {
     val p = plan("q68_semantic_dedup")
-    // The fine cosine (ccos) must be computed above the EQUALITY join
-    // on the coarse cell id — never above a nested-loop against a
-    // broadcast of all K fine centroids (the pre-round-6 shape, whose
-    // broadcast grows with the corpus because K ∝ N). The coarse
-    // routings (gcos) legitimately sit above BNLJ: their build is the
-    // bounded O(√K) coarse set.
-    val lines = p.linesIterator.toVector
-    for (i <- lines.indices if lines(i).contains("AS ccos")) {
-      assert(!lines(i + 1).contains("BroadcastNestedLoopJoin"),
-        s"q68 fine assignment degraded to a nested-loop over all K fine " +
-        s"centroids:\n${lines.slice(i, i + 3).mkString("\n")}")
-    }
-    assert(lines.exists(_.contains("AS ccos")), s"q68 lost the ccos stage:\n$p")
-    // And the equality join machinery must actually be present.
-    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
-      .findAllIn(p).nonEmpty, s"q68 lost the equality fine-assignment join:\n$p")
+    // Since round 18 all three routing levels run through the
+    // cosine-mode L2ArgMinCid kernel: one compiled scan per row over a
+    // one-row collected array (fine candidates restricted to the row's
+    // coarse cell via the gid filter). The pre-round-6 hazard this pin
+    // guarded — a nested-loop EXPLORING n×K (row, centroid) pairs —
+    // and the round-7..17 equality-join shape — n×(K/C) rows buffered
+    // through a max_by sort-aggregate — must both stay gone: the plan
+    // carries the kernel calls and NO per-vector cosine column (the
+    // old chains' ccos/gcos stages materialized one row per pair).
+    assert("cos_argmax_cid".r.findAllIn(p).size >= 3,
+      s"q68 lost its three in-row routing scans:\n$p")
+    assert(!p.contains("AS ccos") && !p.contains("AS gcos"),
+      s"q68 re-grew a per-(row, centroid) scored-pair stage:\n$p")
   }
 
   test("q81: the delta probe reads the bucketed index with zero index-side Exchange") {
@@ -853,7 +850,31 @@ class PlanShapeSpec extends AnyFunSuite {
           "— the same K x D bytes the previous max_by chain's " +
           "broadcast-join build side shipped; K's ~n/125 growth is " +
           "SemDeDup's partition dial (cells stay ~125 vectors so the " +
-          "verify stays linear), documented in the query's scaladoc"))
+          "verify stays linear), documented in the query's scaladoc"),
+      "q68_semantic_dedup" ->
+        ("q68b's bound with the fixture quantizer: coarse <= " +
+          "ceil(sqrt(K)) rows, fine K = ceil(n/125) rows — the " +
+          "corpus-proportional fixture caveat is the query's own " +
+          "(oracle-pinned), and the bytes equal the old equality " +
+          "join's K-row build side"),
+      "q36_ann_ivf" ->
+        ("folds the fixture quantizer's K = ceil(n/125) centroids " +
+          "into the one-row array the in-row cosine argmax scans — " +
+          "same fixture caveat as q140/q68; replaced a FULL n x K " +
+          "shuffle + per-vector row_number sort"),
+      "q36b_ann_ivf_trained" ->
+        ("folds the trained codebook (<= 64 rows) into the one-row " +
+          "array the in-row argmin scans; embedding rides the row"),
+      "q151_ann_matryoshka" ->
+        ("folds the trained codebook (<= 64 rows, PREFIX-sliced under " +
+          "the structure guard) into the one-row routing array"),
+      "q148_ivf_index_stats" ->
+        ("folds the trained codebook (<= 64 rows) into the one-row " +
+          "array the in-row argmin scans"),
+      "q156_cell_repair" ->
+        ("folds the trained codebook (<= 64 rows) into the one-row " +
+          "array the main routing pass scans; the giant-cell repair " +
+          "chains keep their bounded member-side min_bys"))
     def offenders(name: String): Seq[String] = planNodes(name).collect {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty &&
           a.aggregateExpressions.exists(
