@@ -745,6 +745,21 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(rows(absorbed) == rows(baseIdx) ++ rows(winTbl),
       "compaction must fold exactly base UNION window — nothing " +
         "dropped, nothing invented")
+
+    // The union-read composes across ACCUMULATED windows (the state a
+    // slow compaction cadence leaves on disk): two successive flushes
+    // [cut, cut2) and [cut2, end) probed as base + win1 + win2 must
+    // emit exactly the pairs of the never-flushed q158 stream — the
+    // posting sets tile the id space, so the per-table joins' union is
+    // the full candidate set whatever the window count.
+    val maxId2 = docs0.agg(max($"doc_id")).first.getLong(0)
+    val win2 = graft.operators.DedupQueries
+      .windowPostingTable(spark, iso, cut2, maxId2 + 1L)
+    assert((rows(winTbl) ++ rows(win2)).map(_._1)
+        .forall(d => d >= cut && d <= maxId2),
+      "window tables must cover only the delta id space")
+    assert(rows(winTbl).intersect(rows(win2)).isEmpty,
+      "successive windows must be posting-disjoint")
   }
 
   test("q149 refuses non-monotone doc_id staging (arrival-order guard)") {
