@@ -1731,6 +1731,63 @@ object StreamingQueries {
       w1.unionByName(w2).orderBy($"doc_a", $"doc_b")
     },
 
+    // ----- the full compaction cadence: flush, flush, compact, serve -----
+    // The slow-cadence leg the q160 rewrite left spec-only (VERDICT
+    // r17 next-round #1's second half): after enough O(window) flushes
+    // the probe's per-table join fan-out is worth one O(index) pass,
+    // and [[graft.operators.DedupQueries.absorbedPostingIndex]] folds
+    // base + every closed window back into ONE bucketed table. This
+    // entry registers the whole cycle: window 1 runs live (state =
+    // open window); flush 1 → winA; window 2 probes base + winA with
+    // fresh state; flush 2, then COMPACT (absorb covers [cut, cutB) —
+    // both windows in one pass); window 3 probes ONLY the compacted
+    // table — a single join, proving the compacted bytes serve alone.
+    // Output contract: w1 ∪ w2 ∪ w3 ≡ the never-flushed q158 stream
+    // (shared oracle by alias), so neither the flushes nor the
+    // compaction may change a single pair.
+    "q162_stream_flush_compact" -> { (s, dir) =>
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      if (s.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb")
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+      val mfpt = s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+      val maxId = graft.operators.PipelineQueries.docsGlob(s2, dir)
+        .agg(org.apache.spark.sql.functions.max($"doc_id"))
+        .first.getLong(0)
+      val cutA = (maxId + 1L) * 19L / 20L
+      val cutB = (maxId + 1L) * 39L / 40L
+
+      def runWindow(tag: String, probeIdxs: Seq[DataFrame],
+          window: (Long, Long), first: Boolean): DataFrame = {
+        val pairs = lshIndexStream(s2, dir, mfpt, probeIdxs, Some(window))
+        val sink = s"q162_${tag}_${sinkCounter.incrementAndGet()}"
+        val q = pairs.writeStream
+          .format("memory").queryName(sink).outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        capturePlan("q162_stream_flush_compact", q, accumulate = !first)
+        Option(q.lastProgress).foreach(p =>
+          stateRowsAfter(s"q162_stream_flush_compact:$tag") =
+            p.stateOperators.map(_.numRowsTotal).sum)
+        s2.table(sink)
+      }
+      val w1 = runWindow("w1", Nil, (0L, cutA), first = true)
+      val (baseIdx, cut) = graft.operators.DedupQueries.postingIndex(s2, dir)
+      val winA = graft.operators.DedupQueries
+        .windowPostingTable(s2, dir, cut, cutA)
+      val w2 = runWindow("w2", Seq(baseIdx, winA), (cutA, cutB),
+        first = false)
+      val compacted = graft.operators.DedupQueries
+        .absorbedPostingIndex(s2, dir, cut, cutB)
+      val w3 = runWindow("w3", Seq(compacted), (cutB, Long.MaxValue),
+        first = false)
+      w1.unionByName(w2).unionByName(w3).orderBy($"doc_a", $"doc_b")
+    },
+
     // ----- state-TRIGGERED flush: the window closes itself -----
     // VERDICT r17 next-round #2: q160's boundary cut2 is computed
     // BEFORE the run — a harness input. Here the flush fires from
@@ -1821,11 +1878,21 @@ object StreamingQueries {
         else math.max(cut, s2.read.parquet(processed: _*)
           .agg(org.apache.spark.sql.functions.max($"doc_id"))
           .first.getLong(0) + 1L)
-      if (cut2 > cut && processed.nonEmpty) {
-        // Monotone-arrival guard (the q149 contract, enforced on the
-        // COMMITTED set): every doc below the boundary must be in a
-        // committed file, or the continuation's >= cut2 filter would
-        // silently skip it.
+      // Monotone-arrival guard (the q149 contract, enforced on the
+      // COMMITTED set): every doc below the boundary must be in a
+      // committed file, or the continuation's >= cut2 filter would
+      // silently skip it. Trivially satisfied — and skipped, saving
+      // two corpus-count jobs per run — when EVERY staged file
+      // committed (the boundary then covers the whole id space
+      // whatever the arrival order; the common single-file and
+      // drained-stream cases land here).
+      val allCommitted = processed.nonEmpty && {
+        val done = processed.map(p =>
+          new org.apache.hadoop.fs.Path(p).getName).toSet
+        graft.operators.PipelineQueries.docStems(dir)
+          .forall(f => done.contains(f.getName))
+      }
+      if (cut2 > cut && processed.nonEmpty && !allCommitted) {
         val below = graft.operators.PipelineQueries.docsGlob(s2, dir)
           .filter($"doc_id" < cut2).count()
         val got = s2.read.parquet(processed: _*)
@@ -1897,6 +1964,12 @@ object StreamingQueries {
     // observed-state boundary lands, the union of the incarnations
     // must equal the never-flushed q158 stream's pair set.
     "q161_stream_flush_threshold" ->
+      graft.operators.PipelineQueries.streamLshIndexOracleSql,
+
+    // ...and so does the full flush→flush→compact→serve cycle: the
+    // compaction folds exactly what the windows flushed, so the pair
+    // set cannot move.
+    "q162_stream_flush_compact" ->
       graft.operators.PipelineQueries.streamLshIndexOracleSql,
 
     // The streaming quality gate must emit exactly the batch q73 rows.

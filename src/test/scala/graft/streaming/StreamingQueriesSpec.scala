@@ -623,6 +623,49 @@ class StreamingQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q162 compaction cycle: the compacted table ALONE serves the " +
+      "last window; pairs reach across both closed windows") {
+    // The full cadence on a constructed fixture: docs 462 (window 1),
+    // 486 (window 2) and 493 (window 3) share one text, so (486, 462)
+    // straddles flush 1 and (493, 462)/(493, 486) straddle the
+    // COMPACTION — window 3 runs with fresh state probing ONLY the
+    // absorbed table, so those pairs exist iff the compacted bytes
+    // really carry both closed windows' postings. Output must equal
+    // the never-flushed q158 stream's, per the shared oracle contract.
+    val src = "/root/testdata/sf0.01"
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+    val t486 = docs0.filter(col("doc_id") === 486)
+      .select("text").first.getString(0)
+    val iso = java.nio.file.Files.createTempDirectory("q162-iso").toString
+    docs0.withColumn("text",
+        when(col("doc_id") === 462 || col("doc_id") === 493, lit(t486))
+          .otherwise(col("text")))
+      .coalesce(1).write.parquet(s"$iso/_tmp")
+    java.nio.file.Files.move(
+      new java.io.File(s"$iso/_tmp").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+      new java.io.File(s"$iso/documents.parquet").toPath)
+
+    def pairs(name: String): Set[(Long, Long)] =
+      StreamingQueries.queries(name)(spark, iso)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cycled = pairs("q162_stream_flush_compact")
+    val never = pairs("q158_stream_lsh_index")
+    assert(cycled == never,
+      "flush x2 + compaction + serve-from-compacted must not change " +
+        "the emitted pair set")
+    assert(cycled.contains((493L, 462L)) && cycled.contains((493L, 486L)),
+      "window 3 starts with EMPTY state and probes only the compacted " +
+        "table — these pairs exist iff compaction carried both closed " +
+        "windows' postings")
+    val w3Rows = StreamingQueries.stateRowsAfter("q162_stream_flush_compact:w3")
+    val neverRows = StreamingQueries.stateRowsAfter("q158_stream_lsh_index")
+    assert(w3Rows < neverRows,
+      s"window 3's state ($w3Rows) must be strictly smaller than the " +
+        s"never-flushed stream's ($neverRows)")
+  }
+
   test("q161: the flush fires MID-STREAM from the state threshold; " +
       "output equals the never-flushed stream") {
     // VERDICT r17 next-round #2 acceptance: q160's boundary is a
