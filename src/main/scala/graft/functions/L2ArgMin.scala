@@ -21,7 +21,9 @@ import org.apache.spark.sql.types._
   *    (bit-parity with the oracle's `list_reduce` fold), argMIN by
   *    (d, cid) — ties by cid, a NULL distance ordering FIRST (the
   *    family's `NULLS FIRST` convention; arises only when an embedding
-  *    element is NULL, which no corpus ships).
+  *    element is NULL, which no corpus ships), a NaN distance ordering
+  *    LAST (Spark's double ordering — min_by picks a NaN candidate only
+  *    when every distance is NaN, then by min cid).
   *  - `cosine = true`: [[CosineSim]]'s three-accumulator fold
   *    (dot/(√na·√nb), common prefix, zero norm → NaN), argMAX by
   *    (sim, -cid) under Spark's double ordering — NaN sorts GREATEST
@@ -46,8 +48,13 @@ import org.apache.spark.sql.types._
   * `Array[Array[Double]]`) keyed by the backing buffer's identity, and
   * the per-row work is a pure `double[]`×`double[]` fold the JIT can
   * vectorize — zero per-candidate allocation, one O(D) flatten of the
-  * row's own vector. A per-row VARYING centroid column still works
-  * (the decompose just re-runs; same asymptotics as the wrapper walk).
+  * row's own vector. The cache key is buffer identity PLUS sizeInBytes
+  * and the region's first/last 8-byte words (see [[Cb]]): Spark reuses
+  * unsafe backing buffers across rows, so identity alone could serve
+  * stale centroids to a per-row VARYING column. With the boundary-word
+  * check a varying column re-decomposes whenever the bytes change
+  * (same asymptotics as the wrapper walk); the intended — and fast —
+  * contract remains a broadcast/constant cents child.
   *
   * `doGenCode` emits a direct call to [[kernel]] on the expression
   * reference — the host stage keeps whole-stage codegen (no
@@ -133,23 +140,39 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
     * per-centroid widened `double[]` vectors (null struct entries →
     * null slot), and each centroid's first-null-element index
     * (Int.MaxValue when none — only probed in L2 mode when the schema
-    * says elements can be null). */
-  private final class Cb(val key: (AnyRef, Long, Int),
+    * says elements can be null).
+    *
+    * Cache-key soundness (VERDICT r18 #1 / ADVICE r18): buffer identity
+    * alone is NOT a safe key — Spark's unsafe-row readers reuse backing
+    * buffers across rows (UnsafeRowWriter BufferHolder, shuffle-reader
+    * row buffers), so a per-row VARYING centroid column can present the
+    * same (baseObject, baseOffset, numElements) with different bytes.
+    * The key therefore also carries sizeInBytes and the first/last
+    * 8-byte words of the region; a varying column flips those boundary
+    * words and forces a re-decompose instead of serving stale
+    * centroids. O(1) per row on the constant-broadcast fast path. */
+  private final class Cb(val base: AnyRef, val offset: Long, val numElems: Int,
+      val sizeB: Int, val w0: Long, val w1: Long,
       val cids: Array[Long], val gidsA: Array[Long],
       val ces: Array[Array[Double]], val fnIdx: Array[Int])
 
   @transient private lazy val tlCb = new ThreadLocal[Cb]
 
-  private def cbKey(ca: ArrayData): (AnyRef, Long, Int) = ca match {
-    case u: UnsafeArrayData => (u.getBaseObject, u.getBaseOffset, u.numElements())
-    case o => (o, 0L, o.numElements())
-  }
-
   private def decompose(ca: ArrayData): Cb = {
-    val key = cbKey(ca)
+    import org.apache.spark.unsafe.Platform
+    val (base, offset, nEl, sizeB, w0, w1) = ca match {
+      case u: UnsafeArrayData =>
+        val b = u.getBaseObject; val o = u.getBaseOffset
+        val s = u.getSizeInBytes
+        (b, o, u.numElements(), s,
+          if (s >= 8) Platform.getLong(b, o) else 0L,
+          if (s >= 8) Platform.getLong(b, o + s - 8) else 0L)
+      case o => (o: AnyRef, 0L, o.numElements(), -1, 0L, 0L)
+    }
     val cached = tlCb.get()
-    if (cached != null && (cached.key._1.asInstanceOf[AnyRef] eq key._1) &&
-        cached.key._2 == key._2 && cached.key._3 == key._3)
+    if (cached != null && (cached.base eq base) &&
+        cached.offset == offset && cached.numElems == nEl &&
+        cached.sizeB == sizeB && cached.w0 == w0 && cached.w1 == w1)
       return cached
     val nC = ca.numElements()
     val cids = new Array[Long](nC)
@@ -161,6 +184,12 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
       if (!ca.isNullAt(j)) {
         val row = ca.getStruct(j, nFields)
         cids(j) = row.getLong(cidIdx)
+        // Long.MinValue is the codegen NULL sentinel (ADVICE r18): a
+        // real centroid carrying it would be silently reported as NULL
+        // downstream — fail loudly at decompose instead.
+        require(cids(j) != Long.MinValue,
+          s"$prettyName: centroid cid Long.MinValue collides with the " +
+            "null sentinel")
         if (gidsA != null) gidsA(j) = row.getLong(gidIdx)
         val ce = row.getArray(ceIdx)
         val m = ce.numElements()
@@ -181,7 +210,7 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
       }
       j += 1
     }
-    val cb = new Cb(key, cids, gidsA, ces, fnIdx)
+    val cb = new Cb(base, offset, nEl, sizeB, w0, w1, cids, gidsA, ces, fnIdx)
     tlCb.set(cb)
     cb
   }
@@ -227,6 +256,13 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
     // semantics and the oracle's ORDER BY d NULLS FIRST, cid).
     var nullCid = 0L
     var foundNull = false
+    // L2 NaN LAST (ADVICE r18): under Spark's double ordering NaN sorts
+    // GREATEST, so min_by(struct(d, cid)) never picks a NaN distance
+    // while any finite one exists; among all-NaN candidates the min cid
+    // wins. Track NaN candidates out-of-band so a NaN acc cannot poison
+    // the finite scan (acc < NaN and acc == NaN are both false).
+    var nanCid = 0L
+    var foundNaN = false
 
     val ces = cb.ces
     val cids = cb.cids
@@ -290,7 +326,9 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
                 acc += d * d
                 i2 += 1
               }
-              if (!found || acc < bestD ||
+              if (java.lang.Double.isNaN(acc)) {
+                if (!foundNaN || cid < nanCid) { nanCid = cid; foundNaN = true }
+              } else if (!found || acc < bestD ||
                   (acc == bestD && cid < bestCid)) {
                 bestD = acc; bestCid = cid; found = true
               }
@@ -302,6 +340,7 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
     }
     if (foundNull) nullCid
     else if (found) bestCid
+    else if (foundNaN) nanCid
     else Long.MinValue
   }
 

@@ -1403,7 +1403,13 @@ private[operators] object AnnQueries {
             .agg((CrossRound.r(
               sum(when($"dim" < pfx, $"vd").otherwise(lit(0.0))) / sum($"vd"),
               4) >= AnnPolicy.MrlPrefixShareMin).as("mrl"))
-            .first.getBoolean(0))
+            .first match {
+              // On an empty/degenerate sample the var_pop/sum chain
+              // yields NULL; the pre-memo in-plan guard treated a null
+              // mrl as false (full-width route) via when($"mrl", ...) —
+              // keep that, don't NPE (ADVICE r18).
+              case r0 => if (r0.isNullAt(0)) false else r0.getBoolean(0)
+            })
       }
       def pfxOf(c: Column): Column = if (mrl) slice(c, 1, pfx) else c
       val cents = trainedCodebook(s, dir).select($"cid", $"ce")

@@ -963,17 +963,27 @@ object PipelineQueries {
     * directory layout. ONE definition for every consumer (docsGlob,
     * the bench-sid set, q149's arrival-order guard), so a staged feed
     * can never be enumerated differently by two readers (review
-    * finding, r16). */
-  private[graft] def docStems(dir: String): Seq[java.io.File] =
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("documents") &&
-        f.getName.endsWith(".parquet"))
-      .sortBy(_.getPath)
+    * finding, r16). Listed through the Hadoop [[FileSystem]] API —
+    * a `java.io.File` listing silently returns empty on an HDFS/S3
+    * corpus dir, the seam class r16–r18 purged everywhere else
+    * (VERDICT r18 #2). */
+  private[graft] def docStems(
+      s: SparkSession, dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("documents") && n.endsWith(".parquet")
+      }
+      .sortBy(_.getPath.toString)
+  }
 
   private[graft] def docsGlob(s: SparkSession, dir: String): DataFrame = {
     val direct = new java.io.File(dir, "documents.parquet")
     if (direct.exists()) s.read.parquet(direct.getPath)
-    else s.read.parquet(docStems(dir).map(_.getPath): _*)
+    else s.read.parquet(docStems(s, dir).map(_.getPath.toString): _*)
   }
 
   private[graft] def embGlob(s: SparkSession, dir: String): DataFrame = {
@@ -1343,7 +1353,7 @@ object PipelineQueries {
     // top level and passing each match — file OR directory — as its
     // own parquet path handles both layouts identically.
     benchSidsMemo.computeIfAbsent(key, _ => {
-      docSidArrays(s.read.parquet(docStems(dir).map(_.getPath): _*))
+      docSidArrays(s.read.parquet(docStems(s, dir).map(_.getPath.toString): _*))
         .filter($"doc_id" < 10)
         .select(explode($"sids").as("sid")).distinct()
         .orderBy($"sid")
