@@ -89,6 +89,11 @@ object GraftFunctions {
         s"rle_tf_stats expects 1 argument, got ${exprs.length}")
       RleTfStats(exprs.head)
     }),
+    ("rle_tf_str", RleTfStr.info, { exprs: Seq[Expression] =>
+      require(exprs.length == 1,
+        s"rle_tf_str expects 1 argument, got ${exprs.length}")
+      RleTfStr(exprs.head)
+    }),
     ("l2_sq", L2Sq.info, { exprs: Seq[Expression] =>
       require(exprs.length == 2,
         s"l2_sq expects 2 arguments, got ${exprs.length}")
@@ -143,6 +148,10 @@ object GraftFunctions {
   /** Typed column API: `rleTfStats($"sids")`. */
   def rleTfStats(sids: Column): Column =
     Bridge.column(RleTfStats(Bridge.expression(sids)))
+
+  /** Typed column API: `rleTfStr($"toks")`. */
+  def rleTfStr(toks: Column): Column =
+    Bridge.column(RleTfStr(Bridge.expression(toks)))
 
   /** Typed column API: `shingles3($"toks")`. */
   def shingles3(toks: Column): Column =

@@ -179,6 +179,44 @@ object TextSketch {
     new GenericArrayData(out)
   }
 
+  /** See [[RleTfStr]]. [[rleTfStats]]' shape over STRING tokens: sorts
+    * a null-free copy (UTF8String binary order — only equality matters
+    * to consumers, the sort just groups runs), then one linear
+    * run-length pass emitting (token, tf). tf values are
+    * integer-identical to a `groupBy(doc, token).count()` aggregation.
+    */
+  def rleTfStr(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val arr = new Array[AnyRef](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { arr(m) = a.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(arr, 0, m)
+    var runs = 0
+    var s = 0
+    while (s < m) {
+      var e = s + 1
+      while (e < m && arr(e) == arr(s)) e += 1
+      runs += 1
+      s = e
+    }
+    val out = new Array[Any](runs)
+    var r = 0
+    s = 0
+    while (s < m) {
+      var e = s + 1
+      while (e < m && arr(e) == arr(s)) e += 1
+      out(r) = org.apache.spark.sql.catalyst.InternalRow(
+        arr(s), (e - s).toLong)
+      r += 1
+      s = e
+    }
+    new GenericArrayData(out)
+  }
+
   /** See [[SortedCountIn]]. `sorted` MUST be ascending; null elements of
     * `a` are skipped, nulls must not occur in `sorted`.
     */
@@ -532,4 +570,40 @@ case class RleTfStats(child: Expression) extends UnaryExpression {
 object RleTfStats {
   val info: ExpressionInfo =
     new ExpressionInfo(classOf[RleTfStats].getName, null, "rle_tf_stats")
+}
+
+/** `rle_tf_str(tokens)` — [[RleTfStats]] over STRING tokens (see
+  * [[TextSketch.rleTfStr]]): `array<struct<token, tf>>` where each
+  * distinct token of the input appears once with its multiplicity.
+  *
+  * The map-side replacement for a `groupBy(doc_id, token).count()`
+  * posting-volume Exchange when the per-doc term frequency is all the
+  * consumer needs (q49's tf side, whose df side then reuses the SAME
+  * relation instead of a second `distinct()` Exchange). tf values are
+  * integer-identical to the aggregation formulation, so oracles are
+  * unchanged; null input elements are skipped (the tokenizers never
+  * emit them).
+  */
+case class RleTfStr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rle_tf_str expects ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "rle_tf_str"
+  override protected def nullSafeEval(input: Any): Any =
+    TextSketch.rleTfStr(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.rleTfStr($c)")
+  override protected def withNewChildInternal(newChild: Expression): RleTfStr =
+    copy(child = newChild)
+}
+
+object RleTfStr {
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[RleTfStr].getName, null, "rle_tf_str")
 }

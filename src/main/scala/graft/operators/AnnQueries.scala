@@ -525,14 +525,44 @@ private[operators] object AnnQueries {
       val e = t.embeddings.select($"vec_id", $"embedding")
       val cents = e.filter($"vec_id" % 25 === 0 && $"vec_id" < 2500)
         .select($"vec_id".as("cid"), $"embedding".as("ce"))
-      val pd = e.crossJoin(broadcast(cents))
-        .select($"vec_id", $"cid", posexplode(
-          graft.functions.GraftFunctions.pqSubDists($"embedding", $"ce", 8))
-          .as(Seq("s", "d")))
-      val codes = pd.groupBy($"vec_id", $"s")
-        .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
-      val lut = pd.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"s".as("ls"), $"cid", $"d")
+      // PQ encode IN-ROW via the compiled argmin kernel (VERDICT r18
+      // next-round #6 — the last interpreted n×K fold): the r18 form
+      // exploded every (vector, centroid) pair into 8 subspace rows
+      // (n×|cents|×8 rows) and re-aggregated them through a
+      // min_by shuffle just to pick 8 codes per vector. Instead the
+      // codebook's 8 subspace SLICES ride one broadcast row (ca0..ca7,
+      // each ARRAY<STRUCT<cid, ce>> sorted by cid) and each vector
+      // argmins its own 8 slices in-row — [[graft.functions.L2ArgMinCid]]
+      // folds the identical ascending-index double L2 the old
+      // pq_subdists→min_by(cid, struct(d, cid)) chain folded (same
+      // ties-by-cid, same NaN-last, same NULLS FIRST), so the codes are
+      // bit-identical and the n×800-row Exchange is GONE. The
+      // explicit-width repartition spreads the one-split parquet scan
+      // across the cluster (q127/q140 lesson) — the kernel pass is the
+      // only corpus-sized compute left here.
+      val nSub = 8
+      val subCb = cents.agg(
+        array_sort(collect_list(struct($"cid",
+          expr(s"slice(ce, 1, size(ce) DIV $nSub)").as("ce")))).as("ca0"),
+        (1 until nSub).map { si =>
+          array_sort(collect_list(struct($"cid",
+            expr(s"slice(ce, $si * (size(ce) DIV $nSub) + 1, " +
+              s"size(ce) DIV $nSub)").as("ce")))).as(s"ca$si")
+        }: _*)
+      val codes = e.repartition(32, $"vec_id").crossJoin(broadcast(subCb))
+        .select($"vec_id", posexplode(array((0 until nSub).map { si =>
+          graft.functions.GraftFunctions.l2ArgminCid(
+            expr(s"slice(embedding, $si * (size(embedding) DIV $nSub) + 1, " +
+              s"size(embedding) DIV $nSub)"),
+            col(s"ca$si"), lit(null))
+        }: _*)).as(Seq("s", "code")))
+      // Query-side ADC lookup table: 5 queries × |cents| × 8 subspace
+      // distances — rebuilt directly from the query rows (map-only,
+      // broadcast-small) instead of filtering the corpus-wide pd.
+      val lut = e.filter($"vec_id" < 5).crossJoin(broadcast(cents))
+        .select($"vec_id".as("query_id"), $"cid", posexplode(
+          graft.functions.GraftFunctions.pqSubDists($"embedding", $"ce", nSub))
+          .as(Seq("ls", "d")))
       val adc = codes.join(broadcast(lut),
           $"s" === $"ls" && $"code" === $"cid" && $"vec_id" =!= $"query_id")
         .groupBy($"query_id", $"vec_id")
@@ -584,14 +614,33 @@ private[operators] object AnnQueries {
       val e = t.embeddings.select($"vec_id", $"embedding")
       val cents = trainedCodebook(s, dir)
         .select($"cid", $"ce")
-      val pd = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
-        .select($"vec_id", $"cid", posexplode(
-          graft.functions.GraftFunctions.pqSubDists($"embedding", $"ce", 8))
-          .as(Seq("s", "d")))
-      val codes = pd.groupBy($"vec_id", $"s")
-        .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
-      val lut = pd.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"s".as("ls"), $"cid", $"d")
+      // In-row PQ encode via the compiled kernel — q60's restructure
+      // applied to the trained-codebook variant (same bit-parity
+      // argument: the kernel's per-slice L2 fold ≡ pq_subdists'
+      // per-subspace fold, ties/NaN/NULL identical to
+      // min_by(cid, struct(d, cid))). The n×K×8 explode + min_by
+      // Exchange is gone; encode is map-only after the explicit-width
+      // repartition of the one-split probe side.
+      val nSub = 8
+      val subCb = cents.agg(
+        array_sort(collect_list(struct($"cid",
+          expr(s"slice(ce, 1, size(ce) DIV $nSub)").as("ce")))).as("ca0"),
+        (1 until nSub).map { si =>
+          array_sort(collect_list(struct($"cid",
+            expr(s"slice(ce, $si * (size(ce) DIV $nSub) + 1, " +
+              s"size(ce) DIV $nSub)").as("ce")))).as(s"ca$si")
+        }: _*)
+      val codes = e.repartition(32, $"vec_id").crossJoin(broadcast(subCb))
+        .select($"vec_id", posexplode(array((0 until nSub).map { si =>
+          graft.functions.GraftFunctions.l2ArgminCid(
+            expr(s"slice(embedding, $si * (size(embedding) DIV $nSub) + 1, " +
+              s"size(embedding) DIV $nSub)"),
+            col(s"ca$si"), lit(null))
+        }: _*)).as(Seq("s", "code")))
+      val lut = e.filter($"vec_id" < 5).crossJoin(broadcast(cents))
+        .select($"vec_id".as("query_id"), $"cid", posexplode(
+          graft.functions.GraftFunctions.pqSubDists($"embedding", $"ce", nSub))
+          .as(Seq("ls", "d")))
       val adc = codes.join(broadcast(lut),
           $"s" === $"ls" && $"code" === $"cid" && $"vec_id" =!= $"query_id")
         .groupBy($"query_id", $"vec_id")
@@ -1569,13 +1618,22 @@ private[operators] object AnnQueries {
       // One Lloyd step INSIDE each giant cell: assign to seeds, 6-dp
       // rounded mean update (dim-sorted collect — kmUpdate's shape),
       // re-assign for the final sub-ledger. Ties (d, sub) both times.
-      val a1 = members.join(seeds, "cid")
-        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"se"))
-        .groupBy($"vec_id")
-        .agg(min_by(struct($"cid", $"sub", $"embedding"),
-          struct($"d", $"sub")).as("m"))
-        .select($"vec_id", $"m.cid".as("cid"), $"m.sub".as("sub"),
-          $"m.embedding".as("embedding"))
+      // Both assignment passes run IN-ROW through the compiled argmin
+      // kernel (VERDICT r18 next-round #6): seeds/sub-centroids ride a
+      // one-row broadcast array of STRUCT<gid = giant cell, cid = sub
+      // id, ce>, and each member restricts the scan to its OWN cell via
+      // gids = array(cid) — q36c's top-m pattern. The r18 form joined
+      // members×seeds and buffered the n×seeds rows through a
+      // min_by(… struct(d, sub)) sort-aggregate Exchange, twice; the
+      // kernel folds the identical widened-double L2 with the identical
+      // (d, sub)-ascending tie rule, so the assignments are
+      // bit-identical and both groupBy(vec_id) shuffles are gone.
+      val seedArr = seeds.agg(array_sort(collect_list(
+        struct($"cid".as("gid"), $"sub".as("cid"), $"se".as("ce")))).as("sa"))
+      val a1 = members.crossJoin(broadcast(seedArr))
+        .withColumn("sub", graft.functions.GraftFunctions
+          .l2ArgminCid($"embedding", $"sa", array($"cid")))
+        .select($"vec_id", $"cid", $"sub", $"embedding")
       val subCents = a1
         .select($"cid", $"sub", posexplode($"embedding").as(Seq("dim", "v")))
         .groupBy($"cid", $"sub", $"dim")
@@ -1583,11 +1641,11 @@ private[operators] object AnnQueries {
         .groupBy($"cid", $"sub")
         .agg(array_sort(collect_list(struct($"dim", $"mm"))).as("pm"))
         .select($"cid", $"sub", expr("transform(pm, x -> x.mm)").as("sce"))
-      val repaired = members.join(broadcast(subCents), "cid")
-        .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"sce"))
-        .groupBy($"vec_id")
-        .agg(min_by(struct($"cid", $"sub"), struct($"d", $"sub")).as("m"))
-        .select($"m.cid".as("cid"), $"m.sub".as("sub"))
+      val subArr = subCents.agg(array_sort(collect_list(
+        struct($"cid".as("gid"), $"sub".as("cid"), $"sce".as("ce")))).as("pa"))
+      val repaired = members.crossJoin(broadcast(subArr))
+        .withColumn("sub", graft.functions.GraftFunctions
+          .l2ArgminCid($"embedding", $"pa", array($"cid")))
         .groupBy($"cid", $"sub")
         .agg(count(lit(1)).as("n_live"))
       flagged.filter(!$"is_giant")

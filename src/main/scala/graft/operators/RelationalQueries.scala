@@ -523,30 +523,56 @@ object RelationalQueries {
     // — the non-equi join class Spark would otherwise execute as a
     // broadcast-nested-loop over every (order, lineitem) pair. The
     // scale plan BINS the time axis: points pre-aggregate to per-day
-    // counts (one shuffle, output calendar-bounded — days × 1 row), and
-    // each interval explodes into its ≤31 covered days (bounded fanout =
-    // interval span / bin width), turning the range predicate into an
-    // equi-join on the day key. The day side stays broadcast-able
-    // FOREVER (calendar-bounded), so at 100 TB the plan is: map-side
-    // explode + broadcast hash join + one groupBy shuffle — no pairwise
-    // comparison anywhere. For non-aggregable payloads the same
-    // explode-on-bin feeds a shuffled equi-join on the bin key instead.
+    // counts (one shuffle, output calendar-bounded — days × 1 row)
+    // that compact into a ONE-ROW broadcast dense PREFIX-SUM array
+    // over the observed day span (p[k+1] = shipments on the first k
+    // days), and each order answers its own 31-day window IN-ROW with
+    // TWO O(1) array reads: p[hi+2] − p[lo+1] on datediff offsets,
+    // clamped to the span (days outside it count 0 — the LEFT-join
+    // contract). The r18 form exploded every order into 31
+    // (o_orderkey, day) rows, probed a broadcast hash join, and
+    // re-aggregated by o_orderkey — a 31× row fanout plus a full
+    // orders-sized Exchange just to sum longs each order can read
+    // locally (guide §2.4/§3.3: explode-before-join multiplies the
+    // shuffle). A day→count MAP fold was tried first and REVERTED
+    // in-round: Spark's element_at on a map is a LINEAR SCAN
+    // (GetMapValueUtil), so 31 lookups × span-sized map per order ran
+    // minutes — guide §1.1's "ideal plan, then the gotcha" loop; the
+    // dense prefix array is the O(1) form. Integer sums, so
+    // n_shipped_in_window is order-insensitive and oracle-identical.
+    // The prefix array stays broadcast-able FOREVER (calendar-
+    // bounded); at 100 TB the plan is one per-day count shuffle + one
+    // map-only orders pass — no pairwise comparison anywhere.
     "q61_range_join" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val daily = t.lineitem
+      // p has size span+1, 1-based in SQL: p[1] = 0,
+      // p[k+1] = Σ_{i<k} count(d0 + i days). Built once on one row
+      // (the span-squared map probes below run ~ms on the 1-row agg;
+      // the per-ORDER path never touches the map).
+      val dayPrefix = t.lineitem
         .groupBy(to_date($"l_shipdate").as("ship_day"))
         .agg(count(lit(1)).as("n_ship"))
-      val orderDays = t.orders
+        .agg(min($"ship_day").as("d0"), max($"ship_day").as("d1"),
+          map_from_entries(collect_list(struct($"ship_day", $"n_ship")))
+            .as("m"))
+        .select($"d0", expr(
+          """aggregate(sequence(0, datediff(d1, d0)),
+               array(CAST(0 AS BIGINT)),
+               (p, i) -> array_append(p, element_at(p, -1) +
+                 coalesce(element_at(m, date_add(d0, i)),
+                          CAST(0 AS BIGINT))))""").as("p"))
+      t.orders
         .select($"o_orderkey", to_date($"o_orderdate").as("od"))
-        .select($"o_orderkey",
-          explode(expr("sequence(od, date_add(od, 30))")).as("ship_day"))
-      // LEFT join + coalesce: an order with zero shipments in its
-      // window surfaces as n_shipped_in_window = 0, not a missing row
-      // (the contract a downstream aggregation would expect).
-      orderDays.join(broadcast(daily), Seq("ship_day"), "left")
-        .groupBy($"o_orderkey")
-        .agg(sum(coalesce($"n_ship", lit(0L))).as("n_shipped_in_window"))
+        .crossJoin(broadcast(dayPrefix))
+        .select($"o_orderkey", expr(
+          """CASE WHEN datediff(od, d0) + 30 < 0
+                    OR datediff(od, d0) > size(p) - 2
+                  THEN CAST(0 AS BIGINT)
+                  ELSE element_at(p, least(datediff(od, d0) + 30,
+                                           size(p) - 2) + 2)
+                     - element_at(p, greatest(datediff(od, d0), 0) + 1)
+             END""").as("n_shipped_in_window"))
         .orderBy($"o_orderkey")
     },
 

@@ -105,18 +105,26 @@ private[operators] object TextQueries {
     // ----- TF-IDF-style top terms per document -----
     // Characteristic-term extraction with a rational score (tf / df —
     // exact in both engines, no transcendental whose last-ulp could flip
-    // rank ties): token explode → tf hash-agg, df hash-agg → equality
-    // join on token (vocabulary-sized side is NOT broadcast — it shuffles
-    // like any fact-fact join) → per-doc top-3 window. Ties break on the
-    // token string, so ranks are total and deterministic.
+    // rank ties). Per-doc term frequency is IN-ROW via the rle_tf_str
+    // kernel (guide §2.3: the (doc, token, tf) relation is per-doc-local
+    // — it needs no shuffle), and the df side counts the SAME relation
+    // (one row per (doc, token) by construction), so the r18 form's
+    // groupBy(doc_id, token) count Exchange AND its separate
+    // distinct() Exchange — two full token-string shuffles — are gone.
+    // Remaining: one vocabulary df agg (map-side partials), the tf↔df
+    // equality join on token (vocabulary-sized side is NOT broadcast —
+    // it shuffles like any fact-fact join), the per-doc top-3 window.
+    // tf/df are integer-identical, ties break on the token string, so
+    // ranks are total, deterministic and oracle-unchanged.
     "q49_topterms" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val docTok = t.documents
-        .select($"doc_id", explode(expr(toksExpr)).as("token"))
-      val tf = docTok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-      val dfreq = docTok.distinct()
-        .groupBy($"token").agg(count(lit(1)).as("df"))
+      val tf = t.documents.repartition($"doc_id")
+        .select($"doc_id",
+          explode(graft.functions.GraftFunctions.rleTfStr(expr(toksExpr)))
+            .as("x"))
+        .select($"doc_id", $"x.token".as("token"), $"x.tf".as("tf"))
+      val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
       tf.join(dfreq, "token")
         .withColumn("score", $"tf".cast("double") / $"df")
@@ -199,6 +207,15 @@ private[operators] object TextQueries {
     // bounded output, map-side partials); the corpus size joins in as a
     // broadcast 1-row aggregate (no driver action); the coverage join is
     // sid-keyed equality — shingle STRINGS never shuffle.
+    // NOTE (r19): a sorted_count_in in-row rewrite (boiler set as a
+    // one-row broadcast sorted array, doc side map-only) was tried and
+    // reverted on same-box solo A/B: 1.05× — NEUTRAL, because the
+    // groupBy(doc_id) below already REUSES docSidArrays' repartition
+    // partitioning (guide §2.4: two ops keyed the same way share one
+    // Exchange), so the presumed second posting Exchange never existed
+    // and the rewrite only traded the broadcast-join probe for
+    // per-doc binary searches. Kept in this form: fewer moving parts,
+    // same plan cost.
     "q66_boilerplate" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -540,6 +557,15 @@ private[operators] object TextQueries {
     // corpus-sized collect_list, no single-reducer array. At 100 TB:
     // bigram counts shuffle once (vocabulary-sized state), docs score
     // map-side after the frequency join, threshold is one scalar.
+    // NOTE (r19): an rle_tf_stats in-row rewrite of the occ stage (the
+    // q103 pattern — drop the groupBy(doc_id, sid) Exchange) was tried
+    // and REVERTED on same-box solo A/B evidence: head 4.56 s warm /
+    // 10.6 s cold vs 3.10 / 4.95 for this form. Here the replaced
+    // Exchange is map-side-combined 8-byte longs (cheap), while the
+    // kernel emits a boxed struct array per doc that the generator
+    // re-unpacks — allocation churn that costs more than the shuffle
+    // it saves. q103 keeps the kernel because it replaces TWO posting
+    // shuffles and feeds the structs straight into pair generation.
     "q93_perplexity_filter" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)

@@ -237,6 +237,38 @@ class TextSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("rle_tf_str matches the groupBy formulation it replaced") {
+    // The kernel's (token, tf) set must be integer-identical to an
+    // explode + count aggregation — q49's oracle-compatibility
+    // argument. Random multisets with repeats, empty docs included.
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("the", "a", "tok", "zz", "Aa", "b c", "", "é")
+    val data = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))) ++
+      Seq(Seq.empty[String], Seq("solo"), Seq("x", "x", "x"))
+    val df = data.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "arr")
+    val native = df
+      .select($"id", explode(GraftFunctions.rleTfStr($"arr")).as("x"))
+      .select($"id", $"x.token", $"x.tf")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val model = data.zipWithIndex.flatMap { case (a, i) =>
+      a.groupBy(identity).map { case (v, xs) =>
+        (i.toLong, v, xs.size.toLong) }
+    }.toSet
+    assert(native == model)
+  }
+
+  test("rle_tf_str skips null elements") {
+    val df = Seq(1).toDF("i").select(
+      GraftFunctions.rleTfStr(
+        expr("array('b', CAST(NULL AS STRING), 'b', 'a')")).as("st"))
+    val st = df.collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(st.toSet == Set(("a", 1L), ("b", 2L)))
+  }
+
   test("rle_tf_stats skips null elements") {
     val df = Seq(1).toDF("i").select(
       GraftFunctions.rleTfStats(

@@ -874,7 +874,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "q156_cell_repair" ->
         ("folds the trained codebook (<= 64 rows) into the one-row " +
           "array the main routing pass scans; the giant-cell repair " +
-          "chains keep their bounded member-side min_bys"))
+          "passes fold the seed/sub-centroid sets (Σ s_sub <= ~2K " +
+          "rows by the ceiling split: Σ ceil(n_live*K/n) <= K + " +
+          "#giants <= 2K) into one-row arrays the in-row per-cell " +
+          "argmins scan (r19 — replaced the two member-side min_by " +
+          "Exchanges)"),
+      "q60_ann_pq" ->
+        ("folds the deterministic codebook (capped at vec_id < 2500 / " +
+          "every 25th = <= 100 rows) into 8 one-row subspace-slice " +
+          "arrays the in-row PQ encode scans (r19 — replaced the " +
+          "n x 800-row posexplode + min_by Exchange)"),
+      "q60b_ann_pq_trained" ->
+        ("folds the trained codebook (<= AnnPolicy.TrainedK = 64 rows) " +
+          "into 8 one-row subspace-slice arrays the in-row PQ encode " +
+          "scans (r19)"),
+      "q61_range_join" ->
+        ("folds the per-day counts (calendar-bounded: one row per " +
+          "observed ship day) into the one-row dense prefix-sum array " +
+          "each order reads with two O(1) lookups (r19 — replaced the " +
+          "31x explode + o_orderkey re-aggregation)"))
     def offenders(name: String): Seq[String] = planNodes(name).collect {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty &&
           a.aggregateExpressions.exists(

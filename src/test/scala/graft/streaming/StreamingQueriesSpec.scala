@@ -659,8 +659,16 @@ class StreamingQueriesSpec extends AnyFunSuite {
       "window 3 starts with EMPTY state and probes only the compacted " +
         "table — these pairs exist iff compaction carried both closed " +
         "windows' postings")
+    val w2Rows = StreamingQueries.stateRowsAfter("q162_stream_flush_compact:w2")
     val w3Rows = StreamingQueries.stateRowsAfter("q162_stream_flush_compact:w3")
     val neverRows = StreamingQueries.stateRowsAfter("q158_stream_lsh_index")
+    // State-bound regression pins (VERDICT r18 next-round #7): EVERY
+    // post-flush window's state must stay strictly below the
+    // never-flushed accumulation — w2 after flush 1 and w3 after the
+    // compaction each hold only their OPEN window.
+    assert(w2Rows < neverRows,
+      s"window 2's state ($w2Rows) must be strictly smaller than the " +
+        s"never-flushed stream's ($neverRows)")
     assert(w3Rows < neverRows,
       s"window 3's state ($w3Rows) must be strictly smaller than the " +
         s"never-flushed stream's ($neverRows)")
