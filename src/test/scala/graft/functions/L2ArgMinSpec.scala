@@ -39,6 +39,81 @@ class L2ArgMinSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("a per-row VARYING centroid column arriving off a shuffle matches " +
+      "the min_by reference (decompose-cache hardening pin, VERDICT r18 #1)") {
+    // Every row carries its OWN same-shape codebook (identical lengths
+    // => identical unsafe sizeInBytes and offsets — the buffer-reuse
+    // collision regime where the r18 (baseObject, offset, numElements)
+    // cache key could serve the PREVIOUS row's centroids). The rows go
+    // through a real Exchange so the kernel reads shuffle-reader
+    // unsafe buffers; the boundary-word cache check must force a
+    // re-decompose whenever the bytes change.
+    val rnd2 = new scala.util.Random(91)
+    val rows = (0L until 300L).map { i =>
+      val cents = (0L until 8L).map(c =>
+        (c, Seq.fill(8)(rnd2.nextDouble() * 2 - 1)))
+      (i, Seq.fill(8)((rnd2.nextDouble() * 2 - 1).toFloat), cents)
+    }
+    val df = rows.toDF("vec_id", "embedding", "cents")
+      .select($"vec_id", $"embedding",
+        expr("transform(cents, x -> named_struct('cid', x._1, 'ce', x._2))")
+          .as("kcb"))
+      .repartition(7, $"vec_id")
+    val got = df.select($"vec_id",
+        GraftFunctions.l2ArgminCid($"embedding", $"kcb", lit(null)).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = rows.map { case (i, emb, cents) =>
+      val best = cents.minBy { case (c, ce) =>
+        (ce.zip(emb.map(_.toDouble)).map { case (a, b) =>
+          val d = b - a; d * d }.sum, c)
+      }._1
+      i -> best
+    }.toMap
+    assert(got == want)
+  }
+
+  test("L2: NaN distances order LAST like min_by's double ordering " +
+      "(ADVICE r18 pin)") {
+    // Inf − Inf = NaN: a centroid sharing the vector's Inf position
+    // yields d = NaN, which min_by(struct(d, cid)) sorts GREATEST —
+    // the kernel must skip it while any finite-or-Inf candidate
+    // exists, and fall back to the min-cid NaN candidate only when
+    // every distance is NaN. Both regimes checked against the min_by
+    // reference itself.
+    val e = Seq(
+      (1L, Seq(Float.PositiveInfinity, 0.0f)),   // cand 5 NaN, cand 9 Inf
+      (2L, Seq(Float.PositiveInfinity, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (5L, Seq(Double.PositiveInfinity, 0.0)),
+      (9L, Seq(0.0, 0.0))).toDF("cid", "ce")
+    val want = e.crossJoin(broadcast(cents))
+      .withColumn("d", GraftFunctions.l2Sq($"embedding", $"ce"))
+      .groupBy($"vec_id")
+      .agg(min_by($"cid", struct($"d", $"cid")).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cb = cents.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))
+    val got = e.crossJoin(broadcast(cb))
+      .select($"vec_id",
+        GraftFunctions.l2ArgminCid($"embedding", $"kcb", lit(null)).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want && want.values.forall(_ == 9L))
+    // All-NaN: both centroids share the Inf position — min cid wins.
+    val cents2 = Seq(
+      (7L, Seq(Double.PositiveInfinity, 0.0)),
+      (4L, Seq(Double.PositiveInfinity, 1.0))).toDF("cid", "ce")
+    val want2 = e.crossJoin(broadcast(cents2))
+      .withColumn("d", GraftFunctions.l2Sq($"embedding", $"ce"))
+      .groupBy($"vec_id")
+      .agg(min_by($"cid", struct($"d", $"cid")).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cb2 = cents2.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))
+    val got2 = e.crossJoin(broadcast(cb2))
+      .select($"vec_id",
+        GraftFunctions.l2ArgminCid($"embedding", $"kcb", lit(null)).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == want2 && want2.values.forall(_ == 4L))
+  }
+
   test("exact ties resolve to the smaller cid") {
     // Two identical centroids at different cids: (d, cid) ties by cid.
     val e = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
