@@ -113,7 +113,7 @@ object CoarseExp {
       // the cap corpus, and the HOF form ran interpreted — §8.5).
       val faArr = fineCell
         .agg(array_sort(collect_list(struct($"gid", $"cid", $"ce"))).as("fa"))
-      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
+      val asg = e.repartition(Par.width(spark), $"vec_id").crossJoin(broadcast(coarseArr))
         .withColumn("g2", slice(array_sort(tfc($"ca", c => struct(
           graft.functions.GraftFunctions.l2Sq($"embedding", c.getField("ge"))
             .as("gd"),

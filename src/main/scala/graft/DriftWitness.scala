@@ -69,7 +69,7 @@ object DriftWitness {
     def recallWith(cb: DataFrame): (Double, Double) = {
       val cents = cb.select($"cid", $"ce").cache()
       val nprobe = AnnPolicy.ivfNprobe(cents.count()).toInt
-      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
+      val asg = e.repartition(Par.width(spark), $"vec_id").crossJoin(broadcast(cents))
         .withColumn("d",
           graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
         .groupBy($"vec_id")
@@ -113,7 +113,7 @@ object DriftWitness {
     val stride = (n + k - 1) / k
     val seeds = e.filter($"vec_id" % stride === 0)
       .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("ce"))
-    val ew = e.repartition(32, $"vec_id")
+    val ew = e.repartition(Par.width(spark), $"vec_id")
     val step1 = PipelineQueries.kmUpdate(ew, PipelineQueries.kmAssign(ew, seeds))
     val retrained = PipelineQueries.kmUpdate(ew, PipelineQueries.kmAssign(ew, step1))
       .cache()

@@ -74,7 +74,7 @@ object GrowK {
         spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
         s"_$k"
       val t0 = System.nanoTime()
-      e.repartition(64, $"vec_id").crossJoin(broadcast(cents))
+      e.repartition(Par.width(spark), $"vec_id").crossJoin(broadcast(cents))
         .withColumn("d",
           graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
         .groupBy($"vec_id")

@@ -44,7 +44,7 @@ object RepairWitness {
     val cents = PipelineQueries.trainedCodebook(spark, dir)
       .select($"cid", $"ce").cache()
     val nLists = cents.count()
-    val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(cents))
+    val asg = e.repartition(Par.width(spark), $"vec_id").crossJoin(broadcast(cents))
       .withColumn("d", graft.functions.GraftFunctions.l2Sq($"embedding", $"ce"))
       .groupBy($"vec_id")
       .agg(min_by(struct($"cid", $"embedding"), struct($"d", $"cid")).as("m"))

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
+import graft.Par
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -923,7 +924,7 @@ object StreamingQueries {
       // the IVF argmin and the 8 PQ argmins read ONE dsub array.
       val tf = org.apache.spark.sql.functions.transform(_: Column, _: Column => Column)
       val routed = stream
-        .repartition(32, $"vec_id")
+        .repartition(Par.width(s), $"vec_id")
         .crossJoin(broadcast(cb))
         .withColumn("dsub", tf($"cb", c => struct(
           c.getField("cid").as("cid"),
@@ -996,7 +997,7 @@ object StreamingQueries {
       // lesson, streaming edition): the one-file feed is one partition
       // and the O(K)-per-row routing runs at the probe side's width.
       val routed = graft.operators.PipelineQueries.pqRoute(
-        stream.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+        stream.repartition(Par.width(s), $"vec_id").crossJoin(broadcast(cb)))
 
       val ledger = routed
         .groupBy($"cid", $"pcode")
@@ -1076,7 +1077,7 @@ object StreamingQueries {
 
       val tf = org.apache.spark.sql.functions.transform(_: Column, _: Column => Column)
       val probes = queryStream
-        .repartition(32, $"vec_id")
+        .repartition(Par.width(s), $"vec_id")
         .crossJoin(broadcast(cb))
         .withColumn("dsub", tf($"cb", c => struct(
           c.getField("cid").as("cid"),
@@ -1218,7 +1219,7 @@ object StreamingQueries {
 
       val tf = org.apache.spark.sql.functions.transform(_: Column, _: Column => Column)
       val probes = queryStream
-        .repartition(32, $"vec_id")
+        .repartition(Par.width(s), $"vec_id")
         .crossJoin(broadcast(cb))
         .withColumn("dsub", tf($"cb", c => struct(
           c.getField("cid").as("cid"),
@@ -1325,7 +1326,7 @@ object StreamingQueries {
       val stream = reader.parquet(dir).filter($"vec_id" >= cut)
 
       val routed = ops.pqRoute(
-        stream.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+        stream.repartition(Par.width(s), $"vec_id").crossJoin(broadcast(cb)))
       val ledger = routed
         .groupBy($"cid", $"pcode")
         .agg(count(lit(1)).as("n_delta"), min($"vec_id").as("min_delta"))
