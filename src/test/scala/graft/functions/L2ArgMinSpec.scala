@@ -283,4 +283,67 @@ class L2ArgMinSpec extends AnyFunSuite {
       .select(GraftFunctions.cosArgmaxCid($"embedding", $"fa", lit(null)))
       .first.getLong(0) == 10L)
   }
+
+  test("retIdx mode returns the winner's POSITION in the cents array " +
+      "(selection and ties still by (d, cid))") {
+    // Non-dense cids (3c + 5) so position != cid: the idx result must
+    // equal the cid result's rank in the cid-sorted array — the
+    // alignment q60's in-row ADC fold indexes its LUT with.
+    val e = (0L until 200L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val cents = (0L until 32L)
+      .map(c => (3 * c + 5, vec(16).map(_.toDouble)))
+      .toDF("cid", "ce")
+    val cb = cents.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))
+    val both = e.crossJoin(broadcast(cb))
+      .select($"vec_id",
+        GraftFunctions.l2ArgminCid($"embedding", $"kcb", lit(null)).as("cid"),
+        GraftFunctions.l2ArgminIdx($"embedding", $"kcb", lit(null)).as("idx"))
+      .collect()
+    assert(both.length == 200)
+    both.foreach { r =>
+      assert(r.getLong(2) == (r.getLong(1) - 5) / 3,
+        s"vec ${r.getLong(0)}: idx ${r.getLong(2)} != rank of cid ${r.getLong(1)}")
+    }
+  }
+
+  test("varying codebooks that differ ONLY in interior centroids " +
+      "(shared first/last words) re-decompose (ADVICE r19 cache key)") {
+    // Adversarial construction for the r19 boundary-word cache key:
+    // every row's codebook has the SAME shape (identical unsafe
+    // sizeInBytes/offsets), the SAME header word (numElements), and the
+    // SAME final centroid (identical last region word) — only interior
+    // centroids 2..5 vary per row, exactly the bytes the r19 key never
+    // read. Each row's embedding sits near its OWN interior centroid,
+    // so a stale decomposition returns a wrong cid immediately. The
+    // 16-word sampled key must catch the change (256 contiguous
+    // varying bytes >> the ~region/15 sample stride).
+    val rnd3 = new scala.util.Random(123)
+    val fixedA = Seq.fill(8)(rnd3.nextDouble() * 2 - 1)
+    val fixedB = Seq.fill(8)(rnd3.nextDouble() * 2 - 1)
+    val rows = (0L until 300L).map { i =>
+      val mid = (0 until 6).map(_ => Seq.fill(8)(rnd3.nextDouble() * 2 - 1))
+      val cents = Seq((0L, fixedA)) ++
+        mid.zipWithIndex.map { case (ce, k) => ((k + 1).toLong, ce) } ++
+        Seq((7L, fixedB))
+      val target = 1 + (i % 6).toInt // an interior, per-row-varying centroid
+      val emb = cents(target)._2.map(x => (x + 0.001).toFloat)
+      (i, emb, cents)
+    }
+    val df = rows.toDF("vec_id", "embedding", "cents")
+      .select($"vec_id", $"embedding",
+        expr("transform(cents, x -> named_struct('cid', x._1, 'ce', x._2))")
+          .as("kcb"))
+      .repartition(7, $"vec_id")
+    val got = df.select($"vec_id",
+        GraftFunctions.l2ArgminCid($"embedding", $"kcb", lit(null)).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = rows.map { case (i, emb, cents) =>
+      val best = cents.minBy { case (c, ce) =>
+        (ce.zip(emb.map(_.toDouble)).map { case (a, b) =>
+          val d = b - a; d * d }.sum, c)
+      }._1
+      i -> best
+    }.toMap
+    assert(got == want)
+  }
 }
