@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Par
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -36,6 +37,140 @@ private[operators] object AnnQueries {
       require(nq > 0, s"spark.graft.ann.queryCount must be > 0, got $nq")
       nq
     }.getOrElse(5L)
+
+  /** q60/q60b shared body — IVFADC + refine with BOTH corpus-sized
+    * stages map-only (guide §2.3/§2.4):
+    *
+    *  - ENCODE (r19, VERDICT r18 #6): the codebook's 8 subspace SLICES
+    *    ride one broadcast row (ca0..ca7, each ARRAY<STRUCT<cid, ce>>
+    *    sorted by cid) and each vector argmins its own 8 slices in-row
+    *    via the compiled [[graft.functions.L2ArgMinCid]] kernel — the
+    *    identical ascending-index double L2 the old pq_subdists →
+    *    min_by(cid, struct(d, cid)) chain folded (same ties-by-cid,
+    *    same NaN-last, same NULLS FIRST), so codes are bit-identical
+    *    and the n×K×8-row Exchange is gone. The explicit session-width
+    *    repartition spreads the one-split parquet scan (q127/q140
+    *    lesson) — it is the ONLY corpus shuffle left.
+    *  - ADC (r20, VERDICT r19 #4): the r19 form still posexploded 8
+    *    code rows per vector, broadcast-hash-joined them against the
+    *    (query × cid × subspace) LUT and rebuilt per-(query, vec) sums
+    *    through two ObjectHashAggregates (collect_list + array_sort +
+    *    fold). Instead the kernel now returns each winner's POSITION
+    *    in the cid-sorted slice (`l2ArgminIdx` — selection and tie
+    *    rules untouched), the LUT compacts to ONE broadcast row of
+    *    per-query position-aligned arrays (dss[s][pos] = d, d values
+    *    bit-identical pass-throughs of the same pq_subdists outputs),
+    *    and each vector folds its 8 lookups IN-ROW in the same
+    *    ascending-subspace order seeded 0.0 (all d ≥ +0.0, so the
+    *    seed is exact) — the fold is a codegen Add chain, no HOF on
+    *    the corpus path. Generate + BroadcastHashJoin + both
+    *    ObjectHashAggregates are gone; nothing corpus×fanout ever
+    *    materializes.
+    *  - The top-S SHORTLIST window stays a window on purpose: S =
+    *    max(100, ⌈n/20⌉) ([[AnnPolicy.pqShortlist]], VERDICT r11 #1)
+    *    scales with the corpus, so a partial-aggregating top-S
+    *    (TopKAgg) would hold O(n/20) rows PER MAP TASK — the exact
+    *    buffered-aggregate failure mode the r19 200k witness DNF'd on.
+    *    The window's Exchange carries (query_id, vec_id, adc) rows
+    *    only — 24 bytes/row, ~5% of the encode repartition's vector
+    *    bytes.
+    *  - Re-rank: exact L2 over the shortlist rows (equality join,
+    *    never a scan), top-5 per query.
+    *
+    * ADVICE r19 #3: both slice paths assert 8-divisibility up front —
+    * the encode previously truncated remainder dims silently where
+    * pq_subdists threw.
+    */
+  private def pqAnnShortlistRerank(s: SparkSession, e: DataFrame,
+      cents0: DataFrame): DataFrame = {
+    import s.implicits._
+    val nSub = 8
+    val cents = cents0.withColumn("ce",
+      when(size($"ce") % nSub === 0, $"ce").otherwise(raise_error(
+        concat(lit("pq encode: dim "), size($"ce").cast("string"),
+          lit(s" not divisible by $nSub")))))
+    val subCb = cents.agg(
+      array_sort(collect_list(struct($"cid",
+        expr(s"slice(ce, 1, size(ce) DIV $nSub)").as("ce")))).as("ca0"),
+      (1 until nSub).map { si =>
+        array_sort(collect_list(struct($"cid",
+          expr(s"slice(ce, $si * (size(ce) DIV $nSub) + 1, " +
+            s"size(ce) DIV $nSub)").as("ce")))).as(s"ca$si")
+      }: _*)
+    // Per-vector in-row encode to POSITIONS (p0..p7) in the cid-sorted
+    // slices — one compiled kernel call per subspace, map-only. The
+    // embedding NOT-NULL guard replicates the old inner code↔LUT
+    // join's drop of null-embedding vectors AT THE SCAN (PushedFilters)
+    // — filtering on the computed adc instead would let the optimizer
+    // re-express isnotnull(adc) as isnotnull(<kernel call>) per
+    // subspace and push those below the projection, DOUBLING every
+    // kernel evaluation (measured: the first cut of this rewrite read
+    // 1.25× on q60b for exactly that reason; guide §4.4's
+    // duplicated-evaluation trap, Catalyst-expression edition).
+    val enc = e.where($"embedding".isNotNull)
+      .repartition(Par.width(s), $"vec_id")
+      .crossJoin(broadcast(subCb))
+      .select(($"vec_id" +: (0 until nSub).map { si =>
+        graft.functions.GraftFunctions.l2ArgminIdx(
+          expr(s"slice(embedding, $si * (size(embedding) DIV $nSub) + 1, " +
+            s"size(embedding) DIV $nSub)"),
+          col(s"ca$si"), lit(null)).as(s"p$si")
+      }): _*)
+    // Query-side ADC lookup table: 5 queries × |cents| × 8 subspace
+    // distances — rebuilt directly from the query rows (map-only,
+    // broadcast-small), then compacted to ONE row of position-aligned
+    // arrays: qlut[q].dss[s][pos] is the pq_subdists value of the
+    // pos-th cid (lds is sorted by (ls, cid), and filter() preserves
+    // that order, so each dss[s] is cid-ascending — aligned with the
+    // cid-sorted ca_s slices the kernel indexes into).
+    val lut = e.filter($"vec_id" < 5).crossJoin(broadcast(cents))
+      .select($"vec_id".as("query_id"), $"cid", posexplode(
+        graft.functions.GraftFunctions.pqSubDists($"embedding", $"ce", nSub))
+        .as(Seq("ls", "d")))
+    val lutRow = lut
+      .groupBy($"query_id")
+      .agg(array_sort(collect_list(struct($"ls", $"cid", $"d"))).as("lds"))
+      .select($"query_id", expr(
+        s"transform(sequence(0, ${nSub - 1}), " +
+          "s -> transform(filter(lds, x -> x.ls = s), x -> x.d))").as("dss"))
+      .agg(array_sort(collect_list(struct($"query_id", $"dss"))).as("qlut"))
+    // In-row ADC: explode the 5 broadcast queries per vector, fold the
+    // 8 position lookups in ascending subspace order (seeded 0.0 — the
+    // exact fold the old aggregate(array_sort(...)) ran). 0-based []
+    // subscripts; positions are always in-bounds (the LUT covers every
+    // cid) and never NULL (null embeddings are gone at the scan).
+    val adc = enc.crossJoin(broadcast(lutRow))
+      .select(($"vec_id" +: (0 until nSub).map(si => col(s"p$si"))) :+
+        explode($"qlut").as("q"): _*)
+      .filter($"vec_id" =!= $"q.query_id")
+      .select($"q.query_id".as("query_id"), $"vec_id",
+        (0 until nSub).map { si =>
+          expr(s"q.dss[$si][CAST(p$si AS INT)]")
+        }.foldLeft(lit(0.0))(_ + _).as("adc"))
+    val sw = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
+    // Shortlist size follows [[AnnPolicy.pqShortlist]]: max(100,
+    // ⌈n/20⌉), so the exact re-rank always reads ≥ 5% of the corpus
+    // per query instead of a fixed 100 whose recall would decay as
+    // the index grows (VERDICT r11 #1) — in-plan 1-row count,
+    // integer ceiling division, oracle-mirrored.
+    val slist = e.agg(count(lit(1)).as("nv"))
+      .select(AnnPolicy.scanCeilCol("nv", AnnPolicy.PqScanDiv,
+        AnnPolicy.PqShortlistFloor).as("slist"))
+    val shortlist = adc
+      .withColumn("srank", row_number().over(sw))
+      .crossJoin(broadcast(slist))
+      .filter($"srank" <= $"slist")
+      .select($"query_id", $"vec_id")
+    val qv = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+    shortlist.join(e, "vec_id").join(broadcast(qv), "query_id")
+      .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
+      .orderBy($"query_id", $"rank")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -205,7 +340,7 @@ private[operators] object AnnQueries {
       // through the window (5×K rows).
       val centsArr = cents.agg(
         array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))
-      val assigned = e.repartition(32, $"vec_id")
+      val assigned = e.repartition(Par.width(s), $"vec_id")
         .crossJoin(broadcast(centsArr))
         .withColumn("cid", graft.functions.GraftFunctions
           .cosArgmaxCid($"embedding", $"kcb", lit(null)))
@@ -265,7 +400,7 @@ private[operators] object AnnQueries {
       // sort-based aggregate over n×K rows; the kernel scans the same
       // 64-entry broadcast array once per row, map-only, and the
       // embedding never leaves its row.
-      val asg = e.repartition(32, $"vec_id")
+      val asg = e.repartition(Par.width(s), $"vec_id")
         .crossJoin(broadcast(cents.agg(
           array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))))
         .withColumn("cid", graft.functions.GraftFunctions
@@ -380,7 +515,7 @@ private[operators] object AnnQueries {
       // interpreted-lambda tax (both measured, round-17 cap runs).
       val faArr = fineCell
         .agg(array_sort(collect_list(struct($"gid", $"cid", $"ce"))).as("fa"))
-      val asg = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
+      val asg = e.repartition(Par.width(s), $"vec_id").crossJoin(broadcast(coarseArr))
         .withColumn("g2", slice(array_sort(tfc($"ca", c => struct(
           graft.functions.GraftFunctions.l2Sq($"embedding", c.getField("ge"))
             .as("gd"),
@@ -473,7 +608,7 @@ private[operators] object AnnQueries {
         .withColumn("gid", graft.functions.GraftFunctions
           .cosArgmaxCid($"ce", $"ca", lit(null)))
         .select($"gid", $"cid", $"ce")
-      val vCell = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
+      val vCell = e.repartition(Par.width(s), $"vec_id").crossJoin(broadcast(coarseArr))
         .withColumn("gid", graft.functions.GraftFunctions
           .cosArgmaxCid($"embedding", $"ca", lit(null)))
         .select($"gid", $"vec_id", $"embedding")
@@ -525,72 +660,7 @@ private[operators] object AnnQueries {
       val e = t.embeddings.select($"vec_id", $"embedding")
       val cents = e.filter($"vec_id" % 25 === 0 && $"vec_id" < 2500)
         .select($"vec_id".as("cid"), $"embedding".as("ce"))
-      // PQ encode IN-ROW via the compiled argmin kernel (VERDICT r18
-      // next-round #6 — the last interpreted n×K fold): the r18 form
-      // exploded every (vector, centroid) pair into 8 subspace rows
-      // (n×|cents|×8 rows) and re-aggregated them through a
-      // min_by shuffle just to pick 8 codes per vector. Instead the
-      // codebook's 8 subspace SLICES ride one broadcast row (ca0..ca7,
-      // each ARRAY<STRUCT<cid, ce>> sorted by cid) and each vector
-      // argmins its own 8 slices in-row — [[graft.functions.L2ArgMinCid]]
-      // folds the identical ascending-index double L2 the old
-      // pq_subdists→min_by(cid, struct(d, cid)) chain folded (same
-      // ties-by-cid, same NaN-last, same NULLS FIRST), so the codes are
-      // bit-identical and the n×800-row Exchange is GONE. The
-      // explicit-width repartition spreads the one-split parquet scan
-      // across the cluster (q127/q140 lesson) — the kernel pass is the
-      // only corpus-sized compute left here.
-      val nSub = 8
-      val subCb = cents.agg(
-        array_sort(collect_list(struct($"cid",
-          expr(s"slice(ce, 1, size(ce) DIV $nSub)").as("ce")))).as("ca0"),
-        (1 until nSub).map { si =>
-          array_sort(collect_list(struct($"cid",
-            expr(s"slice(ce, $si * (size(ce) DIV $nSub) + 1, " +
-              s"size(ce) DIV $nSub)").as("ce")))).as(s"ca$si")
-        }: _*)
-      val codes = e.repartition(32, $"vec_id").crossJoin(broadcast(subCb))
-        .select($"vec_id", posexplode(array((0 until nSub).map { si =>
-          graft.functions.GraftFunctions.l2ArgminCid(
-            expr(s"slice(embedding, $si * (size(embedding) DIV $nSub) + 1, " +
-              s"size(embedding) DIV $nSub)"),
-            col(s"ca$si"), lit(null))
-        }: _*)).as(Seq("s", "code")))
-      // Query-side ADC lookup table: 5 queries × |cents| × 8 subspace
-      // distances — rebuilt directly from the query rows (map-only,
-      // broadcast-small) instead of filtering the corpus-wide pd.
-      val lut = e.filter($"vec_id" < 5).crossJoin(broadcast(cents))
-        .select($"vec_id".as("query_id"), $"cid", posexplode(
-          graft.functions.GraftFunctions.pqSubDists($"embedding", $"ce", nSub))
-          .as(Seq("ls", "d")))
-      val adc = codes.join(broadcast(lut),
-          $"s" === $"ls" && $"code" === $"cid" && $"vec_id" =!= $"query_id")
-        .groupBy($"query_id", $"vec_id")
-        .agg(aggregate(array_sort(collect_list(struct($"ls", $"d"))),
-          lit(0.0), (acc, x) => acc + x.getField("d")).as("adc"))
-      val sw = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
-      // Shortlist size follows [[AnnPolicy.pqShortlist]]: max(100,
-      // ⌈n/20⌉), so the exact re-rank always reads ≥ 5% of the corpus
-      // per query instead of a fixed 100 whose recall would decay as
-      // the index grows (VERDICT r11 #1) — in-plan 1-row count,
-      // integer ceiling division, oracle-mirrored.
-      val slist = e.agg(count(lit(1)).as("nv"))
-        .select(AnnPolicy.scanCeilCol("nv", AnnPolicy.PqScanDiv,
-          AnnPolicy.PqShortlistFloor).as("slist"))
-      val shortlist = adc
-        .withColumn("srank", row_number().over(sw))
-        .crossJoin(broadcast(slist))
-        .filter($"srank" <= $"slist")
-        .select($"query_id", $"vec_id")
-      val qv = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
-      shortlist.join(e, "vec_id").join(broadcast(qv), "query_id")
-        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
-        .orderBy($"query_id", $"rank")
+      pqAnnShortlistRerank(s, e, cents)
     },
 
 
@@ -614,56 +684,7 @@ private[operators] object AnnQueries {
       val e = t.embeddings.select($"vec_id", $"embedding")
       val cents = trainedCodebook(s, dir)
         .select($"cid", $"ce")
-      // In-row PQ encode via the compiled kernel — q60's restructure
-      // applied to the trained-codebook variant (same bit-parity
-      // argument: the kernel's per-slice L2 fold ≡ pq_subdists'
-      // per-subspace fold, ties/NaN/NULL identical to
-      // min_by(cid, struct(d, cid))). The n×K×8 explode + min_by
-      // Exchange is gone; encode is map-only after the explicit-width
-      // repartition of the one-split probe side.
-      val nSub = 8
-      val subCb = cents.agg(
-        array_sort(collect_list(struct($"cid",
-          expr(s"slice(ce, 1, size(ce) DIV $nSub)").as("ce")))).as("ca0"),
-        (1 until nSub).map { si =>
-          array_sort(collect_list(struct($"cid",
-            expr(s"slice(ce, $si * (size(ce) DIV $nSub) + 1, " +
-              s"size(ce) DIV $nSub)").as("ce")))).as(s"ca$si")
-        }: _*)
-      val codes = e.repartition(32, $"vec_id").crossJoin(broadcast(subCb))
-        .select($"vec_id", posexplode(array((0 until nSub).map { si =>
-          graft.functions.GraftFunctions.l2ArgminCid(
-            expr(s"slice(embedding, $si * (size(embedding) DIV $nSub) + 1, " +
-              s"size(embedding) DIV $nSub)"),
-            col(s"ca$si"), lit(null))
-        }: _*)).as(Seq("s", "code")))
-      val lut = e.filter($"vec_id" < 5).crossJoin(broadcast(cents))
-        .select($"vec_id".as("query_id"), $"cid", posexplode(
-          graft.functions.GraftFunctions.pqSubDists($"embedding", $"ce", nSub))
-          .as(Seq("ls", "d")))
-      val adc = codes.join(broadcast(lut),
-          $"s" === $"ls" && $"code" === $"cid" && $"vec_id" =!= $"query_id")
-        .groupBy($"query_id", $"vec_id")
-        .agg(aggregate(array_sort(collect_list(struct($"ls", $"d"))),
-          lit(0.0), (acc, x) => acc + x.getField("d")).as("adc"))
-      val sw = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
-      val slist = e.agg(count(lit(1)).as("nv"))
-        .select(AnnPolicy.scanCeilCol("nv", AnnPolicy.PqScanDiv,
-          AnnPolicy.PqShortlistFloor).as("slist"))
-      val shortlist = adc
-        .withColumn("srank", row_number().over(sw))
-        .crossJoin(broadcast(slist))
-        .filter($"srank" <= $"slist")
-        .select($"query_id", $"vec_id")
-      val qv = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-      val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
-      shortlist.join(e, "vec_id").join(broadcast(qv), "query_id")
-        .withColumn("l2", graft.functions.GraftFunctions.l2Sq($"embedding", $"qe"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id", CrossRound.r($"l2", 4).as("l2"))
-        .orderBy($"query_id", $"rank")
+      pqAnnShortlistRerank(s, e, cents)
     },
 
 
@@ -962,7 +983,7 @@ private[operators] object AnnQueries {
       // the cid's centroid (broadcast K-row join) — the same
       // left-to-right double fold the kernel ran, so d is
       // bit-identical to the old min(d).
-      val asg = e.repartition(32, $"vec_id")
+      val asg = e.repartition(Par.width(s), $"vec_id")
         .crossJoin(broadcast(cents.agg(
           array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))))
         .withColumn("cid", graft.functions.GraftFunctions
@@ -1005,7 +1026,7 @@ private[operators] object AnnQueries {
       val cents = trainedCodebook(s, dir).select($"cid", $"ce")
       // In-row kernel assignment + winner-distance recompute — see
       // q140 above (same rewrite, VERDICT r17 next-round #3).
-      val asg = e.repartition(32, $"vec_id")
+      val asg = e.repartition(Par.width(s), $"vec_id")
         .crossJoin(broadcast(cents.agg(
           array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))))
         .withColumn("cid", graft.functions.GraftFunctions
@@ -1054,7 +1075,7 @@ private[operators] object AnnQueries {
       val cb = trainedCodebookBefore(s, dir, cut)
         .agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
       val delta = pqRoute(e.filter($"vec_id" >= cut)
-          .repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+          .repartition(Par.width(s), $"vec_id").crossJoin(broadcast(cb)))
         .select($"vec_id", $"cid",
           split($"pcode", "-").cast("array<long>").as("codes"))
       idx.withColumn("src", lit(0))
@@ -1102,7 +1123,7 @@ private[operators] object AnnQueries {
       val cb = trainedCodebookBefore(s, dir, cut)
         .agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
       def routed(part: DataFrame): DataFrame =
-        pqRoute(part.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+        pqRoute(part.repartition(Par.width(s), $"vec_id").crossJoin(broadcast(cb)))
           .select($"cid", split($"pcode", "-").cast("array<long>").as("codes"))
       val dels = routed(e.filter($"vec_id" < cut && $"vec_id" % 13 === 5))
         .groupBy($"cid", $"codes").agg(count(lit(1)).as("n_del"))
@@ -1233,7 +1254,7 @@ private[operators] object AnnQueries {
       val cbDf = trainedCodebookBefore(s, dir, cut)
       val cb = cbDf.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
       val cd = pqRoute(e.filter($"vec_id" >= cut)
-          .repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+          .repartition(Par.width(s), $"vec_id").crossJoin(broadcast(cb)))
         .groupBy($"cid").agg(count(lit(1)).as("c_d"))
         .cache()
       val cc = idx.groupBy($"cid").agg(count(lit(1)).as("c_c"))
@@ -1304,7 +1325,7 @@ private[operators] object AnnQueries {
         .withColumn("gid", graft.functions.GraftFunctions
           .cosArgmaxCid($"ce", $"ca", lit(null)))
         .select($"gid", $"cid", $"ce")
-      val vCell = e.repartition(32, $"vec_id").crossJoin(broadcast(coarseArr))
+      val vCell = e.repartition(Par.width(s), $"vec_id").crossJoin(broadcast(coarseArr))
         .withColumn("gid", graft.functions.GraftFunctions
           .cosArgmaxCid($"embedding", $"ca", lit(null)))
         .select($"gid", $"vec_id", $"embedding")
@@ -1356,7 +1377,7 @@ private[operators] object AnnQueries {
       // ledger, so the winner needs no recompute join and embedding/
       // label stay on the row instead of being buffered through a
       // min_by struct.
-      val asg = e.repartition(32, $"vec_id")
+      val asg = e.repartition(Par.width(s), $"vec_id")
         .crossJoin(broadcast(cents.agg(
           array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))))
         .withColumn("cid", graft.functions.GraftFunctions
@@ -1472,7 +1493,7 @@ private[operators] object AnnQueries {
       // .L2ArgMinCid]] over the PREFIX-sliced centroid array (the r18
       // sweep); the full-width embedding stays on the row instead of
       // being buffered through a min_by struct.
-      val asg = e.repartition(32, $"vec_id")
+      val asg = e.repartition(Par.width(s), $"vec_id")
         .withColumn("e16", pfxOf($"embedding"))
         .crossJoin(broadcast(cents.agg(array_sort(
           collect_list(struct($"cid", $"ce16".as("ce")))).as("kcb"))))
@@ -1526,7 +1547,7 @@ private[operators] object AnnQueries {
       val cents = trainedCodebook(s, dir).select($"cid", $"ce")
       // In-row kernel routing (the r18 sweep) — map-only, one 64-entry
       // scan per row, no n×K aggregate buffer.
-      val asg = e.repartition(32, $"vec_id")
+      val asg = e.repartition(Par.width(s), $"vec_id")
         .crossJoin(broadcast(cents.agg(
           array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))))
         .withColumn("cid", graft.functions.GraftFunctions
@@ -1585,7 +1606,7 @@ private[operators] object AnnQueries {
       // seeds, a1, sub-centroid update, re-assignment) — without the
       // pin each branch re-runs the corpus routing, 5× the single most
       // expensive stage at 100 TB.
-      val asg = e.repartition(32, $"vec_id")
+      val asg = e.repartition(Par.width(s), $"vec_id")
         .crossJoin(broadcast(cents.agg(
           array_sort(collect_list(struct($"cid", $"ce"))).as("kcb"))))
         .withColumn("cid", graft.functions.GraftFunctions
@@ -1689,7 +1710,7 @@ private[operators] object AnnQueries {
     val staging = base + "_staging"
     materializeOnce(base + "_rw", staging) {
       def routed(part: DataFrame): DataFrame =
-        pqRoute(part.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+        pqRoute(part.repartition(Par.width(s), $"vec_id").crossJoin(broadcast(cb)))
           .select($"vec_id",
             split($"pcode", "-").cast("array<long>").as("codes"), $"cid")
       val stripe = e.filter($"vec_id" < cut && $"vec_id" % 13 === 5)
