@@ -1035,8 +1035,26 @@ private[operators] object TextQueries {
     "q130_rrf_fusion" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
+      // r20 (VERDICT r19 #3 — q130 was the best remaining structural
+      // target, 9 shuffles): both channel top-20s now run through the
+      // partial-aggregating [[graft.functions.TopKAgg]] (q25b's scale
+      // shape) instead of rank windows — the window form shuffled and
+      // fully sorted EVERY scored candidate row per channel (lexical:
+      // all matching (query, doc) pairs; semantic: the whole q×n score
+      // matrix) just to keep 20 per query, while the UDAF keeps ≤ 2k
+      // rows per group per map task and exchanges bounded buffers
+      // (guide §2.3 "aggregate before you shuffle"). TopKAgg's
+      // (score desc, id asc) total order is exactly both windows'
+      // ORDER BY, so the kept sets and ranks are identical
+      // (`TopKAggSpec` pins agg ≡ window). The per-candidate doc
+      // length also rides the instance rows now (one long per
+      // occurrence, constant per doc — max() re-extracts it), so the
+      // old tf↔dl SortMergeJoin and its two sorts are gone too.
+      val topk20 = udaf(new graft.functions.TopKAgg(20))
       val docs = t.documents.repartition($"doc_id")
-      val inst = docs.select($"doc_id", explode(expr(toksExpr)).as("tok"))
+      val inst = docs.select($"doc_id",
+        size(expr(toksExpr)).cast("long").as("dl"),
+        explode(expr(toksExpr)).as("tok"))
       val dl = docs.select($"doc_id",
         size(expr(toksExpr)).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("nd"), sum($"dl").as("ntok"))
@@ -1047,33 +1065,36 @@ private[operators] object TextQueries {
         .withColumn("qrk", row_number().over(wq)).filter($"qrk" <= 5)
         .select($"query_id", $"tok")
       val tf = inst.join(broadcast(qterms), "tok")
-        .groupBy($"query_id", $"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        .groupBy($"query_id", $"doc_id", $"tok")
+        .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
         .cache()
       val qdf = tf.select($"tok", $"doc_id").distinct()
         .groupBy($"tok").agg(count(lit(1)).as("df"))
-      val contrib = tf.join(broadcast(qdf), "tok").join(dl, "doc_id")
+      val contrib = tf.join(broadcast(qdf), "tok")
         .crossJoin(broadcast(stats))
         .withColumn("c",
           (($"nd" + 1.0) / ($"df" + 0.5)) *
             ($"tf" * 2.2 / ($"tf" + lit(1.2) *
               (lit(0.25) + lit(0.75) *
                 ($"dl" / ($"ntok".cast("double") / $"nd"))))))
-      val wb = Window.partitionBy($"query_id").orderBy($"bscore".desc, $"doc_id")
       val bmTop = contrib.filter($"doc_id" =!= $"query_id")
         .groupBy($"query_id", $"doc_id")
         .agg(aggregate(array_sort(collect_list(struct($"tok", $"c"))),
           lit(0.0), (acc, x) => acc + x.getField("c")).as("bscore"))
-        .withColumn("br", row_number().over(wb)).filter($"br" <= 20)
-        .select($"query_id", $"doc_id", $"br")
+        .groupBy($"query_id")
+        .agg(topk20($"doc_id", $"bscore").as("top"))
+        .select($"query_id", posexplode($"top").as(Seq("i", "sv")))
+        .select($"query_id", $"sv.vec_id".as("doc_id"), ($"i" + 1).as("br"))
       val e = t.embeddings.select($"vec_id", $"embedding")
       val q = e.filter($"vec_id" < 5)
         .select($"vec_id".as("cq"), $"embedding".as("qe"))
-      val wc = Window.partitionBy($"cq").orderBy($"cos".desc, $"vec_id")
       val cosTop = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"cq")
         .withColumn("cos",
           graft.functions.GraftFunctions.cosineSim($"embedding", $"qe"))
-        .withColumn("cr", row_number().over(wc)).filter($"cr" <= 20)
-        .select($"cq", $"vec_id".as("cv"), $"cr")
+        .groupBy($"cq")
+        .agg(topk20($"vec_id", $"cos").as("top"))
+        .select($"cq", posexplode($"top").as(Seq("i", "sv")))
+        .select($"cq", $"sv.vec_id".as("cv"), ($"i" + 1).as("cr"))
       val fused = bmTop.join(cosTop,
           $"query_id" === $"cq" && $"doc_id" === $"cv", "full_outer")
         .select(coalesce($"query_id", $"cq").as("query_id"),
