@@ -520,9 +520,18 @@ private[graft] object DedupQueries {
           .as("x"))
         .select($"doc_id", $"x.sid".as("sid"), $"x.tf".as("tf"),
           $"x.n2".as("n2"))
+      // Skew bound (VERDICT r19 #7, guide §2.5): the df ≤ 50 cap is
+      // enforced INSIDE the aggregation ([[graft.functions.
+      // CappedCollect]], O(cap) state per group) instead of
+      // collect_list'ing a hot shingle's whole posting list into one
+      // buffer first — same survivor set, same sorted docs arrays,
+      // bounded on hot keys at any corpus size.
+      val capped = udaf(new graft.functions.CappedCollect[
+        graft.functions.PostingTf](50))
       perDoc.groupBy($"sid")
-        .agg(sort_array(collect_list(struct($"doc_id", $"tf", $"n2"))).as("docs"))
-        .filter(size($"docs") <= 50)
+        .agg(capped($"doc_id", $"tf", $"n2").as("docs0"))
+        .filter(size($"docs0") > 0)
+        .select(sort_array($"docs0").as("docs"))
         .select(explode(expr(
           """flatten(transform(docs, (x, i) ->
                transform(slice(docs, i + 2, size(docs)),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Par
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -597,11 +598,20 @@ object PipelineQueries {
     */
   private[operators] def rareSharedSidPairs(arrs: DataFrame, dfCap: Int): DataFrame = {
     import arrs.sparkSession.implicits._
+    // Skew bound (VERDICT r19 #7, guide §2.5): the df cap is enforced
+    // INSIDE the aggregation ([[graft.functions.CappedCollect]], O(cap)
+    // state per group on every path) instead of collect_list'ing a hot
+    // shingle's whole posting list into one buffer and only then
+    // dropping it — same survivor set (a surviving group always has
+    // ≥ 1 posting), same sorted docs arrays, bounded on hot keys.
+    val capped = udaf(new graft.functions.CappedCollect[
+      graft.functions.PostingN](dfCap))
     val dsid = arrs.select($"doc_id", size($"sids").cast("long").as("n"),
       explode($"sids").as("sid"))
     dsid.groupBy($"sid")
-      .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("docs"))
-      .filter(size($"docs") <= dfCap)
+      .agg(capped($"doc_id", $"n").as("docs0"))
+      .filter(size($"docs0") > 0)
+      .select(sort_array($"docs0").as("docs"))
       .select(explode(expr(
         """flatten(transform(docs, (x, i) ->
              transform(slice(docs, i + 2, size(docs)),
@@ -1111,7 +1121,7 @@ object PipelineQueries {
     materializeOnce(path, path) {
       val cb = cbDf.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
       val e = embGlob(s, dir).filter($"vec_id" < cut)
-      pqRoute(e.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+      pqRoute(e.repartition(Par.width(s), $"vec_id").crossJoin(broadcast(cb)))
         .select($"vec_id", $"cid",
           split($"pcode", "-").cast("array<long>").as("codes"))
         .write.mode("overwrite").parquet(path)
@@ -1134,7 +1144,7 @@ object PipelineQueries {
     materializeOnce(path, path) {
       val cb = cbDf.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
       val e = embGlob(s, dir)
-      pqRoute(e.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+      pqRoute(e.repartition(Par.width(s), $"vec_id").crossJoin(broadcast(cb)))
         .select($"vec_id", $"cid",
           split($"pcode", "-").cast("array<long>").as("codes"))
         .write.mode("overwrite").parquet(path)
@@ -1165,7 +1175,7 @@ object PipelineQueries {
     materializeOnce(path, path) {
       val cb = cbDf.agg(array_sort(collect_list(struct($"cid", $"ce"))).as("cb"))
       val e = embGlob(s, dir).filter($"vec_id" < cut)
-      pqRoute(e.repartition(32, $"vec_id").crossJoin(broadcast(cb)))
+      pqRoute(e.repartition(Par.width(s), $"vec_id").crossJoin(broadcast(cb)))
         .select($"vec_id",
           split($"pcode", "-").cast("array<long>").as("codes"), $"cid")
         .write.mode("overwrite").partitionBy("cid").parquet(path)
