@@ -184,6 +184,13 @@ object TextSketch {
     * to consumers, the sort just groups runs), then one linear
     * run-length pass emitting (token, tf). tf values are
     * integer-identical to a `groupBy(doc, token).count()` aggregation.
+    *
+    * Each retained token is CLONED into the output (ADVICE r19): the
+    * input strings are views into the scan's reusable column-vector /
+    * unsafe buffers, so a consumer that buffers the raw array across
+    * rows (collect_list, sort — GenericArrayData copies are shallow)
+    * would otherwise observe corrupted tokens. One copy per DISTINCT
+    * token, not per occurrence — noise next to the O(n log n) sort.
     */
   def rleTfStr(a: ArrayData): ArrayData = {
     val n = a.numElements()
@@ -210,7 +217,8 @@ object TextSketch {
       var e = s + 1
       while (e < m && arr(e) == arr(s)) e += 1
       out(r) = org.apache.spark.sql.catalyst.InternalRow(
-        arr(s), (e - s).toLong)
+        arr(s).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone(),
+        (e - s).toLong)
       r += 1
       s = e
     }

@@ -550,7 +550,11 @@ object RelationalQueries {
       // p[k+1] = Σ_{i<k} count(d0 + i days). Built once on one row
       // (the span-squared map probes below run ~ms on the 1-row agg;
       // the per-ORDER path never touches the map).
+      // NULL l_shipdate rows can never land in any window (the oracle's
+      // LEFT-JOIN BETWEEN predicate excludes them), and an all-NULL
+      // column would otherwise feed map_from_entries a NULL key.
       val dayPrefix = t.lineitem
+        .where($"l_shipdate".isNotNull)
         .groupBy(to_date($"l_shipdate").as("ship_day"))
         .agg(count(lit(1)).as("n_ship"))
         .agg(min($"ship_day").as("d0"), max($"ship_day").as("d1"),
@@ -566,7 +570,12 @@ object RelationalQueries {
         .select($"o_orderkey", to_date($"o_orderdate").as("od"))
         .crossJoin(broadcast(dayPrefix))
         .select($"o_orderkey", expr(
-          """CASE WHEN datediff(od, d0) + 30 < 0
+          // `d0 IS NULL` = EMPTY shipments corpus (the degenerate case
+          // ADVICE r19 flagged): the LEFT-join contract says every
+          // order counts 0, where the bare ELSE would evaluate
+          // element_at(p, NULL) and emit NULL for every order.
+          """CASE WHEN d0 IS NULL
+                    OR datediff(od, d0) + 30 < 0
                     OR datediff(od, d0) > size(p) - 2
                   THEN CAST(0 AS BIGINT)
                   ELSE element_at(p, least(datediff(od, d0) + 30,
