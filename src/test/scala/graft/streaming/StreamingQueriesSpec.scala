@@ -594,6 +594,13 @@ class StreamingQueriesSpec extends AnyFunSuite {
       s"the continuation's state ($w2Rows rows) must be strictly " +
         s"smaller than the never-flushed stream's ($neverRows rows) — " +
         "that bound is the point of the flush")
+    // All-tags state pin (VERDICT r19 #5, completing r18 #7): window 1
+    // accumulates only the pre-cut docs, so its state at flush time is
+    // non-empty and strictly below the never-flushed accumulation.
+    val w1Rows = StreamingQueries.stateRowsAfter("q160_stream_index_flush:w1")
+    assert(w1Rows > 0 && w1Rows < neverRows,
+      s"window 1's state at flush ($w1Rows) must be non-empty and " +
+        s"strictly below the never-flushed stream's ($neverRows)")
     // Probe-plan pin (VERDICT r17 next-round #1 acceptance): the
     // continuation's captured micro-batch plan must probe BOTH the
     // base index and the window table, and neither index scan may
@@ -672,6 +679,11 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(w3Rows < neverRows,
       s"window 3's state ($w3Rows) must be strictly smaller than the " +
         s"never-flushed stream's ($neverRows)")
+    // All-tags state pin (VERDICT r19 #5, completing r18 #7).
+    val w1Rows = StreamingQueries.stateRowsAfter("q162_stream_flush_compact:w1")
+    assert(w1Rows > 0 && w1Rows < neverRows,
+      s"window 1's state at flush 1 ($w1Rows) must be non-empty and " +
+        s"strictly below the never-flushed stream's ($neverRows)")
   }
 
   test("q161: the flush fires MID-STREAM from the state threshold; " +
@@ -734,6 +746,14 @@ class StreamingQueriesSpec extends AnyFunSuite {
       assert(w2Rows < neverRows,
         s"the continuation's state ($w2Rows) must be strictly smaller " +
           s"than the never-flushed stream's ($neverRows)")
+      // All-tags state pin (VERDICT r19 #5, completing r18 #7): the
+      // threshold fires LATE in the staged delta (boundary > 90 % of
+      // ids), so window 1's state dominates the continuation's.
+      val w1Rows =
+        StreamingQueries.stateRowsAfter("q161_stream_flush_threshold:w1")
+      assert(w1Rows > 0 && w2Rows < w1Rows,
+        s"window 1's state at the threshold flush ($w1Rows) must be " +
+          s"non-empty and above the continuation's ($w2Rows)")
     } finally {
       spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
       spark.conf.unset("spark.graft.streaming.flushStateRows")
