@@ -12,7 +12,7 @@ cd "$(dirname "$0")/../.."
 Q=q160_stream_index_flush,q161_stream_flush_threshold,q162_stream_flush_compact,q158_stream_lsh_index,q142b_stream_ann_append,q133_stream_chunk_dedup
 JAR=target/scala-2.13/duckdb_gsheetsspark_2.13-0.1.0.jar
 i=0
-for store in mem rocksdb rocksdb mem rocksdb mem mem rocksdb; do
+for store in mem rocksdb rocksdb mem; do
   i=$((i + 1))
   if [ $store = rocksdb ]; then export SPARK_GRAFT_STATE_STORE=rocksdb
   else unset SPARK_GRAFT_STATE_STORE || true; fi
